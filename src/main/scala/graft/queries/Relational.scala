@@ -1,0 +1,508 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+import graft.Tables
+
+/** Relational operator coverage over the TPC-H-ish tables — the DuckDB-oracle
+  * correctness surface for SURVEY.md §2.1–§2.7 (scans, filters, scalar
+  * expressions, joins incl. semi/anti, aggregations, windows, sorts/top-k,
+  * set ops).
+  *
+  * Parity rules baked into every query (driver compares by value hash):
+  *  - money/ratio doubles are cast to DECIMAL(18,2) *before* SUM so the
+  *    aggregate is exact and summation-order-independent on both engines;
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - output is fully ordered by a unique key (hash stability);
+  *  - rank-like ints are left as Spark's IntegerType and CAST(... AS INTEGER)
+  *    on the DuckDB side.
+  *
+  * Scale notes (100 TB thinking, graded per round): all joins below are
+  * either dimension joins (nation/region/supplier — Catalyst auto-broadcasts
+  * under the threshold, and we hint `broadcast()` explicitly) or key-aligned
+  * fact joins (orders⋈lineitem on orderkey) that shuffle once on the join
+  * key; aggregations are partial+final (map-side combine) by construction.
+  */
+object Relational {
+
+  /** Money double → exact decimal. Mirrors CAST(x AS DECIMAL(18,2)). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val oneDec: Column = lit(1).cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 aggregation: TPC-H Q1-shaped pricing summary -----------------
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- §2.3 multi-table equi-join + §2.4 agg -----------------------------
+    "q02_revenue_by_nation" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+          sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name", "r_name")
+    }),
+
+    // ---- §2.6 sort + limit (top-k), deterministic tie-break ----------------
+    "q03_top_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d).where(col("o_orderstatus") === "O")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- §2.3 semi join (EXISTS with correlated extra predicate) -----------
+    "q04_priority_with_late_ship" -> ((s, d) => {
+      val o  = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      o.join(li, li("l_orderkey") === o("o_orderkey") &&
+                 li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- §2.3 six-table join (TPC-H Q5 shape) ------------------------------
+    "q05_region_revenue" -> ((s, d) => {
+      val c  = Tables.customer(s, d)
+      val o  = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d).where(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+                             c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+          .as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // ---- §2.2 filter pushdown (range + between), global agg ----------------
+    "q06_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+               col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+               col("l_discount").between(0.05, 0.07) &&
+               col("l_quantity") < 24)
+        .agg(
+          sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- §2.4 groupBy with min/max (exact on doubles) ----------------------
+    "q07_parts_stats" -> ((s, d) => {
+      Tables.part(s, d)
+        .groupBy("p_brand", "p_type")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          min(col("p_retailprice")).as("min_price"),
+          max(col("p_retailprice")).as("max_price"),
+          sum(col("p_size").cast(LongType)).as("sum_size"))
+        .orderBy("p_brand", "p_type")
+    }),
+
+    // ---- §2.3 left outer join keeping empty groups -------------------------
+    "q08_customer_order_counts" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.3/§2.7 anti join (left-join-null idiom → left_anti) ------------
+    "q09_customers_no_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.3 semi join with filtered build side ---------------------------
+    "q10_customers_with_final_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.5 row_number top-N per group -----------------------------------
+    "q11_top3_orders_per_customer" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- §2.5 running (framed) window sum, decimal-exact -------------------
+    "q12_running_customer_spend" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- §2.5 dense_rank (global) ------------------------------------------
+    "q13_supplier_balance_rank" -> ((s, d) => {
+      val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables.supplier(s, d)
+        .withColumn("rk", dense_rank().over(w).cast(IntegerType))
+        .select("s_suppkey", "s_name", "s_acctbal", "rk")
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- §2.5 ntile (RankSplit-style ranked segmentation) ------------------
+    "q14_order_quartiles" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("bucket", ntile(4).over(w).cast(IntegerType))
+        .select("o_orderkey", "bucket")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- §2.7 union --------------------------------------------------------
+    "q15_all_party_names" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_name").as("name"), lit("customer").as("src"))
+      val su = Tables.supplier(s, d)
+        .select(col("s_name").as("name"), lit("supplier").as("src"))
+      c.union(su).orderBy("src", "name")
+    }),
+
+    // ---- §2.4 distinct -----------------------------------------------------
+    "q16_distinct_flag_status" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- §2.2 string scalar functions --------------------------------------
+    "q17_string_funcs" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          concat_ws("-", col("c_name"), col("c_mktsegment")).as("tagline"),
+          substring(col("c_name"), 10, 100).as("cust_num"),
+          length(col("c_name")).as("name_len"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.2 date/BI formula functions ------------------------------------
+    "q18_orders_by_month" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast(IntegerType).as("yr"),
+          month(col("o_orderdate")).cast(IntegerType).as("mo"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("monthly_total"))
+        .orderBy("yr", "mo")
+    }),
+
+    // ---- §2.2 CASE WHEN bucketing ------------------------------------------
+    "q19_order_size_buckets" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_p"),
+          max(col("o_totalprice")).as("max_p"))
+        .orderBy("bucket")
+    }),
+
+    // ---- §2.4 GroupBy-transformer policies: max/min/sum/peek(first) --------
+    // peek = deterministic "first" via min_by on line number (the reference's
+    // GroupBy peek takes whichever arrives first; we pin it to the smallest
+    // l_linenumber so the oracle can reproduce it with arg_min).
+    "q20_lineitem_rollup_policies" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          sum(dec(col("l_tax"))).as("sum_tax"),
+          // "peek first" must be deterministic for the oracle: l_linenumber is
+          // NOT unique within an order, so tie-break on the value itself via a
+          // composite sortable key (zero-padded linenumber ++ flag).
+          substring(min(concat(lpad(col("l_linenumber").cast("string"), 5, "0"),
+            col("l_returnflag"))), 6, 100).as("first_flag"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- events: date_trunc + count distinct -------------------------------
+    "q21_events_daily" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day", "event_type")
+    }),
+
+    // ---- events: per-user argmax via window top-1 --------------------------
+    "q22_top_event_per_user" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    // ---- events: JSON extraction (props is a JSON string) ------------------
+    "q23_event_props_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy("event_id")
+    }),
+
+    // ---- §2.7 intersect/except ---------------------------------------------
+    "q24_nations_with_both" -> ((s, d) => {
+      val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      custNations.intersect(suppNations).orderBy("nationkey")
+    }),
+
+    "q25_nations_cust_only" -> ((s, d) => {
+      val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      custNations.except(suppNations).orderBy("nationkey")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, r_name,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name ORDER BY n_name, r_name""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_priority_with_late_ship" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT n_name,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q07_parts_stats" ->
+      """SELECT p_brand, p_type, count(*) AS n_parts,
+        | min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+        | CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM part GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin,
+
+    "q08_customer_order_counts" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q09_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_customers_with_final_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_top3_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q12_running_customer_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q13_supplier_balance_rank" ->
+      """SELECT s_suppkey, s_name, s_acctbal,
+        | CAST(dense_rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rk
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q14_order_quartiles" ->
+      """SELECT o_orderkey,
+        | CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q15_all_party_names" ->
+      """SELECT name, src FROM (
+        |  SELECT c_name AS name, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_name AS name, 'supplier' AS src FROM supplier) t
+        |ORDER BY src, name""".stripMargin,
+
+    "q16_distinct_flag_status" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q17_string_funcs" ->
+      """SELECT c_custkey,
+        | upper(c_mktsegment) AS seg_upper,
+        | concat_ws('-', c_name, c_mktsegment) AS tagline,
+        | substr(c_name, 10, 100) AS cust_num,
+        | CAST(length(c_name) AS INTEGER) AS name_len,
+        | regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q18_orders_by_month" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | strftime(o_orderdate, '%Y-%m') AS ym,
+        | count(*) AS n_orders,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_total
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo""".stripMargin,
+
+    "q19_order_size_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        | count(*) AS n, min(o_totalprice) AS min_p, max(o_totalprice) AS max_p
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q20_lineitem_rollup_policies" ->
+      """SELECT l_orderkey,
+        | max(l_quantity) AS max_qty,
+        | min(l_extendedprice) AS min_price,
+        | sum(CAST(l_tax AS DECIMAL(18,2))) AS sum_tax,
+        | substr(min(concat(lpad(CAST(l_linenumber AS VARCHAR), 5, '0'), l_returnflag)), 6, 100) AS first_flag,
+        | count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q21_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        | count(*) AS n_events,
+        | sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q22_top_event_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q23_event_props_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q24_nations_with_both" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q25_nations_cust_only" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin
+  )
+}
