@@ -1,0 +1,131 @@
+package graft.functions
+
+/** Scalar text kernels mirroring the reference's text-normalization surface
+  * (simplify/tokenize/levenshtein/similarity — see
+  * /root/reference/mllib/src/main/scala/text/Word.scala:34-55 and
+  * /root/reference/geo/src/main/scala/TextTools.scala:4-113 for the
+  * *capabilities*; the implementations here are original).
+  *
+  * All functions are pure JVM kernels, usable inside UDFs and
+  * `mapPartitions`. Keep them allocation-light: they run in the inner loop
+  * of the fuzzy join's scoring stage.
+  */
+object TextKernels extends Serializable {
+
+  /** One matched token with its source-character span.
+    *
+    * @param start inclusive char offset in the original string
+    * @param end   exclusive char offset in the original string
+    * @param acro  original token was a 2-3 char all-caps acronym
+    */
+  case class Tok(tok: String, pos: Int, start: Int, end: Int, acro: Boolean)
+
+  /** Accent folding + lowercasing + ligature expansion. The reference folds
+    * via a custom char table; we use NFD + combining-mark strip which covers
+    * the same Latin range, plus the ligatures the table special-cases. */
+  def simplify(s: String): String = {
+    if (s == null) return null
+    val expanded = s
+      .replace("œ", "oe").replace("Œ", "OE")
+      .replace("æ", "ae").replace("Æ", "AE")
+      .replace("ß", "ss")
+    val norm = java.text.Normalizer.normalize(expanded, java.text.Normalizer.Form.NFD)
+    val sb = new StringBuilder(norm.length)
+    var i = 0
+    while (i < norm.length) {
+      val c = norm.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(Character.toLowerCase(c))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c)
+
+  /** Tokenize on non-letter/digit boundaries, keeping char offsets and
+    * flagging acronyms (2-3 char all-uppercase in the ORIGINAL text —
+    * the signal the reference's AcronymFilter keys on). Tokens are
+    * simplified (case/accent-folded). */
+  def tokenizeWithOffsets(s: String): Seq[Tok] = {
+    if (s == null) return Seq.empty
+    val out = Seq.newBuilder[Tok]
+    var i = 0
+    var pos = 0
+    while (i < s.length) {
+      while (i < s.length && !isWordChar(s.charAt(i))) i += 1
+      val start = i
+      while (i < s.length && isWordChar(s.charAt(i))) i += 1
+      if (i > start) {
+        val raw = s.substring(start, i)
+        val acro = raw.length >= 2 && raw.length <= 3 &&
+          raw.forall(c => Character.isUpperCase(c))
+        out += Tok(simplify(raw), pos, start, i, acro)
+        pos += 1
+      }
+    }
+    out.result()
+  }
+
+  def tokenize(s: String): Seq[String] = tokenizeWithOffsets(s).map(_.tok)
+
+  /** Bounded Levenshtein distance: returns early with `bound + 1` once the
+    * distance provably exceeds `bound` (banded DP, O(len · bound)). */
+  def boundedLevenshtein(a: String, b: String, bound: Int): Int = {
+    if (a == b) return 0
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    if (t.length - s.length > bound) return bound + 1
+    var prev = Array.tabulate(s.length + 1)(identity)
+    var cur = new Array[Int](s.length + 1)
+    var j = 1
+    while (j <= t.length) {
+      cur(0) = j
+      var rowMin = cur(0)
+      var i = 1
+      while (i <= s.length) {
+        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        cur(i) = math.min(math.min(cur(i - 1) + 1, prev(i) + 1), prev(i - 1) + cost)
+        if (cur(i) < rowMin) rowMin = cur(i)
+        i += 1
+      }
+      if (rowMin > bound) return bound + 1
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    math.min(prev(s.length), bound + 1)
+  }
+
+  /** SymSpell-style deletion neighborhood: all strings obtainable by
+    * deleting up to `maxDeletes` chars. Joining both sides on these
+    * variants yields every pair within edit distance `maxDeletes` for
+    * deletions/insertions and serves as a candidate filter for
+    * substitutions (verified afterwards with boundedLevenshtein).
+    * Includes the string itself. Public algorithm (SymSpell, Wolf Garbe). */
+  def deletionVariants(s: String, maxDeletes: Int): Seq[String] = {
+    if (maxDeletes <= 0 || s.length <= 1) return Seq(s)
+    val seen = collection.mutable.LinkedHashSet[String](s)
+    var frontier = List(s)
+    var d = 0
+    while (d < maxDeletes) {
+      frontier = frontier.flatMap { w =>
+        if (w.length <= 1) Nil
+        else (0 until w.length).map(i => w.substring(0, i) + w.substring(i + 1))
+      }.filter(seen.add)
+      d += 1
+    }
+    seen.toSeq
+  }
+
+  /** Positional text similarity in [0,1]: fraction of query tokens found in
+    * the candidate (exact or within lev distance 1 for tokens >= 4 chars),
+    * mirroring the capability of the reference's TextTools.textSimilarity. */
+  def tokenSetSimilarity(query: String, candidate: String): Double = {
+    val q = tokenize(query)
+    if (q.isEmpty) return 0.0
+    val c = tokenize(candidate).toSet
+    val hits = q.count { t =>
+      c.contains(t) || (t.length >= 4 && c.exists(ct =>
+        math.abs(ct.length - t.length) <= 1 && boundedLevenshtein(t, ct, 1) <= 1))
+    }
+    hits.toDouble / q.size
+  }
+}

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{FloatType, IntegerType}
+import graft.functions.TextKernels
+
+/** Fuzzy full-text lookup join — the Spark-native replacement for the
+  * reference's Lucene-backed `luceneLookup`
+  * (/root/reference/mllib/src/main/scala/index/implicits.scala:15-392).
+  *
+  * Semantics preserved (see FIXTURES.md §1): for every left row, the single
+  * best-scoring right row by approximate text match of `query` against
+  * `text`; LEFT OUTER (no match ⇒ right columns null-padded); output =
+  * left columns ++ right columns ++ `_score_: float, _tags_: array<string>,
+  * _startIndex_: int, _endIndex_: int` (char span of the matched region of
+  * the query).
+  *
+  * Architecture — a pure DataFrame program, no per-executor sidecar index:
+  *
+  *  1. tokenize both sides (accent-fold + lowercase, offsets kept);
+  *  2. candidate generation = inverted-index equi-join on token; fuzzy
+  *     candidates (maxLevDistance > 0) via SymSpell deletion-variant join,
+  *     verified with bounded Levenshtein;
+  *  3. TF-IDF-style scoring with Lucene-like doc-length normalization
+  *     (`/sqrt(docLen)`) — this is what makes "IL" prefer the 2-token
+  *     "Illinois, IL" over the 4-token "Des Plaines, US, IL";
+  *  4. strategy "ngram": matches must cluster within a query-token window
+  *     (gap <= nNgrams) and the best cluster wins — proximity scoring that
+  *     finds the best matching *subspan* of a long query (reference
+  *     NgramStrategy, index/NgramStrategy.scala:21-292);
+  *  5. top-K per left row via window row_number (deterministic tie-break on
+  *     right row id), then join back to the full rows.
+  *
+  * Scale properties (the reason this is NOT a Lucene port): every stage is a
+  * shuffle-native relational op — tokenize/explode, hash joins on token,
+  * partial+final aggregation, one window per left row id. No driver-side
+  * state, no node-local index files, no collect. Candidate explosion on
+  * frequent tokens is bounded by `maxDfRatio` (tokens present in more than
+  * that fraction of right docs are treated as stopwords — the analogue of
+  * the reference's stop-word list + minTokenLikehood drop), so worst-case
+  * candidate volume is O(|left tokens| * maxDfRatio * |right|) and the plan
+  * survives a 100x scale-up by adding partitions, not memory.
+  */
+object FuzzyLookup {
+
+  /** @param maxLevDistance 0 = exact-token candidates only; 1-2 enables the
+    *                       deletion-variant fuzzy path
+    * @param minScore       matches scoring below are dropped (row null-padded)
+    * @param boostAcronyms  2-3 char all-caps tokens matching on both sides
+    *                       get `acronymBoost`
+    * @param popularityCol  optional right column multiplied into the score
+    * @param strategy       "standard" (whole query) or "ngram" (best subspan)
+    * @param nNgrams        ngram strategy: max token gap within a match cluster
+    * @param maxDfRatio     right tokens with docFreq/N above this are ignored
+    *                       as candidates (scale guard; 1.0 = off)
+    * @param topK           best K right rows per left row (reference: 1)
+    */
+  case class Options(
+      maxLevDistance: Int = 0,
+      minScore: Double = 0.0,
+      boostAcronyms: Boolean = false,
+      acronymBoost: Double = 4.0,
+      fuzzyFactor: Double = 0.25,
+      popularityCol: Option[String] = None,
+      stopWords: Set[String] = Set.empty,
+      strategy: String = "standard",
+      nNgrams: Int = 3,
+      maxDfRatio: Double = 1.0,
+      topK: Int = 1)
+
+  private val tokUdf = udf((s: String) => TextKernels.tokenizeWithOffsets(s))
+  private val levUdf = udf((a: String, b: String, bound: Int) =>
+    TextKernels.boundedLevenshtein(a, b, bound))
+  private def variantsUdf(maxDel: Int) =
+    udf((s: String) => TextKernels.deletionVariants(s, maxDel))
+
+  def lookup(left: DataFrame, queryCol: String, right: DataFrame,
+             textCol: String, opts: Options = Options()): DataFrame = {
+    val leftKeyed = left.withColumn("_lid_", monotonically_increasing_id())
+    val rightKeyed = right.withColumn("_rid_", monotonically_increasing_id())
+    // The scoring pipeline works on fully re-aliased projections (fresh
+    // attribute ids), so re-joining leftKeyed/rightKeyed at the end is not an
+    // ambiguous self-join.
+    val queries = leftKeyed.select(
+      col("_lid_").as("_qlid_"), col(queryCol).as("_qtext_"))
+    val texts = rightKeyed.select(
+      col("_rid_").as("_trid_"), col(textCol).as("_ttext_"))
+
+    // ---- right side: inverted index as a DataFrame ------------------------
+    val rightToks = texts
+      .select(col("_trid_"), explode(tokUdf(col("_ttext_"))).as("t"))
+      .select(col("_trid_"), col("t.tok").as("rtok"), col("t.acro").as("racro"))
+      .where(!col("rtok").isin(opts.stopWords.toSeq: _*))
+    val docLen = rightToks.groupBy("_trid_").agg(count(lit(1)).as("_doclen_"))
+    val totals = texts.agg(count(lit(1)).as("_n_docs_"))
+    // token -> document frequency -> idf; frequent tokens pruned here, which
+    // bounds the candidate join fan-out at scale.
+    val tokenStats = rightToks.select("_trid_", "rtok").distinct()
+      .groupBy("rtok").agg(count(lit(1)).as("_df_"))
+      .crossJoin(broadcast(totals))
+      .where(col("_df_") / col("_n_docs_") <= opts.maxDfRatio)
+      .withColumn("_idf_", log(lit(1.0) + col("_n_docs_") / col("_df_")))
+      .select("rtok", "_idf_")
+    val rightIndexed = rightToks.join(tokenStats, "rtok")
+
+    // ---- left side: query tokens with char offsets ------------------------
+    val leftToks = queries
+      .select(col("_qlid_"), explode(tokUdf(col("_qtext_"))).as("t"))
+      .select(col("_qlid_"), col("t.tok").as("qtok"), col("t.pos").as("qpos"),
+        col("t.start").as("qstart"), col("t.end").as("qend"),
+        col("t.acro").as("qacro"))
+      .where(!col("qtok").isin(opts.stopWords.toSeq: _*))
+
+    // ---- candidates: exact inverted-index join ----------------------------
+    val acroBoost =
+      if (opts.boostAcronyms)
+        when(col("qacro") && col("racro"), lit(opts.acronymBoost)).otherwise(lit(1.0))
+      else lit(1.0)
+    val exactCand = leftToks
+      .join(rightIndexed, col("qtok") === col("rtok"))
+      .select(col("_qlid_"), col("_trid_"), col("qpos"), col("qstart"),
+        col("qend"), (col("_idf_") * acroBoost).as("_w_"))
+
+    // ---- candidates: SymSpell deletion-variant fuzzy join -----------------
+    val cand =
+      if (opts.maxLevDistance <= 0) exactCand
+      else {
+        val vu = variantsUdf(opts.maxLevDistance)
+        val lv = leftToks.withColumn("_var_", explode(vu(col("qtok"))))
+        val rv = rightIndexed.withColumn("_var_", explode(vu(col("rtok"))))
+        val fuzzyCand = lv.join(rv, "_var_")
+          .where(col("qtok") =!= col("rtok"))
+          .select(col("_qlid_"), col("_trid_"), col("qpos"), col("qstart"),
+            col("qend"), col("qtok"), col("rtok"), col("_idf_"))
+          .distinct()
+          .withColumn("_lev_", levUdf(col("qtok"), col("rtok"), lit(opts.maxLevDistance)))
+          .where(col("_lev_") <= opts.maxLevDistance)
+          .select(col("_qlid_"), col("_trid_"), col("qpos"), col("qstart"), col("qend"),
+            (col("_idf_") * (lit(1.0) - col("_lev_") /
+              greatest(length(col("qtok")), length(col("rtok")))) *
+              lit(opts.fuzzyFactor)).as("_w_"))
+        exactCand.unionByName(fuzzyCand)
+      }
+
+    // best evidence per (left, right, query-token)
+    val matched = cand.groupBy("_qlid_", "_trid_", "qpos")
+      .agg(max(col("_w_")).as("_w_"), first(col("qstart")).as("qstart"),
+        first(col("qend")).as("qend"))
+
+    // ---- pair scoring: whole query, or best proximity cluster -------------
+    val pairScores = opts.strategy match {
+      case "ngram" =>
+        // cluster matched query positions: a gap > nNgrams starts a new
+        // cluster; the best cluster is the matched subspan.
+        val wOrder = Window.partitionBy("_qlid_", "_trid_").orderBy("qpos")
+        val clustered = matched
+          .withColumn("_gap_",
+            when(col("qpos") - lag(col("qpos"), 1).over(wOrder) > opts.nNgrams, 1)
+              .otherwise(0))
+          .withColumn("_cluster_", sum(col("_gap_")).over(
+            wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        clustered.groupBy("_qlid_", "_trid_", "_cluster_")
+          .agg(sum(col("_w_")).as("_raw_"), min(col("qstart")).as("_s_"),
+            max(col("qend")).as("_e_"))
+          .groupBy("_qlid_", "_trid_")
+          .agg(max(struct(col("_raw_"), col("_s_"), col("_e_"))).as("best"))
+          .select(col("_qlid_"), col("_trid_"), col("best._raw_").as("_raw_"),
+            col("best._s_").as("_s_"), col("best._e_").as("_e_"))
+      case _ =>
+        matched.groupBy("_qlid_", "_trid_")
+          .agg(sum(col("_w_")).as("_raw_"), min(col("qstart")).as("_s_"),
+            max(col("qend")).as("_e_"))
+    }
+
+    // length normalization + optional popularity boost
+    val withLen = pairScores.join(docLen, "_trid_")
+    val popBoosted = opts.popularityCol match {
+      case Some(p) =>
+        val popDf = rightKeyed.select(col("_rid_").as("_ptrid_"), col(p).as("_pop_"))
+        withLen.join(popDf, col("_trid_") === col("_ptrid_"))
+          .withColumn("_score_", col("_raw_") / sqrt(col("_doclen_")) * col("_pop_"))
+      case None => withLen
+        .withColumn("_score_", col("_raw_") / sqrt(col("_doclen_")))
+    }
+
+    val scored = popBoosted.where(col("_score_") >= opts.minScore)
+
+    // ---- top-K per left row, deterministic --------------------------------
+    val wTop = Window.partitionBy("_qlid_")
+      .orderBy(col("_score_").desc, col("_trid_"))
+    val best = scored
+      .withColumn("_rank_", row_number().over(wTop))
+      .where(col("_rank_") <= opts.topK)
+      .select(col("_qlid_"), col("_trid_"), col("_score_"),
+        col("_s_").as("_si_"), col("_e_").as("_ei_"))
+
+    // ---- stitch the full rows back (left outer ⇒ null padding) ------------
+    // Qualified-by-alias references: the scoring subtree shares lineage with
+    // leftKeyed/rightKeyed, so df("col") resolution would trip Spark's
+    // ambiguous-self-join check; alias scoping resolves cleanly.
+    leftKeyed.as("GL")
+      .join(best.as("GB"), col("GL._lid_") === col("GB._qlid_"), "left")
+      .join(rightKeyed.as("GR"), col("GB._trid_") === col("GR._rid_"), "left")
+      .select(left.columns.map(c => col(s"GL.`$c`")) ++
+        right.columns.map(c => col(s"GR.`$c`")) ++ Seq(
+        col("_score_").cast(FloatType).as("_score_"),
+        lit(null).cast("array<string>").as("_tags_"),
+        col("_si_").cast(IntegerType).as("_startIndex_"),
+        col("_ei_").cast(IntegerType).as("_endIndex_")): _*)
+  }
+
+  /** Multi-query variant (reference `luceneLookups`): each query column is
+    * resolved against the same right side; results appear as struct columns
+    * `{q}_res` = {right cols, _score_, _startIndex_, _endIndex_}. */
+  def lookupMulti(left: DataFrame, queryCols: Seq[String], right: DataFrame,
+                  textCol: String, opts: Options = Options()): DataFrame = {
+    queryCols.foldLeft(left) { (acc, q) =>
+      val res = lookup(acc, q, right, textCol, opts)
+      val resCols = right.columns ++ Seq("_score_", "_startIndex_", "_endIndex_")
+      res.withColumn(s"${q}_res", struct(resCols.map(col): _*))
+        .drop(resCols ++ Seq("_tags_"): _*)
+    }
+  }
+}

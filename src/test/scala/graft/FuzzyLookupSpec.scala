@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.FuzzyLookup
+import graft.operators.FuzzyLookup.Options
+
+/** Reference fixture parity for the fuzzy lookup join — FIXTURES.md §1,
+  * mirroring /root/reference/mllib/src/test/scala/index/implicits.scala:44-199
+  * (match identity asserted, never float scores). */
+class FuzzyLookupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  test("1a: finds perfect match in text and gets a value") {
+    val left = Seq("foo", "bar").toDF("query")
+    val right = Seq(("this is bar", 99), ("I am out of here!", 99)).toDF("text", "val")
+    val out = FuzzyLookup.lookup(left, "query", right, "text")
+    val hits = out.where(col("text").isNotNull)
+      .select("query", "text", "val").as[(String, String, Int)].collect().toSeq
+    assert(hits == Seq(("bar", "this is bar", 99)))
+    // left-outer: the no-match row survives null-padded
+    assert(out.count() == 2)
+    assert(out.where(col("text").isNull).select("query").as[String].collect().toSeq == Seq("foo"))
+  }
+
+  test("1b: minScore excludes low-score spam") {
+    val left = Seq("Twitter", "Fort Worth").toDF("query")
+    val right = Seq("Titter Khel", "I am out of here!", "Fort Worth, TX").toDF("text")
+    val out = FuzzyLookup.lookup(left, "query", right, "text", Options(minScore = 1.0))
+    val hits = out.where(col("text").isNotNull)
+      .select("query", "text").as[(String, String)].collect().toSeq
+    assert(hits == Seq(("Fort Worth", "Fort Worth, TX")))
+  }
+
+  test("1c: acronym boosting finds 2-letter acronyms") {
+    val left = Seq("Fort Worth, TX", "Des Plaines, IL", "IL", "OH", "Columbus, OH")
+      .toDF("query")
+    val right = Seq("Illinois, IL", "Wœrth, FR", "Fort Worth, TX",
+      "Des Plaines, US, IL", "Sainte-Anne-des-Plaines, CA", "Beau Bassin MU",
+      "Ohio, OH, US", "Columbus, US, OH", "Columbus, NI").toDF("text")
+    val out = FuzzyLookup.lookup(left, "query", right, "text",
+      Options(boostAcronyms = true))
+    val hits = out.where(col("text").isNotNull)
+      .select("query", "text").as[(String, String)].collect().toMap
+    assert(hits == Map(
+      "Fort Worth, TX" -> "Fort Worth, TX",
+      "Des Plaines, IL" -> "Des Plaines, US, IL",
+      "IL" -> "Illinois, IL",
+      "OH" -> "Ohio, OH, US",
+      "Columbus, OH" -> "Columbus, US, OH"))
+  }
+
+  test("1d: ngram strategy locates the best matching subspan") {
+    val left = Seq("In South east of CA lies the beauty of Glasgow in Scotland England")
+      .toDF("query")
+    val right = Seq("Wœrth, FR", "Sainte-Anne-des-Plaines, CA", "Cardiff",
+      "South Wales Valley", "New Glasgow, Californien CA",
+      "North west Glasgow GB Scotland", "Glasgow South France").toDF("text")
+    val out = FuzzyLookup.lookup(left, "query", right, "text",
+      Options(strategy = "ngram", nNgrams = 3))
+    val hits = out.where(col("text").isNotNull)
+      .select("query", "text").as[(String, String)].collect().toSeq
+    assert(hits == Seq(("In South east of CA lies the beauty of Glasgow in Scotland England",
+      "North west Glasgow GB Scotland")))
+    // the reported span must cover "Glasgow in Scotland" (chars of the match)
+    val (s, e) = out.where(col("text").isNotNull)
+      .select("_startIndex_", "_endIndex_").as[(Int, Int)].collect().head
+    val span = left.as[String].collect().head.substring(s, e)
+    assert(span.contains("Glasgow") && span.contains("Scotland"))
+  }
+
+  test("fuzzy: maxLevDistance=1 matches typos via deletion variants") {
+    val left = Seq("Glasgw", "Edinburgh").toDF("query")
+    val right = Seq(("Glasgow", 1), ("London", 2)).toDF("text", "id")
+    val out = FuzzyLookup.lookup(left, "query", right, "text", Options(maxLevDistance = 1))
+    val hits = out.where(col("text").isNotNull)
+      .select("query", "text").as[(String, String)].collect().toSeq
+    assert(hits == Seq(("Glasgw", "Glasgow")))
+  }
+
+  test("popularity column boosts the score multiplicatively") {
+    val left = Seq("springfield").toDF("query")
+    val right = Seq(("Springfield", 1.0), ("Springfield", 30.0)).toDF("text", "pop")
+    val out = FuzzyLookup.lookup(left, "query", right, "text",
+      Options(popularityCol = Some("pop")))
+    val hit = out.where(col("text").isNotNull).select("pop").as[Double].collect().toSeq
+    assert(hit == Seq(30.0))
+  }
+
+  test("multi-query lookup returns {q}_res struct columns") {
+    val left = Seq(("bar", "out")).toDF("q1", "q2")
+    val right = Seq(("this is bar", 99), ("I am out of here!", 7)).toDF("text", "val")
+    val out = FuzzyLookup.lookupMulti(left, Seq("q1", "q2"), right, "text")
+    val row = out.select(col("q1_res.val"), col("q2_res.val")).as[(Int, Int)].collect().head
+    assert(row == ((99, 7)))
+  }
+}
