@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.ml.linalg.{DenseVector, SparseVector, Vector, Vectors}
+
+/** Dense/sparse vector kernels (reference capability:
+  * /root/reference/mllib/src/main/scala/linalg/implicits.scala:21-152).
+  * Plain JVM loops — fast enough inside codegen'd UDF calls and
+  * `mapPartitions`; usable on both `ml.linalg.Vector` columns and raw
+  * `Array[Float]` embedding columns (the `embeddings` table's layout).
+  */
+object VectorKernels extends Serializable {
+
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def dotF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+  def normF(a: Array[Float]): Double = math.sqrt(dotF(a, a))
+
+  def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val d = norm(a) * norm(b)
+    if (d == 0) 0.0 else dot(a, b) / d
+  }
+
+  def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    val d = normF(a) * normF(b)
+    if (d == 0) 0.0 else dotF(a, b) / d
+  }
+
+  /** (cos + 1) / 2, NaN -> 0 — the reference's `similarityScore`. */
+  def similarityScore(a: Vector, b: Vector): Double = {
+    val c = cosine(a, b)
+    if (c.isNaN) 0.0 else (c + 1.0) / 2.0
+  }
+
+  def cosine(a: Vector, b: Vector): Double = (a, b) match {
+    case (x: DenseVector, y: DenseVector) => cosine(x.values, y.values)
+    case _ =>
+      val d = math.sqrt(sparseDot(a, a)) * math.sqrt(sparseDot(b, b))
+      if (d == 0) 0.0 else sparseDot(a, b) / d
+  }
+
+  private def sparseDot(a: Vector, b: Vector): Double = (a, b) match {
+    case (x: SparseVector, y: SparseVector) =>
+      var s = 0.0; var i = 0; var j = 0
+      while (i < x.indices.length && j < y.indices.length) {
+        if (x.indices(i) == y.indices(j)) { s += x.values(i) * y.values(j); i += 1; j += 1 }
+        else if (x.indices(i) < y.indices(j)) i += 1
+        else j += 1
+      }
+      s
+    case _ => dot(a.toArray, b.toArray)
+  }
+
+  def add(a: Vector, b: Vector): Vector = {
+    val out = a.toArray.clone()
+    val bb = b.toArray
+    var i = 0
+    while (i < out.length) { out(i) += bb(i); i += 1 }
+    Vectors.dense(out)
+  }
+
+  def subtract(a: Vector, b: Vector): Vector = {
+    val out = a.toArray.clone()
+    val bb = b.toArray
+    var i = 0
+    while (i < out.length) { out(i) -= bb(i); i += 1 }
+    Vectors.dense(out)
+  }
+
+  def scale(a: Vector, f: Double): Vector =
+    Vectors.dense(a.toArray.map(_ * f))
+
+  /** Random unit hyperplanes for sign-LSH, seeded deterministic. */
+  def hyperplanes(dim: Int, n: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign signature of `v` against hyperplanes, packed into a Long bitset
+    * (n <= 64). Vectors with small cosine distance agree on most bits. */
+  def signSignature(v: Array[Float], planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      var s = 0.0; var i = 0
+      val pl = planes(p)
+      while (i < v.length) { s += v(i) * pl(i); i += 1 }
+      if (s >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextKernels
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * All variants are shuffle-native DataFrame programs designed for the
+  * 100 TB case:
+  *  - exact: one hash-groupBy (map-side partial agg) — no pairwise work;
+  *  - MinHash+LSH: banding turns O(n²) near-dup search into an equi-join on
+  *    (band, bucket) — only same-bucket docs are paired, and the pair
+  *    verification joins back signatures, never full texts, until the final
+  *    candidate set;
+  *  - SimHash: 64-bit signature + pigeonhole block join (hamming <= k pairs
+  *    must agree on >= one of k+1 blocks), again an equi-join;
+  *  - n-gram Jaccard: token-level inverted-index join with per-pair
+  *    intersection counts — exact Jaccard without materializing pairs that
+  *    share no n-gram.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per distinct value
+    * of `textCol` (deterministic keep-first). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn_", row_number().over(w))
+      .where(col("_rn_") === 1)
+      .drop("_rn_")
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------
+
+  /** Word-shingle MinHash signature: `numHashes` permutations approximated
+    * by seeded multiply-shift hashing (public technique: Broder '97 minwise
+    * hashing). Deterministic for a given seed. */
+  private def minhashSig(numHashes: Int, shingleSize: Int, seed: Long) =
+    udf { (text: String) =>
+      val toks = TextKernels.tokenize(text)
+      val shingles =
+        if (toks.length < shingleSize) Seq(toks.mkString(" "))
+        else toks.sliding(shingleSize).map(_.mkString(" ")).toSeq
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      shingles.foreach { sh =>
+        val base = scala.util.hashing.MurmurHash3.stringHash(sh, seed.toInt).toLong
+        var i = 0
+        while (i < numHashes) {
+          // distinct hash function per slot: multiply-shift over the base
+          val h = (base * (2 * i + 1) + i * 0x9E3779B97F4A7C15L) ^ (base >>> 31)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig
+    }
+
+  /** Candidate near-duplicate pairs via MinHash banding. Output:
+    * (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard = fraction of
+    * agreeing signature slots >= `minEstJaccard`. */
+  def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shingleSize: Int = 3, minEstJaccard: Double = 0.5,
+                      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val sigDf = df.select(col(idCol).as("_id_"),
+      minhashSig(numHashes, shingleSize, seed)(col(textCol)).as("_sig_"))
+
+    // band -> hash of the band's signature slice = LSH bucket key
+    val banded = sigDf.select(col("_id_"), col("_sig_"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(_sig_, b * $rowsPerBand + 1, $rowsPerBand)))"))
+          .as(Seq("_band_", "_bucket_")))
+      .select("_id_", "_sig_", "_band_", "_bucket_")
+
+    val a = banded.select(col("_band_"), col("_bucket_"),
+      col("_id_").as("id_a"), col("_sig_").as("sig_a"))
+    val b = banded.select(col("_band_"), col("_bucket_"),
+      col("_id_").as("id_b"), col("_sig_").as("sig_b"))
+    val agree = expr(
+      "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), t -> t))")
+    a.join(b, Seq("_band_", "_bucket_"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("est_jaccard", agree / lit(numHashes.toDouble))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Dedup by MinHash: drop every doc that has a near-dup with a smaller id
+    * (connected-component-free greedy, standard for training pipelines). */
+  def minHashDedup(df: DataFrame, textCol: String, idCol: String,
+                   minEstJaccard: Double = 0.8): DataFrame = {
+    val dupIds = minHashLshPairs(df, textCol, idCol, minEstJaccard = minEstJaccard)
+      .select(col("id_b").as("_dup_")).distinct()
+    df.join(dupIds, df(idCol) === col("_dup_"), "left_anti")
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  private val simhashUdf = udf { (text: String) =>
+    val toks = TextKernels.tokenize(text)
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x51_52_53).toLong & 0xFFFFFFFFL
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x54_55_56).toLong & 0xFFFFFFFFL
+      val h = (h1 << 32) | h2
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** 64-bit SimHash per row (Charikar '02). */
+  def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
+    df.withColumn(out, simhashUdf(col(textCol)))
+
+  /** Near-dup pairs with hamming(simhash) <= maxHamming via pigeonhole
+    * block join: split the 64-bit signature into maxHamming+1 blocks — any
+    * pair within the distance agrees on at least one whole block. */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val blockBits = 64 / nBlocks
+    val sigDf = withSimhash(df.select(col(idCol).as("_id_"), col(textCol)), textCol, "_sh_")
+      .select(col("_id_"), col("_sh_"),
+        posexplode(expr(
+          s"transform(sequence(0, ${nBlocks - 1}), b -> (_sh_ div shiftleft(1L, b * $blockBits)) % shiftleft(1L, $blockBits))"))
+          .as(Seq("_blk_", "_key_")))
+    val a = sigDf.select(col("_blk_"), col("_key_"), col("_id_").as("id_a"), col("_sh_").as("sh_a"))
+    val b = sigDf.select(col("_blk_"), col("_key_"), col("_id_").as("id_b"), col("_sh_").as("sh_b"))
+    a.join(b, Seq("_blk_", "_key_"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact n-gram Jaccard
+  // ---------------------------------------------------------------------
+
+  /** Exact Jaccard similarity over distinct word n-grams, computed as an
+    * inverted-index self-join (pairs sharing zero n-grams never material-
+    * ize). Output: (id_a, id_b, jaccard) for jaccard >= minJaccard. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val grams = df.select(col(idCol).as("_id_"),
+        explode(expr(
+          s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), i -> array_join(slice(split($textCol, ' '), i, $n), ' ')))"))
+          .as("_gram_"))
+    val sizes = grams.groupBy("_id_").agg(count(lit(1)).as("_n_"))
+    val a = grams.select(col("_gram_"), col("_id_").as("id_a"))
+    val b = grams.select(col("_gram_"), col("_id_").as("id_b"))
+    val inter = a.join(b, "_gram_")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter_"))
+    inter
+      .join(sizes.select(col("_id_").as("id_a"), col("_n_").as("_na_")), "id_a")
+      .join(sizes.select(col("_id_").as("id_b"), col("_n_").as("_nb_")), "id_b")
+      .withColumn("jaccard",
+        col("_inter_") / (col("_na_") + col("_nb_") - col("_inter_")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextKernels
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All scalar
+  * per-row transforms — embarrassingly parallel, no shuffle. */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword heuristic
+    * language identifier. Public knowledge (most-frequent function words). */
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "on", "with", "as", "a"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "en", "un", "une", "que", "est", "pour", "dans"),
+    "de" -> Set("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "nicht"),
+    "es" -> Set("el", "la", "los", "las", "de", "y", "en", "que", "es", "un", "una", "por", "con"),
+    "it" -> Set("il", "la", "di", "e", "che", "in", "un", "una", "per", "con", "del", "sono"))
+
+  /** Heuristic language ID: CJK codepoint ratio short-circuits to zh/ja/ko;
+    * otherwise the language whose stopword profile covers the most tokens.
+    * Returns "und" when nothing matches. */
+  val langIdUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      val cjk = text.codePoints().toArray.count(cp =>
+        Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN)
+      if (cjk * 5 >= text.length) "zh"
+      else {
+        val toks = TextKernels.tokenize(text)
+        if (toks.isEmpty) "und"
+        else {
+          val scores = profiles.view.mapValues(p => toks.count(p.contains)).toMap
+          val (bestLang, bestHits) = scores.maxBy { case (l, h) => (h, l) }
+          if (bestHits == 0) "und" else bestLang
+        }
+      }
+    }
+  }
+
+  /** Quality metrics struct: length, token stats, punctuation/digit/upper
+    * ratios, stopword ratio, mean token length, repetition ratio (1 -
+    * distinct/total tokens). Mirrors the usual pretraining quality filters
+    * (Gopher/C4-style rules, public). */
+  val qualityUdf = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val n = text.length.max(1)
+      val toks = TextKernels.tokenize(text)
+      val nTok = toks.length.max(1)
+      val punct = text.count(c => !Character.isLetterOrDigit(c) && !Character.isWhitespace(c))
+      val digit = text.count(Character.isDigit)
+      val upper = text.count(Character.isUpperCase)
+      val stop = toks.count(profiles("en").contains)
+      (toks.length,
+        toks.distinct.length,
+        punct.toDouble / n,
+        digit.toDouble / n,
+        upper.toDouble / n,
+        stop.toDouble / nTok,
+        toks.map(_.length).sum.toDouble / nTok,
+        1.0 - toks.distinct.length.toDouble / nTok)
+    }
+  }
+
+  /** Composite [0,1] quality score from the metrics struct (monotone rules:
+    * penalize extreme repetition, punctuation soup, absurd token lengths). */
+  def qualityScore(metrics: Column): Column = {
+    val rep = lit(1.0) - metrics.getField("_8")
+    val punctOk = lit(1.0) - least(metrics.getField("_3") * 4, lit(1.0))
+    val lenOk = when(metrics.getField("_7").between(2.0, 12.0), 1.0).otherwise(0.3)
+    (rep * 0.5 + punctOk * 0.25 + lenOk * 0.25)
+  }
+
+  /** Whitespace + BPE-ish token count: splits on whitespace, then counts
+    * sub-word chunks of <= 4 chars (a cheap proxy for BPE token count used
+    * for budget estimation in data pipelines). */
+  val tokenCountUdf = udf { (text: String) =>
+    if (text == null) 0
+    else text.split("\\s+").filter(_.nonEmpty)
+      .map(w => (w.length + 3) / 4).sum
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint of the simplified text
+    * (order-sensitive, whitespace-normalized) — stable document identity
+    * across re-crawls with formatting noise. */
+  val fingerprintUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      val s = TextKernels.tokenize(text).mkString(" ")
+      var h = 1125899906842597L
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      h
+    }
+  }
+
+  /** Convenience: annotate a document DataFrame with all analysis cols. */
+  def annotate(df: DataFrame, textCol: String): DataFrame = df
+    .withColumn("lang_pred", langIdUdf(col(textCol)))
+    .withColumn("_qm_", qualityUdf(col(textCol)))
+    .withColumn("n_tokens", col("_qm_").getField("_1"))
+    .withColumn("n_distinct_tokens", col("_qm_").getField("_2"))
+    .withColumn("stopword_ratio", col("_qm_").getField("_6"))
+    .withColumn("repetition_ratio", col("_qm_").getField("_8"))
+    .withColumn("quality", qualityScore(col("_qm_")))
+    .withColumn("bpe_tokens", tokenCountUdf(col(textCol)))
+    .withColumn("fingerprint", fingerprintUdf(col(textCol)))
+    .drop("_qm_")
+}

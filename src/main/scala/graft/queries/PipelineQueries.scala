@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), similarity search (brute-force + LSH ANN), and text
+  * analysis. Oracle SQL provided wherever DuckDB can mirror the exact
+  * computation; signature-based ops (MinHash, SimHash, LSH) get rows-only
+  * checks + ScalaTest invariants. */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup: exact ------------------------------------------------------
+    "dd01_exact_dedup_stats" -> ((s, d) => {
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+    }),
+
+    "dd02_exact_dedup_keepfirst" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup: MinHash LSH (signature-based; rows-only) -------------------
+    "dd03_minhash_pairs" -> ((s, d) => {
+      Dedup.minHashLshPairs(Tables.documents(s, d), "text", "doc_id",
+        numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- dedup: SimHash (signature-based; rows-only) -----------------------
+    "dd04_simhash_pairs" -> ((s, d) => {
+      Dedup.simHashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- dedup: exact n-gram Jaccard (oracle-able) -------------------------
+    "dd05_ngram_jaccard_pairs" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 2, minJaccard = 0.15)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard_r"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search: exact top-3 ANN baseline (oracle-able) ---------
+    "ann01_knn_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast(IntegerType).as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- similarity search: LSH ANN path (rows-only; recall tested) --------
+    "ann02_knn_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // short signatures + many tables: the synthetic embeddings are
+      // near-random, so per-bit collision probability is ~0.6 (LSH's worst
+      // case); real clustered embeddings would use 12-16 bits per table
+      Similarity.lshTopK(
+        emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
+        k = 3, dim = 64, bitsPerTable = 4, nTables = 16)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- similarity: embedding near-dup pairs (rows-only) ------------------
+    "ann03_embedding_neardup" -> ((s, d) => {
+      // synthetic embeddings are near-random (max pairwise cosine ~0.51 at
+      // sf0.01), so the demo threshold sits just below that
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", minCosine = 0.45, dim = 64, exact = true)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- text analysis: char/token stats (oracle-able) ---------------------
+    "ts01_doc_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("text_len"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .as("n_ws_tokens"),
+        col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: BPE-ish token budget (oracle-able) -----------------
+    "ts02_token_budget" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: per-lang rollup (oracle-able) ----------------------
+    "ts03_lang_rollup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    }),
+
+    // ---- multimodal plumbing: batched decode + frame sampling (stubbed
+    // codec; rows-only) ------------------------------------------------------
+    "mm01_media_features" -> ((s, d) => {
+      val media = graft.operators.Multimodal.syntheticMedia(
+        Tables.documents(s, d).select("doc_id"), "doc_id")
+      graft.operators.Multimodal.extractFeatures(media, dim = 16, batchSize = 256)
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.width").as("width"), size(col("features")).as("feat_dim"))
+        .orderBy("media_id")
+    }),
+
+    "mm02_frame_samples" -> ((s, d) => {
+      val media = graft.operators.Multimodal.syntheticMedia(
+        Tables.documents(s, d).select("doc_id").where(col("doc_id") < 100), "doc_id")
+      graft.operators.Multimodal.sampleFrames(media, nFrames = 4, dim = 8)
+        .select("media_id", "frame_index")
+        .orderBy("media_id", "frame_index")
+    }),
+
+    // ---- text analysis: full annotate (UDF surface; rows-only) -------------
+    "ts04_annotate" -> ((s, d) => {
+      TextAnalysis.annotate(Tables.documents(s, d), "text")
+        .select("doc_id", "lang", "lang_pred", "n_tokens", "n_distinct_tokens",
+          "stopword_ratio", "repetition_ratio", "quality", "bpe_tokens",
+          "fingerprint")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dd01_exact_dedup_stats" ->
+      """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_unique
+        |FROM documents""".stripMargin,
+
+    "dd02_exact_dedup_keepfirst" ->
+      """SELECT doc_id, text_hash FROM (
+        |  SELECT doc_id, md5(text) AS text_hash,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dd05_ngram_jaccard_pairs" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(w[i:i+1], ' ')
+        |                 FOR i IN range(1, greatest(len(w) - 1, 1) + 1)])) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard_r
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.15
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann01_knn_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+        |         AS INTEGER) AS rank
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 50) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ts01_doc_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS text_len,
+        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_ws_tokens,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ts02_token_budget" ->
+      """SELECT doc_id,
+        | CAST(list_sum(list_transform(
+        |   list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+        |   w -> (length(w) + 3) // 4)) AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ts03_lang_rollup" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        | count(DISTINCT source) AS n_sources,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{TextKernels, VectorKernels}
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup keeps the smallest id per duplicate text") {
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("id", "text")
+    val out = Dedup.exact(df, "text", "id").select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs are absent") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 2, minJaccard = 0.1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH finds the true near-duplicate pairs (vs exact jaccard)") {
+    val docs = Tables.documents(spark, sf)
+    val truth = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, minJaccard = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture data should contain near-dups")
+    val found = Dedup.minHashLshPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhash: identical texts collide at hamming 0; pairs are ordered") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, "text", "doc_id", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0L)))
+  }
+
+  test("brute-force knn: hand-built vectors rank by cosine") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df.where($"vec_id" === 1), df,
+      "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(out == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("LSH ANN: recall >= 0.5 vs brute force top-3 on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where($"vec_id" < 30)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // synthetic embeddings are near-random (neighbor cosine ~0.4 => per-bit
+    // agreement ~0.6, LSH's worst case): short signatures + many tables
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", 3,
+      dim = 64, bitsPerTable = 4, nTables = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall was $recall")
+  }
+
+  test("language id: stopword-profile heuristic identifies common languages") {
+    val df = Seq(
+      "the cat is on the mat and it is happy",
+      "le chat est dans la maison et il est content",
+      "der Hund ist in dem Haus und er ist nicht allein",
+      "el perro es grande y la casa es bonita",
+      "这是一个中文句子用来测试语言识别功能").toDF("text")
+    val out = df.select(TextAnalysis.langIdUdf($"text")).as[String].collect().toSeq
+    assert(out == Seq("en", "fr", "de", "es", "zh"))
+  }
+
+  test("fingerprint is whitespace/case-noise stable, content-sensitive") {
+    val df = Seq("Hello  World", "hello world", "hello worlds").toDF("text")
+    val fp = df.select(TextAnalysis.fingerprintUdf($"text")).as[Long].collect()
+    assert(fp(0) == fp(1) && fp(1) != fp(2))
+  }
+
+  test("multimodal: batched feature extraction preserves ids and emits fixed dim") {
+    val media = Multimodal.syntheticMedia(
+      spark.range(0, 100).toDF("id"), "id")
+    val feats = Multimodal.extractFeatures(media, dim = 16, batchSize = 7)
+    assert(feats.count() == 100)
+    val row = feats.where($"media_id" === 5)
+      .select("features").as[Seq[Float]].collect().head
+    assert(row.length == 16 && row.exists(_ != 0f))
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(media, dim = 16, batchSize = 64)
+      .where($"media_id" === 5).select("features").as[Seq[Float]].collect().head
+    assert(row == again)
+  }
+
+  test("multimodal: frame sampling explodes n frames per media row") {
+    val media = Multimodal.syntheticMedia(spark.range(0, 10).toDF("id"), "id")
+    val frames = Multimodal.sampleFrames(media, nFrames = 4, dim = 8)
+    assert(frames.count() == 40)
+    assert(frames.groupBy("media_id").count()
+      .select("count").distinct().as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("vector kernels: cosine/add/scale hand values") {
+    import org.apache.spark.ml.linalg.Vectors
+    val a = Vectors.dense(1.0, 2.0, 3.0)
+    val b = Vectors.dense(4.0, 5.0, 6.0)
+    assert(math.abs(VectorKernels.cosine(a, b) - 0.9746318) < 1e-6)
+    assert(VectorKernels.add(a, b).toArray.toSeq == Seq(5.0, 7.0, 9.0))
+    assert(VectorKernels.scale(a, 2.0).toArray.toSeq == Seq(2.0, 4.0, 6.0))
+    val sa = Vectors.sparse(4, Array(0, 2), Array(1.0, 1.0))
+    val sb = Vectors.sparse(4, Array(2, 3), Array(1.0, 1.0))
+    assert(math.abs(VectorKernels.cosine(sa, sb) - 0.5) < 1e-9)
+  }
+
+  test("text kernels: simplify folds accents, bounded levenshtein is exact") {
+    assert(TextKernels.simplify("Crème Brûlée Œuvre") == "creme brulee oeuvre")
+    assert(TextKernels.boundedLevenshtein("kitten", "sitting", 3) == 3)
+    assert(TextKernels.boundedLevenshtein("abc", "xyz", 1) == 2) // capped at bound+1
+    assert(TextKernels.deletionVariants("abc", 1).toSet == Set("abc", "bc", "ac", "ab"))
+  }
+}
