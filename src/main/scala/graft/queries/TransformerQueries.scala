@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import graft.Tables
+import graft.operators.{Transformers => T, Tuning}
+
+/** Driver-visible queries for the ML-style transformer tier (SURVEY §2.8)
+  * and tuning ops — oracle SQL wherever DuckDB can mirror the computation,
+  * rows-only for vector-typed / hash-seeded outputs. */
+object TransformerQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ArrayHasher over document tokens (vector output; rows-only)
+    "tr01_hashed_tf" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .select(col("doc_id"), T.arrayHasher(2048)(col("tokens")).as("tf"))
+        .select(col("doc_id"),
+          udf((v: org.apache.spark.ml.linalg.Vector) => v.numNonzeros)
+            .apply(col("tf")).as("nnz"))
+        .orderBy("doc_id")
+    }),
+
+    // Word2VecApplier with a deterministic 1-dim lexicon (token -> [len]):
+    // doc vector = [sum of known-token lengths] — exactly mirrorable in SQL
+    "tr02_word2vec_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      val lexicon = docs.select(explode(col("tokens")).as("token")).distinct()
+        .select(col("token"), array(length(col("token")).cast("double")).as("vector"))
+      T.applyWordVectors(docs, "tokens", lexicon)
+        .select(col("doc_id"), col("doc_vector"),
+          col("hit_ratio").cast(DecimalType(6, 4)).as("hit_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // RankSplit: customers bucketed by total spend quartile (oracle-able;
+    // decimal metric keeps the aggregation order-independent)
+    "tr03_rank_split" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("price_dec", col("o_totalprice").cast(DecimalType(18, 2)))
+      Tuning.rankSplit(o, Seq("o_custkey"), "price_dec", "sum", 4)
+        .groupBy(col("o_custkey"), col("fold").cast(IntegerType).as("fold"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
+    // Fold assignment invariant surface: per-fold row counts (hash-seeded;
+    // rows-only — exact assignment is engine-specific by design)
+    "tr04_fold_counts" -> ((s, d) => {
+      Tuning.assignFolds(Tables.orders(s, d), 5, seed = 42L)
+        .groupBy(col("fold").cast(IntegerType).as("fold"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("fold")
+    }),
+
+    // SentenceBuilder over re-punctuated document text (rows-only)
+    "tr05_sentences" -> ((s, d) => {
+      val punct = Tables.documents(s, d).select(col("doc_id"),
+        // word salad has no punctuation: insert a period every 12 words so
+        // the splitter has real work
+        regexp_replace(col("text"), "((\\S+\\s+){11}\\S+)\\s+", "$1. ").as("text"))
+      T.buildSentences(punct, "text", minPhraseSize = 2, maxPhraseSize = 30)
+        .select("doc_id", "phraseId", "phrase")
+        .orderBy("doc_id", "phraseId")
+    }),
+
+    // Threshold optimizer over events (purchase detection from value);
+    // emits the metrics row (driver sweep over a 500-bin histogram)
+    "tr06_threshold_optimizer" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        (col("value") / lit(100.0)).as("score"),
+        when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("label"))
+      val m = Tuning.optimizeThreshold(ev, "score", "label", "f1", bins = 200)
+      val spark = s
+      import spark.implicits._
+      Seq((m.threshold, m.tp, m.fp, m.tn, m.fn, m.precision, m.recall, m.f1, m.auc))
+        .toDF("threshold", "tp", "fp", "tn", "fn", "precision", "recall", "f1", "auc")
+    }),
+
+    // GroupBy policy transformer routed end-to-end (oracle-able: mirrors q20)
+    "tr07_groupby_policies" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_quantity"),
+        col("l_tax").cast(DecimalType(18, 2)).as("tax_dec"),
+        col("l_returnflag"), col("l_linenumber"))
+      T.groupByPolicies(li, Seq("l_orderkey"), Seq(
+        "l_quantity" -> T.PMax,
+        "tax_dec" -> T.PSum,
+        "l_returnflag" -> T.PFirst(Seq("l_linenumber"))))
+        .orderBy("l_orderkey")
+    }),
+
+    // Lemmatiser: plural-ish forms folded via a derived lexicon (oracle-able)
+    "tr08_lemmatize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      // derived lexicon: tokens ending in 's' lemmatize to their stem
+      val lexicon = docs.select(explode(col("tokens")).as("w")).distinct()
+        .where(col("w").endsWith("s") && length(col("w")) > 3)
+        .select(col("w").as("simplified"),
+          expr("substring(w, 1, length(w) - 1)").as("lemma"))
+      T.lemmatize(docs, "tokens", lexicon)
+        .select(col("doc_id"), array_join(col("lemmas"), " ").as("lemmatized"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tr02_word2vec_apply" ->
+      """SELECT doc_id,
+        | [CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)] AS doc_vector,
+        | CAST(1.0 AS DECIMAL(6,4)) AS hit_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tr03_rank_split" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |       CAST(ntile(4) OVER (ORDER BY m, o_custkey) - 1 AS INTEGER) AS fold,
+        |       n_orders
+        |FROM spend ORDER BY o_custkey""".stripMargin,
+
+    "tr07_groupby_policies" ->
+      """SELECT l_orderkey,
+        | max(l_quantity) AS l_quantity,
+        | sum(CAST(l_tax AS DECIMAL(18,2))) AS tax_dec,
+        | substr(min(concat(lpad(CAST(l_linenumber AS VARCHAR), 10, '0'), l_returnflag)), 11, 100) AS l_returnflag
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "tr08_lemmatize" ->
+      """SELECT doc_id,
+        | array_to_string(list_transform(string_split(text, ' '),
+        |   w -> CASE WHEN w LIKE '%s' AND length(w) > 3
+        |             THEN substring(w, 1, length(w) - 1) ELSE w END), ' ') AS lemmatized
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
