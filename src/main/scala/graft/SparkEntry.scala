@@ -19,12 +19,14 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.FuzzyQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.TransformerQueries.queries
+      graft.queries.TransformerQueries.queries ++
+      graft.queries.GeoStreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.TransformerQueries.oracleSql
+      graft.queries.TransformerQueries.oracleSql ++
+      graft.queries.GeoStreamQueries.oracleSql
 }

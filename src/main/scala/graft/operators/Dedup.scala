@@ -154,24 +154,47 @@ object Dedup {
   // Exact n-gram Jaccard
   // ---------------------------------------------------------------------
 
-  /** Exact Jaccard similarity over distinct word n-grams, computed as an
-    * inverted-index self-join (pairs sharing zero n-grams never material-
-    * ize). Output: (id_a, id_b, jaccard) for jaccard >= minJaccard. */
+  /** Exact Jaccard similarity over distinct word n-grams, >= minJaccard,
+    * via prefix filtering (AllPairs/PPJoin, Bayardo et al. '07 — public
+    * algorithm): order each doc's grams by ascending global frequency and
+    * emit only the first `|d| - ceil(t*|d|) + 1` as join keys — any pair
+    * with Jaccard >= t must share a prefix gram, so the candidate join
+    * fans out on RARE grams only. Candidates are then verified exactly by
+    * intersecting the full sorted gram arrays. Output identical to the
+    * naive all-grams join, at a fraction of the shuffle volume — this is
+    * what keeps the op viable when the corpus no longer fits a broadcast.
+    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val grams = df.select(col(idCol).as("_id_"),
         explode(expr(
           s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), i -> array_join(slice(split($textCol, ' '), i, $n), ' ')))"))
           .as("_gram_"))
-    val sizes = grams.groupBy("_id_").agg(count(lit(1)).as("_n_"))
-    val a = grams.select(col("_gram_"), col("_id_").as("id_a"))
-    val b = grams.select(col("_gram_"), col("_id_").as("id_b"))
-    val inter = a.join(b, "_gram_")
+    val gramDf = grams.groupBy("_gram_").agg(count(lit(1)).as("_df_"))
+    // per doc: grams sorted by (global df, gram) — rare first; prefix length
+    // chosen so that two docs with jaccard >= t MUST overlap in the prefix
+    val docs = grams.join(gramDf, "_gram_")
+      .groupBy("_id_")
+      .agg(expr("transform(array_sort(collect_list(struct(_df_, _gram_))), x -> x._gram_)")
+        .as("_grams_"))
+      .withColumn("_n_", size(col("_grams_")))
+      .withColumn("_plen_",
+        (col("_n_") - ceil(col("_n_") * minJaccard) + 1).cast("int"))
+    // candidate generation on ids only — the gram arrays join in AFTER the
+    // distinct, so the (potentially wide) candidate shuffle carries two
+    // longs per row, not two full arrays
+    val prefixes = docs.select(col("_id_"),
+      explode(slice(col("_grams_"), lit(1), col("_plen_"))).as("_gram_"))
+    val candidates = prefixes.select(col("_gram_"), col("_id_").as("id_a"))
+      .join(prefixes.select(col("_gram_"), col("_id_").as("id_b")), "_gram_")
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter_"))
-    inter
-      .join(sizes.select(col("_id_").as("id_a"), col("_n_").as("_na_")), "id_a")
-      .join(sizes.select(col("_id_").as("id_b"), col("_n_").as("_nb_")), "id_b")
+      .select("id_a", "id_b").distinct()
+    val docA = docs.select(col("_id_").as("id_a"),
+      col("_grams_").as("_ga_"), col("_n_").as("_na_"))
+    val docB = docs.select(col("_id_").as("id_b"),
+      col("_grams_").as("_gb_"), col("_n_").as("_nb_"))
+    candidates.join(docA, "id_a").join(docB, "id_b")
+      .withColumn("_inter_", size(array_intersect(col("_ga_"), col("_gb_"))))
       .withColumn("jaccard",
         col("_inter_") / (col("_na_") + col("_nb_") - col("_inter_")))
       .where(col("jaccard") >= minJaccard)

@@ -31,7 +31,7 @@ object FuzzyQueries {
     // Ngram strategy: locate short "titles" as subspans inside full document
     // texts (the reference's NgramStrategy use case).
     "fz02_fuzzy_subspan_titles" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).where(col("doc_id") % 10 === 0)
       val titles = docs.where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("title_id"),
           array_join(slice(split(col("text"), " "), 1, 4), " ").as("title"))

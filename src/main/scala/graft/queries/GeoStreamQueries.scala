@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import graft.Tables
+import graft.operators.Geo
+import graft.streaming.Streams
+
+/** Geo + streaming driver queries. Points/polygons are synthesized
+  * deterministically from the relational tables (testdata has no
+  * coordinates); rectangle rings make the exact ray-casting phase
+  * SQL-mirrorable, so the two-phase join is oracle-checked end to end. */
+object GeoStreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-phase point-in-polygon join: 4x4 grid cells over derived points
+    "geo01_point_in_polygon" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(
+        col("event_id"),
+        (pmod(col("event_id"), lit(97)) + 0.5).as("x"),
+        (pmod(col("user_id"), lit(89)) + 0.5).as("y"))
+      val cells = s.range(0, 16).toDF("cell_id")
+        .withColumn("cx", (col("cell_id") % 4) * 25.0)
+        .withColumn("cy", floor(col("cell_id") / 4) * 25.0)
+        .withColumn("ring", array(
+          col("cx"), col("cy"),
+          col("cx") + 25.0, col("cy"),
+          col("cx") + 25.0, col("cy") + 25.0,
+          col("cx"), col("cy") + 25.0))
+      val polys = Geo.withBbox(cells).select("cell_id", "ring", "minX", "maxX", "minY", "maxY")
+      Geo.pointInPolygonJoin(pts, "x", "y", polys)
+        .select(col("event_id"), col("cell_id").cast(IntegerType).as("cell_id"))
+        .orderBy("event_id")
+    }),
+
+    // Hierarchy flattener: nation -> region parent chain denormalized
+    "geo02_flatten_hierarchy" -> ((s, d) => {
+      val regions = Tables.region(s, d).select(
+        col("r_regionkey").cast("long").as("id"),
+        lit(null).cast("long").as("parent"),
+        col("r_name").as("name"))
+      val nations = Tables.nation(s, d).select(
+        (col("n_nationkey") + 100).cast("long").as("id"),
+        col("n_regionkey").cast("long").as("parent"),
+        col("n_name").as("name"))
+      Geo.flattenHierarchy(regions.union(nations), "id", "parent", "name")
+        .where(col("id") >= 100)
+        .select((col("id") - 100).cast(IntegerType).as("n_nationkey"), col("full_name"))
+        .orderBy("n_nationkey")
+    }),
+
+    // Address localization: noisy "addresses" resolved to a street table by
+    // postcode prune + similarity top-1 (rows-only: custom similarity)
+    "geo03_address_localize" -> ((s, d) => {
+      val streets = Tables.customer(s, d).limit(200).select(
+        concat(lit("PC"), pmod(col("c_custkey"), lit(10))).as("street_pc"),
+        concat_ws(" ", lit("rue"), col("c_name"), col("c_mktsegment")).as("street"))
+      val addrs = Tables.customer(s, d).limit(50).select(
+        concat(lit("PC"), pmod(col("c_custkey"), lit(10))).as("pc"),
+        concat_ws(" ", col("c_name"), lit("rue")).as("address"))
+      Geo.localizeAddresses(addrs, "address", "pc", streets, "street", "street_pc")
+        .select("address", "pc", "street", "similarity")
+        .orderBy("address")
+    }),
+
+    // Structured Streaming: watermarked 1-day tumbling windows over the
+    // orders "stream" (file source, AvailableNow), oracle = batch rollup
+    "sm01_stream_daily_orders" -> ((s, d) => {
+      val src = s"$d/orders.parquet"
+      // stage into a landing directory (file-stream sources consume dirs):
+      // repartition(4) gives the source several files = several micro-batches
+      val stage = s"/tmp/graft_stream_stage/${d.replaceAll("[^A-Za-z0-9]", "_")}/orders"
+      if (!graft.sources.Checkpoint.exists(s, stage)) {
+        s.read.parquet(src).repartition(4).write.mode("overwrite").parquet(stage)
+      }
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+        // parquet stores TIMESTAMP_NTZ; watermarks require TIMESTAMP (LTZ).
+        // Session TZ is UTC so the cast is a wall-clock identity.
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      val agg = stream
+        .withWatermark("o_orderdate", "1 day")
+        .groupBy(window(col("o_orderdate"), "1 day"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("daily_total"))
+      Streams.runToMemory(agg, s"sm01_${System.nanoTime()}", outputMode = "complete")
+        .select(col("window.start").as("day"), col("o_orderstatus"),
+          col("n_orders"), col("daily_total"))
+        .orderBy("day", "o_orderstatus")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "geo01_point_in_polygon" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |         (event_id % 97) + 0.5 AS x,
+        |         (user_id % 89) + 0.5 AS y
+        |  FROM events),
+        |cells AS (
+        |  SELECT i AS cell_id, (i % 4) * 25.0 AS cx, (i // 4) * 25.0 AS cy
+        |  FROM range(0, 16) t(i))
+        |SELECT event_id, CAST(cell_id AS INTEGER) AS cell_id
+        |FROM pts JOIN cells
+        |  ON x >= cx AND x <= cx + 25 AND y >= cy AND y <= cy + 25
+        |ORDER BY event_id""".stripMargin,
+
+    "geo02_flatten_hierarchy" ->
+      """SELECT n_nationkey, concat(r_name, ' > ', n_name) AS full_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "sm01_stream_daily_orders" ->
+      """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        | o_orderstatus, count(*) AS n_orders,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_total
+        |FROM orders GROUP BY 1, 2 ORDER BY day, o_orderstatus""".stripMargin
+  )
+}

@@ -43,8 +43,10 @@ object PipelineQueries {
 
     // ---- dedup: exact n-gram Jaccard (oracle-able) -------------------------
     "dd05_ngram_jaccard_pairs" -> ((s, d) => {
+      // trigrams: the word-salad vocabulary is tiny, so bigrams are all
+      // high-frequency and defeat prefix filtering; trigram df is ~40x lower
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 2, minJaccard = 0.15)
+        n = 3, minJaccard = 0.8)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard_r"))
         .orderBy("id_a", "id_b")
@@ -157,8 +159,8 @@ object PipelineQueries {
     "dd05_ngram_jaccard_pairs" ->
       """WITH grams AS (
         |  SELECT doc_id,
-        |         unnest(list_distinct([array_to_string(w[i:i+1], ' ')
-        |                 FOR i IN range(1, greatest(len(w) - 1, 1) + 1)])) AS gram
+        |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                 FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |), sizes AS (
         |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
@@ -172,7 +174,7 @@ object PipelineQueries {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.15
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann01_knn_bruteforce" ->

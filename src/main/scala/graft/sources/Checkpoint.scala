@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet checkpoint helper (reference core/util/util.scala:44-78):
+  * write-then-reread cuts lineage and forces materialization — the
+  * reference's (and still the pragmatic) answer to iterative plans that
+  * outgrow the optimizer.
+  *
+  * Parquet field names may not contain ` ,;{}()\n\t=` — the reference
+  * round-trips such names with a `>>NN<<` escape (util.scala:20-27); we do
+  * the same so arbitrary user column names survive a checkpoint.
+  */
+object Checkpoint {
+
+  private val illegal = " ,;{}()\n\t="
+
+  def encodeName(name: String): String =
+    name.flatMap(c => if (illegal.contains(c)) s">>${c.toInt}<<" else c.toString)
+
+  def decodeName(name: String): String =
+    ">>([0-9]{1,3})<<".r.replaceAllIn(name, m =>
+      java.util.regex.Matcher.quoteReplacement(m.group(1).toInt.toChar.toString))
+
+  /** Write `df` to parquet at `path` (overwriting) and read it back.
+    * Illegal column characters are escaped on write and restored on read;
+    * `partitionBy` columns must have legal names. */
+  def checkpoint(df: DataFrame, path: String,
+                 partitionBy: Seq[String] = Nil,
+                 reuseExisting: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    if (!(reuseExisting && exists(spark, path))) {
+      val encoded = df.columns.foldLeft(df) { (acc, c) =>
+        val enc = encodeName(c)
+        if (enc == c) acc else acc.withColumnRenamed(c, enc)
+      }
+      val writer = encoded.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(path)
+    }
+    val back = spark.read.parquet(path)
+    back.columns.foldLeft(back) { (acc, c) =>
+      val dec = decodeName(c)
+      if (dec == c) acc else acc.withColumnRenamed(c, dec)
+    }
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

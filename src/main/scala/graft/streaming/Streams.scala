@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (reference SURVEY.md §2.14).
+  *
+  * The reference ingests streams with a driver-side twitter4j loop writing
+  * hourly gzip files (twitter/Execute.scala:32-98) — at-least-once,
+  * append-only, partitioned by hour, no watermarks. The idiomatic Spark
+  * re-expression is a file/`rate` source -> event-time transforms ->
+  * partitioned file sink; we add what the reference lacked (watermarked
+  * event-time windows and stateful aggregation) since any modern pipeline
+  * needs them.
+  */
+object Streams {
+
+  /** Hourly-partitioned append ingestion: the reference's
+    * `track-twitter-yyyy-MM-dd-HH` file layout as a streaming sink.
+    * Caller starts/stops the returned query. */
+  def ingestToHourlyFiles(events: DataFrame, tsCol: String, outPath: String,
+                          checkpoint: String, format: String = "parquet"): StreamingQuery = {
+    events
+      .withColumn("ingest_date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .withColumn("ingest_hour", date_format(col(tsCol), "HH"))
+      .writeStream
+      .format(format)
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("ingest_date", "ingest_hour")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+      .start()
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream:
+    * (window, event_type) -> count + sum(value). Late data beyond the
+    * watermark is dropped — the knob the reference never had. */
+  def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
+                     valueCol: String, windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame = {
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
+  }
+
+  /** Read a parquet directory as a bounded stream (one file per trigger is
+    * the deterministic test mode; production would point at a landing
+    * zone). */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+                 maxFilesPerTrigger: Int = 1): DataFrame = {
+    // pointing at a single file: basePath must still be a directory
+    val basePath = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.getFileStatus(p).isFile) p.getParent.toString else path
+    }
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("basePath", basePath)
+      .parquet(path)
+  }
+
+  /** Run a streaming DataFrame to completion against bounded input via the
+    * memory sink; returns the materialized result. Test/verify harness —
+    * `processAllAvailable` drives every pending micro-batch synchronously. */
+  def runToMemory(streamed: DataFrame, name: String,
+                  outputMode: String = "append"): DataFrame = {
+    val spark = streamed.sparkSession
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
