@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.FuzzyQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.TransformerQueries.queries ++
-      graft.queries.GeoStreamQueries.queries
+      graft.queries.GeoStreamQueries.queries ++
+      graft.queries.TopicQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → rows-only check. */
