@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality audit: prints formatted physical plans for representative
+  * queries so pushdown (PushedFilters/ReadSchema), broadcast choices, and
+  * WholeStageCodegen spans can be inspected. Run:
+  *   sbt "runMain graft.ExplainAudit [queryName ...]"
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q01_pricing_summary", "q02_revenue_by_nation",
+        "q06_forecast_revenue", "q11_top3_orders_per_customer",
+        "fz01_fuzzy_part_lookup", "dd05_ngram_jaccard_pairs")
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -115,6 +115,38 @@ object TextKernels extends Serializable {
     seen.toSeq
   }
 
+  private val urlRe = "(?i)\\bhttps?://\\S+|\\bwww\\.\\S+".r
+  private val mentionRe = "(?<=^|\\s)@[A-Za-z0-9_]+".r
+  private val positiveEmoticons = Set(":)", ":-)", ":D", ":-D", ";)", "=)", "<3")
+  private val negativeEmoticons = Set(":(", ":-(", ":'(", "=(", "D:")
+
+  /** Replace URLs with blanks of the same length, preserving every other
+    * character offset (reference Word.replaceUrlsByBlank capability,
+    * text/Word.scala:75-90). */
+  def scrubUrlsPreserveOffsets(s: String): String = {
+    if (s == null) return null
+    urlRe.replaceAllIn(s, m => " " * (m.end - m.start))
+  }
+
+  /** Tweet normalization (reference text/TweetCleaner.scala capability):
+    * emoticons -> sentiment tokens, @mentions -> a mention token, URLs ->
+    * a link token. Replacement tokens are parameters in the reference;
+    * defaults here mirror its intent. */
+  def cleanTweet(s: String,
+                 positiveToken: String = "_positive_",
+                 negativeToken: String = "_negative_",
+                 mentionToken: String = "_mention_",
+                 linkToken: String = "_link_"): String = {
+    if (s == null) return null
+    val noUrl = urlRe.replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(linkToken))
+    val noMention = mentionRe.replaceAllIn(noUrl, java.util.regex.Matcher.quoteReplacement(mentionToken))
+    noMention.split(" ").map { w =>
+      if (positiveEmoticons.contains(w)) positiveToken
+      else if (negativeEmoticons.contains(w)) negativeToken
+      else w
+    }.mkString(" ")
+  }
+
   /** Positional text similarity in [0,1]: fraction of query tokens found in
     * the candidate (exact or within lev distance 1 for tokens >= 4 chars),
     * mirroring the capability of the reference's TextTools.textSimilarity. */

@@ -122,6 +122,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(VectorKernels.cosine(sa, sb) - 0.5) < 1e-9)
   }
 
+  test("tweet cleaner: emoticons/mentions/links replaced, offsets preserved by url scrub") {
+    val t = "lol :) thanks @bob see https://x.io/a?b=1 or www.y.com :("
+    val cleaned = TextKernels.cleanTweet(t)
+    assert(cleaned == "lol _positive_ thanks _mention_ see _link_ or _link_ _negative_")
+    val scrubbed = TextKernels.scrubUrlsPreserveOffsets(t)
+    assert(scrubbed.length == t.length)
+    assert(scrubbed.indexOf("thanks") == t.indexOf("thanks"))
+    assert(!scrubbed.contains("www.") && !scrubbed.contains("https"))
+  }
+
   test("text kernels: simplify folds accents, bounded levenshtein is exact") {
     assert(TextKernels.simplify("Crème Brûlée Œuvre") == "creme brulee oeuvre")
     assert(TextKernels.boundedLevenshtein("kitten", "sitting", 3) == 3)
