@@ -29,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.TransformerQueries.oracleSql ++
-      graft.queries.GeoStreamQueries.oracleSql
+      graft.queries.GeoStreamQueries.oracleSql ++
+      graft.queries.TopicQueries.oracleSql
 }

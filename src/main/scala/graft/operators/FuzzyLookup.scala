@@ -51,10 +51,14 @@ object FuzzyLookup {
     * @param boostAcronyms  2-3 char all-caps tokens matching on both sides
     *                       get `acronymBoost`
     * @param popularityCol  optional right column multiplied into the score
-    * @param strategy       "standard" (whole query) or "ngram" (best subspan)
+    * @param strategy       "standard" (whole query), "ngram" (best subspan)
+    *                       or "predict" (peak-term-weight span — reference
+    *                       PredictStrategy, index/PredictStrategy.scala)
     * @param nNgrams        ngram strategy: max token gap within a match cluster
     * @param maxDfRatio     right tokens with docFreq/N above this are ignored
     *                       as candidates (scale guard; 1.0 = off)
+    * @param termWeights    per-token likelihoods; weight multiplies the term
+    *                       score; tokens under `minTokenLikehood` dropped
     * @param topK           best K right rows per left row (reference: 1)
     */
   case class Options(
@@ -68,6 +72,8 @@ object FuzzyLookup {
       strategy: String = "standard",
       nNgrams: Int = 3,
       maxDfRatio: Double = 1.0,
+      termWeights: Map[String, Double] = Map.empty,
+      minTokenLikehood: Double = 0.4,
       topK: Int = 1)
 
   private val tokUdf = udf((s: String) => TextKernels.tokenizeWithOffsets(s))
@@ -106,12 +112,33 @@ object FuzzyLookup {
     val rightIndexed = rightToks.join(tokenStats, "rtok")
 
     // ---- left side: query tokens with char offsets ------------------------
-    val leftToks = queries
+    val leftToksBase = queries
       .select(col("_qlid_"), explode(tokUdf(col("_qtext_"))).as("t"))
       .select(col("_qlid_"), col("t.tok").as("qtok"), col("t.pos").as("qpos"),
         col("t.start").as("qstart"), col("t.end").as("qend"),
         col("t.acro").as("qacro"))
       .where(!col("qtok").isin(opts.stopWords.toSeq: _*))
+    // term-weight handling + predict strategy: keep only the +-2 window
+    // around the peak-likelihood token (>= 0.75 * peak), the reference's
+    // entity-mention span detection
+    val leftToks =
+      if (opts.termWeights.isEmpty) leftToksBase.withColumn("_tw_", lit(1.0))
+      else {
+        val wm = opts.termWeights
+        val wU = udf((t: String) => wm.getOrElse(t, 0.0))
+        val weighted = leftToksBase.withColumn("_tw_", wU(col("qtok")))
+          .where(col("_tw_") >= opts.minTokenLikehood)
+        if (opts.strategy == "predict") {
+          val wl = Window.partitionBy("_qlid_")
+          weighted
+            .withColumn("_peak_", max(col("_tw_")).over(wl))
+            .withColumn("_peakpos_",
+              min(when(col("_tw_") === col("_peak_"), col("qpos"))).over(wl))
+            .where(col("_tw_") >= col("_peak_") * 0.75 &&
+              abs(col("qpos") - col("_peakpos_")) <= 2)
+            .drop("_peak_", "_peakpos_")
+        } else weighted
+      }
 
     // ---- candidates: exact inverted-index join ----------------------------
     val acroBoost =
@@ -121,7 +148,7 @@ object FuzzyLookup {
     val exactCand = leftToks
       .join(rightIndexed, col("qtok") === col("rtok"))
       .select(col("_qlid_"), col("_trid_"), col("qpos"), col("qstart"),
-        col("qend"), (col("_idf_") * acroBoost).as("_w_"))
+        col("qend"), (col("_idf_") * acroBoost * col("_tw_")).as("_w_"))
 
     // ---- candidates: SymSpell deletion-variant fuzzy join -----------------
     val cand =
@@ -133,14 +160,14 @@ object FuzzyLookup {
         val fuzzyCand = lv.join(rv, "_var_")
           .where(col("qtok") =!= col("rtok"))
           .select(col("_qlid_"), col("_trid_"), col("qpos"), col("qstart"),
-            col("qend"), col("qtok"), col("rtok"), col("_idf_"))
+            col("qend"), col("qtok"), col("rtok"), col("_idf_"), col("_tw_"))
           .distinct()
           .withColumn("_lev_", levUdf(col("qtok"), col("rtok"), lit(opts.maxLevDistance)))
           .where(col("_lev_") <= opts.maxLevDistance)
           .select(col("_qlid_"), col("_trid_"), col("qpos"), col("qstart"), col("qend"),
             (col("_idf_") * (lit(1.0) - col("_lev_") /
               greatest(length(col("qtok")), length(col("rtok")))) *
-              lit(opts.fuzzyFactor)).as("_w_"))
+              lit(opts.fuzzyFactor) * col("_tw_")).as("_w_"))
         exactCand.unionByName(fuzzyCand)
       }
 

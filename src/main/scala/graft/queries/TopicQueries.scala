@@ -23,6 +23,32 @@ object TopicQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Annotation event-log merge: latest-wins with delete stickiness
+    // (synthetic log derived from events; oracle mirrors the window)
+    "an01_annotation_merge" -> ((s, d) => {
+      val ann = Tables.events(s, d).select(
+        array(col("event_type")).as("tokens"),
+        concat_ws("", lit("t"), pmod(col("user_id"), lit(5)).cast("string")).as("tag"),
+        col("value").as("score"),
+        col("event_id").as("timestamp"),
+        when(col("value") < 1, "delete").otherwise(null).as("operation"))
+      graft.topic.Annotations.merge(ann)
+        .select(expr("tokens[0]").as("token"), col("tag"), col("score"),
+          col("timestamp"))
+        .orderBy("token", "tag")
+    }),
+
+    // Co-occurrence term proposal: tokens over-represented in a language
+    "co01_cooccurrence_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), split(col("text"), " ").as("tokens"), col("lang").as("tag"))
+      graft.operators.Cooccurrence.proposeTerms(docs, "tokens", "tag",
+        minInTag = 2, liftFloor = 1.05, topN = 5)
+        .select(col("tag"), col("token"), col("in_tag_docs"), col("global_docs"),
+          round(col("lift"), 6).as("lift_r"))
+        .orderBy("tag", "token")
+    }),
+
     // Online clustering over documents (partition-local updates + treeReduce
     // merge), then a scoring pass assigning each doc its best class
     "tp01_topic_clusters" -> ((s, d) => {
@@ -62,5 +88,48 @@ object TopicQueries {
         .withColumn("correct", (col("predicted") === col("label")).cast("int"))
         .agg(count(lit(1)).as("n"), sum(col("correct")).as("n_correct"))
     })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "an01_annotation_merge" ->
+      """WITH ann AS (
+        |  SELECT event_type AS token,
+        |         concat('t', CAST(user_id % 5 AS VARCHAR)) AS tag,
+        |         value AS score, event_id AS ts,
+        |         CASE WHEN value < 1 THEN 'delete' END AS op
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY token, tag
+        |                               ORDER BY ts DESC) AS rn
+        |  FROM ann)
+        |SELECT token, tag, score, ts AS timestamp
+        |FROM ranked WHERE rn = 1 AND (op IS NULL OR op <> 'delete')
+        |ORDER BY token, tag""".stripMargin,
+
+    "co01_cooccurrence_terms" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang AS tag, string_split(text, ' ') AS w FROM documents),
+        |dt AS (
+        |  SELECT doc_id, tag, unnest(list_distinct(w)) AS tok FROM docs),
+        |tagsizes AS (
+        |  SELECT tag, count(*) AS tag_docs FROM docs GROUP BY tag),
+        |total AS (SELECT count(*) AS n FROM docs),
+        |global AS (SELECT tok, count(*) AS global_docs FROM dt GROUP BY tok),
+        |intag AS (
+        |  SELECT tag, tok, count(*) AS in_tag_docs FROM dt GROUP BY tag, tok
+        |  HAVING count(*) >= 2),
+        |scored AS (
+        |  SELECT i.tag, i.tok, i.in_tag_docs, g.global_docs,
+        |         (CAST(i.in_tag_docs AS DOUBLE) / ts.tag_docs) /
+        |         (CAST(g.global_docs AS DOUBLE) / t.n) AS lift
+        |  FROM intag i JOIN global g ON i.tok = g.tok
+        |  JOIN tagsizes ts ON i.tag = ts.tag CROSS JOIN total t),
+        |kept AS (
+        |  SELECT *, row_number() OVER (PARTITION BY tag
+        |                               ORDER BY lift DESC, tok) AS rk
+        |  FROM scored WHERE lift >= 1.05)
+        |SELECT tag, tok AS token, in_tag_docs, global_docs,
+        |       round(lift, 6) AS lift_r
+        |FROM kept WHERE rk <= 5 ORDER BY tag, token""".stripMargin
   )
 }
