@@ -1,0 +1,29 @@
+package graft.functions
+
+/** Beam search over per-position option sequences (reference
+  * search/PTree.scala:6-69 — POS-disambiguation search tree with
+  * maxLeafs=32): at each position, every surviving path is extended with
+  * every option, scored by a pairwise transition function, and the beam
+  * keeps the best `beamWidth` paths. Driver/UDF-side utility — documents
+  * are short; the distributed axis is rows, not the search. */
+object BeamSearch {
+
+  /** @param options    options per position (outer Seq = positions)
+    * @param transition score of following `a` with `b` (higher = better)
+    * @param beamWidth  max surviving paths per step (reference: 32)
+    * @return best-scoring path (one option per position) and its score */
+  def bestPath[T](options: Seq[Seq[T]],
+                  transition: (T, T) => Double,
+                  beamWidth: Int = 32): (Seq[T], Double) = {
+    if (options.isEmpty) return (Seq.empty, 0.0)
+    var beam: Seq[(List[T], Double)] =
+      options.head.map(o => (List(o), 0.0))
+    options.tail.foreach { opts =>
+      beam = beam.flatMap { case (path, score) =>
+        opts.map(o => ((o :: path), score + transition(path.head, o)))
+      }.sortBy(-_._2).take(beamWidth)
+    }
+    val (bestRev, score) = beam.maxBy(_._2)
+    (bestRev.reverse, score)
+  }
+}

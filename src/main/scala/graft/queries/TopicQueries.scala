@@ -38,6 +38,26 @@ object TopicQueries {
         .orderBy("token", "tag")
     }),
 
+    // Multi-leg entity mention detection over documents: the 10 most
+    // frequent bigrams become 2-leg entities; mentions located per doc
+    "en01_entity_mentions" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), split(col("text"), " ").as("tokens"))
+      val entities = docs
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(tokens) - 1, 1)), i -> slice(tokens, i, 2))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(10)
+        .select(lit("frequent").as("tag"),
+          (monotonically_increasing_id() + 1).cast("int").as("entityIndex"),
+          col("bigram").as("synonym"))
+      graft.operators.EntityMatcher.matchEntities(docs, "doc_id", "tokens", entities)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_mentions"))
+        .orderBy("doc_id")
+    }),
+
     // Co-occurrence term proposal: tokens over-represented in a language
     "co01_cooccurrence_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(

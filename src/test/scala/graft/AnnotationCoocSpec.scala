@@ -44,6 +44,41 @@ class AnnotationCoocSpec extends AnyFunSuite {
     assert(!props.exists(_._2 == "the"), "ubiquitous token must have lift ~1")
   }
 
+  test("entity matcher: multi-leg mentions found exactly and with lev-1 typos") {
+    val docs = Seq(
+      (1L, Seq("Visit", "Saint", "John", "Hospital", "today")),
+      (2L, Seq("the", "Sain", "John", "clinic")),      // typo in leg 1 (len>=4)
+      (3L, Seq("nothing", "here"))).toDF("docId", "tokens")
+    val entities = Seq(
+      ("place", 1, Seq("saint", "john")),
+      ("place", 2, Seq("hospital"))).toDF("tag", "entityIndex", "synonym")
+    val out = graft.operators.EntityMatcher
+      .matchEntities(docs, "docId", "tokens", entities)
+      .select("docId", "entityIndex", "from", "to")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(out == Set((1L, 1, 1, 3), (1L, 2, 3, 4)))
+    // doc 2's "Sain John": first leg is exact-match candidate generation,
+    // so the typo'd FIRST leg is not found (documented limitation) — but a
+    // typo in a later leg is:
+    val entities2 = Seq(("place", 3, Seq("the", "sain", "john"))).toDF("tag", "entityIndex", "synonym")
+    val out2 = graft.operators.EntityMatcher
+      .matchEntities(docs, "docId", "tokens", entities2)
+      .select("docId", "from").as[(Long, Int)].collect().toSet
+    assert(out2 == Set((2L, 0)))
+  }
+
+  test("beam search: finds the best transition path, beam bounds survivors") {
+    // positions with options; transition rewards equal consecutive values
+    val opts = Seq(Seq(1, 2), Seq(2, 3), Seq(2, 9))
+    val (path, score) = graft.functions.BeamSearch.bestPath[Int](opts,
+      (a, b) => if (a == b) 1.0 else 0.0)
+    assert(path == Seq(2, 2, 2) && score == 2.0)
+    // beamWidth 1 = greedy: may miss the global optimum by design
+    val (greedy, _) = graft.functions.BeamSearch.bestPath[Int](
+      Seq(Seq(1), Seq(5, 1), Seq(1)), (a, b) => if (a == b) 1.0 else 0.0, beamWidth = 32)
+    assert(greedy == Seq(1, 1, 1))
+  }
+
   test("predict strategy: only the peak-likelihood span participates") {
     val left = Seq("visit the grand hospital of st john today").toDF("query")
     val right = Seq("st hospital", "john today visit").toDF("text")
