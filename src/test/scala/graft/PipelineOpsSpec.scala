@@ -110,6 +110,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("count").distinct().as[Long].collect().toSeq == Seq(4L))
   }
 
+  test("cosine_similarity native expression matches the JVM kernel, codegen on") {
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select($"vec_id", $"embedding")
+    val paired = df.as("A").crossJoin(df.as("B"))
+      .where($"A.vec_id" < $"B.vec_id").limit(200)
+      .select($"A.embedding".as("ea"), $"B.embedding".as("eb"))
+    val exprOut = paired.select(
+      org.apache.spark.sql.GraftFunctions.cosine_similarity($"ea", $"eb").as("c"))
+      .as[Double].collect()
+    val kernelOut = paired.as[(Seq[Float], Seq[Float])].collect()
+      .map { case (a, b) => VectorKernels.cosineF(a.toArray, b.toArray) }
+    exprOut.zip(kernelOut).foreach { case (e, k) =>
+      assert(math.abs(e - k) < 1e-12, s"$e vs $k") }
+    // SQL registration path
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    val sqlOut = paired.createOrReplaceTempView("pairs_cos")
+    val viaSql = spark.sql("SELECT cosine_similarity(ea, eb) FROM pairs_cos")
+      .as[Double].collect()
+    assert(viaSql.length == exprOut.length)
+    // the expression must stay inside whole-stage codegen (no fallback):
+    // assert on a plain scan+project plan (no AQE/limit interference)
+    val simple = df.select(
+      org.apache.spark.sql.GraftFunctions.cosine_similarity($"embedding", $"embedding"))
+    // "*(n)" prefixes mark WholeStageCodegen membership in plan toString
+    val plan = simple.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosinesimilarity"), plan)
+    assert(simple.as[Double].collect().forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
   test("vector kernels: cosine/add/scale hand values") {
     import org.apache.spark.ml.linalg.Vectors
     val a = Vectors.dense(1.0, 2.0, 3.0)
