@@ -321,6 +321,34 @@ object Relational {
       val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
       val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
       custNations.except(suppNations).orderBy("nationkey")
+    }),
+
+    // ---- §2.4 HAVING (post-aggregation filter) -----------------------------
+    "q26_busy_customers" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("total_spend"))
+        .where(col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    }),
+
+    // ---- §2.3 cross join (small x small) -----------------------------------
+    "q27_region_nation_grid" -> ((s, d) => {
+      val r = Tables.region(s, d).select("r_name")
+      val n = Tables.nation(s, d).where(col("n_nationkey") < 3).select("n_name")
+      r.crossJoin(n).orderBy("r_name", "n_name")
+    }),
+
+    // ---- scalar-subquery idiom: compare against a global aggregate ---------
+    // (max is exact on doubles, so the threshold is engine-independent)
+    "q28_above_half_max_balance" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val maxBal = c.agg(max(col("c_acctbal")).as("_maxbal_"))
+      c.crossJoin(broadcast(maxBal))
+        .where(col("c_acctbal") * 2 > col("_maxbal_"))
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
     })
   )
 
@@ -503,6 +531,22 @@ object Relational {
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
         |SELECT s_nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin
+        |ORDER BY nationkey""".stripMargin,
+
+    "q26_busy_customers" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 12 ORDER BY o_custkey""".stripMargin,
+
+    "q27_region_nation_grid" ->
+      """SELECT r_name, n_name
+        |FROM region CROSS JOIN (SELECT n_name FROM nation WHERE n_nationkey < 3) t
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q28_above_half_max_balance" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal * 2 > (SELECT max(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin
   )
 }
