@@ -27,7 +27,10 @@ object Cooccurrence {
     val docTokens = docs
       .select(col(tagCol).as("_tag_"),
         explode(array_distinct(col(tokensCol))).as("_tok_"))
-    val totalDocs = docs.count().toDouble
+    // total-doc count stays IN the plan (single-row agg, broadcast cross
+    // join) — a driver-side docs.count() would be a second action
+    // recomputing the whole input lineage just for one scalar
+    val totalDocs = docs.agg(count(lit(1)).cast("double").as("_total_docs_"))
     val tagSizes = docs.groupBy(col(tagCol).as("_tag_"))
       .agg(count(lit(1)).as("_tag_docs_"))
     val global = docTokens.groupBy("_tok_").agg(count(lit(1)).as("global_docs"))
@@ -37,9 +40,10 @@ object Cooccurrence {
     val scored = inTag
       .join(global, "_tok_")
       .join(tagSizes, "_tag_")
+      .crossJoin(broadcast(totalDocs))
       .withColumn("lift",
         (col("in_tag_docs") / col("_tag_docs_")) /
-          (col("global_docs") / lit(totalDocs)))
+          (col("global_docs") / col("_total_docs_")))
       .where(col("lift") >= liftFloor)
     val w = Window.partitionBy("_tag_")
       .orderBy(col("lift").desc, col("_tok_"))

@@ -67,26 +67,33 @@ object Dedup {
                       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
+    // persisted: referenced by the banding explode AND both signature
+    // re-joins below — without it the (expensive) minhash UDF runs 3x
     val sigDf = df.select(col(idCol).as("_id_"),
       minhashSig(numHashes, shingleSize, seed)(col(textCol)).as("_sig_"))
+      .persist()
 
-    // band -> hash of the band's signature slice = LSH bucket key
-    val banded = sigDf.select(col("_id_"), col("_sig_"),
+    // band -> hash of the band's signature slice = LSH bucket key.
+    // ids only: the candidate shuffle + distinct must never carry the
+    // 64-slot signatures (a pair colliding in several bands would shuffle
+    // them once per collision) — signatures re-join AFTER the dedup.
+    val banded = sigDf.select(col("_id_"),
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> hash(slice(_sig_, b * $rowsPerBand + 1, $rowsPerBand)))"))
           .as(Seq("_band_", "_bucket_")))
-      .select("_id_", "_sig_", "_band_", "_bucket_")
+      .select("_id_", "_band_", "_bucket_")
 
-    val a = banded.select(col("_band_"), col("_bucket_"),
-      col("_id_").as("id_a"), col("_sig_").as("sig_a"))
-    val b = banded.select(col("_band_"), col("_bucket_"),
-      col("_id_").as("id_b"), col("_sig_").as("sig_b"))
+    val a = banded.select(col("_band_"), col("_bucket_"), col("_id_").as("id_a"))
+    val b = banded.select(col("_band_"), col("_bucket_"), col("_id_").as("id_b"))
+    val candidates = a.join(b, Seq("_band_", "_bucket_"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // a pair may collide in several bands
     val agree = expr(
       "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), t -> t))")
-    a.join(b, Seq("_band_", "_bucket_"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct() // a pair may collide in several bands
+    candidates
+      .join(sigDf.select(col("_id_").as("id_a"), col("_sig_").as("sig_a")), "id_a")
+      .join(sigDf.select(col("_id_").as("id_b"), col("_sig_").as("sig_b")), "id_b")
       .withColumn("est_jaccard", agree / lit(numHashes.toDouble))
       .where(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
@@ -135,16 +142,28 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
-    val sigDf = withSimhash(df.select(col(idCol).as("_id_"), col(textCol)), textCol, "_sh_")
-      .select(col("_id_"), col("_sh_"),
-        posexplode(expr(
-          s"transform(sequence(0, ${nBlocks - 1}), b -> (_sh_ div shiftleft(1L, b * $blockBits)) % shiftleft(1L, $blockBits))"))
-          .as(Seq("_blk_", "_key_")))
-    val a = sigDf.select(col("_blk_"), col("_key_"), col("_id_").as("id_a"), col("_sh_").as("sh_a"))
-    val b = sigDf.select(col("_blk_"), col("_key_"), col("_id_").as("id_b"), col("_sh_").as("sh_b"))
+    val mask = (1L << blockBits) - 1
+    // persisted: the simhash UDF feeds the block explode and both
+    // signature re-joins below
+    val sigs = withSimhash(df.select(col(idCol).as("_id_"), col(textCol)), textCol, "_sh_")
+      .select("_id_", "_sh_")
+      .persist()
+    // block extraction MUST be unsigned: signed div truncates toward zero
+    // and % follows the sign, so any signature with bit 63 set (half of
+    // them) got different keys for bit-identical blocks — near-dup pairs
+    // silently dropped. shiftrightunsigned + bitwise AND is sign-proof.
+    val blocked = sigs.select(col("_id_"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nBlocks - 1}), b -> shiftrightunsigned(_sh_, b * $blockBits) & ${mask}L)"))
+        .as(Seq("_blk_", "_key_")))
+    val a = blocked.select(col("_blk_"), col("_key_"), col("_id_").as("id_a"))
+    val b = blocked.select(col("_blk_"), col("_key_"), col("_id_").as("id_b"))
+    // ids-only candidate dedup; signatures join back once per unique pair
     a.join(b, Seq("_blk_", "_key_"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select("id_a", "id_b").distinct()
+      .join(sigs.select(col("_id_").as("id_a"), col("_sh_").as("sh_a")), "id_a")
+      .join(sigs.select(col("_id_").as("id_b"), col("_sh_").as("sh_b")), "id_b")
       .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -166,10 +185,17 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // persisted: `grams` feeds the df-count AND the per-doc aggregation;
+    // `docs` (groupBy + join + sort-heavy agg) is referenced by the prefix
+    // explode and BOTH sides of the verification join. Unpersisted, Spark
+    // recomputed the gram explosion ~5x and the doc agg 3x (34% of the
+    // round-1 bench in this one operator). At cluster scale the same role
+    // is played by a checkpoint/staging write.
     val grams = df.select(col(idCol).as("_id_"),
         explode(expr(
           s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), i -> array_join(slice(split($textCol, ' '), i, $n), ' ')))"))
           .as("_gram_"))
+      .persist()
     val gramDf = grams.groupBy("_gram_").agg(count(lit(1)).as("_df_"))
     // per doc: grams sorted by (global df, gram) — rare first; prefix length
     // chosen so that two docs with jaccard >= t MUST overlap in the prefix
@@ -180,6 +206,7 @@ object Dedup {
       .withColumn("_n_", size(col("_grams_")))
       .withColumn("_plen_",
         (col("_n_") - ceil(col("_n_") * minJaccard) + 1).cast("int"))
+      .persist()
     // candidate generation on ids only — the gram arrays join in AFTER the
     // distinct, so the (potentially wide) candidate shuffle carries two
     // longs per row, not two full arrays

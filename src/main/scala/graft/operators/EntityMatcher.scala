@@ -23,24 +23,30 @@ object EntityMatcher {
       math.abs(tok.length - leg.length) <= 1 &&
       TextKernels.boundedLevenshtein(tok, leg, 1) <= 1)
 
+  // tokens arrive pre-simplified (once per doc, below) — re-folding the
+  // full array per candidate row was O(candidates * docLen) wasted work
   private val verifyUdf = udf { (tokens: Seq[String], pos: Int, legs: Seq[String]) =>
     legs.indices.forall { j =>
-      pos + j < tokens.length && legMatches(
-        TextKernels.simplify(tokens(pos + j)), legs(j))
+      pos + j < tokens.length && legMatches(tokens(pos + j), legs(j))
     }
   }
+
+  private val simplifyArr = udf((toks: Seq[String]) => toks.map(TextKernels.simplify))
 
   /** @param docs     (docId, tokens array<string>)
     * @param entities (tag string, entityIndex int, synonym array<string>)
     * @return (docId, tag, entityIndex, from, to) one row per mention */
   def matchEntities(docs: DataFrame, docIdCol: String, tokensCol: String,
                     entities: DataFrame): DataFrame = {
-    val simp = udf((s: String) => TextKernels.simplify(s))
-    val docToks = docs.select(col(docIdCol).as("_did_"), col(tokensCol).as("_toks_"),
-        posexplode(col(tokensCol)).as(Seq("_pos_", "_tok_")))
-      .withColumn("_tok_", simp(col("_tok_")))
+    val docToks = docs
+      .select(col(docIdCol).as("_did_"), simplifyArr(col(tokensCol)).as("_toks_"))
+      .select(col("_did_"), col("_toks_"),
+        posexplode(col("_toks_")).as(Seq("_pos_", "_tok_")))
+    // legs go through the SAME simplify kernel as doc tokens (lowercase +
+    // accent fold) — lower() alone left accented legs unable to ever equal
+    // a folded doc token in the exact candidate join
     val legged = entities.select(col("tag"), col("entityIndex"),
-        expr("transform(synonym, t -> lower(t))").as("_legs_"))
+        simplifyArr(col("synonym")).as("_legs_"))
       .withColumn("_first_", expr("_legs_[0]"))
     docToks.join(legged, col("_tok_") === col("_first_"))
       .where(verifyUdf(col("_toks_"), col("_pos_"), col("_legs_")))

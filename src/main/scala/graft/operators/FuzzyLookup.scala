@@ -60,6 +60,12 @@ object FuzzyLookup {
     * @param termWeights    per-token likelihoods; weight multiplies the term
     *                       score; tokens under `minTokenLikehood` dropped
     * @param topK           best K right rows per left row (reference: 1)
+    * @param filterCols     structured equality filter (reference
+    *                       index/IndexStrategy.scala:96-107): (leftCol,
+    *                       rightCol) pairs that must be EQUAL for a match —
+    *                       folded into the candidate equi-join as extra hash
+    *                       keys, so mismatching candidates are never
+    *                       generated (not post-filtered)
     */
   case class Options(
       maxLevDistance: Int = 0,
@@ -74,7 +80,8 @@ object FuzzyLookup {
       maxDfRatio: Double = 1.0,
       termWeights: Map[String, Double] = Map.empty,
       minTokenLikehood: Double = 0.4,
-      topK: Int = 1)
+      topK: Int = 1,
+      filterCols: Seq[(String, String)] = Nil)
 
   private val tokUdf = udf((s: String) => TextKernels.tokenizeWithOffsets(s))
   private val levUdf = udf((a: String, b: String, bound: Int) =>
@@ -89,15 +96,20 @@ object FuzzyLookup {
     // The scoring pipeline works on fully re-aliased projections (fresh
     // attribute ids), so re-joining leftKeyed/rightKeyed at the end is not an
     // ambiguous self-join.
+    val fIdx = opts.filterCols.indices
+    val lf = opts.filterCols.zipWithIndex.map { case ((l, _), i) => col(l).as(s"_qf${i}_") }
+    val rf = opts.filterCols.zipWithIndex.map { case ((_, r), i) => col(r).as(s"_rf${i}_") }
     val queries = leftKeyed.select(
-      col("_lid_").as("_qlid_"), col(queryCol).as("_qtext_"))
+      Seq(col("_lid_").as("_qlid_"), col(queryCol).as("_qtext_")) ++ lf: _*)
     val texts = rightKeyed.select(
-      col("_rid_").as("_trid_"), col(textCol).as("_ttext_"))
+      Seq(col("_rid_").as("_trid_"), col(textCol).as("_ttext_")) ++ rf: _*)
 
     // ---- right side: inverted index as a DataFrame ------------------------
     val rightToks = texts
-      .select(col("_trid_"), explode(tokUdf(col("_ttext_"))).as("t"))
-      .select(col("_trid_"), col("t.tok").as("rtok"), col("t.acro").as("racro"))
+      .select(Seq(col("_trid_"), explode(tokUdf(col("_ttext_"))).as("t")) ++
+        fIdx.map(i => col(s"_rf${i}_")): _*)
+      .select(Seq(col("_trid_"), col("t.tok").as("rtok"), col("t.acro").as("racro")) ++
+        fIdx.map(i => col(s"_rf${i}_")): _*)
       .where(!col("rtok").isin(opts.stopWords.toSeq: _*))
     val docLen = rightToks.groupBy("_trid_").agg(count(lit(1)).as("_doclen_"))
     val totals = texts.agg(count(lit(1)).as("_n_docs_"))
@@ -113,10 +125,11 @@ object FuzzyLookup {
 
     // ---- left side: query tokens with char offsets ------------------------
     val leftToksBase = queries
-      .select(col("_qlid_"), explode(tokUdf(col("_qtext_"))).as("t"))
-      .select(col("_qlid_"), col("t.tok").as("qtok"), col("t.pos").as("qpos"),
+      .select(Seq(col("_qlid_"), explode(tokUdf(col("_qtext_"))).as("t")) ++
+        fIdx.map(i => col(s"_qf${i}_")): _*)
+      .select(Seq(col("_qlid_"), col("t.tok").as("qtok"), col("t.pos").as("qpos"),
         col("t.start").as("qstart"), col("t.end").as("qend"),
-        col("t.acro").as("qacro"))
+        col("t.acro").as("qacro")) ++ fIdx.map(i => col(s"_qf${i}_")): _*)
       .where(!col("qtok").isin(opts.stopWords.toSeq: _*))
     // term-weight handling + predict strategy: keep only the +-2 window
     // around the peak-likelihood token (>= 0.75 * peak), the reference's
@@ -145,8 +158,14 @@ object FuzzyLookup {
       if (opts.boostAcronyms)
         when(col("qacro") && col("racro"), lit(opts.acronymBoost)).otherwise(lit(1.0))
       else lit(1.0)
+    // structured filter: extra equality keys in the SAME hash join — the
+    // planner hashes on (token ++ filters), so mismatching candidates never
+    // materialize (reference IndexStrategy.scala:96-107)
+    val filterCond = fIdx.foldLeft(col("qtok") === col("rtok")) {
+      (c, i) => c && col(s"_qf${i}_") === col(s"_rf${i}_")
+    }
     val exactCand = leftToks
-      .join(rightIndexed, col("qtok") === col("rtok"))
+      .join(rightIndexed, filterCond)
       .select(col("_qlid_"), col("_trid_"), col("qpos"), col("qstart"),
         col("qend"), (col("_idf_") * acroBoost * col("_tw_")).as("_w_"))
 
@@ -157,8 +176,11 @@ object FuzzyLookup {
         val vu = variantsUdf(opts.maxLevDistance)
         val lv = leftToks.withColumn("_var_", explode(vu(col("qtok"))))
         val rv = rightIndexed.withColumn("_var_", explode(vu(col("rtok"))))
+        val fuzzyFilter = fIdx.foldLeft(col("qtok") =!= col("rtok")) {
+          (c, i) => c && col(s"_qf${i}_") === col(s"_rf${i}_")
+        }
         val fuzzyCand = lv.join(rv, "_var_")
-          .where(col("qtok") =!= col("rtok"))
+          .where(fuzzyFilter)
           .select(col("_qlid_"), col("_trid_"), col("qpos"), col("qstart"),
             col("qend"), col("qtok"), col("rtok"), col("_idf_"), col("_tw_"))
           .distinct()
@@ -236,6 +258,28 @@ object FuzzyLookup {
         lit(null).cast("array<string>").as("_tags_"),
         col("_si_").cast(IntegerType).as("_startIndex_"),
         col("_ei_").cast(IntegerType).as("_endIndex_")): _*)
+  }
+
+  /** Array-query variant (reference luceneLookup on an array column,
+    * index/implicits.scala): every element of `arrayQueryCol` is resolved
+    * independently against the right side; results come back in element
+    * order as `{col}_res` = array of {right cols, _score_, _startIndex_,
+    * _endIndex_} structs (null-padded for unmatched elements). */
+  def lookupArray(left: DataFrame, arrayQueryCol: String, right: DataFrame,
+                  textCol: String, opts: Options = Options()): DataFrame = {
+    val keyed = left.withColumn("_laid_", monotonically_increasing_id())
+    val exploded = keyed.select(col("_laid_"),
+      posexplode(col(arrayQueryCol)).as(Seq("_qi_", "_q_")))
+    val matched = lookup(exploded, "_q_", right, textCol, opts)
+    val resCols = right.columns ++ Seq("_score_", "_startIndex_", "_endIndex_")
+    val packed = matched
+      .groupBy("_laid_")
+      .agg(array_sort(collect_list(struct(col("_qi_").as("_qi_"),
+        struct(resCols.map(col): _*).as("res")))).as("_packed_"))
+      .select(col("_laid_").as("_plaid_"),
+        expr("transform(_packed_, x -> x.res)").as(s"${arrayQueryCol}_res"))
+    keyed.join(packed, col("_laid_") === col("_plaid_"), "left")
+      .select(left.columns.map(col) :+ col(s"${arrayQueryCol}_res"): _*)
   }
 
   /** Multi-query variant (reference `luceneLookups`): each query column is

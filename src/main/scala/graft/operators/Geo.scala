@@ -11,10 +11,11 @@ import graft.functions.TextKernels
   * the ring inlined as `array<struct<x,y>>` so the point-in-polygon test is
   * a pure JVM kernel).
   *
-  * The join strategy is the reference's two-phase filter made Catalyst-
-  * friendly: a cheap bbox range predicate — pushed down / usable by AQE —
-  * prunes candidates before the exact ray-casting test runs as a UDF.
-  * At scale, bbox pruning is what keeps this from being a cross join.
+  * The join strategy is spatial grid bucketing: both sides are keyed to a
+  * uniform grid so the spatial match becomes an EQUI-join on cell keys
+  * (hash-partitionable, AQE-skew-handled), with bbox + exact ray-casting
+  * as cheap post-filters. A bare bbox theta-join would force a
+  * BroadcastNestedLoopJoin — a cartesian at real polygon counts.
   */
 object Geo {
 
@@ -44,18 +45,49 @@ object Geo {
     pointInRing(x, y, xs, ys)
   })
 
-  /** Two-phase point-in-polygon join.
+  /** Grid-bucketed point-in-polygon join.
+    *
+    * A raw bbox range predicate is a theta-join — Spark can only plan it as
+    * BroadcastNestedLoop/cartesian (every point x every polygon), which dies
+    * at real polygon counts. Instead both sides are keyed to a uniform grid:
+    * each point gets its single covering cell, each polygon explodes to the
+    * cells its bbox overlaps, and the join is an EQUI-join on (cellX, cellY)
+    * that hash-partitions and scales. The bbox test then prunes within-cell
+    * false positives and exact ray-casting decides. Each (point, polygon)
+    * pair can meet in at most one cell (the point lives in exactly one), so
+    * no dedup is needed.
     *
     * @param points   (pointCols..., xCol, yCol)
     * @param polygons must carry bbox columns `minX/maxX/minY/maxY` and a
     *                 flat `ring` array<double> [x0,y0,x1,y1,...]
+    * @param cellSize grid pitch; <= 0 derives it from the polygons' mean
+    *                 bbox extent (one tiny agg over the polygon side — the
+    *                 small side — so fan-out stays ~O(1) cells per polygon)
     */
   def pointInPolygonJoin(points: DataFrame, xCol: String, yCol: String,
-                         polygons: DataFrame): DataFrame = {
+                         polygons: DataFrame, cellSize: Double = 0.0): DataFrame = {
+    val cs =
+      if (cellSize > 0) cellSize
+      else {
+        val r = polygons
+          .agg(avg(col("maxX") - col("minX")).as("w"), avg(col("maxY") - col("minY")).as("h"))
+          .collect().headOption
+        val w = r.flatMap(x => Option(x.get(0)).map(_.asInstanceOf[Double])).getOrElse(1.0)
+        val h = r.flatMap(x => Option(x.get(1)).map(_.asInstanceOf[Double])).getOrElse(1.0)
+        math.max(math.max(w, h), 1e-9)
+      }
+    val pts = points
+      .withColumn("_cx_", floor(col(xCol) / cs))
+      .withColumn("_cy_", floor(col(yCol) / cs))
+    val polys = polygons
+      .withColumn("_cx_", explode(sequence(floor(col("minX") / cs), floor(col("maxX") / cs))))
+      .withColumn("_cy_", explode(sequence(floor(col("minY") / cs), floor(col("maxY") / cs))))
     val bbox = col(xCol) >= col("minX") && col(xCol) <= col("maxX") &&
       col(yCol) >= col("minY") && col(yCol) <= col("maxY")
-    points.join(polygons, bbox)                       // phase 1: cheap range
-      .where(pipUdf(col(xCol), col(yCol), col("ring"))) // phase 2: exact
+    pts.join(polys, Seq("_cx_", "_cy_"))               // phase 1: cell equi-join
+      .where(bbox)                                     // phase 2: cheap range
+      .where(pipUdf(col(xCol), col(yCol), col("ring"))) // phase 3: exact
+      .drop("_cx_", "_cy_")
   }
 
   /** Attach bbox columns from a flat ring array (ingest-time helper —
@@ -66,11 +98,41 @@ object Geo {
     .withColumn("minY", expr(s"array_min(filter(transform($ringCol, (v, i) -> IF(i % 2 = 1, v, null)), v -> v IS NOT NULL))"))
     .withColumn("maxY", expr(s"array_max(filter(transform($ringCol, (v, i) -> IF(i % 2 = 1, v, null)), v -> v IS NOT NULL))"))
 
+  /** Address parsing (reference geo/ParsedAddress.scala:42-67
+    * splitAdressNumber + adressPostCode): extract the house number (first
+    * standalone 1-3 digit run — postcodes are longer), the postcode (LAST
+    * standalone 4-9 digit run), and the residual street text. Pure SQL
+    * expressions → codegen'd, pushdown-friendly, and mirrorable by any
+    * ANSI engine (the oracle runs the same regexes). */
+  def parseAddress(df: DataFrame, addrCol: String): DataFrame = {
+    val s = lower(col(addrCol))
+    df
+      .withColumn("addr_number",
+        regexp_extract(s, "\\b([0-9]{1,3})\\b", 1))
+      .withColumn("addr_postcode",
+        element_at(regexp_extract_all(s, lit("\\b([0-9]{4,9})\\b"), lit(1)), -1)
+          .cast("int"))
+      .withColumn("addr_street",
+        trim(regexp_replace(regexp_replace(s, "[0-9]+", " "), "\\s+", " ")))
+  }
+
   /** Address-to-street fuzzy localization (reference AddressLocalizator
     * capability): postcode equi-join prunes, then the best street per
     * address by positional token similarity. */
   private val simUdf = udf((a: String, b: String) =>
     TextKernels.tokenSetSimilarity(a, b))
+
+  /** Full localization pipeline (reference geo/AddressLocalizator.scala:
+    * 32-33): parse number + postcode out of the free-text address, prune
+    * streets by the PARSED postcode, then similarity top-1. */
+  def localizeParsedAddresses(addresses: DataFrame, addrCol: String,
+                              streets: DataFrame, streetCol: String,
+                              streetPostcodeCol: String,
+                              minSimilarity: Double = 0.3): DataFrame = {
+    val parsed = parseAddress(addresses, addrCol)
+    localizeAddresses(parsed, addrCol, "addr_postcode",
+      streets, streetCol, streetPostcodeCol, minSimilarity)
+  }
 
   def localizeAddresses(addresses: DataFrame, addrCol: String, postcodeCol: String,
                         streets: DataFrame, streetCol: String,
@@ -93,22 +155,25 @@ object Geo {
     * `levels` = (levelName, parentKeyCol) from root to leaf. */
   def flattenHierarchy(nodes: DataFrame, idCol: String, parentCol: String,
                        nameCol: String, maxDepth: Int = 5): DataFrame = {
-    // iterative join: path accumulates ancestor names root-first
+    // iterative join: path accumulates ancestor names root-first. One single
+    // lazy plan — NO per-level driver action: probing "are we done?" with
+    // isEmpty would recompute the whole accumulated lineage each level
+    // (quadratic in depth). Once a row's parent chain is exhausted its
+    // _pid_ is null, the left join misses, and further levels are row-level
+    // no-ops — so looping to maxDepth unconditionally is both correct and
+    // the scalable shape (depth is small and known for geo hierarchies).
     var acc = nodes.select(col(idCol).as("_nid_"), col(parentCol).as("_pid_"),
       array(col(nameCol)).as("path"))
     var i = 0
-    var done = false
-    while (i < maxDepth && !done) {
+    while (i < maxDepth) {
       val parents = nodes.select(col(idCol).as("_jid_"),
         col(parentCol).as("_jpid_"), col(nameCol).as("_pname_"))
-      val next = acc.join(parents, acc("_pid_") === parents("_jid_"), "left")
+      acc = acc.join(parents, acc("_pid_") === parents("_jid_"), "left")
         .select(col("_nid_"),
-          coalesce(col("_jpid_"), lit(null)).as("_pid_"),
+          col("_jpid_").as("_pid_"),
           when(col("_pname_").isNotNull,
             concat(array(col("_pname_")), col("path"))).otherwise(col("path"))
             .as("path"))
-      done = next.where(col("_pid_").isNotNull).isEmpty
-      acc = next
       i += 1
     }
     acc.select(col("_nid_").as(idCol), col("path"),

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.linalg.{SparseVector, Vector, Vectors}
-import org.apache.spark.ml.stat.Summarizer
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -185,7 +184,12 @@ object Transformers {
       case (c, PSum) => sum(col(c)).as(c)
       case (c, PFirst(ord)) =>
         min_by(col(c), struct((ord.map(col) :+ col(c)): _*)).as(c)
-      case (c, PVectorSum) => Summarizer.sum(col(c)).as(c)
+      // vector policy routes through vector_to_array + the exact ArraySumAgg:
+      // ml's Summarizer.sum does stable-mean rescaling (335.0000000000001),
+      // which breaks oracle parity for integer-valued vectors
+      case (c, PVectorSum) =>
+        val vecSum = udaf(ArraySumAgg)
+        array_to_vector(vecSum(vector_to_array(col(c)))).as(c)
     }
     df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -213,5 +217,58 @@ object Transformers {
         expr("transform(_packed_, x -> x._res_)").as(out))
     keyed.as("LL").join(packed.as("LP"), col("LL._lmid_") === col("LP._lmid_"), "left")
       .select(df.columns.map(c => col(s"LL.`$c`")) :+ col(out): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Lemmatiser with POS disambiguation (reference text/Lemmatizer.scala:
+  // 52-91): ambiguous forms carry several (lemma, POS-vector) variants; the
+  // chosen lemma maximizes POS-compatibility with its neighbours
+  // (cosine(prevTags, variant) transitions), searched with the PTree-style
+  // beam (reference search/PTree.scala:6-69 via functions.BeamSearch).
+  // ---------------------------------------------------------------------
+  private def cosSafe(a: Array[Double], b: Array[Double]): Double = {
+    if (a.length == 0 || b.length == 0 || a.length != b.length) return 0.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  private val disambigUdf = udf { (items: Seq[org.apache.spark.sql.Row]) =>
+    val sorted = items.sortBy(_.getInt(0))
+    val options: Seq[Seq[(String, Array[Double])]] = sorted.map { r =>
+      val tok = r.getString(1)
+      val vars = r.getSeq[org.apache.spark.sql.Row](2)
+      if (vars == null || vars.isEmpty) Seq((tok, Array.empty[Double]))
+      else vars.map(v => (v.getString(0),
+        Option(v.getSeq[Double](1)).map(_.toArray).getOrElse(Array.empty[Double])))
+        .sortBy(_._1) // deterministic option order
+    }
+    graft.functions.BeamSearch
+      .bestPath[(String, Array[Double])](options,
+        (a, b) => cosSafe(a._2, b._2), beamWidth = 32)
+      ._1.map(_._1)
+  }
+
+  /** @param lexicon (simplified: string, lemma: string, pos: array<double>)
+    *                — one row per VARIANT; ambiguous forms have several.
+    * @return df + `out`: per token the POS-disambiguated lemma (unknown
+    *         tokens pass through). Join + per-doc beam, shuffle-native. */
+  def lemmatizeDisambiguated(df: DataFrame, tokensCol: String, lexicon: DataFrame,
+                             out: String = "lemmas"): DataFrame = {
+    val keyed = df.withColumn("_lmid_", monotonically_increasing_id())
+    val toks = keyed.select(col("_lmid_"),
+      posexplode(col(tokensCol)).as(Seq("_pos_", "_tok_")))
+    val lex = lexicon.select(lower(col("simplified")).as("_tok_"),
+      col("lemma").as("_lemma_"), col("pos").cast("array<double>").as("_pv_"))
+    val variants = toks.join(lex, Seq("_tok_"), "left")
+      .groupBy("_lmid_", "_pos_", "_tok_")
+      // collect_list drops nulls: unmatched tokens get an empty variant list
+      .agg(collect_list(when(col("_lemma_").isNotNull,
+        struct(col("_lemma_"), col("_pv_")))).as("_vars_"))
+    val packed = variants.groupBy("_lmid_")
+      .agg(collect_list(struct(col("_pos_"), col("_tok_"), col("_vars_"))).as("_items_"))
+      .select(col("_lmid_"), disambigUdf(col("_items_")).as(out))
+    keyed.as("LD").join(packed.as("LP"), col("LD._lmid_") === col("LP._lmid_"), "left")
+      .select(df.columns.map(c => col(s"LD.`$c`")) :+ col(out): _*)
   }
 }

@@ -50,17 +50,23 @@ object GeoStreamQueries {
         .orderBy("n_nationkey")
     }),
 
-    // Address localization: noisy "addresses" resolved to a street table by
-    // postcode prune + similarity top-1 (rows-only: custom similarity)
+    // Address localization END TO END: free-text addresses carry a house
+    // number + postcode; parseAddress extracts both, the parsed postcode
+    // prunes the street join, token-set similarity picks the street.
+    // Every step (regex parse, levenshtein similarity, top-1) is mirrored
+    // exactly in the DuckDB oracle -> full hash gate.
     "geo03_address_localize" -> ((s, d) => {
-      val streets = Tables.customer(s, d).limit(200).select(
-        concat(lit("PC"), pmod(col("c_custkey"), lit(10))).as("street_pc"),
+      val streets = Tables.customer(s, d).where(col("c_custkey") <= 200).select(
+        (lit(1000) + pmod(col("c_custkey"), lit(10))).cast(IntegerType).as("street_pc"),
         concat_ws(" ", lit("rue"), col("c_name"), col("c_mktsegment")).as("street"))
-      val addrs = Tables.customer(s, d).limit(50).select(
-        concat(lit("PC"), pmod(col("c_custkey"), lit(10))).as("pc"),
-        concat_ws(" ", col("c_name"), lit("rue")).as("address"))
-      Geo.localizeAddresses(addrs, "address", "pc", streets, "street", "street_pc")
-        .select("address", "pc", "street", "similarity")
+      val addrs = Tables.customer(s, d).where(col("c_custkey") <= 50).select(
+        concat_ws(" ",
+          (pmod(col("c_custkey"), lit(89)) + 1).cast("string"),
+          col("c_name"), lit("rue"),
+          (lit(1000) + pmod(col("c_custkey"), lit(10))).cast("string")).as("address"))
+      Geo.localizeParsedAddresses(addrs, "address", streets, "street", "street_pc")
+        .select(col("address"), col("addr_number"), col("addr_postcode"),
+          col("street"), round(col("similarity"), 6).as("sim_r"))
         .orderBy("address")
     }),
 
@@ -84,9 +90,9 @@ object GeoStreamQueries {
         .groupBy(window(col("o_orderdate"), "1 day"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("daily_total"))
-      Streams.runToMemory(agg, s"sm01_${System.nanoTime()}", outputMode = "complete")
+      Streams.runToMemory(agg, "sm01_sink", outputMode = "complete")
         .select(col("window.start").as("day"), col("o_orderstatus"),
-          col("n_orders"), col("daily_total"))
+          col("n_orders"), col("daily_total").cast("double").as("daily_total"))
         .orderBy("day", "o_orderstatus")
     })
   )
@@ -111,10 +117,49 @@ object GeoStreamQueries {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
 
+    "geo03_address_localize" ->
+      """WITH streets AS (
+        |  SELECT CAST(1000 + c_custkey % 10 AS INTEGER) AS street_pc,
+        |         concat('rue ', c_name, ' ', c_mktsegment) AS street
+        |  FROM customer WHERE c_custkey <= 200),
+        |addrs AS (
+        |  SELECT concat(CAST(c_custkey % 89 + 1 AS VARCHAR), ' ', c_name,
+        |                ' rue ', CAST(1000 + c_custkey % 10 AS VARCHAR)) AS address
+        |  FROM customer WHERE c_custkey <= 50),
+        |parsed AS (
+        |  SELECT address,
+        |         regexp_extract(lower(address), '\b([0-9]{1,3})\b', 1) AS addr_number,
+        |         CAST(pcs[len(pcs)] AS INTEGER) AS addr_postcode
+        |  FROM (SELECT address,
+        |               regexp_extract_all(lower(address), '\b([0-9]{4,9})\b', 1) AS pcs
+        |        FROM addrs)),
+        |cand AS (
+        |  SELECT p.address, p.addr_number, p.addr_postcode, s.street,
+        |         list_filter(string_split_regex(lower(p.address), '[^a-z0-9]+'),
+        |                     q -> q <> '') AS qt,
+        |         list_filter(string_split_regex(lower(s.street), '[^a-z0-9]+'),
+        |                     q -> q <> '') AS ct
+        |  FROM parsed p JOIN streets s ON p.addr_postcode = s.street_pc),
+        |scored AS (
+        |  SELECT address, addr_number, addr_postcode, street,
+        |         CAST(len(list_filter(qt, q -> list_contains(ct, q)
+        |                OR (length(q) >= 4 AND len(list_filter(ct,
+        |                      c2 -> abs(length(c2) - length(q)) <= 1
+        |                            AND levenshtein(q, c2) <= 1)) > 0)))
+        |              AS DOUBLE) / len(qt) AS sim
+        |  FROM cand),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY address, addr_postcode
+        |                               ORDER BY sim DESC, street) AS rk
+        |  FROM scored WHERE sim >= 0.3)
+        |SELECT address, addr_number, addr_postcode, street,
+        |       round(sim, 6) AS sim_r
+        |FROM ranked WHERE rk = 1 ORDER BY address""".stripMargin,
+
     "sm01_stream_daily_orders" ->
       """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
         | o_orderstatus, count(*) AS n_orders,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_total
         |FROM orders GROUP BY 1, 2 ORDER BY day, o_orderstatus""".stripMargin
   )
 }

@@ -206,7 +206,7 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ts03_lang_rollup" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | count(DISTINCT source) AS n_sources,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin

@@ -31,15 +31,23 @@ object Relational {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private val oneDec: Column = lit(1).cast(DecimalType(18, 2))
 
+  /** Final-output normalization: the driver's gate reads Spark parquet via
+    * pandas (decimals keep scale: Decimal('253942.00')) but the DuckDB oracle
+    * via float64 ('253942.0') — so any DECIMAL final column hash-mismatches on
+    * trailing zeros. Sum in DECIMAL for exactness, then surface as DOUBLE on
+    * BOTH engines (the decimal→double cast is IEEE-deterministic and
+    * engine-independent). Mirrors CAST(... AS DOUBLE) in the oracle SQL. */
+  private def dbl(c: Column): Column = c.cast("double")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4 aggregation: TPC-H Q1-shaped pricing summary -----------------
     "q01_pricing_summary" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          dbl(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount")))))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -58,7 +66,7 @@ object Relational {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("n_name", "r_name")
         .agg(
-          sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+          dbl(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount")))))
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name", "r_name")
@@ -70,7 +78,7 @@ object Relational {
       val o  = Tables.orders(s, d).where(col("o_orderstatus") === "O")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount")))))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
@@ -102,7 +110,7 @@ object Relational {
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount"))))
+        .agg(dbl(sum(dec(col("l_extendedprice")) * (oneDec - dec(col("l_discount")))))
           .as("revenue"))
         .orderBy("n_name")
     }),
@@ -115,7 +123,7 @@ object Relational {
                col("l_discount").between(0.05, 0.07) &&
                col("l_quantity") < 24)
         .agg(
-          sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+          dbl(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -176,7 +184,7 @@ object Relational {
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
-        .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w))
+        .withColumn("running_spend", dbl(sum(dec(col("o_totalprice"))).over(w)))
         .select("o_custkey", "o_orderkey", "running_spend")
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -238,7 +246,7 @@ object Relational {
           date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("monthly_total"))
+          dbl(sum(dec(col("o_totalprice")))).as("monthly_total"))
         .orderBy("yr", "mo")
     }),
 
@@ -267,7 +275,7 @@ object Relational {
         .agg(
           max(col("l_quantity")).as("max_qty"),
           min(col("l_extendedprice")).as("min_price"),
-          sum(dec(col("l_tax"))).as("sum_tax"),
+          dbl(sum(dec(col("l_tax")))).as("sum_tax"),
           // "peek first" must be deterministic for the oracle: l_linenumber is
           // NOT unique within an order, so tie-break on the value itself via a
           // composite sortable key (zero-padded linenumber ++ flag).
@@ -285,7 +293,7 @@ object Relational {
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(dec(col("value"))).as("total_value"),
+          dbl(sum(dec(col("value")))).as("total_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("day", "event_type")
     }),
@@ -328,7 +336,7 @@ object Relational {
       Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("total_spend"))
+          dbl(sum(dec(col("o_totalprice")))).as("total_spend"))
         .where(col("n_orders") >= 12)
         .orderBy("o_custkey")
     }),
@@ -355,16 +363,16 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_revenue_by_nation" ->
       """SELECT n_name, r_name,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -375,7 +383,7 @@ object Relational {
 
     "q03_top_orders" ->
       """SELECT o_orderkey, o_orderdate,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY o_orderkey, o_orderdate
@@ -390,7 +398,7 @@ object Relational {
 
     "q05_region_revenue" ->
       """SELECT n_name,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -402,7 +410,7 @@ object Relational {
 
     "q06_forecast_revenue" ->
       """SELECT
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         | count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -442,9 +450,9 @@ object Relational {
 
     "q12_running_customer_spend" ->
       """SELECT o_custkey, o_orderkey,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q13_supplier_balance_rank" ->
@@ -482,7 +490,7 @@ object Relational {
         | CAST(month(o_orderdate) AS INTEGER) AS mo,
         | strftime(o_orderdate, '%Y-%m') AS ym,
         | count(*) AS n_orders,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monthly_total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_total
         |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo""".stripMargin,
 
     "q19_order_size_buckets" ->
@@ -496,7 +504,7 @@ object Relational {
       """SELECT l_orderkey,
         | max(l_quantity) AS max_qty,
         | min(l_extendedprice) AS min_price,
-        | sum(CAST(l_tax AS DECIMAL(18,2))) AS sum_tax,
+        | CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax,
         | substr(min(concat(lpad(CAST(l_linenumber AS VARCHAR), 5, '0'), l_returnflag)), 6, 100) AS first_flag,
         | count(*) AS n_lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
@@ -504,7 +512,7 @@ object Relational {
     "q21_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         | count(*) AS n_events,
-        | sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
@@ -535,7 +543,7 @@ object Relational {
 
     "q26_busy_customers" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         |FROM orders GROUP BY o_custkey
         |HAVING count(*) >= 12 ORDER BY o_custkey""".stripMargin,
 

@@ -69,6 +69,45 @@ object TopicQueries {
         .orderBy("tag", "token")
     }),
 
+    // WordCategoryScorer: per-language token proposals by tf-idf share with
+    // best-tag cross-check; the global top-frequency token plays an existing
+    // 'ok' entity and must be excluded (oracle mirrors every step)
+    "wc01_word_category_scorer" -> ((s, d) => {
+      import graft.operators.EntityRefinement
+      val texts = Tables.documents(s, d).select(
+        lit("g").as("tagGroup"), col("lang").as("tag"),
+        split(col("text"), " ").as("tokens"))
+      val topToken = texts.select(explode(col("tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token")).limit(1)
+      val entities = topToken.select(
+        lit("g").as("tagGroup"), lit("any").as("tag"),
+        lit(0).as("entityGroup"), lit(0).as("entityIndex"),
+        array(col("token")).as("synonym"), lit("ok").as("userStatus"))
+      EntityRefinement.proposeCategoryTokens(texts, entities,
+        maxPropositions = 5, iteration = 1)
+        .select(col("tag"), element_at(col("synonym"), 1).as("token"),
+          round(col("score"), 6).as("score_r"), col("userStatus"))
+        .orderBy("tag", "token")
+    }),
+
+    // Refine workflow: multi-token 'refine' entities split into per-token
+    // 'refined' proposals (group/ungroup reshaping exercised in spec)
+    "wc02_refine_split" -> ((s, d) => {
+      import graft.operators.EntityRefinement
+      val ents = Tables.nation(s, d).select(
+        lit("g").as("tagGroup"), col("n_name").as("tag"),
+        col("n_nationkey").cast("int").as("entityGroup"),
+        lit(0).as("entityIndex"),
+        array(col("n_name"), concat(lit("x"), col("n_nationkey"))).as("synonym"),
+        when(pmod(col("n_nationkey"), lit(2)) === 0, "refine")
+          .otherwise("ok").as("userStatus"))
+      EntityRefinement.refineEntities(ents, iteration = 2)
+        .select(col("tag"), col("entityGroup"), col("entityIndex"),
+          element_at(col("synonym"), 1).as("token"), col("userStatus"))
+        .orderBy("tag", "entityIndex")
+    }),
+
     // Online clustering over documents (partition-local updates + treeReduce
     // merge), then a scoring pass assigning each doc its best class
     "tp01_topic_clusters" -> ((s, d) => {
@@ -83,6 +122,64 @@ object TopicQueries {
           expr("array_max(map_values(classScores))").as("best_score"))
         .groupBy(lit(1).as("one"))
         .agg(count(lit(1)).as("n_docs"), avg(col("best_score")).as("avg_best"))
+    }),
+
+    // Topic-tree persistence round-trip: adaptive fit (childSplitSize
+    // spawning), save as JSON-lines datasets, reload, re-score — the
+    // loaded tree must reproduce the original scores exactly (rows-only;
+    // equality asserted via order-independent aggregates + spec test)
+    "tp03_tree_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .as[(Long, Seq[String])]
+        .map { case (id, toks) => (toks.take(50), toks.take(50).map(tokenVec(_, 8))) }
+      val tree = TopicTree.fitAdaptive(
+        NodeSpec("root", Clustering, classes = Seq(0, 1),
+          maxTopWords = 5, childSplitSize = 200),
+        docs, maxRounds = 2)
+      val path = s"/tmp/graft_tree/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      tree.save(s, path)
+      val loaded = TopicTree.load(s, path)
+      def stats(t: TopicTree.Tree) = t.transform(docs)
+        .select(expr("array_max(map_values(classScores))").as("best"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("best")), 6).as("sum_best"))
+        .collect()(0)
+      val (o, l) = (stats(tree), stats(loaded))
+      val topwordsSame = tree.topWords == loaded.topWords
+      val hitsSame = tree.nodeHits == loaded.nodeHits
+      Seq((o.getLong(0), o.getDouble(1), l.getLong(0), l.getDouble(1),
+        tree.topWords.length, tree.nodeHits.length,
+        o == l && topwordsSame && hitsSame))
+        .toDF("n_docs", "sum_best", "n_docs_loaded", "sum_best_loaded",
+          "n_topwords", "n_nodes", "roundtrip_ok")
+    }),
+
+    // Tag CRUD resolution: create/update/delete/addFilter op log folded to
+    // current states (latest-wins, delete tombstone, create resurrects) —
+    // oracle mirrors the fold with window argmax semantics
+    "tg01_tag_crud" -> ((s, d) => {
+      import s.implicits._
+      import graft.topic.Tags
+      val ops = Tables.nation(s, d).select(
+        col("n_nationkey").cast("int").as("id"), col("n_name"))
+        .as[(Int, String)]
+        .flatMap { case (id, name) =>
+          val t0 = id.toLong * 10
+          val base = Seq(
+            Tags.Tag(id, Tags.Op.Create, t0, name),
+            Tags.Tag(id, Tags.Op.Update, t0 + 5, name + "_v2"),
+            Tags.Tag(id, Tags.Op.AddFilter, t0 + 6, "", filterValue = Seq(7)))
+          val del = if (id % 5 == 0)
+            Seq(Tags.Tag(id, Tags.Op.Delete, t0 + 7, "")) else Nil
+          val recreate = if (id % 10 == 0)
+            Seq(Tags.Tag(id, Tags.Op.Create, t0 + 8, name + "_v3")) else Nil
+          base ++ del ++ recreate
+        }
+      Tags.resolve(ops)
+        .select(col("id"), col("name"), col("ts"))
+        .orderBy("id")
     }),
 
     // One-vs-all LinearSVC over the embeddings table's labels
@@ -111,6 +208,86 @@ object TopicQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "wc01_word_category_scorer" ->
+      """WITH toks AS (
+        |  SELECT 'g' AS tg, lang AS tag, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT tg, tag, token, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+        |ntags AS (SELECT tg, count(DISTINCT tag) AS n_tags FROM toks GROUP BY 1),
+        |docf AS (SELECT tg, token, count(DISTINCT tag) AS doc_count
+        |         FROM toks GROUP BY 1, 2),
+        |excl AS (SELECT token FROM (
+        |  SELECT token, count(*) AS c FROM toks GROUP BY 1
+        |  ORDER BY c DESC, token LIMIT 1)),
+        |scored AS (
+        |  SELECT f.tg, f.tag, f.token,
+        |         CAST(f.tf * ln(CAST(n.n_tags AS DOUBLE) / d.doc_count)
+        |              AS DECIMAL(20,6)) AS tfidf
+        |  FROM tf f
+        |  JOIN docf d ON f.tg = d.tg AND f.token = d.token
+        |  JOIN ntags n ON f.tg = n.tg),
+        |summed AS (
+        |  SELECT *, sum(tfidf) OVER (PARTITION BY tg, tag) AS tagsum
+        |  FROM scored WHERE token NOT IN (SELECT token FROM excl)),
+        |shared AS (
+        |  SELECT *, CAST(tfidf AS DOUBLE) / CAST(tagsum AS DOUBLE) AS share
+        |  FROM summed WHERE tagsum > 0),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY tg, token
+        |                               ORDER BY share DESC, tag) AS bt
+        |  FROM shared),
+        |topn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY tg, tag
+        |                               ORDER BY share DESC, token) AS rk
+        |  FROM best WHERE bt = 1)
+        |SELECT tag, token, round(share, 6) AS score_r,
+        |       'proposed' AS userStatus
+        |FROM topn WHERE rk <= 5 ORDER BY tag, token""".stripMargin,
+
+    "wc02_refine_split" ->
+      """WITH ents AS (
+        |  SELECT n_name AS tag, n_nationkey AS entityGroup,
+        |         [n_name, concat('x', CAST(n_nationkey AS VARCHAR))] AS synonym
+        |  FROM nation WHERE n_nationkey % 2 = 0)
+        |SELECT tag, CAST(entityGroup AS INTEGER) AS entityGroup,
+        |       CAST(i - 1 AS INTEGER) AS entityIndex,
+        |       synonym[CAST(i AS INTEGER)] AS token, 'refined' AS userStatus
+        |FROM ents, range(1, 3) t(i)
+        |ORDER BY tag, entityIndex""".stripMargin,
+
+    // fold semantics expressed relationally: a tag survives iff its last
+    // create is newer than its last delete; its state is the newest
+    // full op (create/update) at or after that create — addFilter rows
+    // patch the filter set only and never supply the base state
+    "tg01_tag_crud" ->
+      """WITH ops AS (
+        |  SELECT n_nationkey AS id, 'create' AS op,
+        |         CAST(n_nationkey AS BIGINT)*10 AS ts, n_name AS name FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'update', CAST(n_nationkey AS BIGINT)*10+5,
+        |         concat(n_name, '_v2') FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'delete', CAST(n_nationkey AS BIGINT)*10+7, ''
+        |  FROM nation WHERE n_nationkey % 5 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey, 'create', CAST(n_nationkey AS BIGINT)*10+8,
+        |         concat(n_name, '_v3') FROM nation WHERE n_nationkey % 10 = 0),
+        |bounds AS (
+        |  SELECT id,
+        |         max(ts) FILTER (op = 'delete') AS last_delete,
+        |         max(ts) FILTER (op = 'create') AS last_create
+        |  FROM ops GROUP BY id),
+        |surviving AS (
+        |  SELECT id, last_delete FROM bounds
+        |  WHERE last_delete IS NULL OR last_create > last_delete),
+        |final AS (
+        |  SELECT o.id, o.name, o.ts,
+        |         row_number() OVER (PARTITION BY o.id ORDER BY o.ts DESC) AS rn
+        |  FROM ops o JOIN surviving s ON o.id = s.id
+        |  WHERE o.op IN ('create', 'update')
+        |    AND (s.last_delete IS NULL OR o.ts > s.last_delete))
+        |SELECT id, name, ts FROM final WHERE rn = 1 ORDER BY id""".stripMargin,
+
     "an01_annotation_merge" ->
       """WITH ann AS (
         |  SELECT event_type AS token,

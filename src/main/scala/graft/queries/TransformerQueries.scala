@@ -30,9 +30,13 @@ object TransformerQueries {
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       val lexicon = docs.select(explode(col("tokens")).as("token")).distinct()
         .select(col("token"), array(length(col("token")).cast("double")).as("vector"))
+      // the driver's gate can't sort/hash array columns and hashes decimals
+      // scale-sensitively — surface the 1-dim vector as a scalar DOUBLE and
+      // the ratio as DOUBLE (full-vector assertions live in TransformersSpec)
       T.applyWordVectors(docs, "tokens", lexicon)
-        .select(col("doc_id"), col("doc_vector"),
-          col("hit_ratio").cast(DecimalType(6, 4)).as("hit_ratio"))
+        .select(col("doc_id"),
+          element_at(col("doc_vector"), 1).cast("double").as("first_dim"),
+          col("hit_ratio").cast("double").as("hit_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -90,6 +94,7 @@ object TransformerQueries {
         "l_quantity" -> T.PMax,
         "tax_dec" -> T.PSum,
         "l_returnflag" -> T.PFirst(Seq("l_linenumber"))))
+        .withColumn("tax_dec", col("tax_dec").cast("double"))
         .orderBy("l_orderkey")
     }),
 
@@ -111,8 +116,8 @@ object TransformerQueries {
   val oracleSql: Map[String, String] = Map(
     "tr02_word2vec_apply" ->
       """SELECT doc_id,
-        | [CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)] AS doc_vector,
-        | CAST(1.0 AS DECIMAL(6,4)) AS hit_ratio
+        | CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) AS first_dim,
+        | CAST(1.0 AS DOUBLE) AS hit_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tr03_rank_split" ->
@@ -128,7 +133,7 @@ object TransformerQueries {
     "tr07_groupby_policies" ->
       """SELECT l_orderkey,
         | max(l_quantity) AS l_quantity,
-        | sum(CAST(l_tax AS DECIMAL(18,2))) AS tax_dec,
+        | CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_dec,
         | substr(min(concat(lpad(CAST(l_linenumber AS VARCHAR), 10, '0'), l_returnflag)), 11, 100) AS l_returnflag
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 

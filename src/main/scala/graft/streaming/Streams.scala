@@ -71,6 +71,9 @@ object Streams {
   def runToMemory(streamed: DataFrame, name: String,
                   outputMode: String = "append"): DataFrame = {
     val spark = streamed.sparkSession
+    // deterministic names must be re-runnable in one session: clear any
+    // previous run's memory-sink temp view before re-registering it
+    spark.catalog.dropTempView(name)
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)

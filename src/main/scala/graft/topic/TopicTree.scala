@@ -2,9 +2,10 @@ package graft.topic
 
 import org.apache.spark.ml.classification.LinearSVC
 import org.apache.spark.ml.linalg.{Vector, Vectors}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorKernels
+import scala.collection.mutable.ArrayBuffer
 
 /** Online hierarchical topic tree (reference SURVEY.md §2.11,
   * topic/Node.scala + ClusteringNode/ClassifierNode/AnalogyNode).
@@ -18,6 +19,20 @@ import graft.functions.VectorKernels
   * afterwards (annotated points only). `transform` broadcasts the fitted
   * tree and scores documents in a single map.
   *
+  * Round-2 surface (reference file:line cited per feature):
+  *  - per-class TOPWORDS with hill-climbing replacement
+  *    (ClusteringNode.scala:311-330 onInit / :417-448 tryAsPoint);
+  *  - child spawning on `childSplitSize` (ClusteringNode.scala:318-330
+  *    score-gate + :572-598 fillChildren) — realized as driver-coordinated
+  *    refit rounds (`fitAdaptive`), the deterministic Spark equivalent of
+  *    the reference's online mid-stream spawn;
+  *  - `AllIn` filter mode (NodeParams.scala:142-148);
+  *  - JSON save/load of the full fitted state (Node.scala:216-246
+  *    saveAsJson / :307-318 load, NodeParams.scala:127-134 loadFromJson) —
+  *    written as Spark JSON-lines datasets so a tree snapshot is just
+  *    another table;
+  *  - per-node `hits` (NodeParams.scala:58).
+  *
   * Documents are (tokens, vectors): one embedding per token, any dimension
   * (the reference hardcoded 200; here it is derived from the data).
   */
@@ -28,15 +43,41 @@ object TopicTree {
   case object Supervised extends Algo
   case object Analogy extends Algo
 
+  private def algoName(a: Algo): String = a match {
+    case Clustering => "clustering"
+    case Supervised => "supervised"
+    case Analogy => "analogy"
+  }
+  private[topic] def algoOf(s: String): Algo = s match {
+    case "clustering" => Clustering
+    case "supervised" => Supervised
+    case "analogy" => Analogy
+  }
+
   /** Filter modes controlling which children see a document
-    * (reference NodeParams.FilterMode). */
+    * (reference NodeParams.FilterMode, NodeParams.scala:142-148). */
   sealed trait FilterMode
   case object NoFilter extends FilterMode
-  case object AnyIn extends FilterMode    // child sees doc if any of its
-                                          // inClasses is among the facts
+  case object AnyIn extends FilterMode    // child sees doc if ANY of its
+                                          // classes is among the facts
+  case object AllIn extends FilterMode    // ... if ALL of its classes are
   case object BestScore extends FilterMode
 
-  /** One node of the tree. `classes` are the class ids this node can emit. */
+  private def filterName(f: FilterMode): String = f match {
+    case NoFilter => "noFilter"
+    case AnyIn => "anyIn"
+    case AllIn => "allIn"
+    case BestScore => "bestScore"
+  }
+  private[topic] def filterOf(s: String): FilterMode = s match {
+    case "noFilter" => NoFilter
+    case "anyIn" => AnyIn
+    case "allIn" => AllIn
+    case "bestScore" => BestScore
+  }
+
+  /** One node of the tree. `classes` are the class ids this node can emit.
+    * `childSplitSize` > 0 arms adaptive spawning (see fitAdaptive). */
   case class NodeSpec(
       name: String,
       algo: Algo,
@@ -46,12 +87,18 @@ object TopicTree {
       // analogy: per class, (referenceWord, baseWord) — score of token t =
       // cosine(vec(reference) - vec(base) + vec(t), classDirection)
       analogyRefs: Map[Int, (String, String)] = Map.empty,
-      children: Seq[NodeSpec] = Nil)
+      children: Seq[NodeSpec] = Nil,
+      childSplitSize: Int = 0)
 
-  /** Per-class online cluster state: prototype running means. */
-  final class ClusterState(val dim: Int, val k: Int) extends Serializable {
+  /** Per-class online cluster state: prototype running means + topwords. */
+  final class ClusterState(val dim: Int, val k: Int, val maxTopWords: Int = 8)
+      extends Serializable {
     val centers: Array[Array[Double]] = Array.fill(k)(new Array[Double](dim))
     val counts: Array[Long] = new Array[Long](k)
+    // per center: up to maxTopWords (token, vector, cosine-to-center) —
+    // the reference's points/sequences arrays (ClusteringNode.scala:50-60)
+    val topTokens: Array[ArrayBuffer[(String, Array[Double], Double)]] =
+      Array.fill(k)(ArrayBuffer.empty)
 
     def affect(v: Array[Double]): Int = {
       // nearest non-empty center by cosine; an empty center claims the point
@@ -79,6 +126,37 @@ object TopicTree {
       best
     }
 
+    /** Topword maintenance: route the token to its best center and keep it
+      * if it beats the weakest incumbent — the hill-climbing replacement of
+      * the reference's tryAsPoint (ClusteringNode.scala:417-448), with
+      * cosine-to-center as the (anti-)GAP objective. */
+    def observeToken(token: String, v: Array[Double]): Unit = {
+      var best = -1
+      var bestScore = -2.0
+      var i = 0
+      while (i < k) {
+        if (counts(i) > 0) {
+          val c = VectorKernels.cosine(centers(i), v)
+          if (c > bestScore) { best = i; bestScore = c }
+        }
+        i += 1
+      }
+      if (best < 0) return
+      val buf = topTokens(best)
+      val idx = buf.indexWhere(_._1 == token)
+      if (idx >= 0) {
+        if (bestScore > buf(idx)._3) buf(idx) = (token, v, bestScore)
+      } else if (buf.length < maxTopWords) {
+        buf += ((token, v, bestScore))
+      } else {
+        var mi = 0
+        var ms = buf(0)._3
+        var j = 1
+        while (j < buf.length) { if (buf(j)._3 < ms) { mi = j; ms = buf(j)._3 }; j += 1 }
+        if (bestScore > ms) buf(mi) = ((token, v, bestScore))
+      }
+    }
+
     def score(v: Array[Double]): Array[Double] = {
       val out = new Array[Double](k)
       var i = 0
@@ -91,7 +169,8 @@ object TopicTree {
     }
 
     /** Weighted merge of another partition's state (reference
-      * ClusteringNode.mergeWith). Greedy center alignment by cosine. */
+      * ClusteringNode.mergeWith). Greedy center alignment by cosine;
+      * topwords of aligned centers merge keeping the strongest. */
     def mergeWith(o: ClusterState): ClusterState = {
       val used = Array.fill(o.k)(false)
       var i = 0
@@ -119,6 +198,14 @@ object TopicTree {
               }
               counts(i) = tot
             }
+            // merge topwords: union by token (max score), keep top N by
+            // (score desc, token) — deterministic regardless of merge order
+            val merged = (topTokens(i) ++ o.topTokens(best))
+              .groupBy(_._1).map(_._2.maxBy(_._3)).toSeq
+              .sortBy(t => (-t._3, t._1))
+              .take(maxTopWords)
+            topTokens(i).clear()
+            topTokens(i) ++= merged
           }
         }
         i += 1
@@ -130,17 +217,28 @@ object TopicTree {
   /** A fitted/fitting node: spec + mutable state. */
   final class Node(val spec: NodeSpec, dim: Int) extends Serializable {
     val cluster: ClusterState =
-      if (spec.algo == Clustering) new ClusterState(dim, spec.classes.length) else null
+      if (spec.algo == Clustering) new ClusterState(dim, spec.classes.length, spec.maxTopWords)
+      else null
     var svmWeights: Map[Int, (Array[Double], Double)] = Map.empty // class -> (w, b)
+    var hits: Long = 0L // docs that reached this node (NodeParams.scala:58)
     val children: Array[Node] = spec.children.map(c => new Node(c, dim)).toArray
 
     def walk(docVec: Array[Double], tokens: Seq[String],
              vecs: Seq[Array[Double]], facts: collection.mutable.Map[Int, Double],
              train: Boolean, analogyVocab: Map[String, Array[Double]]): Unit = {
+      if (train) hits += 1
       val scores: Seq[(Int, Double)] = spec.algo match {
         case Clustering =>
           val s =
-            if (train) { val c = cluster.affect(docVec); cluster.score(docVec) }
+            if (train) {
+              cluster.affect(docVec)
+              // token-level topword maintenance (one routing per token)
+              var i = 0
+              while (i < tokens.length && i < vecs.length) {
+                cluster.observeToken(tokens(i), vecs(i)); i += 1
+              }
+              cluster.score(docVec)
+            }
             else cluster.score(docVec)
           spec.classes.zip(s)
         case Supervised =>
@@ -178,6 +276,7 @@ object TopicTree {
       val passing: Array[Node] = spec.filterMode match {
         case NoFilter => children
         case AnyIn => children.filter(_.spec.classes.exists(c => facts.getOrElse(c, 0.0) > 0.5))
+        case AllIn => children.filter(_.spec.classes.forall(c => facts.getOrElse(c, 0.0) > 0.5))
         case BestScore =>
           if (children.isEmpty) children
           else Array(children.maxBy(_.spec.classes.map(c => facts.getOrElse(c, 0.0)).max))
@@ -187,6 +286,7 @@ object TopicTree {
 
     def mergeWith(o: Node): Node = {
       if (cluster != null && o.cluster != null) cluster.mergeWith(o.cluster)
+      hits += o.hits
       children.zip(o.children).foreach { case (a, b) => a.mergeWith(b) }
       this
     }
@@ -212,6 +312,112 @@ object TopicTree {
         (tokens, facts.toMap)
       }.toDF("tokens", "classScores")
     }
+
+    /** Per-class topwords across all clustering nodes:
+      * (node, class, token, score) — the reference's per-node topword
+      * product (ClusteringNode.scala:311-330). */
+    def topWords: Seq[(String, Int, String, Double)] =
+      root.allNodes.filter(_.cluster != null).flatMap { n =>
+        n.spec.classes.zipWithIndex.flatMap { case (cls, i) =>
+          n.cluster.topTokens(i).sortBy(t => (-t._3, t._1))
+            .map { case (tok, _, s) => (n.spec.name, cls, tok, s) }
+        }
+      }
+
+    /** Per-node hit counts (docs seen during fit). */
+    def nodeHits: Seq[(String, Long)] = root.allNodes.map(n => (n.spec.name, n.hits))
+
+    /** Persist the complete fitted state as Spark JSON-lines datasets under
+      * `path` (`nodes/`, `vocab/`) — the analogue of the reference's
+      * saveAsJson (Node.scala:229-246): nodes are encoded flat with child
+      * INDICES, exactly like the reference's EncodedNode array. */
+    def save(spark: SparkSession, path: String): Unit = {
+      import spark.implicits._
+      val flat = ArrayBuffer.empty[SavedNode]
+      encodeNode(root, flat)
+      spark.createDataset(flat.toSeq).coalesce(1)
+        .write.mode("overwrite").json(s"$path/nodes")
+      val vocabRows = analogyVocab.toSeq.map { case (t, v) => SavedVocab(t, v.toSeq) }
+      spark.createDataset(vocabRows).coalesce(1)
+        .write.mode("overwrite").json(s"$path/vocab")
+    }
+  }
+
+  // --- persistence model (flat encoding, child indices) -------------------
+  case class SavedTopWord(center: Int, token: String, vector: Seq[Double], score: Double)
+  case class SavedSvm(cls: Int, weights: Seq[Double], intercept: Double)
+  case class SavedAnalogyRef(cls: Int, ref: String, base: String)
+  case class SavedNode(
+      id: Int, children: Seq[Int], name: String, algo: String,
+      classes: Seq[Int], filterMode: String, maxTopWords: Int,
+      childSplitSize: Int, hits: Long, dim: Int,
+      centers: Seq[Seq[Double]], counts: Seq[Long],
+      topwords: Seq[SavedTopWord], svms: Seq[SavedSvm],
+      analogyRefs: Seq[SavedAnalogyRef])
+  case class SavedVocab(token: String, vector: Seq[Double])
+
+  private def encodeNode(n: Node, out: ArrayBuffer[SavedNode]): Int = {
+    val id = out.length
+    out += null // reserve slot; children encode after (depth-first, root=0)
+    val childIds = n.children.map(c => encodeNode(c, out)).toSeq
+    out(id) = SavedNode(
+      id = id, children = childIds, name = n.spec.name,
+      algo = algoName(n.spec.algo), classes = n.spec.classes,
+      filterMode = filterName(n.spec.filterMode),
+      maxTopWords = n.spec.maxTopWords, childSplitSize = n.spec.childSplitSize,
+      hits = n.hits, dim = if (n.cluster == null) 0 else n.cluster.dim,
+      centers = if (n.cluster == null) Nil else n.cluster.centers.map(_.toSeq).toSeq,
+      counts = if (n.cluster == null) Nil else n.cluster.counts.toSeq,
+      topwords =
+        if (n.cluster == null) Nil
+        else n.cluster.topTokens.zipWithIndex.flatMap { case (buf, i) =>
+          buf.map { case (tok, v, s) => SavedTopWord(i, tok, v.toSeq, s) }
+        }.toSeq,
+      svms = n.svmWeights.toSeq.sortBy(_._1)
+        .map { case (c, (w, b)) => SavedSvm(c, w.toSeq, b) },
+      analogyRefs = n.spec.analogyRefs.toSeq.sortBy(_._1)
+        .map { case (c, (r, b)) => SavedAnalogyRef(c, r, b) })
+    id
+  }
+
+  /** Load a tree saved by [[Tree.save]]. Schema is pinned to the encoder's
+    * (no inference drift). */
+  def load(spark: SparkSession, path: String): Tree = {
+    import spark.implicits._
+    val nodeEnc = Encoders.product[SavedNode]
+    val saved = spark.read.schema(nodeEnc.schema).json(s"$path/nodes")
+      .as[SavedNode].collect().sortBy(_.id)
+    val vocabEnc = Encoders.product[SavedVocab]
+    val vocab = spark.read.schema(vocabEnc.schema).json(s"$path/vocab")
+      .as[SavedVocab].collect().map(v => v.token -> v.vector.toArray).toMap
+    val dim = saved.map(_.dim).max max
+      vocab.values.headOption.map(_.length).getOrElse(0)
+
+    def rebuildSpec(id: Int): NodeSpec = {
+      val s = saved(id)
+      NodeSpec(s.name, algoOf(s.algo), s.classes, filterOf(s.filterMode),
+        s.maxTopWords,
+        s.analogyRefs.map(a => a.cls -> (a.ref, a.base)).toMap,
+        s.children.map(rebuildSpec), s.childSplitSize)
+    }
+    val rootNode = new Node(rebuildSpec(0), dim)
+    def restore(node: Node, id: Int): Unit = {
+      val s = saved(id)
+      node.hits = s.hits
+      node.svmWeights = s.svms.map(m => m.cls -> (m.weights.toArray, m.intercept)).toMap
+      if (node.cluster != null && s.centers.nonEmpty) {
+        s.centers.zipWithIndex.foreach { case (c, i) =>
+          c.copyToArray(node.cluster.centers(i))
+        }
+        s.counts.zipWithIndex.foreach { case (n, i) => node.cluster.counts(i) = n }
+        s.topwords.foreach { tw =>
+          node.cluster.topTokens(tw.center) += ((tw.token, tw.vector.toArray, tw.score))
+        }
+      }
+      node.children.zip(s.children).foreach { case (c, cid) => restore(c, cid) }
+    }
+    restore(rootNode, 0)
+    new Tree(rootNode, dim, vocab)
   }
 
   private def meanVec(vs: Seq[Array[Double]], dim: Int): Array[Double] = {
@@ -279,5 +485,59 @@ object TopicTree {
       }
     }
     new Tree(fitted, dim, vocabArr)
+  }
+
+  /** Adaptive fit with child spawning (reference ClusteringNode.scala:
+    * 318-330 + fillChildren :572-598): clustering leaves whose hit count
+    * reaches `childSplitSize` spawn one clustering child per class, each
+    * with two fresh sub-classes (the reference's binary classCenters), and
+    * the tree is refit. The reference spawns ONLINE mid-partition, which
+    * makes the result order-dependent; driver-coordinated refit rounds are
+    * the deterministic Spark-first equivalent (bounded by `maxRounds` full
+    * passes — each pass is one distributed job, no per-doc driver action).
+    */
+  def fitAdaptive(spec: NodeSpec,
+                  docs: Dataset[(Seq[String], Seq[Seq[Double]])],
+                  annotations: Seq[(Seq[String], Int, Boolean)] = Nil,
+                  vocab: Map[String, Seq[Double]] = Map.empty,
+                  maxRounds: Int = 3): Tree = {
+    var current = spec
+    var tree = fit(current, docs, annotations, vocab)
+    var round = 1
+    var changed = true
+    while (changed && round < maxRounds) {
+      val maxCls = allSpecs(current).flatMap(_.classes).foldLeft(0)(_ max _)
+      val gen = Iterator.from(maxCls + 1)
+      val (expanded, didChange) = expand(current, tree.root, gen)
+      changed = didChange
+      if (changed) {
+        current = expanded
+        tree = fit(current, docs, annotations, vocab)
+      }
+      round += 1
+    }
+    tree
+  }
+
+  private def allSpecs(s: NodeSpec): Seq[NodeSpec] = s +: s.children.flatMap(allSpecs)
+
+  private def expand(spec: NodeSpec, node: Node, gen: Iterator[Int]): (NodeSpec, Boolean) = {
+    if (spec.algo == Clustering && spec.childSplitSize > 0 &&
+        spec.children.isEmpty && node.hits >= spec.childSplitSize) {
+      // one child per class, two fresh sub-classes each; children inherit
+      // the split size so the expansion can cascade across rounds
+      val kids = spec.classes.map { cls =>
+        NodeSpec(s"${spec.name}/$cls", Clustering,
+          classes = Seq(gen.next(), gen.next()),
+          filterMode = spec.filterMode,
+          maxTopWords = spec.maxTopWords,
+          childSplitSize = spec.childSplitSize)
+      }
+      (spec.copy(children = kids, filterMode = BestScore), true)
+    } else {
+      val (newChildren, flags) = spec.children.zip(node.children)
+        .map { case (cs, cn) => expand(cs, cn, gen) }.unzip
+      (spec.copy(children = newChildren), flags.exists(identity))
+    }
   }
 }

@@ -96,4 +96,29 @@ class FuzzyLookupSpec extends AnyFunSuite {
     val row = out.select(col("q1_res.val"), col("q2_res.val")).as[(Int, Int)].collect().head
     assert(row == ((99, 7)))
   }
+
+  test("structured equality filter changes the chosen match") {
+    // both right rows match the text equally; the country filter decides
+    // (reference IndexStrategy.scala:96-107 equality pushdown)
+    val left = Seq(("springfield", "US"), ("springfield", "FR"))
+      .toDF("query", "country")
+    val right = Seq(("springfield", "US", 1), ("springfield", "FR", 2))
+      .toDF("text", "ctry", "id")
+    val unfiltered = FuzzyLookup.lookup(left, "query", right, "text")
+      .select("country", "id").as[(String, Int)].collect().toMap
+    // without the filter both left rows get the same (tie-broken) match
+    assert(unfiltered("US") == unfiltered("FR"))
+    val filtered = FuzzyLookup.lookup(left, "query", right, "text",
+      Options(filterCols = Seq("country" -> "ctry")))
+      .select("country", "id").as[(String, Int)].collect().toMap
+    assert(filtered == Map("US" -> 1, "FR" -> 2))
+  }
+
+  test("array-query lookup resolves every element in order") {
+    val left = Seq((1, Seq("bar", "out", "zzz"))).toDF("id", "queries")
+    val right = Seq(("this is bar", 99), ("I am out of here!", 7)).toDF("text", "val")
+    val out = FuzzyLookup.lookupArray(left, "queries", right, "text")
+    val res = out.select(col("queries_res.val")).as[Seq[Option[Int]]].collect().head
+    assert(res == Seq(Some(99), Some(7), None))
+  }
 }

@@ -89,6 +89,32 @@ class TransformersSpec extends AnyFunSuite {
     assert(out == Seq("cat", "eat", "mouse"))
   }
 
+  test("lemmatizeDisambiguated: POS context beats naive first-lemma") {
+    // "saw" is ambiguous: verb "see" vs noun "saw". Naive min(lemma) picks
+    // "saw" (a < e); the beam picks by neighbour-POS cosine instead.
+    val verb = Seq(0.0, 1.0)
+    val noun = Seq(1.0, 0.0)
+    val lex = Seq(
+      ("we", "we", verb),        // pronoun primes a following verb
+      ("a", "a", noun),          // article primes a following noun
+      ("saw", "see", verb),
+      ("saw", "saw", noun)).toDF("simplified", "lemma", "pos")
+    val docs = Seq(
+      (1L, Seq("we", "saw")),
+      (2L, Seq("a", "saw")),
+      (3L, Seq("we", "saw", "unknowntoken"))).toDF("id", "tokens")
+    val naive = T.lemmatize(docs, "tokens",
+      lex.select("simplified", "lemma"))
+      .orderBy("id").select("lemmas").as[Seq[String]].collect()
+    val smart = T.lemmatizeDisambiguated(docs, "tokens", lex)
+      .orderBy("id").select("lemmas").as[Seq[String]].collect()
+    assert(naive(0) == Seq("we", "saw"), "naive min-lemma baseline changed")
+    assert(smart(0) == Seq("we", "see"), s"verb context failed: ${smart(0)}")
+    assert(smart(1) == Seq("a", "saw"), s"noun context failed: ${smart(1)}")
+    assert(smart(2) == Seq("we", "see", "unknowntoken"),
+      s"unknown passthrough failed: ${smart(2)}")
+  }
+
   // FIXTURES.md §3: fold invariants
   test("folds: partition, determinism, group consistency") {
     val df = (1 to 200).map(i => (i.toLong, s"g${i % 20}")).toDF("id", "grp")
