@@ -164,6 +164,31 @@ object Transformers {
   }
 
   // ---------------------------------------------------------------------
+  // Word2VecIndex (reference: text/Word2VecIndex.scala — a driver-side
+  // token -> vector map with nearest-neighbour probing; the distributed
+  // path is applyWordVectors' join, this is the in-process lookup surface)
+  // ---------------------------------------------------------------------
+  case class Word2VecIndex(vectors: Map[String, Array[Double]]) {
+    def dim: Int = vectors.values.headOption.map(_.length).getOrElse(0)
+    def apply(token: String): Option[Array[Double]] =
+      vectors.get(if (token == null) null else token.toLowerCase)
+    /** Brute-force cosine top-k over the lexicon (driver-side; the lexicon
+      * is the small side by construction). Deterministic tie-break. */
+    def nearest(v: Array[Double], k: Int): Seq[(String, Double)] =
+      vectors.iterator.map { case (t, w) =>
+        (t, graft.functions.VectorKernels.cosine(v, w))
+      }.toSeq.sortBy { case (t, s) => (-s, t) }.take(k)
+  }
+
+  def fitWord2VecIndex(lexicon: DataFrame, tokenCol: String = "token",
+                       vecCol: String = "vector"): Word2VecIndex =
+    Word2VecIndex(
+      lexicon.select(lower(col(tokenCol)), col(vecCol).cast("array<double>"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).toArray)
+        .toMap)
+
+  // ---------------------------------------------------------------------
   // GroupBy transformer (reference: feature/GroupBy.scala:10-117) —
   // per-column aggregation policies incl. element-wise vector sum
   // ---------------------------------------------------------------------

@@ -104,5 +104,78 @@ case class Plan(variants: Seq[Map[String, String]] = Seq(Map.empty)) {
     Plan(for (v <- variants; x <- values) yield v + (key -> x))
   /** Concatenate another plan's variants. */
   def merge(other: Plan): Plan = Plan(variants ++ other.variants)
+  /** Replicate every variant `n` times, stamping a run index (reference
+    * ModelPlan.repeat, ModelPlan.scala:30 — repeated-measure experiments,
+    * e.g. seed-variance estimation). */
+  def repeat(n: Int, key: String = "run"): Plan =
+    Plan(for (v <- variants; i <- 0 until n) yield v + (key -> i.toString))
   def size: Int = variants.length
+}
+
+/** Versioned step selection (reference mllib/ModelVersion.scala:7-92): a
+  * model may carry several VERSIONS of a named step; a ModelVersion picks
+  * one per step, overrides parameters, and accumulates experiment logs.
+  * Steps here are descriptors — resolve() projects the chosen (name,
+  * version) sequence onto executable [[Step]]s by key. */
+case class VersionedStep(name: String, version: String,
+                         params: Map[String, String] = Map.empty,
+                         log: Boolean = false)
+
+case class ModelVersion(steps: Seq[VersionedStep] = Nil, comment: String = "",
+                        logs: Map[String, String] = Map.empty) {
+
+  /** Ready = one version per step name (reference isReady). */
+  def isReady: Boolean = steps.map(_.name).distinct.length == steps.length
+
+  /** Choose versions: for each (step, version) pair keep ONLY that version
+    * of the step (others of the same name drop out); chosen steps are
+    * flagged for logging. Duplicate choices for one step are an error
+    * (reference step()). */
+  def step(stepChoices: (String, String)*): ModelVersion = {
+    val dup = stepChoices.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dup.isEmpty, s"cannot choose more than one version for: ${dup.mkString(",")}")
+    val chosen = stepChoices.toMap
+    copy(steps = steps.flatMap { s =>
+      chosen.get(s.name) match {
+        case Some(v) if v == s.version => Some(s.copy(log = true))
+        case Some(_) => None
+        case None => Some(s)
+      }
+    })
+  }
+
+  def drop(stepsToDrop: String*): ModelVersion =
+    copy(steps = steps.filterNot(s => stepsToDrop.contains(s.name)))
+
+  /** Truncate after `lastStep` (inclusive) — reference dropAfter. */
+  def dropAfter(lastStep: String): ModelVersion =
+    copy(steps = {
+      val i = steps.indexWhere(_.name == lastStep)
+      if (i < 0) steps else steps.take(i + 1)
+    })
+
+  def comment(commentToAdd: String): ModelVersion =
+    copy(comment = if (comment.isEmpty) commentToAdd else s"$comment, $commentToAdd")
+
+  /** Parameter override on every version of `step` (reference params). */
+  def params(step: String, paramPairs: (String, String)*): ModelVersion =
+    copy(steps = steps.map(s =>
+      if (s.name == step) s.copy(params = s.params ++ paramPairs, log = true) else s))
+
+  def log(toLog: (String, String)*): ModelVersion = copy(logs = logs ++ toLog)
+
+  /** Project onto executable steps: `available` maps (name, version) to a
+    * parameterized Step builder. */
+  def resolve(available: Map[(String, String), Map[String, String] => Step]): Seq[Step] =
+    steps.map { s =>
+      available.getOrElse((s.name, s.version),
+        throw new NoSuchElementException(s"no step for (${s.name}, ${s.version})"))
+        .apply(s.params)
+    }
+
+  def describe: Seq[String] =
+    logs.map { case (k, v) => s"$k=>$v" }.toSeq ++
+      (if (comment.nonEmpty) Seq(comment) else Nil) ++
+      steps.map(s => s"${s.name}[${s.version}]${
+        if (s.params.nonEmpty) s.params.map(p => s"${p._1}=${p._2}").mkString("(", ",", ")") else ""}")
 }

@@ -182,6 +182,26 @@ object TopicQueries {
         .orderBy("id")
     }),
 
+    // Genetic topic-prototype discovery over documents (iterative ML —
+    // rows-only; quality floors in GeneticCategorizerSpec)
+    "gp01_genetic_topics" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .as[(Long, Seq[String])]
+        .map { case (id, toks) => (toks.take(40), toks.take(40).map(tokenVec(_, 8))) }
+      val model = graft.topic.GeneticCategorizer.fit(docs,
+        graft.topic.GeneticCategorizer.Options(
+          populationSize = 6, nTopics = 3, sentenceSize = 5,
+          maxIterations = 2, seed = 11L))
+      model.transform(docs)
+        .select(expr("array_max(rawPrediction)").as("best"),
+          expr("aggregate(prediction, CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("n_claimed"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_claimed").cast("long")).as("n_topic_claims"),
+          round(avg(col("best")), 4).as("avg_best"))
+    }),
+
     // One-vs-all LinearSVC over the embeddings table's labels
     "tp02_one_vs_all" -> ((s, d) => {
       import s.implicits._

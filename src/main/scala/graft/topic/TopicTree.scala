@@ -77,7 +77,11 @@ object TopicTree {
   }
 
   /** One node of the tree. `classes` are the class ids this node can emit.
-    * `childSplitSize` > 0 arms adaptive spawning (see fitAdaptive). */
+    * `childSplitSize` > 0 arms adaptive spawning (see fitAdaptive).
+    * `windowSize` > 0 makes supervised nodes score the best SLIDING TOKEN
+    * WINDOW instead of the whole document (reference ClassifierNode.scala:
+    * 99-166 token scanning) — a mention of the class anywhere in a long
+    * document is enough to score high. */
   case class NodeSpec(
       name: String,
       algo: Algo,
@@ -88,7 +92,8 @@ object TopicTree {
       // cosine(vec(reference) - vec(base) + vec(t), classDirection)
       analogyRefs: Map[Int, (String, String)] = Map.empty,
       children: Seq[NodeSpec] = Nil,
-      childSplitSize: Int = 0)
+      childSplitSize: Int = 0,
+      windowSize: Int = 0)
 
   /** Per-class online cluster state: prototype running means + topwords. */
   final class ClusterState(val dim: Int, val k: Int, val maxTopWords: Int = 8)
@@ -221,6 +226,7 @@ object TopicTree {
       else null
     var svmWeights: Map[Int, (Array[Double], Double)] = Map.empty // class -> (w, b)
     var hits: Long = 0L // docs that reached this node (NodeParams.scala:58)
+    var metrics: Map[String, Double] = Map.empty // per-node eval (ClassifierNode.scala:258-383)
     val children: Array[Node] = spec.children.map(c => new Node(c, dim)).toArray
 
     def walk(docVec: Array[Double], tokens: Seq[String],
@@ -245,7 +251,19 @@ object TopicTree {
           spec.classes.map { cls =>
             svmWeights.get(cls) match {
               case Some((w, b)) =>
-                val margin = VectorKernels.dot(w, docVec) + b
+                // windowSize > 0: best sliding-window margin (mean window
+                // vector), else whole-doc vector
+                val margin =
+                  if (spec.windowSize > 0 && vecs.nonEmpty) {
+                    val ws = spec.windowSize
+                    val slid = GeneticCategorizer.slideVectors(vecs, ws)
+                    if (slid.isEmpty) VectorKernels.dot(w, docVec) + b
+                    else slid.map { case (sum, _, _) =>
+                      var m = b; var i = 0
+                      while (i < sum.length) { m += w(i) * sum(i) / ws; i += 1 }
+                      m
+                    }.max
+                  } else VectorKernels.dot(w, docVec) + b
                 cls -> (math.atan(margin) / math.Pi + 0.5)
               case None => cls -> 0.0
             }
@@ -347,13 +365,14 @@ object TopicTree {
   case class SavedTopWord(center: Int, token: String, vector: Seq[Double], score: Double)
   case class SavedSvm(cls: Int, weights: Seq[Double], intercept: Double)
   case class SavedAnalogyRef(cls: Int, ref: String, base: String)
+  case class SavedMetric(key: String, value: Double)
   case class SavedNode(
       id: Int, children: Seq[Int], name: String, algo: String,
       classes: Seq[Int], filterMode: String, maxTopWords: Int,
-      childSplitSize: Int, hits: Long, dim: Int,
+      childSplitSize: Int, windowSize: Int, hits: Long, dim: Int,
       centers: Seq[Seq[Double]], counts: Seq[Long],
       topwords: Seq[SavedTopWord], svms: Seq[SavedSvm],
-      analogyRefs: Seq[SavedAnalogyRef])
+      analogyRefs: Seq[SavedAnalogyRef], metrics: Seq[SavedMetric])
   case class SavedVocab(token: String, vector: Seq[Double])
 
   private def encodeNode(n: Node, out: ArrayBuffer[SavedNode]): Int = {
@@ -365,6 +384,7 @@ object TopicTree {
       algo = algoName(n.spec.algo), classes = n.spec.classes,
       filterMode = filterName(n.spec.filterMode),
       maxTopWords = n.spec.maxTopWords, childSplitSize = n.spec.childSplitSize,
+      windowSize = n.spec.windowSize,
       hits = n.hits, dim = if (n.cluster == null) 0 else n.cluster.dim,
       centers = if (n.cluster == null) Nil else n.cluster.centers.map(_.toSeq).toSeq,
       counts = if (n.cluster == null) Nil else n.cluster.counts.toSeq,
@@ -376,7 +396,8 @@ object TopicTree {
       svms = n.svmWeights.toSeq.sortBy(_._1)
         .map { case (c, (w, b)) => SavedSvm(c, w.toSeq, b) },
       analogyRefs = n.spec.analogyRefs.toSeq.sortBy(_._1)
-        .map { case (c, (r, b)) => SavedAnalogyRef(c, r, b) })
+        .map { case (c, (r, b)) => SavedAnalogyRef(c, r, b) },
+      metrics = n.metrics.toSeq.sortBy(_._1).map { case (k, v) => SavedMetric(k, v) })
     id
   }
 
@@ -398,12 +419,13 @@ object TopicTree {
       NodeSpec(s.name, algoOf(s.algo), s.classes, filterOf(s.filterMode),
         s.maxTopWords,
         s.analogyRefs.map(a => a.cls -> (a.ref, a.base)).toMap,
-        s.children.map(rebuildSpec), s.childSplitSize)
+        s.children.map(rebuildSpec), s.childSplitSize, s.windowSize)
     }
     val rootNode = new Node(rebuildSpec(0), dim)
     def restore(node: Node, id: Int): Unit = {
       val s = saved(id)
       node.hits = s.hits
+      node.metrics = s.metrics.map(m => m.key -> m.value).toMap
       node.svmWeights = s.svms.map(m => m.cls -> (m.weights.toArray, m.intercept)).toMap
       if (node.cluster != null && s.centers.nonEmpty) {
         s.centers.zipWithIndex.foreach { case (c, i) =>
@@ -439,7 +461,7 @@ object TopicTree {
           vocab: Map[String, Seq[Double]] = Map.empty): Tree = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val dim = docs.head()._2.headOption.map(_.length)
+    val dim = docs.take(1).headOption.flatMap(_._2.headOption.map(_.length))
       .orElse(vocab.values.headOption.map(_.length))
       .getOrElse(0)
     val vocabArr = vocab.map { case (k, v) => k -> v.toArray }
@@ -447,17 +469,21 @@ object TopicTree {
     // 1. distributed online pass (clustering state)
     val specBc = spark.sparkContext.broadcast((spec, dim, vocabArr))
     // RDD mapPartitions (trees are plain Java-serializable values, not
-    // encoder-backed rows) + treeReduce: log-depth partial merges
-    val fitted = docs.rdd.mapPartitions { it =>
-      val (sp, d, av) = specBc.value
-      val local = new Node(sp, d)
-      it.foreach { case (tokens, vecs) =>
-        val va = vecs.map(_.toArray)
-        local.walk(meanVec(va, d), tokens, va,
-          collection.mutable.Map.empty, train = true, av)
-      }
-      Iterator(local)
-    }.treeReduce(_ mergeWith _, depth = 2)
+    // encoder-backed rows) + treeReduce: log-depth partial merges.
+    // Empty input (annotation-only refits) short-circuits to a blank tree.
+    val rdd = docs.rdd
+    val fitted =
+      if (rdd.partitions.isEmpty) new Node(spec, dim)
+      else rdd.mapPartitions { it =>
+        val (sp, d, av) = specBc.value
+        val local = new Node(sp, d)
+        it.foreach { case (tokens, vecs) =>
+          val va = vecs.map(_.toArray)
+          local.walk(meanVec(va, d), tokens, va,
+            collection.mutable.Map.empty, train = true, av)
+        }
+        Iterator(local)
+      }.treeReduce(_ mergeWith _, depth = 2)
 
     // 2. driver-side supervised fits from annotations: per supervised node,
     // one LinearSVC per class (other classes' points = negatives — the
@@ -517,6 +543,63 @@ object TopicTree {
       round += 1
     }
     tree
+  }
+
+  /** Per-node performance evaluation (reference ClassifierNode.scala:
+    * 258-383 evaluateClassifiers / PerformanceReport): annotations split
+    * 80/20 with a SEEDED hash (deterministic, unlike the reference's
+    * Random), classifiers refit on the train side only, the held-out side
+    * scored and swept for the optimal threshold. Writes
+    * {threshold, precision, recall, f1, auc, n_test} into each supervised
+    * node's `metrics` and returns them by node name. */
+  def evaluateSupervised(tree: Tree, spec: NodeSpec,
+                         annotations: Seq[(Seq[String], Int, Boolean)],
+                         vocab: Map[String, Seq[Double]],
+                         spark: SparkSession,
+                         trainRatio: Double = 0.8,
+                         seed: Long = 7L): Map[String, Map[String, Double]] = {
+    import spark.implicits._
+    // split by POSITION hash, not content hash: annotation logs repeat the
+    // same (tokens, class) many times, and a content hash would send every
+    // duplicate to the same side (test folds could go single-class)
+    val (trainIdx, testIdx) = annotations.indices.partition { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((i, seed))
+      (math.abs(h) % 1000) < trainRatio * 1000
+    }
+    val train = trainIdx.map(annotations)
+    val test = testIdx.map(annotations)
+    if (train.isEmpty || test.isEmpty) return Map.empty
+    val dummy = spark.emptyDataset[(Seq[String], Seq[Seq[Double]])]
+    val heldOutTree = fit(spec, dummy, train, vocab)
+    val vocabArr = vocab.map { case (k, v) => k -> v.toArray }
+    val out = heldOutTree.root.allNodes.filter(_.spec.algo == Supervised).map { node =>
+      val scoredRows = test.flatMap { case (tokens, cls, inRel) =>
+        if (!node.spec.classes.contains(cls)) None
+        else {
+          val vecs = tokens.flatMap(vocabArr.get)
+          val dv = meanVec(vecs, heldOutTree.dim)
+          val score = node.svmWeights.get(cls).map { case (w, b) =>
+            math.atan(VectorKernels.dot(w, dv) + b) / math.Pi + 0.5
+          }.getOrElse(0.0)
+          Some((score, if (inRel) 1.0 else 0.0))
+        }
+      }
+      val metrics =
+        if (scoredRows.isEmpty || scoredRows.map(_._2).distinct.length < 2) Map.empty[String, Double]
+        else {
+          val m = graft.operators.Tuning.optimizeThreshold(
+            scoredRows.toDF("score", "label"), "score", "label", "f1", bins = 100)
+          Map("threshold" -> m.threshold, "precision" -> m.precision,
+            "recall" -> m.recall, "f1" -> m.f1, "auc" -> m.auc,
+            "n_test" -> scoredRows.length.toDouble)
+        }
+      node.spec.name -> metrics
+    }.toMap
+    // stamp metrics onto the PRODUCTION tree's matching nodes
+    tree.root.allNodes.foreach { n =>
+      out.get(n.spec.name).foreach(m => if (m.nonEmpty) n.metrics = m)
+    }
+    out.filter(_._2.nonEmpty)
   }
 
   private def allSpecs(s: NodeSpec): Seq[NodeSpec] = s +: s.children.flatMap(allSpecs)

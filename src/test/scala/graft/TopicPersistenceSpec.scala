@@ -95,6 +95,50 @@ class TopicPersistenceSpec extends AnyFunSuite {
     assert(never.hits == 0L, s"AllIn leaked ${never.hits} docs into 'never'")
   }
 
+  test("windowed supervised scoring: mention in a long doc still scores high") {
+    val annotations = Seq(
+      (Seq("disease", "treatment"), 0, true), (Seq("cancer", "chemo"), 0, true),
+      (Seq("goal", "match"), 0, false), (Seq("team", "score"), 0, false))
+    // long sports doc with a 2-token medical mention buried inside
+    val mixed = (Seq("goal", "match", "team", "disease", "treatment", "goal",
+      "match", "team", "score", "goal"),
+      Seq("goal", "match", "team", "disease", "treatment", "goal",
+        "match", "team", "score", "goal").map(vocab(_)))
+    val docs = spark.createDataset(Seq(mixed))
+    val whole = TopicTree.fit(
+      NodeSpec("root", Supervised, classes = Seq(0)), docs, annotations, vocab)
+    val windowed = TopicTree.fit(
+      NodeSpec("root", Supervised, classes = Seq(0), windowSize = 2),
+      docs, annotations, vocab)
+    def score(t: TopicTree.Tree) = t.transform(docs).collect()
+      .head.getAs[Map[Int, Double]]("classScores")(0)
+    // the sliding window isolates the mention; whole-doc averaging dilutes it
+    assert(score(windowed) > score(whole),
+      s"windowed ${score(windowed)} <= whole ${score(whole)}")
+    assert(score(windowed) > 0.5, s"mention not detected: ${score(windowed)}")
+  }
+
+  test("evaluateSupervised: held-out metrics stamped on nodes and persisted") {
+    val spec = NodeSpec("root", Supervised, classes = Seq(0))
+    val annotations = (1 to 15).flatMap { i =>
+      Seq((Seq("disease", "treatment"), 0, true), (Seq("cancer", "chemo"), 0, true),
+        (Seq("goal", "match"), 0, false), (Seq("team", "score"), 0, false))
+    }
+    val docs = spark.createDataset(allDocs)
+    val tree = TopicTree.fit(spec, docs, annotations, vocab)
+    val report = TopicTree.evaluateSupervised(
+      tree, spec, annotations, vocab, spark)
+    assert(report.contains("root"), s"no metrics: $report")
+    val m = report("root")
+    assert(m("f1") > 0.9, s"separable fixture should score f1 ~1: $m")
+    assert(m.keySet == Set("threshold", "precision", "recall", "f1", "auc", "n_test"))
+    // stamped on the production tree and survives save/load
+    assert(tree.root.metrics == m)
+    val path = "/tmp/graft_test_tree_metrics"
+    tree.save(spark, path)
+    assert(TopicTree.load(spark, path).root.metrics == m)
+  }
+
   test("tag CRUD: fold order, tombstone, resurrect, filter patching") {
     val ops = Seq(
       Tags.Tag(1, Tags.Op.Create, 10L, "alpha", outClasses = Seq(1, 2)),
