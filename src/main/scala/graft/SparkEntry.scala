@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.TransformerQueries.queries ++
       graft.queries.GeoStreamQueries.queries ++
-      graft.queries.TopicQueries.queries
+      graft.queries.TopicQueries.queries ++
+      graft.queries.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.TransformerQueries.oracleSql ++
       graft.queries.GeoStreamQueries.oracleSql ++
-      graft.queries.TopicQueries.oracleSql
+      graft.queries.TopicQueries.oracleSql ++
+      graft.queries.SourceQueries.oracleSql
 }

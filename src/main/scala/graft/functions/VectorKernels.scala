@@ -25,6 +25,26 @@ object VectorKernels extends Serializable {
   def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
   def normF(a: Array[Float]): Double = math.sqrt(dotF(a, a))
 
+  /** Unit-normalize (zero vectors pass through unchanged). */
+  def unitF(a: Array[Float]): Array[Float] = {
+    val n = normF(a)
+    if (n == 0) a else { val out = new Array[Float](a.length)
+      var i = 0; while (i < a.length) { out(i) = (a(i) / n).toFloat; i += 1 }
+      out }
+  }
+
+  /** Index of the centroid with the largest dot product (ties → lowest
+    * index, so results are deterministic). */
+  def argmaxDotF(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+    while (c < centroids.length) {
+      val d = dotF(v, centroids(c))
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   def cosine(a: Array[Double], b: Array[Double]): Double = {
     val d = norm(a) * norm(b)
     if (d == 0) 0.0 else dot(a, b) / d

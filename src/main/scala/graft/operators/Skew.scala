@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (SURVEY scale notes; complements AQE's
+  * runtime skew-join splitting with a plan-time guarantee).
+  *
+  * A shuffled equi-join sends every row of a hot key to ONE reducer. AQE can
+  * split oversized partitions after the map stage, but only for sort-merge
+  * joins and only per its thresholds. `saltedJoin` removes the hotspot by
+  * construction: the big (skewed) side scatters each key across
+  * `saltBuckets` sub-keys; the small-but-too-big-to-broadcast side is
+  * replicated `saltBuckets` times so every sub-key finds its match. Join
+  * output is IDENTICAL to the plain join — salting is pure partitioning.
+  *
+  * Cost model: replicates the right side saltBuckets×, so pick
+  * saltBuckets ≈ (hottest-key row count) / (rows a reducer should own).
+  * Use for joins where one side is dim-like (10^5..10^7 rows — too big to
+  * broadcast, cheap to replicate) and the fact side has power-law keys.
+  */
+object Skew {
+
+  /** Inner/left equi-join of `facts` (skewed, big) to `dims` (replicable)
+    * on `keys`, scattering facts across `saltBuckets` per-key sub-joins.
+    *
+    * The salt is derived from a hash of the fact row's whole key tuple plus
+    * `spark_partition_id` + row position — effectively uniform, fully
+    * deterministic plan shape (no rand() ⇒ re-executions of a lost task
+    * produce the same rows, which retried-stage correctness requires). */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, keys: Seq[String],
+                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salting supports inner/left joins, not $joinType")
+    // fact side: one salt value per row — pmod of a per-row hash. Using
+    // monotonically_increasing_id keeps it deterministic per task retry
+    // (unlike rand()), uniform enough to split a hot key evenly.
+    val salted = facts.withColumn("_salt_",
+      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+    // dim side: replicate each row across all salt values
+    val replicated = dims.withColumn("_salt_",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, keys :+ "_salt_", joinType).drop("_salt_")
+  }
+
+  /** Differential-broadcast join for extreme skew: the few hottest keys join
+    * via broadcast (no shuffle at all for the heavy rows), the long tail
+    * joins via the normal shuffled path. `hotKeys` must be small (it is
+    * collected and broadcast); output equals the plain join. */
+  def hotColdJoin(facts: DataFrame, dims: DataFrame, key: String,
+                  hotKeys: Seq[Any], joinType: String = "inner"): DataFrame = {
+    val hotCol: Column = coalesce(col(key).isin(hotKeys: _*), lit(false))
+    val hot = facts.where(hotCol)
+      .join(broadcast(dims.where(hotCol)), Seq(key), joinType)
+    val cold = facts.where(!hotCol) // null keys take the shuffled path
+      .join(dims.where(!hotCol), Seq(key), joinType)
+    hot.unionByName(cold)
+  }
+}

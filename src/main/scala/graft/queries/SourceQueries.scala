@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import graft.Tables
+import graft.operators.{Similarity, Skew}
+import graft.sources.{Crawler, Shapefile}
+
+/** Round-3 source/scale queries: shapefile ingest round-trip, crawler BFS,
+  * salted skew join, bucketed co-located join, IVF ANN. Each oracle computes
+  * the same result straight from the parquet tables, so the Spark side's
+  * extra machinery (file formats, salting, bucketing) is proven
+  * result-transparent. */
+object SourceQueries {
+
+  private def tmpDir(kind: String, d: String): String =
+    s"/tmp/graft_$kind/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Shapefile ingest round-trip: nation rows become polygons + dbf
+    // attributes, written as a real .shp/.dbf pair, read back through the
+    // distributed binaryFile-based reader. The oracle derives the same
+    // rectangles directly from the parquet table — doubles round-trip
+    // bit-exactly through the format, so this hash-gates the whole parser.
+    "geo04_shapefile_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("shp", d)
+      new java.io.File(dir).mkdirs()
+      val rows = Tables.nation(s, d)
+        .select("n_nationkey", "n_name").orderBy("n_nationkey")
+        .collect() // 25 rows: driver-side write is the format's own floor
+      val shapes = rows.map { r =>
+        val k = r.getInt(0).toDouble
+        val (x0, y0) = ((k % 5) * 10.0, math.floor(k / 5) * 10.0)
+        val (w, h) = ((k % 3) + 1.0, (k % 4) + 1.0)
+        // closed rectangle ring, counter-clockwise
+        Array(Array(x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h, x0, y0))
+      }.toSeq
+      Shapefile.writeShp(s"$dir/nations.shp", shapes)
+      Shapefile.writeDbf(s"$dir/nations.dbf",
+        Seq(Shapefile.DbfField("NKEY", 'N', 10, 0),
+          Shapefile.DbfField("NAME", 'C', 30, 0)),
+        rows.map(r => Seq(r.getInt(0).toString, r.getString(1))).toSeq)
+      Shapefile.read(s, dir)
+        .select(col("attrs")("NKEY").cast(IntegerType).as("n_nationkey"),
+          col("attrs")("NAME").as("n_name"),
+          col("minX"), col("minY"), col("maxX"), col("maxY"),
+          col("n_points").cast(IntegerType).as("n_points"))
+        .orderBy("n_nationkey")
+    }),
+
+    // Crawler: BFS over a synthetic link graph (2 out-edges per node,
+    // derived from nation keys), seed "0", depth <= 4. The frontier
+    // anti-join guarantees min-depth-first visits — mirrored by the
+    // oracle's recursive CTE + min(depth).
+    "cr01_crawl_bfs" -> ((s, d) => {
+      val keys = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("k"))
+      val edges = keys.select(col("k").cast("string").as("src"),
+          ((col("k") * 2 + 1) % 25).cast("string").as("dst"))
+        .union(keys.select(col("k").cast("string"),
+          ((col("k") * 3 + 2) % 25).cast("string")))
+      val seeds = s.createDataFrame(Seq(Tuple1("0"))).toDF("url")
+      Crawler.crawl(seeds, Crawler.EdgeFetcher(edges), maxDepth = 4)
+        .select(col("url"), col("depth").cast(IntegerType).as("depth"))
+        .orderBy("url")
+    }),
+
+    // Salted join: lineitem x orders scattered over 8 salt buckets; output
+    // must be byte-identical to the plain join (salting is pure
+    // partitioning). Demonstrates the skew path the AQE thresholds may miss.
+    "sk01_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"))
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      Skew.saltedJoin(li, o, Seq("l_orderkey"), saltBuckets = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price_dec")).cast("double").as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Bucketed co-located join: both sides written bucketed by the join key
+    // (8 buckets) so the sort-merge join runs with ZERO exchanges — the
+    // pre-shuffled layout a 100 TB fact table would be stored in.
+    // BucketedJoinSpec asserts the no-Exchange plan; the oracle proves the
+    // result equals the plain join.
+    "bk01_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val (oTbl, liTbl) = (s"bk_orders_$tag", s"bk_lineitem_$tag")
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"${tmpDir("bucketed", d)}/orders")
+        .saveAsTable(oTbl)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"${tmpDir("bucketed", d)}/lineitem")
+        .saveAsTable(liTbl)
+      val o = s.table(oTbl).hint("merge") // SMJ reads buckets, no Exchange
+      val li = s.table(liTbl).hint("merge")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price_dec")).cast("double").as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // IVF ANN top-3 (rows-only: centroids are data-dependent; recall floor
+    // vs the exact baseline asserted in PipelineOpsSpec)
+    "ann04_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
+        k = 3, nCells = 16, nProbe = 4)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  private val joinAggSql =
+    """SELECT o_orderstatus, count(*) AS n_items,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "geo04_shapefile_roundtrip" ->
+      """SELECT n_nationkey, n_name,
+        | CAST((n_nationkey % 5) * 10 AS DOUBLE) AS minX,
+        | CAST((n_nationkey // 5) * 10 AS DOUBLE) AS minY,
+        | CAST((n_nationkey % 5) * 10 + (n_nationkey % 3) + 1 AS DOUBLE) AS maxX,
+        | CAST((n_nationkey // 5) * 10 + (n_nationkey % 4) + 1 AS DOUBLE) AS maxY,
+        | 5 AS n_points
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "cr01_crawl_bfs" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS src,
+        |         CAST((n_nationkey * 2 + 1) % 25 AS VARCHAR) AS dst FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS VARCHAR),
+        |         CAST((n_nationkey * 3 + 2) % 25 AS VARCHAR) FROM nation),
+        |bfs AS (
+        |  SELECT '0' AS url, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst, b.depth + 1
+        |  FROM bfs b JOIN edges e ON e.src = b.url
+        |  WHERE b.depth < 4)
+        |SELECT url, CAST(min(depth) AS INTEGER) AS depth
+        |FROM bfs GROUP BY url ORDER BY url""".stripMargin,
+
+    "sk01_salted_join" -> joinAggSql,
+    "bk01_bucketed_join" -> joinAggSql
+  )
+}

@@ -228,6 +228,34 @@ object TopicQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // full matcher semantics mirrored: first leg exact (the candidate join),
+    // later legs exact-or-lev1 (legs >= 4 chars). The documents table is
+    // pure [a-z0-9 ] so the simplify kernel is the identity here.
+    "en01_entity_mentions" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |big AS (
+        |  SELECT unnest([w[i:i+1] FOR i IN range(1, greatest(len(w) - 1, 1) + 1)])
+        |         AS bigram
+        |  FROM toks),
+        |topbig AS (
+        |  SELECT bigram FROM (
+        |    SELECT bigram, count(*) AS n FROM big GROUP BY bigram
+        |    ORDER BY n DESC, bigram LIMIT 10)),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
+        |m AS (
+        |  SELECT p.doc_id
+        |  FROM pos p JOIN topbig e ON p.w[p.i] = e.bigram[1]
+        |  WHERE len(e.bigram) = 1
+        |     OR (p.i + 1 <= len(p.w)
+        |         AND (p.w[p.i + 1] = e.bigram[2]
+        |              OR (length(e.bigram[2]) >= 4
+        |                  AND abs(length(p.w[p.i + 1]) - length(e.bigram[2])) <= 1
+        |                  AND levenshtein(p.w[p.i + 1], e.bigram[2]) <= 1))))
+        |SELECT doc_id, count(*) AS n_mentions
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "wc01_word_category_scorer" ->
       """WITH toks AS (
         |  SELECT 'g' AS tg, lang AS tag, unnest(string_split(text, ' ')) AS token

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/** Iterative frontier crawler re-expressed as a Spark program (reference
+  * SURVEY §2.1 web crawler source; reference `net2demy` fetch loop).
+  *
+  * The reference crawls HTTP pages with a driver-side queue. Here the crawl
+  * IS the dataflow: each BFS level is a DataFrame, deduplication against the
+  * visited set is a distributed left-anti join (never a driver-side set),
+  * and the fetch step is a pluggable `Fetcher` so the same frontier/budget
+  * machinery drives an HTTP fetcher in production and a local-file or
+  * edge-table fetcher in tests (this container has zero egress).
+  *
+  * Scale story (100 TB / billions of pages):
+  *  - frontier and visited sets live in executors; the driver holds only a
+  *    per-level row count (needed for the page budget / early exit).
+  *  - each level is `localCheckpoint`ed: the plan never grows with depth
+  *    (the flattenHierarchy lesson — VERDICT W3), and the early-exit count
+  *    reads the materialized level, never recomputing lineage.
+  *  - politeness / fetch fan-out is per-partition inside the Fetcher;
+  *    `repartition(url)` before fetch spreads hot hosts.
+  */
+object Crawler {
+
+  /** Pluggable fetch step: input one column `url`; output (url, content,
+    * links array<string>). Implementations must be deterministic per url
+    * for resumable crawls. */
+  trait Fetcher extends Serializable {
+    def fetch(urls: DataFrame): DataFrame
+  }
+
+  /** Fetcher over an edge table (src, dst) — the synthetic-graph /
+    * unit-test path. Content is the url itself (stable, cheap). */
+  final case class EdgeFetcher(edges: DataFrame, srcCol: String = "src",
+                               dstCol: String = "dst") extends Fetcher {
+    def fetch(urls: DataFrame): DataFrame = urls
+      .join(edges.select(col(srcCol).as("url"), col(dstCol).as("_dst_")),
+        Seq("url"), "left")
+      .groupBy("url")
+      .agg(collect_list(col("_dst_")).as("links"))
+      .withColumn("content", col("url"))
+      .select("url", "content", "links")
+  }
+
+  /** Fetcher reading local files (url = filesystem path), links = href-like
+    * references found in the content. Fetches run inside mapPartitions —
+    * distributed, no driver-side path collection. */
+  final case class LocalFileFetcher(linkPattern: String = "href=\"([^\"]+)\"")
+      extends Fetcher {
+    def fetch(urls: DataFrame): DataFrame = {
+      val spark = urls.sparkSession
+      val pat = linkPattern
+      val schema = StructType(Seq(
+        StructField("url", StringType),
+        StructField("content", StringType),
+        StructField("links", ArrayType(StringType))))
+      val rdd = urls.select("url").rdd.mapPartitions { it =>
+        val rx = pat.r
+        it.map { r =>
+          val url = r.getString(0)
+          val content =
+            try new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(url)), java.nio.charset.StandardCharsets.UTF_8)
+            catch { case _: java.io.IOException => null }
+          val links =
+            if (content == null) Seq.empty[String]
+            else rx.findAllMatchIn(content).map(_.group(1)).toSeq
+          org.apache.spark.sql.Row(url, content, links)
+        }
+      }
+      spark.createDataFrame(rdd, schema)
+    }
+  }
+
+  /** BFS crawl from `seeds` (one column `url`). Returns one row per fetched
+    * page: (url, depth, content, links) where depth is the FIRST level the
+    * url was reached at (min-depth — the anti-join guarantees each url is
+    * fetched exactly once).
+    *
+    * @param maxPages stop expanding once this many pages were fetched
+    *                 (budget checked per level against materialized counts —
+    *                 a level is never partially fetched).
+    */
+  def crawl(seeds: DataFrame, fetcher: Fetcher, maxDepth: Int,
+            maxPages: Long = Long.MaxValue): DataFrame = {
+    var frontier = seeds.select(col("url").cast(StringType)).distinct()
+      .localCheckpoint()
+    var levels = List.empty[DataFrame]
+    var visited = frontier
+    var fetched = 0L
+    var depth = 0
+    var done = false
+    while (depth <= maxDepth && !done) {
+      val page = fetcher.fetch(frontier)
+        .withColumn("depth", lit(depth))
+        .select("url", "depth", "content", "links")
+        .localCheckpoint() // eager: truncates lineage, makes count() free
+      levels ::= page
+      fetched += page.count()
+      if (depth < maxDepth && fetched < maxPages) {
+        val next = page.select(explode_outer(col("links")).as("url"))
+          .where(col("url").isNotNull).distinct()
+          .join(visited, Seq("url"), "left_anti")
+          .localCheckpoint()
+        if (next.isEmpty) done = true // reads the checkpoint, no recompute
+        else {
+          visited = visited.union(next).localCheckpoint()
+          frontier = next
+        }
+      } else done = true
+      depth += 1
+    }
+    levels.reduce(_ union _)
+  }
+}
