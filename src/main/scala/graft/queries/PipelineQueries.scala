@@ -209,6 +209,79 @@ object PipelineQueries {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | count(DISTINCT source) AS n_sources,
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the multimodal projections surface only deterministic metadata (the
+    // stub decode's float features are deliberately excluded), so the
+    // plumbing is hash-gated end to end
+    "mm01_media_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/png' AS mime,
+        | CAST((doc_id % 4) * 64 + 64 AS INTEGER) AS width, 16 AS feat_dim
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm02_frame_samples" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(i AS INTEGER) AS frame_index
+        |FROM documents, range(0, 4) t(i)
+        |WHERE doc_id < 100 ORDER BY media_id, frame_index""".stripMargin,
+
+    // full annotate mirror. The documents table is pure [a-z0-9 ] text, so
+    // tokenize == whitespace split, punct/digit/upper counts are 0, and the
+    // quality formula collapses to rep*0.5 + 0.25 + lenOk*0.25 (same
+    // left-assoc double arithmetic as the Spark column expression). The
+    // fingerprint mirrors the JVM's 64-bit overflow via HUGEINT mod 2^64.
+    "ts04_annotate" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |b2 AS (
+        |  SELECT doc_id, lang, toks,
+        |         len(toks) AS n_tok, len(list_distinct(toks)) AS n_dist,
+        |         greatest(len(toks), 1) AS nt,
+        |         array_to_string(toks, ' ') AS joined
+        |  FROM base),
+        |langs AS (
+        |  SELECT * FROM (VALUES
+        |    ('en', ['the','and','of','to','in','is','that','it','for','on','with','as','a']),
+        |    ('fr', ['le','la','les','de','des','et','en','un','une','que','est','pour','dans']),
+        |    ('de', ['der','die','das','und','in','den','von','zu','mit','ist','des','nicht']),
+        |    ('es', ['el','la','los','las','de','y','en','que','es','un','una','por','con']),
+        |    ('it', ['il','la','di','e','che','in','un','una','per','con','del','sono']))
+        |    l(lg, words)),
+        |hits AS (
+        |  SELECT b.doc_id, l.lg,
+        |         len(list_filter(b.toks, t -> list_contains(l.words, t))) AS h
+        |  FROM b2 b CROSS JOIN langs l),
+        |ranked AS (
+        |  SELECT doc_id, lg, h,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY h DESC, lg DESC) AS rn
+        |  FROM hits),
+        |pred AS (
+        |  SELECT doc_id, CASE WHEN h = 0 THEN 'und' ELSE lg END AS lang_pred
+        |  FROM ranked WHERE rn = 1)
+        |SELECT b.doc_id, b.lang, p.lang_pred,
+        |  CAST(b.n_tok AS INTEGER) AS n_tokens,
+        |  CAST(b.n_dist AS INTEGER) AS n_distinct_tokens,
+        |  CAST(len(list_filter(b.toks,
+        |    t -> list_contains(['the','and','of','to','in','is','that','it','for','on','with','as','a'], t)))
+        |    AS DOUBLE) / b.nt AS stopword_ratio,
+        |  1.0 - CAST(b.n_dist AS DOUBLE) / b.nt AS repetition_ratio,
+        |  (1.0 - (1.0 - CAST(b.n_dist AS DOUBLE) / b.nt)) * 0.5 + 0.25 +
+        |    CASE WHEN CAST(list_sum(list_transform(b.toks, t -> length(t)))
+        |                AS DOUBLE) / b.nt BETWEEN 2.0 AND 12.0
+        |         THEN 1.0 ELSE 0.3 END * 0.25 AS quality,
+        |  CAST(list_sum(list_transform(b.toks, t -> (length(t) + 3) // 4))
+        |       AS INTEGER) AS bpe_tokens,
+        |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+        |            ELSE h END AS BIGINT) AS fingerprint
+        |FROM (
+        |  SELECT *, list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        [CAST(unicode(c) AS HUGEINT) FOR c IN string_split(joined, '')]),
+        |      (acc, x) -> (31 * acc + x) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM b2) b
+        |JOIN pred p ON b.doc_id = p.doc_id
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

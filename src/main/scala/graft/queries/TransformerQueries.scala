@@ -130,6 +130,58 @@ object TransformerQueries {
         |       n_orders
         |FROM spend ORDER BY o_custkey""".stripMargin,
 
+    // full mirror of the binned threshold sweep: 200-bin histogram,
+    // candidate metrics per threshold, f1-argmax (ties -> lowest bin),
+    // trapezoid AUC summed in the same bin-descending fold order as the
+    // Scala implementation (list_reduce) so every double is bit-identical
+    "tr06_threshold_optimizer" ->
+      """WITH ev AS (
+        |  SELECT least(greatest(value / 100.0, 0.0), 1.0) AS s,
+        |         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events),
+        |hist AS (
+        |  SELECT CAST(least(floor(s * 200), 199) AS BIGINT) AS bin,
+        |         CAST(sum(y) AS BIGINT) AS pos, count(*) AS n
+        |  FROM ev GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(pos) AS BIGINT) AS totalpos,
+        |         CAST(sum(n) - sum(pos) AS BIGINT) AS totalneg
+        |  FROM hist),
+        |cand AS (
+        |  SELECT b.b AS bin,
+        |         CAST(COALESCE(sum(h.pos) FILTER (WHERE h.bin >= b.b), 0) AS BIGINT) AS tp,
+        |         CAST(COALESCE(sum(h.n - h.pos) FILTER (WHERE h.bin >= b.b), 0) AS BIGINT) AS fp
+        |  FROM range(0, 201) b(b) LEFT JOIN hist h ON true
+        |  GROUP BY b.b),
+        |m AS (
+        |  SELECT c.bin, c.tp, c.fp, t.totalneg - c.fp AS tn, t.totalpos - c.tp AS fn,
+        |         CASE WHEN c.tp + c.fp = 0 THEN 0.0
+        |              ELSE CAST(c.tp AS DOUBLE) / (c.tp + c.fp) END AS p,
+        |         CASE WHEN t.totalpos = 0 THEN 0.0
+        |              ELSE CAST(c.tp AS DOUBLE) / t.totalpos END AS r,
+        |         CASE WHEN t.totalneg = 0 THEN 0.0
+        |              ELSE CAST(c.fp AS DOUBLE) / t.totalneg END AS fpr
+        |  FROM cand c CROSS JOIN tot t),
+        |m2 AS (
+        |  SELECT *, CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f1
+        |  FROM m),
+        |aucv AS (
+        |  SELECT list_reduce(
+        |           list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY bin DESC)),
+        |           (a, x) -> a + x) AS auc
+        |  FROM (
+        |    SELECT bin,
+        |           (fpr - lag(fpr) OVER w) * (lag(r) OVER w + r) / 2 AS term
+        |    FROM m2 WINDOW w AS (ORDER BY bin DESC)) t
+        |  WHERE term IS NOT NULL),
+        |best AS (SELECT * FROM m2 ORDER BY f1 DESC, bin ASC LIMIT 1)
+        |SELECT CAST(best.bin AS DOUBLE) / 200 AS threshold,
+        |       best.tp AS tp, best.fp AS fp,
+        |       CAST(best.tn AS BIGINT) AS tn, CAST(best.fn AS BIGINT) AS fn,
+        |       best.p AS "precision", best.r AS recall, best.f1 AS f1,
+        |       aucv.auc AS auc
+        |FROM best CROSS JOIN aucv""".stripMargin,
+
     "tr07_groupby_policies" ->
       """SELECT l_orderkey,
         | max(l_quantity) AS l_quantity,
