@@ -211,6 +211,32 @@ object PipelineQueries {
         | min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // exact near-dup path mirrored with the JVM's float arithmetic: unit
+    // vectors are normalized in float32 (double norm, per-element cast back
+    // to REAL), dot products accumulate in double in element order —
+    // bit-identical to VectorKernels.unitF/dotF
+    "ann03_embedding_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nrm = 0 THEN embedding
+        |         ELSE [CAST(x / nrm AS REAL) FOR x IN embedding] END AS uv
+        |  FROM n),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [CAST(a.uv[i] AS DOUBLE) * CAST(b.uv[i] AS DOUBLE)
+        |       FOR i IN range(1, len(a.uv) + 1)]),
+        |      (x, y) -> x + y) AS cosine
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+        |FROM pairs WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
     // the multimodal projections surface only deterministic metadata (the
     // stub decode's float features are deliberately excluded), so the
     // plumbing is hash-gated end to end

@@ -130,6 +130,28 @@ object TransformerQueries {
         |       n_orders
         |FROM spend ORDER BY o_custkey""".stripMargin,
 
+    // sentence splitting mirrored: the injected ". " every 12 words keeps
+    // every phrase under maxPhraseSize=30, so the soft-separator branch is
+    // provably dead on this data and the oracle mirrors hard splits + the
+    // min-2-token filter only. phraseId = position after filtering.
+    "tr05_sentences" ->
+      """WITH hard AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split_regex(
+        |        regexp_replace(text, '((\S+\s+){11}\S+)\s+', '\1. ', 'g'),
+        |        '[.!?\n]'),
+        |      s -> trim(s)), s -> s <> '') AS hp
+        |  FROM documents),
+        |phr AS (
+        |  SELECT doc_id,
+        |    list_filter(hp, p -> len(string_split_regex(p, '\s+')) >= 2) AS ps
+        |  FROM hard)
+        |SELECT doc_id,
+        |       CAST(unnest(range(0, len(ps))) AS INTEGER) AS phraseId,
+        |       unnest(ps) AS phrase
+        |FROM phr ORDER BY doc_id, phraseId""".stripMargin,
+
     // full mirror of the binned threshold sweep: 200-bin histogram,
     // candidate metrics per threshold, f1-argmax (ties -> lowest bin),
     // trapezoid AUC summed in the same bin-descending fold order as the
