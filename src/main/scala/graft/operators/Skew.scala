@@ -22,20 +22,17 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner/left equi-join of `facts` (skewed, big) to `dims` (replicable)
-    * on `keys`, scattering facts across `saltBuckets` per-key sub-joins.
-    *
-    * The salt is derived from a hash of the fact row's whole key tuple plus
-    * `spark_partition_id` + row position — effectively uniform, fully
-    * deterministic plan shape (no rand() ⇒ re-executions of a lost task
-    * produce the same rows, which retried-stage correctness requires). */
+    * on `keys`, scattering facts across `saltBuckets` per-key sub-joins. */
   def saltedJoin(facts: DataFrame, dims: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salting supports inner/left joins, not $joinType")
-    // fact side: one salt value per row — pmod of a per-row hash. Using
-    // monotonically_increasing_id keeps it deterministic per task retry
-    // (unlike rand()), uniform enough to split a hot key evenly.
+    // fact side: one salt value per row. Note mono_id is NOT stable across
+    // stage retries (it encodes partition id + row order); that is fine here
+    // because correctness is salt-value-independent — dims are replicated to
+    // every salt bucket, so any salt a row lands on finds its match. The
+    // hash only needs to be uniform, not stable.
     val salted = facts.withColumn("_salt_",
       pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
     // dim side: replicate each row across all salt values

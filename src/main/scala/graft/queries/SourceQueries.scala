@@ -14,8 +14,12 @@ import graft.sources.{Crawler, Shapefile}
   * result-transparent. */
 object SourceQueries {
 
-  private def tmpDir(kind: String, d: String): String =
-    s"/tmp/graft_$kind/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+  // Scoped by applicationId so two concurrent harness runs on the same
+  // dataset can't race on SaveMode.Overwrite of a shared location or on
+  // shared catalog table names.
+  private def tmpDir(s: SparkSession, kind: String, d: String): String =
+    s"/tmp/graft_$kind/${s.sparkContext.applicationId}/" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Shapefile ingest round-trip: nation rows become polygons + dbf
@@ -24,7 +28,7 @@ object SourceQueries {
     // rectangles directly from the parquet table — doubles round-trip
     // bit-exactly through the format, so this hash-gates the whole parser.
     "geo04_shapefile_roundtrip" -> ((s, d) => {
-      val dir = tmpDir("shp", d)
+      val dir = tmpDir(s, "shp", d)
       new java.io.File(dir).mkdirs()
       val rows = Tables.nation(s, d)
         .select("n_nationkey", "n_name").orderBy("n_nationkey")
@@ -88,19 +92,20 @@ object SourceQueries {
     // BucketedJoinSpec asserts the no-Exchange plan; the oracle proves the
     // result equals the plain join.
     "bk01_bucketed_join" -> ((s, d) => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val (oTbl, liTbl) = (s"bk_orders_$tag", s"bk_lineitem_$tag")
       Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
         .write.mode(SaveMode.Overwrite)
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"${tmpDir("bucketed", d)}/orders")
+        .option("path", s"${tmpDir(s, "bucketed", d)}/orders")
         .saveAsTable(oTbl)
       Tables.lineitem(s, d)
         .select(col("l_orderkey"),
           col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"))
         .write.mode(SaveMode.Overwrite)
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"${tmpDir("bucketed", d)}/lineitem")
+        .option("path", s"${tmpDir(s, "bucketed", d)}/lineitem")
         .saveAsTable(liTbl)
       val o = s.table(oTbl).hint("merge") // SMJ reads buckets, no Exchange
       val li = s.table(liTbl).hint("merge")

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructTyp
   *    per-level row count (needed for the page budget / early exit).
   *  - each level is `localCheckpoint`ed: the plan never grows with depth
   *    (the flattenHierarchy lesson — VERDICT W3), and the early-exit count
-  *    reads the materialized level, never recomputing lineage.
+  *    reads the materialized level, never recomputing lineage. Tradeoff:
+  *    localCheckpoint blocks are unreplicated executor storage — an executor
+  *    loss mid-crawl loses the level. For long production crawls set
+  *    `spark.sparkContext.setCheckpointDir` and swap in reliable
+  *    `checkpoint()` (one extra FS write per level buys restartability).
   *  - politeness / fetch fan-out is per-partition inside the Fetcher;
   *    `repartition(url)` before fetch spreads hot hosts.
   */
@@ -61,10 +65,13 @@ object Crawler {
         val rx = pat.r
         it.map { r =>
           val url = r.getString(0)
+          // NonFatal, not just IOException: a malformed href reaches
+          // Paths.get as InvalidPathException and must yield a null page,
+          // not a task failure.
           val content =
             try new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get(url)), java.nio.charset.StandardCharsets.UTF_8)
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           val links =
             if (content == null) Seq.empty[String]
             else rx.findAllMatchIn(content).map(_.group(1)).toSeq

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Similarity, Skew}
 import graft.sources.{Crawler, Shapefile}
@@ -124,11 +123,20 @@ class SourceOpsSpec extends AnyFunSuite {
       .option("path", s"$dir/r").saveAsTable("bk_r")
     val j = spark.table("bk_l").hint("merge")
       .join(spark.table("bk_r").hint("merge"), "k")
-    val shuffles = j.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeExec => e
+    // Execute first: under AQE the top node is AdaptiveSparkPlanExec (a leaf
+    // until run), so we must unwrap its final plan or the collect{} below is
+    // vacuously empty even when the join does shuffle.
+    assert(j.count() == 100)
+    val finalPlan = j.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
     }
     assert(shuffles.isEmpty, s"expected no exchange, got: $shuffles")
-    assert(j.count() == 100)
   }
 
   // ------------------------------------------------------------------- ivf
