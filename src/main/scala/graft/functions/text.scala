@@ -68,6 +68,18 @@ object TextKernels extends Serializable {
 
   def tokenize(s: String): Seq[String] = tokenizeWithOffsets(s).map(_.tok)
 
+  /** 64-bit polynomial rolling hash (h₀=7, h·31+c with natural Long
+    * overflow). Chosen over murmur/xxhash because the SAME value is
+    * computable in plain SQL on any engine with 128-bit integers
+    * (DuckDB: list_reduce over HUGEINT mod 2⁶⁴) — which is what lets the
+    * signature-based dedup operators be oracle-gated, not just rows-only. */
+  def polyHash64(s: String): Long = {
+    var h = 7L
+    var i = 0
+    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+    h
+  }
+
   /** Bounded Levenshtein distance: returns early with `bound + 1` once the
     * distance provably exceeds `bound` (banded DP, O(len · bound)). */
   def boundedLevenshtein(a: String, b: String, bound: Int): Int = {

@@ -35,22 +35,29 @@ object Dedup {
   // MinHash + LSH
   // ---------------------------------------------------------------------
 
-  /** Word-shingle MinHash signature: `numHashes` permutations approximated
-    * by seeded multiply-shift hashing (public technique: Broder '97 minwise
-    * hashing). Deterministic for a given seed. */
-  private def minhashSig(numHashes: Int, shingleSize: Int, seed: Long) =
+  /** Modulus for the per-slot universal hash family: 2³¹−1 (prime), small
+    * enough that (2i+1)·base_p never overflows a Long in either engine. */
+  private val MinhashP = 2147483647L
+
+  /** Word-shingle MinHash signature (public technique: Broder '97 minwise
+    * hashing). Shingles are raw space-split sliding windows (same gram
+    * definition as [[ngramJaccardPairs]]); each slot i applies the universal
+    * hash (aᵢ·x + bᵢ) mod p with aᵢ = 2i+1, bᵢ = i·1000003, over the
+    * SQL-expressible base hash [[TextKernels.polyHash64]] folded into
+    * [0, p). Every step is integer arithmetic a DuckDB oracle replays
+    * exactly — see the dd03 oracle SQL. */
+  private def minhashSig(numHashes: Int, shingleSize: Int) =
     udf { (text: String) =>
-      val toks = TextKernels.tokenize(text)
+      val toks: Array[String] = text.split(" ", -1)
       val shingles =
         if (toks.length < shingleSize) Seq(toks.mkString(" "))
         else toks.sliding(shingleSize).map(_.mkString(" ")).toSeq
       val sig = Array.fill(numHashes)(Long.MaxValue)
       shingles.foreach { sh =>
-        val base = scala.util.hashing.MurmurHash3.stringHash(sh, seed.toInt).toLong
+        val basep = java.lang.Math.floorMod(TextKernels.polyHash64(sh), MinhashP)
         var i = 0
         while (i < numHashes) {
-          // distinct hash function per slot: multiply-shift over the base
-          val h = (base * (2 * i + 1) + i * 0x9E3779B97F4A7C15L) ^ (base >>> 31)
+          val h = ((2L * i + 1) * basep + i * 1000003L) % MinhashP
           if (h < sig(i)) sig(i) = h
           i += 1
         }
@@ -63,23 +70,26 @@ object Dedup {
     * agreeing signature slots >= `minEstJaccard`. */
   def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       numHashes: Int = 64, bands: Int = 16,
-                      shingleSize: Int = 3, minEstJaccard: Double = 0.5,
-                      seed: Long = 42L): DataFrame = {
+                      shingleSize: Int = 3, minEstJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     // persisted: referenced by the banding explode AND both signature
     // re-joins below — without it the (expensive) minhash UDF runs 3x
     val sigDf = df.select(col(idCol).as("_id_"),
-      minhashSig(numHashes, shingleSize, seed)(col(textCol)).as("_sig_"))
+      minhashSig(numHashes, shingleSize)(col(textCol)).as("_sig_"))
       .persist()
 
-    // band -> hash of the band's signature slice = LSH bucket key.
+    // band -> the band's signature slice, serialized = LSH bucket key.
+    // A joined string rather than hash(slice(...)): byte-for-byte the same
+    // key on any engine (hash() is Spark-private murmur), and slice equality
+    // IS bucket equality so no collision semantics change; ~40 bytes/row of
+    // extra shuffle vs a 4-byte hash buys the oracle gate.
     // ids only: the candidate shuffle + distinct must never carry the
     // 64-slot signatures (a pair colliding in several bands would shuffle
     // them once per collision) — signatures re-join AFTER the dedup.
     val banded = sigDf.select(col("_id_"),
         posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(_sig_, b * $rowsPerBand + 1, $rowsPerBand)))"))
+          s"transform(sequence(0, ${bands - 1}), b -> array_join(slice(_sig_, b * $rowsPerBand + 1, $rowsPerBand), ','))"))
           .as(Seq("_band_", "_bucket_")))
       .select("_id_", "_band_", "_bucket_")
 
@@ -113,12 +123,12 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   private val simhashUdf = udf { (text: String) =>
-    val toks = TextKernels.tokenize(text)
+    // polyHash64, not murmur: same bits computable in the DuckDB oracle
+    // (dd04). Empty tokens are skipped (mirrored by the oracle's filter).
+    val toks = text.split(" ", -1).filter(_.nonEmpty)
     val acc = new Array[Int](64)
     toks.foreach { t =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x51_52_53).toLong & 0xFFFFFFFFL
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x54_55_56).toLong & 0xFFFFFFFFL
-      val h = (h1 << 32) | h2
+      val h = TextKernels.polyHash64(t)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1

@@ -17,13 +17,19 @@ object Transformers {
   // ArrayHasher — tokens -> hashed term-frequency SparseVector
   // (reference: feature/ArrayHasher.scala:13-36; murmur3 % numFeatures, abs)
   // ---------------------------------------------------------------------
-  def arrayHasher(numFeatures: Int): Column => Column = {
+  def arrayHasher(numFeatures: Int, poly: Boolean = false): Column => Column = {
     val u = udf { (tokens: Seq[String]) =>
       if (tokens == null) null
       else {
         val counts = collection.mutable.HashMap.empty[Int, Double]
         tokens.foreach { t =>
-          val idx = math.abs(scala.util.hashing.MurmurHash3.stringHash(t) % numFeatures)
+          // poly=true swaps murmur for the SQL-expressible polyHash64 so a
+          // DuckDB oracle can replay bucket assignment (tr01); default stays
+          // murmur (reference ArrayHasher parity).
+          val idx =
+            if (poly) java.lang.Math.floorMod(
+              graft.functions.TextKernels.polyHash64(t), numFeatures.toLong).toInt
+            else math.abs(scala.util.hashing.MurmurHash3.stringHash(t) % numFeatures)
           counts(idx) = counts.getOrElse(idx, 0.0) + 1.0
         }
         val (idx, vals) = counts.toArray.sortBy(_._1).unzip

@@ -28,6 +28,24 @@ object Tuning {
     df.withColumn(foldCol, f.cast("int"))
   }
 
+  /** Engine-portable fold assignment: fold = (first 60 bits of
+    * md5(key₁|key₂|…|seed)) mod numFolds. Same shape as [[assignFolds]]
+    * (deterministic, group-consistent, shuffle-free) but built ONLY from
+    * functions with identical semantics in any SQL engine (md5 of the same
+    * string is the same hex everywhere; 15 hex chars parse to a
+    * non-negative long), so the split itself is oracle-gatable — a property
+    * worth having when a 100 TB train/eval split must be reproducible
+    * outside Spark. */
+  def assignFoldsStable(df: DataFrame, numFolds: Int, keyCols: Seq[String],
+                        seed: Long, foldCol: String = "fold"): DataFrame = {
+    require(keyCols.nonEmpty, "assignFoldsStable needs explicit key columns")
+    val key = concat_ws("|",
+      keyCols.map(c => col(c).cast("string")) :+ lit(seed.toString): _*)
+    val f = pmod(conv(substring(md5(key), 1, 15), 16, 10).cast("long"),
+      lit(numFolds.toLong))
+    df.withColumn(foldCol, f.cast("int"))
+  }
+
   /** (train, test) pair for one fold index. */
   def trainTest(df: DataFrame, numFolds: Int, fold: Int, seed: Long,
                 groupByCols: Seq[String] = Nil): (DataFrame, DataFrame) = {

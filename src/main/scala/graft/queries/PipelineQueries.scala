@@ -28,16 +28,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // ---- dedup: MinHash LSH (signature-based; rows-only) -------------------
+    // ---- dedup: MinHash LSH (oracle-able: polyHash64 base + universal
+    // (2i+1)x+b mod 2³¹−1 slots replayed exactly by the DuckDB oracle) -------
     "dd03_minhash_pairs" -> ((s, d) => {
       Dedup.minHashLshPairs(Tables.documents(s, d), "text", "doc_id",
         numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- dedup: SimHash (signature-based; rows-only) -----------------------
+    // ---- dedup: SimHash (oracle-able: polyHash64 token bits) ---------------
     "dd04_simhash_pairs" -> ((s, d) => {
       Dedup.simHashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType).as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -144,6 +146,9 @@ object PipelineQueries {
     })
   )
 
+  // Shared SQL fragment: unsigned 64-bit polynomial rolling hash of a string
+  // column `S` (h₀=7, h·31+char, HUGEINT mod 2⁶⁴) — bit-identical to
+  // TextKernels.polyHash64's Long overflow. Inlined per-oracle below.
   val oracleSql: Map[String, String] = Map(
     "dd01_exact_dedup_stats" ->
       """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_unique
@@ -155,6 +160,96 @@ object PipelineQueries {
         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Full MinHash replay: same shingles (3-word sliding windows of the raw
+    // space-split), same base hash (polyHash64 folded into [0, 2³¹−1)), same
+    // 64 universal slot hashes, same 16-band bucket keys (the 4-slot slice
+    // joined with ','), same candidate join and est-jaccard filter.
+    "dd03_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |                ELSE [array_to_string(w[i:i+2], ' ')
+        |                      FOR i IN range(1, len(w) - 2 + 1)] END) AS shingle
+        |  FROM toks),
+        |basep AS (
+        |  SELECT doc_id,
+        |    CAST((((CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |                 THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |                 ELSE h END) % 2147483647) + 2147483647) % 2147483647
+        |         AS BIGINT) AS bp
+        |  FROM (SELECT doc_id, list_reduce(
+        |          list_prepend(CAST(7 AS HUGEINT),
+        |            [CAST(unicode(c) AS HUGEINT) FOR c IN string_split(shingle, '')]),
+        |          (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |        FROM sh)),
+        |sig AS (
+        |  SELECT doc_id, i,
+        |         min(((2 * i + 1) * bp + i * 1000003) % 2147483647) AS s
+        |  FROM basep, range(0, 64) t(i) GROUP BY doc_id, i),
+        |sigarr AS (
+        |  SELECT doc_id, list(s ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+        |  FROM sigarr, range(0, 16) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, est_jaccard FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i]))
+        |         AS DOUBLE) / 64 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sigarr sa ON sa.doc_id = c.id_a
+        |  JOIN sigarr sb ON sb.doc_id = c.id_b) t
+        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Full SimHash replay: per-token polyHash64 bits (HUGEINT shifts), ±1
+    // bit accumulation, signed signature reconstruction, pigeonhole 16-bit
+    // block keys, candidate join, exact hamming verify.
+    "dd04_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, list_transform(w, t ->
+        |    list_reduce(list_prepend(CAST(7 AS HUGEINT),
+        |      [CAST(unicode(c) AS HUGEINT) FOR c IN string_split(t, '')]),
+        |      (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS HUGEINT))) AS hs
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    COALESCE(list_sum(list_transform(hs,
+        |      h -> CASE WHEN ((h >> CAST(i AS INT)) & 1) = 1 THEN 1 ELSE -1 END)), 0) AS acc
+        |  FROM th, range(0, 64) t(i)),
+        |sigu AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << CAST(i AS INT)
+        |             ELSE CAST(0 AS HUGEINT) END) AS su
+        |  FROM bits GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, su,
+        |    CAST(CASE WHEN su >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN su - CAST(18446744073709551616 AS HUGEINT)
+        |              ELSE su END AS BIGINT) AS sh
+        |  FROM sigu),
+        |blocked AS (
+        |  SELECT doc_id, b, (su >> CAST(b * 16 AS INT)) & 65535 AS key
+        |  FROM sig, range(0, 4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM blocked a JOIN blocked b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b) t
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "dd05_ngram_jaccard_pairs" ->
       """WITH grams AS (

@@ -12,11 +12,14 @@ import graft.operators.{Transformers => T, Tuning}
 object TransformerQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ArrayHasher over document tokens (vector output; rows-only)
+    // ArrayHasher over document tokens. poly=true hashes buckets with the
+    // SQL-expressible polyHash64, so DuckDB replays the exact bucket
+    // assignment and the nnz projection is hash-gated (the murmur default
+    // keeps reference parity; bucketing quality is equivalent).
     "tr01_hashed_tf" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-        .select(col("doc_id"), T.arrayHasher(2048)(col("tokens")).as("tf"))
+        .select(col("doc_id"), T.arrayHasher(2048, poly = true)(col("tokens")).as("tf"))
         .select(col("doc_id"),
           udf((v: org.apache.spark.ml.linalg.Vector) => v.numNonzeros)
             .apply(col("tf")).as("nnz"))
@@ -51,10 +54,12 @@ object TransformerQueries {
         .orderBy("o_custkey")
     }),
 
-    // Fold assignment invariant surface: per-fold row counts (hash-seeded;
-    // rows-only — exact assignment is engine-specific by design)
+    // Fold assignment via the engine-portable md5 split: the exact per-row
+    // fold (not just counts) is replayable by any engine, so the train/eval
+    // split of a 100 TB corpus can be audited outside Spark. Hash-gated.
     "tr04_fold_counts" -> ((s, d) => {
-      Tuning.assignFolds(Tables.orders(s, d), 5, seed = 42L)
+      Tuning.assignFoldsStable(Tables.orders(s, d), 5,
+        keyCols = Seq("o_orderkey"), seed = 42L)
         .groupBy(col("fold").cast(IntegerType).as("fold"))
         .agg(count(lit(1)).as("n"))
         .orderBy("fold")
@@ -114,6 +119,26 @@ object TransformerQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // nnz = distinct polyHash64(token) mod 2048 buckets. 2048 divides 2⁶⁴,
+    // so the unsigned low bits equal the JVM's floorMod of the signed hash —
+    // no sign correction needed.
+    "tr01_hashed_tf" ->
+      """SELECT doc_id,
+        | CAST(len(list_distinct(list_transform(string_split(text, ' '),
+        |   t -> CAST(list_reduce(list_prepend(CAST(7 AS HUGEINT),
+        |          [CAST(unicode(c) AS HUGEINT) FOR c IN string_split(t, '')]),
+        |          (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS HUGEINT))
+        |        % 2048 AS BIGINT)))) AS INTEGER) AS nnz
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tr04_fold_counts" ->
+      """SELECT fold, count(*) AS n FROM (
+        |  SELECT CAST(CAST(('0x' || substr(
+        |           md5(CAST(o_orderkey AS VARCHAR) || '|' || '42'), 1, 15))
+        |         AS BIGINT) % 5 AS INTEGER) AS fold
+        |  FROM orders) t
+        |GROUP BY fold ORDER BY fold""".stripMargin,
+
     "tr02_word2vec_apply" ->
       """SELECT doc_id,
         | CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE) AS first_dim,

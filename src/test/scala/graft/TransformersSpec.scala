@@ -137,6 +137,16 @@ class TransformersSpec extends AnyFunSuite {
     val (tr, te) = Tuning.trainTest(df, 4, 0, 7L)
     assert(tr.count() + te.count() == 200)
     assert(tr.select("id").intersect(te.select("id")).count() == 0)
+    // stable (md5) folds: deterministic, key-consistent, engine-checkable —
+    // the JVM replay of fold(id=1, seed=7) must equal Spark's
+    val sf = Tuning.assignFoldsStable(df, 4, Seq("id"), seed = 7L)
+    val sfAgain = Tuning.assignFoldsStable(df, 4, Seq("id"), seed = 7L)
+    assert(sf.select("id", "fold").except(sfAgain.select("id", "fold")).count() == 0)
+    assert(sf.groupBy("fold").count().count() == 4)
+    val fold1 = sf.where($"id" === 1L).select("fold").as[Int].head()
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("1|7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fold1 == (java.lang.Long.parseLong(md5hex.take(15), 16) % 4).toInt)
   }
 
   // FIXTURES.md §4: threshold optimizer exact values
