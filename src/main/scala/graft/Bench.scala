@@ -24,7 +24,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated query filter for targeted local timing runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup pass (untimed, small SF): same plan shapes -> warm codegen
     qs.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }

@@ -71,14 +71,46 @@ object TextKernels extends Serializable {
   /** 64-bit polynomial rolling hash (h₀=7, h·31+c with natural Long
     * overflow). Chosen over murmur/xxhash because the SAME value is
     * computable in plain SQL on any engine with 128-bit integers
-    * (DuckDB: list_reduce over HUGEINT mod 2⁶⁴) — which is what lets the
-    * signature-based dedup operators be oracle-gated, not just rows-only. */
+    * (DuckDB: list_reduce over UHUGEINT mod 2⁶⁴) — which is what lets the
+    * signature-based dedup operators be oracle-gated, not just rows-only.
+    *
+    * CONTRACT: iterates UTF-16 code units (`charAt`), while a SQL replay
+    * via `unicode(c)` iterates code points — the two agree only for BMP
+    * text (no surrogate pairs). All current oracle-gated inputs are ASCII;
+    * if non-BMP corpora (emoji etc.) ever need the gate, the SQL side must
+    * expand code points > 0xFFFF into their UTF-16 surrogate pairs.
+    *
+    * NOTE: raw polyHash64 has NO avalanche — a k-char ASCII token only
+    * reaches bits up to ~log₂(31ᵏ·c), so short tokens leave the high bits
+    * zero. Any use that samples individual BITS of the hash (SimHash) or
+    * folds it modulo a constant (MinHash slots, TF bucketing) MUST use
+    * [[polyHash64Mixed]] instead; raw polyHash64 is only safe as an
+    * equality fingerprint. */
   def polyHash64(s: String): Long = {
     var h = 7L
     var i = 0
     while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
     h
   }
+
+  /** splitmix64-style avalanche finalizer (Steele et al., JDK
+    * `SplittableRandom`; public domain constants). Every step is
+    * xor / unsigned-shift / odd-constant multiply mod 2⁶⁴ — exactly as
+    * SQL-replayable as the polynomial itself (DuckDB: `xor`, `>>`, `*`
+    * on UHUGEINT). After mixing, every output bit depends on every input
+    * bit (~50 % flip probability), so bit-sampling uses are sound. */
+  def mix64(x: Long): Long = {
+    var h = x
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** Avalanched 64-bit string hash: `mix64(polyHash64(s))`. The variant
+    * every bit-sampling / modular-folding consumer (SimHash, MinHash,
+    * ArrayHasher's oracle path) must use. Same BMP-only SQL-replay
+    * contract as [[polyHash64]]. */
+  def polyHash64Mixed(s: String): Long = mix64(polyHash64(s))
 
   /** Bounded Levenshtein distance: returns early with `bound + 1` once the
     * distance provably exceeds `bound` (banded DP, O(len · bound)). */

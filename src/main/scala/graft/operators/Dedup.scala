@@ -41,11 +41,14 @@ object Dedup {
 
   /** Word-shingle MinHash signature (public technique: Broder '97 minwise
     * hashing). Shingles are raw space-split sliding windows (same gram
-    * definition as [[ngramJaccardPairs]]); each slot i applies the universal
-    * hash (aᵢ·x + bᵢ) mod p with aᵢ = 2i+1, bᵢ = i·1000003, over the
-    * SQL-expressible base hash [[TextKernels.polyHash64]] folded into
-    * [0, p). Every step is integer arithmetic a DuckDB oracle replays
-    * exactly — see the dd03 oracle SQL. */
+    * definition as [[ngramJaccardPairs]]); slot i applies
+    * Kirsch–Mitzenmacher double hashing `(h₁ + i·h₂) mod p` over TWO
+    * avalanched base hashes (h₂ = mix64(h₁), so the slots are not all
+    * affine in a single 31-bit value — the estimator-variance weakness of
+    * a one-base family). Every step is integer arithmetic a DuckDB oracle
+    * replays exactly — see the dd03 oracle SQL. `remainderUnsigned` (not
+    * floorMod) so the fold matches the oracle's unsigned UHUGEINT `% p`
+    * without a sign-conversion dance. */
   private def minhashSig(numHashes: Int, shingleSize: Int) =
     udf { (text: String) =>
       val toks: Array[String] = text.split(" ", -1)
@@ -54,10 +57,12 @@ object Dedup {
         else toks.sliding(shingleSize).map(_.mkString(" ")).toSeq
       val sig = Array.fill(numHashes)(Long.MaxValue)
       shingles.foreach { sh =>
-        val basep = java.lang.Math.floorMod(TextKernels.polyHash64(sh), MinhashP)
+        val h1 = TextKernels.polyHash64Mixed(sh)
+        val b1 = java.lang.Long.remainderUnsigned(h1, MinhashP)
+        val b2 = java.lang.Long.remainderUnsigned(TextKernels.mix64(h1), MinhashP)
         var i = 0
         while (i < numHashes) {
-          val h = ((2L * i + 1) * basep + i * 1000003L) % MinhashP
+          val h = (b1 + i * b2) % MinhashP
           if (h < sig(i)) sig(i) = h
           i += 1
         }
@@ -123,12 +128,16 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   private val simhashUdf = udf { (text: String) =>
-    // polyHash64, not murmur: same bits computable in the DuckDB oracle
-    // (dd04). Empty tokens are skipped (mirrored by the oracle's filter).
+    // polyHash64Mixed, not murmur: same bits computable in the DuckDB
+    // oracle (dd04). The avalanche finalizer is load-bearing here: raw
+    // polyHash64 leaves bits ≥ ~34 zero for short tokens, which makes
+    // those simhash bits CONSTANT across the corpus — the high pigeonhole
+    // block then collides universally and candidate generation degenerates
+    // to O(n²). Empty tokens skipped (mirrored by the oracle's filter).
     val toks = text.split(" ", -1).filter(_.nonEmpty)
     val acc = new Array[Int](64)
     toks.foreach { t =>
-      val h = TextKernels.polyHash64(t)
+      val h = TextKernels.polyHash64Mixed(t)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1

@@ -23,12 +23,13 @@ object Transformers {
       else {
         val counts = collection.mutable.HashMap.empty[Int, Double]
         tokens.foreach { t =>
-          // poly=true swaps murmur for the SQL-expressible polyHash64 so a
-          // DuckDB oracle can replay bucket assignment (tr01); default stays
-          // murmur (reference ArrayHasher parity).
+          // poly=true swaps murmur for the SQL-expressible avalanched
+          // polyHash64Mixed so a DuckDB oracle can replay bucket assignment
+          // (tr01); default stays murmur (reference ArrayHasher parity).
+          // remainderUnsigned matches the oracle's unsigned UHUGEINT % n.
           val idx =
-            if (poly) java.lang.Math.floorMod(
-              graft.functions.TextKernels.polyHash64(t), numFeatures.toLong).toInt
+            if (poly) java.lang.Long.remainderUnsigned(
+              graft.functions.TextKernels.polyHash64Mixed(t), numFeatures.toLong).toInt
             else math.abs(scala.util.hashing.MurmurHash3.stringHash(t) % numFeatures)
           counts(idx) = counts.getOrElse(idx, 0.0) + 1.0
         }

@@ -28,15 +28,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // ---- dedup: MinHash LSH (oracle-able: polyHash64 base + universal
-    // (2i+1)x+b mod 2³¹−1 slots replayed exactly by the DuckDB oracle) -------
+    // ---- dedup: MinHash LSH (oracle-able: avalanched polyHash64Mixed base
+    // + Kirsch–Mitzenmacher slots replayed exactly by the DuckDB oracle) -----
     "dd03_minhash_pairs" -> ((s, d) => {
       Dedup.minHashLshPairs(Tables.documents(s, d), "text", "doc_id",
         numHashes = 64, bands = 16, shingleSize = 3, minEstJaccard = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- dedup: SimHash (oracle-able: polyHash64 token bits) ---------------
+    // ---- dedup: SimHash (oracle-able: polyHash64Mixed token bits) ----------
     "dd04_simhash_pairs" -> ((s, d) => {
       Dedup.simHashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType).as("hamming"))
@@ -146,9 +146,14 @@ object PipelineQueries {
     })
   )
 
-  // Shared SQL fragment: unsigned 64-bit polynomial rolling hash of a string
-  // column `S` (h₀=7, h·31+char, HUGEINT mod 2⁶⁴) — bit-identical to
-  // TextKernels.polyHash64's Long overflow. Inlined per-oracle below.
+  // Shared SQL shape: unsigned 64-bit polynomial rolling hash of a string
+  // (h₀=7, h·31+char, UHUGEINT mod 2⁶⁴ — bit-identical to
+  // TextKernels.polyHash64's Long overflow) followed by the splitmix64
+  // avalanche finalizer (xor/shift + two odd-constant multiplies; a 64×64
+  // product < 2¹²⁸ fits UHUGEINT exactly) — bit-identical to
+  // TextKernels.mix64. BMP-only contract: unicode(c) iterates code points,
+  // charAt iterates UTF-16 units; they agree for all current (ASCII) data.
+  // Inlined per-oracle below.
   val oracleSql: Map[String, String] = Map(
     "dd01_exact_dedup_stats" ->
       """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_unique
@@ -162,9 +167,12 @@ object PipelineQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Full MinHash replay: same shingles (3-word sliding windows of the raw
-    // space-split), same base hash (polyHash64 folded into [0, 2³¹−1)), same
-    // 64 universal slot hashes, same 16-band bucket keys (the 4-slot slice
-    // joined with ','), same candidate join and est-jaccard filter.
+    // space-split), same avalanched base hashes (polyHash64 -> splitmix64
+    // finalizer; h2 = a second mix64 pass), same 64 Kirsch–Mitzenmacher
+    // slots (h1 + i*h2 mod 2³¹−1), same 16-band bucket keys (the 4-slot
+    // slice joined with ','), same candidate join and est-jaccard filter.
+    // All hash arithmetic in UHUGEINT mod 2⁶⁴ — the unsigned % matches the
+    // JVM's Long.remainderUnsigned.
     "dd03_minhash_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -174,20 +182,28 @@ object PipelineQueries {
         |                ELSE [array_to_string(w[i:i+2], ' ')
         |                      FOR i IN range(1, len(w) - 2 + 1)] END) AS shingle
         |  FROM toks),
+        |ph AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_prepend(CAST(7 AS UHUGEINT),
+        |        [CAST(unicode(c) AS UHUGEINT) FOR c IN string_split(shingle, '')]),
+        |      (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS UHUGEINT)) AS h
+        |  FROM sh),
+        |m1 AS (SELECT doc_id, (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |                      % CAST(18446744073709551616 AS UHUGEINT) AS h FROM ph),
+        |m2 AS (SELECT doc_id, (xor(h, h >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |                      % CAST(18446744073709551616 AS UHUGEINT) AS h FROM m1),
+        |hx AS (SELECT doc_id, xor(h, h >> 31) AS h FROM m2),
+        |n1 AS (SELECT doc_id, h, (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |                      % CAST(18446744073709551616 AS UHUGEINT) AS g FROM hx),
+        |n2 AS (SELECT doc_id, h, (xor(g, g >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |                      % CAST(18446744073709551616 AS UHUGEINT) AS g FROM n1),
         |basep AS (
         |  SELECT doc_id,
-        |    CAST((((CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
-        |                 THEN h - CAST(18446744073709551616 AS HUGEINT)
-        |                 ELSE h END) % 2147483647) + 2147483647) % 2147483647
-        |         AS BIGINT) AS bp
-        |  FROM (SELECT doc_id, list_reduce(
-        |          list_prepend(CAST(7 AS HUGEINT),
-        |            [CAST(unicode(c) AS HUGEINT) FOR c IN string_split(shingle, '')]),
-        |          (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS HUGEINT)) AS h
-        |        FROM sh)),
+        |         CAST(h % 2147483647 AS BIGINT) AS b1,
+        |         CAST(xor(g, g >> 31) % 2147483647 AS BIGINT) AS b2
+        |  FROM n2),
         |sig AS (
-        |  SELECT doc_id, i,
-        |         min(((2 * i + 1) * bp + i * 1000003) % 2147483647) AS s
+        |  SELECT doc_id, i, min((b1 + i * b2) % 2147483647) AS s
         |  FROM basep, range(0, 64) t(i) GROUP BY doc_id, i),
         |sigarr AS (
         |  SELECT doc_id, list(s ORDER BY i) AS sig FROM sig GROUP BY doc_id),
@@ -207,24 +223,33 @@ object PipelineQueries {
         |  JOIN sigarr sb ON sb.doc_id = c.id_b) t
         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
-    // Full SimHash replay: per-token polyHash64 bits (HUGEINT shifts), ±1
-    // bit accumulation, signed signature reconstruction, pigeonhole 16-bit
-    // block keys, candidate join, exact hamming verify.
+    // Full SimHash replay: per-token avalanched polyHash64Mixed bits
+    // (UHUGEINT poly fold + splitmix64 finalizer as three list_transform
+    // stages), ±1 bit accumulation, signed signature reconstruction,
+    // pigeonhole 16-bit block keys, candidate join, exact hamming verify.
     "dd04_simhash_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
         |  FROM documents),
         |th AS (
         |  SELECT doc_id, list_transform(w, t ->
-        |    list_reduce(list_prepend(CAST(7 AS HUGEINT),
-        |      [CAST(unicode(c) AS HUGEINT) FOR c IN string_split(t, '')]),
-        |      (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS HUGEINT))) AS hs
+        |    list_reduce(list_prepend(CAST(7 AS UHUGEINT),
+        |      [CAST(unicode(c) AS UHUGEINT) FOR c IN string_split(t, '')]),
+        |      (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS UHUGEINT))) AS hs
         |  FROM toks),
+        |mh AS (
+        |  SELECT doc_id, list_transform(list_transform(list_transform(hs,
+        |      h -> (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |           % CAST(18446744073709551616 AS UHUGEINT)),
+        |      h -> (xor(h, h >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |           % CAST(18446744073709551616 AS UHUGEINT)),
+        |      h -> xor(h, h >> 31)) AS hs
+        |  FROM th),
         |bits AS (
         |  SELECT doc_id, i,
         |    COALESCE(list_sum(list_transform(hs,
-        |      h -> CASE WHEN ((h >> CAST(i AS INT)) & 1) = 1 THEN 1 ELSE -1 END)), 0) AS acc
-        |  FROM th, range(0, 64) t(i)),
+        |      h -> CASE WHEN ((h >> CAST(i AS UHUGEINT)) & 1) = 1 THEN 1 ELSE -1 END)), 0) AS acc
+        |  FROM mh, range(0, 64) t(i)),
         |sigu AS (
         |  SELECT doc_id,
         |    sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << CAST(i AS INT)

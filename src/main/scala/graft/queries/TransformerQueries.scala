@@ -119,17 +119,28 @@ object TransformerQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // nnz = distinct polyHash64(token) mod 2048 buckets. 2048 divides 2⁶⁴,
-    // so the unsigned low bits equal the JVM's floorMod of the signed hash —
-    // no sign correction needed.
+    // nnz = distinct polyHash64Mixed(token) mod 2048 buckets. UHUGEINT poly
+    // fold + splitmix64 finalizer (three list_transform stages); the
+    // unsigned % matches the JVM's Long.remainderUnsigned.
     "tr01_hashed_tf" ->
-      """SELECT doc_id,
-        | CAST(len(list_distinct(list_transform(string_split(text, ' '),
-        |   t -> CAST(list_reduce(list_prepend(CAST(7 AS HUGEINT),
-        |          [CAST(unicode(c) AS HUGEINT) FOR c IN string_split(t, '')]),
-        |          (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS HUGEINT))
-        |        % 2048 AS BIGINT)))) AS INTEGER) AS nnz
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH t1 AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '), t ->
+        |    list_reduce(list_prepend(CAST(7 AS UHUGEINT),
+        |      [CAST(unicode(c) AS UHUGEINT) FOR c IN string_split(t, '')]),
+        |      (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS UHUGEINT))) AS hs
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, list_transform(list_transform(list_transform(hs,
+        |      h -> (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |           % CAST(18446744073709551616 AS UHUGEINT)),
+        |      h -> (xor(h, h >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |           % CAST(18446744073709551616 AS UHUGEINT)),
+        |      h -> xor(h, h >> 31)) AS hs
+        |  FROM t1)
+        |SELECT doc_id,
+        | CAST(len(list_distinct(list_transform(hs,
+        |   h -> CAST(h % 2048 AS BIGINT)))) AS INTEGER) AS nnz
+        |FROM t2 ORDER BY doc_id""".stripMargin,
 
     "tr04_fold_counts" ->
       """SELECT fold, count(*) AS n FROM (
