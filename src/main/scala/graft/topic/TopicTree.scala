@@ -217,6 +217,42 @@ object TopicTree {
       }
       this
     }
+
+    /** Clustering quality (reference ClusteringNode.scala:449-453 `GAP`):
+      * per-center distance `1 - cosine(center, strongest topword)` of the
+      * prototype topword to the running doc-mean, weighted by the center's
+      * affected-doc mass (the reference's pGAP × pScores/ΣpScores with
+      * pGAP recomputed against the CURRENT center — the stored observation
+      * score is stale once the running mean has moved). Centers that never
+      * earned a topword keep the reference's initial pGAP of 1.0; NaN when
+      * no center has any mass (callers map that to 0, as leafsGAP does). */
+    def gap: Double = {
+      var acc = 0.0
+      var mass = 0.0
+      var i = 0
+      while (i < k) {
+        if (counts(i) > 0) {
+          var best = -2.0
+          topTokens(i).foreach { case (_, v, _) =>
+            val c = VectorKernels.cosine(centers(i), v)
+            if (c > best) best = c
+          }
+          val g = if (best < -1.0) 1.0 else 1.0 - best
+          acc += g * counts(i)
+          mass += counts(i)
+        }
+        i += 1
+      }
+      if (mass == 0.0) Double.NaN else acc / mass
+    }
+
+    /** Fitted topword points across all centers — the analogue of the
+      * reference's `points.size` used by Node.betterThan's under-fit test. */
+    def topwordCount: Int = {
+      var n = 0; var i = 0
+      while (i < k) { n += topTokens(i).length; i += 1 }
+      n
+    }
   }
 
   /** A fitted/fitting node: spec + mutable state. */
@@ -310,6 +346,34 @@ object TopicTree {
     }
 
     def allNodes: Seq[Node] = this +: children.flatMap(_.allNodes).toSeq
+
+    /** Tree-level clustering GAP (reference Node.scala:128-134
+      * `clusteringGAP` + ClusteringNode.scala:455-464 `leafsGAP`): inner
+      * nodes sum their children; clustering LEAVES contribute their own
+      * mass-weighted gap (NaN/Inf → 0, as the reference maps them); other
+      * leaves contribute 0. */
+    def clusteringGAP: Double =
+      if (children.nonEmpty) children.map(_.clusteringGAP).sum
+      else if (cluster != null) {
+        val g = cluster.gap
+        if (g.isNaN || g.isInfinite) 0.0 else g
+      } else 0.0
+
+    /** Quality order between two fitted trees (reference Node.scala:
+      * 192-201): the tree with fewer under-fitted clustering nodes (< 2
+      * topword points) wins outright; otherwise the lower clusteringGAP
+      * wins. Used to pick the better of two independently fitted / merged
+      * trees. */
+    def betterThan(that: Node): Boolean = {
+      val thisGap = this.clusteringGAP
+      val thatGap = that.clusteringGAP
+      def emptyCount(n: Node): Int =
+        n.allNodes.count(x => x.cluster != null && x.cluster.topwordCount < 2)
+      val thisEmpty = emptyCount(this)
+      val thatEmpty = emptyCount(that)
+      (thisEmpty + thatEmpty > 0 && thisEmpty != thatEmpty) && thisEmpty < thatEmpty ||
+      (thisEmpty + thatEmpty == 0 || thisEmpty == thatEmpty) && thisGap < thatGap
+    }
   }
 
   /** The fitted tree handle. */
@@ -344,6 +408,13 @@ object TopicTree {
 
     /** Per-node hit counts (docs seen during fit). */
     def nodeHits: Seq[(String, Long)] = root.allNodes.map(n => (n.spec.name, n.hits))
+
+    /** Whole-tree clustering quality; lower is better (see
+      * [[Node.clusteringGAP]]). */
+    def clusteringGAP: Double = root.clusteringGAP
+
+    /** True when this fitted tree beats `that` (see [[Node.betterThan]]). */
+    def betterThan(that: Tree): Boolean = root.betterThan(that.root)
 
     /** Persist the complete fitted state as Spark JSON-lines datasets under
       * `path` (`nodes/`, `vocab/`) — the analogue of the reference's
@@ -397,7 +468,17 @@ object TopicTree {
         .map { case (c, (w, b)) => SavedSvm(c, w.toSeq, b) },
       analogyRefs = n.spec.analogyRefs.toSeq.sortBy(_._1)
         .map { case (c, (r, b)) => SavedAnalogyRef(c, r, b) },
-      metrics = n.metrics.toSeq.sortBy(_._1).map { case (k, v) => SavedMetric(k, v) })
+      metrics = {
+        // persist the node-local clustering gap alongside user metrics
+        // (reference serializes pGAP in its encoder, ClusteringNode.scala:53)
+        val withGap =
+          if (n.cluster == null) n.metrics
+          else {
+            val g = n.cluster.gap
+            n.metrics + ("gap" -> (if (g.isNaN || g.isInfinite) 0.0 else g))
+          }
+        withGap.toSeq.sortBy(_._1).map { case (k, v) => SavedMetric(k, v) }
+      })
     id
   }
 

@@ -49,6 +49,43 @@ class TopicTreeSpec extends AnyFunSuite {
     assert(medClass.head != sportClass.head, "clusters collapsed")
   }
 
+  test("clustering GAP: well-separated fit scores lower than a mixed one; betterThan agrees") {
+    // separated: pure-cluster docs -> each center's topwords sit on the
+    // center, so the mass-weighted gap (1 - cosine) is near zero
+    // repartition(2): single-doc partitions would leave every local state
+    // with one center, and the greedy merge then collapses the clusters
+    val separated = TopicTree.fit(
+      NodeSpec("root", Clustering, classes = Seq(0, 1)),
+      spark.createDataset((medDocs ++ sportDocs) ++ (medDocs ++ sportDocs))
+        .repartition(2))
+    // mixed: every doc straddles both vocab clusters -> centers land
+    // between them and every topword is far from its center
+    val mixedDocs = Seq(doc("disease", "goal"), doc("cancer", "match"),
+      doc("treatment", "team"), doc("chemo", "score"),
+      doc("disease", "match"), doc("cancer", "team"))
+    val mixed = TopicTree.fit(
+      NodeSpec("root", Clustering, classes = Seq(0, 1)),
+      spark.createDataset(mixedDocs ++ mixedDocs).repartition(2))
+    val gSep = separated.clusteringGAP
+    val gMix = mixed.clusteringGAP
+    assert(gSep >= 0.0 && gMix >= 0.0, s"gaps must be non-negative: $gSep, $gMix")
+    assert(gSep < gMix, s"separated gap $gSep should beat mixed gap $gMix")
+    assert(separated.betterThan(mixed) && !mixed.betterThan(separated))
+    // an under-fitted tree (no topword points) loses to a fitted one even
+    // if its raw gap is lower (the reference's empty-node precedence)
+    val unfitted = TopicTree.fit(
+      NodeSpec("root", Clustering, classes = Seq(0, 1)),
+      spark.emptyDataset[(Seq[String], Seq[Seq[Double]])])
+    assert(separated.betterThan(unfitted))
+    // the gap is persisted as a per-node metric in the saved form
+    val path = "/tmp/graft_test_tree_gap"
+    separated.save(spark, path)
+    val loaded = TopicTree.load(spark, path)
+    val savedGap = loaded.root.metrics.get("gap")
+    assert(savedGap.exists(g => math.abs(g - gSep) < 1e-12),
+      s"persisted gap $savedGap != computed $gSep")
+  }
+
   test("supervised node: LinearSVC from annotations classifies held-out docs") {
     val annotations = Seq(
       (Seq("disease", "treatment"), 0, true), (Seq("cancer", "chemo"), 0, true),
