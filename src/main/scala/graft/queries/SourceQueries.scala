@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType}
 import graft.Tables
 import graft.operators.{Similarity, Skew}
-import graft.sources.{Crawler, Shapefile}
+import graft.sources.{Crawler, Scratch, Shapefile}
 
 /** Round-3 source/scale queries: shapefile ingest round-trip, crawler BFS,
   * salted skew join, bucketed co-located join, IVF ANN. Each oracle computes
@@ -16,10 +16,10 @@ object SourceQueries {
 
   // Scoped by applicationId so two concurrent harness runs on the same
   // dataset can't race on SaveMode.Overwrite of a shared location or on
-  // shared catalog table names.
+  // shared catalog table names; Scratch's shutdown hook deletes the
+  // app-scoped roots and drops registered tables so runs don't accumulate.
   private def tmpDir(s: SparkSession, kind: String, d: String): String =
-    s"/tmp/graft_$kind/${s.sparkContext.applicationId}/" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
+    Scratch.dir(s, kind, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Shapefile ingest round-trip: nation rows become polygons + dbf
@@ -95,6 +95,8 @@ object SourceQueries {
       val tag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val (oTbl, liTbl) = (s"bk_orders_$tag", s"bk_lineitem_$tag")
+      Scratch.registerTable(s, oTbl)
+      Scratch.registerTable(s, liTbl)
       Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
         .write.mode(SaveMode.Overwrite)
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")

@@ -115,6 +115,47 @@ object TransformerQueries {
       T.lemmatize(docs, "tokens", lexicon)
         .select(col("doc_id"), array_join(col("lemmas"), " ").as("lemmatized"))
         .orderBy("doc_id")
+    }),
+
+    // Embedding text-format round trip (the reference's `word v1 v2 ...`
+    // vectors-source format, Word2VecApplier.scala:94-98): a deterministic
+    // 2-dim lexicon (token -> [len, 2*len]) is written as text lines, read
+    // back through the distributed EmbeddingText scan, and applied — so the
+    // whole write→parse→join path is hash-gated.
+    "tr09_text_embeddings" -> ((s, d) => {
+      val dir = graft.sources.Scratch.dir(s, "embtxt", d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      val lexicon = docs.select(explode(col("tokens")).as("token")).distinct()
+        .select(col("token"), array(
+          length(col("token")).cast("double"),
+          (length(col("token")) * 2).cast("double")).as("vector"))
+      graft.sources.EmbeddingText.write(lexicon, "token", "vector", dir)
+      T.applyWordVectors(docs, "tokens", graft.sources.EmbeddingText.read(s, dir))
+        .select(col("doc_id"),
+          element_at(col("doc_vector"), 1).cast("double").as("dim1"),
+          element_at(col("doc_vector"), 2).cast("double").as("dim2"),
+          col("hit_ratio").cast("double").as("hit_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // CSV scan with a non-default separator (the reference reads its track
+    // config via option("sep",";"), twitter/Execute.scala:30): part
+    // round-trips through a ';'-separated CSV — `tagged` embeds the
+    // separator itself so the writer's quoting and the reader's unquoting
+    // are both exercised. The oracle reads the original parquet, so the
+    // hash gate proves the round trip lossless.
+    "tr10_csv_scan" -> ((s, d) => {
+      val dir = graft.sources.Scratch.dir(s, "csv", d)
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_type"),
+          concat_ws(";", col("p_brand"), col("p_type")).as("tagged"))
+        .write.mode("overwrite").option("sep", ";").option("header", "true")
+        .csv(dir)
+      s.read.option("sep", ";").option("header", "true")
+        .schema("p_partkey INT, p_name STRING, p_type STRING, tagged STRING")
+        .csv(dir)
+        .orderBy("p_partkey")
     })
   )
 
@@ -252,6 +293,23 @@ object TransformerQueries {
         | array_to_string(list_transform(string_split(text, ' '),
         |   w -> CASE WHEN w LIKE '%s' AND length(w) > 3
         |             THEN substring(w, 1, length(w) - 1) ELSE w END), ' ') AS lemmatized
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the text-format lexicon maps every token to [len, 2*len], all tokens
+    // hit, and integer-valued doubles sum exactly in any order
+    "tr09_text_embeddings" ->
+      """SELECT doc_id,
+        | CAST(list_sum(list_transform(string_split(text, ' '),
+        |   w -> length(w))) AS DOUBLE) AS dim1,
+        | CAST(list_sum(list_transform(string_split(text, ' '),
+        |   w -> 2 * length(w))) AS DOUBLE) AS dim2,
+        | CAST(1.0 AS DOUBLE) AS hit_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // oracle reads the original parquet — equality proves the ';'-separated
+    // CSV round trip (incl. the quoted separator-bearing column) lossless
+    "tr10_csv_scan" ->
+      """SELECT p_partkey, p_name, p_type, p_brand || ';' || p_type AS tagged
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }

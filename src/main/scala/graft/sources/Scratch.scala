@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** App-scoped scratch locations (`/tmp/graft_<kind>/<appId>/...`) with
+  * end-of-JVM cleanup. Queries that stage files (shapefile round-trip,
+  * bucketed tables, CSV/embedding-text scans) write under a root handed out
+  * here; a single shutdown hook recursively deletes every root and drops
+  * every registered catalog table. The app-unique tag is what makes
+  * concurrent harness runs race-free, but it also means a later run can
+  * never identify an earlier run's leftovers — so cleanup has to happen at
+  * the end of the owning JVM, not lazily at the start of the next one. */
+object Scratch {
+  private val roots = scala.collection.mutable.LinkedHashSet.empty[String]
+  private val tables = scala.collection.mutable.LinkedHashSet.empty[(SparkSession, String)]
+  @volatile private var hooked = false
+
+  private def ensureHook(): Unit = if (!hooked) {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => cleanup()))
+    hooked = true
+  }
+
+  /** A per-(kind, app, tag) scratch dir, created on first use and deleted
+    * (whole app-scoped root) at JVM exit. */
+  def dir(s: SparkSession, kind: String, tag: String): String = synchronized {
+    ensureHook()
+    val root = s"/tmp/graft_$kind/${s.sparkContext.applicationId}"
+    roots += root
+    val d = s"$root/" + tag.replaceAll("[^A-Za-z0-9]", "_")
+    new java.io.File(d).mkdirs()
+    d
+  }
+
+  /** Register a catalog table for DROP at JVM exit (bucketed-join staging
+    * tables would otherwise accumulate in the metastore across runs). */
+  def registerTable(s: SparkSession, name: String): Unit = synchronized {
+    ensureHook()
+    tables += ((s, name))
+  }
+
+  private def cleanup(): Unit = synchronized {
+    tables.foreach { case (s, t) =>
+      try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () }
+    }
+    roots.foreach { r =>
+      try deleteRec(new java.io.File(r)) catch { case _: Throwable => () }
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete()
+    ()
+  }
+}

@@ -141,6 +141,20 @@ class SourceOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------------- ivf
 
+  test("embedding text format: write/read round trip, short and malformed lines dropped") {
+    val dir = graft.sources.Scratch.dir(spark, "embtxt_spec", "fixture")
+    val lex = Seq(("alpha", Seq(1.0, 2.0, 3.0)), ("beta", Seq(-0.5, 0.25, 4.0)))
+      .toDF("token", "vector")
+    graft.sources.EmbeddingText.write(lex, "token", "vector", dir)
+    // append a short line (1 coord) and a malformed one (non-numeric coord):
+    // both must be skipped, not crash the scan
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "extra.txt"),
+      "short 1.0\nbroken 1.0 x 2.0\n".getBytes)
+    val back = graft.sources.EmbeddingText.read(spark, dir)
+      .as[(String, Seq[Double])].collect().toMap
+    assert(back == Map("alpha" -> Seq(1.0, 2.0, 3.0), "beta" -> Seq(-0.5, 0.25, 4.0)))
+  }
+
   test("IVF ANN: recall >= 0.6 vs brute force top-3 on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where($"vec_id" < 30)
