@@ -28,6 +28,7 @@ object SparkEntry {
     * same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
+      graft.queries.FuzzyQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.TransformerQueries.oracleSql ++
       graft.queries.GeoStreamQueries.oracleSql ++

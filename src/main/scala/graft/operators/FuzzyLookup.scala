@@ -66,6 +66,11 @@ object FuzzyLookup {
     *                       folded into the candidate equi-join as extra hash
     *                       keys, so mismatching candidates are never
     *                       generated (not post-filtered)
+    * @param tieBreakCol    optional RIGHT column that breaks score ties in
+    *                       the top-K window (ascending) instead of the
+    *                       internal right row id — makes the chosen match
+    *                       independent of partition layout and therefore
+    *                       replayable by an external oracle
     */
   case class Options(
       maxLevDistance: Int = 0,
@@ -81,7 +86,8 @@ object FuzzyLookup {
       termWeights: Map[String, Double] = Map.empty,
       minTokenLikehood: Double = 0.4,
       topK: Int = 1,
-      filterCols: Seq[(String, String)] = Nil)
+      filterCols: Seq[(String, String)] = Nil,
+      tieBreakCol: Option[String] = None)
 
   private val tokUdf = udf((s: String) => TextKernels.tokenizeWithOffsets(s))
   private val levUdf = udf((a: String, b: String, bound: Int) =>
@@ -167,7 +173,8 @@ object FuzzyLookup {
     val exactCand = leftToks
       .join(rightIndexed, filterCond)
       .select(col("_qlid_"), col("_trid_"), col("qpos"), col("qstart"),
-        col("qend"), (col("_idf_") * acroBoost * col("_tw_")).as("_w_"))
+        col("qend"), col("qtok"),
+        (col("_idf_") * acroBoost * col("_tw_")).as("_w_"))
 
     // ---- candidates: SymSpell deletion-variant fuzzy join -----------------
     val cand =
@@ -187,18 +194,34 @@ object FuzzyLookup {
           .withColumn("_lev_", levUdf(col("qtok"), col("rtok"), lit(opts.maxLevDistance)))
           .where(col("_lev_") <= opts.maxLevDistance)
           .select(col("_qlid_"), col("_trid_"), col("qpos"), col("qstart"), col("qend"),
+            col("qtok"),
             (col("_idf_") * (lit(1.0) - col("_lev_") /
               greatest(length(col("qtok")), length(col("rtok")))) *
               lit(opts.fuzzyFactor) * col("_tw_")).as("_w_"))
         exactCand.unionByName(fuzzyCand)
       }
 
-    // best evidence per (left, right, query-token)
+    // best evidence per (left, right, query-token); the token itself rides
+    // along to become the matched span's `_tags_` (the reference returns
+    // `hit.ngram.terms` there, index/IndexStrategy.scala:170)
     val matched = cand.groupBy("_qlid_", "_trid_", "qpos")
       .agg(max(col("_w_")).as("_w_"), first(col("qstart")).as("qstart"),
-        first(col("qend")).as("qend"))
+        first(col("qend")).as("qend"), first(col("qtok")).as("qtok"))
 
     // ---- pair scoring: whole query, or best proximity cluster -------------
+    // Strategy "ngram" vs the reference (index/NgramStrategy.scala:113-195):
+    // the reference seeds at the best single n-gram and greedily expands
+    // left/right one step at a time while the score strictly improves — a
+    // LOCAL search that cannot leave its seed's contiguous run. This
+    // implementation instead scores every gap-bounded cluster of matched
+    // positions and takes the best, i.e. the GLOBAL optimum over candidate
+    // spans. They disagree exactly when a far-away single token outscores
+    // every seed-adjacent n-gram but a multi-token cluster elsewhere sums
+    // higher: the reference stops at its seed, this picks the higher-scoring
+    // cluster (FuzzyLookupSpec "ngram strategy beats the greedy seed" pins
+    // the case). Deliberate: same intent, strictly better objective, and
+    // one relational pass instead of an iterative per-row loop.
+    val tagsExpr = expr("transform(array_sort(_tagstructs_), x -> x.qtok)")
     val pairScores = opts.strategy match {
       case "ngram" =>
         // cluster matched query positions: a gap > nNgrams starts a new
@@ -212,15 +235,21 @@ object FuzzyLookup {
             wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         clustered.groupBy("_qlid_", "_trid_", "_cluster_")
           .agg(sum(col("_w_")).as("_raw_"), min(col("qstart")).as("_s_"),
-            max(col("qend")).as("_e_"))
+            max(col("qend")).as("_e_"),
+            collect_list(struct(col("qpos"), col("qtok"))).as("_tagstructs_"))
+          .withColumn("_tags0_", tagsExpr)
           .groupBy("_qlid_", "_trid_")
-          .agg(max(struct(col("_raw_"), col("_s_"), col("_e_"))).as("best"))
+          .agg(max(struct(col("_raw_"), col("_s_"), col("_e_"), col("_tags0_"))).as("best"))
           .select(col("_qlid_"), col("_trid_"), col("best._raw_").as("_raw_"),
-            col("best._s_").as("_s_"), col("best._e_").as("_e_"))
+            col("best._s_").as("_s_"), col("best._e_").as("_e_"),
+            col("best._tags0_").as("_tags0_"))
       case _ =>
         matched.groupBy("_qlid_", "_trid_")
           .agg(sum(col("_w_")).as("_raw_"), min(col("qstart")).as("_s_"),
-            max(col("qend")).as("_e_"))
+            max(col("qend")).as("_e_"),
+            collect_list(struct(col("qpos"), col("qtok"))).as("_tagstructs_"))
+          .withColumn("_tags0_", tagsExpr)
+          .drop("_tagstructs_")
     }
 
     // length normalization + optional popularity boost
@@ -234,16 +263,26 @@ object FuzzyLookup {
         .withColumn("_score_", col("_raw_") / sqrt(col("_doclen_")))
     }
 
-    val scored = popBoosted.where(col("_score_") >= opts.minScore)
+    val scored0 = popBoosted.where(col("_score_") >= opts.minScore)
 
     // ---- top-K per left row, deterministic --------------------------------
-    val wTop = Window.partitionBy("_qlid_")
-      .orderBy(col("_score_").desc, col("_trid_"))
+    // default tie-break: internal right row id (stable within a plan);
+    // tieBreakCol: a caller-named right column (stable across ANY layout —
+    // the oracle-replayable mode)
+    val scored = opts.tieBreakCol match {
+      case Some(tb) => scored0.join(
+        rightKeyed.select(col("_rid_").as("_tbrid_"), col(tb).as("_tb_")),
+        col("_trid_") === col("_tbrid_"))
+      case None => scored0
+    }
+    val wTop = Window.partitionBy("_qlid_").orderBy(
+      (Seq(col("_score_").desc) ++ opts.tieBreakCol.map(_ => col("_tb_")).toSeq :+
+        col("_trid_")): _*)
     val best = scored
       .withColumn("_rank_", row_number().over(wTop))
       .where(col("_rank_") <= opts.topK)
       .select(col("_qlid_"), col("_trid_"), col("_score_"),
-        col("_s_").as("_si_"), col("_e_").as("_ei_"))
+        col("_s_").as("_si_"), col("_e_").as("_ei_"), col("_tags0_"))
 
     // ---- stitch the full rows back (left outer ⇒ null padding) ------------
     // Qualified-by-alias references: the scoring subtree shares lineage with
@@ -255,7 +294,7 @@ object FuzzyLookup {
       .select(left.columns.map(c => col(s"GL.`$c`")) ++
         right.columns.map(c => col(s"GR.`$c`")) ++ Seq(
         col("_score_").cast(FloatType).as("_score_"),
-        lit(null).cast("array<string>").as("_tags_"),
+        col("_tags0_").as("_tags_"),
         col("_si_").cast(IntegerType).as("_startIndex_"),
         col("_ei_").cast(IntegerType).as("_endIndex_")): _*)
   }
@@ -271,7 +310,7 @@ object FuzzyLookup {
     val exploded = keyed.select(col("_laid_"),
       posexplode(col(arrayQueryCol)).as(Seq("_qi_", "_q_")))
     val matched = lookup(exploded, "_q_", right, textCol, opts)
-    val resCols = right.columns ++ Seq("_score_", "_startIndex_", "_endIndex_")
+    val resCols = right.columns ++ Seq("_score_", "_tags_", "_startIndex_", "_endIndex_")
     val packed = matched
       .groupBy("_laid_")
       .agg(array_sort(collect_list(struct(col("_qi_").as("_qi_"),
@@ -289,9 +328,9 @@ object FuzzyLookup {
                   textCol: String, opts: Options = Options()): DataFrame = {
     queryCols.foldLeft(left) { (acc, q) =>
       val res = lookup(acc, q, right, textCol, opts)
-      val resCols = right.columns ++ Seq("_score_", "_startIndex_", "_endIndex_")
+      val resCols = right.columns ++ Seq("_score_", "_tags_", "_startIndex_", "_endIndex_")
       res.withColumn(s"${q}_res", struct(resCols.map(col): _*))
-        .drop(resCols ++ Seq("_tags_"): _*)
+        .drop(resCols: _*)
     }
   }
 }

@@ -28,13 +28,18 @@ object Skew {
     require(saltBuckets > 0, "saltBuckets must be positive")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salting supports inner/left joins, not $joinType")
-    // fact side: one salt value per row. Note mono_id is NOT stable across
-    // stage retries (it encodes partition id + row order); that is fine here
-    // because correctness is salt-value-independent — dims are replicated to
-    // every salt bucket, so any salt a row lands on finds its match. The
-    // hash only needs to be uniform, not stable.
+    // fact side: one salt value per row, derived from the ROW CONTENT
+    // (xxhash64 over all columns), not from mono_id. A content hash is
+    // deterministic across stage retries; mono_id is not (it encodes
+    // partition id + row order), and under partial fetch-failure recompute
+    // some reducers would consume old map output and others regenerated
+    // output — a nondeterministic shuffle key can then duplicate or drop
+    // fact rows. Identical rows salting identically is harmless: dims are
+    // replicated to every bucket, so the join result is salt-independent,
+    // and uniformity across a hot KEY still holds whenever the non-key
+    // columns vary.
     val salted = facts.withColumn("_salt_",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(xxhash64(struct(facts.columns.map(col): _*)), lit(saltBuckets)))
     // dim side: replicate each row across all salt values
     val replicated = dims.withColumn("_salt_",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

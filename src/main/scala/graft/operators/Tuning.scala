@@ -39,8 +39,13 @@ object Tuning {
   def assignFoldsStable(df: DataFrame, numFolds: Int, keyCols: Seq[String],
                         seed: Long, foldCol: String = "fold"): DataFrame = {
     require(keyCols.nonEmpty, "assignFoldsStable needs explicit key columns")
+    // coalesce each key to an explicit sentinel: concat_ws silently SKIPS
+    // nulls, so ('a', NULL) and ('a') would collapse to the same fold key —
+    // a collision AND an engine divergence (SQL '||' propagates NULL). The
+    // sentinel embeds a separator so no non-null value can collide with it.
     val key = concat_ws("|",
-      keyCols.map(c => col(c).cast("string")) :+ lit(seed.toString): _*)
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("<|null|>"))) :+
+        lit(seed.toString): _*)
     val f = pmod(conv(substring(md5(key), 1, 15), 16, 10).cast("long"),
       lit(numFolds.toLong))
     df.withColumn(foldCol, f.cast("int"))

@@ -6,14 +6,19 @@ import graft.Tables
 import graft.operators.FuzzyLookup
 import graft.operators.FuzzyLookup.Options
 
-/** Driver-visible demo queries for the fuzzy lookup join (no DuckDB
-  * equivalent ⇒ rows-only check; semantic parity is asserted by
-  * FuzzyLookupSpec against the reference's own fixtures). */
+/** Driver-visible queries for the fuzzy lookup join. fz01 is hash-gated on
+  * MATCH IDENTITY (needle -> chosen p_partkey): with maxLevDistance=0 the
+  * scoring is pure token-join + idf/sqrt(doclen), which DuckDB replays
+  * exactly — only the float score itself is excluded from the compare.
+  * fz02 (subspan strategy) stays rows-only; semantic parity is asserted by
+  * FuzzyLookupSpec against the reference's own fixtures. */
 object FuzzyQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Standard strategy: noisy part descriptions (brand + type) resolved
-    // against the part catalog.
+    // against the part catalog. tieBreakCol makes score ties resolve on
+    // p_partkey (not the partition-dependent internal row id), which is
+    // what lets the DuckDB oracle replay the chosen row.
     "fz01_fuzzy_part_lookup" -> ((s, d) => {
       val part = Tables.part(s, d)
       val catalog = part.select(
@@ -22,9 +27,9 @@ object FuzzyQueries {
       val needles = part.select(
         concat_ws(" ", col("p_brand"), col("p_type")).as("needle")).distinct()
       FuzzyLookup.lookup(needles, "needle", catalog, "part_text",
-        Options(maxDfRatio = 0.5))
+        Options(maxDfRatio = 0.5, tieBreakCol = Some("p_partkey")))
         .where(col("part_text").isNotNull)
-        .select("needle", "p_partkey", "part_text", "_score_")
+        .select("needle", "p_partkey")
         .orderBy("needle", "p_partkey")
     }),
 
@@ -41,5 +46,54 @@ object FuzzyQueries {
         .select("doc_id", "title_id", "title", "_score_", "_startIndex_", "_endIndex_")
         .orderBy("doc_id")
     })
+  )
+
+  // Full replay of the exact-token scoring path: tokenize = lowercase +
+  // [a-z0-9]+ runs (the texts are ASCII, so accent folding is identity),
+  // idf = ln(1 + N/df) with the maxDfRatio=0.5 prune, doclen counted BEFORE
+  // the prune (as the Spark side does), evidence summed once per query
+  // position, score = raw/sqrt(doclen), ties broken on min p_partkey.
+  // Candidates whose every token is pruned produce no row on either side.
+  val oracleSql: Map[String, String] = Map(
+    "fz01_fuzzy_part_lookup" ->
+      """WITH cat AS (
+        |  SELECT p_partkey,
+        |         concat_ws(' ', p_brand, p_type, p_name) AS part_text
+        |  FROM part),
+        |needles AS (
+        |  SELECT DISTINCT concat_ws(' ', p_brand, p_type) AS needle FROM part),
+        |rtok AS (
+        |  SELECT p_partkey,
+        |         unnest(regexp_extract_all(lower(part_text), '[a-z0-9]+')) AS tok
+        |  FROM cat),
+        |doclen AS (SELECT p_partkey, count(*) AS dl FROM rtok GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM cat),
+        |idf AS (
+        |  SELECT tok, ln(1 + CAST(nd AS DOUBLE) / df) AS idf
+        |  FROM (SELECT tok, count(DISTINCT p_partkey) AS df
+        |        FROM rtok GROUP BY 1), n
+        |  WHERE CAST(df AS DOUBLE) / nd <= 0.5),
+        |qt AS (
+        |  SELECT needle, i AS qpos, toks[i] AS tok
+        |  FROM (SELECT needle,
+        |          regexp_extract_all(lower(needle), '[a-z0-9]+') AS toks
+        |        FROM needles), range(1, 64) t(i)
+        |  WHERE i <= len(toks)),
+        |ev AS (
+        |  SELECT DISTINCT q.needle, r.p_partkey, q.qpos, x.idf
+        |  FROM qt q
+        |  JOIN idf x ON x.tok = q.tok
+        |  JOIN (SELECT DISTINCT p_partkey, tok FROM rtok) r ON r.tok = q.tok),
+        |scored AS (
+        |  SELECT e.needle, e.p_partkey,
+        |         sum(e.idf) / sqrt(d.dl) AS score
+        |  FROM ev e JOIN doclen d ON d.p_partkey = e.p_partkey
+        |  GROUP BY e.needle, e.p_partkey, d.dl)
+        |SELECT needle, p_partkey FROM (
+        |  SELECT needle, p_partkey,
+        |         row_number() OVER (PARTITION BY needle
+        |                            ORDER BY score DESC, p_partkey) AS rn
+        |  FROM scored) t
+        |WHERE rn = 1 ORDER BY needle, p_partkey""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.DiscreteVectorClassifier
@@ -50,8 +51,12 @@ object TopicQueries {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(10)
+        // row_number over the same (n desc, bigram) order, NOT
+        // monotonically_increasing_id: the mono id encodes partition layout,
+        // so the index would change under repartitioning
         .select(lit("frequent").as("tag"),
-          (monotonically_increasing_id() + 1).cast("int").as("entityIndex"),
+          row_number().over(Window.orderBy(col("n").desc, col("bigram")))
+            .cast("int").as("entityIndex"),
           col("bigram").as("synonym"))
       graft.operators.EntityMatcher.matchEntities(docs, "doc_id", "tokens", entities)
         .groupBy("doc_id").agg(count(lit(1)).as("n_mentions"))

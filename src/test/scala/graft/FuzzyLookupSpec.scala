@@ -71,6 +71,46 @@ class FuzzyLookupSpec extends AnyFunSuite {
     assert(span.contains("Glasgow") && span.contains("Scotland"))
   }
 
+  test("1e: ngram strategy picks the globally best cluster where greedy expansion stops at its seed") {
+    // idf design: aa/bb/cc appear in 6 of 10 right docs (weak, idf=ln(1+10/6)
+    // ~0.98); zz only in the target (strong, idf=ln(11) ~2.40). The query
+    // matches the target at positions {0,1,2} (sum 2.94) and {7} (2.40),
+    // separated by a gap > nNgrams. The reference's greedy expansion
+    // (NgramStrategy.scala:113-195) seeds at the best single n-gram — zz,
+    // since any 2-gram of weak tokens sums to 1.96 < 2.40 — and cannot cross
+    // the unmatched gap, returning the zz span. The cluster formulation
+    // compares ALL gap-bounded clusters and returns the higher-scoring weak
+    // triple. This pins the deliberate divergence (see FuzzyLookup scaladoc).
+    val fillers = (1 to 5).map(i => s"aa bb cc f${i}a f${i}b f${i}c f${i}d f${i}e")
+    val right = (Seq("aa bb cc zz") ++ fillers).toDF("text")
+    val left = Seq("aa bb cc x1 x2 x3 x4 zz").toDF("query")
+    val out = FuzzyLookup.lookup(left, "query", right, "text",
+      Options(strategy = "ngram", nNgrams = 2))
+      .where(col("text").isNotNull)
+      .select("text", "_startIndex_", "_endIndex_", "_tags_")
+      .as[(String, Int, Int, Seq[String])].collect().toSeq
+    assert(out.length == 1)
+    val (text, s, e, tags) = out.head
+    assert(text == "aa bb cc zz")
+    // the winning cluster is the weak triple (chars 0..8), NOT zz (21..23)
+    assert((s, e) == (0, 8), s"span was [$s,$e)")
+    assert(tags == Seq("aa", "bb", "cc"), s"tags were $tags")
+  }
+
+  test("matched _tags_ carry the matched query terms; multi/array variants include them") {
+    val left = Seq("the Fort Worth city").toDF("query")
+    val right = Seq(("Fort Worth, TX", 1), ("Miami, FL", 2)).toDF("text", "id")
+    val out = FuzzyLookup.lookup(left, "query", right, "text")
+      .where(col("text").isNotNull)
+    val tags = out.select("_tags_").as[Seq[String]].collect().head
+    // reference semantics (IndexStrategy.scala:170): _tags_ = the matched
+    // span's terms in query order
+    assert(tags == Seq("fort", "worth"), s"tags were $tags")
+    val multi = FuzzyLookup.lookupMulti(left, Seq("query"), right, "text")
+    val mt = multi.select("query_res._tags_").as[Seq[String]].collect().head
+    assert(mt == Seq("fort", "worth"))
+  }
+
   test("fuzzy: maxLevDistance=1 matches typos via deletion variants") {
     val left = Seq("Glasgw", "Edinburgh").toDF("query")
     val right = Seq(("Glasgow", 1), ("London", 2)).toDF("text", "id")

@@ -102,6 +102,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row == again)
   }
 
+  test("multimodal: PNG decode extracts real pixel luminance, not byte noise") {
+    // 2x1 image, id=0: left pixel (r=0, g=0, b=0) lum 0; right pixel
+    // (r=255, g=0, b=1) lum 256/765. Strip pooling with dim=2 isolates them.
+    val png = Multimodal.pngBytes(0L, 2, 1)
+    val feats = Multimodal.decodeImageFeatures(png, 2)
+    assert(math.abs(feats(0) - 0.0f) < 1e-6, s"left strip ${feats(0)}")
+    assert(math.abs(feats(1) - 256.0 / 765.0) < 1e-6, s"right strip ${feats(1)}")
+    // the DataFrame path uses the same real decode for image/* mimes
+    val media = Multimodal.syntheticMedia(spark.range(0, 3).toDF("id"), "id")
+    val viaDf = Multimodal.extractFeatures(media, dim = 4)
+      .where($"media_id" === 1).select("features").as[Seq[Float]].collect().head
+    val direct = Multimodal.decodeImageFeatures(Multimodal.pngBytes(1L, 128, 128), 4)
+    assert(viaDf == direct.toSeq)
+    // red ramps left->right, so luminance strips must increase monotonically
+    assert(viaDf.sliding(2).forall(p => p(0) < p(1)), s"not a gradient: $viaDf")
+    // undecodable bytes -> null, not a crash
+    assert(Multimodal.decodeImageFeatures(Array[Byte](1, 2, 3), 4) == null)
+  }
+
   test("multimodal: frame sampling explodes n frames per media row") {
     val media = Multimodal.syntheticMedia(spark.range(0, 10).toDF("id"), "id")
     val frames = Multimodal.sampleFrames(media, nFrames = 4, dim = 8)
