@@ -63,13 +63,14 @@ object Multimodal {
   /** Deterministic media table derived from a seed column — stands in for
     * `spark.read.format("binaryFile")` in this container. The bytes are a
     * REAL PNG per row (decodable by any codec), sized by the same formulas
-    * the metadata advertises. */
+    * the metadata advertises (16-64 px: enough to exercise a real encoder
+    * and decoder without the fixture's deflate cost dominating a bench). */
   def syntheticMedia(df: DataFrame, idCol: String): DataFrame = df
     .select(col(idCol).cast(LongType).as("media_id"))
     .withColumn("meta", struct(
       lit("image/png").as("mime"),
-      (pmod(col("media_id"), lit(4)) * 64 + 64).cast(IntegerType).as("width"),
-      (pmod(col("media_id"), lit(3)) * 64 + 64).cast(IntegerType).as("height"),
+      (pmod(col("media_id"), lit(4)) * 16 + 16).cast(IntegerType).as("width"),
+      (pmod(col("media_id"), lit(3)) * 16 + 16).cast(IntegerType).as("height"),
       lit(null).cast(LongType).as("duration_ms")))
     .withColumn("bytes",
       pngUdf(col("media_id"), col("meta.width"), col("meta.height")))
@@ -88,11 +89,14 @@ object Multimodal {
     val (w, h) = (img.getWidth, img.getHeight)
     val sums = new Array[Double](dim)
     val counts = new Array[Long](dim)
+    // bulk getRGB: one array copy per image instead of w*h virtual calls —
+    // the difference between the decoder and the accessor dominating
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = px(y * w + x)
         val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / (3.0 * 255.0)
         val s = math.min(x * dim / w, dim - 1)
         sums(s) += lum

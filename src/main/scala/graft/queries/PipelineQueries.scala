@@ -362,7 +362,7 @@ object PipelineQueries {
     // plumbing is hash-gated end to end
     "mm01_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/png' AS mime,
-        | CAST((doc_id % 4) * 64 + 64 AS INTEGER) AS width, 16 AS feat_dim
+        | CAST((doc_id % 4) * 16 + 16 AS INTEGER) AS width, 16 AS feat_dim
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm02_frame_samples" ->

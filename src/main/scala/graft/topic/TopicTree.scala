@@ -174,46 +174,62 @@ object TopicTree {
     }
 
     /** Weighted merge of another partition's state (reference
-      * ClusteringNode.mergeWith). Greedy center alignment by cosine;
-      * topwords of aligned centers merge keeping the strongest. */
+      * ClusteringNode.mergeWith capability): center alignment by GLOBAL
+      * cosine order, with empty-slot adoption for poorly matching centers.
+      *
+      * The alignment matters at scale: with many small partitions a local
+      * state often has only ONE non-empty center, and a this-center-major
+      * greedy (each of my centers grabs the best remaining o-center) fuses
+      * unrelated clusters whenever the only candidate is a bad one —
+      * cascaded over a treeReduce, every cluster collapses into one. So
+      * pairs merge best-cosine-first, a pair below the same 0.75 closeness
+      * bar `affect` uses for seeding does NOT fuse while an empty slot can
+      * adopt the center instead, and only centers with nowhere else to go
+      * merge into a mismatched slot. */
     def mergeWith(o: ClusterState): ClusterState = {
-      val used = Array.fill(o.k)(false)
-      var i = 0
-      while (i < k) {
-        if (o.counts.exists(_ > 0)) {
-          // best unused center of `o` for centers(i)
-          var best = -1; var bestScore = -2.0
-          var j = 0
-          while (j < o.k) {
-            if (!used(j) && o.counts(j) > 0) {
-              val c = if (counts(i) == 0) 1.0 else VectorKernels.cosine(centers(i), o.centers(j))
-              if (c > bestScore) { best = j; bestScore = c }
-            }
-            j += 1
-          }
-          if (best >= 0) {
-            used(best) = true
-            val n1 = counts(i); val n2 = o.counts(best)
-            if (n2 > 0) {
-              val tot = n1 + n2
-              var d = 0
-              while (d < dim) {
-                centers(i)(d) = (centers(i)(d) * n1 + o.centers(best)(d) * n2) / tot
-                d += 1
-              }
-              counts(i) = tot
-            }
-            // merge topwords: union by token (max score), keep top N by
-            // (score desc, token) — deterministic regardless of merge order
-            val merged = (topTokens(i) ++ o.topTokens(best))
-              .groupBy(_._1).map(_._2.maxBy(_._3)).toSeq
-              .sortBy(t => (-t._3, t._1))
-              .take(maxTopWords)
-            topTokens(i).clear()
-            topTokens(i) ++= merged
-          }
+      val oNonEmpty = (0 until o.k).filter(o.counts(_) > 0)
+      val pairs = for {
+        i <- 0 until k if counts(i) > 0
+        j <- oNonEmpty
+      } yield (VectorKernels.cosine(centers(i), o.centers(j)), i, j)
+      val takenI = Array.fill(k)(false)
+      val assigned = collection.mutable.LinkedHashMap.empty[Int, Int] // j -> i
+      pairs.sortBy(p => (-p._1, p._2, p._3)).foreach { case (c, i, j) =>
+        if (!takenI(i) && !assigned.contains(j) && c >= 0.75) {
+          takenI(i) = true; assigned(j) = i
         }
-        i += 1
+      }
+      // unmatched o-centers adopt empty slots (ascending j: deterministic)
+      val emptySlots = collection.mutable.Queue((0 until k).filter(counts(_) == 0): _*)
+      oNonEmpty.filterNot(assigned.contains).foreach { j =>
+        if (emptySlots.nonEmpty) {
+          val i = emptySlots.dequeue(); takenI(i) = true; assigned(j) = i
+        }
+      }
+      // leftovers have nowhere better: weighted-mean into their best center
+      oNonEmpty.filterNot(assigned.contains).foreach { j =>
+        val pool0 = (0 until k).filterNot(takenI)
+        val pool = if (pool0.nonEmpty) pool0 else (0 until k)
+        assigned(j) = pool.maxBy(i =>
+          if (counts(i) == 0) 2.0 else VectorKernels.cosine(centers(i), o.centers(j)))
+      }
+      assigned.toSeq.sortBy(_._1).foreach { case (j, i) =>
+        val n1 = counts(i); val n2 = o.counts(j)
+        val tot = n1 + n2
+        var d = 0
+        while (d < dim) {
+          centers(i)(d) = (centers(i)(d) * n1 + o.centers(j)(d) * n2) / tot
+          d += 1
+        }
+        counts(i) = tot
+        // merge topwords: union by token (max score), keep top N by
+        // (score desc, token) — deterministic regardless of merge order
+        val merged = (topTokens(i) ++ o.topTokens(j))
+          .groupBy(_._1).map(_._2.maxBy(_._3)).toSeq
+          .sortBy(t => (-t._3, t._1))
+          .take(maxTopWords)
+        topTokens(i).clear()
+        topTokens(i) ++= merged
       }
       this
     }

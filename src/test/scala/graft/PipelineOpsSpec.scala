@@ -113,7 +113,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val media = Multimodal.syntheticMedia(spark.range(0, 3).toDF("id"), "id")
     val viaDf = Multimodal.extractFeatures(media, dim = 4)
       .where($"media_id" === 1).select("features").as[Seq[Float]].collect().head
-    val direct = Multimodal.decodeImageFeatures(Multimodal.pngBytes(1L, 128, 128), 4)
+    // media_id 1 -> width (1%4)*16+16 = 32, height (1%3)*16+16 = 32
+    val direct = Multimodal.decodeImageFeatures(Multimodal.pngBytes(1L, 32, 32), 4)
     assert(viaDf == direct.toSeq)
     // red ramps left->right, so luminance strips must increase monotonically
     assert(viaDf.sliding(2).forall(p => p(0) < p(1)), s"not a gradient: $viaDf")

@@ -86,6 +86,27 @@ class TopicTreeSpec extends AnyFunSuite {
       s"persisted gap $savedGap != computed $gSep")
   }
 
+  test("clustering survives single-doc partitions (merge adopts, not fuses, mismatched centers)") {
+    // 16 docs over 16 partitions: every local state has ONE non-empty
+    // center, so the reduce is a chain of 1-center merges — the case where
+    // a this-center-major greedy collapses med and sport into one cluster
+    val docs = spark.createDataset((medDocs ++ sportDocs) ++ (medDocs ++ sportDocs))
+      .repartition(16)
+    val tree = TopicTree.fit(
+      NodeSpec("root", Clustering, classes = Seq(0, 1)), docs)
+    val scored = tree.transform(spark.createDataset(medDocs ++ sportDocs))
+      .collect()
+      .map(r => (r.getSeq[String](r.fieldIndex("tokens")).head,
+        r.getAs[Map[Int, Double]]("classScores")))
+    val medClass = scored.filter(s => Set("disease", "cancer", "treatment").contains(s._1))
+      .map(_._2.maxBy(_._2)._1)
+    val sportClass = scored.filter(s => Set("goal", "team", "match").contains(s._1))
+      .map(_._2.maxBy(_._2)._1)
+    assert(medClass.distinct.length == 1 && sportClass.distinct.length == 1,
+      s"clusters split: med=${medClass.toSeq} sport=${sportClass.toSeq}")
+    assert(medClass.head != sportClass.head, "clusters collapsed under partition skew")
+  }
+
   test("supervised node: LinearSVC from annotations classifies held-out docs") {
     val annotations = Seq(
       (Seq("disease", "treatment"), 0, true), (Seq("cancer", "chemo"), 0, true),
