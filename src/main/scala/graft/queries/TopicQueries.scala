@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.DiscreteVectorClassifier
@@ -42,22 +41,27 @@ object TopicQueries {
     // Multi-leg entity mention detection over documents: the 10 most
     // frequent bigrams become 2-leg entities; mentions located per doc
     "en01_entity_mentions" -> ((s, d) => {
+      import s.implicits._
       val docs = Tables.documents(s, d).select(
         col("doc_id"), split(col("text"), " ").as("tokens"))
-      val entities = docs
+      // top-10 bigrams collected to the driver (bounded dictionary — the
+      // same pattern as the tag dictionary): keeps the aggregate under a
+      // TakeOrderedAndProject top-k heap, and the element INDEX is just the
+      // collected order — deterministic by (n desc, bigram), with no
+      // partition-layout mono_id and no global-sort window wrecking the
+      // limit fusion (a row_number here forced two full sort exchanges
+      // over every bigram group).
+      val top = docs
         .select(explode(expr(
           "transform(sequence(1, greatest(size(tokens) - 1, 1)), i -> slice(tokens, i, 2))"))
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(10)
-        // row_number over the same (n desc, bigram) order, NOT
-        // monotonically_increasing_id: the mono id encodes partition layout,
-        // so the index would change under repartitioning
-        .select(lit("frequent").as("tag"),
-          row_number().over(Window.orderBy(col("n").desc, col("bigram")))
-            .cast("int").as("entityIndex"),
-          col("bigram").as("synonym"))
+        .select("bigram").as[Seq[String]].collect()
+      val entities = top.zipWithIndex.toSeq
+        .map { case (bg, i) => ("frequent", i + 1, bg) }
+        .toDF("tag", "entityIndex", "synonym")
       graft.operators.EntityMatcher.matchEntities(docs, "doc_id", "tokens", entities)
         .groupBy("doc_id").agg(count(lit(1)).as("n_mentions"))
         .orderBy("doc_id")
