@@ -240,6 +240,12 @@ object Dedup {
     val docB = docs.select(col("_id_").as("id_b"),
       col("_grams_").as("_gb_"), col("_n_").as("_nb_"))
     candidates.join(docA, "id_a").join(docB, "id_b")
+      // AllPairs size filter (Bayardo et al. '07 §3.1): jaccard >= t forces
+      // t <= |A∩B|/(|A|+|B|-|A∩B|) <= min(|a|,|b|)/max(|a|,|b|), so pairs
+      // with incompatible gram-set sizes drop BEFORE the O(|a|+|b|)
+      // intersection — the verify stage's dominant cost on long documents
+      .where(least(col("_na_"), col("_nb_")) >=
+        ceil(greatest(col("_na_"), col("_nb_")) * minJaccard))
       .withColumn("_inter_", size(array_intersect(col("_ga_"), col("_gb_"))))
       .withColumn("jaccard",
         col("_inter_") / (col("_na_") + col("_nb_") - col("_inter_")))
