@@ -34,16 +34,19 @@ object FuzzyQueries {
     }),
 
     // Ngram strategy: locate short "titles" as subspans inside full document
-    // texts (the reference's NgramStrategy use case).
+    // texts (the reference's NgramStrategy use case). Match identity is
+    // hash-gated: gap-clustering is lag/cumsum over query positions, which
+    // DuckDB replays; only the float score and char spans are excluded.
     "fz02_fuzzy_subspan_titles" -> ((s, d) => {
       val docs = Tables.documents(s, d).where(col("doc_id") % 10 === 0)
       val titles = docs.where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("title_id"),
           array_join(slice(split(col("text"), " "), 1, 4), " ").as("title"))
       FuzzyLookup.lookup(docs.select("doc_id", "text"), "text", titles, "title",
-        Options(strategy = "ngram", nNgrams = 3, minScore = 0.5))
+        Options(strategy = "ngram", nNgrams = 3, minScore = 0.5,
+          tieBreakCol = Some("title_id")))
         .where(col("title").isNotNull)
-        .select("doc_id", "title_id", "title", "_score_", "_startIndex_", "_endIndex_")
+        .select("doc_id", "title_id")
         .orderBy("doc_id")
     })
   )
@@ -94,6 +97,65 @@ object FuzzyQueries {
         |         row_number() OVER (PARTITION BY needle
         |                            ORDER BY score DESC, p_partkey) AS rn
         |  FROM scored) t
-        |WHERE rn = 1 ORDER BY needle, p_partkey""".stripMargin
+        |WHERE rn = 1 ORDER BY needle, p_partkey""".stripMargin,
+
+    // Ngram-strategy replay: same tokenize/idf/doclen recipe as fz01
+    // (maxDfRatio defaults to 1.0 here — no prune), then per (doc, title)
+    // the matched query positions cluster wherever the gap exceeds
+    // nNgrams=3 (lag + running sum), the pair scores as its best cluster's
+    // idf sum / sqrt(title length), and the top-1 title per doc breaks
+    // score ties on title_id — mirroring the Spark side's tieBreakCol.
+    "fz02_fuzzy_subspan_titles" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |titles AS (
+        |  SELECT doc_id AS title_id,
+        |         array_to_string(string_split(text, ' ')[1:4], ' ') AS title
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |rtok AS (
+        |  SELECT title_id,
+        |         unnest(regexp_extract_all(lower(title), '[a-z0-9]+')) AS tok
+        |  FROM titles),
+        |doclen AS (SELECT title_id, count(*) AS dl FROM rtok GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM titles),
+        |idf AS (
+        |  SELECT tok, ln(1 + CAST(nd AS DOUBLE) / df) AS idf
+        |  FROM (SELECT tok, count(DISTINCT title_id) AS df
+        |        FROM rtok GROUP BY 1), n),
+        |qt AS (
+        |  SELECT doc_id, i AS qpos, toks[i] AS tok
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |        FROM docs), range(1, 4096) t(i)
+        |  WHERE i <= len(toks)),
+        |m AS (
+        |  SELECT DISTINCT q.doc_id, r.title_id, q.qpos, x.idf
+        |  FROM qt q
+        |  JOIN idf x ON x.tok = q.tok
+        |  JOIN (SELECT DISTINCT title_id, tok FROM rtok) r ON r.tok = q.tok),
+        |gaps AS (
+        |  SELECT doc_id, title_id, qpos, idf,
+        |    CASE WHEN qpos - lag(qpos) OVER (PARTITION BY doc_id, title_id
+        |                                     ORDER BY qpos) > 3
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |cl AS (
+        |  SELECT doc_id, title_id, qpos, idf,
+        |    sum(brk) OVER (PARTITION BY doc_id, title_id ORDER BY qpos
+        |                   ROWS UNBOUNDED PRECEDING) AS cluster
+        |  FROM gaps),
+        |rawc AS (
+        |  SELECT doc_id, title_id, cluster, sum(idf) AS raw
+        |  FROM cl GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT r.doc_id, r.title_id, max(r.raw) / sqrt(d.dl) AS score
+        |  FROM rawc r JOIN doclen d ON d.title_id = r.title_id
+        |  GROUP BY r.doc_id, r.title_id, d.dl)
+        |SELECT doc_id, title_id FROM (
+        |  SELECT doc_id, title_id,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, title_id) AS rn
+        |  FROM sc WHERE score >= 0.5) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }
