@@ -111,6 +111,22 @@ class FuzzyLookupSpec extends AnyFunSuite {
     assert(mt == Seq("fort", "worth"))
   }
 
+  test("tieBreakCol: chosen match is identical across right-side partition layouts") {
+    // two right rows with IDENTICAL text tie exactly; with tieBreakCol the
+    // winner must be the lower id regardless of how the right side is laid
+    // out (the internal row-id tie-break is partition-dependent)
+    val left = Seq("alpha beta").toDF("query")
+    val right = Seq((7, "alpha beta"), (3, "alpha beta"), (9, "unrelated words"))
+      .toDF("id", "text")
+    Seq(right, right.repartition(13), right.repartition(1).orderBy(col("id").desc))
+      .foreach { r =>
+        val hit = FuzzyLookup.lookup(left, "query", r, "text",
+          Options(tieBreakCol = Some("id")))
+          .where(col("text").isNotNull).select("id").as[Int].collect().toSeq
+        assert(hit == Seq(3), s"tie went to $hit under a different layout")
+      }
+  }
+
   test("fuzzy: maxLevDistance=1 matches typos via deletion variants") {
     val left = Seq("Glasgw", "Edinburgh").toDF("query")
     val right = Seq(("Glasgow", 1), ("London", 2)).toDF("text", "id")

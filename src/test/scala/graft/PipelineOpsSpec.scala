@@ -181,6 +181,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!scrubbed.contains("www.") && !scrubbed.contains("https"))
   }
 
+  test("polyHash64Mixed: every bit position is balanced over a token corpus") {
+    // the r4 regression: raw polyHash64 left bits >= ~34 constant for short
+    // tokens, collapsing SimHash's high pigeonhole block into one bucket.
+    // Guard: over a realistic short-token vocabulary, every one of the 64
+    // bit positions must actually vary (and roughly balance).
+    val tokens = (for {
+      a <- 'a' to 'z'; b <- 'a' to 'z'
+    } yield s"$a$b") ++ Seq("the", "quick", "brown", "fox", "engine", "data")
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = graft.functions.TextKernels.polyHash64Mixed(t)
+      (0 until 64).foreach(i => if (((h >>> i) & 1L) == 1L) counts(i) += 1)
+    }
+    val n = tokens.size
+    (0 until 64).foreach { i =>
+      val ratio = counts(i).toDouble / n
+      assert(ratio > 0.35 && ratio < 0.65,
+        s"bit $i set in ${counts(i)}/$n tokens — not avalanched")
+    }
+  }
+
   test("text kernels: simplify folds accents, bounded levenshtein is exact") {
     assert(TextKernels.simplify("Crème Brûlée Œuvre") == "creme brulee oeuvre")
     assert(TextKernels.boundedLevenshtein("kitten", "sitting", 3) == 3)
