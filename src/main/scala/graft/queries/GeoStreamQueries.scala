@@ -94,6 +94,37 @@ object GeoStreamQueries {
         .select(col("window.start").as("day"), col("o_orderstatus"),
           col("n_orders"), col("daily_total").cast("double").as("daily_total"))
         .orderBy("day", "o_orderstatus")
+    }),
+
+    // Stateful streaming exact-dedup via flatMapGroupsWithState: documents
+    // arrive over 4 micro-batches (range-partitioned by doc_id, part-file
+    // mtimes stamped so FileStreamSource's (modTime, path) order follows
+    // doc_id), each sighting emits (keep, dupIndex), state carries the
+    // per-hash count ACROSS batches. Oracle = batch row_number replay —
+    // valid precisely because arrival order is pinned to doc_id order.
+    "sm02_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val stage = s"/tmp/graft_stream_stage/${d.replaceAll("[^A-Za-z0-9]", "_")}/documents"
+      if (!graft.sources.Checkpoint.exists(s, stage)) {
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartitionByRange(4, col("doc_id"))
+          .write.mode("overwrite").parquet(stage)
+        // parallel-written parts can land with out-of-order mtimes; stamp
+        // them in name order so micro-batch order == doc_id-range order
+        new java.io.File(stage).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            f.setLastModified(1700000000000L + i * 60000L)
+          }
+      }
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+      val decisions = Streams.dedupDecisions(
+        stream.select(col("doc_id"), col("text")).as[(Long, String)])
+      Streams.runToMemory(decisions.toDF(), "sm02_sink", outputMode = "append")
+        .select(col("docId"), col("textHash"), col("keep"),
+          col("dupIndex").cast(IntegerType).as("dupIndex"))
+        .orderBy("docId")
     })
   )
 
@@ -160,6 +191,16 @@ object GeoStreamQueries {
       """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
         | o_orderstatus, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS daily_total
-        |FROM orders GROUP BY 1, 2 ORDER BY day, o_orderstatus""".stripMargin
+        |FROM orders GROUP BY 1, 2 ORDER BY day, o_orderstatus""".stripMargin,
+
+    // batch replay of the streaming dedup: first sighting by doc_id keeps,
+    // later sightings carry their 0-based duplicate index
+    "sm02_stream_dedup" ->
+      """SELECT doc_id AS docId, md5(text) AS textHash,
+        |       rn = 1 AS keep, CAST(rn - 1 AS INTEGER) AS dupIndex
+        |FROM (SELECT doc_id, text,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM documents) t
+        |ORDER BY docId""".stripMargin
   )
 }

@@ -65,6 +65,47 @@ object Streams {
       .parquet(path)
   }
 
+  /** One streaming-dedup verdict: was this document the first sighting of
+    * its content hash, and how many sightings preceded it? */
+  case class DedupDecision(docId: Long, textHash: String, keep: Boolean,
+                           dupIndex: Int)
+
+  /** Stateful streaming exact-dedup with OBSERVABLE decisions — the
+    * LLM-ingest case `dropDuplicates` can't express: instead of silently
+    * dropping repeats, every document yields a (keep, dupIndex) record, so
+    * the pipeline can both filter (keep) and meter duplication rates from
+    * the same stream. State per content hash = sightings count, held in
+    * `flatMapGroupsWithState` (the custom-state primitive; the count makes
+    * the state genuinely richer than dropDuplicates' presence-bit).
+    *
+    * Scale notes: state is one Long per distinct hash, partitioned by the
+    * hash itself — the same state-store sharding dropDuplicates uses. For
+    * unbounded corpora compose with a watermark-based TTL (the state-store
+    * provider evicts) or run periodic batch compaction; within-batch order
+    * is made deterministic by sorting each group's sightings by docId. */
+  def dedupDecisions(docs: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[DedupDecision] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .map { case (id, text) =>
+        val hash = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (hash, id)
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (hash: String, rows: Iterator[(String, Long)], state: GroupState[Long]) => {
+          val seen = state.getOption.getOrElse(0L)
+          val batch = rows.map(_._2).toArray.sorted
+          state.update(seen + batch.length)
+          batch.iterator.zipWithIndex.map { case (id, i) =>
+            DedupDecision(id, hash, keep = seen + i == 0, dupIndex = (seen + i).toInt)
+          }
+        })
+  }
+
   /** Run a streaming DataFrame to completion against bounded input via the
     * memory sink; returns the materialized result. Test/verify harness —
     * `processAllAvailable` drives every pending micro-batch synchronously. */

@@ -66,6 +66,34 @@ class GeoStreamSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00", "b", 1L, 3.0)))
   }
 
+  test("streaming dedup: flatMapGroupsWithState keeps first sighting across micro-batches") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val decisions = Streams.dedupDecisions(in.toDS())
+    val name = s"dd_${System.nanoTime()}"
+    spark.catalog.dropTempView(name)
+    val q = decisions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // batch 1: two distinct texts + an in-batch duplicate
+    in.addData((1L, "hello world"), (2L, "other text"), (3L, "hello world"))
+    q.processAllAvailable()
+    // batch 2: a CROSS-batch duplicate (state must remember batch 1) + new
+    in.addData((4L, "hello world"), (5L, "fresh content"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name)
+      .select("docId", "keep", "dupIndex")
+      .as[(Long, Boolean, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, true, 0),   // first sighting
+      (2L, true, 0),
+      (3L, false, 1),  // in-batch duplicate
+      (4L, false, 2),  // cross-batch duplicate: state carried over
+      (5L, true, 0)))
+  }
+
   test("flattenHierarchy denormalizes ancestor paths") {
     val nodes = Seq(
       (1L, None: Option[Long], "root"),
