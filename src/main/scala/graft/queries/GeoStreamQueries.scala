@@ -75,8 +75,10 @@ object GeoStreamQueries {
     "sm01_stream_daily_orders" -> ((s, d) => {
       val src = s"$d/orders.parquet"
       // stage into a landing directory (file-stream sources consume dirs):
-      // repartition(4) gives the source several files = several micro-batches
-      val stage = s"/tmp/graft_stream_stage/${d.replaceAll("[^A-Za-z0-9]", "_")}/orders"
+      // repartition(4) gives the source several files = several micro-batches.
+      // App-scoped (Scratch): a shared path would race a concurrent harness
+      // run's overwrite against this run's stream read
+      val stage = s"${graft.sources.Scratch.dir(s, "stream_stage", d)}/orders"
       if (!graft.sources.Checkpoint.exists(s, stage)) {
         s.read.parquet(src).repartition(4).write.mode("overwrite").parquet(stage)
       }
@@ -104,7 +106,7 @@ object GeoStreamQueries {
     // valid precisely because arrival order is pinned to doc_id order.
     "sm02_stream_dedup" -> ((s, d) => {
       import s.implicits._
-      val stage = s"/tmp/graft_stream_stage/${d.replaceAll("[^A-Za-z0-9]", "_")}/documents"
+      val stage = s"${graft.sources.Scratch.dir(s, "stream_stage", d)}/documents"
       if (!graft.sources.Checkpoint.exists(s, stage)) {
         Tables.documents(s, d).select(col("doc_id"), col("text"))
           .repartitionByRange(4, col("doc_id"))
