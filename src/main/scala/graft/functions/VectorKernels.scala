@@ -119,4 +119,31 @@ object VectorKernels extends Serializable {
     }
     sig
   }
+
+  /** ENGINE-PORTABLE sign signature: plane components are Rademacher ±1
+    * signs drawn from the bits of `mix64(seed + table·1000003 + b)` — one
+    * mixed long per (table, bit-plane), component d using bit (d mod 64).
+    * Rademacher planes satisfy the sign-LSH hyperplane property like
+    * Gaussians do (standard practice), and every step — the mix, the bit
+    * test, the ascending-order double accumulation of float components —
+    * is replayable in plain SQL, so LSH bucketing itself can be
+    * oracle-gated (see the ann02 oracle). For dim > 64 the signs repeat
+    * with period 64; at the 64-dim embeddings here each component gets an
+    * independent bit. */
+  def rademacherSignature(v: Array[Float], seed: Long, nBits: Int, table: Int): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      val h = TextKernels.mix64(seed + table * 1000003L + b)
+      var s = 0.0
+      var d = 0
+      while (d < v.length) {
+        if (((h >>> (d & 63)) & 1L) == 1L) s += v(d) else s -= v(d)
+        d += 1
+      }
+      if (s > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
 }

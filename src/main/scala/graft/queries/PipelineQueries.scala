@@ -63,7 +63,8 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- similarity search: LSH ANN path (rows-only; recall tested) --------
+    // ---- similarity search: LSH ANN path (oracle-gated: portable
+    // Rademacher planes -> DuckDB replays bucketing AND rerank) ------------
     "ann02_knn_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // short signatures + many tables: the synthetic embeddings are
@@ -71,8 +72,10 @@ object PipelineQueries {
       // case); real clustered embeddings would use 12-16 bits per table
       Similarity.lshTopK(
         emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
-        k = 3, dim = 64, bitsPerTable = 4, nTables = 16)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        k = 3, dim = 64, bitsPerTable = 4, nTables = 16,
+        portablePlanes = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast(IntegerType).as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -296,6 +299,56 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full LSH replay: per (table, bit-plane) one mixed long (splitmix64 of
+    // seed + t*1000003 + b), plane component d = ±1 from bit (d mod 64),
+    // dot accumulated ascending-d in DOUBLE (bit-identical to the JVM
+    // kernel's float-widening loop), bucket = packed sign bits, candidate
+    // equi-join on (table, bucket), exact cosine rerank (same recipe the
+    // ann01 oracle uses), top-3 with neighbor_id tie-break.
+    "ann02_knn_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings),
+        |ph AS (
+        |  SELECT t, b, p3 AS h FROM (
+        |    SELECT t, b,
+        |      (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |    FROM (SELECT t, b, CAST(42 + t * 1000003 + b AS UHUGEINT) AS p0
+        |          FROM range(0, 16) tt(t), range(0, 4) bb(b))) q1,
+        |  LATERAL (SELECT (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |                  % CAST(18446744073709551616 AS UHUGEINT) AS p2) q2,
+        |  LATERAL (SELECT xor(p2, p2 >> 31) AS p3) q3),
+        |dots AS (
+        |  SELECT v.vec_id, p.t, p.b,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [CASE WHEN ((p.h >> CAST((d - 1) % 64 AS UHUGEINT)) & 1) = 1
+        |            THEN CAST(v.embedding[d] AS DOUBLE)
+        |            ELSE -CAST(v.embedding[d] AS DOUBLE) END
+        |       FOR d IN range(1, len(v.embedding) + 1)]),
+        |      (a, x) -> a + x) AS dot
+        |  FROM e v, ph p),
+        |sig AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+        |ed AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM e)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY cd.query_id
+        |      ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, cd.neighbor_id)
+        |    AS INTEGER) AS rank
+        |  FROM cand cd
+        |  JOIN ed qe ON qe.vec_id = cd.query_id
+        |  JOIN ed ce ON ce.vec_id = cd.neighbor_id) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "ann01_knn_bruteforce" ->
       """WITH e AS (

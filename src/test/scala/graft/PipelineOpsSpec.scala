@@ -69,6 +69,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.5, s"LSH recall was $recall")
+    // the engine-portable Rademacher-plane mode (ann02's oracle-gated path)
+    // must hold the same recall floor as the Gaussian planes
+    val portable = Similarity.lshTopK(q, emb, "vec_id", "embedding", 3,
+      dim = 64, bitsPerTable = 4, nTables = 16, portablePlanes = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pRecall = exact.count(portable.contains).toDouble / exact.size
+    assert(pRecall >= 0.5, s"portable-plane LSH recall was $pRecall")
   }
 
   test("language id: stopword-profile heuristic identifies common languages") {
