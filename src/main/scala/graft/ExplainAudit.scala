@@ -20,7 +20,9 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q02_revenue_by_nation",
         "q06_forecast_revenue", "q11_top3_orders_per_customer",
-        "fz01_fuzzy_part_lookup", "dd05_ngram_jaccard_pairs")
+        "fz01_fuzzy_part_lookup", "fz02_fuzzy_subspan_titles",
+        "dd03_minhash_pairs", "dd04_simhash_pairs",
+        "dd05_ngram_jaccard_pairs", "ann02_knn_lsh", "en01_entity_mentions")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
