@@ -139,6 +139,28 @@ object PipelineQueries {
         .orderBy("media_id", "frame_index")
     }),
 
+    // ---- composite: training-mix curation (oracle-able) --------------------
+    // The end-to-end curation shape a data pipeline runs before training:
+    // exact-dedup keep-first -> BPE-ish token counting -> per-language
+    // running token budget (docs admitted in doc_id order until the
+    // language's budget is spent) -> per-language rollup. Every stage is a
+    // shuffle-native op already gated on its own; this gates the
+    // COMPOSITION.
+    "pp01_training_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val deduped = Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+      val counted = deduped.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      counted.withColumn("cum_tokens", sum(col("bpe_tokens")).over(w))
+        .where(col("cum_tokens") <= 10000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe_tokens")).as("tokens"),
+          max(col("cum_tokens")).as("budget_used"))
+        .orderBy("lang")
+    }),
+
     // ---- text analysis: full annotate (UDF surface; rows-only) -------------
     "ts04_annotate" -> ((s, d) => {
       TextAnalysis.annotate(Tables.documents(s, d), "text")
@@ -377,6 +399,30 @@ object PipelineQueries {
         |   list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
         |   w -> (length(w) + 3) // 4)) AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pp01_training_mix" ->
+      """WITH dd AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) t
+        |  WHERE rn = 1),
+        |tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+        |      w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe
+        |  FROM dd),
+        |cum AS (
+        |  SELECT doc_id, lang, bpe,
+        |    sum(bpe) OVER (PARTITION BY lang ORDER BY doc_id
+        |                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM tok)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(bpe) AS BIGINT) AS tokens,
+        |       CAST(max(cum_tokens) AS BIGINT) AS budget_used
+        |FROM cum WHERE cum_tokens <= 10000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "ts03_lang_rollup" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
