@@ -145,7 +145,11 @@ object PipelineQueries {
     // running token budget (docs admitted in doc_id order until the
     // language's budget is spent) -> per-language rollup. Every stage is a
     // shuffle-native op already gated on its own; this gates the
-    // COMPOSITION.
+    // COMPOSITION. Scale note: partitionBy(lang) makes the running sum one
+    // sequential pass per language — fine for a demo corpus, but at 100 TB
+    // the same admission policy is run as quota splitting (per-shard token
+    // pre-aggregate, allocate per-shard quotas from the budget, then filter
+    // shard-locally) so no single task scans a whole language.
     "pp01_training_mix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val deduped = Dedup.exact(Tables.documents(s, d), "text", "doc_id")
