@@ -222,6 +222,14 @@ object FuzzyLookup {
     // the case). Deliberate: same intent, strictly better objective, and
     // one relational pass instead of an iterative per-row loop.
     val tagsExpr = expr("transform(array_sort(_tagstructs_), x -> x.qtok)")
+    // ORDERED summation, not sum(): float addition is non-associative and a
+    // hash-agg's stream order is partition-dependent, so two pairs with the
+    // same multiset of weights could score last-ulp apart and defeat the
+    // tie-break (and any external replay). Folding the weights in ascending
+    // qpos order makes every pair's score bit-deterministic — mathematical
+    // ties are exact FP ties, on any engine that folds in the same order.
+    val rawExpr = expr(
+      "aggregate(array_sort(_wstructs_), 0D, (a, x) -> a + x._w_)")
     val pairScores = opts.strategy match {
       case "ngram" =>
         // cluster matched query positions: a gap > nNgrams starts a new
@@ -234,9 +242,10 @@ object FuzzyLookup {
           .withColumn("_cluster_", sum(col("_gap_")).over(
             wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         clustered.groupBy("_qlid_", "_trid_", "_cluster_")
-          .agg(sum(col("_w_")).as("_raw_"), min(col("qstart")).as("_s_"),
-            max(col("qend")).as("_e_"),
+          .agg(collect_list(struct(col("qpos"), col("_w_"))).as("_wstructs_"),
+            min(col("qstart")).as("_s_"), max(col("qend")).as("_e_"),
             collect_list(struct(col("qpos"), col("qtok"))).as("_tagstructs_"))
+          .withColumn("_raw_", rawExpr)
           .withColumn("_tags0_", tagsExpr)
           .groupBy("_qlid_", "_trid_")
           .agg(max(struct(col("_raw_"), col("_s_"), col("_e_"), col("_tags0_"))).as("best"))
@@ -245,11 +254,12 @@ object FuzzyLookup {
             col("best._tags0_").as("_tags0_"))
       case _ =>
         matched.groupBy("_qlid_", "_trid_")
-          .agg(sum(col("_w_")).as("_raw_"), min(col("qstart")).as("_s_"),
-            max(col("qend")).as("_e_"),
+          .agg(collect_list(struct(col("qpos"), col("_w_"))).as("_wstructs_"),
+            min(col("qstart")).as("_s_"), max(col("qend")).as("_e_"),
             collect_list(struct(col("qpos"), col("qtok"))).as("_tagstructs_"))
+          .withColumn("_raw_", rawExpr)
           .withColumn("_tags0_", tagsExpr)
-          .drop("_tagstructs_")
+          .drop("_wstructs_", "_tagstructs_")
     }
 
     // length normalization + optional popularity boost

@@ -83,8 +83,11 @@ object Multimodal {
   def decodeImageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     if (bytes == null) return null
     val img =
+      // NonFatal, not just IOException: ImageIO readers surface corrupt
+      // chunk data as IllegalArgument/IndexOutOfBounds/NegativeArraySize
+      // wrappers too, and the quarantine contract must hold for all of them
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val (w, h) = (img.getWidth, img.getHeight)
     val sums = new Array[Double](dim)

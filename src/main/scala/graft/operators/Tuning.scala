@@ -39,12 +39,18 @@ object Tuning {
   def assignFoldsStable(df: DataFrame, numFolds: Int, keyCols: Seq[String],
                         seed: Long, foldCol: String = "fold"): DataFrame = {
     require(keyCols.nonEmpty, "assignFoldsStable needs explicit key columns")
-    // coalesce each key to an explicit sentinel: concat_ws silently SKIPS
-    // nulls, so ('a', NULL) and ('a') would collapse to the same fold key —
-    // a collision AND an engine divergence (SQL '||' propagates NULL). The
-    // sentinel embeds a separator so no non-null value can collide with it.
+    // concat_ws silently SKIPS nulls, so ('a', NULL) and ('a') would
+    // collapse to the same fold key — a collision AND an engine divergence
+    // (SQL '||' propagates NULL). Values are escaped (\ -> \\, | -> \|)
+    // BEFORE joining on '|', which makes the joined key injective in the
+    // key tuple and makes the bare-pipe NULL sentinel unrepresentable by
+    // any real value — without escaping, a literal "<|null|>" string or a
+    // '|' inside a key would still collide.
+    def esc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c.cast("string"),
+        lit("\\\\"), lit("\\\\\\\\")), lit("\\|"), lit("\\\\|"))
     val key = concat_ws("|",
-      keyCols.map(c => coalesce(col(c).cast("string"), lit("<|null|>"))) :+
+      keyCols.map(c => coalesce(esc(col(c)), lit("<|null|>"))) :+
         lit(seed.toString): _*)
     val f = pmod(conv(substring(md5(key), 1, 15), 16, 10).cast("long"),
       lit(numFolds.toLong))

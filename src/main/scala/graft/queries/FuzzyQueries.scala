@@ -89,7 +89,9 @@ object FuzzyQueries {
         |  JOIN (SELECT DISTINCT p_partkey, tok FROM rtok) r ON r.tok = q.tok),
         |scored AS (
         |  SELECT e.needle, e.p_partkey,
-        |         sum(e.idf) / sqrt(d.dl) AS score
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list(e.idf ORDER BY e.qpos)), (a, x) -> a + x)
+        |           / sqrt(d.dl) AS score
         |  FROM ev e JOIN doclen d ON d.p_partkey = e.p_partkey
         |  GROUP BY e.needle, e.p_partkey, d.dl)
         |SELECT needle, p_partkey FROM (
@@ -145,7 +147,9 @@ object FuzzyQueries {
         |                   ROWS UNBOUNDED PRECEDING) AS cluster
         |  FROM gaps),
         |rawc AS (
-        |  SELECT doc_id, title_id, cluster, sum(idf) AS raw
+        |  SELECT doc_id, title_id, cluster,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(idf ORDER BY qpos)), (a, x) -> a + x) AS raw
         |  FROM cl GROUP BY 1, 2, 3),
         |sc AS (
         |  SELECT r.doc_id, r.title_id, max(r.raw) / sqrt(d.dl) AS score

@@ -112,8 +112,10 @@ object GeoStreamQueries {
           .repartitionByRange(4, col("doc_id"))
           .write.mode("overwrite").parquet(stage)
         // parallel-written parts can land with out-of-order mtimes; stamp
-        // them in name order so micro-batch order == doc_id-range order
-        new java.io.File(stage).listFiles()
+        // them in name order so micro-batch order == doc_id-range order.
+        // java.io.File is fine here because Scratch roots are /tmp-local by
+        // construction; a remote-FS stage would need FileSystem.setTimes
+        Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.startsWith("part-")).sortBy(_.getName)
           .zipWithIndex.foreach { case (f, i) =>
             f.setLastModified(1700000000000L + i * 60000L)

@@ -31,9 +31,16 @@ object EmbeddingText {
 
   /** Writer counterpart (round-trips through [[read]]): one line per token,
     * coordinates space-joined. Doubles print via Spark's cast-to-string, so
-    * a write→read round trip is value-exact. */
+    * a write→read round trip is value-exact. Rejects vectors the reader's
+    * `size > 2` line filter (reference parity) would silently drop — a
+    * 1-dim lexicon must fail loudly at write, not vanish at read. */
   def write(df: DataFrame, tokenCol: String, vectorCol: String, path: String): Unit =
-    df.select(concat_ws(" ", col(tokenCol),
+    df.withColumn(vectorCol,
+        when(size(col(vectorCol)) < 2, raise_error(lit(
+          s"EmbeddingText.write: vectors must have >= 2 dims (the text " +
+            s"format's reader drops shorter lines)")))
+          .otherwise(col(vectorCol)))
+      .select(concat_ws(" ", col(tokenCol),
         concat_ws(" ", expr(s"transform($vectorCol, x -> cast(x AS string))")))
         .as("value"))
       .write.mode("overwrite").text(path)

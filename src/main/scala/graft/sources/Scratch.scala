@@ -31,8 +31,12 @@ object Scratch {
     d
   }
 
-  /** Register a catalog table for DROP at JVM exit (bucketed-join staging
-    * tables would otherwise accumulate in the metastore across runs). */
+  /** Register a catalog table for a best-effort DROP at JVM exit. The hook
+    * races Spark's own shutdown (a stopped context makes the DROP a no-op,
+    * swallowed below), but the harness catalog is in-memory — entries die
+    * with the JVM regardless — and the tables' DATA files live under a
+    * registered Scratch root, so the file-delete path below is what
+    * actually reclaims the space. */
   def registerTable(s: SparkSession, name: String): Unit = synchronized {
     ensureHook()
     tables += ((s, name))

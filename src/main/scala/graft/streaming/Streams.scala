@@ -89,10 +89,18 @@ object Streams {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .map { case (id, text) =>
-        val hash = java.security.MessageDigest.getInstance("MD5")
-          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        (hash, id)
+      // mapPartitions: one digest instance + table-driven hex per partition,
+      // not a provider lookup and 32 format() boxings per document
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = "0123456789abcdef".toCharArray
+        it.map { case (id, text) =>
+          md.reset()
+          val d = md.digest(text.getBytes("UTF-8"))
+          val sb = new StringBuilder(32)
+          d.foreach { b => sb.append(hex((b >> 4) & 0xF)); sb.append(hex(b & 0xF)) }
+          (sb.toString, id)
+        }
       }
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

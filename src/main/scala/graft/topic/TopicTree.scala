@@ -381,14 +381,15 @@ object TopicTree {
       * wins. Used to pick the better of two independently fitted / merged
       * trees. */
     def betterThan(that: Node): Boolean = {
-      val thisGap = this.clusteringGAP
-      val thatGap = that.clusteringGAP
       def emptyCount(n: Node): Int =
         n.allNodes.count(x => x.cluster != null && x.cluster.topwordCount < 2)
       val thisEmpty = emptyCount(this)
       val thatEmpty = emptyCount(that)
-      (thisEmpty + thatEmpty > 0 && thisEmpty != thatEmpty) && thisEmpty < thatEmpty ||
-      (thisEmpty + thatEmpty == 0 || thisEmpty == thatEmpty) && thisGap < thatGap
+      // lexicographic (emptyCount, gap) — algebraically identical to the
+      // reference's longer guard expression; gaps evaluate lazily so the
+      // empty-count-decided case skips two tree walks
+      thisEmpty < thatEmpty ||
+        (thisEmpty == thatEmpty && this.clusteringGAP < that.clusteringGAP)
     }
   }
 
