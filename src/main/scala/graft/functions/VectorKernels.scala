@@ -127,17 +127,21 @@ object VectorKernels extends Serializable {
     * Gaussians do (standard practice), and every step — the mix, the bit
     * test, the ascending-order double accumulation of float components —
     * is replayable in plain SQL, so LSH bucketing itself can be
-    * oracle-gated (see the ann02 oracle). For dim > 64 the signs repeat
-    * with period 64; at the 64-dim embeddings here each component gets an
-    * independent bit. */
+    * oracle-gated (see the ann02 oracle). Dims beyond 64 draw from further
+    * mixed longs (one per 64-dim chunk; chunk 0 is the base value, so
+    * 64-dim signatures — and the ann02 oracle — are unchanged), keeping
+    * every component sign independent at any dimensionality. */
   def rademacherSignature(v: Array[Float], seed: Long, nBits: Int, table: Int): Long = {
     var sig = 0L
     var b = 0
     while (b < nBits) {
-      val h = TextKernels.mix64(seed + table * 1000003L + b)
+      val base = seed + table * 1000003L + b
+      var h = TextKernels.mix64(base)
       var s = 0.0
       var d = 0
       while (d < v.length) {
+        if (d > 0 && (d & 63) == 0)
+          h = TextKernels.mix64(base + 2654435761L * (d >>> 6))
         if (((h >>> (d & 63)) & 1L) == 1L) s += v(d) else s -= v(d)
         d += 1
       }
