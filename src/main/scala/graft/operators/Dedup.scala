@@ -35,8 +35,9 @@ object Dedup {
   // MinHash + LSH
   // ---------------------------------------------------------------------
 
-  /** Modulus for the per-slot universal hash family: 2³¹−1 (prime), small
-    * enough that (2i+1)·base_p never overflows a Long in either engine. */
+  /** Modulus for the per-slot Kirsch–Mitzenmacher family `(b₁ + i·b₂) mod
+    * p`: 2³¹−1 (prime), small enough that the largest intermediate
+    * b₁ + i·b₂ ≤ 64·(p−1) < 2³⁷ fits a signed Long in both engines. */
   private val MinhashP = 2147483647L
 
   /** Word-shingle MinHash signature (public technique: Broder '97 minwise

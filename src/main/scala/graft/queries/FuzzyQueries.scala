@@ -77,11 +77,11 @@ object FuzzyQueries {
         |        FROM rtok GROUP BY 1), n
         |  WHERE CAST(df AS DOUBLE) / nd <= 0.5),
         |qt AS (
-        |  SELECT needle, i AS qpos, toks[i] AS tok
+        |  SELECT needle, generate_subscripts(toks, 1) AS qpos,
+        |         unnest(toks) AS tok
         |  FROM (SELECT needle,
         |          regexp_extract_all(lower(needle), '[a-z0-9]+') AS toks
-        |        FROM needles), range(1, 64) t(i)
-        |  WHERE i <= len(toks)),
+        |        FROM needles)),
         |ev AS (
         |  SELECT DISTINCT q.needle, r.p_partkey, q.qpos, x.idf
         |  FROM qt q
@@ -125,11 +125,11 @@ object FuzzyQueries {
         |  FROM (SELECT tok, count(DISTINCT title_id) AS df
         |        FROM rtok GROUP BY 1), n),
         |qt AS (
-        |  SELECT doc_id, i AS qpos, toks[i] AS tok
+        |  SELECT doc_id, generate_subscripts(toks, 1) AS qpos,
+        |         unnest(toks) AS tok
         |  FROM (SELECT doc_id,
         |          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |        FROM docs), range(1, 4096) t(i)
-        |  WHERE i <= len(toks)),
+        |        FROM docs)),
         |m AS (
         |  SELECT DISTINCT q.doc_id, r.title_id, q.qpos, x.idf
         |  FROM qt q

@@ -118,7 +118,12 @@ object GeoStreamQueries {
         Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.startsWith("part-")).sortBy(_.getName)
           .zipWithIndex.foreach { case (f, i) =>
-            f.setLastModified(1700000000000L + i * 60000L)
+            // the oracle's row_number replay is only valid if micro-batch
+            // order follows doc_id order, which this stamp pins — a failed
+            // stamp must abort staging, not silently corrupt the contract
+            require(f.setLastModified(1700000000000L + i * 60000L),
+              s"sm02 staging: setLastModified failed for $f; " +
+                "micro-batch order would not be pinned to doc_id order")
           }
       }
       val schema = s.read.parquet(stage).schema

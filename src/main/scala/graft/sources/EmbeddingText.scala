@@ -36,9 +36,12 @@ object EmbeddingText {
     * 1-dim lexicon must fail loudly at write, not vanish at read. */
   def write(df: DataFrame, tokenCol: String, vectorCol: String, path: String): Unit =
     df.withColumn(vectorCol,
-        when(size(col(vectorCol)) < 2, raise_error(lit(
-          s"EmbeddingText.write: vectors must have >= 2 dims (the text " +
-            s"format's reader drops shorter lines)")))
+        // isNull must be explicit: size(NULL) is NULL, which would fall
+        // through when() to otherwise() and the token-only line would then
+        // vanish silently at read — the exact failure this guard exists for
+        when(col(vectorCol).isNull || size(col(vectorCol)) < 2, raise_error(lit(
+          s"EmbeddingText.write: vectors must be non-null with >= 2 dims " +
+            s"(the text format's reader drops shorter lines)")))
           .otherwise(col(vectorCol)))
       .select(concat_ws(" ", col(tokenCol),
         concat_ws(" ", expr(s"transform($vectorCol, x -> cast(x AS string))")))
