@@ -205,21 +205,28 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    // persisted: `grams` feeds the df-count AND the per-doc aggregation;
-    // `docs` (groupBy + join + sort-heavy agg) is referenced by the prefix
-    // explode and BOTH sides of the verification join. Unpersisted, Spark
-    // recomputed the gram explosion ~5x and the doc agg 3x (34% of the
-    // round-1 bench in this one operator). At cluster scale the same role
-    // is played by a checkpoint/staging write.
-    val grams = df.select(col(idCol).as("_id_"),
+    // tokenize ONCE per row before the gram lambda: with split() inlined in
+    // the transform body Catalyst re-evaluates it per gram position —
+    // O(tokens²) splits per document, quadratic in document length
+    val grams = df
+      .select(col(idCol).as("_id_"), split(col(textCol), " ").as("_w_"))
+      .select(col("_id_"),
         explode(expr(
-          s"array_distinct(transform(sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)), i -> array_join(slice(split($textCol, ' '), i, $n), ' ')))"))
+          s"array_distinct(transform(sequence(1, greatest(size(_w_) - ${n - 1}, 1)), i -> array_join(slice(_w_, i, $n), ' ')))"))
           .as("_gram_"))
-      .persist()
-    val gramDf = grams.groupBy("_gram_").agg(count(lit(1)).as("_df_"))
     // per doc: grams sorted by (global df, gram) — rare first; prefix length
-    // chosen so that two docs with jaccard >= t MUST overlap in the prefix
-    val docs = grams.join(gramDf, "_gram_")
+    // chosen so that two docs with jaccard >= t MUST overlap in the prefix.
+    // Global df via a count window, not groupBy+join-back: one gram-keyed
+    // shuffle instead of two (the aggregate side AND a re-shuffle of the
+    // gram stream for the join) — at 100 TB that join's probe side is the
+    // full gram stream, so halving the gram-keyed shuffle volume is the
+    // difference that matters.
+    // `docs` is persisted: it feeds the prefix explode and BOTH sides of
+    // the verification join; unpersisted, Spark recomputes the gram
+    // explosion + window ~3x. At cluster scale the same role is played by
+    // a checkpoint/staging write.
+    val docs = grams
+      .withColumn("_df_", count(lit(1)).over(Window.partitionBy("_gram_")))
       .groupBy("_id_")
       .agg(expr("transform(array_sort(collect_list(struct(_df_, _gram_))), x -> x._gram_)")
         .as("_grams_"))

@@ -76,11 +76,12 @@ object GeoStreamQueries {
       val src = s"$d/orders.parquet"
       // stage into a landing directory (file-stream sources consume dirs):
       // repartition(4) gives the source several files = several micro-batches.
-      // App-scoped (Scratch): a shared path would race a concurrent harness
-      // run's overwrite against this run's stream read
-      val stage = s"${graft.sources.Scratch.dir(s, "stream_stage", d)}/orders"
-      if (!graft.sources.Checkpoint.exists(s, stage)) {
-        s.read.parquet(src).repartition(4).write.mode("overwrite").parquet(stage)
+      // Shared across runs (the stage is a pure function of the sf dir);
+      // sharedDir's build-then-atomic-rename keeps concurrent harness runs
+      // race-free without re-paying the staging write per app run
+      val stage = graft.sources.Scratch.sharedDir("stream_stage",
+        s"sm01_orders_v1_$d") { tmp =>
+        s.read.parquet(src).repartition(4).write.mode("overwrite").parquet(tmp)
       }
       val schema = s.read.parquet(stage).schema
       val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
@@ -92,7 +93,7 @@ object GeoStreamQueries {
         .groupBy(window(col("o_orderdate"), "1 day"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("daily_total"))
-      Streams.runToMemory(agg, "sm01_sink", outputMode = "complete")
+      Streams.runToMemory(agg, "sm01_sink", outputMode = "complete", statePartitions = Some(8))
         .select(col("window.start").as("day"), col("o_orderstatus"),
           col("n_orders"), col("daily_total").cast("double").as("daily_total"))
         .orderBy("day", "o_orderstatus")
@@ -106,16 +107,19 @@ object GeoStreamQueries {
     // valid precisely because arrival order is pinned to doc_id order.
     "sm02_stream_dedup" -> ((s, d) => {
       import s.implicits._
-      val stage = s"${graft.sources.Scratch.dir(s, "stream_stage", d)}/documents"
-      if (!graft.sources.Checkpoint.exists(s, stage)) {
+      // Shared across runs like sm01's stage; mtimes are stamped inside the
+      // build (rename preserves them), so a published stage is always fully
+      // ordered before any reader can see it
+      val stage = graft.sources.Scratch.sharedDir("stream_stage",
+        s"sm02_documents_v1_$d") { tmp =>
         Tables.documents(s, d).select(col("doc_id"), col("text"))
           .repartitionByRange(4, col("doc_id"))
-          .write.mode("overwrite").parquet(stage)
+          .write.mode("overwrite").parquet(tmp)
         // parallel-written parts can land with out-of-order mtimes; stamp
         // them in name order so micro-batch order == doc_id-range order.
         // java.io.File is fine here because Scratch roots are /tmp-local by
         // construction; a remote-FS stage would need FileSystem.setTimes
-        Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty)
+        Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.startsWith("part-")).sortBy(_.getName)
           .zipWithIndex.foreach { case (f, i) =>
             // the oracle's row_number replay is only valid if micro-batch
@@ -130,7 +134,7 @@ object GeoStreamQueries {
       val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
       val decisions = Streams.dedupDecisions(
         stream.select(col("doc_id"), col("text")).as[(Long, String)])
-      Streams.runToMemory(decisions.toDF(), "sm02_sink", outputMode = "append")
+      Streams.runToMemory(decisions.toDF(), "sm02_sink", outputMode = "append", statePartitions = Some(8))
         .select(col("docId"), col("textHash"), col("keep"),
           col("dupIndex").cast(IntegerType).as("dupIndex"))
         .orderBy("docId")

@@ -118,19 +118,35 @@ object Streams {
     * memory sink; returns the materialized result. Test/verify harness —
     * `processAllAvailable` drives every pending micro-batch synchronously. */
   def runToMemory(streamed: DataFrame, name: String,
-                  outputMode: String = "append"): DataFrame = {
+                  outputMode: String = "append",
+                  statePartitions: Option[Int] = None): DataFrame = {
     val spark = streamed.sparkSession
     // deterministic names must be re-runnable in one session: clear any
     // previous run's memory-sink temp view before re-registering it
     spark.catalog.dropTempView(name)
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // streaming state parallelism is locked in at query start from
+    // spark.sql.shuffle.partitions, and every micro-batch then pays one
+    // state-store task (open + delta write + commit) PER partition — at 32
+    // partitions x N batches that fixed overhead dwarfs small-state queries.
+    // statePartitions sizes it to the state, scoped to this query only
+    // (batch queries keep the session setting); a real deployment sizes it
+    // once per stream to state-volume / partition-budget the same way.
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.getOption(key)
+    statePartitions.foreach(p => spark.conf.set(key, p))
+    try {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      if (statePartitions.isDefined)
+        saved.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
     spark.table(name)
   }
 }
