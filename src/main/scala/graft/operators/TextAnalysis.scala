@@ -96,6 +96,53 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher-style repetition metrics (Rae et al. '21 §A1.1, public):
+    * duplicate-token / duplicate-n-gram fractions and the fraction of the
+    * document covered by its single most frequent bigram. Pure higher-order
+    * `functions` Columns — codegen'd, per-row, shuffle-free; the
+    * most-frequent-gram scan is O(distinct·total) per row, bounded by
+    * document length (pipelines chunk pathological documents upstream).
+    * Documents shorter than the gram width degrade to one whole-document
+    * gram (same convention as [[Dedup.ngramJaccardPairs]]). */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("_w_"))
+      .withColumn("_g2_", expr(
+        "transform(sequence(1, greatest(size(_w_) - 1, 1)), i -> array_join(slice(_w_, i, 2), ' '))"))
+      .withColumn("_g3_", expr(
+        "transform(sequence(1, greatest(size(_w_) - 2, 1)), i -> array_join(slice(_w_, i, 3), ' '))"))
+      .select(
+        col(idCol),
+        size(col("_w_")).as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("_w_"))).cast("double") / size(col("_w_")))
+          .as("dup_token_frac"),
+        (lit(1.0) - size(array_distinct(col("_g2_"))).cast("double") / size(col("_g2_")))
+          .as("dup_bigram_frac"),
+        (lit(1.0) - size(array_distinct(col("_g3_"))).cast("double") / size(col("_g3_")))
+          .as("dup_trigram_frac"),
+        (expr("array_max(transform(array_distinct(_g2_), g -> size(filter(_g2_, x -> x = g))))")
+          .cast("double") / size(col("_g2_"))).as("top_bigram_frac"))
+
+  /** Email pattern kept within the regex subset Java (Spark) and RE2
+    * (DuckDB oracle) interpret identically — no lookarounds, no \p classes. */
+  val EmailRe = "[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** TPC-H-style phone shape `NN-NNN-NNN-NNNN`; \b is the ASCII word
+    * boundary both engines share. */
+  val PhoneRe = "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrubbing (C4-style pre-training hygiene, public): replace emails
+    * and phone numbers with typed placeholder tokens and count what was
+    * redacted (the metering a compliance pipeline reports). Emails scrub
+    * FIRST so the phone pass can never match digits inside an address that
+    * was already collapsed to `<EMAIL>`. Per-row regex — shuffle-free. */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn(s"${textCol}_scrubbed",
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+
   /** Convenience: annotate a document DataFrame with all analysis cols. */
   def annotate(df: DataFrame, textCol: String): DataFrame = df
     .withColumn("lang_pred", langIdUdf(col(textCol)))

@@ -172,6 +172,53 @@ object PipelineQueries {
           "stopword_ratio", "repetition_ratio", "quality", "bpe_tokens",
           "fingerprint")
         .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: Gopher-style repetition metrics (oracle-able) ------
+    "ts05_repetition_stats" -> ((s, d) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dup_token_frac"), 6).as("dup_token_frac_r"),
+          round(col("dup_bigram_frac"), 6).as("dup_bigram_frac_r"),
+          round(col("dup_trigram_frac"), 6).as("dup_trigram_frac_r"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac_r"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: PII scrub with redaction metering (oracle-able) ----
+    // Input synthesized from customer so the corpus actually CONTAINS
+    // emails/phones; both regexes live in the Java/RE2-shared subset so the
+    // scrub replays exactly in DuckDB
+    "ts06_pii_scrub" -> ((s, d) => {
+      // the synthetic customer table has no phone column; derive a TPC-H
+      // shaped one from the key (digit widths pinned by the arithmetic)
+      val phone = concat_ws("-",
+        (lit(10) + pmod(col("c_custkey"), lit(90))).cast("string"),
+        (lit(100) + pmod(col("c_custkey"), lit(900))).cast("string"),
+        (lit(100) + pmod(col("c_custkey") * 7, lit(900))).cast("string"),
+        (lit(1000) + pmod(col("c_custkey") * 13, lit(9000))).cast("string"))
+      val txt = Tables.customer(s, d).select(col("c_custkey"),
+        concat_ws(" ", lit("contact"), lower(col("c_name")), lit("at"),
+          concat(lower(col("c_name")), lit("@example.com")), lit("or"),
+          phone, lit("ref"), col("c_mktsegment")).as("text"))
+      TextAnalysis.scrubPii(txt, "text")
+        .select("c_custkey", "n_emails", "n_phones", "text_scrubbed")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- decontamination: train-vs-benchmark n-gram overlap (oracle-able) --
+    // benchmark = every 100th doc; trigram overlap >= 3 flags a train doc.
+    // The word-salad corpus has real duplicates (dd03/dd05 find them), so
+    // the flagged set is non-trivial
+    "dc01_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.where(col("doc_id") % 100 === 7)
+      val train = docs.where(col("doc_id") % 100 =!= 7)
+      graft.operators.Contamination.overlapReport(
+          train, "doc_id", "text", bench, "text", n = 3, minOverlap = 3)
+        .where(col("contaminated"))
+        .select("doc_id", "n_grams", "n_overlap")
+        .orderBy("doc_id")
     })
   )
 
@@ -531,6 +578,86 @@ object PipelineQueries {
         |      (acc, x) -> (31 * acc + x) % CAST(18446744073709551616 AS HUGEINT)) AS h
         |  FROM b2) b
         |JOIN pred p ON b.doc_id = p.doc_id
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Repetition metrics replay: same gram construction as the Spark side
+    // (short docs degrade to one whole-doc gram), most-frequent-bigram scan
+    // as a nested-lambda list comprehension
+    "ts05_repetition_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, w,
+        |    [array_to_string(w[i:i+1], ' ')
+        |       FOR i IN range(1, greatest(len(w) - 1, 1) + 1)] AS g2,
+        |    [array_to_string(w[i:i+2], ' ')
+        |       FOR i IN range(1, greatest(len(w) - 2, 1) + 1)] AS g3
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+        |    AS dup_token_frac_r,
+        |  round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+        |    AS dup_bigram_frac_r,
+        |  round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+        |    AS dup_trigram_frac_r,
+        |  round(CAST(list_max([len(list_filter(g2, x -> x = gg))
+        |               FOR gg IN list_distinct(g2)]) AS DOUBLE) / len(g2), 6)
+        |    AS top_bigram_frac_r
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // PII scrub replay: identical regexes (Java/RE2-shared subset), DuckDB
+    // needs the 'g' flag to match Spark's replace-all default
+    "ts06_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    concat_ws(' ', 'contact', lower(c_name), 'at',
+        |      lower(c_name) || '@example.com', 'or',
+        |      concat_ws('-', CAST(10 + c_custkey % 90 AS VARCHAR),
+        |        CAST(100 + c_custkey % 900 AS VARCHAR),
+        |        CAST(100 + (c_custkey * 7) % 900 AS VARCHAR),
+        |        CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR)),
+        |      'ref', c_mktsegment) AS text
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INTEGER)
+        |    AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')
+        |    AS text_scrubbed
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
+    // Decontamination replay: distinct trigrams per train doc vs the
+    // benchmark's whole distinct gram set, inner-join overlap count
+    "dc01_decontaminate" ->
+      """WITH tr AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id % 100 <> 7),
+        |bn AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id % 100 = 7),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ')
+        |       FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+        |  FROM tr),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ')
+        |       FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+        |  FROM bn),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n_overlap
+        |  FROM tg t JOIN bg b ON b.gram = t.gram GROUP BY 1)
+        |SELECT s.doc_id, s.n_grams, h.n_overlap
+        |FROM sizes s JOIN hits h ON h.doc_id = s.doc_id
+        |WHERE h.n_overlap >= 3 ORDER BY s.doc_id""".stripMargin
   )
 }

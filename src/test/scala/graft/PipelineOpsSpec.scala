@@ -215,4 +215,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(TextKernels.boundedLevenshtein("abc", "xyz", 1) == 2) // capped at bound+1
     assert(TextKernels.deletionVariants("abc", 1).toSet == Set("abc", "bc", "ac", "ab"))
   }
+
+  test("repetition stats: known fractions on a hand-built document") {
+    // "a b a b a" -> tokens 5 (2 distinct), bigrams [a b, b a, a b, b a]
+    // (dup frac 0.5, top bigram 'a b' covers 2/4), trigrams
+    // [a b a, b a b, a b a] (dup frac 1/3)
+    val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Int, Double, Double, Double, Double)].collect()
+    assert(r(0) == ((1L, 5, 1.0 - 2.0 / 5, 0.5, 1.0 - 2.0 / 3, 0.5)))
+    assert(r(1) == ((2L, 3, 0.0, 0.0, 0.0, 0.5))) // top bigram 1 of 2
+  }
+
+  test("pii scrub replaces emails then phones and meters both") {
+    val df = Seq((1L, "mail a.b+c@test.org or 12-345-678-9012 now"),
+                 (2L, "nothing to redact")).toDF("id", "text")
+    val r = TextAnalysis.scrubPii(df, "text")
+      .select("id", "n_emails", "n_phones", "text_scrubbed")
+      .orderBy("id").as[(Long, Int, Int, String)].collect()
+    assert(r(0) == ((1L, 1, 1, "mail <EMAIL> or <PHONE> now")))
+    assert(r(1) == ((2L, 0, 0, "nothing to redact")))
+  }
+
+  test("contamination: overlap counts distinct shared n-grams per train doc") {
+    val train = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val bench = Seq("z z a b c d z", "unrelated words here").toDF("text")
+    val r = graft.operators.Contamination
+      .overlapReport(train, "doc_id", "text", bench, "text", n = 3, minOverlap = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_overlap", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // doc 1 shares trigrams "a b c" and "b c d" with the benchmark
+    assert(r(0) == ((1L, 3L, 2L, true)))
+    assert(r(1) == ((2L, 3L, 0L, false)))
+  }
 }
