@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextKernels
+
+/** Deterministic corpus sampling for training-data mixing (public
+  * technique: temperature-based multinomial source re-weighting as used in
+  * multilingual/ multi-corpus pretraining recipes; the α=0.5 "square-root
+  * flattening" is the common default).
+  *
+  * Everything here is reproducible by construction: quotas come from pure
+  * INTEGER arithmetic (floor-sqrt weights, integer division) and the
+  * per-source admission order comes from an avalanched 64-bit hash of the
+  * id — so the exact sampled set replays bit-identically in any engine,
+  * which is what lets the driver hash-gate it (float `pow` sums are
+  * summation-order-dependent and would flip floor() boundaries).
+  */
+object Sampling {
+
+  /** splitmix64 finalizer over a long id: the admission shuffle. A UDF (JVM
+    * wrap-around arithmetic; Spark 4's ANSI mode would reject the overflow
+    * in pure SQL), one scalar per row, applied once pre-shuffle. */
+  private val mixUdf = udf { (x: Long) => TextKernels.mix64(x) }
+
+  /** Weight functions keeping quota math integer-exact across engines. */
+  private def weightCol(n: Column, weight: String): Column = weight match {
+    case "sqrt"    => floor(sqrt(n.cast("double"))).cast("long") // α = 0.5
+    case "uniform" => lit(1L)                                    // α = 0
+    case "prop"    => n.cast("long")                             // α = 1
+    case other => throw new IllegalArgumentException(
+      s"weight must be sqrt|uniform|prop, got $other (arbitrary α needs a " +
+        "rational-exponent integer scheme to stay engine-portable)")
+  }
+
+  /** Sample ~`targetSize` rows with per-group quotas ∝ weight(group size),
+    * capped at the group's size; within a group, rows are admitted in
+    * `(mix64(id), id)` order, so the sampled SET is a pure function of the
+    * data. Output = the sampled rows (original columns).
+    *
+    * Scale: one count aggregate (tiny result, broadcast back), one
+    * window-ranked pass partitioned by group. A group far larger than one
+    * task's comfort is handled the same way as [[graft.queries.
+    * PipelineQueries]] pp01's budget admission: pre-aggregate per shard,
+    * allocate per-shard quotas from the group quota, then rank
+    * shard-locally — the policy composes because the hash order is global
+    * and stable. */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+                     targetSize: Long, weight: String = "sqrt"): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_n_"))
+    val weighted = counts.withColumn("_wt_", weightCol(col("_n_"), weight))
+    val tot = weighted.agg(sum(col("_wt_")).as("_tw_"))
+    val quotas = weighted.crossJoin(tot)
+      .withColumn("_quota_",
+        least(col("_n_"), expr(s"($targetSize * _wt_) div _tw_")))
+      .select(col(groupCol), col("_quota_"))
+    val admit = Window.partitionBy(groupCol)
+      .orderBy(mixUdf(col(idCol)), col(idCol))
+    df.join(F.broadcast(quotas), Seq(groupCol))
+      .withColumn("_rk_", row_number().over(admit))
+      .where(col("_rk_") <= col("_quota_"))
+      .select(df.columns.map(col): _*)
+  }
+}

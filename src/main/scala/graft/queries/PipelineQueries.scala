@@ -165,6 +165,17 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // ---- composite: temperature-flattened source mix (oracle-able) ---------
+    // sqrt-weight quota allocation + avalanched-hash admission order; the
+    // whole sampled SET is gated, not just per-source counts, so the oracle
+    // proves the admission ordering too
+    "pp02_temperature_mix" -> ((s, d) => {
+      graft.operators.Sampling.temperatureMix(
+        Tables.documents(s, d).select("doc_id", "source"), "doc_id", "source",
+        targetSize = 200, weight = "sqrt")
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: full annotate (UDF surface; rows-only) -------------
     "ts04_annotate" -> ((s, d) => {
       TextAnalysis.annotate(Tables.documents(s, d), "text")
@@ -579,6 +590,45 @@ object PipelineQueries {
         |  FROM b2) b
         |JOIN pred p ON b.doc_id = p.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // Temperature-mix replay: integer quota math (floor-sqrt weights,
+    // integer division) and the splitmix64 admission order over doc_id,
+    // reinterpreted signed to match the Spark side's Long ordering
+    "pp02_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source, n,
+        |         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+        |  FROM counts),
+        |tot AS (SELECT sum(wt) AS tw FROM w),
+        |q AS (
+        |  SELECT source, least(n, (200 * wt) // tw) AS quota FROM w, tot),
+        |h0 AS (
+        |  SELECT doc_id, source, CAST(doc_id AS UHUGEINT) AS h
+        |  FROM documents),
+        |m1 AS (SELECT doc_id, source,
+        |         (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS h FROM h0),
+        |m2 AS (SELECT doc_id, source,
+        |         (xor(h, h >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS h FROM m1),
+        |hx AS (SELECT doc_id, source, xor(h, h >> 31) AS h FROM m2),
+        |sg AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(h AS HUGEINT) -
+        |      CASE WHEN h >= CAST(9223372036854775808 AS UHUGEINT)
+        |           THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+        |      AS BIGINT) AS s
+        |  FROM hx),
+        |rk AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY s, doc_id)
+        |           AS rk
+        |  FROM sg)
+        |SELECT r.doc_id, r.source
+        |FROM rk r JOIN q ON q.source = r.source
+        |WHERE r.rk <= q.quota ORDER BY r.doc_id""".stripMargin,
 
     // Repetition metrics replay: same gram construction as the Spark side
     // (short docs degrade to one whole-doc gram), most-frequent-bigram scan

@@ -238,6 +238,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(1) == ((2L, 0, 0, "nothing to redact")))
   }
 
+  test("temperature mix: integer quotas and hash-ordered admission") {
+    // sources: A has ids 1..9 (isqrt 3), B has id 10 (isqrt 1); target 4
+    // with tw=4 -> quota A = min(9, 4*3/4) = 3, B = min(1, 1) = 1
+    val df = ((1L to 9L).map(i => (i, "A")) :+ ((10L, "B")))
+      .toDF("doc_id", "source")
+    val kept = graft.operators.Sampling
+      .temperatureMix(df, "doc_id", "source", targetSize = 4, weight = "sqrt")
+      .as[(Long, String)].collect().toSet
+    val expectA = (1L to 9L).sortBy(i => (TextKernels.mix64(i), i)).take(3)
+    assert(kept == (expectA.map(i => (i, "A")) :+ ((10L, "B"))).toSet)
+    // uniform weights: tw=2, quotas = min(n, 4*1/2 = 2) each
+    val uni = graft.operators.Sampling
+      .temperatureMix(df, "doc_id", "source", targetSize = 4, weight = "uniform")
+      .as[(Long, String)].collect()
+    assert(uni.count(_._2 == "A") == 2 && uni.count(_._2 == "B") == 1)
+  }
+
   test("contamination: overlap counts distinct shared n-grams per train doc") {
     val train = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
     val bench = Seq("z z a b c d z", "unrelated words here").toDF("text")
