@@ -92,23 +92,44 @@ object SourceQueries {
     // BucketedJoinSpec asserts the no-Exchange plan; the oracle proves the
     // result equals the plain join.
     "bk01_bucketed_join" -> ((s, d) => {
+      // The production shape: a fact table is written bucketed ONCE, then
+      // every job MOUNTS the layout. Build-once via sharedDir (bucketed
+      // data is a pure function of the sf dir); each session then mounts
+      // the files as external bucketed tables — bucket ids live in the
+      // file names, so a catalog entry with the same CLUSTERED BY spec
+      // re-attaches them without any rewrite.
+      val dataRoot = Scratch.sharedDir("bucketed", s"bk_v1_$d") { tmp =>
+        val bt = s"bk_build_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$tmp/orders")
+          .saveAsTable(s"${bt}_o")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$tmp/lineitem")
+          .saveAsTable(s"${bt}_li")
+        // external tables: DROP removes the build-time catalog entries,
+        // the data files stay for the rename that publishes them
+        s.sql(s"DROP TABLE ${bt}_o")
+        s.sql(s"DROP TABLE ${bt}_li")
+      }
       val tag = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + d.replaceAll("[^A-Za-z0-9]", "_")
       val (oTbl, liTbl) = (s"bk_orders_$tag", s"bk_lineitem_$tag")
-      Scratch.registerTable(s, oTbl)
-      Scratch.registerTable(s, liTbl)
-      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"${tmpDir(s, "bucketed", d)}/orders")
-        .saveAsTable(oTbl)
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"),
-          col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"))
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"${tmpDir(s, "bucketed", d)}/lineitem")
-        .saveAsTable(liTbl)
+      def mount(tbl: String, sub: String, key: String): Unit =
+        if (!s.catalog.tableExists(tbl)) {
+          val ddl = s.read.parquet(s"$dataRoot/$sub").schema.toDDL
+          s.sql(s"CREATE TABLE $tbl ($ddl) USING parquet " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS " +
+            s"LOCATION '$dataRoot/$sub'")
+          Scratch.registerTable(s, tbl)
+        }
+      mount(oTbl, "orders", "o_orderkey")
+      mount(liTbl, "lineitem", "l_orderkey")
       val o = s.table(oTbl).hint("merge") // SMJ reads buckets, no Exchange
       val li = s.table(liTbl).hint("merge")
       o.join(li, o("o_orderkey") === li("l_orderkey"))

@@ -139,6 +139,40 @@ class SourceOpsSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, s"expected no exchange, got: $shuffles")
   }
 
+  test("re-mounted external bucketed tables keep the zero-exchange join") {
+    // write bucketed, DROP the catalog entries (external: files stay), then
+    // re-attach via CREATE TABLE ... CLUSTERED BY ... LOCATION — the
+    // write-once/mount-per-job pattern bk01 uses; bucket ids are recovered
+    // from the file names, so the merge join must still run shuffle-free
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkm").toString
+    Seq("bkm_l", "bkm_r").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    (1 to 100).map(i => (i % 20, i)).toDF("k", "v")
+      .write.bucketBy(4, "k").sortBy("k")
+      .option("path", s"$dir/l").saveAsTable("bkm_l")
+    (0 until 20).map(i => (i, s"n$i")).toDF("k", "name")
+      .write.bucketBy(4, "k").sortBy("k")
+      .option("path", s"$dir/r").saveAsTable("bkm_r")
+    Seq("bkm_l", "bkm_r").foreach(t => spark.sql(s"DROP TABLE $t"))
+    spark.sql("CREATE TABLE bkm_l (k INT, v INT) USING parquet " +
+      s"CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS LOCATION '$dir/l'")
+    spark.sql("CREATE TABLE bkm_r (k INT, name STRING) USING parquet " +
+      s"CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS LOCATION '$dir/r'")
+    val j = spark.table("bkm_l").hint("merge")
+      .join(spark.table("bkm_r").hint("merge"), "k")
+    assert(j.count() == 100)
+    val finalPlan = j.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = finalPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s
+    }
+    assert(shuffles.isEmpty, s"expected no exchange after re-mount, got: $shuffles")
+    Seq("bkm_l", "bkm_r").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   // ------------------------------------------------------------------- ivf
 
   test("embedding text format: write/read round trip, short and malformed lines dropped") {
