@@ -80,7 +80,7 @@ object GeoStreamQueries {
       // sharedDir's build-then-atomic-rename keeps concurrent harness runs
       // race-free without re-paying the staging write per app run
       val stage = graft.sources.Scratch.sharedDir("stream_stage",
-        s"sm01_orders_v1_$d") { tmp =>
+        s"sm01_orders_v1_${d}_${graft.sources.Scratch.fingerprint(src)}") { tmp =>
         s.read.parquet(src).repartition(4).write.mode("overwrite").parquet(tmp)
       }
       val schema = s.read.parquet(stage).schema
@@ -111,7 +111,7 @@ object GeoStreamQueries {
       // build (rename preserves them), so a published stage is always fully
       // ordered before any reader can see it
       val stage = graft.sources.Scratch.sharedDir("stream_stage",
-        s"sm02_documents_v1_$d") { tmp =>
+        s"sm02_documents_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         Tables.documents(s, d).select(col("doc_id"), col("text"))
           .repartitionByRange(4, col("doc_id"))
           .write.mode("overwrite").parquet(tmp)

@@ -98,7 +98,7 @@ object SourceQueries {
       // the files as external bucketed tables — bucket ids live in the
       // file names, so a catalog entry with the same CLUSTERED BY spec
       // re-attaches them without any rewrite.
-      val dataRoot = Scratch.sharedDir("bucketed", s"bk_v1_$d") { tmp =>
+      val dataRoot = Scratch.sharedDir("bucketed", s"bk_v1_${d}_${Scratch.fingerprint(s"$d/orders.parquet", s"$d/lineitem.parquet")}") { tmp =>
         val bt = s"bk_build_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
         Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
           .write.mode(SaveMode.Overwrite)

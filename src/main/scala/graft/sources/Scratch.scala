@@ -31,6 +31,21 @@ object Scratch {
     d
   }
 
+  /** Cheap content stamp of source files/dirs (total length + newest
+    * mtime, avalanche-mixed): include in a [[sharedDir]] tag so a staged
+    * derivation can never outlive a regenerated source — if the inputs
+    * are rewritten in place, the tag changes and a fresh stage is built. */
+  def fingerprint(paths: String*): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(walk)
+          .foldLeft((0L, 0L)) { case ((a, b), (c, dd)) => (a + c, math.max(b, dd)) }
+      else (f.length, f.lastModified)
+    val (len, mt) = paths.map(p => walk(new java.io.File(p)))
+      .foldLeft((0L, 0L)) { case ((a, b), (c, dd)) => (a + c, math.max(b, dd)) }
+    java.lang.Long.toHexString(graft.functions.TextKernels.mix64(len * 31 + mt))
+  }
+
   /** A SHARED staging dir reused across JVM runs, published atomically.
     *
     * Some queries stage immutable derived files (the streaming sources'
