@@ -176,6 +176,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence prep: sliding-window chunking (oracle-able) --------------
+    "ck01_chunk_documents" -> ((s, d) => {
+      graft.operators.Packing.chunkDocuments(
+        Tables.documents(s, d), "text", "doc_id", chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    // ---- sequence prep: concat-and-chunk packing (oracle-able) -------------
+    "pk01_sequence_packing" -> ((s, d) => {
+      val counted = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
+      graft.operators.Packing.packSequences(counted, "doc_id", "bpe_tokens",
+        seqLen = 2048)
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: full annotate (UDF surface; rows-only) -------------
     "ts04_annotate" -> ((s, d) => {
       TextAnalysis.annotate(Tables.documents(s, d), "text")
@@ -590,6 +606,44 @@ object PipelineQueries {
         |  FROM b2) b
         |JOIN pred p ON b.doc_id = p.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // Chunking replay: same integer ceil-div chunk count; range() as a
+    // scalar list + unnest (the table-function form can't take column args)
+    "ck01_chunk_documents" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         greatest(1, (len(w) - 8 + 23) // 24) AS nc
+        |  FROM b),
+        |x AS (
+        |  SELECT doc_id, w,
+        |         CAST(unnest(range(0, nc)) AS INTEGER) AS chunk_index
+        |  FROM c)
+        |SELECT doc_id, chunk_index,
+        |       array_to_string(w[chunk_index * 24 + 1 : chunk_index * 24 + 32],
+        |                       ' ') AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_index""".stripMargin,
+
+    // Packing replay: ts02's BPE-ish count, one global running sum cut
+    // every 2048 tokens; seq_id/seq_offset from the document's start
+    // position in the concatenated stream
+    "pk01_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+        |      w -> (length(w) + 3) // 4)) AS INTEGER) AS bpe_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, bpe_tokens,
+        |    sum(bpe_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - bpe_tokens AS strt
+        |  FROM t)
+        |SELECT doc_id, bpe_tokens,
+        |       CAST(strt // 2048 AS BIGINT) AS seq_id,
+        |       CAST(strt % 2048 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Temperature-mix replay: integer quota math (floor-sqrt weights,
     // integer division) and the splitmix64 admission order over doc_id,

@@ -255,6 +255,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(uni.count(_._2 == "A") == 2 && uni.count(_._2 == "B") == 1)
   }
 
+  test("chunking: sliding windows with overlap, short docs yield one chunk") {
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7"), (2L, "a b")).toDF("doc_id", "text")
+    val r = graft.operators.Packing
+      .chunkDocuments(df, "text", "doc_id", chunkTokens = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_index")
+      .as[(Long, Int, String)].collect().toSeq
+    // stride 2: starts at tokens 1,3,5 -> ceil((7-2)/2) = 3 chunks
+    assert(r == Seq((1L, 0, "t1 t2 t3 t4"), (1L, 1, "t3 t4 t5 t6"),
+      (1L, 2, "t5 t6 t7"), (2L, 0, "a b")))
+  }
+
+  test("packing: concat-and-chunk assigns seq ids by running token offset") {
+    val df = Seq((1L, 3), (2L, 4), (3L, 2), (4L, 6)).toDF("doc_id", "n")
+    val r = graft.operators.Packing.packSequences(df, "doc_id", "n", seqLen = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "seq_id", "seq_offset").as[(Long, Long, Long)].collect().toSeq
+    // starts: 0, 3, 7, 9 -> seqs 0,0,1,1; offsets 0,3,2,4
+    assert(r == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 1L, 4L)))
+  }
+
   test("contamination: overlap counts distinct shared n-grams per train doc") {
     val train = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
     val bench = Seq("z z a b c d z", "unrelated words here").toDF("text")
