@@ -31,6 +31,54 @@ object Dedup {
       .drop("_rn_")
   }
 
+  /** Cluster near-duplicate PAIRS into connected components and elect one
+    * representative per cluster — the step that turns dd03/dd05-style pair
+    * lists into an actionable keep/drop set (pairs alone over-delete: A~B,
+    * B~C must keep ONE of {A,B,C}, not drop both B and C).
+    *
+    * Iterative min-label propagation (the classic Spark formulation of
+    * Kiveris et al.'s large/small-star idea in its simple symmetric form):
+    * every node starts as its own label; each round a node takes the min of
+    * its own and its neighbors' labels; fixpoint in O(component diameter)
+    * rounds. Each round is one shuffle join + one aggregate; labels are
+    * `localCheckpoint`ed per round to truncate lineage (at cluster scale a
+    * durable checkpoint plays this role). Near-dup components are tiny and
+    * sparse by construction — LSH already bounded candidate fan-out — so
+    * the diameter (and round count) stays single-digit on real corpora.
+    *
+    * Output: (`idCol`, `component`) for every node that appears in `pairs`,
+    * component = min node id reachable. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(aCol).as("_src_"), col(bCol).as("_dst_"))
+      .union(pairs.select(col(bCol), col(aCol)))
+      .distinct().persist()
+    var labels = edges.select(col("_src_").as("_id_"))
+      .distinct().withColumn("_lbl_", col("_id_")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor-min pass: labels flow across edges, then each node keeps
+      // the min of (own, incoming); ids-and-labels-only shuffles
+      val incoming = edges.join(labels, edges("_dst_") === labels("_id_"))
+        .select(col("_src_").as("_id_"), col("_lbl_"))
+      val next = labels.select(col("_id_"), col("_lbl_")).union(incoming)
+        .groupBy("_id_").agg(min("_lbl_").as("_lbl_"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("_lbl_", "_old_"), "_id_")
+        .where(col("_lbl_") =!= col("_old_")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds " +
+      "(component diameter exceeds maxIter — raise it or pre-shrink with LSH)")
+    labels.select(col("_id_").as("id"), col("_lbl_").as("component"))
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------

@@ -54,6 +54,19 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: pair list -> clusters + representative (oracle-able) -------
+    // connected components over the exact-Jaccard pairs; keep = the min-id
+    // representative of each near-dup cluster (pairs alone over-delete on
+    // chains A~B~C)
+    "dd06_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "text",
+        "doc_id", n = 3, minJaccard = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search: exact top-3 ANN baseline (oracle-able) ---------
     "ann01_knn_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -606,6 +619,37 @@ object PipelineQueries {
         |  FROM b2) b
         |JOIN pred p ON b.doc_id = p.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // Cluster replay: dd05's exact pair derivation, then transitive closure
+    // by recursive CTE — min reachable id per node IS the component label
+    // the label-propagation fixpoint converges to
+    "dd06_dedup_clusters" ->
+      """WITH RECURSIVE grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                 FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id
+        |)
+        |SELECT id AS doc_id, min(r) AS component, min(r) = id AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Chunking replay: same integer ceil-div chunk count; range() as a
     // scalar list + unnest (the table-function form can't take column args)

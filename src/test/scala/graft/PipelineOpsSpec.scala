@@ -255,6 +255,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(uni.count(_._2 == "A") == 2 && uni.count(_._2 == "B") == 1)
   }
 
+  test("connected components: chains merge, separate clusters stay apart") {
+    // chain 1-2-3 (transitive: pair (1,3) is absent) + island pair (10,11)
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer path needs multiple propagation rounds to converge
+    val path = (1L to 8L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val comp2 = graft.operators.Dedup.connectedComponents(path, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp2 == (1L to 8L).map(_ -> 1L).toMap)
+  }
+
   test("chunking: sliding windows with overlap, short docs yield one chunk") {
     val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7"), (2L, "a b")).toDF("doc_id", "text")
     val r = graft.operators.Packing
