@@ -22,7 +22,9 @@ object ExplainAudit {
         "q06_forecast_revenue", "q11_top3_orders_per_customer",
         "fz01_fuzzy_part_lookup", "fz02_fuzzy_subspan_titles",
         "dd03_minhash_pairs", "dd04_simhash_pairs",
-        "dd05_ngram_jaccard_pairs", "ann02_knn_lsh", "en01_entity_mentions")
+        "dd05_ngram_jaccard_pairs", "ann02_knn_lsh", "en01_entity_mentions",
+        "dd06_dedup_clusters", "dc01_decontaminate", "pp02_temperature_mix",
+        "ck01_chunk_documents", "pk01_sequence_packing")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

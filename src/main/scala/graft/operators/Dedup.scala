@@ -51,25 +51,37 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(aCol).as("_src_"), col(bCol).as("_dst_"))
-      .union(pairs.select(col(bCol), col(aCol)))
-      .distinct().persist()
+    // pairs is referenced twice by the symmetric union; persist it for the
+    // one job that materializes edges so an expensive upstream (a full
+    // near-dup pipeline) isn't executed once per direction
+    val p = pairs.persist()
+    // pre-partitioned on the probe key so every round's join reuses the
+    // cached layout instead of re-exchanging the edge set
+    val edges = p.select(col(aCol).as("_src_"), col(bCol).as("_dst_"))
+      .union(p.select(col(bCol), col(aCol)))
+      .distinct().repartition(col("_dst_")).persist()
+    edges.count()
+    p.unpersist()
     var labels = edges.select(col("_src_").as("_id_"))
       .distinct().withColumn("_lbl_", col("_id_")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // neighbor-min pass: labels flow across edges, then each node keeps
-      // the min of (own, incoming); ids-and-labels-only shuffles
+      // the min of (own, incoming); ids-and-labels-only shuffles. The own
+      // branch is tagged so the SAME aggregate also yields the previous
+      // label — convergence detection without a per-round compare join.
       val incoming = edges.join(labels, edges("_dst_") === labels("_id_"))
-        .select(col("_src_").as("_id_"), col("_lbl_"))
-      val next = labels.select(col("_id_"), col("_lbl_")).union(incoming)
-        .groupBy("_id_").agg(min("_lbl_").as("_lbl_"))
+        .select(col("_src_").as("_id_"), col("_lbl_"), lit(false).as("_own_"))
+      val next = labels.select(col("_id_"), col("_lbl_"), lit(true).as("_own_"))
+        .union(incoming)
+        .groupBy("_id_")
+        .agg(min("_lbl_").as("_lbl_"),
+          min(when(col("_own_"), col("_lbl_"))).as("_old_"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("_lbl_", "_old_"), "_id_")
-        .where(col("_lbl_") =!= col("_old_")).limit(1).count()
+      val changed = next.where(col("_lbl_") =!= col("_old_")).limit(1).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("_old_")
       converged = changed == 0
       iter += 1
     }
