@@ -189,6 +189,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- composite: full preprocess chain (oracle-able) --------------------
+    // The end-to-end corpus preparation a pretraining run does: exact
+    // dedup -> language filter -> repetition-quality filter ->
+    // benchmark decontamination -> token counting -> sequence packing ->
+    // per-sequence rollup. Every stage is individually gated (dd02, ts05,
+    // dc01, ts02, pk01); this gates the COMPOSITION end to end.
+    "pp03_preprocess_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val deduped = Dedup.exact(docs, "text", "doc_id")
+      val en = deduped.where(col("lang") === "en")
+      val rep = TextAnalysis.repetitionStats(en, "text", "doc_id")
+        .select(col("doc_id"), col("dup_token_frac"))
+      val quality = en.join(rep, "doc_id").where(col("dup_token_frac") <= 0.55)
+      val bench = docs.where(col("doc_id") % 100 === 7)
+      val overlap = graft.operators.Contamination.overlapReport(
+        quality, "doc_id", "text", bench, "text", n = 3, minOverlap = 3)
+      val clean = quality.join(
+        overlap.where(!col("contaminated")).select("doc_id"), "doc_id")
+      val counted = clean.select(col("doc_id"),
+        TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
+      graft.operators.Packing.packSequences(counted, "doc_id", "bpe_tokens",
+        seqLen = 512)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("bpe_tokens").as("seq_tokens"))
+        .orderBy("seq_id")
+    }),
+
     // ---- sequence prep: sliding-window chunking (oracle-able) --------------
     "ck01_chunk_documents" -> ((s, d) => {
       graft.operators.Packing.chunkDocuments(
@@ -650,6 +677,59 @@ object PipelineQueries {
         |)
         |SELECT id AS doc_id, min(r) AS component, min(r) = id AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Preprocess-chain replay: dedup rn over the WHOLE corpus before the
+    // language filter (order matters — mirrors Dedup.exact then .where),
+    // then repetition filter, trigram-overlap decontamination, ts02's BPE
+    // count, pk01's packing, per-sequence rollup
+    "pp03_preprocess_pipeline" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, lang,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |             AS rn
+        |    FROM documents) t
+        |  WHERE rn = 1 AND lang = 'en'),
+        |rep AS (
+        |  SELECT doc_id, text,
+        |         1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dtf
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM dd) b),
+        |q AS (SELECT doc_id, text FROM rep WHERE dtf <= 0.55),
+        |bn AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id % 100 = 7),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ')
+        |       FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+        |  FROM bn),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ')
+        |       FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM q) b),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n
+        |  FROM tg t JOIN bg b ON b.gram = t.gram GROUP BY 1),
+        |clean AS (
+        |  SELECT q.doc_id, q.text FROM q
+        |  LEFT JOIN hits h ON h.doc_id = q.doc_id
+        |  WHERE coalesce(h.n, 0) < 3),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+        |      w -> (length(w) + 3) // 4)) AS INTEGER) AS bpe
+        |  FROM clean),
+        |c AS (
+        |  SELECT doc_id, bpe,
+        |    sum(bpe) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - bpe
+        |      AS strt
+        |  FROM tok)
+        |SELECT CAST(strt // 512 AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(bpe) AS BIGINT) AS seq_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Chunking replay: same integer ceil-div chunk count; range() as a
     // scalar list + unnest (the table-function form can't take column args)
