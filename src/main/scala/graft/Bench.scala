@@ -49,7 +49,8 @@ object Bench {
     // zone that already exists), so the timed lines below should measure
     // stream processing, not a one-time file copy. Scratch.sharedDir makes
     // this idempotent and race-free across concurrent runs.
-    Seq("sm01_stream_daily_orders", "sm02_stream_dedup").foreach { n =>
+    Seq("sm01_stream_daily_orders", "sm02_stream_dedup",
+        "sm03_stream_sessions").foreach { n =>
       SparkEntry.queries.get(n).filter(_ => only.forall(_.contains(n)))
         .foreach { fn => try fn(spark, sfDir).count() catch { case _: Throwable => () } }
     }

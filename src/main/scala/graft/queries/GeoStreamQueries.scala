@@ -99,6 +99,54 @@ object GeoStreamQueries {
         .orderBy("day", "o_orderstatus")
     }),
 
+    // Streaming sessionization: session_window(ts, 12h) per user over the
+    // events "stream". Append mode only emits a session once the watermark
+    // passes its end, and AvailableNow's last batch advances the watermark
+    // one batch too late — so the stage ends with a far-future SENTINEL row
+    // (user_id = -1, filtered from output) whose arrival pushes the
+    // watermark past every real session end. Sessions are a pure function
+    // of event times, so the result is batch-replayable exactly.
+    "sm03_stream_sessions" -> ((s, d) => {
+      import s.implicits._
+      val stage = graft.sources.Scratch.sharedDir("stream_stage",
+        s"sm03_events_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/events.parquet")}") { tmp =>
+        val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+        ev.repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(tmp)
+        val real = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        real.zipWithIndex.foreach { case (f, i) =>
+          require(f.setLastModified(1700000000000L + i * 60000L),
+            s"sm03 staging: setLastModified failed for $f")
+        }
+        // sentinel appended AFTER the real files and stamped newest: ts is
+        // monotone in event_id, so +90 days clears every session end
+        val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 90L * 24 * 3600 * 1000), -1L))
+          .toDF("event_id", "ts", "user_id").coalesce(1)
+          .write.mode("append").parquet(tmp)
+        val known = real.map(_.getName).toSet
+        Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") && !known(f.getName))
+          .foreach { f =>
+            require(f.setLastModified(1700000000000L + real.length * 60000L),
+              s"sm03 staging: setLastModified failed for sentinel $f")
+          }
+      }
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+      val agg = stream
+        .withWatermark("ts", "1 second")
+        .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+      Streams.runToMemory(agg, "sm03_sink", outputMode = "append",
+          statePartitions = Some(8))
+        .where(col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    }),
+
     // Stateful streaming exact-dedup via flatMapGroupsWithState: documents
     // arrive over 4 micro-batches (range-partitioned by doc_id, part-file
     // mtimes stamped so FileStreamSource's (modTime, path) order follows
@@ -214,6 +262,31 @@ object GeoStreamQueries {
         |FROM (SELECT doc_id, text,
         |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |      FROM documents) t
-        |ORDER BY docId""".stripMargin
+        |ORDER BY docId""".stripMargin,
+
+    // Sessionization replay: gap-island detection (new session when the
+    // inter-event gap reaches 12h — Spark merges only strictly-overlapping
+    // [t, t+gap) windows, so `>= gap` breaks exactly like session_window),
+    // session_end = last event + gap
+    "sm03_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN pts IS NULL OR epoch(ts - pts) >= 43200 THEN 1 ELSE 0
+        |    END AS brk
+        |  FROM g),
+        |c AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 12 HOUR AS session_end,
+        |       count(*) AS n_events
+        |FROM c GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
