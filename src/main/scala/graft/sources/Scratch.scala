@@ -58,10 +58,12 @@ object Scratch {
     * and reads the winner's. Readers only ever see complete dirs.
     *
     * The tag must version the CONTENT (bump it when the staged layout
-    * changes) because an existing target is trusted as-is. Shared targets
-    * are deliberately NOT cleaned at JVM exit — reuse is the point; they
-    * are bounded (one dir per tag) and /tmp-local. Orphaned tmp dirs from
-    * a crashed build are registered for this JVM's exit cleanup. */
+    * changes, and include [[fingerprint]] of the inputs so in-place source
+    * regeneration re-stages) because an existing target is trusted as-is.
+    * Shared targets are deliberately NOT cleaned at JVM exit — reuse is
+    * the point; they are bounded (one dir per tag content-version) and
+    * /tmp-local. Orphaned tmp dirs from a crashed build are registered for
+    * this JVM's exit cleanup. */
   def sharedDir(kind: String, tag: String)(build: String => Unit): String = {
     val root = new java.io.File(s"/tmp/graft_shared_$kind")
     root.mkdirs()
