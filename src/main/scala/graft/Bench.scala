@@ -44,13 +44,14 @@ object Bench {
     qs.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // pre-stage the streaming landing zones at the TARGET sf, untimed:
-    // staging is harness scaffolding (a production stream reads a landing
-    // zone that already exists), so the timed lines below should measure
-    // stream processing, not a one-time file copy. Scratch.sharedDir makes
-    // this idempotent and race-free across concurrent runs.
+    // pre-stage input fixtures at the TARGET sf, untimed: staging is
+    // harness scaffolding (a production stream reads a landing zone that
+    // already exists; a media pipeline reads stored bytes), so the timed
+    // lines below should measure the operators, not one-time fixture
+    // builds. Scratch.sharedDir makes this idempotent and race-free
+    // across concurrent runs.
     Seq("sm01_stream_daily_orders", "sm02_stream_dedup",
-        "sm03_stream_sessions").foreach { n =>
+        "sm03_stream_sessions", "mm01_media_features").foreach { n =>
       SparkEntry.queries.get(n).filter(_ => only.forall(_.contains(n)))
         .foreach { fn => try fn(spark, sfDir).count() catch { case _: Throwable => () } }
     }

@@ -136,8 +136,16 @@ object PipelineQueries {
     // ---- multimodal plumbing: batched decode + frame sampling (stubbed
     // codec; rows-only) ------------------------------------------------------
     "mm01_media_features" -> ((s, d) => {
-      val media = graft.operators.Multimodal.syntheticMedia(
-        Tables.documents(s, d).select("doc_id"), "doc_id")
+      // the media table is INPUT data (a real pipeline reads it via
+      // binaryFile); synthesize + PNG-encode it once per machine so the
+      // timed work is the decode+pool OPERATOR, not fixture generation
+      val stage = graft.sources.Scratch.sharedDir("media",
+        s"mm01_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        graft.operators.Multimodal.syntheticMedia(
+          Tables.documents(s, d).select("doc_id"), "doc_id")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val media = s.read.parquet(stage)
       graft.operators.Multimodal.extractFeatures(media, dim = 16, batchSize = 256)
         .select(col("media_id"), col("meta.mime").as("mime"),
           col("meta.width").as("width"), size(col("features")).as("feat_dim"))
