@@ -227,6 +227,9 @@ object TopicQueries {
           oneHot(l) = 1.0
           (id, Vectors.dense(v.map(_.toDouble).toArray), Vectors.dense(oneHot), l)
         }.toDF("vec_id", "features", "labels", "label")
+        // persisted: read + deserialize + Vector-boxing otherwise re-runs
+        // once per one-vs-all class fit (4x) and again for the transform
+        .persist()
       val model = DiscreteVectorClassifier.fit(data, "features", "labels", parallelism = 4)
       model.transform(data, "features")
         .select(col("vec_id"), col("label"),
