@@ -117,6 +117,10 @@ object FuzzyLookup {
       .select(Seq(col("_trid_"), col("t.tok").as("rtok"), col("t.acro").as("racro")) ++
         fIdx.map(i => col(s"_rf${i}_")): _*)
       .where(!col("rtok").isin(opts.stopWords.toSeq: _*))
+      // three consumers (doclen, df stats, the candidate join) would each
+      // re-run the tokenizer explode; persist is the single-node stand-in
+      // for the checkpoint/staging write a cluster deployment uses here
+      .persist()
     val docLen = rightToks.groupBy("_trid_").agg(count(lit(1)).as("_doclen_"))
     val totals = texts.agg(count(lit(1)).as("_n_docs_"))
     // token -> document frequency -> idf; frequent tokens pruned here, which
