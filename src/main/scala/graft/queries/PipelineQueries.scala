@@ -224,6 +224,17 @@ object PipelineQueries {
         .orderBy("seq_id")
     }),
 
+    // ---- tokenizer induction: BPE merge training (oracle-able) -------------
+    // 8 merge rounds over the documents word-frequency table; the learned
+    // merge table (winning pair + weighted count per round) is the gated
+    // artifact — the oracle unrolls the same rounds with the same portable
+    // greedy-merge fold
+    "bp01_bpe_merges" -> ((s, d) => {
+      graft.operators.BpeTrainer.trainTable(
+        s, Tables.documents(s, d), "text", numMerges = 8)
+        .orderBy("rank")
+    }),
+
     // ---- sequence prep: sliding-window chunking (oracle-able) --------------
     "ck01_chunk_documents" -> ((s, d) => {
       graft.operators.Packing.chunkDocuments(
@@ -654,6 +665,40 @@ object PipelineQueries {
         |  FROM b2) b
         |JOIN pred p ON b.doc_id = p.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // BPE replay: 8 unrolled rounds, each = weighted pair count over the
+    // current symbolization + (count DESC, l, r) argmax + the SAME
+    // separator-string greedy-merge fold the Spark side applies
+    "bp01_bpe_merges" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""p$k AS (
+           |  SELECT l, r, sum(f) AS c FROM (
+           |    SELECT unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r, f
+           |    FROM s${k - 1}) z GROUP BY l, r),
+           |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+           |s$k AS (
+           |  SELECT f, string_split(list_reduce(list_prepend('', s), (acc, x) ->
+           |    CASE WHEN x = m.r AND (acc = m.l
+           |              OR right(acc, length(m.l) + 1) = chr(31) || m.l)
+           |         THEN acc || m.r
+           |         WHEN acc = '' THEN x
+           |         ELSE acc || chr(31) || x END), chr(31)) AS s
+           |  FROM s${k - 1}, m$k m)""".stripMargin
+      }.mkString(",\n")
+      val ranks = (1 to 8).map { k =>
+        s"""SELECT $k AS rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS n FROM m$k"""
+      }.mkString("\nUNION ALL ")
+      s"""WITH wrd AS (
+         |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                x -> x <> '')) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, count(*) AS f FROM wrd GROUP BY w),
+         |s0 AS (
+         |  SELECT f, [w[i:i] FOR i IN range(1, length(w) + 1)] AS s FROM wf),
+         |$rounds
+         |SELECT * FROM (
+         |$ranks) t ORDER BY rank""".stripMargin
+    },
 
     // Cluster replay: dd05's exact pair derivation, then transitive closure
     // by recursive CTE — min reachable id per node IS the component label

@@ -255,6 +255,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(uni.count(_._2 == "A") == 2 && uni.count(_._2 == "B") == 1)
   }
 
+  test("bpe training: frequency-weighted merges, greedy-leftmost application") {
+    import graft.operators.BpeTrainer.{train, Merge}
+    // words: aa (freq 2), ab (freq 1) -> (a,a) wins with 2, then (a,b)
+    val df = Seq("aa aa ab").toDF("text")
+    assert(train(df, "text", 5) ==
+      Seq(Merge(1, "a", "a", 2), Merge(2, "a", "b", 1)))
+    // "aaa": greedy leftmost pairs the FIRST two a's -> [aa, a] -> [aaa];
+    // early-stop when one symbol remains
+    val df2 = Seq("aaa").toDF("text")
+    assert(train(df2, "text", 5) ==
+      Seq(Merge(1, "a", "a", 2), Merge(2, "aa", "a", 1)))
+  }
+
   test("connected components: chains merge, separate clusters stay apart") {
     // chain 1-2-3 (transitive: pair (1,3) is absent) + island pair (10,11)
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
