@@ -24,7 +24,11 @@ object BpeTrainer {
     * that won the round. */
   case class Merge(rank: Int, left: String, right: String, n: Long)
 
-  private def sqlLit(s: String): String = s.replace("'", "''")
+  // symbols are embedded as Spark SQL single-quoted literals: escape the
+  // backslash too (Spark string literals process \-escapes, unlike the
+  // quote-only rule of standard SQL)
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   /** Greedy leftmost application of merge (l, r) to a ``-separated
     * symbol string, as a fold: appending `r` WITHOUT a separator turns a

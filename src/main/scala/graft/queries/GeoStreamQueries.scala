@@ -122,6 +122,8 @@ object GeoStreamQueries {
         // sentinel appended AFTER the real files and stamped newest: ts is
         // monotone in event_id, so +90 days clears every session end
         val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+        require(maxTs != null, "sm03 staging: events table is empty — no " +
+          "watermark sentinel can be derived")
         Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 90L * 24 * 3600 * 1000), -1L))
           .toDF("event_id", "ts", "user_id").coalesce(1)
           .write.mode("append").parquet(tmp)
