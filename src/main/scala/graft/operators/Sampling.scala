@@ -52,6 +52,10 @@ object Sampling {
     val weighted = counts.withColumn("_wt_", weightCol(col("_n_"), weight))
     val tot = weighted.agg(sum(col("_wt_")).as("_tw_"))
     val quotas = weighted.crossJoin(tot)
+      // targetSize * wt must fit a signed 64-bit: with wt <= isqrt(group)
+      // that holds for any targetSize below ~2^31 rows even against
+      // trillion-row groups — beyond that, allocate quotas hierarchically
+      // (group-of-groups), same as the documented shard split
       .withColumn("_quota_",
         least(col("_n_"), expr(s"($targetSize * _wt_) div _tw_")))
       .select(col(groupCol), col("_quota_"))
