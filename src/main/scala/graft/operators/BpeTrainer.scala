@@ -96,4 +96,25 @@ object BpeTrainer {
     import spark.implicits._
     train(df, textCol, numMerges).toDF("rank", "left", "right", "n")
   }
+
+  /** Apply learned merges (in rank order) and count BPE pieces per row:
+    * segmentation runs once per DISTINCT word (the vocabulary, tiny next
+    * to the corpus), then joins back to the token stream — the same
+    * vocabulary-table shortcut training uses. Output: (idCol,
+    * bpe_pieces). */
+  def segmentCounts(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[Merge]): DataFrame = {
+    val words = df
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("_w_"))
+      .where(col("_w_") =!= "")
+    var vocab = words.select("_w_").distinct()
+      .withColumn("_syms_",
+        expr("transform(sequence(1, length(_w_)), i -> substring(_w_, i, 1))"))
+    merges.sortBy(_.rank).foreach { m =>
+      vocab = vocab.withColumn("_syms_", expr(mergeExpr(m.left, m.right)))
+    }
+    val pieces = vocab.select(col("_w_"), size(col("_syms_")).as("_np_"))
+    words.join(pieces, "_w_")
+      .groupBy(idCol).agg(sum(col("_np_").cast("long")).as("bpe_pieces"))
+  }
 }

@@ -235,6 +235,16 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    // ---- tokenizer induction: BPE apply (oracle-able) ----------------------
+    // train 8 merges, then segment every document with them: pieces are
+    // counted once per distinct word and joined back to the token stream
+    "bp02_bpe_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.BpeTrainer.train(docs, "text", numMerges = 8)
+      graft.operators.BpeTrainer.segmentCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // ---- sequence prep: sliding-window chunking (oracle-able) --------------
     "ck01_chunk_documents" -> ((s, d) => {
       graft.operators.Packing.chunkDocuments(
@@ -698,6 +708,37 @@ object PipelineQueries {
          |$rounds
          |SELECT * FROM (
          |$ranks) t ORDER BY rank""".stripMargin
+    },
+
+    // BPE-apply replay: bp01's round chain carrying the word key, then the
+    // doc token stream joins the final symbolization for per-doc piece sums
+    "bp02_bpe_segment" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""p$k AS (
+           |  SELECT l, r, sum(f) AS c FROM (
+           |    SELECT unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r, f
+           |    FROM s${k - 1}) z GROUP BY l, r),
+           |m$k AS (SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+           |s$k AS (
+           |  SELECT w, f, string_split(list_reduce(list_prepend('', s), (acc, x) ->
+           |    CASE WHEN x = m.r AND (acc = m.l
+           |              OR right(acc, length(m.l) + 1) = chr(31) || m.l)
+           |         THEN acc || m.r
+           |         WHEN acc = '' THEN x
+           |         ELSE acc || chr(31) || x END), chr(31)) AS s
+           |  FROM s${k - 1}, m$k m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dtok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                x -> x <> '')) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, count(*) AS f FROM dtok GROUP BY w),
+         |s0 AS (
+         |  SELECT w, f, [w[i:i] FOR i IN range(1, length(w) + 1)] AS s FROM wf),
+         |$rounds
+         |SELECT d.doc_id, CAST(sum(len(v.s)) AS BIGINT) AS bpe_pieces
+         |FROM dtok d JOIN s8 v ON v.w = d.w
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },
 
     // Cluster replay: dd05's exact pair derivation, then transitive closure

@@ -268,6 +268,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       Seq(Merge(1, "a", "a", 2), Merge(2, "aa", "a", 1)))
   }
 
+  test("bpe apply: learned merges segment the corpus, pieces counted per row") {
+    import graft.operators.BpeTrainer
+    val df = Seq((1L, "aa aa ab"), (2L, "b b")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(df, "text", 5)
+    val counts = BpeTrainer.segmentCounts(df, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    // merges (a,a) then (a,b): "aa"->1 piece, "ab"->1 ("a","b" merged via
+    // rank-2), "b"->1 -> doc 1 = 3 pieces, doc 2 = 2
+    assert(counts == Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("connected components: chains merge, separate clusters stay apart") {
     // chain 1-2-3 (transitive: pair (1,3) is absent) + island pair (10,11)
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
