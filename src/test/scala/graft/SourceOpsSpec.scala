@@ -173,6 +173,47 @@ class SourceOpsSpec extends AnyFunSuite {
     Seq("bkm_l", "bkm_r").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("sharedDir: concurrent builders publish exactly one stage") {
+    val kind = s"spec_${System.nanoTime()}"
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val paths = Await.result(Future.sequence((1 to 4).toList.map { _ =>
+      Future {
+        graft.sources.Scratch.sharedDir(kind, "tag1") { tmp =>
+          built.incrementAndGet()
+          new java.io.File(tmp).mkdirs()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, "data.txt"), "builder".getBytes)
+        }
+      }
+    }), 60.seconds)
+    // all callers resolve to the SAME published dir with complete content,
+    // no matter how many raced the build
+    assert(paths.distinct.size == 1)
+    assert(new java.io.File(paths.head, "data.txt").isFile)
+    assert(built.get() >= 1)
+    // a later call reuses without rebuilding
+    val before = built.get()
+    val again = graft.sources.Scratch.sharedDir(kind, "tag1")(_ =>
+      fail("must not rebuild an existing stage"))
+    assert(again == paths.head && built.get() == before)
+  }
+
+  test("fingerprint changes when a source file is rewritten in place") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp")
+    val f = dir.resolve("src.parquet")
+    java.nio.file.Files.write(f, "v1-content".getBytes)
+    val fp1 = graft.sources.Scratch.fingerprint(f.toString)
+    // same content length, later mtime — regeneration must still re-stage
+    Thread.sleep(1100) // mtime granularity on some filesystems is 1s
+    java.nio.file.Files.write(f, "v2-content".getBytes)
+    assert(new java.io.File(f.toString).setLastModified(System.currentTimeMillis()))
+    val fp2 = graft.sources.Scratch.fingerprint(f.toString)
+    assert(fp1 != fp2, "rewritten source must change the fingerprint")
+  }
+
   // ------------------------------------------------------------------- ivf
 
   test("embedding text format: write/read round trip, short and malformed lines dropped") {
