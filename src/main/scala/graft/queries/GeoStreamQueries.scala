@@ -99,6 +99,30 @@ object GeoStreamQueries {
         .orderBy("day", "o_orderstatus")
     }),
 
+    // Stream-static join: each micro-batch of the orders stream hash-joins
+    // the STATIC customer dimension (broadcast per batch — the enrich-
+    // on-ingest shape), then a complete-mode rollup per market segment.
+    // Reuses sm01's landing zone, so no extra staging cost.
+    "sm04_stream_static_join" -> ((s, d) => {
+      val stage = graft.sources.Scratch.sharedDir("stream_stage",
+        s"sm01_orders_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/orders.parquet")}") { tmp =>
+        s.read.parquet(s"$d/orders.parquet").repartition(4)
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+      val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val agg = stream.join(dim, stream("o_custkey") === dim("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+      Streams.runToMemory(agg, "sm04_sink", outputMode = "complete",
+          statePartitions = Some(8))
+        .select(col("c_mktsegment"), col("n_orders"),
+          col("total").cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Streaming sessionization: session_window(ts, 12h) per user over the
     // events "stream". Append mode only emits a session once the watermark
     // passes its end, and AvailableNow's last batch advances the watermark
@@ -265,6 +289,16 @@ object GeoStreamQueries {
         |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |      FROM documents) t
         |ORDER BY docId""".stripMargin,
+
+    // Stream-static replay: plain batch join + rollup (the stream adds no
+    // semantics to an inner join against a static dim — that equivalence
+    // is exactly what the gate proves)
+    "sm04_stream_static_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
     // Sessionization replay: gap-island detection (new session when the
     // inter-event gap reaches 12h — Spark merges only strictly-overlapping
