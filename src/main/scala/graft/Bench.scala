@@ -51,7 +51,8 @@ object Bench {
     // builds. Scratch.sharedDir makes this idempotent and race-free
     // across concurrent runs.
     Seq("sm01_stream_daily_orders", "sm02_stream_dedup",
-        "sm03_stream_sessions", "mm01_media_features").foreach { n =>
+        "sm03_stream_sessions", "sm05_stream_stream_join",
+        "mm01_media_features").foreach { n =>
       SparkEntry.queries.get(n).filter(_ => only.forall(_.contains(n)))
         .foreach { fn => try fn(spark, sfDir).count() catch { case _: Throwable => () } }
     }

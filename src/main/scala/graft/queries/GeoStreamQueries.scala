@@ -123,6 +123,43 @@ object GeoStreamQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Stream-stream join: click and error streams (two independent readers
+    // over the same landing zone) inner-join per user within a +-1h event-
+    // time band. An INNER stream-stream join's result SET is batch-
+    // equivalent regardless of micro-batch interleaving — matches emit
+    // whenever the second side arrives and state is never evicted (no
+    // watermark) — which is exactly the equivalence the oracle proves.
+    "sm05_stream_stream_join" -> ((s, d) => {
+      val stage = graft.sources.Scratch.sharedDir("stream_stage",
+        s"sm05_events_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/events.parquet")}") { tmp =>
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(tmp)
+        Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            require(f.setLastModified(1700000000000L + i * 60000L),
+              s"sm05 staging: setLastModified failed for $f")
+          }
+      }
+      val schema = s.read.parquet(stage).schema
+      def side(tpe: String, idAs: String, uAs: String, tsAs: String) =
+        Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+          .where(col("event_type") === tpe)
+          .select(col("event_id").as(idAs), col("user_id").as(uAs),
+            col("ts").as(tsAs))
+      val clicks = side("click", "click_id", "cu", "cts")
+      val errors = side("error", "error_id", "eu", "ets")
+      val joined = clicks.join(errors,
+        col("cu") === col("eu") &&
+          col("ets").between(col("cts") - expr("INTERVAL 1 HOUR"),
+            col("cts") + expr("INTERVAL 1 HOUR")))
+      Streams.runToMemory(joined.select(col("click_id"), col("error_id")),
+          "sm05_sink", outputMode = "append", statePartitions = Some(8))
+        .orderBy("click_id", "error_id")
+    }),
+
     // Streaming sessionization: session_window(ts, 12h) per user over the
     // events "stream". Append mode only emits a session once the watermark
     // passes its end, and AvailableNow's last batch advances the watermark
@@ -299,6 +336,15 @@ object GeoStreamQueries {
         |         AS total
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    // Stream-stream replay: the plain batch interval join
+    "sm05_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS error_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'error'
+        | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, error_id""".stripMargin,
 
     // Sessionization replay: gap-island detection (new session when the
     // inter-event gap reaches 12h — Spark merges only strictly-overlapping
