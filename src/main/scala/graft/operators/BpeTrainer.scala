@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable.ArrayBuffer
+
 /** Byte-pair-encoding tokenizer training (public algorithm: Sennrich et
   * al. '16): start from characters, repeatedly merge the most frequent
   * adjacent symbol pair. The classic trainer operates on the corpus's
@@ -10,13 +12,23 @@ import org.apache.spark.sql.functions._
   * distributed part (one groupBy over the corpus), after which each merge
   * round is a weighted pair count + a vocabulary rewrite over the distinct
   * words only. That is exactly the shape here: rounds are driver-
-  * coordinated (one 1-row collect per round, like IVF's Lloyd iterations),
-  * all counting/rewriting is distributed.
+  * coordinated (TWO jobs per round — the 1-row pair-count argmax collect
+  * plus the eager vocab checkpoint — like IVF's Lloyd iterations), all
+  * counting/rewriting is distributed.
   *
-  * The greedy leftmost merge application is written as a portable
-  * fold-over-symbols (separator-delimited string accumulator, see
-  * [[mergeExpr]]) — the SAME formula a SQL oracle replays verbatim, which
-  * is what lets the driver hash-gate the learned merge table.
+  * Merge application is a plain Scala pass over the symbol array
+  * ([[mergeOnePass]] / [[applyMerges]]) rather than a SQL expression fold:
+  * whole-token comparisons need no separator encoding (a corpus token may
+  * legally contain U+001F) and no suffix-width arithmetic (UTF-16 vs
+  * code-point length mismatches can't arise). The DuckDB oracle replays
+  * the SAME greedy-leftmost semantics as an unrolled separator-string
+  * fold, which is what lets the driver hash-gate both the learned merge
+  * table (bp01) and the segmentation counts (bp02).
+  *
+  * Plan depth is bounded at any vocab size: train() truncates lineage via
+  * per-round `localCheckpoint`, and segmentCounts() applies the WHOLE
+  * merge table in one UDF over a broadcast ranks map — the Catalyst plan
+  * is a single Project regardless of whether there are 8 merges or 32k.
   */
 object BpeTrainer {
 
@@ -24,25 +36,64 @@ object BpeTrainer {
     * that won the round. */
   case class Merge(rank: Int, left: String, right: String, n: Long)
 
-  // symbols are embedded as Spark SQL single-quoted literals: escape the
-  // backslash too (Spark string literals process \-escapes, unlike the
-  // quote-only rule of standard SQL)
-  private def sqlLit(s: String): String =
-    s.replace("\\", "\\\\").replace("'", "''")
+  /** Greedy leftmost application of ONE merge (l, r): a single left-to-
+    * right pass; a merged token immediately becomes the tail, so `aaa`
+    * under (a,a) gives [aa, a] — non-overlapping, leftmost-first. */
+  private[graft] def mergeOnePass(syms: IndexedSeq[String], l: String,
+                                  r: String): IndexedSeq[String] = {
+    val buf = new ArrayBuffer[String](syms.length)
+    syms.foreach { x =>
+      if (x == r && buf.nonEmpty && buf.last == l) buf(buf.length - 1) = l + r
+      else buf += x
+    }
+    buf.toIndexedSeq
+  }
 
-  /** Greedy leftmost application of merge (l, r) to a ``-separated
-    * symbol string, as a fold: appending `r` WITHOUT a separator turns a
-    * trailing `l` token into `lr`. The suffix check `sep||l` (or the
-    * accumulator being exactly `l`) is what stops a longer symbol that
-    * merely ENDS in `l` from merging. */
-  private def mergeExpr(l: String, r: String): String = {
-    val (ll, rl) = (sqlLit(l), sqlLit(r))
-    s"""split(aggregate(_syms_, cast('' as string), (acc, x) ->
-       |  CASE WHEN x = '$rl' AND (acc = '$ll'
-       |            OR right(acc, ${l.length + 1}) = concat(char(31), '$ll'))
-       |       THEN concat(acc, '$rl')
-       |       WHEN acc = '' THEN x
-       |       ELSE concat(acc, char(31), x) END), char(31))""".stripMargin
+  /** Apply a whole merge table in rank order, each rank one greedy-
+    * leftmost pass. Semantics are EXACTLY sequential application, but the
+    * scan skips ranks whose pair is absent: maintain a floor `minRank`
+    * (sequential passes already ran below it — a later merge may create a
+    * lower-rank pair, but that pass is over and must not re-fire), find
+    * the smallest applicable rank >= floor among adjacent pairs, apply,
+    * advance the floor. O(len · merges-applied) per word, independent of
+    * table size — the 32k-vocab path costs the same plan as 8 merges. */
+  private[graft] def applyMerges(word: String,
+                                 ranks: Map[(String, String), Int],
+                                 pairs: Map[Int, (String, String)]): IndexedSeq[String] = {
+    // initial symbols are CODE POINTS, matching the SQL side's
+    // substring(_w_, i, 1) in train() — mapping UTF-16 code units would
+    // split a supplementary-plane symbol (emoji) into surrogate halves
+    var cur: IndexedSeq[String] = {
+      val cps = new ArrayBuffer[String]()
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        cps += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      cps.toIndexedSeq
+    }
+    var floor = 1
+    var continue = cur.length > 1
+    while (continue) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < cur.length - 1) {
+        ranks.get((cur(i), cur(i + 1))) match {
+          case Some(rk) if rk >= floor && rk < best => best = rk
+          case _ => ()
+        }
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        val (l, r) = pairs(best)
+        cur = mergeOnePass(cur, l, r)
+        floor = best + 1
+        continue = cur.length > 1
+      }
+    }
+    cur
   }
 
   /** Learn `numMerges` merges from the whitespace-token stream of
@@ -55,8 +106,11 @@ object BpeTrainer {
       .select(col("_freq_"),
         expr("transform(sequence(1, length(_w_)), i -> substring(_w_, i, 1))")
           .as("_syms_"))
-      .persist()
-    syms.count()
+      // eager localCheckpoint = persist + lineage truncation: every round
+      // below starts from a constant-depth plan, so Catalyst analysis
+      // stays O(1) per round instead of O(rounds) — at a real 32k-merge
+      // vocab the chained-Project plan would explode long before data does
+      .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
@@ -77,10 +131,11 @@ object BpeTrainer {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, c)
+        val applyOne = udf((s: Seq[String]) =>
+          mergeOnePass(s.toIndexedSeq, l, r))
         val next = syms
-          .withColumn("_syms_", expr(mergeExpr(l, r)))
-          .persist()
-        next.count()
+          .withColumn("_syms_", applyOne(col("_syms_")))
+          .localCheckpoint()
         syms.unpersist()
         syms = next
         rank += 1
@@ -100,20 +155,25 @@ object BpeTrainer {
   /** Apply learned merges (in rank order) and count BPE pieces per row:
     * segmentation runs once per DISTINCT word (the vocabulary, tiny next
     * to the corpus), then joins back to the token stream — the same
-    * vocabulary-table shortcut training uses. Output: (idCol,
+    * vocabulary-table shortcut training uses. The whole merge table rides
+    * to executors as ONE broadcast ranks map applied by ONE UDF, so plan
+    * size does not grow with the vocabulary. Output: (idCol,
     * bpe_pieces). */
   def segmentCounts(df: DataFrame, idCol: String, textCol: String,
                     merges: Seq[Merge]): DataFrame = {
+    val ordered = merges.sortBy(_.rank)
+    val bc = df.sparkSession.sparkContext.broadcast((
+      ordered.map(m => (m.left, m.right) -> m.rank).toMap,
+      ordered.map(m => m.rank -> ((m.left, m.right))).toMap))
+    val pieceCount = udf { (w: String) =>
+      val (ranks, pairs) = bc.value
+      applyMerges(w, ranks, pairs).length
+    }
     val words = df
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("_w_"))
       .where(col("_w_") =!= "")
-    var vocab = words.select("_w_").distinct()
-      .withColumn("_syms_",
-        expr("transform(sequence(1, length(_w_)), i -> substring(_w_, i, 1))"))
-    merges.sortBy(_.rank).foreach { m =>
-      vocab = vocab.withColumn("_syms_", expr(mergeExpr(m.left, m.right)))
-    }
-    val pieces = vocab.select(col("_w_"), size(col("_syms_")).as("_np_"))
+    val pieces = words.select("_w_").distinct()
+      .select(col("_w_"), pieceCount(col("_w_")).as("_np_"))
     words.join(pieces, "_w_")
       .groupBy(idCol).agg(sum(col("_np_").cast("long")).as("bpe_pieces"))
   }

@@ -55,7 +55,10 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum_", sum(col(tokensCol)).over(w))
       .withColumn("_start_", col("_cum_") - col(tokensCol))
-      .withColumn("seq_id", (col("_start_") / seqLen).cast("long"))
+      // integer `div`, not `/`: double division loses exactness past 2^53
+      // cumulative tokens, and this module's contract is bit-portability
+      // at any magnitude
+      .withColumn("seq_id", expr(s"_start_ div $seqLen").cast("long"))
       .withColumn("seq_offset", (col("_start_") % seqLen).cast("long"))
       .drop("_cum_", "_start_")
   }

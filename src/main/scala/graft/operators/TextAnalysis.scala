@@ -134,10 +134,15 @@ object TextAnalysis {
     * and phone numbers with typed placeholder tokens and count what was
     * redacted (the metering a compliance pipeline reports). Emails scrub
     * FIRST so the phone pass can never match digits inside an address that
-    * was already collapsed to `<EMAIL>`. Per-row regex — shuffle-free. */
+    * was already collapsed to `<EMAIL>` — and for the same reason n_phones
+    * is metered on the email-scrubbed intermediate, so a phone-shaped
+    * substring inside an email local part (12-345-678-9012@x.com) is
+    * neither counted nor replaced. Counts always agree with the scrubbed
+    * text. Per-row regex — shuffle-free. */
   def scrubPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
-      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn("n_phones",
+        regexp_count(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), lit(PhoneRe)))
       .withColumn(s"${textCol}_scrubbed",
         regexp_replace(
           regexp_replace(col(textCol), EmailRe, "<EMAIL>"),

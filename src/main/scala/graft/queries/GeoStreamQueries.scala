@@ -13,6 +13,20 @@ import graft.streaming.Streams
   * SQL-mirrorable, so the two-phase join is oracle-checked end to end. */
 object GeoStreamQueries {
 
+  /** Orders landing zone shared by sm01 and sm04 — tag and layout defined
+    * ONCE so a version bump or layout change can't silently diverge the
+    * two consumers. repartition(4) gives the file source several files =
+    * several micro-batches; sharedDir's build-then-atomic-rename keeps
+    * concurrent harness runs race-free without re-paying the staging
+    * write per app run (the stage is a pure function of the sf dir). */
+  private def ordersLandingZone(s: SparkSession, d: String): String = {
+    val src = s"$d/orders.parquet"
+    graft.sources.Scratch.sharedDir("stream_stage",
+      s"sm01_orders_v1_${d}_${graft.sources.Scratch.fingerprint(src)}") { tmp =>
+      s.read.parquet(src).repartition(4).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Two-phase point-in-polygon join: 4x4 grid cells over derived points
     "geo01_point_in_polygon" -> ((s, d) => {
@@ -73,16 +87,8 @@ object GeoStreamQueries {
     // Structured Streaming: watermarked 1-day tumbling windows over the
     // orders "stream" (file source, AvailableNow), oracle = batch rollup
     "sm01_stream_daily_orders" -> ((s, d) => {
-      val src = s"$d/orders.parquet"
-      // stage into a landing directory (file-stream sources consume dirs):
-      // repartition(4) gives the source several files = several micro-batches.
-      // Shared across runs (the stage is a pure function of the sf dir);
-      // sharedDir's build-then-atomic-rename keeps concurrent harness runs
-      // race-free without re-paying the staging write per app run
-      val stage = graft.sources.Scratch.sharedDir("stream_stage",
-        s"sm01_orders_v1_${d}_${graft.sources.Scratch.fingerprint(src)}") { tmp =>
-        s.read.parquet(src).repartition(4).write.mode("overwrite").parquet(tmp)
-      }
+      // stage into a landing directory (file-stream sources consume dirs)
+      val stage = ordersLandingZone(s, d)
       val schema = s.read.parquet(stage).schema
       val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
         // parquet stores TIMESTAMP_NTZ; watermarks require TIMESTAMP (LTZ).
@@ -104,11 +110,7 @@ object GeoStreamQueries {
     // on-ingest shape), then a complete-mode rollup per market segment.
     // Reuses sm01's landing zone, so no extra staging cost.
     "sm04_stream_static_join" -> ((s, d) => {
-      val stage = graft.sources.Scratch.sharedDir("stream_stage",
-        s"sm01_orders_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/orders.parquet")}") { tmp =>
-        s.read.parquet(s"$d/orders.parquet").repartition(4)
-          .write.mode("overwrite").parquet(tmp)
-      }
+      val stage = ordersLandingZone(s, d)
       val schema = s.read.parquet(stage).schema
       val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
       val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))

@@ -945,7 +945,9 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
         |    AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INTEGER)
         |    AS n_phones,
         |  regexp_replace(

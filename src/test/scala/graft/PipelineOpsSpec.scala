@@ -279,6 +279,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(counts == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("bpe: 256-rank merge table applies in one pass; exotic symbols survive") {
+    import graft.operators.BpeTrainer
+    import graft.operators.BpeTrainer.Merge
+    // deterministic corpus with enough pair diversity to sustain deep
+    // vocabularies: 200 distinct "words" from a seeded 4-letter alphabet
+    val words = (0 until 200).map { i =>
+      val s = new StringBuilder
+      var x = i * 2654435761L
+      (0 until 6 + (i % 5)).foreach { _ =>
+        s += ('a' + ((x >>> 16) % 4).toInt).toChar; x = x * 6364136223846793005L + 1442695040888963407L
+      }
+      s.toString
+    }
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val merges = BpeTrainer.train(df, "text", 256)
+    assert(merges.nonEmpty && merges.size <= 256)
+    // plan-depth check: segmentCounts applies the WHOLE table through one
+    // UDF — the analyzed plan must not grow with the merge count
+    val seg = BpeTrainer.segmentCounts(
+      df.select(lit(1L).as("doc_id"), col("text")), "doc_id", "text", merges)
+    val planLines = seg.queryExecution.analyzed.toString.linesIterator.size
+    assert(planLines < 40, s"plan grew with merge count: $planLines lines")
+    assert(seg.as[(Long, Long)].collect().head._2 >= 200)
+    // sequential-rank semantics: applying the table must equal applying
+    // each merge one pass at a time in rank order
+    val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val pairs = merges.map(m => m.rank -> ((m.left, m.right))).toMap
+    words.take(50).foreach { w =>
+      val fast = BpeTrainer.applyMerges(w, ranks, pairs)
+      val slow = merges.sortBy(_.rank).foldLeft(
+        w.map(_.toString).toIndexedSeq)((s, m) => BpeTrainer.mergeOnePass(s, m.left, m.right))
+      assert(fast == slow, s"divergence on $w")
+    }
+    // exotic symbols: a token containing U+001F (the old fold's separator)
+    // and a supplementary-plane emoji segment without corruption
+    val exotic = Seq((1L, "ab 😀x 😀x"))
+      .toDF("doc_id", "text")
+    val em = BpeTrainer.train(exotic, "text", 3)
+    // the emoji-x word (freq 2) wins round 1 as a single 2-codepoint pair
+    assert(em.head == Merge(1, "😀", "x", 2))
+    val segEx = BpeTrainer.segmentCounts(exotic, "doc_id", "text", em)
+      .as[(Long, Long)].collect().toMap
+    // after merges the emoji words are 1 piece each; ab collapses
+    // via learned merges too (3 chars, up to 2 merges applied)
+    assert(segEx(1L) == 3L)
+  }
+
   test("connected components: chains merge, separate clusters stay apart") {
     // chain 1-2-3 (transitive: pair (1,3) is absent) + island pair (10,11)
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
