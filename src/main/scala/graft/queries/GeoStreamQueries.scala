@@ -27,6 +27,26 @@ object GeoStreamQueries {
     }
   }
 
+  /** Events landing zone shared by sm05 and sm06: range-partitioned by
+    * event_id with part-file mtimes stamped in name order, so micro-batch
+    * arrival follows event_id — and ts is monotone in event_id, which is
+    * what makes BOTH the unwatermarked (sm05) and watermarked (sm06)
+    * stream-stream joins batch-replayable. Tag + layout defined once. */
+  private def eventsIntervalStage(s: SparkSession, d: String): String =
+    graft.sources.Scratch.sharedDir("stream_stage",
+      s"sm05_events_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/events.parquet")}") { tmp =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(tmp)
+      Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          require(f.setLastModified(1700000000000L + i * 60000L),
+            s"events staging: setLastModified failed for $f")
+        }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Two-phase point-in-polygon join: 4x4 grid cells over derived points
     "geo01_point_in_polygon" -> ((s, d) => {
@@ -132,19 +152,7 @@ object GeoStreamQueries {
     // whenever the second side arrives and state is never evicted (no
     // watermark) — which is exactly the equivalence the oracle proves.
     "sm05_stream_stream_join" -> ((s, d) => {
-      val stage = graft.sources.Scratch.sharedDir("stream_stage",
-        s"sm05_events_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/events.parquet")}") { tmp =>
-        Tables.events(s, d)
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-          .repartitionByRange(4, col("event_id"))
-          .write.mode("overwrite").parquet(tmp)
-        Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-          .zipWithIndex.foreach { case (f, i) =>
-            require(f.setLastModified(1700000000000L + i * 60000L),
-              s"sm05 staging: setLastModified failed for $f")
-          }
-      }
+      val stage = eventsIntervalStage(s, d)
       val schema = s.read.parquet(stage).schema
       def side(tpe: String, idAs: String, uAs: String, tsAs: String) =
         Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
@@ -159,6 +167,36 @@ object GeoStreamQueries {
             col("cts") + expr("INTERVAL 1 HOUR")))
       Streams.runToMemory(joined.select(col("click_id"), col("error_id")),
           "sm05_sink", outputMode = "append", statePartitions = Some(8))
+        .orderBy("click_id", "error_id")
+    }),
+
+    // Watermarked stream-stream join: sm05's shape with BOTH sides
+    // watermarked (2h) — the production form where Spark can EVICT join
+    // state once the watermark passes a row's last possible match time
+    // (the ±1h condition bounds it), instead of holding state forever.
+    // Correctness still equals the batch join because arrival is pinned
+    // to event order (ts monotone in event_id, mtime-stamped files): a
+    // row is only evicted when every still-unseen row is too new to
+    // match it, so the watermark drops nothing the batch oracle keeps.
+    // State eviction itself is spec-asserted (numRowsTotal shrinks) in
+    // GeoStreamSpec.
+    "sm06_stream_stream_watermarked" -> ((s, d) => {
+      val stage = eventsIntervalStage(s, d)
+      val schema = s.read.parquet(stage).schema
+      def side(tpe: String, idAs: String, uAs: String, tsAs: String) =
+        Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+          .where(col("event_type") === tpe)
+          .select(col("event_id").as(idAs), col("user_id").as(uAs),
+            col("ts").as(tsAs))
+          .withWatermark(tsAs, "2 hours")
+      val clicks = side("click", "click_id", "cu", "cts")
+      val errors = side("error", "error_id", "eu", "ets")
+      val joined = clicks.join(errors,
+        col("cu") === col("eu") &&
+          col("ets").between(col("cts") - expr("INTERVAL 1 HOUR"),
+            col("cts") + expr("INTERVAL 1 HOUR")))
+      Streams.runToMemory(joined.select(col("click_id"), col("error_id")),
+          "sm06_sink", outputMode = "append", statePartitions = Some(8))
         .orderBy("click_id", "error_id")
     }),
 
@@ -341,6 +379,17 @@ object GeoStreamQueries {
 
     // Stream-stream replay: the plain batch interval join
     "sm05_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS error_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'error'
+        | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, error_id""".stripMargin,
+
+    // Watermarked stream-stream replay: ordered arrival + 2h watermark
+    // (wider than the 1h band) means eviction never races a possible
+    // match — the result set is the SAME unrestricted batch join as sm05
+    "sm06_stream_stream_watermarked" ->
       """SELECT a.event_id AS click_id, b.event_id AS error_id
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id

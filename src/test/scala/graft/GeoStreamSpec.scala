@@ -94,6 +94,52 @@ class GeoStreamSpec extends AnyFunSuite {
       (5L, true, 0)))
   }
 
+  test("watermarked stream-stream join: matches emitted, state evicted as watermark advances") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val right = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val l = left.toDF().toDF("lid", "lu", "lts").withWatermark("lts", "10 minutes")
+    val r = right.toDF().toDF("rid", "ru", "rts").withWatermark("rts", "10 minutes")
+    val joined = l.join(r, col("lu") === col("ru") &&
+      col("rts").between(col("lts") - expr("INTERVAL 5 MINUTES"),
+        col("lts") + expr("INTERVAL 5 MINUTES")))
+    val name = s"wmjoin_${System.nanoTime()}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // batch 1: a cluster of rows around t=0 (3 left, 2 right)
+      left.addData((1L, 7L, ts(0)), (2L, 7L, ts(1)), (3L, 8L, ts(0)))
+      right.addData((100L, 7L, ts(2)), (101L, 8L, ts(1)))
+      q.processAllAvailable()
+      // batch 2: two hours later — watermark will pass the t=0 cluster
+      left.addData((4L, 7L, ts(120)))
+      right.addData((102L, 7L, ts(121)))
+      q.processAllAvailable()
+      // batch 3: two MORE hours — processing this batch runs with the
+      // batch-2 watermark (t=111min), which evicts every t~0 state row
+      left.addData((5L, 7L, ts(240)))
+      right.addData((103L, 7L, ts(241)))
+      q.processAllAvailable()
+      val totals = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal)
+      q.stop()
+      // every in-band pair was emitted — eviction dropped no matches
+      val out = spark.table(name).select("lid", "rid")
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 100L), (2L, 100L), (3L, 101L), (4L, 102L), (5L, 103L)))
+      // and the join state actually SHRANK: the t~0 cluster (5 rows) left
+      // the store once the watermark passed its last possible match time
+      assert(totals.nonEmpty, "no state-operator progress recorded")
+      assert(totals.last < totals.max,
+        s"state never evicted: totals=$totals")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("flattenHierarchy denormalizes ancestor paths") {
     val nodes = Seq(
       (1L, None: Option[Long], "root"),
