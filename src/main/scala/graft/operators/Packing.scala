@@ -43,11 +43,8 @@ object Packing {
     * sequence).
     *
     * Scale: the running sum is a single global window — one sequential
-    * pass. A 100 TB run packs per shard instead (each shard's stream cut
-    * independently, boundaries stitched by offsetting with the per-shard
-    * token totals — the same two-phase quota split pp01 documents); the
-    * per-document arithmetic is identical, so this operator IS the
-    * shard-local step of that plan. */
+    * pass, fine up to one task's comfort. [[packSequencesSharded]] is the
+    * 100 TB form: identical output, parallel across shards. */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
@@ -58,6 +55,70 @@ object Packing {
       // integer `div`, not `/`: double division loses exactness past 2^53
       // cumulative tokens, and this module's contract is bit-portability
       // at any magnitude
+      .withColumn("seq_id", expr(s"_start_ div $seqLen").cast("long"))
+      .withColumn("seq_offset", (col("_start_") % seqLen).cast("long"))
+      .drop("_cum_", "_start_")
+  }
+
+  /** Sharded running total — the two-phase prefix-sum that replaces a
+    * sequential `sum().over(orderBy(id))` window at 100 TB. Adds `cumCol`
+    * = running sum of `tokensCol` in `idCol` order (within each
+    * `groupCols` group if given), IDENTICAL to the single-window result:
+    * a row's running total decomposes as (sum of all earlier shards'
+    * totals) + (running sum within its own shard). Phase 1 aggregates one
+    * total per (group, shard) — tiny; phase 2 prefix-sums those into
+    * per-shard bases (a window over `numShards` rows per group,
+    * negligible); phase 3 runs the running sum PER SHARD
+    * (Window.partitionBy — parallel across shards) and adds the broadcast
+    * base. No global window anywhere.
+    *
+    * Shards are contiguous `idCol` ranges cut from the id span (one
+    * min/max aggregate). ANY order-preserving contiguous split yields the
+    * same output — boundaries affect parallelism, never results — so skew
+    * in the id space degrades speed, not correctness; size `numShards` so
+    * one shard's rows fit a single task comfortably. Requires a numeric
+    * `idCol` (doc ids). */
+  def runningTotalSharded(df: DataFrame, idCol: String, tokensCol: String,
+                          cumCol: String, numShards: Int = 32,
+                          groupCols: Seq[String] = Nil): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
+      max(col(idCol)).cast("long").as("hi")).head()
+    if (bounds.isNullAt(0)) { // empty input: empty result, right schema
+      return df.withColumn(cumCol, sum(col(tokensCol)).over(
+        Window.orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // ceil-width keeps every id inside [0, numShards)
+    val width = 1L.max((hi - lo) / numShards + 1)
+    val sharded = df.withColumn("_shard_",
+      expr(s"(cast($idCol as bigint) - $lo) div $width"))
+    val keys = groupCols :+ "_shard_"
+    val totals = sharded.groupBy(keys.map(col): _*)
+      .agg(sum(col(tokensCol)).as("_tot_"))
+    val wShards = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy("_shard_")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = totals
+      .withColumn("_base_", sum(col("_tot_")).over(wShards) - col("_tot_"))
+      .select(keys.map(col) :+ col("_base_"): _*)
+    val wIn = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded.join(broadcast(bases), keys)
+      .withColumn(cumCol, col("_base_") + sum(col(tokensCol)).over(wIn))
+      .select(df.columns.map(col) :+ col(cumCol): _*)
+  }
+
+  /** Two-phase sharded [[packSequences]] — the 100 TB plan promised
+    * there, with IDENTICAL output: a document's (seq_id, seq_offset)
+    * depends only on its global start position, which
+    * [[runningTotalSharded]] reconstructs without a global window. */
+  def packSequencesSharded(df: DataFrame, idCol: String, tokensCol: String,
+                           seqLen: Int, numShards: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    runningTotalSharded(df, idCol, tokensCol, "_cum_", numShards)
+      .withColumn("_start_", col("_cum_") - col(tokensCol))
       .withColumn("seq_id", expr(s"_start_ div $seqLen").cast("long"))
       .withColumn("seq_offset", (col("_start_") % seqLen).cast("long"))
       .drop("_cum_", "_start_")

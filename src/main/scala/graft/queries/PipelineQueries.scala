@@ -14,6 +14,50 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   * checks + ScalaTest invariants. */
 object PipelineQueries {
 
+  /** pk01/pk02 share one replay (the sharded path's whole point is
+    * bit-identical output), as do pp01/pp04 — defined once so the gates
+    * can never drift apart. */
+  private val PackingSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(
+      |      list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+      |      w -> (length(w) + 3) // 4)) AS INTEGER) AS bpe_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, bpe_tokens,
+      |    sum(bpe_tokens) OVER (ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - bpe_tokens AS strt
+      |  FROM t)
+      |SELECT doc_id, bpe_tokens,
+      |       CAST(strt // 2048 AS BIGINT) AS seq_id,
+      |       CAST(strt % 2048 AS BIGINT) AS seq_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  private val BudgetMixSql =
+    """WITH dd AS (
+      |  SELECT doc_id, lang, text FROM (
+      |    SELECT doc_id, lang, text,
+      |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents) t
+      |  WHERE rn = 1),
+      |tok AS (
+      |  SELECT doc_id, lang,
+      |    CAST(list_sum(list_transform(
+      |      list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+      |      w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe
+      |  FROM dd),
+      |cum AS (
+      |  SELECT doc_id, lang, bpe,
+      |    sum(bpe) OVER (PARTITION BY lang ORDER BY doc_id
+      |                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM tok)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(bpe) AS BIGINT) AS tokens,
+      |       CAST(max(cum_tokens) AS BIGINT) AS budget_used
+      |FROM cum WHERE cum_tokens <= 10000
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup: exact ------------------------------------------------------
     "dd01_exact_dedup_stats" -> ((s, d) => {
@@ -186,6 +230,23 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // ---- composite: pp01's budget admission via the SHARDED running
+    // total (oracle-able; same replay as pp01 — the per-(lang, shard)
+    // prefix-sum stitch must reproduce the per-lang window exactly) --------
+    "pp04_training_mix_sharded" -> ((s, d) => {
+      val deduped = Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+      val counted = deduped.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
+      graft.operators.Packing.runningTotalSharded(counted, "doc_id",
+          "bpe_tokens", "cum_tokens", numShards = 8, groupCols = Seq("lang"))
+        .where(col("cum_tokens") <= 10000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe_tokens")).as("tokens"),
+          max(col("cum_tokens")).as("budget_used"))
+        .orderBy("lang")
+    }),
+
     // ---- composite: temperature-flattened source mix (oracle-able) ---------
     // sqrt-weight quota allocation + avalanched-hash admission order; the
     // whole sampled SET is gated, not just per-source counts, so the oracle
@@ -258,6 +319,16 @@ object PipelineQueries {
         TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
       graft.operators.Packing.packSequences(counted, "doc_id", "bpe_tokens",
         seqLen = 2048)
+        .orderBy("doc_id")
+    }),
+
+    // ---- sequence prep: SHARDED packing (oracle-able; same replay as
+    // pk01 — the two-phase per-shard prefix sum must be bit-identical) ------
+    "pk02_sequence_packing_sharded" -> ((s, d) => {
+      val counted = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
+      graft.operators.Packing.packSequencesSharded(counted, "doc_id",
+        "bpe_tokens", seqLen = 2048, numShards = 8)
         .orderBy("doc_id")
     }),
 
@@ -547,29 +618,10 @@ object PipelineQueries {
         |   w -> (length(w) + 3) // 4)) AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "pp01_training_mix" ->
-      """WITH dd AS (
-        |  SELECT doc_id, lang, text FROM (
-        |    SELECT doc_id, lang, text,
-        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM documents) t
-        |  WHERE rn = 1),
-        |tok AS (
-        |  SELECT doc_id, lang,
-        |    CAST(list_sum(list_transform(
-        |      list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
-        |      w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe
-        |  FROM dd),
-        |cum AS (
-        |  SELECT doc_id, lang, bpe,
-        |    sum(bpe) OVER (PARTITION BY lang ORDER BY doc_id
-        |                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
-        |  FROM tok)
-        |SELECT lang, count(*) AS n_docs,
-        |       CAST(sum(bpe) AS BIGINT) AS tokens,
-        |       CAST(max(cum_tokens) AS BIGINT) AS budget_used
-        |FROM cum WHERE cum_tokens <= 10000
-        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "pp01_training_mix" -> BudgetMixSql,
+
+    // sharded running-total path, identical output to pp01 by contract
+    "pp04_training_mix_sharded" -> BudgetMixSql,
 
     "ts03_lang_rollup" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -846,22 +898,11 @@ object PipelineQueries {
     // Packing replay: ts02's BPE-ish count, one global running sum cut
     // every 2048 tokens; seq_id/seq_offset from the document's start
     // position in the concatenated stream
-    "pk01_sequence_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(
-        |      list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
-        |      w -> (length(w) + 3) // 4)) AS INTEGER) AS bpe_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, bpe_tokens,
-        |    sum(bpe_tokens) OVER (ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - bpe_tokens AS strt
-        |  FROM t)
-        |SELECT doc_id, bpe_tokens,
-        |       CAST(strt // 2048 AS BIGINT) AS seq_id,
-        |       CAST(strt % 2048 AS BIGINT) AS seq_offset
-        |FROM c ORDER BY doc_id""".stripMargin,
+    "pk01_sequence_packing" -> PackingSql,
+
+    // the sharded path must produce BIT-IDENTICAL output to pk01 — that
+    // identity is the gate
+    "pk02_sequence_packing_sharded" -> PackingSql,
 
     // Temperature-mix replay: integer quota math (floor-sqrt weights,
     // integer division) and the splitmix64 admission order over doc_id,

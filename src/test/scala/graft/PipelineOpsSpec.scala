@@ -360,6 +360,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 1L, 4L)))
   }
 
+  test("packing: sharded two-phase path is bit-identical to the global window") {
+    import graft.operators.Packing
+    // adversarial id space: non-dense, non-zero-based, heavily skewed into
+    // the first shard — boundaries must affect parallelism only, never
+    // results
+    val rows = (1L to 40L).map(i => (i * 3 + 100, (i % 7 + 1).toInt)) ++
+      Seq((5000L, 9), (9999L, 4))
+    val df = rows.toDF("doc_id", "n")
+    for (shards <- Seq(1, 3, 8, 64)) {
+      val direct = Packing.packSequences(df, "doc_id", "n", seqLen = 11)
+        .orderBy("doc_id").collect().toSeq
+      val sharded = Packing.packSequencesSharded(df, "doc_id", "n",
+        seqLen = 11, numShards = shards)
+        .orderBy("doc_id").collect().toSeq
+      assert(sharded == direct, s"divergence at numShards=$shards")
+    }
+    // grouped running total: per-group windows reconstructed exactly
+    val g = Seq((1L, "a", 3), (2L, "b", 4), (3L, "a", 2), (7L, "b", 6),
+      (9L, "a", 1)).toDF("doc_id", "g", "n")
+    val viaWindow = g.withColumn("cum",
+      sum(col("n")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("doc_id")
+        .rowsBetween(Long.MinValue, 0)))
+      .orderBy("doc_id").collect().toSeq
+    val viaShards = Packing.runningTotalSharded(g, "doc_id", "n", "cum",
+      numShards = 4, groupCols = Seq("g"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaShards == viaWindow)
+    // empty input keeps the schema and yields no rows
+    val empty = Packing.packSequencesSharded(
+      df.where(col("doc_id") < 0), "doc_id", "n", seqLen = 11)
+    assert(empty.columns.toSeq == Seq("doc_id", "n", "seq_id", "seq_offset"))
+    assert(empty.count() == 0)
+  }
+
   test("contamination: overlap counts distinct shared n-grams per train doc") {
     val train = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
     val bench = Seq("z z a b c d z", "unrelated words here").toDF("text")
