@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * Scala analogue of `mapInPandas`: the executor streams batches, never
   * materializing a partition of decoded frames in memory.
   *
-  * IMAGE DECODE IS REAL: PNG bytes are decoded to pixels with the JDK's
-  * `javax.imageio` and pooled into luminance-strip features — no native
-  * libraries needed. The VIDEO path stays a stub (`decodeStub` over frame
+  * IMAGE AND AUDIO DECODE ARE REAL: PNG bytes are decoded to pixels with
+  * the JDK's `javax.imageio` and pooled into luminance-strip features;
+  * WAV bytes are decoded to PCM with `javax.sound.sampled` and pooled
+  * into windowed-RMS energy envelopes — no native libraries needed for
+  * either. Only the VIDEO path stays a stub (`decodeStub` over frame
   * byte slices): frame extraction needs a container demuxer this
   * environment doesn't ship; the explode-shaped plumbing around it is real.
   */
@@ -74,6 +76,106 @@ object Multimodal {
       lit(null).cast(LongType).as("duration_ms")))
     .withColumn("bytes",
       pngUdf(col("media_id"), col("meta.width"), col("meta.height")))
+
+  /** A real, deterministic WAV: 16-bit mono PCM of a two-harmonic tone
+    * whose fundamental depends on the id, containered through
+    * `javax.sound.sampled.AudioSystem.write`. StrictMath keeps the
+    * synthesized samples bit-identical on any JVM/host; WAV is lossless,
+    * so decode-side assertions can be EXACT, not tolerance-based. */
+  def wavBytes(id: Long, sampleRate: Int = 8000, nSamples: Int = 1600): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    val freq = 220.0 + (id % 16) * 55.0
+    var n = 0
+    while (n < nSamples) {
+      val t = n.toDouble / sampleRate
+      val amp = (StrictMath.sin(2 * StrictMath.PI * freq * t) * 0.6 +
+                 StrictMath.sin(2 * StrictMath.PI * freq * 2 * t) * 0.25) * 0.9
+      val s = math.round(amp * Short.MaxValue).toShort
+      pcm(2 * n) = (s & 0xFF).toByte // WAV PCM is little-endian
+      pcm(2 * n + 1) = ((s >> 8) & 0xFF).toByte
+      n += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val wavUdf = udf { (id: Long, n: Int) => wavBytes(id, nSamples = n) }
+
+  /** Deterministic AUDIO media table (mime audio/wav, real WAV bytes per
+    * row, duration advertised by the same formula the synthesis uses) —
+    * the audio analogue of [[syntheticMedia]]. 0.1–0.3 s per row at 8 kHz:
+    * real containers without the fixture dominating a bench. */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = df
+    .select(col(idCol).cast(LongType).as("media_id"))
+    .withColumn("_n_", (lit(800) + pmod(col("media_id"), lit(5)) * 400).cast(IntegerType))
+    .withColumn("meta", struct(
+      lit("audio/wav").as("mime"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      // integer div: Column./ is true division (double) and would change
+      // the struct field's type away from the shared LongType meta schema
+      expr("(cast(_n_ as bigint) * 1000) div 8000").as("duration_ms")))
+    .withColumn("bytes", wavUdf(col("media_id"), col("_n_")))
+    .drop("_n_")
+
+  /** Real audio decode + pooling: `javax.sound.sampled` parses the
+    * container (WAV in the JDK; any format with a registered SPI), frames
+    * are mixed down to mono in [-1,1], and the RMS over `dim` equal time
+    * windows forms the feature vector — the classic energy-envelope
+    * descriptor. Returns null for null/undecodable/non-16-bit-PCM bytes
+    * (same quarantine contract as [[decodeImageFeatures]]). */
+  def decodeAudioFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    if (bytes == null) return null
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return null
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16) return null
+      val data = ais.readAllBytes()
+      val channels = fmt.getChannels
+      val bigEndian = fmt.isBigEndian
+      val nFrames = data.length / (2 * channels)
+      val out = new Array[Float](dim)
+      if (nFrames == 0) return out
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        var acc = 0.0
+        while (c < channels) {
+          val i = (f * channels + c) * 2
+          val s =
+            if (bigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+            else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        val v = acc / channels
+        val w = math.min(f * dim / nFrames, dim - 1)
+        sums(w) += v * v
+        counts(w) += 1
+        f += 1
+      }
+      var i = 0
+      while (i < dim) {
+        out(i) = if (counts(i) == 0) 0.0f
+          else math.sqrt(sums(i) / counts(i)).toFloat
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
 
   /** Real image decode + pooling: `javax.imageio` parses the container
     * bytes, then luminance means over `dim` vertical strips (strip s spans
@@ -154,6 +256,8 @@ object Multimodal {
           val feats =
             if (mime != null && mime.startsWith("image/"))
               decodeImageFeatures(bytes, dim)
+            else if (mime != null && mime.startsWith("audio/"))
+              decodeAudioFeatures(bytes, dim)
             else decodeStub(bytes, dim)
           Row(r.getAs[Long]("media_id"), meta, feats)
         }

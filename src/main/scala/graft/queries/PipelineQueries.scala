@@ -196,6 +196,26 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // ---- multimodal: REAL audio decode (javax.sound.sampled WAV) ----------
+    // metadata projection + decode-success flags are the oracle-gated part
+    // (the RMS features themselves are spec-asserted bit-exactly against
+    // the synthesized PCM in PipelineOpsSpec — WAV is lossless)
+    "mm03_audio_features" -> ((s, d) => {
+      val stage = graft.sources.Scratch.sharedDir("media",
+        s"mm03_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        graft.operators.Multimodal.syntheticAudio(
+          Tables.documents(s, d).select("doc_id").where(col("doc_id") < 200), "doc_id")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val media = s.read.parquet(stage)
+      graft.operators.Multimodal.extractFeatures(media, dim = 8, batchSize = 256)
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.duration_ms").as("duration_ms"),
+          size(col("features")).as("feat_dim"),
+          col("features").isNotNull.as("decoded"))
+        .orderBy("media_id")
+    }),
+
     "mm02_frame_samples" -> ((s, d) => {
       val media = graft.operators.Multimodal.syntheticMedia(
         Tables.documents(s, d).select("doc_id").where(col("doc_id") < 100), "doc_id")
@@ -667,6 +687,15 @@ object PipelineQueries {
       """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(i AS INTEGER) AS frame_index
         |FROM documents, range(0, 4) t(i)
         |WHERE doc_id < 100 ORDER BY media_id, frame_index""".stripMargin,
+
+    // audio decode gate: metadata replays the synthesis formulas; feat_dim
+    // + decoded prove every WAV actually decoded to an 8-dim vector (size()
+    // of a failed/null decode would be NULL, failing the hash)
+    "mm03_audio_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'audio/wav' AS mime,
+        | CAST((800 + (doc_id % 5) * 400) * 1000 / 8000 AS BIGINT) AS duration_ms,
+        | 8 AS feat_dim, TRUE AS decoded
+        |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
 
     // full annotate mirror. The documents table is pure [a-z0-9 ] text, so
     // tokenize == whitespace split, punct/digit/upper counts are 0, and the

@@ -129,6 +129,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageFeatures(Array[Byte](1, 2, 3), 4) == null)
   }
 
+  test("multimodal: WAV decode recovers the exact synthesized PCM energy envelope") {
+    import graft.operators.Multimodal
+    // WAV is lossless 16-bit PCM, so the decoded windowed RMS must equal
+    // the RMS computed DIRECTLY from the synthesis formula — bit-for-bit
+    // through the same double arithmetic, no tolerance needed
+    val (id, sr, n, dim) = (7L, 8000, 1600, 8)
+    val wav = Multimodal.wavBytes(id, sr, n)
+    val decoded = Multimodal.decodeAudioFeatures(wav, dim)
+    val freq = 220.0 + (id % 16) * 55.0
+    val samples = (0 until n).map { k =>
+      val t = k.toDouble / sr
+      val amp = (StrictMath.sin(2 * StrictMath.PI * freq * t) * 0.6 +
+                 StrictMath.sin(2 * StrictMath.PI * freq * 2 * t) * 0.25) * 0.9
+      math.round(amp * Short.MaxValue).toShort / 32768.0
+    }
+    val expected = (0 until dim).map { w =>
+      val in = (0 until n).filter(k => math.min(k * dim / n, dim - 1) == w)
+      math.sqrt(in.map(k => samples(k) * samples(k)).sum / in.size).toFloat
+    }
+    assert(decoded.toSeq == expected)
+    // a ~0.57-amplitude two-harmonic tone has RMS well inside (0.2, 0.8)
+    assert(decoded.forall(v => v > 0.2f && v < 0.8f), decoded.toSeq.toString)
+    // quarantine contract: garbage bytes and null both yield null
+    assert(Multimodal.decodeAudioFeatures(Array[Byte](9, 9, 9), dim) == null)
+    assert(Multimodal.decodeAudioFeatures(null, dim) == null)
+    // the DataFrame path routes audio/* mimes through the real decoder
+    val media = Multimodal.syntheticAudio(spark.range(0, 10).toDF("id"), "id")
+    val viaDf = Multimodal.extractFeatures(media, dim = 8)
+      .where($"media_id" === 7).select("features").as[Seq[Float]].collect().head
+    // media_id 7 -> nSamples 800 + (7%5)*400 = 1600: same fixture as above
+    assert(viaDf == decoded.toSeq)
+  }
+
   test("multimodal: frame sampling explodes n frames per media row") {
     val media = Multimodal.syntheticMedia(spark.range(0, 10).toDF("id"), "id")
     val frames = Multimodal.sampleFrames(media, nFrames = 4, dim = 8)
