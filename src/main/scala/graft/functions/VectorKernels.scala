@@ -25,6 +25,34 @@ object VectorKernels extends Serializable {
   def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
   def normF(a: Array[Float]): Double = math.sqrt(dotF(a, a))
 
+  /** Dim threshold above which the *Fast kernels route to netlib BLAS
+    * (`dev.ludovic.netlib`, bundled with Spark 4). Netlib's unrolled
+    * accumulation is NOT bit-identical to the sequential scalar loop
+    * (~1e-7 relative), so every oracle-parity path must stay on plain
+    * [[dotF]]/[[normF]] — which happens automatically: all hash-gated
+    * fixtures are 64-dim, far under the threshold. Measured on this
+    * container's Java11BLAS fallback: ~1.5-2x over the scalar loop at
+    * dim 1024 (a native or Vector-API netlib on a real cluster widens
+    * that); below ~512 dims call overhead eats the gain. */
+  val blasDimThreshold = 512
+
+  // lazy per-JVM: executors initialize their own instance; any loader
+  // failure (exotic JVM, missing jar) degrades to the scalar path
+  @transient private lazy val netlib: dev.ludovic.netlib.blas.BLAS =
+    try dev.ludovic.netlib.blas.BLAS.getInstance()
+    catch { case _: Throwable => null }
+
+  /** [[dotF]] with a netlib fast path at dim >= [[blasDimThreshold]] —
+    * for score/threshold/argmax consumers (ANN rerank, near-dup kernel,
+    * IVF assignment), NOT for hash-gated comparisons. */
+  def dotFFast(a: Array[Float], b: Array[Float]): Double =
+    if (netlib != null && a.length >= blasDimThreshold)
+      netlib.sdot(a.length, a, 1, b, 1).toDouble
+    else dotF(a, b)
+
+  /** [[normF]] with the same fast-path contract as [[dotFFast]]. */
+  def normFFast(a: Array[Float]): Double = math.sqrt(dotFFast(a, a))
+
   /** Unit-normalize (zero vectors pass through unchanged). */
   def unitF(a: Array[Float]): Array[Float] = {
     val n = normF(a)
@@ -34,11 +62,14 @@ object VectorKernels extends Serializable {
   }
 
   /** Index of the centroid with the largest dot product (ties → lowest
-    * index, so results are deterministic). */
+    * index, so results are deterministic). Routes through [[dotFFast]]:
+    * an argmax consumer tolerates the fast path's last-ulp wobble (only
+    * an exact tie between centroids could flip, and its callers are
+    * recall-gated, not hash-gated). */
   def argmaxDotF(v: Array[Float], centroids: Array[Array[Float]]): Int = {
     var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
     while (c < centroids.length) {
-      val d = dotF(v, centroids(c))
+      val d = dotFFast(v, centroids(c))
       if (d > bestDot) { bestDot = d; best = c }
       c += 1
     }
@@ -135,19 +166,34 @@ object VectorKernels extends Serializable {
     var sig = 0L
     var b = 0
     while (b < nBits) {
-      val base = seed + table * 1000003L + b
-      var h = TextKernels.mix64(base)
-      var s = 0.0
-      var d = 0
-      while (d < v.length) {
-        if (d > 0 && (d & 63) == 0)
-          h = TextKernels.mix64(base + 2654435761L * (d >>> 6))
-        if (((h >>> (d & 63)) & 1L) == 1L) s += v(d) else s -= v(d)
-        d += 1
-      }
-      if (s > 0) sig |= (1L << b)
+      if (rademacherDot(v, seed + table * 1000003L + b) > 0) sig |= (1L << b)
       b += 1
     }
     sig
+  }
+
+  /** ENGINE-PORTABLE fixed-centroid score: dot of `v` against the
+    * Rademacher ±1 pseudo-centroid for `cell` — signs from
+    * `mix64(seed + cell·1000003)`, same per-64-dim chunk redraw as
+    * [[rademacherSignature]]. Every cell's centroid has identical norm
+    * √dim, so `argmax` over this raw dot equals `argmax` over cosine
+    * WITHOUT any normalization step — which is exactly what makes IVF
+    * cell assignment replayable in plain SQL (see the ann04 oracle). */
+  def rademacherCellScore(v: Array[Float], seed: Long, cell: Int): Double =
+    rademacherDot(v, seed + cell * 1000003L)
+
+  // shared ±1-sign dot: double accumulation ascending-d over widened
+  // floats, one mixed long per 64-dim chunk (chunk 0 = mix64(base))
+  private def rademacherDot(v: Array[Float], base: Long): Double = {
+    var h = TextKernels.mix64(base)
+    var s = 0.0
+    var d = 0
+    while (d < v.length) {
+      if (d > 0 && (d & 63) == 0)
+        h = TextKernels.mix64(base + 2654435761L * (d >>> 6))
+      if (((h >>> (d & 63)) & 1L) == 1L) s += v(d) else s -= v(d)
+      d += 1
+    }
+    s
   }
 }

@@ -139,14 +139,17 @@ object SourceQueries {
         .orderBy("o_orderstatus")
     }),
 
-    // IVF ANN top-3 (rows-only: centroids are data-dependent; recall floor
-    // vs the exact baseline asserted in PipelineOpsSpec)
+    // IVF ANN top-3, oracle-gated via portable Rademacher pseudo-centroids:
+    // DuckDB replays assign + probe + rerank end-to-end (the trained
+    // Lloyd's path stays spec-gated by the recall floor in SourceOpsSpec)
     "ann04_knn_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(
         emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
-        k = 3, nCells = 16, nProbe = 4)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        k = 3, nCells = 16, nProbe = 4, seed = 101L,
+        portableCentroids = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast(IntegerType).as("rank"))
         .orderBy("query_id", "rank")
     })
   )
@@ -158,6 +161,63 @@ object SourceQueries {
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Full portable-IVF replay (same splitmix64 recipe as the ann02
+    // oracle): one mixed long per cell (mix64(101 + c*1000003)), centroid
+    // component d = ±1 from bit (d mod 64), score accumulated ascending-d
+    // in DOUBLE (bit-identical to the JVM kernel's float-widening loop).
+    // Assign = argmax score (ties -> lower c), probe = top-4 cells, then
+    // cell equi-join + exact cosine rerank, top-3 with neighbor tie-break.
+    // Each corpus row is in exactly one cell, so no candidate dedup.
+    "ann04_knn_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings),
+        |ch AS (
+        |  SELECT c, p3 AS h FROM (
+        |    SELECT c,
+        |      (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |    FROM (SELECT c, CAST(101 + c * 1000003 AS UHUGEINT) AS p0
+        |          FROM range(0, 16) cc(c))) q1,
+        |  LATERAL (SELECT (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |                  % CAST(18446744073709551616 AS UHUGEINT) AS p2) q2,
+        |  LATERAL (SELECT xor(p2, p2 >> 31) AS p3) q3),
+        |scores AS (
+        |  SELECT v.vec_id, p.c,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [CASE WHEN ((p.h >> CAST((d - 1) % 64 AS UHUGEINT)) & 1) = 1
+        |            THEN CAST(v.embedding[d] AS DOUBLE)
+        |            ELSE -CAST(v.embedding[d] AS DOUBLE) END
+        |       FOR d IN range(1, len(v.embedding) + 1)]),
+        |      (a, x) -> a + x) AS s
+        |  FROM e v, ch p),
+        |assign AS (
+        |  SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+        |    FROM scores) t WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id, c AS cell FROM (
+        |    SELECT vec_id, c,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS rn
+        |    FROM scores WHERE vec_id < 50) t WHERE rn <= 4),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM probe q JOIN assign a ON q.cell = a.cell
+        |  WHERE q.vec_id <> a.vec_id),
+        |ed AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM e)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY cd.query_id
+        |      ORDER BY list_cosine_similarity(qe.v, ce.v) DESC, cd.neighbor_id)
+        |    AS INTEGER) AS rank
+        |  FROM cand cd
+        |  JOIN ed qe ON qe.vec_id = cd.query_id
+        |  JOIN ed ce ON ce.vec_id = cd.neighbor_id) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "geo04_shapefile_roundtrip" ->
       """SELECT n_nationkey, n_name,
         | CAST((n_nationkey % 5) * 10 AS DOUBLE) AS minX,

@@ -211,6 +211,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(VectorKernels.cosine(sa, sb) - 0.5) < 1e-9)
   }
 
+  test("vector kernels: netlib fast path is exact below threshold, tolerance-close above") {
+    val rnd = new java.util.Random(11)
+    // below blasDimThreshold the fast kernels must be THE scalar kernels
+    // (this is what keeps every 64-dim oracle fixture bit-exact)
+    val a64 = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val b64 = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    assert(VectorKernels.dotFFast(a64, b64) == VectorKernels.dotF(a64, b64))
+    assert(VectorKernels.normFFast(a64) == VectorKernels.normF(a64))
+    // at real embedding dims the fast path may diverge only in the last
+    // ulps; argmax consumers must still pick the same centroid
+    val dim = 1024
+    val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val cents = Array.fill(24)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    for (c <- cents) {
+      val exact = VectorKernels.dotF(q, c)
+      val fast = VectorKernels.dotFFast(q, c)
+      assert(math.abs(fast - exact) <= 1e-4 * (1.0 + math.abs(exact)),
+        s"fast=$fast exact=$exact")
+    }
+    val scalarArgmax = cents.indices.maxBy(i =>
+      (VectorKernels.dotF(q, cents(i)), -i))
+    assert(VectorKernels.argmaxDotF(q, cents) == scalarArgmax)
+  }
+
   test("tweet cleaner: emoticons/mentions/links replaced, offsets preserved by url scrub") {
     val t = "lol :) thanks @bob see https://x.io/a?b=1 or www.y.com :("
     val cleaned = TextKernels.cleanTweet(t)

@@ -241,4 +241,34 @@ class SourceOpsSpec extends AnyFunSuite {
     val recall = truth.count(found.contains).toDouble / truth.size
     assert(recall >= 0.6, s"IVF recall $recall over ${truth.size} true pairs")
   }
+
+  test("IVF portable centroids: kernel matches a naive ±1 reimplementation; recall floor holds") {
+    import graft.functions.{TextKernels, VectorKernels}
+    // independent reimplementation: materialize the ±1 centroid explicitly
+    // from mix64 bits, then dot with the same ascending-d double widening
+    val v = Array.tabulate(64)(i => ((i * 37 % 13) - 6) / 7.0f)
+    for (c <- 0 until 16) {
+      val base = 101L + c * 1000003L
+      val h = TextKernels.mix64(base)
+      val centroid = Array.tabulate(64)(d => if (((h >>> d) & 1L) == 1L) 1.0 else -1.0)
+      var expected = 0.0
+      for (d <- 0 until 64) expected += centroid(d) * v(d).toDouble
+      assert(VectorKernels.rademacherCellScore(v, 101L, c) == expected, s"cell $c")
+    }
+    // scale invariance of the argmax (assignment must not depend on norm)
+    val scaled = v.map(_ * 7.5f)
+    def argmax(x: Array[Float]) =
+      (0 until 16).maxBy(c => (VectorKernels.rademacherCellScore(x, 101L, c), -c))
+    assert(argmax(v) == argmax(scaled))
+    // portable mode stays a usable ANN on real embeddings
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where($"vec_id" < 30)
+    val truth = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val found = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      k = 3, nCells = 16, nProbe = 4, seed = 101L, portableCentroids = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.4, s"portable IVF recall $recall over ${truth.size} true pairs")
+  }
 }
