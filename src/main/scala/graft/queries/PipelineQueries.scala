@@ -216,6 +216,27 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // ---- multimodal: REAL video demux + frame decode ----------------------
+    // n_frames_total is the demuxer's own count of '00dc' chunks recovered
+    // from the RIFF tree — hash-matching the synthesis formula proves the
+    // container round-trip; decoded proves every sampled JPEG frame
+    // actually decoded (frame ORDER is spec-asserted via per-frame gray
+    // levels, PipelineOpsSpec — JPEG is lossy so values aren't hash-able)
+    "mm04_video_frames" -> ((s, d) => {
+      val stage = graft.sources.Scratch.sharedDir("media",
+        s"mm04_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        graft.operators.Multimodal.syntheticVideo(
+          Tables.documents(s, d).select("doc_id").where(col("doc_id") < 100), "doc_id")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val media = s.read.parquet(stage)
+      graft.operators.Multimodal.sampleFrames(media, nFrames = 4, dim = 4)
+        .select(col("media_id"), col("frame_index"), col("n_frames_total"),
+          size(col("features")).as("feat_dim"),
+          col("features").isNotNull.as("decoded"))
+        .orderBy("media_id", "frame_index")
+    }),
+
     "mm02_frame_samples" -> ((s, d) => {
       val media = graft.operators.Multimodal.syntheticMedia(
         Tables.documents(s, d).select("doc_id").where(col("doc_id") < 100), "doc_id")
@@ -685,6 +706,15 @@ object PipelineQueries {
 
     "mm02_frame_samples" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(i AS INTEGER) AS frame_index
+        |FROM documents, range(0, 4) t(i)
+        |WHERE doc_id < 100 ORDER BY media_id, frame_index""".stripMargin,
+
+    // video demux gate: the demuxer's recovered frame count must replay
+    // the writer's 4 + id%3 formula through the real RIFF container
+    "mm04_video_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(i AS INTEGER) AS frame_index,
+        | CAST(4 + doc_id % 3 AS INTEGER) AS n_frames_total,
+        | 4 AS feat_dim, TRUE AS decoded
         |FROM documents, range(0, 4) t(i)
         |WHERE doc_id < 100 ORDER BY media_id, frame_index""".stripMargin,
 

@@ -162,6 +162,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(viaDf == decoded.toSeq)
   }
 
+  test("multimodal: AVI demux recovers frame count, order, and JPEG gray levels") {
+    import graft.operators.Multimodal
+    val avi = Multimodal.aviBytes(5L, nFrames = 6)
+    val frames = Multimodal.demuxAviFrames(avi)
+    assert(frames.length == 6)
+    for ((jf, f) <- frames.zipWithIndex) {
+      // every demuxed payload is a real JPEG (SOI marker) ImageIO can decode
+      assert((jf(0) & 0xFF) == 0xFF && (jf(1) & 0xFF) == 0xD8, s"frame $f SOI")
+      val feats = Multimodal.decodeImageFeatures(jf, 4)
+      val expected = Multimodal.videoFrameGray(5L, f) / 255.0f
+      // solid-color JPEG roundtrip error is ~2 gray levels; consecutive
+      // frames differ by 31, so this also proves ORDER was preserved
+      assert(feats.forall(v => math.abs(v - expected) < 8 / 255.0f),
+        s"frame $f: ${feats.toSeq} vs $expected")
+    }
+    // quarantine contract: garbage, null, and truncated containers
+    assert(Multimodal.demuxAviFrames(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.demuxAviFrames(null) == null)
+    assert(Multimodal.demuxAviFrames(avi.take(40)) == null)
+    // DataFrame path: uniform sampling across the container + real decode
+    val media = Multimodal.syntheticVideo(spark.range(0, 8).toDF("id"), "id")
+    val rows = Multimodal.sampleFrames(media, nFrames = 4, dim = 4)
+      .where($"media_id" === 5).orderBy("frame_index")
+      .select("frame_index", "n_frames_total", "features")
+      .as[(Int, Int, Seq[Float])].collect()
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.forall(_._2 == 6)) // 4 + 5%3 frames survived the container
+    for ((r, k) <- rows.zipWithIndex) {
+      val srcFrame = k * 6 / 4 // uniform sample positions 0,1,3,4
+      val expected = Multimodal.videoFrameGray(5L, srcFrame) / 255.0f
+      assert(r._3.forall(v => math.abs(v - expected) < 8 / 255.0f),
+        s"sampled $k (source $srcFrame): ${r._3} vs $expected")
+    }
+  }
+
   test("multimodal: frame sampling explodes n frames per media row") {
     val media = Multimodal.syntheticMedia(spark.range(0, 10).toDF("id"), "id")
     val frames = Multimodal.sampleFrames(media, nFrames = 4, dim = 8)
