@@ -146,6 +146,17 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- similarity: near-dup pairs via the LSH SCALE path (oracle-gated:
+    // portable Rademacher planes -> DuckDB replays bucketing AND the
+    // cosine filter; ann03 gates the same op's exact broadcast path) ------
+    "ann05_neardup_lsh" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", minCosine = 0.45, dim = 64, exact = false,
+        bitsPerTable = 4, nTables = 16, seed = 7L, portablePlanes = true)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- text analysis: char/token stats (oracle-able) ---------------------
     "ts01_doc_stats" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -630,6 +641,58 @@ object PipelineQueries {
         |  JOIN ed qe ON qe.vec_id = cd.query_id
         |  JOIN ed ce ON ce.vec_id = cd.neighbor_id) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // LSH near-dup replay: same splitmix64 plane recipe as ann02 (seed 7,
+    // 16 tables x 4 bits), candidates = bucket-colliding id_a < id_b
+    // pairs, score = the cosine expression's exact formula
+    // (ascending-order double sums, dot / (sqrt(nx) * sqrt(ny)))
+    "ann05_neardup_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings),
+        |ph AS (
+        |  SELECT t, b, p3 AS h FROM (
+        |    SELECT t, b,
+        |      (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |    FROM (SELECT t, b, CAST(7 + t * 1000003 + b AS UHUGEINT) AS p0
+        |          FROM range(0, 16) tt(t), range(0, 4) bb(b))) q1,
+        |  LATERAL (SELECT (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |                  % CAST(18446744073709551616 AS UHUGEINT) AS p2) q2,
+        |  LATERAL (SELECT xor(p2, p2 >> 31) AS p3) q3),
+        |dots AS (
+        |  SELECT v.vec_id, p.t, p.b,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [CASE WHEN ((p.h >> CAST((d - 1) % 64 AS UHUGEINT)) & 1) = 1
+        |            THEN CAST(v.embedding[d] AS DOUBLE)
+        |            ELSE -CAST(v.embedding[d] AS DOUBLE) END
+        |       FOR d IN range(1, len(v.embedding) + 1)]),
+        |      (a, x) -> a + x) AS dot
+        |  FROM e v, ph p),
+        |sig AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id),
+        |ed AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM e),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [ea.v[i] * eb.v[i] FOR i IN range(1, len(ea.v) + 1)]),
+        |      (a, x) -> a + x) / (ea.nrm * eb.nrm) AS cosine
+        |  FROM cand c
+        |  JOIN ed ea ON ea.vec_id = c.id_a
+        |  JOIN ed eb ON eb.vec_id = c.id_b)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+        |FROM scored WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
     "ann01_knn_bruteforce" ->
       """WITH e AS (

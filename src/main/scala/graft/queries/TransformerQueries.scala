@@ -156,10 +156,124 @@ object TransformerQueries {
         .schema("p_partkey INT, p_name STRING, p_type STRING, tagged STRING")
         .csv(dir)
         .orderBy("p_partkey")
+    }),
+
+    // ---- TweetCleaner (oracle-gated via constructed tweets) ----------------
+    // documents text is pure [a-z0-9 ], so a tweet synthesized around it has
+    // exactly one URL, one mention, and one emoticon — the expected output
+    // is writable in closed form, gating the whole regex/replace chain
+    "tw01_tweet_clean" -> ((s, d) => {
+      val cleanUdf = udf((t: String) => graft.functions.TextKernels.cleanTweet(t))
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(
+          lit("see https://x.io/p"), col("doc_id"),
+          lit(" cc @user"), pmod(col("doc_id"), lit(10)),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(" :) "))
+            .otherwise(lit(" :( ")),
+          substring(col("text"), 1, 20)).as("tweet"))
+        .select(col("doc_id"), cleanUdf(col("tweet")).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- URL scrub preserving offsets (oracle-gated) -----------------------
+    // replacement must be EXACTLY as long as the URL so every other char
+    // keeps its offset; the oracle rebuilds the expected string with
+    // repeat(' ', len(url)) and the gate also hashes the total length
+    "ur01_url_scrub" -> ((s, d) => {
+      val scrubUdf = udf((t: String) =>
+        graft.functions.TextKernels.scrubUrlsPreserveOffsets(t))
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(
+          lit("a https://ex.com/p"), col("doc_id"), lit(" z "),
+          substring(col("text"), 1, 10)).as("raw"))
+        .select(col("doc_id"), scrubUdf(col("raw")).as("scrubbed"),
+          length(col("raw")).as("raw_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- AddId sequential (oracle-gated) -----------------------------------
+    "id01_add_id" -> ((s, d) => {
+      T.addIdSequential(
+        Tables.customer(s, d).select("c_custkey", "c_name"), "c_custkey")
+        .select(col("c_custkey"), col("id"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- Checkpoint with illegal parquet column chars (oracle-gated) -------
+    // aliases carry every escaped char class (space, parens, =, comma);
+    // the checkpoint write+read must round-trip names AND values untouched
+    "cp01_checkpoint_roundtrip" -> ((s, d) => {
+      val agg = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count("*").as("n orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total(price)=sum,full"))
+      val dir = graft.sources.Scratch.dir(s, "checkpoint", s"cp01_$d")
+      graft.sources.Checkpoint.checkpoint(agg, dir)
+        .orderBy("status")
+    }),
+
+    // ---- Model/Step pipeline DSL end-to-end (oracle-gated) -----------------
+    // a 3-step pipeline: formula filter -> named-input join with Step
+    // shaping (select) -> aggregation; gates the step fold, named DFs, and
+    // post-op column shaping against one SQL statement
+    "md01_model_pipeline" -> ((s, d) => {
+      import graft.pipeline.{Model, Step}
+      val m = Model("demo", "md01")
+        .step("filter", df => df.where(col("l_quantity") > 45))
+        .step(Step("join_orders",
+          (df, named) => df.join(named("orders"),
+            col("l_orderkey") === col("o_orderkey")),
+          select = Seq("l_orderkey", "l_quantity", "o_orderstatus")))
+        .step("agg", df => df.groupBy("o_orderstatus")
+          .agg(count("*").as("n_items"),
+            sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("qty")))
+      m.run(Tables.lineitem(s, d),
+          Map("orders" -> Tables.orders(s, d))).df
+        .orderBy("o_orderstatus")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // constructed tweet: url -> _link_, mention -> _mention_, emoticon by
+    // parity; everything else passes through the split/join untouched
+    // EXCEPT trailing spaces — Java's split(" ") drops trailing empty
+    // tokens, so the rejoin rtrims (replayed here)
+    "tw01_tweet_clean" ->
+      """SELECT doc_id,
+        | rtrim('see _link_ cc _mention_ ' ||
+        |   CASE WHEN doc_id % 2 = 0 THEN '_positive_' ELSE '_negative_' END ||
+        |   ' ' || substr(text, 1, 20), ' ') AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ur01_url_scrub" ->
+      """SELECT doc_id,
+        | 'a ' || repeat(' ', 16 + length(CAST(doc_id AS VARCHAR))) ||
+        |   ' z ' || substr(text, 1, 10) AS scrubbed,
+        | CAST(21 + length(CAST(doc_id AS VARCHAR)) +
+        |   length(substr(text, 1, 10)) AS INTEGER) AS raw_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "id01_add_id" ->
+      """SELECT c_custkey,
+        | CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "cp01_checkpoint_roundtrip" ->
+      """SELECT o_orderstatus AS status,
+        | count(*) AS "n orders",
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS "total(price)=sum,full"
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    "md01_model_pipeline" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity > 45
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // nnz = distinct polyHash64Mixed(token) mod 2048 buckets. UHUGEINT poly
     // fold + splitmix64 finalizer (three list_transform stages); the
     // unsigned % matches the JVM's Long.remainderUnsigned.
