@@ -24,7 +24,12 @@ object ExplainAudit {
         "dd03_minhash_pairs", "dd04_simhash_pairs",
         "dd05_ngram_jaccard_pairs", "ann02_knn_lsh", "en01_entity_mentions",
         "dd06_dedup_clusters", "dc01_decontaminate", "pp02_temperature_mix",
-        "ck01_chunk_documents", "pk01_sequence_packing")
+        "ck01_chunk_documents", "pk01_sequence_packing",
+        // round-7 additions: portable IVF, LSH near-dup, sharded packing,
+        // DSL pipeline (broadcast + shaped join), video demux explode
+        "ann04_knn_ivf", "ann05_neardup_lsh",
+        "pk02_sequence_packing_sharded", "md01_model_pipeline",
+        "mm04_video_frames")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -213,6 +213,43 @@ object TransformerQueries {
         .orderBy("status")
     }),
 
+    // ---- simplifyText accent fold (oracle-gated via constructed input) -----
+    // the constructed prefix exercises NFD mark-stripping (è û é), the
+    // three explicit ligature expansions (Æ ß œ), and lowercasing; the
+    // expected output is closed-form
+    "sv01_simplify_text" -> ((s, d) => {
+      val simplifyUdf = udf((t: String) => graft.functions.TextKernels.simplify(t))
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(lit("Crème Brûlée ÆON Straße œuf "),
+          substring(col("text"), 1, 10)).as("raw"))
+        .select(col("doc_id"), simplifyUdf(col("raw")).as("simplified"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- RawPrediction2Score atan squash (oracle-gated) --------------------
+    "rs01_raw_to_score" -> ((s, d) => {
+      Tuning.rawToScore(
+        Tables.supplier(s, d).select(col("s_suppkey"),
+          (col("s_acctbal").cast("double") / 1000.0).as("raw")), "raw")
+        .select(col("s_suppkey"), round(col("score"), 6).as("score_r"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- Tag2Vector (oracle-gated: dict order + active indices) ------------
+    // dictionary = tags by (freq desc, tag asc) capped at topClasses; the
+    // sparse indicator vector is surfaced as its sorted active-index CSV
+    // (the driver gate can't hash ml vectors)
+    "tv01_tag2vector" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), split(col("p_type"), " ").as("tags"))
+      val model = T.fitTag2Vector(parts, "tags", minFreq = 1, topClasses = 10)
+      val idxUdf = udf((v: org.apache.spark.ml.linalg.Vector) =>
+        v.toSparse.indices.mkString(","))
+      model.transform(parts, "tags", "vec")
+        .select(col("p_partkey"), idxUdf(col("vec")).as("active_idx"))
+        .orderBy("p_partkey")
+    }),
+
     // ---- Model/Step pipeline DSL end-to-end (oracle-gated) -----------------
     // a 3-step pipeline: formula filter -> named-input join with Step
     // shaping (select) -> aggregation; gates the step fold, named DFs, and
@@ -266,6 +303,39 @@ object TransformerQueries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |   AS "total(price)=sum,full"
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    "sv01_simplify_text" ->
+      """SELECT doc_id,
+        | 'creme brulee aeon strasse oeuf ' || substr(text, 1, 10) AS simplified
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "rs01_raw_to_score" ->
+      """SELECT s_suppkey,
+        | round(atan(CAST(s_acctbal AS DOUBLE) / 1000.0) / pi() + 0.5, 6)
+        |   AS score_r
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // dict replay: row_number over (freq desc, tag asc) then LIMIT
+    // topClasses (window evaluates before LIMIT, same ordering); active
+    // indices = sorted distinct dict hits per part
+    "tv01_tag2vector" ->
+      """WITH tg AS (
+        |  SELECT p_partkey, unnest(string_split(p_type, ' ')) AS tag FROM part),
+        |freq AS (
+        |  SELECT lower(trim(tag)) AS tag, count(*) AS n FROM tg GROUP BY 1),
+        |dict AS (
+        |  SELECT tag, CAST(row_number() OVER (ORDER BY n DESC, tag) - 1 AS INTEGER) AS idx
+        |  FROM freq ORDER BY n DESC, tag LIMIT 10),
+        |px AS (
+        |  SELECT t.p_partkey, d.idx FROM tg t
+        |  JOIN dict d ON lower(trim(t.tag)) = d.tag),
+        |agg AS (
+        |  SELECT p_partkey,
+        |    array_to_string(list_sort(list_distinct(list(idx))), ',') AS active_idx
+        |  FROM px GROUP BY p_partkey)
+        |SELECT p.p_partkey, coalesce(a.active_idx, '') AS active_idx
+        |FROM part p LEFT JOIN agg a USING (p_partkey)
+        |ORDER BY p.p_partkey""".stripMargin,
 
     "md01_model_pipeline" ->
       """SELECT o_orderstatus, count(*) AS n_items,
