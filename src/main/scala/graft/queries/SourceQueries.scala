@@ -139,6 +139,23 @@ object SourceQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // WebDataset-style tar shards: write documents as one ustar shard per
+    // partition, stream the shards back, and prove every sample survived
+    // with its exact byte length (text is ASCII, so bytes == chars and the
+    // oracle replays length() directly; exact content equality is
+    // spec-asserted including multibyte + binary entries)
+    "ws01_tar_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val dir = graft.sources.Scratch.dir(s, "tar", s"ws01_$d")
+      graft.sources.TarShards.write(
+        docs.repartition(4, col("doc_id")), "doc_id", "text", dir)
+      graft.sources.TarShards.read(s, dir)
+        .select(regexp_replace(col("name"), "\\.txt$", "").cast("long").as("doc_id"),
+          length(col("bytes")).cast(IntegerType).as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // IVF ANN top-3, oracle-gated via portable Rademacher pseudo-centroids:
     // DuckDB replays assign + probe + rerank end-to-end (the trained
     // Lloyd's path stays spec-gated by the recall floor in SourceOpsSpec)
@@ -161,6 +178,10 @@ object SourceQueries {
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ws01_tar_shards" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
     // Full portable-IVF replay (same splitmix64 recipe as the ann02
     // oracle): one mixed long per cell (mix64(101 + c*1000003)), centroid
     // component d = ±1 from bit (d mod 64), score accumulated ascending-d

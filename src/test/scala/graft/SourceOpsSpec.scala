@@ -242,6 +242,35 @@ class SourceOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall over ${truth.size} true pairs")
   }
 
+  test("tar shards: ustar round trip, sample grouping, corrupt-header quarantine") {
+    import graft.sources.TarShards
+    val docs = Seq(
+      (1L, "hello", Array[Byte](1, 2, 3)),
+      (2L, "wörld", null),         // UTF-8 multibyte; null bin -> txt only
+      (3L, "x" * 600, Array[Byte](9)))  // body crosses a 512 block boundary
+      .toDF("id", "text", "bin")
+    val dir = graft.sources.Scratch.dir(spark, "tar_spec", "fixture")
+    TarShards.write(docs.repartition(2), "id", "text", dir, binCol = Some("bin"))
+    val back = TarShards.read(spark, dir).collect()
+    val byName = back.map(r => r.getString(1) -> r.getAs[Array[Byte]](2)).toMap
+    assert(byName.keySet == Set("1.txt", "1.bin", "2.txt", "3.txt", "3.bin"))
+    assert(new String(byName("2.txt"), "UTF-8") == "wörld")
+    assert(byName("1.bin").toSeq == Seq[Byte](1, 2, 3))
+    assert(byName("3.txt").length == 600)
+    assert(back.map(_.getString(0)).distinct.length == 2, "one shard per partition")
+    // grouping contract: a sample's .bin immediately follows its .txt
+    val shardWith1 = back.find(_.getString(1) == "1.txt").get.getString(0)
+    val entries = back.filter(_.getString(0) == shardWith1).map(_.getString(1)).toSeq
+    assert(entries.indexOf("1.bin") == entries.indexOf("1.txt") + 1)
+    // checksum-invalid first header -> empty parse (quarantine stops cleanly)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".tar")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // flip a NAME byte: the stored checksum no longer matches the header sum
+    val corrupted = bytes.clone(); corrupted(0) = '#'
+    assert(TarShards.parseTar(corrupted).isEmpty)
+    assert(TarShards.parseTar(new Array[Byte](1024)).isEmpty) // all-zero = empty archive
+  }
+
   test("IVF portable centroids: kernel matches a naive ±1 reimplementation; recall floor holds") {
     import graft.functions.{TextKernels, VectorKernels}
     // independent reimplementation: materialize the ±1 centroid explicitly
