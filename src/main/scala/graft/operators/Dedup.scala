@@ -31,6 +31,39 @@ object Dedup {
       .drop("_rn_")
   }
 
+  /** Paragraph-level exact dedup — the within-and-across-document variant
+    * modern curation pipelines run before document-level dedup (the
+    * RefinedWeb/FineWeb recipe): explode documents into paragraphs, keep
+    * only the globally FIRST occurrence of each distinct paragraph
+    * (ordered by doc id, then position), and reassemble each document
+    * from its surviving paragraphs in original order. Documents whose
+    * every paragraph occurred earlier elsewhere come back empty rather
+    * than disappearing — the caller decides whether to drop them.
+    *
+    * 100 TB shape: one hash shuffle of the paragraph table on the
+    * paragraph digest (the window key), one partitioned reassembly
+    * aggregate — no pairwise work, and the digest window carries ids +
+    * digests only (paragraph text rides the keep side). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("_id_"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("_pos_", "_p_")))
+    val w = Window.partitionBy(md5(col("_p_"))).orderBy("_id_", "_pos_")
+    val kept = paras.withColumn("_rn_", row_number().over(w))
+      .where(col("_rn_") === 1)
+    val rebuilt = kept.groupBy("_id_")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("_pos_"), col("_p_")))), s => s("_p_")), sep)
+        .as("dedup_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+    df.select(col(idCol).as("_id_")).distinct()
+      .join(rebuilt, Seq("_id_"), "left")
+      .select(col("_id_").as(idCol),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"))
+  }
+
   /** Cluster near-duplicate PAIRS into connected components and elect one
     * representative per cluster — the step that turns dd03/dd05-style pair
     * lists into an actionable keep/drop set (pairs alone over-delete: A~B,

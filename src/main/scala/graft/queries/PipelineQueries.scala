@@ -111,6 +111,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: paragraph-level exact dedup with reassembly ----------------
+    // paragraphs synthesized by breaking each doc after every 5th word
+    // (same regex replayed in the oracle); first global occurrence wins,
+    // docs reassemble from survivors in original order
+    "pd01_paragraph_dedup" -> ((s, d) => {
+      val withParas = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "((\\w+ ){4}\\w+) ", "$1\n").as("ptext"))
+      graft.operators.Dedup.dedupParagraphs(withParas, "doc_id", "ptext")
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search: exact top-3 ANN baseline (oracle-able) ---------
     "ann01_knn_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -591,6 +602,34 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // paragraph dedup replay: same 5-word break regex, first occurrence by
+    // (doc_id, pos) per distinct paragraph (Spark windows on md5(p) — same
+    // grouping), string_agg reassembly ordered by position
+    "pd01_paragraph_dedup" ->
+      """WITH pt AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(text, '((\w+ ){4}\w+) ', '\1' || chr(10), 'g'),
+        |    chr(10)) AS ps
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i - 1, 'p': ps[i]} FOR i IN range(1, len(ps) + 1)],
+        |    recursive := true)
+        |  FROM pt),
+        |kept AS (
+        |  SELECT doc_id, pos, p,
+        |    row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) AS rn
+        |  FROM paras),
+        |reb AS (
+        |  SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) AS dedup_text,
+        |    CAST(count(*) AS INTEGER) AS n_kept
+        |  FROM kept WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.dedup_text, '') AS dedup_text,
+        |  coalesce(r.n_kept, 0) AS n_kept
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // Full LSH replay: per (table, bit-plane) one mixed long (splitmix64 of
     // seed + t*1000003 + b), plane component d = ±1 from bit (d mod 64),

@@ -18,6 +18,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("paragraph dedup: global first occurrence wins, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "p1\np2"),   // first occurrences of p1, p2
+      (2L, "p2\np3"),   // p2 already seen -> only p3 survives
+      (3L, "p1"),       // fully duplicated -> empty
+      (4L, "p4\np4"))   // within-doc dup -> one p4
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "p1\np2", 2), (2L, "p3", 1), (3L, "", 0), (4L, "p4", 1)))
+  }
+
   test("ngram jaccard: identical docs score 1.0, disjoint docs are absent") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
       .toDF("doc_id", "text")
