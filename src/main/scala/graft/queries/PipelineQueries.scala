@@ -348,6 +348,32 @@ object PipelineQueries {
         .orderBy("seq_id")
     }),
 
+    // ---- composite v2: curate -> shard -> ingest -> pack (round-7 tier) ----
+    // The round-7 end-to-end: paragraph dedup (drop emptied docs) ->
+    // tar-shard the curated corpus -> read the shards BACK (gating that
+    // the training-ingest handoff preserves the corpus mid-pipeline) ->
+    // token counting -> sharded two-phase packing -> per-sequence rollup.
+    // Stages individually gated by pd01, ws01, ts02, pk02.
+    "pp05_curate_shard_pipeline" -> ((s, d) => {
+      val paras = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "((\\w+ ){4}\\w+) ", "$1\n").as("ptext"))
+      val dedup = graft.operators.Dedup.dedupParagraphs(paras, "doc_id", "ptext")
+        .where(col("n_kept") > 0)
+      val dir = graft.sources.Scratch.dir(s, "tar", s"pp05_$d")
+      graft.sources.TarShards.write(
+        dedup.repartition(4, col("doc_id")), "doc_id", "dedup_text", dir)
+      val back = graft.sources.TarShards.read(s, dir)
+        .select(regexp_replace(col("name"), "\\.txt$", "").cast("long").as("doc_id"),
+          col("bytes").cast("string").as("text"))
+      val counted = back.select(col("doc_id"),
+        TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
+      graft.operators.Packing.packSequencesSharded(
+          counted, "doc_id", "bpe_tokens", seqLen = 256, numShards = 4)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("bpe_tokens").as("seq_tokens"))
+        .orderBy("seq_id")
+    }),
+
     // ---- tokenizer induction: BPE merge training (oracle-able) -------------
     // 8 merge rounds over the documents word-frequency table; the learned
     // merge table (winning pair + weighted count per round) is the gated
@@ -602,6 +628,42 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // round-7 composite replay: pd01's paragraph dedup (docs that keep >= 1
+    // paragraph), ts02's token count on the reassembled text, pk01/pk02's
+    // prefix-sum packing at seqLen 256, per-sequence rollup. The tar-shard
+    // hop is identity on (doc_id, text) — ws01 gates that independently
+    "pp05_curate_shard_pipeline" ->
+      """WITH pt AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(text, '((\w+ ){4}\w+) ', '\1' || chr(10), 'g'),
+        |    chr(10)) AS ps
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i - 1, 'p': ps[i]} FOR i IN range(1, len(ps) + 1)],
+        |    recursive := true)
+        |  FROM pt),
+        |kept AS (
+        |  SELECT doc_id, pos, p,
+        |    row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) AS rn
+        |  FROM paras),
+        |reb AS (
+        |  SELECT doc_id, string_agg(p, chr(10) ORDER BY pos) AS dtext
+        |  FROM kept WHERE rn = 1 GROUP BY doc_id),
+        |t AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(
+        |    list_filter(string_split_regex(dtext, '\s+'), w -> w <> ''),
+        |    w -> (length(w) + 3) // 4)) AS INTEGER) AS bpe_tokens
+        |  FROM reb),
+        |c AS (
+        |  SELECT doc_id, bpe_tokens,
+        |    sum(bpe_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - bpe_tokens AS strt
+        |  FROM t)
+        |SELECT CAST(strt // 256 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(bpe_tokens) AS BIGINT) AS seq_tokens
+        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     // paragraph dedup replay: same 5-word break regex, first occurrence by
     // (doc_id, pos) per distinct paragraph (Spark windows on md5(p) — same
