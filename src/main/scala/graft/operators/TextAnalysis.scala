@@ -148,6 +148,32 @@ object TextAnalysis {
           regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>"))
 
+  /** IP-shaped dotted quad. Shape-level, like C4's heuristics — octet
+    * range validation would leave the Java/RE2-shared subset for no
+    * metering gain. */
+  val IpRe = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** 16-digit card-shaped number in 4-4-4-4 groups, dash or space
+    * separated. Shape-level (no Luhn): the scrub must stay a pure Column
+    * program and the oracle must replay it. */
+  val CardRe = "\\b[0-9]{4}([- ][0-9]{4}){3}\\b"
+
+  /** [[scrubPii]] extended with ip/card patterns. Each pattern is metered
+    * on the intermediate scrubbed by all PRIOR patterns — the invariant
+    * that counts always agree with the final text (an ip or digit run
+    * inside an email local part is neither counted nor replaced, because
+    * the email pass already collapsed it). */
+  def scrubPiiExtended(df: DataFrame, textCol: String): DataFrame = {
+    val s1 = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    val s2 = regexp_replace(s1, PhoneRe, "<PHONE>")
+    val s3 = regexp_replace(s2, IpRe, "<IP>")
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(s1, lit(PhoneRe)))
+      .withColumn("n_ips", regexp_count(s2, lit(IpRe)))
+      .withColumn("n_cards", regexp_count(s3, lit(CardRe)))
+      .withColumn(s"${textCol}_scrubbed", regexp_replace(s3, CardRe, "<CARD>"))
+  }
+
   /** Convenience: annotate a document DataFrame with all analysis cols. */
   def annotate(df: DataFrame, textCol: String): DataFrame = df
     .withColumn("lang_pred", langIdUdf(col(textCol)))

@@ -462,6 +462,27 @@ object PipelineQueries {
         .orderBy("c_custkey")
     }),
 
+    // ---- text analysis: extended PII scrub (email/phone/ip/card) -----------
+    "ts07_pii_extended" -> ((s, d) => {
+      val ip = concat(lit("10."),
+        pmod(col("c_custkey"), lit(256)).cast("string"), lit("."),
+        pmod(col("c_custkey") * 3, lit(256)).cast("string"), lit("."),
+        pmod(col("c_custkey") * 7, lit(256)).cast("string"))
+      val card = concat_ws(" ",
+        (lit(4000) + pmod(col("c_custkey"), lit(1000))).cast("string"),
+        (lit(1000) + pmod(col("c_custkey") * 3, lit(9000))).cast("string"),
+        (lit(1000) + pmod(col("c_custkey") * 7, lit(9000))).cast("string"),
+        (lit(1000) + pmod(col("c_custkey") * 13, lit(9000))).cast("string"))
+      val txt = Tables.customer(s, d).select(col("c_custkey"),
+        concat_ws(" ", lit("login from"), ip, lit("email"),
+          concat(lower(col("c_name")), lit("@host.org")), lit("pay"),
+          card, lit("seg"), col("c_mktsegment")).as("text"))
+      TextAnalysis.scrubPiiExtended(txt, "text")
+        .select("c_custkey", "n_emails", "n_phones", "n_ips", "n_cards",
+          "text_scrubbed")
+        .orderBy("c_custkey")
+    }),
+
     // ---- decontamination: train-vs-benchmark n-gram overlap (oracle-able) --
     // benchmark = every 100th doc; trigram overlap >= 3 flags a train doc.
     // The word-salad corpus has real duplicates (dd03/dd05 find them), so
@@ -1220,6 +1241,48 @@ object PipelineQueries {
         |    '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')
         |    AS text_scrubbed
         |FROM t ORDER BY c_custkey""".stripMargin,
+
+    // extended PII replay: each pattern counted on the intermediate
+    // scrubbed by all prior patterns, chained replaces with 'g'
+    "ts07_pii_extended" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    concat_ws(' ', 'login from',
+        |      '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        |        CAST((c_custkey * 3) % 256 AS VARCHAR) || '.' ||
+        |        CAST((c_custkey * 7) % 256 AS VARCHAR),
+        |      'email', lower(c_name) || '@host.org', 'pay',
+        |      concat_ws(' ', CAST(4000 + c_custkey % 1000 AS VARCHAR),
+        |        CAST(1000 + (c_custkey * 3) % 9000 AS VARCHAR),
+        |        CAST(1000 + (c_custkey * 7) % 9000 AS VARCHAR),
+        |        CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR)),
+        |      'seg', c_mktsegment) AS text
+        |  FROM customer),
+        |s AS (
+        |  SELECT c_custkey, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+        |  FROM t),
+        |s2t AS (
+        |  SELECT *, regexp_replace(s1,
+        |      '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS s2
+        |  FROM s),
+        |s3t AS (
+        |  SELECT *, regexp_replace(s2,
+        |      '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS s3
+        |  FROM s2t)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(s1,
+        |    '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INTEGER) AS n_phones,
+        |  CAST(len(regexp_extract_all(s2,
+        |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(s3,
+        |    '\b[0-9]{4}([- ][0-9]{4}){3}\b')) AS INTEGER) AS n_cards,
+        |  regexp_replace(s3,
+        |    '\b[0-9]{4}([- ][0-9]{4}){3}\b', '<CARD>', 'g') AS text_scrubbed
+        |FROM s3t ORDER BY c_custkey""".stripMargin,
 
     // Decontamination replay: distinct trigrams per train doc vs the
     // benchmark's whole distinct gram set, inner-join overlap count

@@ -343,6 +343,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(1) == ((2L, 0, 0, "nothing to redact")))
   }
 
+  test("extended pii scrub: ip/card patterns, each metered post-prior-scrubs") {
+    val df = Seq(
+      (1L, "from 10.0.42.7 pay 4000 1234 5678 9012 or 1111-2222-3333-4444 done"),
+      // ip-shaped AND card-shaped digit runs inside an email local part:
+      // the email pass collapses them first, so neither is counted/replaced
+      (2L, "mail 1.2.3.4@x.org and 1234-5678-9012-3456@y.io end"),
+      (3L, "clean")).toDF("id", "text")
+    val r = TextAnalysis.scrubPiiExtended(df, "text")
+      .select("id", "n_emails", "n_phones", "n_ips", "n_cards", "text_scrubbed")
+      .orderBy("id").as[(Long, Int, Int, Int, Int, String)].collect()
+    assert(r(0) == ((1L, 0, 0, 1, 2, "from <IP> pay <CARD> or <CARD> done")))
+    assert(r(1) == ((2L, 2, 0, 0, 0, "mail <EMAIL> and <EMAIL> end")))
+    assert(r(2) == ((3L, 0, 0, 0, 0, "clean")))
+  }
+
   test("temperature mix: integer quotas and hash-ordered admission") {
     // sources: A has ids 1..9 (isqrt 3), B has id 10 (isqrt 1); target 4
     // with tw=4 -> quota A = min(9, 4*3/4) = 3, B = min(1, 1) = 1
