@@ -31,6 +31,24 @@ object Dedup {
       .drop("_rn_")
   }
 
+  /** Incremental exact dedup — the daily-ingest variant: dedup a NEW batch
+    * against an existing corpus without touching the corpus again. Keeps a
+    * new row iff (a) its text digest does not appear in the corpus
+    * (left-anti join on the digest — at 100 TB the corpus side is a
+    * digest-only column, not the documents) and (b) it is the first
+    * occurrence within the batch itself. One shuffle on the digest for the
+    * anti join + one for the window; the corpus is never rewritten. */
+  def exactIncremental(newDf: DataFrame, corpus: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("_h_")).distinct()
+    val w = Window.partitionBy("_h_").orderBy(col(idCol))
+    newDf.withColumn("_h_", md5(col(textCol)))
+      .join(seen, Seq("_h_"), "left_anti")
+      .withColumn("_rn_", row_number().over(w))
+      .where(col("_rn_") === 1)
+      .drop("_h_", "_rn_")
+  }
+
   /** Paragraph-level exact dedup — the within-and-across-document variant
     * modern curation pipelines run before document-level dedup (the
     * RefinedWeb/FineWeb recipe): explode documents into paragraphs, keep

@@ -111,6 +111,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: incremental (new batch vs existing corpus) -----------------
+    // doc_id < 400 plays the standing corpus; the day's ingest = the fresh
+    // docs PLUS re-crawled copies of ten corpus pages (re-keyed, as a real
+    // crawler re-fetching known URLs would produce) and one within-batch
+    // duplicate — so the anti join and the keep-first window both
+    // genuinely drop rows
+    "dd07_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") < 400)
+      val fresh = docs.where(col("doc_id") >= 400)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val recrawled = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("n_chars"))
+      val redup = docs.where(col("doc_id") === 400)
+        .select(lit(10000010L).as("doc_id"), col("text"), col("n_chars"))
+      graft.operators.Dedup.exactIncremental(
+        fresh.unionByName(recrawled).unionByName(redup), corpus,
+        "text", "doc_id")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: paragraph-level exact dedup with reassembly ----------------
     // paragraphs synthesized by breaking each doc after every 5th word
     // (same regex replayed in the oracle); first global occurrence wins,
@@ -649,6 +671,25 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // incremental dedup replay: text-equality anti join (the Spark side
+    // joins on md5 digests — identical grouping), then within-batch
+    // keep-first
+    "dd07_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT text FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, n_chars FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT 10000010, text, n_chars FROM documents WHERE doc_id = 400),
+        |surv AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM batch WHERE text NOT IN (SELECT text FROM corpus))
+        |SELECT doc_id, n_chars FROM surv WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // round-7 composite replay: pd01's paragraph dedup (docs that keep >= 1
     // paragraph), ts02's token count on the reassembled text, pk01/pk02's

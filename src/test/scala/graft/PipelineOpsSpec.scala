@@ -18,6 +18,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("incremental dedup: corpus hits dropped, within-batch keep-first, corpus untouched") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"),  // already in corpus -> dropped
+      (11L, "gamma"), (12L, "gamma"), // batch-internal dup -> keep 11
+      (13L, "delta")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.exactIncremental(batch, corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("paragraph dedup: global first occurrence wins, docs reassemble in order") {
     val docs = Seq(
       (1L, "p1\np2"),   // first occurrences of p1, p2
