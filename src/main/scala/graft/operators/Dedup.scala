@@ -49,6 +49,33 @@ object Dedup {
       .drop("_h_", "_rn_")
   }
 
+  /** Bloom-accelerated [[exactIncremental]] — IDENTICAL output, different
+    * 100 TB cost profile: a compact Bloom filter over the corpus digests
+    * is built in one pass and broadcast; batch rows the filter rules out
+    * (the vast majority of a typical day's ingest) skip the anti-join
+    * shuffle entirely, and only possible-members pay the exact check.
+    * False positives are resolved by that exact join, so the output is
+    * bit-identical to the plain path; `fpp` trades broadcast size against
+    * how many rows take the expensive lane. */
+  def exactIncrementalBloom(newDf: DataFrame, corpus: DataFrame,
+                            textCol: String, idCol: String,
+                            expectedItems: Long = 1000000L,
+                            fpp: Double = 0.01): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("_h_"))
+    val bf = seen.stat.bloomFilter("_h_", expectedItems, fpp)
+    val bc = newDf.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    val hashed = newDf.withColumn("_h_", md5(col(textCol)))
+    val definiteNew = hashed.where(!mightContain(col("_h_")))
+    val maybeSeen = hashed.where(mightContain(col("_h_")))
+      .join(seen.distinct(), Seq("_h_"), "left_anti")
+    val w = Window.partitionBy("_h_").orderBy(col(idCol))
+    definiteNew.unionByName(maybeSeen)
+      .withColumn("_rn_", row_number().over(w))
+      .where(col("_rn_") === 1)
+      .drop("_h_", "_rn_")
+  }
+
   /** Paragraph-level exact dedup — the within-and-across-document variant
     * modern curation pipelines run before document-level dedup (the
     * RefinedWeb/FineWeb recipe): explode documents into paragraphs, keep

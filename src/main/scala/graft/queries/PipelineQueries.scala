@@ -17,6 +17,45 @@ object PipelineQueries {
   /** pk01/pk02 share one replay (the sharded path's whole point is
     * bit-identical output), as do pp01/pp04 — defined once so the gates
     * can never drift apart. */
+  /** Shared dd07/dd08 fixture: corpus = doc_id < 400; the day's ingest =
+    * the fresh docs plus re-keyed re-crawls of ten corpus pages and one
+    * within-batch duplicate, so both drop paths genuinely fire. */
+  private def incrementalDedupDemo(s: SparkSession, d: String,
+                                   bloom: Boolean): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.where(col("doc_id") < 400)
+    val fresh = docs.where(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val recrawled = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("n_chars"))
+    val redup = docs.where(col("doc_id") === 400)
+      .select(lit(10000010L).as("doc_id"), col("text"), col("n_chars"))
+    val batch = fresh.unionByName(recrawled).unionByName(redup)
+    val out =
+      if (bloom) graft.operators.Dedup.exactIncrementalBloom(
+        batch, corpus, "text", "doc_id", expectedItems = 4096L)
+      else graft.operators.Dedup.exactIncremental(batch, corpus, "text", "doc_id")
+    out.select("doc_id", "n_chars").orderBy("doc_id")
+  }
+
+  /** dd07/dd08 share one replay — the Bloom path's whole point is
+    * bit-identical output to the plain anti-join. */
+  private val IncrementalDedupSql =
+    """WITH corpus AS (
+      |  SELECT text FROM documents WHERE doc_id < 400),
+      |batch AS (
+      |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text, n_chars FROM documents WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT 10000010, text, n_chars FROM documents WHERE doc_id = 400),
+      |surv AS (
+      |  SELECT doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM batch WHERE text NOT IN (SELECT text FROM corpus))
+      |SELECT doc_id, n_chars FROM surv WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   private val PackingSql =
     """WITH t AS (
       |  SELECT doc_id,
@@ -117,21 +156,13 @@ object PipelineQueries {
     // crawler re-fetching known URLs would produce) and one within-batch
     // duplicate — so the anti join and the keep-first window both
     // genuinely drop rows
-    "dd07_incremental_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val corpus = docs.where(col("doc_id") < 400)
-      val fresh = docs.where(col("doc_id") >= 400)
-        .select(col("doc_id"), col("text"), col("n_chars"))
-      val recrawled = docs.where(col("doc_id") < 10)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("n_chars"))
-      val redup = docs.where(col("doc_id") === 400)
-        .select(lit(10000010L).as("doc_id"), col("text"), col("n_chars"))
-      graft.operators.Dedup.exactIncremental(
-        fresh.unionByName(recrawled).unionByName(redup), corpus,
-        "text", "doc_id")
-        .select("doc_id", "n_chars")
-        .orderBy("doc_id")
-    }),
+    "dd07_incremental_dedup" -> ((s, d) =>
+      incrementalDedupDemo(s, d, bloom = false)),
+
+    // same fixture through the Bloom-prefiltered path — the gate IS the
+    // bit-identity claim (shared oracle with dd07)
+    "dd08_incremental_dedup_bloom" -> ((s, d) =>
+      incrementalDedupDemo(s, d, bloom = true)),
 
     // ---- dedup: paragraph-level exact dedup with reassembly ----------------
     // paragraphs synthesized by breaking each doc after every 5th word
@@ -674,22 +705,10 @@ object PipelineQueries {
 
     // incremental dedup replay: text-equality anti join (the Spark side
     // joins on md5 digests — identical grouping), then within-batch
-    // keep-first
-    "dd07_incremental_dedup" ->
-      """WITH corpus AS (
-        |  SELECT text FROM documents WHERE doc_id < 400),
-        |batch AS (
-        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 400
-        |  UNION ALL
-        |  SELECT doc_id + 10000000, text, n_chars FROM documents WHERE doc_id < 10
-        |  UNION ALL
-        |  SELECT 10000010, text, n_chars FROM documents WHERE doc_id = 400),
-        |surv AS (
-        |  SELECT doc_id, n_chars,
-        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        |  FROM batch WHERE text NOT IN (SELECT text FROM corpus))
-        |SELECT doc_id, n_chars FROM surv WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin,
+    // keep-first; dd08 (Bloom path) shares it because its output contract
+    // IS bit-identity with dd07
+    "dd07_incremental_dedup" -> IncrementalDedupSql,
+    "dd08_incremental_dedup_bloom" -> IncrementalDedupSql,
 
     // round-7 composite replay: pd01's paragraph dedup (docs that keep >= 1
     // paragraph), ts02's token count on the reassembled text, pk01/pk02's

@@ -27,6 +27,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val kept = graft.operators.Dedup.exactIncremental(batch, corpus, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(11L, 13L))
+    // the Bloom-prefiltered path must be bit-identical (false positives
+    // fall through to the exact join; definite-negatives skip it)
+    val keptBloom = graft.operators.Dedup
+      .exactIncrementalBloom(batch, corpus, "text", "doc_id", expectedItems = 64L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBloom == kept)
   }
 
   test("paragraph dedup: global first occurrence wins, docs reassemble in order") {
