@@ -114,6 +114,36 @@ object Packing {
     * there, with IDENTICAL output: a document's (seq_id, seq_offset)
     * depends only on its global start position, which
     * [[runningTotalSharded]] reconstructs without a global window. */
+  /** Length-bucketed batching — the padding-waste reducer every training
+    * dataloader runs: rows bucket by ⌊log2(tokens)⌋ (so batch members are
+    * within 2x of each other), and within a bucket consecutive rows (by
+    * `idCol`) form batches of `batchSize`. Padding cost is then bounded by
+    * the bucket's upper edge instead of the global max length.
+    *
+    * Output adds: `bucket` (log2 tier), `batch_id` (globally unique:
+    * bucket * 2^40 + ordinal — collision-free below 2^40 batches per
+    * bucket), `pad_to` (the bucket's power-of-two upper edge, the tensor
+    * width a loader allocates). All integer arithmetic — bit-portable and
+    * SQL-replayable. 100 TB shape: one shuffle on the bucket key for the
+    * per-bucket windows; no global window. */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, tokensCol: String,
+                            batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val bucketed = df.withColumn("bucket",
+      // floor(log2(n)) as binary-string length, NOT float log2 (which can
+      // land on either side of an exact power of two per engine): the
+      // length of bin(n) minus 1 is exact integer arithmetic everywhere
+      expr(s"cast(length(bin(cast(greatest($tokensCol, 1) as bigint))) - 1 as bigint)"))
+    bucketed
+      // `div`, not `/`: Column./ is double division (the exact pitfall the
+      // pk01 seq_id fix removed)
+      .withColumn("batch_id",
+        col("bucket") * lit(1L << 40) +
+          expr(s"cast((row_number() over (partition by bucket order by $idCol) - 1) div $batchSize as bigint)"))
+      .withColumn("pad_to",
+        expr("shiftleft(cast(1 as bigint), cast(bucket + 1 as int))"))
+  }
+
   def packSequencesSharded(df: DataFrame, idCol: String, tokensCol: String,
                            seqLen: Int, numShards: Int = 32): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")

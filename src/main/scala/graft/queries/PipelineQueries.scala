@@ -464,6 +464,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence prep: length-bucketed batching (oracle-able) -------------
+    // the padding-waste reducer: rows bucket by floor(log2(tokens)) (batch
+    // members within 2x of each other), consecutive rows per bucket form
+    // batches of 32, pad_to = the bucket's power-of-two upper edge
+    "lb01_length_batches" -> ((s, d) => {
+      val counted = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
+      graft.operators.Packing.lengthBucketedBatches(
+          counted, "doc_id", "bpe_tokens", batchSize = 32)
+        .select("doc_id", "bpe_tokens", "bucket", "batch_id", "pad_to")
+        .orderBy("doc_id")
+    }),
+
     // ---- sequence prep: SHARDED packing (oracle-able; same replay as
     // pk01 — the two-phase per-shard prefix sum must be bit-identical) ------
     "pk02_sequence_packing_sharded" -> ((s, d) => {
@@ -1202,6 +1215,27 @@ object PipelineQueries {
     // Packing replay: ts02's BPE-ish count, one global running sum cut
     // every 2048 tokens; seq_id/seq_offset from the document's start
     // position in the concatenated stream
+    // bucket = integer log2 via binary-string length (exact on both
+    // engines, unlike float log2 at exact powers of two)
+    "lb01_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+        |      w -> (length(w) + 3) // 4)) AS INTEGER) AS bpe_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, bpe_tokens,
+        |    CAST(length(bin(CAST(greatest(bpe_tokens, 1) AS BIGINT))) - 1
+        |      AS BIGINT) AS bucket
+        |  FROM t)
+        |SELECT doc_id, bpe_tokens, bucket,
+        |  bucket * (CAST(1 AS BIGINT) << 40) +
+        |    (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 32
+        |    AS batch_id,
+        |  (CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER)) AS pad_to
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     "pk01_sequence_packing" -> PackingSql,
 
     // the sharded path must produce BIT-IDENTICAL output to pk01 — that

@@ -18,6 +18,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("length-bucketed batching: log2 tiers, batch ordinals, power-of-two pad") {
+    val rows = Seq((1L, 5), (2L, 7), (3L, 6), (4L, 17), (5L, 1), (6L, 4))
+      .toDF("doc_id", "tokens")
+    val out = graft.operators.Packing
+      .lengthBucketedBatches(rows, "doc_id", "tokens", batchSize = 2)
+      .select("doc_id", "bucket", "batch_id", "pad_to")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val k = 1L << 40
+    assert(out == Seq(
+      (1L, 2L, 2 * k, 8L),      // tokens 5 -> bucket 2, first of batch 0
+      (2L, 2L, 2 * k, 8L),      // tokens 7 -> same bucket, fills batch 0
+      (3L, 2L, 2 * k + 1, 8L),  // tokens 6 -> bucket 2 overflows to batch 1
+      (4L, 4L, 4 * k, 32L),     // tokens 17 -> bucket 4
+      (5L, 0L, 0L, 2L),         // tokens 1 -> bucket 0
+      (6L, 2L, 2 * k + 1, 8L))) // tokens 4 -> bucket 2, joins batch 1
+  }
+
   test("incremental dedup: corpus hits dropped, within-batch keep-first, corpus untouched") {
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val batch = Seq(
