@@ -29,7 +29,8 @@ object ExplainAudit {
         // DSL pipeline (broadcast + shaped join), video demux explode
         "ann04_knn_ivf", "ann05_neardup_lsh",
         "pk02_sequence_packing_sharded", "md01_model_pipeline",
-        "mm04_video_frames")
+        "mm04_video_frames", "dd07_incremental_dedup",
+        "dd08_incremental_dedup_bloom", "lb01_length_batches")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

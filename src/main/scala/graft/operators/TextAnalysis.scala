@@ -174,6 +174,47 @@ object TextAnalysis {
       .withColumn(s"${textCol}_scrubbed", regexp_replace(s3, CardRe, "<CARD>"))
   }
 
+  /** CCNet-style corpus-LM quality score: add-one-smoothed bigram
+    * log-probability per token, trained on a reference corpus (commonly a
+    * trusted slice; here callers often pass the corpus itself).
+    *
+    *   score(doc) = mean over bigrams of ln((c(prev,cur)+1) / (c1(prev)+V))
+    *
+    * with c1(prev) = bigram occurrences starting at prev and V = distinct
+    * corpus vocabulary. Low scores flag gibberish / boilerplate the way
+    * CCNet's KenLM perplexity bucket does.
+    *
+    * 100 TB shape: the count tables are vocabulary-sized (quadratically
+    * smaller than the corpus), so the per-doc join is broadcast-shaped;
+    * bigram extraction is a narrow array transform, no self-join. Docs
+    * with < 2 tokens score null (no bigrams to judge). */
+  def bigramQuality(docs: DataFrame, corpus: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+    val bgExpr = expr(
+      "explode(transform(sequence(1, size(_w_) - 1), " +
+        "i -> struct(_w_[i-1] as prev, _w_[i] as cur)))")
+    def bigrams(df: DataFrame, keep: Seq[Column]) = df
+      .select(keep :+ toks.as("_w_"): _*)
+      .where(size(col("_w_")) >= 2)
+      .select(keep :+ bgExpr.as("_bg_"): _*)
+      .select(keep :+ col("_bg_.prev").as("prev") :+ col("_bg_.cur").as("cur"): _*)
+    val cbg = bigrams(corpus, Nil).groupBy("prev", "cur")
+      .agg(count(lit(1)).as("_cbg_"))
+    val cprev = cbg.groupBy("prev").agg(sum("_cbg_").as("_cprev_"))
+    val vocab = corpus.select(explode(toks).as("_t_"))
+      .agg(countDistinct("_t_")).head().getLong(0)
+    val scored = bigrams(docs, Seq(col(idCol)))
+      .join(cbg, Seq("prev", "cur"), "left")
+      .join(cprev, Seq("prev"), "left")
+      .withColumn("_lp_", log(
+        (coalesce(col("_cbg_"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("_cprev_"), lit(0L)) + vocab).cast("double")))
+      .groupBy(idCol)
+      .agg(avg("_lp_").as("lm_score"), count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol)).distinct().join(scored, Seq(idCol), "left")
+  }
+
   /** Convenience: annotate a document DataFrame with all analysis cols. */
   def annotate(df: DataFrame, textCol: String): DataFrame = df
     .withColumn("lang_pred", langIdUdf(col(textCol)))

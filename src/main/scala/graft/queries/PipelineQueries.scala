@@ -528,6 +528,18 @@ object PipelineQueries {
         .orderBy("c_custkey")
     }),
 
+    // ---- text analysis: corpus-LM bigram quality (oracle-able) -------------
+    // round(…, 5): the per-doc mean of ~100 ln() terms is reassociated
+    // differently per engine, so the last ulps wobble; 5 decimals is far
+    // inside both engines' agreement and far outside the score's signal
+    "lm01_bigram_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramQuality(docs, docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("lm_score"), 5).as("lm_score_r"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: extended PII scrub (email/phone/ip/card) -----------
     "ts07_pii_extended" -> ((s, d) => {
       val ip = concat(lit("10."),
@@ -1335,6 +1347,40 @@ object PipelineQueries {
         |    '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')
         |    AS text_scrubbed
         |FROM t ORDER BY c_custkey""".stripMargin,
+
+    // bigram LM replay: counts from the same corpus, add-one smoothing,
+    // ln((cbg+1)/(cprev+V)), per-doc mean rounded to 5
+    "lm01_bigram_quality" ->
+      """WITH tw AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(
+        |    [{'prev': w[i-1], 'cur': w[i]} FOR i IN range(2, len(w) + 1)],
+        |    recursive := true)
+        |  FROM tw WHERE len(w) >= 2),
+        |cb AS (
+        |  SELECT prev, cur, count(*) AS cbg FROM bg GROUP BY prev, cur),
+        |cp AS (
+        |  SELECT prev, sum(cbg) AS cprev FROM cb GROUP BY prev),
+        |vv AS (
+        |  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM tw)),
+        |j AS (
+        |  SELECT doc_id,
+        |    ln((coalesce(cb.cbg, 0) + 1) / (coalesce(cp.cprev, 0) + vv.v)) AS lp
+        |  FROM bg
+        |  LEFT JOIN cb USING (prev, cur)
+        |  LEFT JOIN cp USING (prev), vv),
+        |s AS (
+        |  SELECT doc_id, round(avg(lp), 5) AS lm_score_r,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, s.lm_score_r,
+        |  coalesce(s.n_bigrams, 0) AS n_bigrams
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // extended PII replay: each pattern counted on the intermediate
     // scrubbed by all prior patterns, chained replaces with 'g'

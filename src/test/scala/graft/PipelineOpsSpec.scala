@@ -210,6 +210,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(viaDf == decoded.toSeq)
   }
 
+  test("multimodal: extractFeatures routes video mimes through demux + middle-frame decode") {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticVideo(spark.range(0, 6).toDF("id"), "id")
+    val feats = Multimodal.extractFeatures(media, dim = 4)
+      .where($"media_id" === 2).select("features").as[Seq[Float]].collect().head
+    // media_id 2 -> 4+2%3 = 6 frames; middle frame = index 3, solid gray
+    val expected = Multimodal.videoFrameGray(2L, 3) / 255.0f
+    assert(feats.forall(v => math.abs(v - expected) < 8 / 255.0f),
+      s"$feats vs $expected")
+  }
+
   test("multimodal: AVI demux recovers frame count, order, and JPEG gray levels") {
     import graft.operators.Multimodal
     val avi = Multimodal.aviBytes(5L, nFrames = 6)
@@ -376,6 +387,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       .orderBy("id").as[(Long, Int, Int, String)].collect()
     assert(r(0) == ((1L, 1, 1, "mail <EMAIL> or <PHONE> now")))
     assert(r(1) == ((2L, 0, 0, "nothing to redact")))
+  }
+
+  test("bigram LM quality: add-one smoothing, unseen bigrams, short docs null") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // cbg: (a,b)->3, (b,a)->1, (b,c)->1; cprev: a->3, b->2; V=3
+    val docs = corpus.union(Seq((3L, "c c"), (4L, "z")).toDF("doc_id", "text"))
+    val out = graft.operators.TextAnalysis
+      .bigramQuality(docs, corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Option[Double], Option[Long])].collect().toSeq
+    val lpAB = math.log(4.0 / 6); val lpBA = math.log(2.0 / 5)
+    val lpBC = math.log(2.0 / 5)
+    assert(math.abs(out(0)._2.get - (2 * lpAB + lpBA) / 3) < 1e-12)
+    assert(math.abs(out(1)._2.get - (lpAB + lpBC) / 2) < 1e-12)
+    // (c,c) unseen as bigram AND as bigram-starter: ln((0+1)/(0+3))
+    assert(math.abs(out(2)._2.get - math.log(1.0 / 3)) < 1e-12)
+    assert(out(3) == ((4L, None, None))) // single token: no bigrams to judge
+    assert(out.map(_._3) == Seq(Some(3L), Some(2L), Some(1L), None))
   }
 
   test("extended pii scrub: ip/card patterns, each metered post-prior-scrubs") {
