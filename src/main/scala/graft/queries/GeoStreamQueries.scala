@@ -13,6 +13,30 @@ import graft.streaming.Streams
   * SQL-mirrorable, so the two-phase join is oracle-checked end to end. */
 object GeoStreamQueries {
 
+  /** Documents landing zone shared by sm02 and sm07 — one tag + build (see
+    * [[ordersLandingZone]] for why). Mtimes are stamped in name order
+    * inside the build (rename preserves them), so micro-batch order ==
+    * doc_id-range order for every consumer; sm02's row_number oracle
+    * depends on that pinning. java.io.File is fine because Scratch roots
+    * are /tmp-local by construction; a remote-FS stage would need
+    * FileSystem.setTimes. */
+  private def documentsLandingZone(s: SparkSession, d: String): String =
+    graft.sources.Scratch.sharedDir("stream_stage",
+      s"sm02_documents_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          // a failed stamp must abort staging, not silently corrupt the
+          // micro-batch-order contract consumers rely on
+          require(f.setLastModified(1700000000000L + i * 60000L),
+            s"documents staging: setLastModified failed for $f; " +
+              "micro-batch order would not be pinned to doc_id order")
+        }
+    }
+
   /** Orders landing zone shared by sm01 and sm04 — tag and layout defined
     * ONCE so a version bump or layout change can't silently diverge the
     * two consumers. repartition(4) gives the file source several files =
@@ -171,6 +195,29 @@ object GeoStreamQueries {
     }),
 
     // Watermarked stream-stream join: sm05's shape with BOTH sides
+    // ---- streaming -> tar shards: the ingest-to-training handoff ----------
+    // foreachBatch writes one shard per micro-batch (deterministic
+    // per-batch names = idempotent under retries); the gate reads every
+    // shard back and checks the full key set + byte lengths. That check is
+    // batch-split-independent, so the oracle is a plain batch replay
+    "sm07_stream_to_shards" -> ((s, d) => {
+      val stage = documentsLandingZone(s, d)
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+      // fresh dir per run: a rerun's different batch split must not mix
+      // with a previous run's leftover shards
+      val outDir = graft.sources.Scratch.dir(s, "tar",
+        s"sm07_${d}_${System.nanoTime}")
+      Streams.runForeachBatch(stream.select(col("doc_id"), col("text")),
+        (batch, bid) => graft.sources.TarShards.write(
+          batch.repartition(1), "doc_id", "text", outDir,
+          prefix = f"shard-b$bid%05d"))
+      graft.sources.TarShards.read(s, outDir)
+        .select(regexp_replace(col("name"), "\\.txt$", "").cast("long").as("doc_id"),
+          length(col("bytes")).cast(IntegerType).as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // watermarked (2h) — the production form where Spark can EVICT join
     // state once the watermark passes a row's last possible match time
     // (the ±1h condition bounds it), instead of holding state forever.
@@ -258,29 +305,7 @@ object GeoStreamQueries {
     // valid precisely because arrival order is pinned to doc_id order.
     "sm02_stream_dedup" -> ((s, d) => {
       import s.implicits._
-      // Shared across runs like sm01's stage; mtimes are stamped inside the
-      // build (rename preserves them), so a published stage is always fully
-      // ordered before any reader can see it
-      val stage = graft.sources.Scratch.sharedDir("stream_stage",
-        s"sm02_documents_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
-        Tables.documents(s, d).select(col("doc_id"), col("text"))
-          .repartitionByRange(4, col("doc_id"))
-          .write.mode("overwrite").parquet(tmp)
-        // parallel-written parts can land with out-of-order mtimes; stamp
-        // them in name order so micro-batch order == doc_id-range order.
-        // java.io.File is fine here because Scratch roots are /tmp-local by
-        // construction; a remote-FS stage would need FileSystem.setTimes
-        Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-          .zipWithIndex.foreach { case (f, i) =>
-            // the oracle's row_number replay is only valid if micro-batch
-            // order follows doc_id order, which this stamp pins — a failed
-            // stamp must abort staging, not silently corrupt the contract
-            require(f.setLastModified(1700000000000L + i * 60000L),
-              s"sm02 staging: setLastModified failed for $f; " +
-                "micro-batch order would not be pinned to doc_id order")
-          }
-      }
+      val stage = documentsLandingZone(s, d)
       val schema = s.read.parquet(stage).schema
       val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
       val decisions = Streams.dedupDecisions(
@@ -385,6 +410,12 @@ object GeoStreamQueries {
         | AND a.event_type = 'click' AND b.event_type = 'error'
         | AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
         |ORDER BY click_id, error_id""".stripMargin,
+
+    // stream-to-shards gate: whatever the micro-batch split, every doc
+    // lands in exactly one shard with its exact bytes
+    "sm07_stream_to_shards" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Watermarked stream-stream replay: ordered arrival + 2h watermark
     // (wider than the 1h band) means eviction never races a possible

@@ -149,4 +149,19 @@ object Streams {
     }
     spark.table(name)
   }
+
+  /** Drain a bounded stream through `foreachBatch` — the escape hatch for
+    * sinks Structured Streaming lacks natively (e.g. tar shards). For
+    * exactly-once under retries the batch function must be idempotent per
+    * batchId; deterministic per-batch output names provide that. */
+  def runForeachBatch(streamed: DataFrame,
+                      fn: (DataFrame, Long) => Unit): Unit = {
+    val q = streamed.writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => fn(df.toDF(), id))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }
