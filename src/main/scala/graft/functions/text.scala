@@ -191,6 +191,40 @@ object TextKernels extends Serializable {
     }.mkString(" ")
   }
 
+  /** URL canonicalization for crawl/corpus dedup (the form every web
+    * pipeline dedups on): lowercase scheme+host, strip default ports
+    * (80/443) and trailing host dots, drop the fragment, drop tracking
+    * params (utm_*, fbclid, gclid) and empty params, sort survivors by
+    * (key, value), empty path → "/". Returns null for null/unparseable
+    * input — the quarantine contract. Deterministic pure-JVM string work
+    * (java.net.URI), so constructed-fixture oracles are closed-form. */
+  def canonicalizeUrl(s: String): String = {
+    if (s == null) return null
+    val uri =
+      try new java.net.URI(s.trim)
+      catch { case _: java.net.URISyntaxException => return null }
+    val scheme = Option(uri.getScheme).map(_.toLowerCase).getOrElse(return null)
+    if (scheme != "http" && scheme != "https") return null
+    val host0 = Option(uri.getHost).map(_.toLowerCase).getOrElse(return null)
+    val host = host0.stripSuffix(".")
+    val port = uri.getPort match {
+      case -1 => ""
+      case 80 if scheme == "http" => ""
+      case 443 if scheme == "https" => ""
+      case p => s":$p"
+    }
+    val path = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+    val tracking = Set("fbclid", "gclid")
+    val params = Option(uri.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .filter(_.nonEmpty)
+      .map { kv => val i = kv.indexOf('='); if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1)) }
+      .filterNot { case (k, _) => k.toLowerCase.startsWith("utm_") || tracking(k.toLowerCase) }
+      .sortBy { case (k, v) => (k, v) }
+      .map { case (k, v) => if (v.isEmpty) k else s"$k=$v" }
+    val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+    s"$scheme://$host$port$path$query"
+  }
+
   /** Positional text similarity in [0,1]: fraction of query tokens found in
     * the candidate (exact or within lev distance 1 for tokens >= 4 chars),
     * mirroring the capability of the reference's TextTools.textSimilarity. */

@@ -150,6 +150,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: URL canonicalization (oracle-gated, closed-form) -----------
+    // even ids get a messy variant (uppercase host, :80, utm param,
+    // fragment), odd ids a DIFFERENT messy variant of the PREVIOUS even
+    // id's URL (trailing host dot, shuffled params, gclid) — so each
+    // odd/even pair collapses to one canonical and keep-first fires on
+    // every odd row
+    "un01_url_canonical_dedup" -> ((s, d) => {
+      val even = pmod(col("doc_id"), lit(2)) === 0
+      val base = col("doc_id") - pmod(col("doc_id"), lit(2))
+      val url = when(even,
+        concat(lit("HTTP://Example.COM:80/docs/"), col("doc_id"),
+          lit("?utm_source=feed&b="), pmod(col("doc_id"), lit(3)),
+          lit("&a=1#sec")))
+        .otherwise(concat(lit("http://EXAMPLE.com./docs/"), base,
+          lit("?b="), pmod(base, lit(3)), lit("&a=1&gclid=xyz")))
+      val canonUdf = udf((u: String) => graft.functions.TextKernels.canonicalizeUrl(u))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("canonical").orderBy("doc_id")
+      Tables.documents(s, d).select(col("doc_id"), canonUdf(url).as("canonical"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: incremental (new batch vs existing corpus) -----------------
     // doc_id < 400 plays the standing corpus; the day's ingest = the fresh
     // docs PLUS re-crawled copies of ten corpus pages (re-keyed, as a real
@@ -1347,6 +1370,17 @@ object PipelineQueries {
         |    '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')
         |    AS text_scrubbed
         |FROM t ORDER BY c_custkey""".stripMargin,
+
+    // closed-form canonical replay: both messy variants collapse to the
+    // same normalized URL of the pair's even id; keep = even
+    "un01_url_canonical_dedup" ->
+      """SELECT doc_id,
+        | 'http://example.com/docs/' ||
+        |   CAST(doc_id - (doc_id % 2) AS VARCHAR) ||
+        |   '?a=1&b=' || CAST((doc_id - (doc_id % 2)) % 3 AS VARCHAR)
+        |   AS canonical,
+        | (doc_id % 2 = 0) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // bigram LM replay: counts from the same corpus, add-one smoothing,
     // ln((cbg+1)/(cprev+V)), per-doc mean rounded to 5

@@ -389,6 +389,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(1) == ((2L, 0, 0, "nothing to redact")))
   }
 
+  test("url canonicalization: case, ports, params, fragments, quarantine") {
+    import graft.functions.TextKernels.canonicalizeUrl
+    assert(canonicalizeUrl("HTTP://Ex.COM:80/A/b?utm_source=x&z=2&a=1#frag")
+      == "http://ex.com/A/b?a=1&z=2")
+    assert(canonicalizeUrl("https://ex.com:443") == "https://ex.com/")
+    assert(canonicalizeUrl("http://ex.com.:8080/p?fbclid=1&flag")
+      == "http://ex.com:8080/p?flag")         // non-default port kept,
+                                              // valueless param kept
+    assert(canonicalizeUrl("http://ex.com/p?a=2&a=1")
+      == "http://ex.com/p?a=1&a=2")           // sort by (key, value)
+    assert(canonicalizeUrl(null) == null)
+    assert(canonicalizeUrl("::notaurl") == null)
+    assert(canonicalizeUrl("ftp://ex.com/x") == null)
+    assert(canonicalizeUrl("relative/path") == null)
+  }
+
   test("bigram LM quality: add-one smoothing, unseen bigrams, short docs null") {
     val corpus = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     // cbg: (a,b)->3, (b,a)->1, (b,c)->1; cprev: a->3, b->2; V=3
