@@ -109,6 +109,113 @@ object Dedup {
         coalesce(col("n_kept"), lit(0)).as("n_kept"))
   }
 
+  /** Priority-aware exact dedup — cross-source dedup where ties are broken
+    * by source preference, not ingest order (the FineWeb/Dolma recipe:
+    * when a page appears in both a curated dump and a raw crawl, keep the
+    * curated copy regardless of which id is smaller). Keeps the row with
+    * the smallest (`priorityCol`, `idCol`) per distinct text — same single
+    * digest-shuffle shape as [[exact]], different election. */
+  def exactByPriority(df: DataFrame, textCol: String, idCol: String,
+                      priorityCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+      .orderBy(col(priorityCol), col(idCol))
+    df.withColumn("_rn_", row_number().over(w))
+      .where(col("_rn_") === 1)
+      .drop("_rn_")
+  }
+
+  /** Boilerplate removal by corpus frequency — the CCNet/RefinedWeb curation
+    * stage that strips navigation chrome, cookie banners, share buttons:
+    * a line occurring in MORE than `maxDocFreq` distinct documents is
+    * removed from EVERY document. Complements [[dedupParagraphs]], which
+    * keeps the first occurrence of each paragraph: frequency removal
+    * targets machine-generated repetition (no occurrence is "the real
+    * one"), keep-first targets genuine content that happens to be copied.
+    * Documents losing every line come back empty, same contract as
+    * [[dedupParagraphs]].
+    *
+    * 100 TB shape: line document-frequency is one hash shuffle of
+    * (line digest, doc id) with map-side partial aggregation; the frequent
+    * set is df-thresholded and therefore tiny relative to the corpus
+    * (boilerplate is by definition a small distinct set), so it broadcasts
+    * and the removal anti-join is shuffle-free; reassembly is one shuffle
+    * on the doc id. Line text never shuffles — digests only. */
+  def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
+                          maxDocFreq: Int, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("_id_"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("_pos_", "_l_")))
+      .withColumn("_h_", md5(col("_l_")))
+    val frequent = lines.groupBy("_h_")
+      .agg(countDistinct(col("_id_")).as("_df_"))
+      .where(col("_df_") > maxDocFreq)
+      .select("_h_")
+    val kept = lines.join(broadcast(frequent), Seq("_h_"), "left_anti")
+    val rebuilt = kept.groupBy("_id_")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("_pos_"), col("_l_")))), s => s("_l_")), sep)
+        .as("clean_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+    df.select(col(idCol).as("_id_")).distinct()
+      .join(rebuilt, Seq("_id_"), "left")
+      .select(col("_id_").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"))
+  }
+
+  /** Substring-level exact dedup — the token-window formulation of Lee et
+    * al. 2022's "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr: every stride-1 window of `windowTokens` whitespace tokens
+    * is fingerprinted; for each distinct window only the globally FIRST
+    * occurrence (by doc id, then start offset) survives, and every token
+    * covered by a later duplicate window is cut from its document
+    * (overlapping duplicate spans union into one cut — the span-merge the
+    * paper's suffix-array intervals give for free). Catches the long
+    * verbatim quotes, license blocks and syndicated passages that document-
+    * and paragraph-level dedup both miss.
+    *
+    * 100 TB shape: the window table carries (doc id, start, 16-byte digest)
+    * — window TEXT never shuffles, so the shuffle is ~stride × id-width,
+    * not W× the corpus. One digest shuffle for the first-occurrence window,
+    * one explode of duplicate spans (bounded by duplicate volume, not
+    * corpus volume) into a removal set, one anti-join + reassembly shuffle
+    * on the doc id. The reference suffix-array build is a single-node
+    * program; this is the shuffle-native equivalent at fixed window width. */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int = 8): DataFrame = {
+    val w = windowTokens
+    val toks = df.select(col(idCol).as("_id_"),
+      posexplode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+        .as(Seq("_pos_", "_t_")))
+    val wins = df.select(col(idCol).as("_id_"),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("_ts_"))
+      .where(size(col("_ts_")) >= w)
+      .select(col("_id_"), posexplode(transform(
+        sequence(lit(0), size(col("_ts_")) - w),
+        i => md5(array_join(slice(col("_ts_"), i + 1, lit(w)), " "))))
+        .as(Seq("_start_", "_h_")))
+    val firstWin = Window.partitionBy("_h_").orderBy("_id_", "_start_")
+    val dupSpans = wins.withColumn("_rn_", row_number().over(firstWin))
+      .where(col("_rn_") > 1)
+    val removal = dupSpans.select(col("_id_"),
+      explode(sequence(col("_start_"), col("_start_") + (w - 1))).as("_pos_"))
+      .distinct()
+    val kept = toks.join(removal, Seq("_id_", "_pos_"), "left_anti")
+    val rebuilt = kept.groupBy("_id_")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("_pos_"), col("_t_")))), s => s("_t_")), " ")
+        .as("kept_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+    val totals = toks.groupBy("_id_").agg(count(lit(1)).cast("int").as("_tot_"))
+    df.select(col(idCol).as("_id_")).distinct()
+      .join(totals, Seq("_id_"), "left")
+      .join(rebuilt, Seq("_id_"), "left")
+      .select(col("_id_").as(idCol),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        (coalesce(col("_tot_"), lit(0)) - coalesce(col("n_kept"), lit(0)))
+          .as("n_removed"))
+  }
+
   /** Cluster near-duplicate PAIRS into connected components and elect one
     * representative per cluster — the step that turns dd03/dd05-style pair
     * lists into an actionable keep/drop set (pairs alone over-delete: A~B,

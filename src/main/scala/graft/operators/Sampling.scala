@@ -34,6 +34,29 @@ object Sampling {
         "rational-exponent integer scheme to stay engine-portable)")
   }
 
+  /** Deterministic corpus shuffle + shard assignment — the last step before
+    * training ingest: a global random-looking order that is a pure function
+    * of the ids (epoch-reproducible, resume-safe) with rows dealt into
+    * `numShards` shards. shard = mix64(id) mod numShards (non-negative),
+    * ord = dense 0-based position within the shard in (mix64(id), id)
+    * order. Training shards are conventionally a power of two — that also
+    * keeps the modulus replayable in unsigned-only engines (the DuckDB
+    * oracle's UHUGEINT mod equals Spark's signed pmod exactly when
+    * numShards divides 2^64).
+    *
+    * 100 TB shape: the hash is one scalar per row; the only shuffle is the
+    * per-shard window (= the partitioned write the shards feed anyway).
+    * No global sort: ordering is per-shard, which is what a sharded reader
+    * consumes — shards interleave sources because the hash, not the input
+    * layout, decides membership. */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    val mixed = df.withColumn("_mx_", mixUdf(col(idCol).cast("long")))
+      .withColumn("shard", pmod(col("_mx_"), lit(numShards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_mx_"), col(idCol))
+    mixed.withColumn("ord", (row_number().over(w) - 1).cast("long"))
+      .drop("_mx_")
+  }
+
   /** Sample ~`targetSize` rows with per-group quotas ∝ weight(group size),
     * capped at the group's size; within a group, rows are admitted in
     * `(mix64(id), id)` order, so the sampled SET is a pure function of the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextKernels
 
@@ -214,6 +215,127 @@ object TextAnalysis {
       .agg(avg("_lp_").as("lm_score"), count(lit(1)).as("n_bigrams"))
     docs.select(col(idCol)).distinct().join(scored, Seq(idCol), "left")
   }
+
+  /** C4-style heuristic cleaning (Raffel et al. 2020 §2.2, public recipe):
+    * keep only lines that end in terminal punctuation (`.` `!` `?` `"`),
+    * have at least `minWordsPerLine` words, and don't mention javascript;
+    * blank the whole document when it shows code/boilerplate markers
+    * (`{`, "lorem ipsum"); flag it kept only when at least
+    * `minLinesPerDoc` lines survive. Returns (id, clean_text, n_lines,
+    * n_kept, doc_kept) — counts always agree with `clean_text`, same
+    * metering invariant as [[scrubPiiExtended]].
+    *
+    * Pure higher-order Columns — codegen'd, per-row, shuffle-free; every
+    * predicate stays in the string-function subset Spark and the DuckDB
+    * oracle interpret identically (no regex beyond `\s+`). */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minWordsPerLine: Int = 3, minLinesPerDoc: Int = 1): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        (size(filter(split(l, "\\s+"), w => w =!= "")) >= minWordsPerLine) &&
+        !lower(l).contains("javascript")
+    val bad = lower(col(textCol)).contains("lorem ipsum") ||
+      col(textCol).contains("{")
+    val kept = filter(lines, keepLine)
+    val nKept = when(bad, lit(0)).otherwise(size(kept))
+    df.select(col(idCol),
+      when(bad, lit("")).otherwise(array_join(kept, "\n")).as("clean_text"),
+      size(lines).as("n_lines"),
+      nKept.as("n_kept"),
+      (!bad && (size(kept) >= minLinesPerDoc)).as("doc_kept"))
+  }
+
+  /** Corpus-level frequent n-gram table: document frequency of every
+    * lowercased word n-gram, thresholded at `minDocFreq` and cut to the
+    * global `topK` (ties broken by gram text). The standard input to
+    * boilerplate detection ([[Dedup.removeFrequentLines]] decides WHAT to
+    * cut; this reports what's frequent) and to contamination review.
+    *
+    * 100 TB shape: per-document grams are distinct'd BEFORE the shuffle
+    * (so (doc, gram) is unique and doc frequency is a plain count with
+    * map-side partial aggregation — no countDistinct shuffle of ids), and
+    * the global top-K is a driver-side limit over the thresholded
+    * aggregate, which is vocabulary-sized, not corpus-sized. */
+  def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDocFreq: Int = 2, topK: Int = 100): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val grams = df.select(col(idCol).as("_id_"), toks.as("_ts_"))
+      .where(size(col("_ts_")) >= n)
+      .select(col("_id_"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("_ts_")) - n),
+        i => array_join(slice(col("_ts_"), i + 1, lit(n)), " ")))).as("gram"))
+    grams.groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocFreq)
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(topK)
+  }
+
+  /** Gopher's stopword set for the "contains at least 2" rule (Rae et al.
+    * '21 §A1.1, public). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule battery (Rae et al. '21 §A1.1, public): word
+    * count bounds, mean word length 3-10, symbol-to-word ratio (# and …)
+    * < 0.1, >= 80 % of words contain an alphabetic char, >= 2 stopwords,
+    * <= 90 % bullet lines, <= 30 % ellipsis-ending lines. Returns the
+    * metrics, one boolean per rule, and `keep` = AND of all rules — the
+    * per-rule flags are what an ablation dashboard consumes.
+    *
+    * Pure higher-order Columns, per-row, shuffle-free; every predicate
+    * stays in the Spark/DuckDB-shared subset (counts via length-difference
+    * `replace`, membership via a literal IN list). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => w =!= "")
+    val nWords = size(words)
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nWords
+    val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val nStop = size(filter(words,
+      w => lower(w).isin(GopherStopwords.map(x => x: Any): _*)))
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val bulletRatio = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+      .cast("double") / nLines
+    val ellipsisLineRatio = size(filter(lines,
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("double") / nLines
+    val rules = Seq(
+      "r_word_count" -> nWords.between(minWords, maxWords),
+      "r_mean_word_len" -> meanLen.between(3.0, 10.0),
+      "r_symbol_ratio" -> (symbolRatio < 0.1),
+      "r_alpha_words" -> (alphaRatio >= 0.8),
+      "r_stopwords" -> (nStop >= 2),
+      "r_bullets" -> (bulletRatio <= 0.9),
+      "r_ellipsis" -> (ellipsisLineRatio <= 0.3))
+    df.select(
+      Seq(col(idCol), nWords.as("n_words"), round(meanLen, 5).as("mean_word_len")) ++
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
+  /** Head/middle/tail corpus bucketing by a quality score (the CCNet
+    * perplexity-bucket recipe, public): `nBuckets` equal-size tiers over
+    * (score desc, id) — bucket 1 is the best slice, the one typically
+    * up-sampled in the training mix.
+    *
+    * As written this is one global ntile sort — exact, the gate's
+    * formulation. The 100 TB variant computes approximate quantile
+    * boundaries in one pass, broadcasts them, and assigns buckets with a
+    * per-row comparison (no global sort); the boundary-vs-exact difference
+    * is confined to ties at the cut points. */
+  def scoreBuckets(df: DataFrame, idCol: String, scoreCol: String,
+                   nBuckets: Int = 3): DataFrame =
+    df.withColumn("bucket", ntile(nBuckets).over(
+      Window.orderBy(col(scoreCol).desc, col(idCol))))
 
   /** Convenience: annotate a document DataFrame with all analysis cols. */
   def annotate(df: DataFrame, textCol: String): DataFrame = df

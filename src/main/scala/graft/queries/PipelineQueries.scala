@@ -198,6 +198,65 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: boilerplate removal by corpus line frequency ---------------
+    // lines synthesized by breaking each doc after every 2nd word (short
+    // lines from the small vocabulary collide across docs, so the frequency
+    // threshold genuinely fires); any line in > 20 distinct docs is cut
+    // from EVERY doc — the remove-all complement of pd01's keep-first
+    "bl01_boilerplate_lines" -> ((s, d) => {
+      val withLines = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "((\\w+ ){1}\\w+) ", "$1\n").as("ltext"))
+      graft.operators.Dedup.removeFrequentLines(withLines, "doc_id", "ltext",
+        maxDocFreq = 20)
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup: substring-level (token-window) exact dedup -----------------
+    // fixture constructs verbatim-quote structure the corpus lacks: 75 docs
+    // re-appear under new ids behind an 8-token boilerplate header, so
+    // their every window duplicates the original — the copies lose all
+    // quoted text (span merge across overlapping windows), the first copy
+    // alone keeps the header window, and base docs are untouched
+    "sd01_substring_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.where(col("doc_id") < 150).select(col("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") < 75).select(
+        (col("doc_id") + 10000L).as("doc_id"),
+        concat(lit("header header header header header header header header "),
+          col("text")).as("text"))
+      graft.operators.Dedup.dedupSubstrings(base.unionByName(copies),
+        "doc_id", "text", windowTokens = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: C4 heuristic cleaning ------------------------------
+    // the corpus has no punctuation or line structure, so the fixture
+    // synthesizes both in closed form: 7-word lines, terminal periods on
+    // lines ending table/row/line, and a code marker appended to every
+    // 7th doc — all replayed in the oracle
+    "cf01_c4_clean" -> ((s, d) => {
+      val t1 = regexp_replace(col("text"), "((\\w+ ){6}\\w+) ", "$1\n")
+      val t2 = regexp_replace(t1, "(?m)(table|row|line)$", "$1.")
+      val t3 = when(col("doc_id") % 7 === 0, concat(t2, lit("\n{ code }")))
+        .otherwise(t2)
+      TextAnalysis.c4Clean(
+        Tables.documents(s, d).select(col("doc_id"), t3.as("text")),
+        "doc_id", "text", minWordsPerLine = 3, minLinesPerDoc = 2)
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: corpus-level frequent n-gram table -----------------
+    "fn01_frequent_ngrams" -> ((s, d) =>
+      TextAnalysis.frequentNgrams(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minDocFreq = 5, topK = 50)),
+
+    // ---- sampling: deterministic corpus shuffle into training shards -------
+    "sh01_shuffle_shards" -> ((s, d) =>
+      graft.operators.Sampling.shuffleShards(Tables.documents(s, d),
+        "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("ord"))
+        .orderBy("doc_id")),
+
     // ---- similarity search: exact top-3 ANN baseline (oracle-able) ---------
     "ann01_knn_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -821,6 +880,155 @@ object PipelineQueries {
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // boilerplate replay: same 2-word break regex; document frequency per
+    // distinct line (Spark groups by md5(line) — identical grouping),
+    // remove ALL occurrences past the threshold, reassemble by position
+    "bl01_boilerplate_lines" ->
+      """WITH pt AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(text, '((\w+ ){1}\w+) ', '\1' || chr(10), 'g'),
+        |    chr(10)) AS ls
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i - 1, 'l': ls[i]} FOR i IN range(1, len(ls) + 1)],
+        |    recursive := true)
+        |  FROM pt),
+        |freq AS (
+        |  SELECT l FROM lines GROUP BY l HAVING count(DISTINCT doc_id) > 20),
+        |kept AS (
+        |  SELECT doc_id, pos, l FROM lines
+        |  WHERE l NOT IN (SELECT l FROM freq)),
+        |reb AS (
+        |  SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS INT) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  coalesce(r.n_kept, 0) AS n_kept
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // substring-dedup replay: same constructed corpus, stride-1 8-token
+    // windows keyed by md5 of the window text (what Spark shuffles), first
+    // occurrence by (doc_id, start), duplicate spans exploded to positions
+    // and anti-joined out, tokens reassembled in order
+    "sd01_substring_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    'header header header header header header header header ' || text
+        |  FROM documents WHERE doc_id < 75),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ts
+        |  FROM docs),
+        |tok AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i - 1, 't': ts[i]} FOR i IN range(1, len(ts) + 1)],
+        |    recursive := true)
+        |  FROM toks),
+        |wins AS (
+        |  SELECT doc_id, unnest(
+        |    [{'strt': i - 1, 'h': md5(array_to_string(ts[i:i+7], ' '))}
+        |     FOR i IN range(1, len(ts) - 6)], recursive := true)
+        |  FROM toks WHERE len(ts) >= 8),
+        |dup AS (
+        |  SELECT doc_id, strt FROM (
+        |    SELECT doc_id, strt,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, strt) AS rn
+        |    FROM wins) WHERE rn > 1),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(range(strt, strt + 8)) AS pos FROM dup)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.t FROM tok t
+        |  LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+        |  WHERE r.doc_id IS NULL),
+        |reb AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS kept_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_tot FROM tok GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(reb.kept_text, '') AS kept_text,
+        |  CAST(coalesce(tot.n_tot, 0) - coalesce(reb.n_kept, 0) AS INT)
+        |    AS n_removed
+        |FROM (SELECT DISTINCT doc_id FROM docs) d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // C4-clean replay: same fixture construction (7-word lines, terminal
+    // periods, every-7th-doc code marker), line predicate = terminal punct
+    // + min words + no 'javascript', doc rules = code/lorem markers.
+    // DuckDB's array_to_string is NULL on [], Spark's array_join is '' —
+    // hence the coalesce
+    "cf01_c4_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN s2 || chr(10) || '{ code }'
+        |         ELSE s2 END AS text
+        |  FROM (SELECT doc_id, regexp_replace(
+        |      regexp_replace(text, '((\w+ ){6}\w+) ', '\1' || chr(10), 'g'),
+        |      '(?m)(table|row|line)$', '\1.', 'g') AS s2 FROM documents)),
+        |l AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS bad
+        |  FROM t),
+        |k AS (
+        |  SELECT doc_id, bad, len(ls) AS n_lines,
+        |    list_filter(ls, x -> right(rtrim(x), 1) IN ('.', '!', '?', '"')
+        |      AND len(list_filter(string_split_regex(x, '\s+'),
+        |                          w -> w <> '')) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS ks
+        |  FROM l)
+        |SELECT doc_id,
+        |  CASE WHEN bad THEN ''
+        |       ELSE coalesce(array_to_string(ks, chr(10)), '') END AS clean_text,
+        |  CAST(n_lines AS INT) AS n_lines,
+        |  CAST(CASE WHEN bad THEN 0 ELSE len(ks) END AS INT) AS n_kept,
+        |  (NOT bad AND len(ks) >= 2) AS doc_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // frequent-ngram replay: lowercased \W+ tokens, per-doc distinct
+    // 3-grams (so count(*) IS document frequency), threshold + total-order
+    // top-K (doc_freq desc, gram) — the tie at the boundary is broken
+    // identically in both engines
+    "fn01_frequent_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\W+'), w -> w <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ts[i:i+2], ' ') FOR i IN range(1, len(ts) - 1)]))
+        |    AS gram
+        |  FROM toks WHERE len(ts) >= 3)
+        |SELECT gram, count(*) AS doc_freq FROM g GROUP BY gram
+        |HAVING count(*) >= 5 ORDER BY doc_freq DESC, gram LIMIT 50""".stripMargin,
+
+    // shuffle-shard replay: splitmix64 of doc_id in UHUGEINT (the ann02
+    // recipe); shard = h mod 8 — equal to Spark's signed pmod because the
+    // shard count divides 2^64; per-shard rank orders by xor(h, 2^63),
+    // which maps unsigned order onto signed two's-complement order
+    "sh01_shuffle_shards" ->
+      """WITH m AS (
+        |  SELECT doc_id, xor(p2, p2 >> 31) AS h FROM (
+        |    SELECT doc_id,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT doc_id,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT doc_id, CAST(doc_id AS UHUGEINT) AS p0
+        |            FROM documents))))
+        |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8
+        |    ORDER BY xor(h, CAST(9223372036854775808 AS UHUGEINT))) - 1
+        |    AS BIGINT) AS ord
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Full LSH replay: per (table, bit-plane) one mixed long (splitmix64 of
     // seed + t*1000003 + b), plane component d = ±1 from bit (d mod 64),

@@ -66,6 +66,88 @@ class PipelineOpsSpec extends AnyFunSuite {
       (1L, "p1\np2", 2), (2L, "p3", 1), (3L, "", 0), (4L, "p4", 1)))
   }
 
+  test("boilerplate removal: frequent lines cut everywhere, unique lines survive") {
+    val docs = Seq(
+      (1L, "nav\nreal content one"),
+      (2L, "nav\nreal content two"),
+      (3L, "nav\nreal content three"),
+      (4L, "nav")) // loses everything -> empty, still present
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 2)
+      .orderBy("doc_id").as[(Long, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "real content one", 1), (2L, "real content two", 1),
+      (3L, "real content three", 1), (4L, "", 0)))
+    // below the threshold nothing is touched
+    val none = graft.operators.Dedup
+      .removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 4)
+      .orderBy("doc_id").as[(Long, String, Int)].collect().toSeq
+    assert(none.map(_._2) == docs.orderBy("doc_id").as[(Long, String)]
+      .collect().toSeq.map(_._2))
+  }
+
+  test("substring dedup: duplicate window spans merge and cut; first occurrence kept") {
+    val quote = "one two three four five six seven eight nine" // 9 tokens
+    val docs = Seq(
+      (1L, quote),                         // first occurrence -> untouched
+      (2L, s"intro words here $quote after"), // quoted span cut, rest kept
+      (3L, "totally different text with no duplicate windows at all"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .dedupSubstrings(docs, "doc_id", "text", windowTokens = 8)
+      .orderBy("doc_id").as[(Long, String, Int)].collect().toSeq
+    // doc 2: windows [0..8) and [1..9) of the quote are both duplicates —
+    // their union cuts all 9 quote tokens, not 8 (the span merge)
+    assert(out == Seq(
+      (1L, quote, 0),
+      (2L, "intro words here after", 9),
+      (3L, "totally different text with no duplicate windows at all", 0)))
+  }
+
+  test("c4 clean: line predicates and doc-level markers") {
+    val docs = Seq(
+      (1L, "this line is kept.\nno punctuation here\ntiny.\nthis one uses javascript today.\nthis is also kept!"),
+      (2L, "looks fine.\nbut the doc has { code }"),
+      (3L, "lorem ipsum dolor sit amet.")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .c4Clean(docs, "doc_id", "text", minWordsPerLine = 3, minLinesPerDoc = 2)
+      .orderBy("doc_id").as[(Long, String, Int, Int, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "this line is kept.\nthis is also kept!", 5, 2, true), // punct/minwords/js dropped
+      (2L, "", 2, 0, false),  // '{' blanks the doc
+      (3L, "", 1, 0, false))) // lorem ipsum blanks the doc
+  }
+
+  test("frequent ngrams: doc frequency counts distinct docs, topK total order") {
+    val docs = Seq(
+      (1L, "click here to start click here to start"), // within-doc dup counts once
+      (2L, "click here to begin"),
+      (3L, "click here to begin again")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .frequentNgrams(docs, "doc_id", "text", n = 3, minDocFreq = 2, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("click here to", 3L), ("here to begin", 2L)))
+  }
+
+  test("shuffle shards: deterministic permutation, dense per-shard order") {
+    val docs = Seq.range(0L, 100L).toDF("doc_id")
+    val out = graft.operators.Sampling.shuffleShards(docs, "doc_id", 8)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out.size == 100 && out.map(_._1).toSet.size == 100)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == Seq.range(0L, rows.size.toLong)) }
+    // shard is the signed pmod of the avalanched id, replayed exactly
+    out.foreach { case (id, shard, _) =>
+      val m = graft.functions.TextKernels.mix64(id)
+      assert(shard == java.lang.Math.floorMod(m, 8L).toInt) }
+    // rerun -> identical assignment (pure function of ids)
+    val again = graft.operators.Sampling.shuffleShards(docs, "doc_id", 8)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(again.toSet == out.toSet)
+  }
+
   test("ngram jaccard: identical docs score 1.0, disjoint docs are absent") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
       .toDF("doc_id", "text")
