@@ -30,7 +30,12 @@ object ExplainAudit {
         "ann04_knn_ivf", "ann05_neardup_lsh",
         "pk02_sequence_packing_sharded", "md01_model_pipeline",
         "mm04_video_frames", "dd07_incremental_dedup",
-        "dd08_incremental_dedup_bloom", "lb01_length_batches")
+        "dd08_incremental_dedup_bloom", "lb01_length_batches",
+        // late-round-7 additions: broadcast anti-join boilerplate removal,
+        // digest-only substring dedup, z-bucket agg, broadcast centroid
+        // cross + windowed argmin
+        "bl01_boilerplate_lines", "sd01_substring_dedup",
+        "zo01_zorder_layout", "em01_centroid_confusion")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

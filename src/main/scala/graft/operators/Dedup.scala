@@ -109,6 +109,25 @@ object Dedup {
         coalesce(col("n_kept"), lit(0)).as("n_kept"))
   }
 
+  /** Representative election over near-dup clusters — the step after
+    * [[connectedComponents]] in a quality-aware dedup: instead of keeping
+    * the min-id member, keep the HIGHEST-QUALITY member of each cluster
+    * (the FineWeb-style choice: among near-duplicate pages, retain the
+    * longest / best-scored copy). `components` is (id, component) as
+    * produced by [[connectedComponents]]; `meta` supplies `qualityCol`
+    * keyed by `idCol`. Election: max quality, ties to the smaller id.
+    * One broadcast-or-shuffle join + one window over the component —
+    * clusters are tiny by construction, so the window never skews. */
+  def electRepresentatives(components: DataFrame, meta: DataFrame,
+                           idCol: String, qualityCol: String): DataFrame = {
+    val w = Window.partitionBy("component")
+      .orderBy(col(qualityCol).desc, col("id"))
+    components.join(meta.select(col(idCol).as("id"), col(qualityCol)), Seq("id"))
+      .withColumn("_rk_", row_number().over(w))
+      .withColumn("keep", col("_rk_") === 1)
+      .drop("_rk_")
+  }
+
   /** Priority-aware exact dedup — cross-source dedup where ties are broken
     * by source preference, not ingest order (the FineWeb/Dolma recipe:
     * when a page appears in both a curated dump and a raw crawl, keep the

@@ -37,7 +37,10 @@ object Sampling {
   /** Deterministic corpus shuffle + shard assignment — the last step before
     * training ingest: a global random-looking order that is a pure function
     * of the ids (epoch-reproducible, resume-safe) with rows dealt into
-    * `numShards` shards. shard = mix64(id) mod numShards (non-negative),
+    * `numShards` shards. Each `epoch` reshuffles deterministically by
+    * stepping the id stream with the golden-gamma constant SplittableRandom
+    * uses between streams. shard = mix64(id + epoch·γ) mod numShards
+    * (non-negative),
     * ord = dense 0-based position within the shard in (mix64(id), id)
     * order. Training shards are conventionally a power of two — that also
     * keeps the modulus replayable in unsigned-only engines (the DuckDB
@@ -49,8 +52,10 @@ object Sampling {
     * No global sort: ordering is per-shard, which is what a sharded reader
     * consumes — shards interleave sources because the hash, not the input
     * layout, decides membership. */
-  def shuffleShards(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
-    val mixed = df.withColumn("_mx_", mixUdf(col(idCol).cast("long")))
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    epoch: Long = 0L): DataFrame = {
+    val mixed = df.withColumn("_mx_",
+      mixUdf(col(idCol).cast("long") + lit(epoch * 0x9e3779b97f4a7c15L)))
       .withColumn("shard", pmod(col("_mx_"), lit(numShards.toLong)).cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col("_mx_"), col(idCol))
     mixed.withColumn("ord", (row_number().over(w) - 1).cast("long"))

@@ -322,6 +322,24 @@ object TextAnalysis {
         rules.map(_._2).reduce(_ && _).as("keep"): _*)
   }
 
+  /** Blocklist filter (the C4 "bad words" stage, public recipe): flag
+    * documents containing any of a fixed phrase list (case-insensitive
+    * substring), report how many terms matched and the first match — the
+    * audit columns a filtering report needs. The list rides the plan as a
+    * literal array (blocklists are small); a list too large for that
+    * becomes a broadcast join on extracted tokens, or an Aho-Corasick
+    * scan UDF — per-row either way, never a shuffle of the corpus. */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    val lowered = lower(col(textCol))
+    val matched = filter(array(terms.map(t => lit(t.toLowerCase)): _*),
+      t => contains(lowered, t))
+    df.select(col(idCol),
+      size(matched).as("n_matches"),
+      coalesce(try_element_at(matched, lit(1)), lit("")).as("first_match"),
+      (size(matched) === 0).as("keep"))
+  }
+
   /** Head/middle/tail corpus bucketing by a quality score (the CCNet
     * perplexity-bucket recipe, public): `nBuckets` equal-size tiers over
     * (score desc, id) — bucket 1 is the best slice, the one typically
@@ -335,7 +353,23 @@ object TextAnalysis {
   def scoreBuckets(df: DataFrame, idCol: String, scoreCol: String,
                    nBuckets: Int = 3): DataFrame =
     df.withColumn("bucket", ntile(nBuckets).over(
-      Window.orderBy(col(scoreCol).desc, col(idCol))))
+      Window.orderBy(col(scoreCol).desc_nulls_last, col(idCol))))
+
+  /** The 100 TB variant of [[scoreBuckets]]: approximate quantile
+    * boundaries in one Greenwald-Khanna pass (`df.stat.approxQuantile`),
+    * then a per-row comparison — no global sort, no single-partition
+    * window. Bucket 1 is still the best tier; rows only ever land in a
+    * different bucket than the exact path within `relErr` of a cut
+    * point. Nulls go to the worst bucket (the exact path's NULLS LAST). */
+  def scoreBucketsApprox(df: DataFrame, idCol: String, scoreCol: String,
+                         nBuckets: Int = 3, relErr: Double = 0.001): DataFrame = {
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets).toArray
+    val cutsDesc = df.stat.approxQuantile(scoreCol, probs, relErr).reverse
+    val bucket = cutsDesc.foldLeft(lit(1)) { (acc, cut) =>
+      acc + when(col(scoreCol) < cut, 1).otherwise(0) }
+    df.withColumn("bucket",
+      when(col(scoreCol).isNull, nBuckets).otherwise(bucket))
+  }
 
   /** Convenience: annotate a document DataFrame with all analysis cols. */
   def annotate(df: DataFrame, textCol: String): DataFrame = df

@@ -56,6 +56,37 @@ object PipelineQueries {
       |SELECT doc_id, n_chars FROM surv WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** lm01/cq01 share the corpus-LM replay (add-one-smoothed bigram
+    * log-prob trained on the corpus itself); the chain ends at `s` =
+    * (doc_id, rounded score, bigram count) for scored docs only —
+    * consumers left-join it back to the full doc list. */
+  private val LmScoreCtes =
+    """tw AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(
+      |    [{'prev': w[i-1], 'cur': w[i]} FOR i IN range(2, len(w) + 1)],
+      |    recursive := true)
+      |  FROM tw WHERE len(w) >= 2),
+      |cb AS (
+      |  SELECT prev, cur, count(*) AS cbg FROM bg GROUP BY prev, cur),
+      |cp AS (
+      |  SELECT prev, sum(cbg) AS cprev FROM cb GROUP BY prev),
+      |vv AS (
+      |  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM tw)),
+      |j AS (
+      |  SELECT doc_id,
+      |    ln((coalesce(cb.cbg, 0) + 1) / (coalesce(cp.cprev, 0) + vv.v)) AS lp
+      |  FROM bg
+      |  LEFT JOIN cb USING (prev, cur)
+      |  LEFT JOIN cp USING (prev), vv),
+      |s AS (
+      |  SELECT doc_id, round(avg(lp), 5) AS lm_score_r,
+      |    CAST(count(*) AS BIGINT) AS n_bigrams
+      |  FROM j GROUP BY doc_id)""".stripMargin
+
   private val PackingSql =
     """WITH t AS (
       |  SELECT doc_id,
@@ -148,6 +179,53 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("component"),
           (col("id") === col("component")).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // ---- dedup: quality-aware representative election over dd06 clusters --
+    // same pair graph as dd06, but keep = the LONGEST member (n_chars) of
+    // each cluster instead of the min id — what a curation pipeline
+    // actually retains
+    "dd10_cluster_representatives" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.8)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.electRepresentatives(comps,
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+        .select(col("id").as("doc_id"), col("component"), col("n_chars"),
+          col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: blocklist filter (C4 bad-words stage) --------------
+    "bf01_blocklist_filter" -> ((s, d) =>
+      TextAnalysis.blocklistFilter(Tables.documents(s, d), "doc_id", "text",
+        Seq("big vector", "slow filter", "merge batch"))
+        .orderBy("doc_id")),
+
+    // ---- sampling: per-shard ingest manifest over sh01's shuffle -----------
+    // the bookkeeping a training loader reads: docs + token budget per
+    // shard (ts02's BPE-proxy count), plus the dense-ord invariant
+    "sh02_shard_manifest" -> ((s, d) => {
+      val sharded = graft.operators.Sampling.shuffleShards(
+        Tables.documents(s, d), "doc_id", numShards = 8)
+      sharded.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountUdf(col("text")).cast("long"))
+          .as("total_tokens"),
+        max("ord").as("max_ord"))
+        .orderBy("shard")
+    }),
+
+    // ---- similarity: quantized label centroids + nearest-centroid
+    // confusion (engine-exact distributed E-step; floor-quantized integer
+    // sums dodge float summation-order nondeterminism) -----------------------
+    "em01_centroid_confusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cent = Similarity.quantizedLabelCentroids(emb, "embedding", "label")
+      Similarity.nearestCentroidConfusion(emb, "vec_id", "embedding", "label",
+        cent)
+        .orderBy("label", "assigned")
     }),
 
     // ---- dedup: URL canonicalization (oracle-gated, closed-form) -----------
@@ -256,6 +334,57 @@ object PipelineQueries {
         "doc_id", numShards = 8)
         .select(col("doc_id"), col("shard"), col("ord"))
         .orderBy("doc_id")),
+
+    // ---- dedup: priority-aware cross-source dedup --------------------------
+    // curated re-keys of 30 raw pages enter at priority 0: the curated copy
+    // must win over the raw original despite its LARGER id — what
+    // distinguishes this from dd02's keep-smallest-id election
+    "dd09_priority_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val raw = docs.where(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"), lit(1).as("priority"))
+      val curated = docs.where(col("doc_id") < 30)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text"),
+          lit(0).as("priority"))
+      graft.operators.Dedup.exactByPriority(raw.unionByName(curated),
+        "text", "doc_id", "priority")
+        .select("doc_id", "priority").orderBy("doc_id")
+    }),
+
+    // ---- text analysis: the Gopher rule battery ----------------------------
+    // minWords=50 splits the corpus genuinely (mean doc length ~54 words);
+    // the remaining rules pass or fail per doc on real metrics
+    "gq01_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text",
+        minWords = 50).orderBy("doc_id")),
+
+    // ---- mixing: head/middle/tail quality buckets over the LM score --------
+    // composition of lm01's corpus-LM score with exact ntile bucketing —
+    // rounded score + doc_id tie-break keep the global order engine-portable
+    "cq01_quality_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.bigramQuality(docs, docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("lm_score"), 5).as("lm_score_r"))
+      TextAnalysis.scoreBuckets(scored, "doc_id", "lm_score_r", nBuckets = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- layout: z-order clustering for two-dimensional scan pruning ------
+    // morton-interleave (o_custkey, order day); the per-z-bucket min/max
+    // extents ARE the parquet footer stats a z-ordered write would give —
+    // the gate checks the tiling, a spec checks it beats linear layout
+    "zo01_zorder_layout" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("_day_", datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1992-01-01"))))
+      o.withColumn("_z_", graft.operators.Layout.zOrderValue(
+          col("o_custkey"), col("_day_")))
+        .groupBy(shiftright(col("_z_"), 16).as("z_bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+          min("_day_").as("min_day"), max("_day_").as("max_day"))
+        .orderBy("z_bucket")
+    }),
 
     // ---- similarity search: exact top-3 ANN baseline (oracle-able) ---------
     "ann01_knn_bruteforce" -> ((s, d) => {
@@ -1030,6 +1159,189 @@ object PipelineQueries {
         |    AS BIGINT) AS ord
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // dd10 replay: dd06's recursive-CTE transitive closure, then the
+    // quality election — row_number per component by (n_chars desc, id)
+    "dd10_cluster_representatives" ->
+      """WITH RECURSIVE grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                 FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |), e AS (
+        |  SELECT c.id, c.component, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY d.n_chars DESC, c.id) AS rk
+        |  FROM comp c JOIN documents d ON d.doc_id = c.id)
+        |SELECT id AS doc_id, component, n_chars, rk = 1 AS keep
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // blocklist replay: the literal lowercase phrase list, matched terms
+    // in list order, first match or ''
+    "bf01_blocklist_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_filter(['big vector', 'slow filter', 'merge batch'],
+        |      t -> contains(lower(text), t)) AS ms
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(ms) AS INT) AS n_matches,
+        |  coalesce(ms[1], '') AS first_match,
+        |  (len(ms) = 0) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // shard-manifest replay: sh01's splitmix64 shard + per-shard rank,
+    // rolled up with ts02's (len+3)//4 BPE-proxy token count
+    "sh02_shard_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, xor(p2, p2 >> 31) AS h FROM (
+        |    SELECT doc_id, text,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT doc_id, text,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT doc_id, text, CAST(doc_id AS UHUGEINT) AS p0
+        |            FROM documents))))
+        |SELECT CAST(h % 8 AS INT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(list_sum(list_transform(
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+        |    w -> (length(w) + 3) // 4))) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) - 1 AS BIGINT) AS max_ord
+        |FROM m GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // centroid-confusion replay: floor-quantized integer sums per
+    // (label, dim); distance = ascending-d double accumulation of
+    // (q - s/n)^2 (the ann02 bit-portability recipe); argmin ties to the
+    // smaller label
+    "em01_centroid_confusion" ->
+      """WITH ce AS (
+        |  SELECT label, i - 1 AS pos,
+        |    CAST(sum(floor(CAST(embedding[i] AS DOUBLE) * 1000)) AS BIGINT)
+        |      AS s,
+        |    count(*) AS n
+        |  FROM embeddings, range(1, 65) r(i)
+        |  GROUP BY label, i),
+        |ca AS (
+        |  SELECT label AS c_label, max(n) AS n, list(s ORDER BY pos) AS cs
+        |  FROM ce GROUP BY label),
+        |qv AS (
+        |  SELECT vec_id, label,
+        |    [floor(CAST(e AS DOUBLE) * 1000) FOR e IN embedding] AS qs
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT qv.vec_id, qv.label, ca.c_label,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [(qs[i] - cs[i] / n) * (qs[i] - cs[i] / n)
+        |       FOR i IN range(1, 65)]),
+        |      (a, b) -> a + b) AS dist
+        |  FROM qv, ca),
+        |a AS (
+        |  SELECT vec_id, label, c_label,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label)
+        |      AS rk
+        |  FROM d)
+        |SELECT label, c_label AS assigned, count(*) AS n_vecs
+        |FROM a WHERE rk = 1 GROUP BY label, c_label
+        |ORDER BY label, assigned""".stripMargin,
+
+    // priority-dedup replay: same constructed pool, election by
+    // (priority, doc_id) per distinct text (Spark windows on md5(text) —
+    // identical grouping)
+    "dd09_priority_dedup" ->
+      """WITH pool AS (
+        |  SELECT doc_id, text, 1 AS priority FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text, 0 FROM documents WHERE doc_id < 30),
+        |r AS (
+        |  SELECT doc_id, priority,
+        |    row_number() OVER (PARTITION BY text ORDER BY priority, doc_id)
+        |      AS rn
+        |  FROM pool)
+        |SELECT doc_id, priority FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Gopher-rule replay: every metric in the shared subset — counts via
+    // length-difference replace, word predicates via list_filter, the
+    // stopword IN list verbatim
+    "gq01_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    list_sum(list_transform(ws, x -> length(x))) AS sum_len,
+        |    (length(text) - length(replace(text, '#', ''))) +
+        |      (length(text) - length(replace(text, '...', ''))) / 3 AS n_sym,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_filter(ws, x -> lower(x) IN
+        |      ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS n_stop,
+        |    len(ls) AS n_lines,
+        |    len(list_filter(ls, x -> left(ltrim(x), 1) IN ('-', '*', '•')))
+        |      AS n_bullet,
+        |    len(list_filter(ls, x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'))
+        |      AS n_ell
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(n_words AS INT) AS n_words,
+        |    round(CAST(sum_len AS DOUBLE) / n_words, 5) AS mean_word_len,
+        |    (n_words BETWEEN 50 AND 100000) AS r_word_count,
+        |    (CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+        |      AS r_mean_word_len,
+        |    (CAST(n_sym AS DOUBLE) / n_words < 0.1) AS r_symbol_ratio,
+        |    (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS r_alpha_words,
+        |    (n_stop >= 2) AS r_stopwords,
+        |    (CAST(n_bullet AS DOUBLE) / n_lines <= 0.9) AS r_bullets,
+        |    (CAST(n_ell AS DOUBLE) / n_lines <= 0.3) AS r_ellipsis
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, r_word_count, r_mean_word_len,
+        |  r_symbol_ratio, r_alpha_words, r_stopwords, r_bullets, r_ellipsis,
+        |  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND
+        |   r_alpha_words AND r_stopwords AND r_bullets AND r_ellipsis) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // z-order replay: the same 16-bit morton interleave, generated
+    // term-by-term so both engines evaluate the identical bit program
+    "zo01_zorder_layout" -> {
+      val z = (0 until 16).map(i =>
+        s"(((ck >> $i) & 1) << ${2 * i}) | (((dy >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" |\n        ")
+      s"""WITH b AS (
+        |  SELECT o_custkey AS ck,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dy
+        |  FROM orders),
+        |z AS (
+        |  SELECT ck, dy, ($z) AS zv
+        |  FROM b)
+        |SELECT zv >> 16 AS z_bucket, count(*) AS n_orders,
+        |  min(ck) AS min_cust, max(ck) AS max_cust,
+        |  CAST(min(dy) AS INT) AS min_day, CAST(max(dy) AS INT) AS max_day
+        |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
+
     // Full LSH replay: per (table, bit-plane) one mixed long (splitmix64 of
     // seed + t*1000003 + b), plane component d = ±1 from bit (d mod 64),
     // dot accumulated ascending-d in DOUBLE (bit-identical to the JVM
@@ -1593,36 +1905,26 @@ object PipelineQueries {
     // bigram LM replay: counts from the same corpus, add-one smoothing,
     // ln((cbg+1)/(cprev+V)), per-doc mean rounded to 5
     "lm01_bigram_quality" ->
-      """WITH tw AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, unnest(
-        |    [{'prev': w[i-1], 'cur': w[i]} FOR i IN range(2, len(w) + 1)],
-        |    recursive := true)
-        |  FROM tw WHERE len(w) >= 2),
-        |cb AS (
-        |  SELECT prev, cur, count(*) AS cbg FROM bg GROUP BY prev, cur),
-        |cp AS (
-        |  SELECT prev, sum(cbg) AS cprev FROM cb GROUP BY prev),
-        |vv AS (
-        |  SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM tw)),
-        |j AS (
-        |  SELECT doc_id,
-        |    ln((coalesce(cb.cbg, 0) + 1) / (coalesce(cp.cprev, 0) + vv.v)) AS lp
-        |  FROM bg
-        |  LEFT JOIN cb USING (prev, cur)
-        |  LEFT JOIN cp USING (prev), vv),
-        |s AS (
-        |  SELECT doc_id, round(avg(lp), 5) AS lm_score_r,
-        |    CAST(count(*) AS BIGINT) AS n_bigrams
-        |  FROM j GROUP BY doc_id)
+      s"""WITH $LmScoreCtes
         |SELECT d.doc_id, s.lm_score_r,
         |  coalesce(s.n_bigrams, 0) AS n_bigrams
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // cq01 extends lm01's replay with exact ntile tiers on the rounded
+    // score (DESC NULLS LAST matches Spark's desc_nulls_last default
+    // divergence: DuckDB DESC puts nulls first unless told otherwise)
+    "cq01_quality_buckets" ->
+      s"""WITH $LmScoreCtes,
+        |b AS (
+        |  SELECT d.doc_id, s.lm_score_r
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  LEFT JOIN s USING (doc_id))
+        |SELECT doc_id, lm_score_r,
+        |  CAST(ntile(3) OVER (ORDER BY lm_score_r DESC NULLS LAST, doc_id)
+        |    AS INT) AS bucket
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // extended PII replay: each pattern counted on the intermediate
     // scrubbed by all prior patterns, chained replaces with 'g'

@@ -146,6 +146,136 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = graft.operators.Sampling.shuffleShards(docs, "doc_id", 8)
       .as[(Long, Int, Long)].collect().toSeq
     assert(again.toSet == out.toSet)
+    // a different epoch deals a different (but still valid) permutation
+    val ep1 = graft.operators.Sampling.shuffleShards(docs, "doc_id", 8, epoch = 1L)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(ep1.toSet != out.toSet && ep1.map(_._1).toSet.size == 100)
+  }
+
+  test("approx score buckets agree with exact ntile away from cut points") {
+    val rows = Seq.range(0L, 1000L).map(i => (i, (i * 37 % 1000).toDouble))
+      .toDF("doc_id", "score")
+    val exact = TextAnalysis.scoreBuckets(rows, "doc_id", "score", 4)
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    val approx = TextAnalysis.scoreBucketsApprox(rows, "doc_id", "score", 4)
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree >= 950, s"approx/exact agreement $agree/1000")
+    // nulls land in the worst bucket on both paths
+    val withNull = Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("doc_id", "score")
+    val nb = TextAnalysis.scoreBucketsApprox(withNull, "doc_id", "score", 2)
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(nb(2L) == 2 && nb(1L) == 1)
+  }
+
+  test("priority dedup: curated copy beats raw original regardless of id order") {
+    val pool = Seq(
+      (1L, "page one", 1), (9001L, "page one", 0), // curated 9001 wins
+      (2L, "page two", 1),                          // unduplicated -> kept
+      (3L, "page three", 0), (9003L, "page three", 0)) // tie -> smaller id
+      .toDF("doc_id", "text", "priority")
+    val kept = Dedup.exactByPriority(pool, "text", "doc_id", "priority")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(9001L, 2L, 3L))
+  }
+
+  test("gopher rules: each rule fires on its own pathological document") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, fifty + " the the"),                    // all rules pass
+      (2L, "too short but the the fine."),         // word count fails
+      (3L, fifty + " the the ################"),   // symbol ratio fails
+      (4L, (1 to 50).map(_ => "99").mkString(" ") + " the the"), // alpha fails
+      (5L, fifty + " zz zz"))                      // no 2 stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 20)
+      .orderBy("doc_id")
+      .select("doc_id", "r_word_count", "r_symbol_ratio", "r_alpha_words",
+        "r_stopwords", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, true, true, true, true, true),
+      (2L, false, true, true, true, false),
+      (3L, true, false, true, true, false),
+      (4L, true, true, false, true, false),
+      (5L, true, true, true, false, false)))
+  }
+
+  test("score buckets: equal-size tiers, best scores in bucket 1, nulls last") {
+    val rows = Seq((1L, Some(0.9)), (2L, Some(0.5)), (3L, Some(0.7)),
+      (4L, None), (5L, Some(0.1)), (6L, Some(0.3)))
+      .toDF("doc_id", "score")
+    val out = TextAnalysis.scoreBuckets(rows, "doc_id", "score", nBuckets = 3)
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 3L -> 1, 2L -> 2, 6L -> 2, 5L -> 3, 4L -> 3))
+  }
+
+  test("z-order: hand-checked interleave; buckets tile the plane tighter than row order") {
+    val df = Seq((3L, 5L)).toDF("x", "y")
+    val z = df.select(graft.operators.Layout.zOrderValue(col("x"), col("y")))
+      .as[Long].head()
+    assert(z == 39L) // x=011 at even bits, y=101 at odd bits -> 100111
+    // locality: on a 32x32 grid with 16-point buckets, z-order buckets are
+    // 4x4 tiles (worst per-dimension extent 4) while row-major buckets are
+    // 1x16 strips (worst extent 16) — min/max pruning on the strip's long
+    // dimension is 4x weaker
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def worstExtent(bucket: org.apache.spark.sql.Column): Long =
+      grid.groupBy(bucket.as("b"))
+        .agg(greatest(max("x") - min("x") + 1, max("y") - min("y") + 1)
+          .as("ext"))
+        .agg(max("ext")).as[Long].head()
+    val zBucket = shiftright(
+      graft.operators.Layout.zOrderValue(col("x"), col("y"), 5), 4)
+    val rowBucket = shiftright(col("x") * 32 + col("y"), 4)
+    assert(worstExtent(zBucket) == 4L)
+    assert(worstExtent(rowBucket) == 16L)
+  }
+
+  test("cluster representatives: longest member wins, ties to smaller id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "component")
+    val meta = Seq((1L, 10), (2L, 50), (3L, 50), (7L, 5), (8L, 5))
+      .toDF("doc_id", "quality")
+    val out = Dedup.electRepresentatives(comps, meta, "doc_id", "quality")
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    // cluster 1: 2 and 3 tie at 50 -> 2 wins; cluster 7: tie -> 7 wins
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false,
+      7L -> true, 8L -> false))
+  }
+
+  test("blocklist filter: matches counted in list order, clean docs keep") {
+    val docs = Seq(
+      (1L, "perfectly clean content"),
+      (2L, "has BAD WORD inside"),
+      (3L, "bad word and worse word both")).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(docs, "doc_id", "text",
+      Seq("bad word", "worse word"))
+      .orderBy("doc_id").as[(Long, Int, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "", true),
+      (2L, 1, "bad word", false),
+      (3L, 2, "bad word", false)))
+  }
+
+  test("quantized centroids: integer sums are exact; confusion is a partition") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cent = Similarity.quantizedLabelCentroids(vecs, "embedding", "label")
+    val cm = cent.orderBy("label", "pos")
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    // floor(0.9*1000)=899 (float 0.9 is just below), floor(0.1*1000)=100
+    assert(cm == Seq((0, 0, 1899L, 2L), (0, 1, 100L, 2L),
+      (1, 0, 100L, 2L), (1, 1, 1899L, 2L)))
+    val conf = Similarity.nearestCentroidConfusion(vecs, "vec_id",
+      "embedding", "label", cent)
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(conf.map(_._3).sum == 4L)
+    assert(conf.toSet == Set((0, 0, 2L), (1, 1, 2L))) // clean separation
   }
 
   test("ngram jaccard: identical docs score 1.0, disjoint docs are absent") {
