@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (point-in-time) join — the time-series primitive Spark's built-in
+  * joins lack: for every left row, attach the single LATEST right row with
+  * `r.ts <= l.ts` on the same key (backward direction, inclusive — the
+  * "price as of the trade", "last checkpoint before the event" lookup).
+  *
+  * Re-expression instead of an inequality join: Catalyst executes a plain
+  * `l.key = r.key AND r.ts <= l.ts` + latest-wins as a join that multiplies
+  * every left row by its whole right history before aggregating it away —
+  * quadratic in events-per-key. Here both sides UNION into one stream with
+  * a side marker, shuffle ONCE on the key, and a partitioned ordered window
+  * carries the most recent right payload forward with
+  * `last(payload, ignoreNulls)` over rows-unbounded-preceding — linear,
+  * one shuffle, sort-merge-friendly. Right rows sort BEFORE left rows at
+  * equal ts (side marker ascending), which is exactly the inclusive `>=`
+  * semantics of DuckDB's native ASOF JOIN (the oracle).
+  *
+  * Determinism: duplicate right rows at the same (key, ts) are reduced to
+  * the smallest-`rightTieCol` winner before the merge. Skew: a hot key
+  * concentrates one window partition — pre-split hot keys by coarse time
+  * range and stitch the last carried payload across range boundaries (the
+  * [[Packing.packSequencesSharded]] two-phase recipe applies verbatim).
+  *
+  * Output: every left column, plus a nullable `asof` struct of
+  * `payloadCols` (null = no right row at or before the left ts). */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, payloadCols: Seq[String],
+               rightTieCol: String): DataFrame =
+    merge(left, right, keyCol, tsCol, payloadCols, rightTieCol,
+      descending = false)
+
+  /** Forward direction: the single EARLIEST right row with `r.ts >= l.ts`
+    * ("next checkpoint after the event"). Same program with the window
+    * order reversed — in descending-ts order, the last payload carried
+    * forward is the smallest right ts at or above the left row. */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+              tsCol: String, payloadCols: Seq[String],
+              rightTieCol: String): DataFrame =
+    merge(left, right, keyCol, tsCol, payloadCols, rightTieCol,
+      descending = true)
+
+  private def merge(left: DataFrame, right: DataFrame, keyCol: String,
+                    tsCol: String, payloadCols: Seq[String],
+                    rightTieCol: String, descending: Boolean): DataFrame = {
+    val tieW = Window.partitionBy(keyCol, tsCol).orderBy(col(rightTieCol))
+    val r1 = right.withColumn("_rn_", row_number().over(tieW))
+      .where(col("_rn_") === 1)
+    val pay = struct(payloadCols.map(col): _*)
+    val payType = right.select(pay.as("_pay_")).schema("_pay_").dataType
+    val lStruct = struct(left.columns.map(col): _*)
+    val lType = left.select(lStruct.as("_lrow_")).schema("_lrow_").dataType
+    val rU = r1.select(col(keyCol), col(tsCol), pay.as("_pay_"),
+      lit(0).as("_side_"), lit(null).cast(lType).as("_lrow_"))
+    val lU = left.select(col(keyCol), col(tsCol),
+      lit(null).cast(payType).as("_pay_"),
+      lit(1).as("_side_"), lStruct.as("_lrow_"))
+    val tsOrder = if (descending) col(tsCol).desc else col(tsCol).asc
+    val w = Window.partitionBy(keyCol)
+      .orderBy(tsOrder, col("_side_"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rU.unionByName(lU)
+      .withColumn("_m_", last(col("_pay_"), ignoreNulls = true).over(w))
+      .where(col("_side_") === 1)
+      .select(col("_lrow_.*"), col("_m_").as("asof"))
+  }
+}

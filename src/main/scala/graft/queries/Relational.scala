@@ -357,6 +357,38 @@ object Relational {
         .where(col("c_acctbal") * 2 > col("_maxbal_"))
         .select("c_custkey", "c_acctbal")
         .orderBy("c_custkey")
+    }),
+
+    // ---- as-of (point-in-time) join: latest purchase at or before each
+    // event, per user — the union + side-marker + ignore-nulls-last window
+    // re-expression (one key shuffle, linear; an inequality join would go
+    // quadratic per key). Oracle = DuckDB's NATIVE ASOF LEFT JOIN, so the
+    // gate proves semantic equivalence with a real asof implementation
+    "as01_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("anchor_id"),
+          col("value").as("anchor_value"))
+      graft.operators.AsOfJoin.backward(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        "user_id", "ts", Seq("anchor_id", "anchor_value"), "anchor_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof.anchor_id").as("anchor_id"),
+          col("asof.anchor_value").as("anchor_value"))
+        .orderBy("event_id")
+    }),
+
+    // forward direction: EARLIEST purchase at or after each event
+    "as02_asof_join_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("anchor_id"))
+      graft.operators.AsOfJoin.forward(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        "user_id", "ts", Seq("anchor_id"), "anchor_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof.anchor_id").as("anchor_id"))
+        .orderBy("event_id")
     })
   )
 
@@ -555,6 +587,27 @@ object Relational {
     "q28_above_half_max_balance" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal * 2 > (SELECT max(c_acctbal) FROM customer)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the oracle is DuckDB's NATIVE asof join — the gate proves the
+    // window re-expression matches a first-class implementation,
+    // inclusive (>=) at equal timestamps
+    "as01_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id AS anchor_id, value AS anchor_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.anchor_id, r.anchor_value
+        |FROM events l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "as02_asof_join_forward" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id AS anchor_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.anchor_id
+        |FROM events l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.event_id""".stripMargin
   )
 }

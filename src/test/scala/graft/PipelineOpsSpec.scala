@@ -278,6 +278,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(conf.toSet == Set((0, 0, 2L), (1, 1, 2L))) // clean separation
   }
 
+  test("asof join: inclusive backward match, pre-anchor nulls, tie dedup") {
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 5L), (4L, "v", 99L))
+      .toDF("eid", "key", "t")
+    val right = Seq(
+      ("u", 10L, 100L, "at10"),    // equal-ts -> visible to eid 1 (inclusive)
+      ("u", 10L, 999L, "dup10"),   // same (key, ts): larger tie id -> dropped
+      ("u", 15L, 101L, "at15"))    // latest for eid 2; "v" has no anchors
+      .toDF("key", "t", "aid", "tag")
+    val out = graft.operators.AsOfJoin.backward(left, right, "key", "t",
+      Seq("aid", "tag"), "aid")
+      .select(col("eid"), col("asof.aid"), col("asof.tag"))
+      .orderBy("eid")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(100L), Some("at10")), // inclusive + deterministic tie winner
+      (2L, Some(101L), Some("at15")), // carries the LATEST anchor, not first
+      (3L, None, None),               // before any anchor
+      (4L, None, None)))              // key with no right side at all
+    val fwd = graft.operators.AsOfJoin.forward(left, right, "key", "t",
+      Seq("aid", "tag"), "aid")
+      .select(col("eid"), col("asof.aid")).orderBy("eid")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(fwd == Seq(
+      (1L, Some(100L)),  // inclusive at equal ts
+      (2L, None),        // nothing at or after 20
+      (3L, Some(100L)),  // earliest anchor >= 5 is ts 10
+      (4L, None)))
+  }
+
   test("ngram jaccard: identical docs score 1.0, disjoint docs are absent") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
       .toDF("doc_id", "text")
