@@ -153,4 +153,53 @@ object Packing {
       .withColumn("seq_offset", (col("_start_") % seqLen).cast("long"))
       .drop("_cum_", "_start_")
   }
+
+  /** Shifted-right mix64 for modular cut-point draws: `mix64(x) >>> 1` is
+    * always non-negative, so `% m` means the same thing to a signed engine
+    * (Spark) and an unsigned one (the DuckDB oracle) for ANY modulus —
+    * the trick that keeps arbitrary-modulus draws engine-portable where
+    * [[Sampling.shuffleShards]] needs a power-of-two shard count. */
+  private val mixShiftUdf = udf { (x: Long) =>
+    graft.functions.TextKernels.mix64(x) >>> 1 }
+
+  /** Fill-in-the-middle sample construction (Bavarian et al. 2022,
+    * public): split each document's token stream into prefix / middle /
+    * suffix at two cut points drawn deterministically from the id — two
+    * independent mix64 streams (the second stepped by SplittableRandom's
+    * golden gamma), each mapped to a cut in [1, n-1], ordered. Equal draws
+    * give an empty middle (a real FIM case). Documents shorter than
+    * `minTokens` pass through whole as prefix. The split is a pure
+    * function of (id, text): reproducible across epochs, retries, and
+    * engines — no RNG state anywhere.
+    *
+    * Per-row Columns + two scalar hashes — shuffle-free, linear. */
+  def fimSplits(df: DataFrame, idCol: String, textCol: String,
+                minTokens: Int = 4): DataFrame = {
+    val gamma = lit(0x9e3779b97f4a7c15L)
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val h1 = mixShiftUdf(col(idCol).cast("long"))
+    val h2 = mixShiftUdf(col(idCol).cast("long") + gamma)
+    df.select(col(idCol), toks.as("_ts_"), h1.as("_h1_"), h2.as("_h2_"))
+      .withColumn("_n_", size(col("_ts_")))
+      // greatest(..., 1): columns evaluate eagerly even under the when()
+      // guards below, so a 1-token doc must not feed pmod a zero modulus
+      .withColumn("_c1_", pmod(col("_h1_"), greatest(col("_n_") - 1, lit(1))) + 1)
+      .withColumn("_c2_", pmod(col("_h2_"), greatest(col("_n_") - 1, lit(1))) + 1)
+      .withColumn("_lo_", when(col("_n_") >= minTokens,
+        least(col("_c1_"), col("_c2_"))))
+      .withColumn("_hi_", when(col("_n_") >= minTokens,
+        greatest(col("_c1_"), col("_c2_"))))
+      .select(col(idCol), col("_n_").cast("int").as("n_tokens"),
+        when(col("_lo_").isNull, array_join(col("_ts_"), " "))
+          .otherwise(array_join(slice(col("_ts_"), lit(1), col("_lo_")), " "))
+          .as("prefix"),
+        when(col("_lo_").isNull, lit(""))
+          .otherwise(array_join(
+            slice(col("_ts_"), col("_lo_") + 1, col("_hi_") - col("_lo_")), " "))
+          .as("middle"),
+        when(col("_lo_").isNull, lit(""))
+          .otherwise(array_join(
+            slice(col("_ts_"), col("_hi_") + 1, col("_n_") - col("_hi_")), " "))
+          .as("suffix"))
+  }
 }

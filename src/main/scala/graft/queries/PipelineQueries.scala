@@ -228,6 +228,24 @@ object PipelineQueries {
         .orderBy("label", "assigned")
     }),
 
+    // ---- sequence prep: fill-in-the-middle splits --------------------------
+    "fm01_fim_splits" -> ((s, d) =>
+      graft.operators.Packing.fimSplits(Tables.documents(s, d),
+        "doc_id", "text").orderBy("doc_id")),
+
+    // ---- reporting: per-source dataset card --------------------------------
+    // the datasheet a curated release ships: volume, token budget, language
+    // spread, length extremes per source
+    "ds01_dataset_card" -> ((s, d) =>
+      Tables.documents(s, d).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountUdf(col("text")).cast("long"))
+          .as("total_tokens"),
+        countDistinct("lang").as("n_langs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+        .orderBy("source")),
+
     // ---- dedup: URL canonicalization (oracle-gated, closed-form) -----------
     // even ids get a messy variant (uppercase host, :80, utm param,
     // fragment), odd ids a DIFFERENT messy variant of the PREVIOUS even
@@ -1264,6 +1282,68 @@ object PipelineQueries {
         |SELECT label, c_label AS assigned, count(*) AS n_vecs
         |FROM a WHERE rk = 1 GROUP BY label, c_label
         |ORDER BY label, assigned""".stripMargin,
+
+    // FIM replay: two splitmix64 streams (second stepped by the golden
+    // gamma), each shifted right once so the arbitrary modulus means the
+    // same thing in unsigned arithmetic as Spark's signed pmod; cuts
+    // ordered, equal draws -> empty middle, short docs pass whole
+    "fm01_fim_splits" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ts
+        |  FROM documents),
+        |mx AS (
+        |  SELECT doc_id, ts, len(ts) AS n,
+        |    xor(p2, p2 >> 31) >> 1 AS h1,
+        |    xor(q2, q2 >> 31) >> 1 AS h2
+        |  FROM (
+        |    SELECT doc_id, ts,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2,
+        |      (xor(q1, q1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS q2
+        |    FROM (
+        |      SELECT doc_id, ts,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1,
+        |        (xor(q0, q0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS q1
+        |      FROM (
+        |        SELECT doc_id, ts, CAST(doc_id AS UHUGEINT) AS p0,
+        |          CAST(doc_id AS UHUGEINT) +
+        |            CAST(11400714819323198485 AS UHUGEINT) AS q0
+        |        FROM toks))) x),
+        |cut AS (
+        |  -- the modulus must be UHUGEINT: DuckDB resolves UHUGEINT % BIGINT
+        |  -- through DOUBLE, which silently loses low bits of the hash
+        |  SELECT doc_id, ts, n,
+        |    CASE WHEN n >= 4 THEN least(
+        |      CAST(h1 % CAST(greatest(n - 1, 1) AS UHUGEINT) AS BIGINT) + 1,
+        |      CAST(h2 % CAST(greatest(n - 1, 1) AS UHUGEINT) AS BIGINT) + 1)
+        |    END AS lo,
+        |    CASE WHEN n >= 4 THEN greatest(
+        |      CAST(h1 % CAST(greatest(n - 1, 1) AS UHUGEINT) AS BIGINT) + 1,
+        |      CAST(h2 % CAST(greatest(n - 1, 1) AS UHUGEINT) AS BIGINT) + 1)
+        |    END AS hi
+        |  FROM mx)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CASE WHEN lo IS NULL THEN array_to_string(ts, ' ')
+        |       ELSE array_to_string(ts[1:lo], ' ') END AS prefix,
+        |  CASE WHEN lo IS NULL THEN ''
+        |       ELSE coalesce(array_to_string(ts[lo+1:hi], ' '), '') END AS middle,
+        |  CASE WHEN lo IS NULL THEN ''
+        |       ELSE coalesce(array_to_string(ts[hi+1:n], ' '), '') END AS suffix
+        |FROM cut ORDER BY doc_id""".stripMargin,
+
+    // dataset-card replay: ts02's (len+3)//4 token formula per source
+    "ds01_dataset_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(list_sum(list_transform(
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+        |    w -> (length(w) + 3) // 4))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // priority-dedup replay: same constructed pool, election by
     // (priority, doc_id) per distinct text (Spark windows on md5(text) —

@@ -307,6 +307,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       (4L, None)))
   }
 
+  test("fim splits: reassembly invariant, short docs pass whole, deterministic") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y")).toDF("doc_id", "text")
+    val out = graft.operators.Packing.fimSplits(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, String, String, String)].collect().toSeq
+    val (_, n1, p1, m1, s1) = out(0)
+    // cuts land in [1, n-1]: prefix is never empty, and the three pieces
+    // reassemble the original token stream exactly
+    assert(n1 == 8 && p1.nonEmpty)
+    assert(Seq(p1, m1, s1).filter(_.nonEmpty).mkString(" ") == "a b c d e f g h")
+    assert(out(1) == ((2L, 2, "x y", "", ""))) // below minTokens -> whole prefix
+    val again = graft.operators.Packing.fimSplits(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, String, String, String)].collect().toSeq
+    assert(again == out) // pure function of (id, text)
+  }
+
   test("ngram jaccard: identical docs score 1.0, disjoint docs are absent") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
       .toDF("doc_id", "text")
