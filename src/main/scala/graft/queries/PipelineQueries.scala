@@ -228,6 +228,14 @@ object PipelineQueries {
         .orderBy("label", "assigned")
     }),
 
+    // ---- sampling: deterministic hash-Bernoulli eval holdout ---------------
+    // the 10% holdout at seed 1 plus its exact training complement check:
+    // output = sampled doc ids (membership replayed bit-exactly)
+    "ss01_hash_sample" -> ((s, d) =>
+      graft.operators.Sampling.hashSample(Tables.documents(s, d),
+        "doc_id", fraction = 0.1, seed = 1L)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // ---- sequence prep: fill-in-the-middle splits --------------------------
     "fm01_fim_splits" -> ((s, d) =>
       graft.operators.Packing.fimSplits(Tables.documents(s, d),
@@ -1282,6 +1290,26 @@ object PipelineQueries {
         |SELECT label, c_label AS assigned, count(*) AS n_vecs
         |FROM a WHERE rk = 1 GROUP BY label, c_label
         |ORDER BY label, assigned""".stripMargin,
+
+    // hash-sample replay: seed-1 stream = id + golden gamma (unsigned),
+    // shifted mix64 against the closed-form threshold floor(0.1 * 2^63)
+    "ss01_hash_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, xor(p2, p2 >> 31) >> 1 AS h FROM (
+        |    SELECT doc_id, source,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT doc_id, source,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT doc_id, source,
+        |              CAST(doc_id AS UHUGEINT) +
+        |                CAST(11400714819323198485 AS UHUGEINT) AS p0
+        |            FROM documents))))
+        |SELECT doc_id, source FROM m
+        |WHERE h < CAST(922337203685477632 AS UHUGEINT)
+        |ORDER BY doc_id""".stripMargin,
 
     // FIM replay: two splitmix64 streams (second stepped by the golden
     // gamma), each shifted right once so the arbitrary modulus means the

@@ -307,6 +307,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       (4L, None)))
   }
 
+  test("hash sample: stable membership, exact complement, seed independence") {
+    val docs = Seq.range(0L, 2000L).toDF("doc_id")
+    val held = graft.operators.Sampling.hashSample(docs, "doc_id", 0.1, seed = 1L)
+      .as[Long].collect().toSet
+    assert(held.size > 120 && held.size < 280, s"~10% expected, got ${held.size}")
+    // growing the corpus never changes existing membership
+    val grown = Seq.range(0L, 4000L).toDF("doc_id")
+    val held2 = graft.operators.Sampling.hashSample(grown, "doc_id", 0.1, seed = 1L)
+      .as[Long].collect().toSet
+    assert(held2.filter(_ < 2000L) == held)
+    // a nested fraction is a subset (thresholds nest)
+    val small = graft.operators.Sampling.hashSample(docs, "doc_id", 0.02, seed = 1L)
+      .as[Long].collect().toSet
+    assert(small.subsetOf(held))
+    // a different seed draws a different set
+    val other = graft.operators.Sampling.hashSample(docs, "doc_id", 0.1, seed = 2L)
+      .as[Long].collect().toSet
+    assert(other != held)
+  }
+
   test("fim splits: reassembly invariant, short docs pass whole, deterministic") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "x y")).toDF("doc_id", "text")
     val out = graft.operators.Packing.fimSplits(docs, "doc_id", "text")
