@@ -35,7 +35,11 @@ object ExplainAudit {
         // digest-only substring dedup, z-bucket agg, broadcast centroid
         // cross + windowed argmin
         "bl01_boilerplate_lines", "sd01_substring_dedup",
-        "zo01_zorder_layout", "em01_centroid_confusion")
+        "zo01_zorder_layout", "em01_centroid_confusion",
+        // round-7 temporal/graph/quantization tier: bucketed range join,
+        // integer PageRank (join+agg per round), int8 ANN, SQL rollup
+        "rj01_range_join", "gr01_pagerank", "ann06_knn_int8",
+        "cu01_rollup_revenue")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -81,6 +81,32 @@ object Sampling {
     df.where(h < lit(thr))
   }
 
+  /** Stratified [[hashSample]]: a per-group keep fraction (downsample web
+    * crawl, keep all of curated code, drop a poisoned source outright —
+    * the per-source rate card every mixing recipe starts from). Same
+    * single-hash admission as `hashSample`, so strata draws are mutually
+    * consistent: the group rates only move the threshold, meaning a row
+    * kept at 0.25 is also kept at 0.5 (nested samples — rate changes
+    * between runs reuse, not reshuffle, the corpus). The rate card
+    * compiles to a chained-`when` Column (groups are few by definition) —
+    * no join, shuffle-free, codegen'd. `default` applies to groups not in
+    * the map. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, groupCol: String,
+                           fractions: Map[String, Double],
+                           default: Double = 0.0,
+                           seed: Long = 0L): DataFrame = {
+    (fractions.values ++ Seq(default)).foreach(f =>
+      require(f >= 0.0 && f < 1.0, s"fractions in [0, 1), got $f"))
+    def thr(f: Double): Long = (f * 9223372036854775808.0).toLong
+    val thrCol = fractions.toSeq.sortBy(_._1).foldLeft(lit(thr(default))) {
+      case (acc, (g, f)) =>
+        when(col(groupCol) === lit(g), lit(thr(f))).otherwise(acc)
+    }
+    val h = shiftrightunsigned(
+      mixUdf(col(idCol).cast("long") + lit(seed * 0x9e3779b97f4a7c15L)), 1)
+    df.where(h < thrCol)
+  }
+
   /** Sample ~`targetSize` rows with per-group quotas ∝ weight(group size),
     * capped at the group's size; within a group, rows are admitted in
     * `(mix64(id), id)` order, so the sampled SET is a pure function of the

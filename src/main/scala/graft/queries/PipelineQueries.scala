@@ -236,6 +236,15 @@ object PipelineQueries {
         "doc_id", fraction = 0.1, seed = 1L)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // ---- sampling: per-source rate card (fractions chosen binary-exact
+    // so floor(f * 2^63) is identical in any engine) -----------------------
+    "st01_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedHashSample(Tables.documents(s, d),
+        "doc_id", "source",
+        fractions = Map("src0" -> 0.5, "src1" -> 0.75, "src2" -> 0.0),
+        default = 0.25, seed = 0L)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // ---- sequence prep: fill-in-the-middle splits --------------------------
     "fm01_fim_splits" -> ((s, d) =>
       graft.operators.Packing.fimSplits(Tables.documents(s, d),
@@ -456,6 +465,24 @@ object PipelineQueries {
         bitsPerTable = 4, nTables = 16, seed = 7L, portablePlanes = true)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity: int8 quantization report (oracle-gated, all-integer
+    // outputs except the exact float->double scale) ------------------------
+    "qz01_int8_quantize" -> ((s, d) =>
+      graft.operators.Quantize.int8Report(
+        Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
+    // ---- similarity: top-k under the QUANTIZED dot product — the 4x-
+    // compressed scan path, int64 scores so the ordering replays exactly --
+    "ann06_knn_int8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Quantize.int8TopK(
+        emb.where(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast(IntegerType).as("rank"), col("score"))
+        .orderBy("query_id", "rank")
     }),
 
     // ---- text analysis: char/token stats (oracle-able) ---------------------
@@ -1311,6 +1338,30 @@ object PipelineQueries {
         |WHERE h < CAST(922337203685477632 AS UHUGEINT)
         |ORDER BY doc_id""".stripMargin,
 
+    // stratified replay: seed-0 stream (p0 = doc_id), per-source CASE
+    // thresholds — every fraction binary-exact so floor(f * 2^63) matches
+    // the Scala constant bit for bit
+    "st01_stratified_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, xor(p2, p2 >> 31) >> 1 AS h FROM (
+        |    SELECT doc_id, source,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT doc_id, source,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT doc_id, source,
+        |              CAST(doc_id AS UHUGEINT) AS p0
+        |            FROM documents))))
+        |SELECT doc_id, source FROM m
+        |WHERE h < CAST(CASE source
+        |    WHEN 'src0' THEN 4611686018427387904
+        |    WHEN 'src1' THEN 6917529027641081856
+        |    WHEN 'src2' THEN 0
+        |    ELSE 2305843009213693952 END AS UHUGEINT)
+        |ORDER BY doc_id""".stripMargin,
+
     // FIM replay: two splitmix64 streams (second stepped by the golden
     // gamma), each shifted right once so the arbitrary modulus means the
     // same thing in unsigned arithmetic as Spark's signed pmod; cuts
@@ -1616,6 +1667,55 @@ object PipelineQueries {
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cosine, 6) AS cosine_r
         |FROM pairs WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // int8 quantization replay: float->double widening is exact, both
+    // engines round ties away from zero, and every output but `scale` is
+    // integer arithmetic
+    "qz01_int8_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS scale,
+        |    embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN [0 FOR x IN embedding]
+        |         ELSE [CAST(round(CAST(x AS DOUBLE) * 127.0 / scale)
+        |                    AS INTEGER) FOR x IN embedding] END AS qv
+        |  FROM s)
+        |SELECT vec_id, CAST(len(qv) AS INTEGER) AS n_dims, scale,
+        |  CAST(list_sum([CAST(qv[i] AS BIGINT) * i
+        |                 FOR i IN range(1, len(qv) + 1)]) AS BIGINT)
+        |    AS q_checksum,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_max([abs(x) FOR x IN qv]) AS INTEGER) AS q_max_abs
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "ann06_knn_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS scale,
+        |    embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN [0 FOR x IN embedding]
+        |         ELSE [CAST(round(CAST(x AS DOUBLE) * 127.0 / scale)
+        |                    AS INTEGER) FOR x IN embedding] END AS qv
+        |  FROM s),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum([CAST(a.qv[i] AS BIGINT) * b.qv[i]
+        |                   FOR i IN range(1, len(a.qv) + 1)]) AS BIGINT)
+        |      AS score
+        |  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50)
+        |SELECT query_id, neighbor_id, rank, score FROM (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // the multimodal projections surface only deterministic metadata (the
     // stub decode's float features are deliberately excluded), so the

@@ -389,6 +389,110 @@ object Relational {
         .select(col("event_id"), col("user_id"),
           col("asof.anchor_id").as("anchor_id"))
         .orderBy("event_id")
+    }),
+
+    // bucketed range join: events falling inside a purchase-anchored
+    // attribution window of the same user (variable-length windows so the
+    // interval/cell tiling is actually exercised)
+    "rj01_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("anchor_id"),
+          col("ts").as("w_start"),
+          expr("timestampadd(SECOND, cast(1800 + pmod(event_id, 3600) as int), ts)")
+            .as("w_end"))
+      graft.operators.Temporal.rangeJoin(
+        ev.select("event_id", "user_id", "ts"), windows,
+        "user_id", "ts", "w_start", "w_end", bucketWidth = 4096L)
+        .select("event_id", "anchor_id", "user_id")
+        .orderBy("event_id", "anchor_id")
+    }),
+
+    // SCD2 validity windows over each user's purchase history
+    "sc01_scd2_intervals" -> ((s, d) => {
+      val purchases = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.Temporal.scd2Intervals(
+        purchases, "user_id", "ts", "event_id")
+        .select(col("user_id"), col("version"), col("event_id"),
+          col("value"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // gap-based batch sessionization (30-minute gap)
+    "sn01_batch_sessions" -> ((s, d) =>
+      graft.operators.Temporal.sessionize(
+        Tables.events(s, d).select("user_id", "ts", "event_id"),
+        "user_id", "ts", "event_id", gapSeconds = 1800.0)
+        .orderBy("user_id", "session_seq")),
+
+    // ---- §2.4 BI surface: pivot (status columns) ---------------------------
+    "pv01_pivot_status" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(dbl(sum(dec(col("o_totalprice")))))
+        .select(col("o_orderpriority"), col("O").as("price_open"),
+          col("F").as("price_filled"), col("P").as("price_partial"))
+        .orderBy("o_orderpriority")),
+
+    // ---- §2.4 BI surface: rollup with subtotal rows ------------------------
+    // coalesce-to-'ALL' labels the subtotal levels portably (TPC-H names
+    // are never null, so the sentinel is unambiguous)
+    "cu01_rollup_revenue" -> ((s, d) => {
+      // via the spark.sql surface: Dataset.rollup's Expand keeps the
+      // original grouping attributes alive next to the nullable copies,
+      // which false-positives DetectAmbiguousSelfJoin on ANY post-agg
+      // reference (by name, qualified, or toDF-renamed); the SQL parser
+      // path carries no Dataset-id tags, so the identical plan analyzes
+      // clean — and it exercises the `spark.sql` front door the library
+      // also supports
+      Tables.orders(s, d).createOrReplaceTempView("cu01_orders")
+      Tables.customer(s, d).createOrReplaceTempView("cu01_customer")
+      Tables.nation(s, d).createOrReplaceTempView("cu01_nation")
+      Tables.region(s, d).createOrReplaceTempView("cu01_region")
+      s.sql("""
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               count(1) AS n_orders
+        FROM cu01_orders
+        JOIN cu01_customer ON o_custkey = c_custkey
+        JOIN cu01_nation ON c_nationkey = n_nationkey
+        JOIN cu01_region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region_name, nation_name""")
+    }),
+
+    // ---- graph: fixed-point integer PageRank over the (undirected)
+    // customer–supplier trade graph — bit-identical ranks on any engine --
+    "gr01_pagerank" -> ((s, d) => {
+      val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("sup"))
+        .distinct()
+      val edges = pairs
+        .select(col("cust").as("src"), (col("sup") + 1000000L).as("dst"))
+        .unionByName(pairs.select((col("sup") + 1000000L).as("src"),
+          col("cust").as("dst")))
+      graft.operators.Graph.pageRankInt(edges, "src", "dst", iterations = 3)
+        .orderBy("node_id")
+    }),
+
+    // ---- graph: degree profile over the directed trade multigraph
+    // (one edge occurrence per lineitem, so count != countDistinct) ------
+    "gr02_degree_stats" -> ((s, d) => {
+      val edges = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graph.degreeStats(edges, "src", "dst")
+        .orderBy("node_id")
     })
   )
 
@@ -608,6 +712,145 @@ object Relational {
         |SELECT l.event_id, l.user_id, r.anchor_id
         |FROM events l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts
-        |ORDER BY l.event_id""".stripMargin
+        |ORDER BY l.event_id""".stripMargin,
+
+    "rj01_range_join" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id AS anchor_id, ts AS w_start,
+        |    ts + to_seconds(CAST(1800 + event_id % 3600 AS BIGINT)) AS w_end
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, w.anchor_id, e.user_id
+        |FROM events e JOIN w
+        |  ON e.user_id = w.user_id
+        | AND e.ts >= w.w_start AND e.ts < w.w_end
+        |ORDER BY e.event_id, w.anchor_id""".stripMargin,
+
+    "sc01_scd2_intervals" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  event_id, value,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "sn01_batch_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR epoch(ts) - epoch(prev_ts) > 1800.0
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS prev_ts
+        |    FROM events)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "pv01_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS price_open,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS price_filled,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS price_partial
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "cu01_rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    // 3 unrolled synchronous rounds of the integer fixed-point update
+    // base + (85 * sum(rank // deg)) // 100 — every step integral, so the
+    // replay is bit-exact (`//` floors, `div` truncates: equal on the
+    // all-positive ranks here)
+    "gr01_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT cust AS src, 1000000 + sup AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT 1000000 + sup AS src, cust AS dst FROM pairs),
+        |nodes AS (
+        |  SELECT src AS node_id FROM edges
+        |  UNION SELECT dst FROM edges),
+        |params AS (
+        |  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS init,
+        |    CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT)
+        |      AS base
+        |  FROM nodes),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |r0 AS (
+        |  SELECT node_id, (SELECT init FROM params) AS rank FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS node_id, CAST(sum(r.rank // g.d) AS BIGINT) AS s
+        |  FROM edges e JOIN deg g ON e.src = g.src
+        |  JOIN r0 r ON e.src = r.node_id GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT n.node_id, (SELECT base FROM params)
+        |    + (85 * coalesce(c1.s, 0)) // 100 AS rank
+        |  FROM nodes n LEFT JOIN c1 ON n.node_id = c1.node_id),
+        |c2 AS (
+        |  SELECT e.dst AS node_id, CAST(sum(r.rank // g.d) AS BIGINT) AS s
+        |  FROM edges e JOIN deg g ON e.src = g.src
+        |  JOIN r1 r ON e.src = r.node_id GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT n.node_id, (SELECT base FROM params)
+        |    + (85 * coalesce(c2.s, 0)) // 100 AS rank
+        |  FROM nodes n LEFT JOIN c2 ON n.node_id = c2.node_id),
+        |c3 AS (
+        |  SELECT e.dst AS node_id, CAST(sum(r.rank // g.d) AS BIGINT) AS s
+        |  FROM edges e JOIN deg g ON e.src = g.src
+        |  JOIN r2 r ON e.src = r.node_id GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT n.node_id, (SELECT base FROM params)
+        |    + (85 * coalesce(c3.s, 0)) // 100 AS rank
+        |  FROM nodes n LEFT JOIN c3 ON n.node_id = c3.node_id)
+        |SELECT node_id, CAST(rank AS BIGINT) AS rank
+        |FROM r3 ORDER BY node_id""".stripMargin,
+
+    "gr02_degree_stats" ->
+      """WITH edges AS (
+        |  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |o AS (
+        |  SELECT src AS node_id, count(*) AS out_degree,
+        |    count(DISTINCT dst) AS out_distinct
+        |  FROM edges GROUP BY src),
+        |i AS (
+        |  SELECT dst AS node_id, count(*) AS in_degree,
+        |    count(DISTINCT src) AS in_distinct
+        |  FROM edges GROUP BY dst)
+        |SELECT coalesce(o.node_id, i.node_id) AS node_id,
+        |  coalesce(out_degree, 0) AS out_degree,
+        |  coalesce(out_distinct, 0) AS out_distinct,
+        |  coalesce(in_degree, 0) AS in_degree,
+        |  coalesce(in_distinct, 0) AS in_distinct
+        |FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+        |ORDER BY node_id""".stripMargin
   )
 }

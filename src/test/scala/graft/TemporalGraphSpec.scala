@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graph, Quantize, Sampling, Temporal}
+
+/** Specs for the round-7 temporal/graph/quantization tier. Each operator's
+  * query is also DuckDB-oracle-gated (rj01/sc01/sn01/gr01/gr02/qz01/ann06/
+  * st01); these specs pin the semantic invariants the hash gate can't
+  * express (equivalence to the naive plan, conservation laws, nesting).
+  */
+class TemporalGraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("rangeJoin equals the naive inequality join, any bucket width") {
+    val points = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05")),
+      (2L, 10L, ts("2024-01-01 01:30:00")),
+      (3L, 20L, ts("2024-01-01 00:00:05")),
+      (4L, 10L, ts("2024-01-01 00:59:59"))
+    ).toDF("pid", "k", "t")
+    val ivs = Seq(
+      (100L, 10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),
+      (101L, 10L, ts("2024-01-01 00:30:00"), ts("2024-01-01 02:00:00")),
+      (102L, 20L, ts("2024-01-01 00:00:05"), ts("2024-01-01 00:00:06"))
+    ).toDF("iid", "k", "lo", "hi")
+    val naive = points.as("p").join(ivs.as("i"),
+        col("p.k") === col("i.k") && col("p.t") >= col("i.lo") &&
+          col("p.t") < col("i.hi"))
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 60L, 3600L, 86400L)) {
+      val got = Temporal.rangeJoin(points, ivs, "k", "t", "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"bucketWidth=$w")
+    }
+    // half-open: a point exactly at `hi` is excluded, at `lo` included
+    assert(naive.contains((1L, 100L)) && naive.contains((3L, 102L)))
+    assert(!naive.exists { case (p, i) => p == 4L && i == 102L })
+  }
+
+  test("scd2Intervals: versions chain, exactly one current per key") {
+    val ev = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 1L),
+      (7L, ts("2024-01-03 00:00:00"), 2L),
+      (7L, ts("2024-01-02 00:00:00"), 3L),
+      (8L, ts("2024-05-01 00:00:00"), 4L)
+    ).toDF("k", "t", "id")
+    val out = Temporal.scd2Intervals(ev, "k", "t", "id")
+      .orderBy("k", "version")
+      .select("k", "version", "id", "is_current")
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    assert(out == Seq((7L, 1, 1L, false), (7L, 2, 3L, false),
+      (7L, 3, 2L, true), (8L, 1, 4L, true)))
+    // valid_to of version v == valid_from of version v+1 (no gaps/overlaps)
+    val iv = Temporal.scd2Intervals(ev, "k", "t", "id")
+      .where(col("k") === 7L).orderBy("version")
+      .select("valid_from", "valid_to")
+      .as[(java.sql.Timestamp, Option[java.sql.Timestamp])].collect()
+    assert(iv.init.zip(iv.tail).forall { case ((_, to), (from, _)) =>
+      to.contains(from) })
+  }
+
+  test("sessionize: gap splits, counts and bounds are per-session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:10:00"), 2L),  // within 30m gap
+      (1L, ts("2024-01-01 01:10:00"), 3L),  // > 30m after -> new session
+      (2L, ts("2024-01-01 00:00:00"), 4L)
+    ).toDF("k", "t", "id")
+    val out = Temporal.sessionize(ev, "k", "t", "id", gapSeconds = 1800.0)
+      .orderBy("k", "session_seq")
+      .select("k", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("pageRankInt: mass bounded, uniform on a symmetric graph, deterministic") {
+    // 4-cycle: perfectly symmetric, so every node ends with the same rank
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (2L, 1L), (3L, 2L), (4L, 3L), (1L, 4L)).toDF("src", "dst")
+    val ranks = Graph.pageRankInt(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks.size == 4)
+    assert(ranks.values.toSet.size == 1, s"symmetric graph skewed: $ranks")
+    // total mass stays within scale (integer floors only lose mass)
+    assert(ranks.values.sum <= 1000000000000L)
+    assert(ranks.values.sum > 900000000000L)
+    // hub attracts rank: star graph center out-ranks leaves
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L),
+      (9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    val s2 = Graph.pageRankInt(star, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(s2(9L) > s2(1L) && s2(1L) == s2(2L) && s2(2L) == s2(3L))
+  }
+
+  test("degreeStats: multigraph multiplicity vs distinct, zero-fill") {
+    val edges = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L))
+      .toDF("src", "dst")
+    val out = Graph.degreeStats(edges, "src", "dst")
+      .orderBy("node_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 0L, 0L),   // out 3 edges to 2 distinct, no in-edges
+      (2L, 1L, 1L, 0L, 0L),
+      (10L, 0L, 0L, 3L, 2L),  // in from 1 (twice) and 2
+      (11L, 0L, 0L, 1L, 1L)))
+  }
+
+  test("int8 quantization: codes saturate at ±127, max-abs element hits it") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("id", "v")
+    val q = Quantize.int8Symmetric(df, "v")
+      .select(col("id"), col("scale"), col("qvec"))
+      .as[(Long, Double, Array[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val (s1, q1) = q(1L)
+    assert(s1 == 1.0 && q1.toSeq == Seq(64, -127, 32))
+    assert(q(2L)._2.toSeq == Seq(0, 0, 0)) // zero vector -> zero codes
+    // reconstruction error bound: |v - q*scale/127| <= scale/254 per dim
+    val err = math.abs(0.5 - 64 * s1 / 127)
+    assert(err <= s1 / 254 + 1e-12)
+  }
+
+  test("int8TopK: self excluded, scores are exact integer dot products") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.01f)), (3L, Array(-1f, 0f))
+    ).toDF("id", "v")
+    val out = Quantize.int8TopK(vecs.where(col("id") === 1L), vecs,
+      "id", "v", k = 2)
+      .select("neighbor_id", "rank", "score")
+      .as[(Long, Int, Long)].collect().sortBy(_._2).toSeq
+    // q(1)=[127,0], q(2)=[127,1], q(3)=[-127,0]
+    assert(out == Seq((2L, 1, 127L * 127), (3L, 2, -127L * 127)))
+  }
+
+  test("stratifiedHashSample: rates move thresholds, samples nest") {
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
+    val lo = Sampling.stratifiedHashSample(df, "id", "g",
+      Map("a" -> 0.25, "b" -> 0.0)).select("id").as[Long].collect().toSet
+    val hi = Sampling.stratifiedHashSample(df, "id", "g",
+      Map("a" -> 0.5, "b" -> 0.0)).select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi), "raising a stratum rate must only add rows")
+    assert(lo.forall(_ % 2 == 0), "zero-rate stratum leaked rows")
+    // observed rate near nominal (hash is uniform; 1000 draws at 0.25)
+    assert(math.abs(lo.size / 1000.0 - 0.25) < 0.08)
+    // default applies to unlisted strata
+    val withDefault = Sampling.stratifiedHashSample(df, "id", "g",
+      Map("a" -> 0.0), default = 0.5).select("id").as[Long].collect()
+    assert(withDefault.forall(_ % 2 == 1))
+  }
+}
