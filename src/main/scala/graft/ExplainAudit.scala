@@ -39,7 +39,10 @@ object ExplainAudit {
         // round-7 temporal/graph/quantization tier: bucketed range join,
         // integer PageRank (join+agg per round), int8 ANN, SQL rollup
         "rj01_range_join", "gr01_pagerank", "ann06_knn_int8",
-        "cu01_rollup_revenue")
+        "cu01_rollup_revenue",
+        // analytics/retrieval tier: chained user-key funnel aggregates,
+        // three-shuffle retention matrix, broadcast-query BM25 join
+        "fu01_funnel_steps", "rt01_retention_cohorts", "bm01_bm25_topk")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TransformerQueries.queries ++
       graft.queries.GeoStreamQueries.queries ++
       graft.queries.TopicQueries.queries ++
-      graft.queries.SourceQueries.queries
+      graft.queries.SourceQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TransformerQueries.oracleSql ++
       graft.queries.GeoStreamQueries.oracleSql ++
       graft.queries.TopicQueries.oracleSql ++
-      graft.queries.SourceQueries.oracleSql
+      graft.queries.SourceQueries.oracleSql ++
+      graft.queries.AnalyticsQueries.oracleSql
 }

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/behavioral analytics operators over event streams — funnel
+  * progression, retention cohorts, interval coalescing, exact group
+  * quantiles, fixed-bin histograms, and exact-sum linear fit. The
+  * reference's BI layer (`demy` formula group-bys) stops at flat
+  * aggregates; these are the standard next tier every analytics engine
+  * ships, re-expressed as shuffle-minimal window/join programs.
+  *
+  * Portability discipline (the repo-wide oracle rules): every derived
+  * number is either pure integer arithmetic, an exact DECIMAL sum, or a
+  * fixed single-expression IEEE double program (identical parenthesization
+  * replayed in SQL), so DuckDB hash-gates each operator bit for bit.
+  */
+object Analytics {
+
+  /** Ordered funnel: for each user, the time of FIRST completion of each
+    * step, where step k only counts if it happens strictly after the
+    * user's step-(k-1) completion time. Returns one row per user who
+    * completed step 1, with nullable `t1..tk` timestamp columns.
+    *
+    * Plan: k filtered aggregates chained by an equi-join on the user key —
+    * each round is `filter(step) ⋈ acc on user, ts > prev, min(ts)`.
+    * Each step's filter shrinks the fact table before its shuffle, the
+    * join key is the user id throughout (AQE coalesces the k small
+    * shuffles), and `min` makes the result independent of tie order. At
+    * 100 TB this is k passes over an ever-shrinking slice — no window
+    * over the full event history, no per-user collect.
+    */
+  def funnelTimes(df: DataFrame, userCol: String, tsCol: String,
+                  stepCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    val first = df.where(col(stepCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val hit = df.where(col(stepCol) === step)
+        .select(col(userCol), col(tsCol).as("_ts_"))
+      // left join keeps mid-funnel stallers: a null prev (or no hit row)
+      // nulls the `when`, so min() yields null — step not reached
+      acc.join(hit, Seq(userCol), "left")
+        .groupBy((col(userCol) +: (1 to i).map(j => col(s"t$j"))): _*)
+        .agg(min(when(col("_ts_") > col(prev), col("_ts_"))).as(cur))
+    }
+  }
+
+  /** Retention cohort matrix: users are assigned to the period of their
+    * first activity (`cohort_period`), and each (cohort, offset) cell
+    * counts distinct users active `period_offset` periods later. Periods
+    * are integer epoch-second buckets (`floor(epoch) div periodSeconds`)
+    * so the bucketing replays exactly on any engine.
+    *
+    * Plan: min-aggregate on the user key → distinct (user, period) →
+    * user-key join → (cohort, offset) count. Three shuffles, each on a
+    * high-cardinality key, each preceded by map-side partial aggregation;
+    * the user→cohort side is a 1-row-per-user table, orders of magnitude
+    * smaller than the event log it joins.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
+                       periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, s"periodSeconds must be positive")
+    val p = expr(s"cast($tsCol as bigint) div $periodSeconds")
+    val activity = df.select(col(userCol), p.as("_p_")).distinct()
+    val cohorts = activity.groupBy(col(userCol))
+      .agg(min(col("_p_")).as("cohort_period"))
+    activity.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_period"),
+        (col("_p_") - col("cohort_period")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Coalesce overlapping-or-touching `[startCol, endCol]` intervals per
+    * key (the classic merge-intervals sweep, as one window program): an
+    * interval starts a new merged group iff its start exceeds the running
+    * max of all previous ends. One shuffle on the key, one sort — and the
+    * group ids are order-stable under start-ties because any tied interval
+    * sees a running max ≥ its own start.
+    *
+    * Output: `(key, merged_seq, m_start, m_end, n_intervals)`, merged_seq
+    * 1-based in start order. `tieCol` only determinizes the sort; the
+    * merged result is invariant to it.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(startCol), col(endCol), col(tieCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = df
+      .withColumn("_pm_", prevMax)
+      .withColumn("_new_",
+        when(col("_pm_").isNull || col(startCol) > col("_pm_"), 1L)
+          .otherwise(0L))
+      .withColumn("_grp_", sum(col("_new_"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_grp_"))
+      .agg(min(col(startCol)).as("m_start"), max(col(endCol)).as("m_end"),
+        count(lit(1)).as("n_intervals"))
+    grouped.select(col(keyCol),
+      row_number().over(Window.partitionBy(keyCol).orderBy(col("m_start")))
+        .as("merged_seq"),
+      col("m_start"), col("m_end"), col("n_intervals"))
+  }
+
+  /** Exact per-group percentiles by rank selection: percentile p (an
+    * INTEGER 0..100) picks the value at 1-based rank
+    * `1 + (p * (n-1)) div 100` in the group's value order — the "lower"
+    * interpolation, chosen because it is pure integer arithmetic and so
+    * replays on any engine (type-/float-free, unlike the linear
+    * interpolation percentile_cont does). Value ties make the selected
+    * VALUE deterministic even though row_number's tie order is not.
+    *
+    * Plan: one shuffle + sort on the group key (the window), then a
+    * broadcast join against the tiny percentile list. Exactness costs a
+    * full per-group sort; at 100 TB prefer `approx_percentile` unless the
+    * gate needs bit-identical answers (this op exists for when it does).
+    */
+  def groupQuantiles(df: DataFrame, keyCol: String, valCol: String,
+                     percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 100),
+      "percentiles must be integers in [0, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(keyCol).orderBy(col(valCol))
+    val ranked = df.select(col(keyCol), col(valCol))
+      .withColumn("_rn_", row_number().over(w))
+      .withColumn("_n_", count(lit(1)).over(Window.partitionBy(keyCol)))
+    val ps = percentiles.sorted.toDF("pct")
+    ranked.join(broadcast(ps),
+        col("_rn_") === lit(1) + expr("(pct * (_n_ - 1)) div 100"))
+      .select(col(keyCol), col("pct"), col(valCol))
+  }
+
+  /** Fixed-bin histogram over `[lo, hi)`: bin ids come from the single
+    * double expression `floor((x - lo) / (hi - lo) * nBins)` clamped to
+    * `[0, nBins-1]` (under/overflow lands in the edge bins). Each IEEE op
+    * is exactly rounded, so identical parenthesization in the SQL replay
+    * gives identical bins. Output: observed bins only, with recomputed
+    * `bin_lo`/`bin_hi` edges and counts — one partial+final aggregate,
+    * no sort. */
+  def histogram(df: DataFrame, valCol: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val raw = floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBins))
+    val bin = least(lit(nBins - 1L), greatest(lit(0L), raw.cast("long")))
+    val width: Column = lit(hi - lo) / lit(nBins)
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * width)
+      .withColumn("bin_hi", lit(lo) + (col("bin") + lit(1L)) * width)
+      .select("bin", "bin_lo", "bin_hi", "n")
+  }
+
+  /** Per-group Pearson correlation + least-squares line, exact-sum style:
+    * the five moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    * DECIMAL(18,2)-derived decimals — order-independent and exact — and
+    * only the final closed-form combination runs in doubles, as one fixed
+    * expression per output (division and sqrt are correctly rounded IEEE
+    * ops, so the replay is bit-identical as long as every decimal sum
+    * stays under 2^53 when cast — true for quantity/discount-sized inputs
+    * at any realistic SF; pick small-magnitude columns, not prices).
+    * One partial+final aggregate, no second pass (vs the naive
+    * mean-centered two-pass formulation). */
+  def linearFit(df: DataFrame, keyCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,2)")
+    val sums = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col(xCol))).as("_sx_"), sum(dec(col(yCol))).as("_sy_"),
+      sum(dec(col(xCol)) * dec(col(yCol))).as("_sxy_"),
+      sum(dec(col(xCol)) * dec(col(xCol))).as("_sxx_"),
+      sum(dec(col(yCol)) * dec(col(yCol))).as("_syy_"))
+    // fixed double program; mirrors the oracle SQL token for token
+    sums.select(col(keyCol), col("n"),
+        expr("""cast(n as double) * cast(_sxy_ as double)
+                - cast(_sx_ as double) * cast(_sy_ as double)""").as("_num_"),
+        expr("""cast(n as double) * cast(_sxx_ as double)
+                - cast(_sx_ as double) * cast(_sx_ as double)""").as("_dx_"),
+        expr("""cast(n as double) * cast(_syy_ as double)
+                - cast(_sy_ as double) * cast(_sy_ as double)""").as("_dy_"),
+        col("_sx_"), col("_sy_"))
+      .select(col(keyCol), col("n"),
+        (col("_num_") / sqrt(col("_dx_") * col("_dy_"))).as("corr_r"),
+        (col("_num_") / col("_dx_")).as("slope"),
+        ((col("_sy_").cast("double") -
+          (col("_num_") / col("_dx_")) * col("_sx_").cast("double")) /
+          col("n").cast("double")).as("intercept"))
+  }
+}

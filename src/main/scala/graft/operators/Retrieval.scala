@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-lexical retrieval (BM25) over a document corpus — the classic
+  * complement to the dense ANN tier in [[Similarity]]. The reference
+  * reaches for an embedded Lucene for this shape (SURVEY §2.9); here it
+  * is the same inverted-index-as-DataFrame design the fuzzy-lookup
+  * re-expression proved out: term stats are plain aggregates, the query
+  * side is a broadcast join against the posting table, and top-k is a
+  * per-query window.
+  *
+  * Fixed-point discipline: each (query, doc, term) BM25 weight is
+  * quantized to 1e-6 (`round(w * 1e6)` as BIGINT) BEFORE the per-doc sum,
+  * so the distributed sum is integer — summation-order-free — and the
+  * top-k ordering `(score desc, doc_id)` replays exactly in the oracle.
+  * (Double addition is non-associative; summing raw doubles across
+  * partitions would make the score depend on partitioning.)
+  */
+object Retrieval {
+
+  /** Tokenize to lowercase whitespace terms. */
+  private def terms(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+
+  /** BM25 top-k: for each `(query_id, term)` row in `queries`, score every
+    * document containing the term and keep the `k` best per query.
+    *
+    * `score_scaled` is the 1e-6 fixed-point BM25 score (BIGINT); idf is
+    * the standard `ln(1 + (N - df + 0.5) / (df + 0.5))`.
+    *
+    * Scale shape: tf/dl/df are one partial+final aggregate each over the
+    * token stream; N and avgdl are a 1-row aggregate broadcast by
+    * crossJoin; `queries` is broadcast (query sets are small by
+    * definition), so the only big shuffles are the token-key aggregates
+    * and the final (query, doc) combine — no posting list ever sits on
+    * the driver, unlike the Lucene-sidecar design. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = terms(docs, idCol, textCol)
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // N counts ALL docs (not just tokenized ones) — mirrors count(*) on
+    // the source table; avgdl from exact integer sums
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("_sum_dl_")))
+      .select(col("n_docs"),
+        (col("_sum_dl_").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val scored = broadcast(queries)
+      .join(dfreq, "term").join(tf, "term").join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      // one fixed double expression, mirrored token for token in the
+      // oracle (left-assoc `0.75 * dl / avgdl` = (0.75*dl)/avgdl there too)
+      // `1.0 + $k1` stays a runtime double add (not a Scala-side constant
+      // fold) so the oracle's `1.0 + CAST(1.2 AS DOUBLE)` is the same op
+      .select(col("query_id"), col(idCol),
+        expr(s"""cast(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * ((tf * (1.0 + $k1)) / (tf + $k1 * (${1 - b} + $b * dl / avgdl)))
+                 * 1000000) as bigint)""").as("w"))
+    val byDoc = scored.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("w")).as("score_scaled"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_scaled").desc, col(idCol))
+    byDoc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, Retrieval}
+
+/** Specs for the behavioral-analytics + retrieval tier. The DuckDB gates
+  * (fu01/rt01/im01/qt01/hg01/bm01/lr01) hash-match whole results; these
+  * pin the semantic corner cases the gate's data may not hit: funnel
+  * strict ordering, stallers, interval touch-vs-gap, quantile rank edges,
+  * histogram clamping, BM25 idf monotonicity, and regression on an exact
+  * line.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnelTimes: strict order, stallers kept, same-ts not counted") {
+    val ev = Seq(
+      // u1 completes in order
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-01 01:00:00"), "b"),
+      (1L, ts("2024-01-01 02:00:00"), "c"),
+      // u2 does b BEFORE a, then never again → stalls at a
+      (2L, ts("2024-01-01 00:30:00"), "b"),
+      (2L, ts("2024-01-01 01:00:00"), "a"),
+      // u3 does a and b at the SAME instant → b not strictly after a
+      (3L, ts("2024-01-01 00:00:00"), "a"),
+      (3L, ts("2024-01-01 00:00:00"), "b"),
+      // u4 never does a → not in the funnel at all
+      (4L, ts("2024-01-01 00:00:00"), "b")
+    ).toDF("user_id", "t", "step")
+    val ft = Analytics.funnelTimes(ev, "user_id", "t", "step",
+      Seq("a", "b", "c"))
+    val byUser = ft.collect().map(r =>
+      r.getLong(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(byUser.keySet == Set(1L, 2L, 3L))
+    assert(byUser(1L) ==
+      ((ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"),
+        ts("2024-01-01 02:00:00"))))
+    assert(byUser(2L)._2 == null && byUser(2L)._3 == null)
+    assert(byUser(3L)._2 == null)
+  }
+
+  test("funnelTimes: earliest qualifying time is picked, not just any") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-01 00:10:00"), "b"),
+      (1L, ts("2024-01-01 00:20:00"), "b")
+    ).toDF("user_id", "t", "step")
+    val r = Analytics.funnelTimes(ev, "user_id", "t", "step", Seq("a", "b"))
+      .collect().head
+    assert(r.get(2) == ts("2024-01-01 00:10:00"))
+  }
+
+  test("retentionCohorts: cohort from first activity, offsets integer") {
+    val ev = Seq(
+      (1L, ts("1970-01-01 00:00:30")),  // period 0
+      (1L, ts("1970-01-01 00:02:10")),  // period 2 → offset 2
+      (2L, ts("1970-01-01 00:01:05")),  // period 1
+      (2L, ts("1970-01-01 00:01:55")),  // period 1 again → one cell
+      (2L, ts("1970-01-01 00:02:30"))   // period 2 → offset 1
+    ).toDF("user_id", "t")
+    val got = Analytics.retentionCohorts(ev, "user_id", "t", 60L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("mergeIntervals: overlap merges, touch merges, gap splits") {
+    val iv = Seq(
+      (1L, 10L, 0L, 10L),   // ┐ overlap
+      (2L, 10L, 5L, 20L),   // ┘
+      (3L, 10L, 20L, 25L),  // touches end=20 → same group (start !> pm)
+      (4L, 10L, 30L, 40L),  // gap → new group
+      (5L, 10L, 32L, 33L),  // nested inside previous
+      (6L, 20L, 0L, 1L)     // other key untouched
+    ).toDF("iid", "k", "s", "e")
+    val got = Analytics.mergeIntervals(iv, "k", "s", "e", "iid")
+      .select("k", "merged_seq", "m_start", "m_end", "n_intervals")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1, 0L, 25L, 3L), (10L, 2, 30L, 40L, 2L),
+      (20L, 1, 0L, 1L, 1L)))
+  }
+
+  test("groupQuantiles: rank-selection endpoints and duplicate values") {
+    // n=5, values 1..5: p25→rank 1+(25*4)//100=2, p50→rank 3, p100→rank 5
+    val df = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4), ("g", 5))
+      .toDF("k", "v")
+    val got = Analytics.groupQuantiles(df, "k", "v", Seq(0, 25, 50, 100))
+      .select("pct", "v").as[(Int, Int)].collect().toSet
+    assert(got == Set((0, 1), (25, 2), (50, 3), (100, 5)))
+    // duplicates: the selected VALUE is deterministic under ties
+    val dup = Seq(("g", 7), ("g", 7), ("g", 7), ("g", 9)).toDF("k", "v")
+    val p50 = Analytics.groupQuantiles(dup, "k", "v", Seq(50))
+      .select("v").as[Int].collect().toList
+    assert(p50 == List(7))
+  }
+
+  test("histogram: clamping, empty bins absent, edge ownership") {
+    val df = Seq(-5.0, 0.0, 9.99, 10.0, 25.0, 99.9, 100.0, 250.0)
+      .toDF("x")
+    val got = Analytics.histogram(df, "x", 0.0, 100.0, 10)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    // -5 clamps to bin 0; 10.0 belongs to bin 1 (left-closed); 100 and
+    // 250 clamp to bin 9; bins with no hits don't appear
+    assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 9L -> 3L))
+  }
+
+  test("bm25: rarer term outranks common term; tf monotone; k respected") {
+    val docs = Seq(
+      (1L, "rare common filler filler"),
+      (2L, "common filler filler filler"),
+      (3L, "common common filler filler"),
+      (4L, "filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "rare"), (2L, "common")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 2)
+      .select("query_id", "doc_id", "rank", "score_scaled")
+      .as[(Long, Long, Int, Long)].collect()
+    val q1 = got.filter(_._1 == 1L)
+    val q2 = got.filter(_._1 == 2L).sortBy(_._3)
+    assert(q1.map(_._2).toSet == Set(1L))            // only doc 1 has "rare"
+    assert(q2.map(_._2).toList == List(3L, 1L) ||
+      q2.map(_._2).toList == List(3L, 2L))           // tf=2 doc wins
+    // rare-term score (df=1) beats common-term score (df=3) at equal tf/dl
+    val rareScore = q1.head._4
+    val commonTf1 = got.find(t => t._1 == 2L && t._2 != 3L).get._4
+    assert(rareScore > commonTf1)
+    assert(got.groupBy(_._1).forall(_._2.length <= 2))
+  }
+
+  test("linearFit: exact line recovered; corr symmetric in sign") {
+    // y = 2x + 1 exactly → corr 1, slope 2, intercept 1
+    val df = (1 to 10).map(i => ("g", i.toDouble, 2.0 * i + 1))
+      .toDF("k", "x", "y")
+    val r = Analytics.linearFit(df, "k", "x", "y").collect().head
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12, "corr")
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-12, "slope")
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12, "intercept")
+    val neg = (1 to 10).map(i => ("g", i.toDouble, -2.0 * i + 1))
+      .toDF("k", "x", "y")
+    val rn = Analytics.linearFit(neg, "k", "x", "y").collect().head
+    assert(math.abs(rn.getDouble(2) + 1.0) < 1e-12, "anti-corr")
+  }
+}
