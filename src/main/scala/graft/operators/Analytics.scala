@@ -166,6 +166,82 @@ object Analytics {
     * at any realistic SF; pick small-magnitude columns, not prices).
     * One partial+final aggregate, no second pass (vs the naive
     * mean-centered two-pass formulation). */
+  /** Chi-square test of independence over a contingency table: one row
+    * per observed (rowCol, colCol) cell with the observed count, the
+    * independence-expected count, the cell's chi² term, plus the total
+    * statistic (`chi2_scaled`, 1e-9 fixed-point — per-cell terms are
+    * quantized to integers BEFORE the total so the sum is order-free; raw
+    * double terms would make the statistic partitioning-dependent) and
+    * the degrees of freedom. Marginals are three aggregates over the
+    * already-tiny cell table; only the first groupBy touches the fact
+    * table. */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val obs = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("obs"))
+    val rt = obs.groupBy(col(rowCol)).agg(sum(col("obs")).as("_rt_"))
+    val ct = obs.groupBy(col(colCol)).agg(sum(col("obs")).as("_ct_"))
+    val tot = obs.agg(sum(col("obs")).as("_n_"),
+      count_distinct(col(rowCol)).as("_nr_"),
+      count_distinct(col(colCol)).as("_nc_"))
+    val cells = obs.join(rt, rowCol).join(ct, colCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        expr("cast(_rt_ as double) * cast(_ct_ as double) / cast(_n_ as double)"))
+      .withColumn("term",
+        expr("""(cast(obs as double) - expected) * (cast(obs as double) - expected)
+                / expected"""))
+      .withColumn("dof", expr("cast((_nr_ - 1) * (_nc_ - 1) as bigint)"))
+    cells.withColumn("chi2_scaled",
+        sum(expr("cast(round(term * 1.0e9) as bigint)"))
+          .over(Window.partitionBy()))
+      .select(rowCol, colCol, "obs", "expected", "term", "chi2_scaled", "dof")
+  }
+
+  /** Per-group z-score outliers: rows whose value deviates from the group
+    * mean by more than `threshold` sample standard deviations. Mean and
+    * variance come from exact DECIMAL moment sums (one partial+final
+    * aggregate), the group stats join back broadcast-style, and z itself
+    * is one fixed double program — identical on both engines, so the
+    * threshold cut can never flip a row between them. */
+  def zscoreOutliers(df: DataFrame, keyCol: String, valCol: String,
+                     threshold: Double): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,2)")
+    val stats = df.groupBy(col(keyCol)).agg(
+        count(lit(1)).as("_zn_"),
+        sum(dec(col(valCol))).as("_zsx_"),
+        sum(dec(col(valCol)) * dec(col(valCol))).as("_zsxx_"))
+      .where(col("_zn_") > 1)
+      .select(col(keyCol),
+        expr("cast(_zsx_ as double) / cast(_zn_ as double)").as("_mean_"),
+        expr("""sqrt((cast(_zn_ as double) * cast(_zsxx_ as double)
+                - cast(_zsx_ as double) * cast(_zsx_ as double))
+                / (cast(_zn_ as double) * (cast(_zn_ as double) - 1.0)))""")
+          .as("_std_"))
+    df.join(stats, keyCol)
+      .withColumn("z", (col(valCol) - col("_mean_")) / col("_std_"))
+      .where(abs(col("z")) > lit(threshold))
+      .drop("_mean_", "_std_")
+  }
+
+  /** Trailing `nRows`-row moving average of `valCol` ordered by
+    * `orderCol`, optionally per `partitionCols` series. Sums accumulate
+    * in DECIMAL inside the window frame (exact, order-free) and divide by
+    * the frame's row count — the leading partial frames average over what
+    * exists, the standard BI convention. With empty `partitionCols` the
+    * window is one global sort: fine AFTER an aggregation has reduced the
+    * series to calendar size (the intended use), wrong on raw facts —
+    * partition real per-entity series. */
+  def movingAverage(df: DataFrame, partitionCols: Seq[String],
+                    orderCol: String, valCol: String, nRows: Int): DataFrame = {
+    require(nRows >= 1, s"nRows must be >= 1, got $nRows")
+    val base = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(-(nRows - 1L), 0L)
+    df.withColumn("mov_avg",
+      sum(col(valCol)).over(w).cast("double") /
+        count(col(valCol)).over(w).cast("double"))
+  }
+
   def linearFit(df: DataFrame, keyCol: String, xCol: String,
                 yCol: String): DataFrame = {
     def dec(c: Column) = c.cast("decimal(18,2)")

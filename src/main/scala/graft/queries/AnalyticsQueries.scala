@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 import graft.Tables
-import graft.operators.{Analytics, Retrieval}
+import graft.operators.{Analytics, Retrieval, Sketch}
 
 /** Behavioral-analytics + retrieval tier (late r7): funnel, retention
   * cohorts, interval merge, exact group quantiles, histogram, BM25 top-k,
@@ -76,7 +76,50 @@ object AnalyticsQueries {
     "lr01_linear_fit" -> ((s, d) =>
       Analytics.linearFit(Tables.lineitem(s, d),
           "l_returnflag", "l_quantity", "l_discount")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // ---- KMV distinct sketch per event type + merged 'ALL' row ----------
+    // (merge demonstrated by unioning inputs — the sketch of a union IS
+    // the k-min of the union); exact countDistinct alongside for accuracy
+    "kv01_kmv_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"))
+      val base = ev.unionByName(
+        ev.select(lit("ALL").as("event_type"), col("event_id")))
+      val exact = base.groupBy("event_type")
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+      Sketch.kmvDistinct(base, "event_type", "event_id", k = 64)
+        .join(exact, "event_type")
+        .select(col("event_type").as("grp"), col("n_exact"),
+          col("n_kept"), col("estimate"))
+        .orderBy("grp")
+    }),
+
+    // ---- chi-square independence: order status × priority ---------------
+    "ct01_chi_square" -> ((s, d) =>
+      Analytics.chiSquare(Tables.orders(s, d),
+          "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // ---- per-nation account-balance outliers (|z| > 1.6; acctbal is
+    // ~uniform so max |z| ≈ √3 — 2.0 would select nothing) ----------------
+    "az01_zscore_outliers" -> ((s, d) =>
+      Analytics.zscoreOutliers(
+          Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal"),
+          "c_nationkey", "c_acctbal", threshold = 1.6)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          col("z"))
+        .orderBy("c_custkey")),
+
+    // ---- 7-day trailing moving average of daily revenue -----------------
+    "ma01_moving_average" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("_dsum_"))
+      Analytics.movingAverage(daily, Seq.empty, "day", "_dsum_", nRows = 7)
+        .select(col("day"), col("_dsum_").cast("double").as("revenue"),
+          col("mov_avg"))
+        .orderBy("day")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -233,6 +276,107 @@ object AnalyticsQueries {
         |  num / dx AS slope,
         |  (CAST(sy AS DOUBLE) - (num / dx) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) AS intercept
-        |FROM d ORDER BY l_returnflag""".stripMargin
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    // KMV replay: the splitmix64 chain is the st01/ss01 UHUGEINT program;
+    // (k-1)·2^63 is small-int × power-of-two (exactly representable) and
+    // the final division is one correctly-rounded IEEE op → bit-identical
+    "kv01_kmv_distinct" ->
+      """WITH base AS (
+        |  SELECT event_type AS grp, event_id FROM events
+        |  UNION ALL SELECT 'ALL', event_id FROM events),
+        |m AS (
+        |  SELECT DISTINCT grp, xor(p2, p2 >> 31) >> 1 AS h FROM (
+        |    SELECT grp,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT grp,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT grp, CAST(event_id AS UHUGEINT) AS p0
+        |            FROM base) a) b) c),
+        |r AS (
+        |  SELECT grp, h,
+        |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |  FROM m),
+        |kept AS (
+        |  SELECT grp, count(*) AS n_kept,
+        |    max(CASE WHEN rn = 64 THEN h END) AS hk
+        |  FROM r WHERE rn <= 64 GROUP BY grp),
+        |ex AS (
+        |  SELECT grp, count(DISTINCT event_id) AS n_exact
+        |  FROM base GROUP BY grp)
+        |SELECT grp, n_exact, n_kept,
+        |  CASE WHEN hk IS NULL THEN CAST(n_kept AS DOUBLE)
+        |       ELSE (63.0 * 9.223372036854775808e18) / CAST(hk AS DOUBLE)
+        |  END AS estimate
+        |FROM ex JOIN kept USING (grp) ORDER BY grp""".stripMargin,
+
+    // chi² replay: per-cell terms quantized to 1e-9 integers BEFORE the
+    // total so the statistic is an order-free integer sum
+    "ct01_chi_square" ->
+      """WITH obs AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS obs
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |rt AS (SELECT o_orderstatus, CAST(sum(obs) AS BIGINT) AS rt
+        |       FROM obs GROUP BY o_orderstatus),
+        |ct AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS ct
+        |       FROM obs GROUP BY o_orderpriority),
+        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |    count(DISTINCT o_orderstatus) AS nr,
+        |    count(DISTINCT o_orderpriority) AS nc
+        |  FROM obs),
+        |cells AS (
+        |  SELECT o.o_orderstatus, o.o_orderpriority, o.obs,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS expected,
+        |    CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+        |  FROM obs o JOIN rt USING (o_orderstatus)
+        |    JOIN ct USING (o_orderpriority)
+        |  CROSS JOIN tot),
+        |t AS (
+        |  SELECT o_orderstatus, o_orderpriority, obs, expected,
+        |    (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+        |      / expected AS term,
+        |    dof
+        |  FROM cells)
+        |SELECT o_orderstatus, o_orderpriority, obs, expected, term,
+        |  CAST(sum(CAST(round(term * 1.0e9) AS BIGINT)) OVER () AS BIGINT)
+        |    AS chi2_scaled,
+        |  dof
+        |FROM t ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "az01_zscore_outliers" ->
+      """WITH stats AS (
+        |  SELECT c_nationkey, count(*) AS zn,
+        |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS zsx,
+        |    sum(CAST(c_acctbal AS DECIMAL(18,2))
+        |        * CAST(c_acctbal AS DECIMAL(18,2))) AS zsxx
+        |  FROM customer GROUP BY c_nationkey HAVING count(*) > 1),
+        |st2 AS (
+        |  SELECT c_nationkey,
+        |    CAST(zsx AS DOUBLE) / CAST(zn AS DOUBLE) AS mean,
+        |    sqrt((CAST(zn AS DOUBLE) * CAST(zsxx AS DOUBLE)
+        |          - CAST(zsx AS DOUBLE) * CAST(zsx AS DOUBLE))
+        |         / (CAST(zn AS DOUBLE) * (CAST(zn AS DOUBLE) - 1.0))) AS std
+        |  FROM stats)
+        |SELECT c_custkey, c.c_nationkey, c_acctbal,
+        |  (c_acctbal - mean) / std AS z
+        |FROM customer c JOIN st2 ON c.c_nationkey = st2.c_nationkey
+        |WHERE abs((c_acctbal - mean) / std) > 1.6
+        |ORDER BY c_custkey""".stripMargin,
+
+    "ma01_moving_average" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dsum
+        |  FROM orders GROUP BY day)
+        |SELECT day, CAST(dsum AS DOUBLE) AS revenue,
+        |  CAST(sum(dsum) OVER w AS DOUBLE)
+        |    / CAST(count(dsum) OVER w AS DOUBLE) AS mov_avg
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin
   )
 }

@@ -132,6 +132,71 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("kmvDistinct: small groups exact, large groups within KMV bound") {
+    val df = ((1 to 10).map(i => ("small", i.toLong)) ++
+      (1 to 20000).map(i => ("big", i.toLong))).toDF("g", "id")
+    val got = graft.operators.Sketch.kmvDistinct(df, "g", "id", k = 256)
+      .select("g", "n_kept", "estimate")
+      .as[(String, Long, Double)].collect()
+      .map { case (g, nk, est) => g -> ((nk, est)) }.toMap
+    assert(got("small") == ((10L, 10.0)))   // below resolution → exact
+    val (nkBig, estBig) = got("big")
+    assert(nkBig == 256L)
+    // relative error ~1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert(math.abs(estBig - 20000.0) / 20000.0 < 0.25, s"est=$estBig")
+  }
+
+  test("kmvDistinct: duplicates don't inflate; union merge = direct sketch") {
+    val dup = (1 to 500).flatMap(i => Seq(("g", i.toLong), ("g", i.toLong)))
+      .toDF("g", "id")
+    val one = (1 to 500).map(i => ("g", i.toLong)).toDF("g", "id")
+    val a = graft.operators.Sketch.kmvDistinct(dup, "g", "id", 64)
+      .select("estimate").as[Double].collect().head
+    val b = graft.operators.Sketch.kmvDistinct(one, "g", "id", 64)
+      .select("estimate").as[Double].collect().head
+    assert(a == b)
+    // mergeability: sketching the union of two halves == sketching whole
+    val h1 = (1 to 300).map(i => ("g", i.toLong)).toDF("g", "id")
+    val h2 = (200 to 500).map(i => ("g", i.toLong)).toDF("g", "id")
+    val merged = graft.operators.Sketch.kmvDistinct(
+      h1.unionByName(h2), "g", "id", 64)
+      .select("estimate").as[Double].collect().head
+    assert(merged == b)
+  }
+
+  test("chiSquare: exact independence gives zero statistic; dof right") {
+    // counts = rowWeight × colWeight → expected == observed everywhere
+    val rows = for {
+      (r, rw) <- Seq(("r1", 1), ("r2", 2))
+      (c, cw) <- Seq(("c1", 1), ("c2", 3), ("c3", 2))
+      _ <- 1 to rw * cw
+    } yield (r, c)
+    val got = graft.operators.Analytics.chiSquare(rows.toDF("r", "c"), "r", "c")
+    val first = got.select("chi2_scaled", "dof").as[(Long, Long)]
+      .collect().head
+    assert(first == ((0L, 2L)))
+    assert(got.select(max(abs(col("term")))).as[Double].collect().head == 0.0)
+  }
+
+  test("zscoreOutliers: finds the planted outlier, skips n=1 groups") {
+    val df = (Seq.fill(20)(("g", 10.0)) ++ Seq(("g", 1000.0), ("solo", 5.0)))
+      .zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+      .toDF("id", "k", "v")
+    val hits = graft.operators.Analytics.zscoreOutliers(df, "k", "v", 2.0)
+      .select("k", "v").as[(String, Double)].collect()
+    assert(hits.toSeq == Seq(("g", 1000.0)))
+  }
+
+  test("movingAverage: partial leading frames, per-partition isolation") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+      ("b", 1, 100.0)).toDF("k", "t", "v")
+    val got = graft.operators.Analytics.movingAverage(
+        df, Seq("k"), "t", "v", nRows = 2)
+      .select("k", "t", "mov_avg").as[(String, Int, Double)].collect().toSet
+    assert(got == Set(("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 25.0),
+      ("b", 1, 100.0)))
+  }
+
   test("linearFit: exact line recovered; corr symmetric in sign") {
     // y = 2x + 1 exactly → corr 1, slope 2, intercept 1
     val df = (1 to 10).map(i => ("g", i.toDouble, 2.0 * i + 1))
