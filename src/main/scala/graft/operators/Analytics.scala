@@ -156,6 +156,50 @@ object Analytics {
       .select("bin", "bin_lo", "bin_hi", "n")
   }
 
+  /** Item-to-item co-occurrence top-k ("bought X also bought Y"): for
+    * each item, the k items most often sharing a basket with it. The
+    * plan is the scalable item-pair walk: distinct (basket, item) first
+    * (dedups repeat lines), self equi-join ON THE BASKET KEY (pairs
+    * explode only within a basket — m items → m(m−1) pairs, so cost is
+    * Σm², not |items|²), pair-count aggregate, per-item top-k window
+    * (WindowGroupLimit). For 100 TB baskets: cap basket size upstream
+    * (a 10^5-item hot basket contributes 10^10 pairs — filter or sample
+    * those first; TPC-H orders are ≤7 lines so no cap is wired here).
+    * Ties break on the co-item id, making top-k deterministic. */
+  def coPurchaseTopK(df: DataFrame, basketCol: String, itemCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val items = df.select(col(basketCol), col(itemCol)).distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"), col(s"a.$basketCol") === col(s"b.$basketCol"))
+      .where(col(s"a.$itemCol") =!= col(s"b.$itemCol"))
+      .groupBy(col(s"a.$itemCol").as("item"),
+        col(s"b.$itemCol").as("co_item"))
+      .agg(count(lit(1)).as("n_baskets"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("n_baskets").desc, col("co_item"))
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** First-order transition matrix over per-key ordered event sequences:
+    * count and probability of each (state → next state) step. One
+    * shuffle on the key for the lag window, one aggregate on the state
+    * pair; `prob` divides two exact longs in one IEEE op, so it replays
+    * exactly. `tieCol` determinizes ordering of same-timestamp events —
+    * without it the transition COUNTS themselves would be ambiguous. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val steps = df
+      .withColumn("_next_", lead(col(stateCol), 1).over(w))
+      .where(col("_next_").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("_next_").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("from_state"))
+    steps.withColumn("prob",
+      col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
+  }
+
   /** Per-group Pearson correlation + least-squares line, exact-sum style:
     * the five moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in
     * DECIMAL(18,2)-derived decimals — order-independent and exact — and

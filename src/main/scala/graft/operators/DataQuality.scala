@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality report (the deequ-shaped surface a curation
+  * pipeline runs before promoting a snapshot): row-level predicates,
+  * key-uniqueness, and referential-integrity checks, evaluated in as few
+  * passes as the check types allow and emitted as one tidy
+  * `(check, n_rows, n_violations)` table.
+  *
+  * Cost model: ALL row predicates share ONE partial+final aggregate over
+  * the fact table (a `sum(when(!p, 1))` per check — adding a predicate
+  * adds a column, not a pass); each uniqueness check is one
+  * distinct-count aggregate on its key; each referential check is one
+  * left-anti-join count against the (broadcastable) parent key set. At
+  * 100 TB the predicate section is a single scan, which is why checks
+  * are batched into one report instead of asserted one-by-one.
+  */
+object DataQuality {
+
+  /** `rowChecks`: (name, predicate that GOOD rows satisfy).
+    * `uniqueKeys`: (name, key columns that must be jointly unique) —
+    * violations = n_rows − n_distinct(keys).
+    * `refChecks`: (name, child key column, parent key set) — violations =
+    * child rows (null or) absent from the parent. */
+  def report(df: DataFrame,
+             rowChecks: Seq[(String, Column)],
+             uniqueKeys: Seq[(String, Seq[String])] = Seq.empty,
+             refChecks: Seq[(String, String, DataFrame)] = Seq.empty): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueKeys.nonEmpty || refChecks.nonEmpty,
+      "at least one check")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val nRows = df.count()
+    val rowPart: Seq[(String, Long)] = if (rowChecks.isEmpty) Seq.empty else {
+      val aggs = rowChecks.map { case (name, pred) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      rowChecks.zipWithIndex.map { case ((name, _), i) =>
+        name -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+      }
+    }
+    val uniqPart = uniqueKeys.map { case (name, keys) =>
+      val distinct = df.select(keys.map(col): _*).distinct().count()
+      name -> (nRows - distinct)
+    }
+    val refPart = refChecks.map { case (name, childKey, parent) =>
+      val parentKeys = parent.select(col(parent.columns.head).as("_pk_")).distinct()
+      val bad = df.select(col(childKey).as("_ck_"))
+        .join(parentKeys, col("_ck_") === col("_pk_"), "left_anti")
+        .count()
+      name -> bad
+    }
+    (rowPart ++ uniqPart ++ refPart)
+      .map { case (name, viol) => (name, nRows, viol) }
+      .toDF("check", "n_rows", "n_violations")
+  }
+}

@@ -63,6 +63,23 @@ object Temporal {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** CDC snapshot build (SCD1 / latest-wins merge): collapse a change log
+    * to current state — the newest change per key wins, and keys whose
+    * newest change is `deleteOp` drop out entirely. One shuffle on the
+    * key, one descending window, one filter: the standard lakehouse
+    * MERGE-free upsert compaction (run it over base ∪ changes to apply a
+    * batch to an existing snapshot — latest-wins makes the union
+    * associative, so incremental and full rebuilds agree). `tieCol`
+    * breaks same-timestamp changes deterministically. */
+  def latestState(changes: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, opCol: String, deleteOp: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    changes.withColumn("_rn_", row_number().over(w))
+      .where(col("_rn_") === 1 && col(opCol) =!= deleteOp)
+      .drop("_rn_")
+  }
+
   /** Gap-based batch sessionization (the batch twin of the streaming
     * `session_window` in [[graft.streaming.Streams]]): events of one key
     * separated by more than `gapSeconds` start a new session. One shuffle

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 import graft.Tables
-import graft.operators.{Analytics, Retrieval, Sketch}
+import graft.operators.{Analytics, DataQuality, Retrieval, Sketch, Temporal}
 
 /** Behavioral-analytics + retrieval tier (late r7): funnel, retention
   * cohorts, interval merge, exact group quantiles, histogram, BM25 top-k,
@@ -119,7 +119,47 @@ object AnalyticsQueries {
         .select(col("day"), col("_dsum_").cast("double").as("revenue"),
           col("mov_avg"))
         .orderBy("day")
-    })
+    }),
+
+    // ---- item-item co-occurrence: parts sharing an order ----------------
+    "rc01_copurchase_topk" -> ((s, d) =>
+      Analytics.coPurchaseTopK(
+          Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", k = 3)
+        .select(col("item"), col("co_item"), col("n_baskets"),
+          col("rank").cast(IntegerType).as("rank"))
+        .orderBy("item", "rank")),
+
+    // ---- first-order transition matrix over user event sequences --------
+    "tm01_event_transitions" -> ((s, d) =>
+      Analytics.transitionMatrix(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_state", "to_state")),
+
+    // ---- declarative data-quality report (one check designed to fire:
+    // top-tier orders exceed 500k, so n_violations > 0 is exercised) ------
+    "dq01_quality_report" -> ((s, d) =>
+      DataQuality.report(Tables.orders(s, d),
+          rowChecks = Seq(
+            "totalprice_nonneg" -> (col("o_totalprice") >= 0),
+            "totalprice_under_500k" -> (col("o_totalprice") < 500000.0),
+            "orderdate_not_null" -> col("o_orderdate").isNotNull,
+            "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P")),
+          uniqueKeys = Seq("orderkey_unique" -> Seq("o_orderkey")),
+          refChecks = Seq(("custkey_in_customer", "o_custkey",
+            Tables.customer(s, d).select("c_custkey"))))
+        .orderBy("check")),
+
+    // ---- CDC latest-wins snapshot: event log as a change feed, 'error'
+    // as the tombstone op ------------------------------------------------
+    "cd01_cdc_latest_state" -> ((s, d) =>
+      Temporal.latestState(
+          Tables.events(s, d)
+            .select("user_id", "ts", "event_id", "event_type", "value"),
+          "user_id", "ts", "event_id", "event_type", deleteOp = "error")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("user_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -377,6 +417,70 @@ object AnalyticsQueries {
         |    / CAST(count(dsum) OVER w AS DOUBLE) AS mov_avg
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    "rc01_copurchase_topk" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS item, b.l_partkey AS co_item,
+        |    count(*) AS n_baskets
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey
+        |  GROUP BY item, co_item)
+        |SELECT item, co_item, n_baskets, rank FROM (
+        |  SELECT item, co_item, n_baskets,
+        |    CAST(row_number() OVER (PARTITION BY item
+        |      ORDER BY n_baskets DESC, co_item) AS INTEGER) AS rank
+        |  FROM pairs) t
+        |WHERE rank <= 3 ORDER BY item, rank""".stripMargin,
+
+    "tm01_event_transitions" ->
+      """WITH steps AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_state, to_state, count(*) AS n
+        |  FROM steps WHERE to_state IS NOT NULL
+        |  GROUP BY from_state, to_state)
+        |SELECT from_state, to_state, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE) AS prob
+        |FROM cnt ORDER BY from_state, to_state""".stripMargin,
+
+    "dq01_quality_report" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'totalprice_nonneg' AS "check", n_rows,
+        |    (SELECT count(*) FROM orders
+        |     WHERE NOT coalesce(o_totalprice >= 0, FALSE)) AS n_violations
+        |  FROM n
+        |  UNION ALL SELECT 'totalprice_under_500k', n_rows,
+        |    (SELECT count(*) FROM orders
+        |     WHERE NOT coalesce(o_totalprice < 500000.0, FALSE)) FROM n
+        |  UNION ALL SELECT 'orderdate_not_null', n_rows,
+        |    (SELECT count(*) FROM orders
+        |     WHERE NOT coalesce(o_orderdate IS NOT NULL, FALSE)) FROM n
+        |  UNION ALL SELECT 'status_in_domain', n_rows,
+        |    (SELECT count(*) FROM orders
+        |     WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)) FROM n
+        |  UNION ALL SELECT 'orderkey_unique', n_rows,
+        |    n_rows - (SELECT count(DISTINCT o_orderkey) FROM orders) FROM n
+        |  UNION ALL SELECT 'custkey_in_customer', n_rows,
+        |    (SELECT count(*) FROM orders o
+        |     WHERE o_custkey IS NULL
+        |        OR o_custkey NOT IN (SELECT c_custkey FROM customer)) FROM n
+        |) t ORDER BY "check"""".stripMargin,
+
+    "cd01_cdc_latest_state" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin
   )
 }

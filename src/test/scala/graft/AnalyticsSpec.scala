@@ -197,6 +197,69 @@ class AnalyticsSpec extends AnyFunSuite {
       ("b", 1, 100.0)))
   }
 
+  test("coPurchaseTopK: counts, rank ties, repeat-line dedup") {
+    val li = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B")).toDF("bk", "it")
+    val got = graft.operators.Analytics.coPurchaseTopK(li, "bk", "it", 2)
+      .select("item", "co_item", "n_baskets", "rank")
+      .as[(String, String, Long, Int)].collect().toSet
+    // (A,B) share 3 baskets despite A appearing twice in basket 1
+    assert(got == Set(("A", "B", 3L, 1), ("A", "C", 1L, 2),
+      ("B", "A", 3L, 1), ("B", "C", 1L, 2),
+      ("C", "A", 1L, 1), ("C", "B", 1L, 2)))
+  }
+
+  test("transitionMatrix: counts per ordered step; probs sum to 1") {
+    val ev = Seq(
+      (1L, 1L, "x"), (1L, 2L, "y"), (1L, 3L, "x"),
+      (2L, 1L, "x"), (2L, 2L, "y")).toDF("u", "t", "s")
+    val got = graft.operators.Analytics.transitionMatrix(ev, "u", "t", "t", "s")
+      .select("from_state", "to_state", "n", "prob")
+      .as[(String, String, Long, Double)].collect()
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m == Map(("x", "y") -> 2L, ("y", "x") -> 1L))
+    val probSums = got.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    assert(probSums.forall { case (_, p) => math.abs(p - 1.0) < 1e-12 })
+  }
+
+  test("latestState: latest wins, tombstone deletes, merge associative") {
+    val changes = Seq(
+      (1L, 1L, 101L, "upsert", 10.0),
+      (1L, 3L, 103L, "upsert", 30.0),   // latest for key 1
+      (1L, 2L, 102L, "delete", 0.0),    // older delete ignored
+      (2L, 1L, 201L, "upsert", 5.0),
+      (2L, 2L, 202L, "delete", 0.0),    // key 2 tombstoned
+      (3L, 1L, 301L, "upsert", 7.0)
+    ).toDF("k", "t", "cid", "op", "v")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Temporal.latestState(df, "k", "t", "cid", "op", "delete")
+        .select("k", "cid", "v").as[(Long, Long, Double)].collect().toSet
+    val full = state(changes)
+    assert(full == Set((1L, 103L, 30.0), (3L, 301L, 7.0)))
+    // incremental: snapshot of first batch ∪ later changes == full rebuild
+    val first = changes.where(col("t") <= 1)
+    val later = changes.where(col("t") > 1)
+    val snap1 = graft.operators.Temporal.latestState(
+      first, "k", "t", "cid", "op", "delete")
+    assert(state(snap1.unionByName(later)) == full)
+  }
+
+  test("DataQuality.report: planted violations of each check type") {
+    val child = Seq((1L, 10.0), (1L, -3.0), (2L, 5.0), (4L, 2.0))
+      .toDF("key", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = graft.operators.DataQuality.report(child,
+        rowChecks = Seq("v_nonneg" -> (col("v") >= 0)),
+        uniqueKeys = Seq("key_unique" -> Seq("key")),
+        refChecks = Seq(("key_in_parent", "key", parent)))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "v_nonneg" -> ((4L, 1L)),       // the -3.0 row
+      "key_unique" -> ((4L, 1L)),     // duplicate key 1
+      "key_in_parent" -> ((4L, 1L)))) // orphan key 4
+  }
+
   test("linearFit: exact line recovered; corr symmetric in sign") {
     // y = 2x + 1 exactly → corr 1, slope 2, intercept 1
     val df = (1 to 10).map(i => ("g", i.toDouble, 2.0 * i + 1))
