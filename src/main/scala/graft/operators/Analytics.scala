@@ -200,6 +200,26 @@ object Analytics {
       col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
   }
 
+  /** Calendar gap fill + forward fill: complete the daily spine between
+    * the series' min and max day (one 1-row bounds aggregate exploded to
+    * a date sequence), left-join the observations, and carry the last
+    * non-null value forward (`last(ignoreNulls)` over an ordered frame —
+    * the SQL-standard `IGNORE NULLS` program, so it replays). Adds
+    * `is_gap` (no observation that day) and `filled`. Global window by
+    * the same post-aggregation-calendar-size argument as
+    * [[movingAverage]]; partition per series for per-entity fills. */
+  def gapFillForward(df: DataFrame, dayCol: String,
+                     valCol: String): DataFrame = {
+    val bounds = df.agg(min(col(dayCol)).as("_lo_"), max(col(dayCol)).as("_hi_"))
+    val spine = bounds.select(
+      explode(expr("sequence(_lo_, _hi_, interval 1 day)")).as(dayCol))
+    val w = Window.orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(df, Seq(dayCol), "left")
+      .withColumn("is_gap", col(valCol).isNull)
+      .withColumn("filled", last(col(valCol), ignoreNulls = true).over(w))
+  }
+
   /** Per-group Pearson correlation + least-squares line, exact-sum style:
     * the five moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in
     * DECIMAL(18,2)-derived decimals — order-independent and exact — and

@@ -35,6 +35,27 @@ object Sketch {
     * is deterministic so Catalyst neither re-executes nor reorders it. */
   private val mixUdf = udf { (x: Long) => graft.functions.TextKernels.mix64(x) }
 
+  private def hashCol(idCol: String) =
+    shiftrightunsigned(mixUdf(col(idCol).cast("long")), 1)
+
+  /** Rank-≤-k + kth-min + estimator over a `(keys…, _h_)` hash table:
+    * the shared core of every KMV surface. Appends `n_kept` and
+    * `estimate` to the key columns. */
+  private def kmvEstimate(hashes: DataFrame, keys: Seq[String],
+                          k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_h_"))
+    hashes.withColumn("_rn_", row_number().over(w))
+      .where(col("_rn_") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("_rn_") === k, col("_h_"))).as("_hk_"))
+      .select(keys.map(col) ++ Seq(col("n_kept"),
+        when(col("_hk_").isNull, col("n_kept").cast("double"))
+          .otherwise((lit((k - 1).toDouble) * lit(9.223372036854775808e18))
+            / col("_hk_").cast("double"))
+          .as("estimate")): _*)
+  }
+
   /** Per-group distinct-count estimate of `idCol` with a k-minimum-values
     * sketch. Output: `(groupCol, n_kept, estimate)` where `n_kept` ≤ k is
     * the sketch size and `estimate` is exact (= n_kept) for groups with
@@ -43,18 +64,49 @@ object Sketch {
   def kmvDistinct(df: DataFrame, groupCol: String, idCol: String,
                   k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val h = shiftrightunsigned(mixUdf(col(idCol).cast("long")), 1)
-    val hashes = df.select(col(groupCol), h.as("_h_")).distinct()
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h_"))
-    hashes.withColumn("_rn_", row_number().over(w))
-      .where(col("_rn_") <= k)
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_kept"),
-        max(when(col("_rn_") === k, col("_h_"))).as("_hk_"))
-      .select(col(groupCol), col("n_kept"),
-        when(col("_hk_").isNull, col("n_kept").cast("double"))
-          .otherwise((lit((k - 1).toDouble) * lit(9.223372036854775808e18))
-            / col("_hk_").cast("double"))
-          .as("estimate"))
+    val hashes = df.select(col(groupCol), hashCol(idCol).as("_h_")).distinct()
+    kmvEstimate(hashes, Seq(groupCol), k)
+      .select(col(groupCol), col("n_kept"), col("estimate"))
+  }
+
+  /** KMV set algebra: for every unordered pair of groups, estimated
+    * |A|, |B|, |A∪B| (the k-min of the concatenated hash sets — the
+    * sketch-union, no rescan of the data needed in a real deployment),
+    * |A∩B| by inclusion–exclusion, and the Jaccard estimate. The
+    * intersection estimate is a DIFFERENCE of estimates, so near-disjoint
+    * groups can legitimately come out slightly negative — that is the
+    * estimator's honest noise (±|A∪B|/√(k−2)), reported unclamped.
+    *
+    * Plan: the per-group hash table is built once; pairs × hashes is a
+    * broadcast join against the (tiny) group-pair list, then the same
+    * rank-≤-k machinery. Cost ~ (#groups−1) × hash-table size — meant
+    * for FEW groups (sources, partitions, cohorts), not high-cardinality
+    * keys. */
+  def kmvSetOps(df: DataFrame, groupCol: String, idCol: String,
+                k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashes = df.select(col(groupCol).as("_g_"), hashCol(idCol).as("_h_"))
+      .distinct()
+    val single = kmvEstimate(hashes, Seq("_g_"), k)
+    val groups = hashes.select(col("_g_")).distinct()
+    val pairs = groups.select(col("_g_").as("g_a"))
+      .crossJoin(groups.select(col("_g_").as("g_b")))
+      .where(col("g_a") < col("g_b"))
+    val pairHashes = broadcast(pairs)
+      .join(hashes, col("_g_") === col("g_a") || col("_g_") === col("g_b"))
+      .select(col("g_a"), col("g_b"), col("_h_")).distinct()
+    val unionEst = kmvEstimate(pairHashes, Seq("g_a", "g_b"), k)
+      .select(col("g_a"), col("g_b"), col("estimate").as("est_union"))
+    unionEst
+      .join(single.select(col("_g_").as("g_a"),
+        col("estimate").as("est_a")), "g_a")
+      .join(single.select(col("_g_").as("g_b"),
+        col("estimate").as("est_b")), "g_b")
+      .select(col("g_a"), col("g_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        ((col("est_a") + col("est_b")) - col("est_union"))
+          .as("est_intersect"),
+        (((col("est_a") + col("est_b")) - col("est_union"))
+          / col("est_union")).as("jaccard_est"))
   }
 }

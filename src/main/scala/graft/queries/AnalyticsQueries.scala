@@ -160,6 +160,27 @@ object AnalyticsQueries {
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"))
         .orderBy("user_id"))
+      ,
+
+    // ---- KMV set algebra: customer-set overlap between order
+    // priorities (each ~1100 of 1500 customers → Jaccard ≈ 0.5-0.7,
+    // so union/intersect/Jaccard paths are all non-trivial) ---------------
+    "kv02_kmv_setops" -> ((s, d) =>
+      Sketch.kmvSetOps(Tables.orders(s, d),
+          "o_orderpriority", "o_custkey", k = 128)
+        .orderBy("g_a", "g_b")),
+
+    // ---- calendar gap fill + forward fill over sparse daily revenue
+    // ('P'-status orders are ~1/15 of days → real gaps to fill) -----------
+    "gf01_gap_fill_ffill" -> ((s, d) => {
+      val daily = Tables.orders(s, d).where(col("o_orderstatus") === "P")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("_rev_"))
+      Analytics.gapFillForward(daily, "day", "_rev_")
+        .select(col("day"), col("_rev_").cast("double").as("revenue"),
+          col("filled").cast("double").as("filled"), col("is_gap"))
+        .orderBy("day")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -481,6 +502,75 @@ object AnalyticsQueries {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 AND event_type <> 'error'
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // KMV set-algebra replay: same mix chain, the per-pair union hash set
+    // is the k-min of the concatenation, inclusion–exclusion in one fixed
+    // double program
+    "kv02_kmv_setops" ->
+      """WITH m AS (
+        |  SELECT DISTINCT g, xor(p2, p2 >> 31) >> 1 AS h FROM (
+        |    SELECT g,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT g,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT o_orderpriority AS g,
+        |              CAST(o_custkey AS UHUGEINT) AS p0
+        |            FROM orders) a) b) c),
+        |single AS (
+        |  SELECT g, count(*) AS n_kept,
+        |    max(CASE WHEN rn = 128 THEN h END) AS hk FROM (
+        |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        |    FROM m) r
+        |  WHERE rn <= 128 GROUP BY g),
+        |se AS (
+        |  SELECT g, CASE WHEN hk IS NULL THEN CAST(n_kept AS DOUBLE)
+        |      ELSE (127.0 * 9.223372036854775808e18) / CAST(hk AS DOUBLE)
+        |    END AS est
+        |  FROM single),
+        |gs AS (SELECT DISTINCT g FROM m),
+        |pairs AS (
+        |  SELECT a.g AS g_a, b.g AS g_b FROM gs a, gs b WHERE a.g < b.g),
+        |ph AS (
+        |  SELECT DISTINCT g_a, g_b, h
+        |  FROM pairs p JOIN m ON m.g = p.g_a OR m.g = p.g_b),
+        |u AS (
+        |  SELECT g_a, g_b, count(*) AS n_kept,
+        |    max(CASE WHEN rn = 128 THEN h END) AS hk FROM (
+        |    SELECT g_a, g_b, h,
+        |      row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn
+        |    FROM ph) r
+        |  WHERE rn <= 128 GROUP BY g_a, g_b),
+        |ue AS (
+        |  SELECT g_a, g_b, CASE WHEN hk IS NULL THEN CAST(n_kept AS DOUBLE)
+        |      ELSE (127.0 * 9.223372036854775808e18) / CAST(hk AS DOUBLE)
+        |    END AS est_union
+        |  FROM u)
+        |SELECT ue.g_a, ue.g_b, sa.est AS est_a, sb.est AS est_b, est_union,
+        |  (sa.est + sb.est) - est_union AS est_intersect,
+        |  ((sa.est + sb.est) - est_union) / est_union AS jaccard_est
+        |FROM ue JOIN se sa ON sa.g = ue.g_a JOIN se sb ON sb.g = ue.g_b
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    "gf01_gap_fill_ffill" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders WHERE o_orderstatus = 'P' GROUP BY day),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |    AS day
+        |  FROM b)
+        |SELECT s.day, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(last_value(rev IGNORE NULLS) OVER (ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS filled,
+        |  rev IS NULL AS is_gap
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY s.day""".stripMargin
   )
 }

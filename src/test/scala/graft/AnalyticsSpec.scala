@@ -260,6 +260,36 @@ class AnalyticsSpec extends AnyFunSuite {
       "key_in_parent" -> ((4L, 1L)))) // orphan key 4
   }
 
+  test("kmvSetOps: below-resolution pairs are exact set algebra") {
+    // |A|=300, |B|=301, |A∩B|=101, |A∪B|=500 — all under k → exact
+    val df = ((1 to 300).map(i => ("A", i.toLong)) ++
+      (200 to 500).map(i => ("B", i.toLong))).toDF("g", "id")
+    val r = graft.operators.Sketch.kmvSetOps(df, "g", "id", k = 1024)
+      .select("g_a", "g_b", "est_a", "est_b", "est_union",
+        "est_intersect", "jaccard_est")
+      .as[(String, String, Double, Double, Double, Double, Double)]
+      .collect()
+    assert(r.length == 1)
+    val (ga, gb, ea, eb, eu, ei, j) = r.head
+    assert((ga, gb) == (("A", "B")))
+    assert(ea == 300.0 && eb == 301.0 && eu == 500.0 && ei == 101.0)
+    assert(math.abs(j - 101.0 / 500.0) < 1e-15)
+  }
+
+  test("gapFillForward: full spine, gaps flagged, values carried") {
+    val d = Seq(("2024-01-01", 10.0), ("2024-01-04", 40.0))
+      .map { case (s, v) => (java.sql.Date.valueOf(s), v) }
+      .toDF("day", "v")
+    val got = graft.operators.Analytics.gapFillForward(d, "day", "v")
+      .select("day", "v", "filled", "is_gap")
+      .as[(java.sql.Date, Option[Double], Double, Boolean)]
+      .collect().sortBy(_._1.toString)
+    assert(got.map(_._1.toString).toSeq == Seq(
+      "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(got.map(_._3).toSeq == Seq(10.0, 10.0, 10.0, 40.0))
+    assert(got.map(_._4).toSeq == Seq(false, true, true, false))
+  }
+
   test("linearFit: exact line recovered; corr symmetric in sign") {
     // y = 2x + 1 exactly → corr 1, slope 2, intercept 1
     val df = (1 to 10).map(i => ("g", i.toDouble, 2.0 * i + 1))
