@@ -35,8 +35,12 @@ object Graph {
                   dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iterations >= 0 && dampDen > 0 && dampNum >= 0 &&
       dampNum <= dampDen && scale > 0, "bad pageRank parameters")
+    // materialize the edge list ONCE: without this every derivation below
+    // (node set, degrees, the per-round rank join) re-executes the
+    // caller's upstream plan — for gr01 an orders⋈lineitem distinct,
+    // 2·iterations+2 times over
     val e = edges.select(col(srcCol).cast("long").as("_src_"),
-      col(dstCol).cast("long").as("_dst_"))
+      col(dstCol).cast("long").as("_dst_")).localCheckpoint()
     val nodes = e.select(col("_src_").as("node_id"))
       .union(e.select(col("_dst_").as("node_id")))
       .distinct().localCheckpoint()
@@ -45,9 +49,13 @@ object Graph {
     val init = scale / n
     val base = ((dampDen - dampNum) * init) / dampDen
     val deg = e.groupBy("_src_").agg(count(lit(1)).as("_deg_"))
+    // repartitioned on the join key so each round's rank join reuses the
+    // cached layout instead of re-exchanging the edge side every time
+    val edgesWithDeg = e.join(deg, "_src_")
+      .repartition(col("_src_")).localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iterations) {
-      val contrib = e.join(deg, "_src_")
+      val contrib = edgesWithDeg
         .join(ranks, col("_src_") === col("node_id"))
         .select(col("_dst_").as("node_id"),
           expr("rank div _deg_").as("_c_"))

@@ -58,7 +58,7 @@ object GeoStreamQueries {
     * stream-stream joins batch-replayable. Tag + layout defined once. */
   private def eventsIntervalStage(s: SparkSession, d: String): String =
     graft.sources.Scratch.sharedDir("stream_stage",
-      s"sm05_events_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/events.parquet")}") { tmp =>
+      s"sm05_events_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/events.parquet")}") { tmp =>
       Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .repartitionByRange(4, col("event_id"))
@@ -257,7 +257,7 @@ object GeoStreamQueries {
     "sm03_stream_sessions" -> ((s, d) => {
       import s.implicits._
       val stage = graft.sources.Scratch.sharedDir("stream_stage",
-        s"sm03_events_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/events.parquet")}") { tmp =>
+        s"sm03_events_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/events.parquet")}") { tmp =>
         val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
         ev.repartitionByRange(4, col("event_id"))
           .write.mode("overwrite").parquet(tmp)

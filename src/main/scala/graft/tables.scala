@@ -19,15 +19,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to micros —
-    * exactly what DuckDB does on the oracle side. Integer division (`div`)
-    * is required: nanos since epoch (~9e17) exceeds a double's 2^53 mantissa.
+  /** events.parquet has shipped `ts` in two physical forms across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long, truncate to micros exactly as DuckDB
+    * does on the oracle side; integer `div`, because nanos since epoch
+    * ~9e17 exceeds a double's 2^53 mantissa) and plain TIMESTAMP(MICROS),
+    * which Spark infers as TIMESTAMP_NTZ. Both normalize to session-zone
+    * TIMESTAMP (the session timezone is pinned to UTC by every entry
+    * point, so the NTZ→LTZ cast is instant-preserving): downstream
+    * consumers rely on LTZ semantics — streaming watermarks reject NTZ
+    * event time, epoch casts (`CAST(ts AS BIGINT)`) are LTZ-only, and
+    * `Row.getTimestamp` expects `java.sql.Timestamp`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
