@@ -105,22 +105,32 @@ object Bench {
     // artifact keeps N=1: a single honest run per query, no best-of cherry
     // picking.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1).max(1)
+    // a query that THROWS must not masquerade as a fast query: round 7's
+    // artifact recorded 10 event-table queries at 0.05-0.09 s that were
+    // actually instant analysis failures (the testdata vintage change),
+    // indistinguishable from genuine wins. Failures time as -1 in both
+    // artifacts and are counted in the stdout line's `errors` field.
     val results = qs.map { case (name, fn) =>
+      var failed = false
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         dropCaches()
         dt
       }.sorted
-      name -> times(times.size / 2)
+      (name, if (failed) -1.0 else times(times.size / 2))
     }
-    val total = results.map(_._2).sum
+    val nErrors = results.count(_._2 < 0)
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
 
     // full-name artifact, written atomically next to the build definition
     val fullJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val meta = f""""total":$total%.3f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"repeat":$repeat"""
+    val meta = f""""total":$total%.3f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"repeat":$repeat,"errors":$nErrors"""
     val artifact = s"""{$meta,"queries":$fullJson}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_per_query.json"))
@@ -144,7 +154,7 @@ object Bench {
       case (k, v) if k.startsWith("q") || headline(k.takeWhile(_ != '_')) =>
         "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f"
     }.mkString("{", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","per_query_file":"${outPath.toString}"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$nErrors,"queries":$qJson,"sf":"$sfDir","per_query_file":"${outPath.toString}"}"""
     require(line.length < 1500,
       s"bench stdout line is ${line.length} B; the driver tail window " +
         "clips ~2.6 KB minus sbt's trailing output — trim the headline set")
