@@ -123,6 +123,41 @@ object TextAnalysis {
         (expr("array_max(transform(array_distinct(_g2_), g -> size(filter(_g2_, x -> x = g))))")
           .cast("double") / size(col("_g2_"))).as("top_bigram_frac"))
 
+  /** Per-document Shannon entropy of the character distribution (nats):
+    * H = −Σ_c (k_c/n)·ln(k_c/n). A low-entropy document is repetitive or
+    * templated (the cheap proxy for "would gzip well" that curation
+    * pipelines use as a quality signal alongside the Gopher rules).
+    *
+    * Float determinism: the per-doc fold runs over (char, count) pairs
+    * sorted by char (`sort_array` on the struct — unique first field, so
+    * the order is total), seeded at 0.0, accumulating ascending — the
+    * identical addition sequence DuckDB's `list_reduce` over
+    * `list(... ORDER BY c)` produces. ASCII-only comparison contract
+    * (UTF-16 unit order vs code-point order agree on the BMP subset the
+    * corpus uses — same caveat as the hash-replay oracles).
+    *
+    * Scale shape: one (doc, char)-keyed aggregate with map-side combine
+    * (distinct chars per doc ≤ alphabet, so the shuffle is tiny), one
+    * doc-keyed regroup. Empty documents yield entropy 0 via the left
+    * join. Output: (idCol, entropy). */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("_id_"), explode(split(col(textCol), "")).as("_c_"))
+      .where(col("_c_") =!= "")
+      .groupBy("_id_", "_c_").agg(count(lit(1)).as("_k_"))
+    val perDoc = counts.groupBy("_id_")
+      .agg(sort_array(collect_list(struct(col("_c_"), col("_k_")))).as("_cs_"),
+        sum("_k_").as("_n_"))
+      .select(col("_id_"),
+        (-aggregate(col("_cs_"), lit(0.0),
+          (acc, x) => acc + (x("_k_") / col("_n_")) * log(x("_k_") / col("_n_"))))
+          .as("entropy"))
+    df.select(col(idCol).as("_id_"))
+      .join(perDoc, Seq("_id_"), "left")
+      .select(col("_id_").as(idCol),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+  }
+
   /** Email pattern kept within the regex subset Java (Spark) and RE2
     * (DuckDB oracle) interpret identically — no lookarounds, no \p classes. */
   val EmailRe = "[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -197,6 +197,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: SemDeDup — embedding-space semantic dedup, pairs only
+    // within a nearest-centroid cluster (Σ|cluster|² bound, the published
+    // scaling argument); cosine >= 0.45 pairs -> connected components ->
+    // keep the min-id representative. Full oracle replay: em01's centroid
+    // assignment + ann03's float cosine + dd06's recursive closure -----------
+    "dd11_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cent = Similarity.quantizedLabelCentroids(emb, "embedding", "label")
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cent,
+        minCosine = 0.45)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast(IntegerType).as("cluster"),
+          col("component"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- sampling: DSIR importance weights (hashed bag-of-words log
+    // ratio of target-domain vs raw-pool distributions; target = English
+    // docs). One model-sized aggregate + one broadcast-scored scan ----------
+    "ds02_dsir_weights" -> ((s, d) => {
+      graft.operators.Dsir.importanceWeights(Tables.documents(s, d),
+        "text", "doc_id", isTarget = col("lang") === "en", buckets = 64)
+        .select(col("doc_id"), round(col("weight"), 6).as("weight_r"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text analysis: character-distribution Shannon entropy (the
+    // "would gzip well" repetitiveness proxy) --------------------------------
+    "ts08_char_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), round(col("entropy"), 6).as("entropy_r"))
+        .orderBy("doc_id")),
+
     // ---- text analysis: blocklist filter (C4 bad-words stage) --------------
     "bf01_blocklist_filter" -> ((s, d) =>
       TextAnalysis.blocklistFilter(Tables.documents(s, d), "doc_id", "text",
@@ -1247,6 +1280,133 @@ object PipelineQueries {
         |  FROM comp c JOIN documents d ON d.doc_id = c.id)
         |SELECT id AS doc_id, component, n_chars, rk = 1 AS keep
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup replay: em01's quantized-centroid assignment (integer
+    // sufficient statistics, ascending double fold, ties to smaller
+    // label), ann03's normalize-to-float + ascending-double cosine, pairs
+    // restricted to a shared cluster, dd06's recursive transitive closure
+    "dd11_semantic_dedup" ->
+      """WITH RECURSIVE ce AS (
+        |  SELECT label, i - 1 AS pos,
+        |    CAST(sum(floor(CAST(embedding[i] AS DOUBLE) * 1000)) AS BIGINT)
+        |      AS s,
+        |    count(*) AS n
+        |  FROM embeddings, range(1, 65) r(i)
+        |  GROUP BY label, i),
+        |ca AS (
+        |  SELECT label AS c_label, max(n) AS n, list(s ORDER BY pos) AS cs
+        |  FROM ce GROUP BY label),
+        |qv AS (
+        |  SELECT vec_id,
+        |    [floor(CAST(e AS DOUBLE) * 1000) FOR e IN embedding] AS qs
+        |  FROM embeddings),
+        |dist AS (
+        |  SELECT qv.vec_id, ca.c_label,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [(qs[i] - cs[i] / n) * (qs[i] - cs[i] / n)
+        |       FOR i IN range(1, 65)]),
+        |      (a, b) -> a + b) AS d
+        |  FROM qv, ca),
+        |asg AS (
+        |  SELECT vec_id, c_label AS cluster FROM (
+        |    SELECT vec_id, c_label,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c_label)
+        |        AS rk
+        |    FROM dist) t
+        |  WHERE rk = 1),
+        |nn AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nrm = 0 THEN embedding
+        |         ELSE [CAST(x / nrm AS REAL) FOR x IN embedding] END AS uv
+        |  FROM nn),
+        |pairs AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM asg x
+        |  JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN u a ON a.vec_id = x.vec_id
+        |  JOIN u b ON b.vec_id = y.vec_id
+        |  WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [CAST(a.uv[i] AS DOUBLE) * CAST(b.uv[i] AS DOUBLE)
+        |       FOR i IN range(1, len(a.uv) + 1)]),
+        |      (p, q) -> p + q) >= 0.45),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT g.vec_id, CAST(g.cluster AS INTEGER) AS cluster,
+        |  coalesce(c.component, g.vec_id) AS component,
+        |  coalesce(c.component, g.vec_id) = g.vec_id AS keep
+        |FROM asg g LEFT JOIN comp c ON c.id = g.vec_id
+        |ORDER BY g.vec_id""".stripMargin,
+
+    // DSIR replay: polyHash64Mixed token buckets (mod 64, unsigned), the
+    // same add-1-smoothed integer counts, ln of the identical one-division
+    // double ratio, per-doc fold in token order
+    "ds02_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |bl AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(list_transform(list_transform(list_transform(w,
+        |      t -> list_reduce(list_prepend(CAST(7 AS UHUGEINT),
+        |             [CAST(unicode(c) AS UHUGEINT)
+        |              FOR c IN string_split(t, '')]),
+        |             (a, x) -> (31 * a + x)
+        |               % CAST(18446744073709551616 AS UHUGEINT))),
+        |      h -> (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |           % CAST(18446744073709551616 AS UHUGEINT)),
+        |      h -> (xor(h, h >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |           % CAST(18446744073709551616 AS UHUGEINT)),
+        |      h -> CAST(xor(h, h >> 31) % 64 AS INT)) AS bs
+        |  FROM toks),
+        |flat AS (SELECT doc_id, lang, unnest(bs) AS b FROM bl),
+        |st0 AS (
+        |  SELECT b, count(*) AS s_cnt,
+        |    count(*) FILTER (WHERE lang = 'en') AS t_cnt
+        |  FROM flat GROUP BY b),
+        |st AS (
+        |  SELECT r.b, coalesce(s_cnt, 0) AS s_cnt, coalesce(t_cnt, 0) AS t_cnt
+        |  FROM range(0, 64) r(b) LEFT JOIN st0 ON st0.b = r.b),
+        |tot AS (SELECT sum(s_cnt) AS s_tot, sum(t_cnt) AS t_tot FROM st),
+        |lr AS (
+        |  SELECT list(ln((t_cnt + 1.0) * (s_tot + 64)
+        |                 / ((s_cnt + 1.0) * (t_tot + 64))) ORDER BY b) AS a
+        |  FROM st, tot)
+        |SELECT doc_id,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    [a[b + 1] FOR b IN bs]), (x, y) -> x + y), 6) AS weight_r
+        |FROM bl, lr ORDER BY doc_id""".stripMargin,
+
+    // char-entropy replay: per-char counts, fold ordered by char, k/n as
+    // double division — the sort_array struct order on the Spark side
+    "ts08_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |agg AS (
+        |  SELECT doc_id, list(k ORDER BY c) AS ks, sum(k) AS n
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(coalesce(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    [(k / n) * ln(k / n) FOR k IN ks]), (x, y) -> x + y), 0.0), 6)
+        |    AS entropy_r
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // blocklist replay: the literal lowercase phrase list, matched terms
     // in list order, first match or ''

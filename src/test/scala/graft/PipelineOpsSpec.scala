@@ -18,6 +18,73 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("semanticDedup: within-cluster near-dups collapse, cross-cluster ones survive") {
+    // two tight clusters on orthogonal axes; ids 1/2 are near-identical in
+    // cluster A, id 3 is alone in cluster B but identical DIRECTION to 4's
+    // cluster-A outlier — cross-cluster, so it must NOT be deduped
+    val emb = Seq(
+      (1L, Array(1.0f, 0.01f, 0f, 0f), 0),
+      (2L, Array(1.0f, 0.02f, 0f, 0f), 0),
+      (3L, Array(0f, 0f, 1.0f, 0.01f), 1),
+      (4L, Array(0f, 0f, 1.0f, 0.02f), 1),
+      (5L, Array(0.6f, 0.8f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val cent = Similarity.quantizedLabelCentroids(emb, "embedding", "label")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", cent,
+      minCosine = 0.95)
+      .select("id", "component", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 3L, false), (5L, 5L, true)))
+  }
+
+  test("dsir: target-only vocabulary scores above source-only vocabulary") {
+    val df = Seq(
+      (1L, "good good good"),
+      (2L, "good good bad"),
+      (3L, "bad bad bad"),
+      (4L, "good bad junk"),
+      (5L, "")
+    ).toDF("doc_id", "text").withColumn("tgt", col("doc_id") <= 2)
+    val w = graft.operators.Dsir
+      .importanceWeights(df, "text", "doc_id", isTarget = col("tgt"))
+      .as[(Long, Double)].collect().toMap
+    // "good" dominates the target; docs made of it must outscore "bad" docs
+    assert(w(1L) > w(3L))
+    assert(w(2L) > w(3L))
+    assert(w(5L) == 0.0) // no tokens -> empty fold -> exactly the seed
+    // independent re-derivation of doc 3 from first principles: same
+    // bucket hash, same add-1 counts, same fold order — must be bit-equal
+    val bucket = (t: String) => java.lang.Long
+      .remainderUnsigned(TextKernels.polyHash64Mixed(t), 64L).toInt
+    val stream = Seq( // (token, isTarget) per occurrence across the corpus
+      ("good", true), ("good", true), ("good", true),            // doc 1
+      ("good", true), ("good", true), ("bad", true),             // doc 2
+      ("bad", false), ("bad", false), ("bad", false),            // doc 3
+      ("good", false), ("bad", false), ("junk", false))          // doc 4
+    val byB = stream.groupBy { case (t, _) => bucket(t) }
+    val sTot = stream.size.toDouble
+    val tTot = stream.count(_._2).toDouble
+    def lr(b: Int): Double = {
+      val s = byB.getOrElse(b, Nil).size
+      val t = byB.getOrElse(b, Nil).count(_._2)
+      math.log(((t + 1.0) * (sTot + 64)) / ((s + 1.0) * (tTot + 64)))
+    }
+    val expected3 = Seq("bad", "bad", "bad")
+      .foldLeft(0.0)((acc, t) => acc + lr(bucket(t)))
+    assert(w(3L) == expected3)
+    assert(w(3L) < 0.0) // "bad" is source-heavy -> negative log ratio
+  }
+
+  test("charEntropy: uniform alphabet hits ln(k), single char is 0, empty is 0") {
+    val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df, "text", "doc_id")
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - math.log(4.0)) < 1e-12)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+  }
+
   test("length-bucketed batching: log2 tiers, batch ordinals, power-of-two pad") {
     val rows = Seq((1L, 5), (2L, 7), (3L, 6), (4L, 17), (5L, 1), (6L, 4))
       .toDF("doc_id", "tokens")
