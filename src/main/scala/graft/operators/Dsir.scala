@@ -71,4 +71,34 @@ object Dsir {
     }
     toks.select(col("_id_").as(idCol), weightUdf(col("_bs_")).as("weight"))
   }
+
+  /** The resampling half of DSIR: draw `k` documents WITHOUT replacement
+    * with probability ∝ exp(weight), via the Gumbel-max trick (public:
+    * top-k of weight + Gumbel noise IS a without-replacement sample of
+    * the softmax distribution). The noise is a pure function of
+    * (id, seed) — splitmix64 high bits → u ∈ (0,1) → −ln(−ln u) — so the
+    * sample is deterministic, retry-stable, and replayable by a SQL
+    * oracle; this is the engine-portable form of the paper's
+    * `np.random.gumbel`.
+    *
+    * Scale shape: one narrow map for the key, one global top-k — the
+    * sort is k-bounded (TakeOrdered), never a full shuffle sort.
+    * Returns (idCol, sample_key, rank), rank 1..k by descending key. */
+  def resampleTopK(weights: DataFrame, idCol: String, weightCol: String,
+                   k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val mixUdf = udf { (x: Long) => TextKernels.mix64(x) }
+    val h = shiftrightunsigned(
+      mixUdf(col(idCol).cast("long") + lit(seed * 0x9e3779b97f4a7c15L)), 11)
+    val u = (h.cast("double") + 0.5) / 9007199254740992.0 // 2^53
+    val gumbel = -log(-log(u))
+    weights
+      .withColumn("sample_key", col(weightCol) + gumbel)
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sample_key").desc, col(idCol))))
+      .select(col(idCol), col("sample_key"), col("rank"))
+  }
 }

@@ -139,4 +139,24 @@ object Sampling {
       .where(col("_rk_") <= col("_quota_"))
       .select(df.columns.map(col): _*)
   }
+
+  /** Per-domain quota cap (the RefinedWeb/C4 anti-monoculture stage,
+    * public recipe): within each domain keep at most `cap` documents,
+    * best-quality first — a handful of mega-domains must not dominate
+    * the corpus. Rows are RETAINED with (domain_rank, keep) rather than
+    * filtered, so curation runs can audit exactly what a cap dropped.
+    *
+    * Scale: one domain-keyed window. A pathological domain (the
+    * crawl-scale worst case is ~1e8 pages of one host) makes that
+    * domain's task wide; the standard fix composes here — per-shard
+    * top-`cap` first (any partitioning), then the global window over the
+    * ≤ shards·cap survivors — because top-cap-of-top-caps = top-cap. */
+  def perDomainCap(df: DataFrame, domainCol: String, qualityCol: String,
+                   idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(domainCol)
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.withColumn("domain_rank", row_number().over(w))
+      .withColumn("keep", col("domain_rank") <= cap)
+  }
 }

@@ -223,6 +223,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- sampling: DSIR resampling — Gumbel-max top-k of the ds02
+    // weights = a without-replacement softmax sample, noise a pure
+    // function of (doc_id, seed) so the draw is retry-stable ----------------
+    "ds03_dsir_resample" -> ((s, d) => {
+      val w = graft.operators.Dsir.importanceWeights(Tables.documents(s, d),
+        "text", "doc_id", isTarget = col("lang") === "en", buckets = 64)
+      graft.operators.Dsir.resampleTopK(w, "doc_id", "weight",
+        k = 50, seed = 3L)
+        .select(col("doc_id"), round(col("sample_key"), 6).as("key_r"),
+          col("rank").cast(IntegerType).as("rank"))
+        .orderBy("rank")
+    }),
+
+    // ---- sampling: per-domain quota cap (anti-monoculture stage; rows
+    // retained with rank + keep so audits can see what the cap dropped) ------
+    "dm01_domain_cap" -> ((s, d) =>
+      graft.operators.Sampling.perDomainCap(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", cap = 20)
+        .select(col("doc_id"), col("source"),
+          col("domain_rank").cast(IntegerType).as("domain_rank"), col("keep"))
+        .orderBy("doc_id")),
+
     // ---- text analysis: character-distribution Shannon entropy (the
     // "would gzip well" repetitiveness proxy) --------------------------------
     "ts08_char_entropy" -> ((s, d) =>
@@ -1389,6 +1412,79 @@ object PipelineQueries {
         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    [a[b + 1] FOR b IN bs]), (x, y) -> x + y), 6) AS weight_r
         |FROM bl, lr ORDER BY doc_id""".stripMargin,
+
+    // DSIR-resample replay: ds02's weight pipeline, then the Gumbel key —
+    // mix64(doc_id + 3·γ mod 2⁶⁴) high 53 bits → u ∈ (0,1) → −ln(−ln u);
+    // top-50 by (key DESC, doc_id)
+    "ds03_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM documents),
+        |bl AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(list_transform(list_transform(list_transform(w,
+        |      t -> list_reduce(list_prepend(CAST(7 AS UHUGEINT),
+        |             [CAST(unicode(c) AS UHUGEINT)
+        |              FOR c IN string_split(t, '')]),
+        |             (a, x) -> (31 * a + x)
+        |               % CAST(18446744073709551616 AS UHUGEINT))),
+        |      h -> (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |           % CAST(18446744073709551616 AS UHUGEINT)),
+        |      h -> (xor(h, h >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |           % CAST(18446744073709551616 AS UHUGEINT)),
+        |      h -> CAST(xor(h, h >> 31) % 64 AS INT)) AS bs
+        |  FROM toks),
+        |flat AS (SELECT doc_id, lang, unnest(bs) AS b FROM bl),
+        |st0 AS (
+        |  SELECT b, count(*) AS s_cnt,
+        |    count(*) FILTER (WHERE lang = 'en') AS t_cnt
+        |  FROM flat GROUP BY b),
+        |st AS (
+        |  SELECT r.b, coalesce(s_cnt, 0) AS s_cnt, coalesce(t_cnt, 0) AS t_cnt
+        |  FROM range(0, 64) r(b) LEFT JOIN st0 ON st0.b = r.b),
+        |tot AS (SELECT sum(s_cnt) AS s_tot, sum(t_cnt) AS t_tot FROM st),
+        |lr AS (
+        |  SELECT list(ln((t_cnt + 1.0) * (s_tot + 64)
+        |                 / ((s_cnt + 1.0) * (t_tot + 64))) ORDER BY b) AS a
+        |  FROM st, tot),
+        |wt AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [a[b + 1] FOR b IN bs]), (x, y) -> x + y) AS weight
+        |  FROM bl, lr),
+        |g AS (
+        |  SELECT doc_id, weight, xor(p2, p2 >> 31) >> 11 AS h FROM (
+        |    SELECT doc_id, weight,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT doc_id, weight,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT doc_id, weight,
+        |              CAST(doc_id AS UHUGEINT) +
+        |                CAST(15755400384260043839 AS UHUGEINT) AS p0
+        |            FROM wt)))),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    weight + (-ln(-ln((CAST(h AS DOUBLE) + 0.5)
+        |                      / 9007199254740992))) AS sample_key
+        |  FROM g)
+        |SELECT doc_id, round(sample_key, 6) AS key_r,
+        |  CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id)
+        |       AS INTEGER) AS rank
+        |FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // domain-cap replay: one window, best-quality-first rank per source
+    "dm01_domain_cap" ->
+      """SELECT doc_id, source,
+        |  CAST(rk AS INTEGER) AS domain_rank, rk <= 20 AS keep
+        |FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     // char-entropy replay: per-char counts, fold ordered by char, k/n as
     // double division — the sort_array struct order on the Spark side

@@ -70,6 +70,30 @@ object SourceQueries {
         .orderBy("url")
     }),
 
+    // Robots.txt admission (RFC 9309 semantics): longest matching prefix
+    // per host wins, Allow beats Disallow on a length tie, no-match =
+    // allowed. URLs derived from documents (host = source, path =
+    // /lang/docN); the rule table is the parsed form a robots fetch
+    // yields, broadcast against the URL stream.
+    "cr02_robots_filter" -> ((s, d) => {
+      val urls = Tables.documents(s, d).select(
+        col("doc_id"), col("source").as("host"),
+        concat(lit("/"), col("lang"), lit("/doc"), col("doc_id")).as("path"))
+      val rules = s.createDataFrame(Seq(
+        ("src0", false, "/de"),
+        ("src0", true, "/de/doc1"),
+        ("src1", false, "/"),
+        ("src1", true, "/en"),
+        ("src2", false, "/zh"),
+        ("src3", false, "/fr"),
+        ("src3", false, "/fr/doc2"),
+        ("src4", true, "/"))).toDF("host", "allow", "prefix")
+      Crawler.robotsFilter(urls, "doc_id", "host", "path", rules)
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"),
+          col("matched_prefix"))
+        .orderBy("doc_id")
+    }),
+
     // Salted join: lineitem x orders scattered over 8 salt buckets; output
     // must be byte-identical to the plain join (salting is pure
     // partitioning). Demonstrates the skew path the AQE thresholds may miss.
@@ -263,6 +287,28 @@ object SourceQueries {
         |  WHERE b.depth < 4)
         |SELECT url, CAST(min(depth) AS INTEGER) AS depth
         |FROM bfs GROUP BY url ORDER BY url""".stripMargin,
+
+    "cr02_robots_filter" ->
+      """WITH urls AS (
+        |  SELECT doc_id, source AS host,
+        |         '/' || lang || '/doc' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents),
+        |rules(host, allow, prefix) AS (VALUES
+        |  ('src0', false, '/de'), ('src0', true, '/de/doc1'),
+        |  ('src1', false, '/'), ('src1', true, '/en'),
+        |  ('src2', false, '/zh'), ('src3', false, '/fr'),
+        |  ('src3', false, '/fr/doc2'), ('src4', true, '/')),
+        |m AS (
+        |  SELECT u.doc_id, r.allow, r.prefix,
+        |    row_number() OVER (PARTITION BY u.doc_id
+        |      ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix) AS rk
+        |  FROM urls u
+        |  JOIN rules r ON r.host = u.host AND starts_with(u.path, r.prefix))
+        |SELECT u.doc_id, u.host, u.path,
+        |  coalesce(m.allow, true) AS allowed,
+        |  coalesce(m.prefix, '') AS matched_prefix
+        |FROM urls u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rk = 1
+        |ORDER BY u.doc_id""".stripMargin,
 
     "sk01_salted_join" -> joinAggSql,
     "bk01_bucketed_join" -> joinAggSql

@@ -122,4 +122,35 @@ object Crawler {
     }
     levels.reduce(_ union _)
   }
+
+  /** robots.txt-style URL admission (REP, RFC 9309 semantics, public):
+    * per host, the LONGEST matching path prefix wins; on a length tie an
+    * Allow rule beats a Disallow; a URL no rule matches is allowed.
+    * `rules` is (hostCol, allow: boolean, prefix) — the parsed form a
+    * robots fetch produces.
+    *
+    * Scale: the rule table is parser output, orders of magnitude smaller
+    * than the URL stream, so the match join broadcasts it; the prefix
+    * test stays inside the host equi-key (never a cross join of the URL
+    * stream). The winner is an ids-only window over matched rows, and
+    * unmatched URLs skip the window entirely via the left join default.
+    * Returns the URL rows + (allowed, matched_prefix). */
+  def robotsFilter(urls: DataFrame, idCol: String, hostCol: String,
+                   pathCol: String, rules: DataFrame): DataFrame = {
+    val r = rules.select(col(hostCol).as("_rh_"), col("allow").as("_ra_"),
+      col("prefix").as("_rp_"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_mid_")
+      .orderBy(length(col("_rp_")).desc, col("_ra_").desc, col("_rp_"))
+    val best = urls.select(col(idCol).as("_mid_"), col(hostCol), col(pathCol))
+      .join(broadcast(r), col(hostCol) === col("_rh_") &&
+        col(pathCol).startsWith(col("_rp_")))
+      .withColumn("_rk_", row_number().over(w))
+      .where(col("_rk_") === 1)
+      .select(col("_mid_"), col("_ra_"), col("_rp_"))
+    urls.join(best, col(idCol) === col("_mid_"), "left")
+      .select(urls.columns.map(col) :+
+        coalesce(col("_ra_"), lit(true)).as("allowed") :+
+        coalesce(col("_rp_"), lit("")).as("matched_prefix"): _*)
+  }
 }

@@ -76,6 +76,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(w(3L) < 0.0) // "bad" is source-heavy -> negative log ratio
   }
 
+  test("perDomainCap: best-quality-first rank, keep flag, rows retained") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L),
+      (4L, "b", 5L)
+    ).toDF("doc_id", "domain", "quality")
+    val out = graft.operators.Sampling
+      .perDomainCap(df, "domain", "quality", "doc_id", cap = 2)
+      .select("doc_id", "domain_rank", "keep")
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3, false), (2L, 1, true), (3L, 2, true),
+      (4L, 1, true)))
+  }
+
+  test("dsir resampleTopK: deterministic, without replacement, seed-sensitive") {
+    val w = (1L to 200L).map(i => (i, if (i <= 20) 5.0 else 0.0))
+      .toDF("doc_id", "weight")
+    val s1 = graft.operators.Dsir.resampleTopK(w, "doc_id", "weight", k = 10, seed = 1L)
+      .select("doc_id").as[Long].collect().toSeq
+    val s1b = graft.operators.Dsir.resampleTopK(w, "doc_id", "weight", k = 10, seed = 1L)
+      .select("doc_id").as[Long].collect().toSeq
+    val s2 = graft.operators.Dsir.resampleTopK(w, "doc_id", "weight", k = 10, seed = 2L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s1b)                      // retry-stable
+    assert(s1.distinct.size == 10)         // without replacement
+    assert(s1 != s2)                       // noise actually depends on seed
+    // weight +5 vs 0 is ~e^5:1 odds per draw: the heavy head must dominate
+    assert(s1.count(_ <= 20) >= 8)
+  }
+
   test("charEntropy: uniform alphabet hits ln(k), single char is 0, empty is 0") {
     val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.charEntropy(df, "text", "doc_id")

@@ -87,6 +87,25 @@ class SourceOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------------ skew
 
+  test("robots filter: longest prefix wins, Allow beats Disallow on tie, no-match allows") {
+    val urls = Seq(
+      (1L, "h1", "/a/b/c"),   // deny /a beaten by allow /a/b (longer)
+      (2L, "h1", "/a/x"),     // only deny /a matches
+      (3L, "h1", "/z"),       // no rule matches -> allowed
+      (4L, "h2", "/a/b/c"),   // other host: deny /a/b vs allow /a/b tie -> allow
+      (5L, "h3", "/a")        // host with no rules at all -> allowed
+    ).toDF("id", "host", "path")
+    val rules = Seq(
+      ("h1", false, "/a"), ("h1", true, "/a/b"),
+      ("h2", false, "/a/b"), ("h2", true, "/a/b")
+    ).toDF("host", "allow", "prefix")
+    val out = Crawler.robotsFilter(urls, "id", "host", "path", rules)
+      .select("id", "allowed", "matched_prefix")
+      .as[(Long, Boolean, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, true, "/a/b"), (2L, false, "/a"),
+      (3L, true, ""), (4L, true, "/a/b"), (5L, true, "")))
+  }
+
   test("salted join output equals the plain join; hotCold too") {
     val facts = (1 to 300).map(i => (i % 7, i)).toDF("k", "v")
     val dims = (0 until 7).map(i => (i, s"dim$i")).toDF("k", "name")
