@@ -42,7 +42,12 @@ object ExplainAudit {
         "cu01_rollup_revenue",
         // analytics/retrieval tier: chained user-key funnel aggregates,
         // three-shuffle retention matrix, broadcast-query BM25 join
-        "fu01_funnel_steps", "rt01_retention_cohorts", "bm01_bm25_topk")
+        "fu01_funnel_steps", "rt01_retention_cohorts", "bm01_bm25_topk",
+        // round-8 tier: cluster-bucketed SemDeDup pair join, DSIR
+        // model-broadcast scoring + k-bounded Gumbel top-k, domain-cap
+        // window, host-equi broadcast robots match
+        "dd11_semantic_dedup", "ds02_dsir_weights", "ds03_dsir_resample",
+        "dm01_domain_cap", "cr02_robots_filter", "ts08_char_entropy")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

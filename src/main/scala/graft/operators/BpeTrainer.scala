@@ -177,4 +177,57 @@ object BpeTrainer {
     words.join(pieces, "_w_")
       .groupBy(idCol).agg(sum(col("_np_").cast("long")).as("bpe_pieces"))
   }
+
+  /** The tokenizer HANDOFF: segment every word with the learned merges
+    * and map pieces to vocabulary ids — what a training loader actually
+    * consumes. Vocabulary layout is the classic BPE one: merge outputs
+    * take ids 0..M−1 in rank order, then the corpus' base symbols
+    * (single code points, binary-sorted) follow; a piece string produced
+    * by two different merges resolves to the smaller id; a piece outside
+    * the vocabulary (possible only on text the merges weren't trained
+    * on) maps to −1 rather than failing the batch.
+    *
+    * Scale note: segmentation here runs per word OCCURRENCE inside one
+    * UDF — order-preserving and plan-trivial. At corpus scale reuse
+    * [[segmentCounts]]'s distinct-word memoization with a positional
+    * explode/regroup (posexplode → dictionary join → collect_list over
+    * (word_pos, piece_pos)); the dictionary shortcut composes because
+    * segmentation is a pure per-word function.
+    * Output: (idCol, token_ids array<int>). */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[Merge]): DataFrame = {
+    val ordered = merges.sortBy(_.rank)
+    // base symbols via the same SQL charization train() uses, so the
+    // vocabulary is a pure function of (corpus, merges); bounded collect —
+    // the result is the alphabet
+    val baseChars = df
+      .select(explode(split(col(textCol), "\\s+")).as("_w_"))
+      .where(col("_w_") =!= "")
+      .select(explode(expr(
+        "transform(sequence(1, length(_w_)), i -> substring(_w_, i, 1))"))
+        .as("_c_"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val vocab: Map[String, Int] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      ordered.zipWithIndex.foreach { case (mg, i) =>
+        val p = mg.left + mg.right
+        if (!m.contains(p)) m(p) = i // rank order => first wins = min id
+      }
+      baseChars.zipWithIndex.foreach { case (c, j) =>
+        m(c) = ordered.size + j // single char never collides with a merge
+      }
+      m.toMap
+    }
+    val bc = df.sparkSession.sparkContext.broadcast((
+      ordered.map(m => (m.left, m.right) -> m.rank).toMap,
+      ordered.map(m => m.rank -> ((m.left, m.right))).toMap,
+      vocab))
+    val idsUdf = udf { (text: String) =>
+      val (ranks, pairs, v) = bc.value
+      text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+        applyMerges(w, ranks, pairs).iterator.map(p => v.getOrElse(p, -1))
+      }.toArray
+    }
+    df.select(col(idCol), idsUdf(col(textCol)).as("token_ids"))
+  }
 }

@@ -379,6 +379,45 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Incremental NEAR-dup admission: LSH candidates between a new batch
+    * and the standing corpus only — never corpus × corpus (that work was
+    * done when the corpus was admitted; in production the corpus side's
+    * signatures and bucket table are persisted once and reused across
+    * batches, so each ingest costs O(batch) hashing plus the bucket
+    * join). The fuzzy companion to [[exactIncremental]]'s exact-hash gate.
+    * Output: (batch_id, corpus_id, est_jaccard >= minEstJaccard). */
+  def minHashLshNewVsCorpus(batch: DataFrame, corpus: DataFrame,
+                            textCol: String, idCol: String,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleSize: Int = 3,
+                            minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    def sigsOf(df: DataFrame) = df.select(col(idCol).as("_id_"),
+      minhashSig(numHashes, shingleSize)(col(textCol)).as("_sig_"))
+      .persist()
+    def bandedOf(s: DataFrame) = s.select(col("_id_"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> array_join(slice(_sig_, b * $rowsPerBand + 1, $rowsPerBand), ','))"))
+        .as(Seq("_band_", "_bucket_")))
+    val bs = sigsOf(batch)
+    val cs = sigsOf(corpus)
+    val candidates = bandedOf(bs)
+      .select(col("_band_"), col("_bucket_"), col("_id_").as("batch_id"))
+      .join(bandedOf(cs)
+        .select(col("_band_"), col("_bucket_"), col("_id_").as("corpus_id")),
+        Seq("_band_", "_bucket_"))
+      .select("batch_id", "corpus_id").distinct()
+    val agree = expr(
+      "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), t -> t))")
+    candidates
+      .join(bs.select(col("_id_").as("batch_id"), col("_sig_").as("sig_a")), "batch_id")
+      .join(cs.select(col("_id_").as("corpus_id"), col("_sig_").as("sig_b")), "corpus_id")
+      .withColumn("est_jaccard", agree / lit(numHashes.toDouble))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select("batch_id", "corpus_id", "est_jaccard")
+  }
+
   /** Dedup by MinHash: drop every doc that has a near-dup with a smaller id
     * (connected-component-free greedy, standard for training pipelines). */
   def minHashDedup(df: DataFrame, textCol: String, idCol: String,

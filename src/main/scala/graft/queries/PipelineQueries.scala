@@ -56,6 +56,27 @@ object PipelineQueries {
       |SELECT doc_id, n_chars FROM surv WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** bp02/bp03 share the 8-round BPE training replay: per round, pair
+    * counts over adjacent symbols (weighted by word frequency), the
+    * (count DESC, l, r) argmax merge, and a greedy-leftmost re-segment
+    * via the chr(31)-joined fold. Consumers start from `s0` = per-word
+    * char lists and read `s8` (+ `m1`..`m8` for the vocabulary). */
+  private val BpeRoundsSql = (1 to 8).map { k =>
+    s"""p$k AS (
+       |  SELECT l, r, sum(f) AS c FROM (
+       |    SELECT unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r, f
+       |    FROM s${k - 1}) z GROUP BY l, r),
+       |m$k AS (SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+       |s$k AS (
+       |  SELECT w, f, string_split(list_reduce(list_prepend('', s), (acc, x) ->
+       |    CASE WHEN x = m.r AND (acc = m.l
+       |              OR right(acc, length(m.l) + 1) = chr(31) || m.l)
+       |         THEN acc || m.r
+       |         WHEN acc = '' THEN x
+       |         ELSE acc || chr(31) || x END), chr(31)) AS s
+       |  FROM s${k - 1}, m$k m)""".stripMargin
+  }.mkString(",\n")
+
   /** lm01/cq01 share the corpus-LM replay (add-one-smoothed bigram
     * log-prob trained on the corpus itself); the chain ends at `s` =
     * (doc_id, rounded score, bigram count) for scored docs only —
@@ -355,6 +376,18 @@ object PipelineQueries {
     // bit-identity claim (shared oracle with dd07)
     "dd08_incremental_dedup_bloom" -> ((s, d) =>
       incrementalDedupDemo(s, d, bloom = true)),
+
+    // ---- dedup: incremental NEAR-dup — new batch (doc_id ≡ 4 mod 5) vs
+    // the standing corpus via MinHash banding; batch-side signatures only
+    // join corpus-side buckets, never corpus x corpus -----------------------
+    "dd12_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Dedup.minHashLshNewVsCorpus(
+        docs.where(pmod(col("doc_id"), lit(5)) === 4),
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 4),
+        "text", "doc_id", minEstJaccard = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
 
     // ---- dedup: paragraph-level exact dedup with reassembly ----------------
     // paragraphs synthesized by breaking each doc after every 5th word
@@ -768,6 +801,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- tokenizer handoff: text -> vocabulary ids (oracle-able) -----------
+    // the array a training loader consumes; merge outputs take ids 0..7,
+    // base symbols follow sorted
+    "bp03_tokenize_ids" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.BpeTrainer.train(docs, "text", numMerges = 8)
+      graft.operators.BpeTrainer.tokenizeToIds(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // ---- sequence prep: sliding-window chunking (oracle-able) --------------
     "ck01_chunk_documents" -> ((s, d) => {
       graft.operators.Packing.chunkDocuments(
@@ -1054,6 +1097,60 @@ object PipelineQueries {
     // IS bit-identity with dd07
     "dd07_incremental_dedup" -> IncrementalDedupSql,
     "dd08_incremental_dedup_bloom" -> IncrementalDedupSql,
+
+    // incremental near-dup replay: dd03's full MinHash machinery over ALL
+    // documents (signatures are per-doc, so computing them corpus-wide is
+    // equivalent), candidates restricted to batch x corpus
+    "dd12_incremental_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |                ELSE [array_to_string(w[i:i+2], ' ')
+        |                      FOR i IN range(1, len(w) - 2 + 1)] END) AS shingle
+        |  FROM toks),
+        |ph AS (
+        |  SELECT doc_id, list_reduce(
+        |      list_prepend(CAST(7 AS UHUGEINT),
+        |        [CAST(unicode(c) AS UHUGEINT) FOR c IN string_split(shingle, '')]),
+        |      (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS UHUGEINT)) AS h
+        |  FROM sh),
+        |m1 AS (SELECT doc_id, (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |                      % CAST(18446744073709551616 AS UHUGEINT) AS h FROM ph),
+        |m2 AS (SELECT doc_id, (xor(h, h >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |                      % CAST(18446744073709551616 AS UHUGEINT) AS h FROM m1),
+        |hx AS (SELECT doc_id, xor(h, h >> 31) AS h FROM m2),
+        |n1 AS (SELECT doc_id, h, (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |                      % CAST(18446744073709551616 AS UHUGEINT) AS g FROM hx),
+        |n2 AS (SELECT doc_id, h, (xor(g, g >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |                      % CAST(18446744073709551616 AS UHUGEINT) AS g FROM n1),
+        |basep AS (
+        |  SELECT doc_id,
+        |         CAST(h % 2147483647 AS BIGINT) AS b1,
+        |         CAST(xor(g, g >> 31) % 2147483647 AS BIGINT) AS b2
+        |  FROM n2),
+        |sig AS (
+        |  SELECT doc_id, i, min((b1 + i * b2) % 2147483647) AS s
+        |  FROM basep, range(0, 64) t(i) GROUP BY doc_id, i),
+        |sigarr AS (
+        |  SELECT doc_id, list(s ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+        |  FROM sigarr, range(0, 16) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.bucket = b.bucket
+        |   AND a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4)
+        |SELECT batch_id, corpus_id, est_jaccard FROM (
+        |  SELECT c.batch_id, c.corpus_id,
+        |    CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i]))
+        |         AS DOUBLE) / 64 AS est_jaccard
+        |  FROM cand c
+        |  JOIN sigarr sa ON sa.doc_id = c.batch_id
+        |  JOIN sigarr sb ON sb.doc_id = c.corpus_id) t
+        |WHERE est_jaccard >= 0.5 ORDER BY batch_id, corpus_id""".stripMargin,
 
     // round-7 composite replay: pd01's paragraph dedup (docs that keep >= 1
     // paragraph), ts02's token count on the reassembled text, pk01/pk02's
@@ -2100,22 +2197,7 @@ object PipelineQueries {
 
     // BPE-apply replay: bp01's round chain carrying the word key, then the
     // doc token stream joins the final symbolization for per-doc piece sums
-    "bp02_bpe_segment" -> {
-      val rounds = (1 to 8).map { k =>
-        s"""p$k AS (
-           |  SELECT l, r, sum(f) AS c FROM (
-           |    SELECT unnest(s[1:len(s)-1]) AS l, unnest(s[2:len(s)]) AS r, f
-           |    FROM s${k - 1}) z GROUP BY l, r),
-           |m$k AS (SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-           |s$k AS (
-           |  SELECT w, f, string_split(list_reduce(list_prepend('', s), (acc, x) ->
-           |    CASE WHEN x = m.r AND (acc = m.l
-           |              OR right(acc, length(m.l) + 1) = chr(31) || m.l)
-           |         THEN acc || m.r
-           |         WHEN acc = '' THEN x
-           |         ELSE acc || chr(31) || x END), chr(31)) AS s
-           |  FROM s${k - 1}, m$k m)""".stripMargin
-      }.mkString(",\n")
+    "bp02_bpe_segment" ->
       s"""WITH dtok AS (
          |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
          |                x -> x <> '')) AS w
@@ -2123,10 +2205,62 @@ object PipelineQueries {
          |wf AS (SELECT w, count(*) AS f FROM dtok GROUP BY w),
          |s0 AS (
          |  SELECT w, f, [w[i:i] FOR i IN range(1, length(w) + 1)] AS s FROM wf),
-         |$rounds
+         |$BpeRoundsSql
          |SELECT d.doc_id, CAST(sum(len(v.s)) AS BIGINT) AS bpe_pieces
          |FROM dtok d JOIN s8 v ON v.w = d.w
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // tokenize-to-ids replay: bp02's 8 training rounds + segmentation,
+    // vocabulary = merge outputs (ids 0..7 by round; duplicate piece
+    // strings -> min id) then base chars sorted; per-doc flatten ordered
+    // by (word position, piece position); docs with no tokens -> []
+    "bp03_tokenize_ids" -> {
+      val mergeRows = (1 to 8).map { k =>
+        s"SELECT ${k - 1} AS id, (SELECT l || r FROM m$k) AS piece"
+      }.mkString("\n         |  UNION ALL ")
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+         |                x -> x <> '') AS ws
+         |  FROM documents),
+         |dw AS (
+         |  SELECT doc_id,
+         |    unnest([{'ord': i, 'w': ws[i]} FOR i IN range(1, len(ws) + 1)],
+         |           recursive := true)
+         |  FROM docs),
+         |wf AS (SELECT w, count(*) AS f FROM dw GROUP BY w),
+         |s0 AS (
+         |  SELECT w, f, [w[i:i] FOR i IN range(1, length(w) + 1)] AS s FROM wf),
+         |$BpeRoundsSql,
+         |mergev AS (
+         |  $mergeRows),
+         |basech AS (
+         |  SELECT DISTINCT unnest([w[i:i] FOR i IN range(1, length(w) + 1)])
+         |    AS piece
+         |  FROM wf),
+         |basev AS (
+         |  SELECT 8 + row_number() OVER (ORDER BY piece) - 1 AS id, piece
+         |  FROM basech),
+         |vocab AS (
+         |  SELECT piece, min(id) AS id FROM (
+         |    SELECT id, piece FROM mergev
+         |    UNION ALL SELECT id, piece FROM basev) v0
+         |  GROUP BY piece),
+         |pw AS (
+         |  SELECT d.doc_id, d.ord,
+         |    unnest([{'j': j, 'piece': sg.s[j]}
+         |            FOR j IN range(1, len(sg.s) + 1)], recursive := true)
+         |  FROM dw d JOIN s8 sg ON sg.w = d.w),
+         |ids AS (
+         |  SELECT p.doc_id, p.ord, p.j, v.id
+         |  FROM pw p JOIN vocab v ON v.piece = p.piece),
+         |agg AS (
+         |  SELECT doc_id, list(CAST(id AS INTEGER) ORDER BY ord, j)
+         |    AS token_ids
+         |  FROM ids GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.token_ids, CAST([] AS INTEGER[])) AS token_ids
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // Cluster replay: dd05's exact pair derivation, then transitive closure

@@ -76,6 +76,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(w(3L) < 0.0) // "bad" is source-heavy -> negative log ratio
   }
 
+  test("tokenizeToIds: merge ids by rank, base chars after, order preserved") {
+    val df = Seq((1L, "abab ab"), (2L, "ba"), (3L, "")).toDF("doc_id", "text")
+    val merges = graft.operators.BpeTrainer.train(df, "text", numMerges = 1)
+    // pair (a,b) appears 3x weighted -> the single merge is "ab" (id 0);
+    // base chars a, b get ids 1, 2
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+    val out = graft.operators.BpeTrainer
+      .tokenizeToIds(df, "doc_id", "text", merges)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(1L) == Seq(0, 0, 0))   // abab -> [ab, ab]; ab -> [ab]
+    assert(out(2L) == Seq(2, 1))      // ba -> [b, a] -> ids [2, 1]
+    assert(out(3L) == Seq())          // empty doc -> empty ids, row kept
+  }
+
+  test("incremental near-dup: batch joins corpus only, never corpus x corpus") {
+    val mk = (id: Long, t: String) => (id, t)
+    // 1 and 2 are identical corpus docs (must NOT pair with each other in
+    // the output); batch doc 10 duplicates them; batch doc 11 is novel
+    val corpus = Seq(mk(1, "x y z w v u t s"), mk(2, "x y z w v u t s"),
+      mk(3, "p q r s t u v w")).toDF("doc_id", "text")
+    val batch = Seq(mk(10, "x y z w v u t s"), mk(11, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .minHashLshNewVsCorpus(batch, corpus, "text", "doc_id",
+        minEstJaccard = 0.9)
+      .select("batch_id", "corpus_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((10L, 1L), (10L, 2L)))
+  }
+
   test("perDomainCap: best-quality-first rank, keep flag, rows retained") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L),
