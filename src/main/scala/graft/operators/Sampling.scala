@@ -140,6 +140,31 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Multi-epoch annealing schedule (the curriculum/data-annealing
+    * pattern, public: train most of the run on the broad mix, shift the
+    * final epochs toward the high-quality subset). Each epoch admits
+    * rows per group under its OWN token budget, cumulative in `idCol`
+    * order — the cumulative sums are computed ONCE (one window) and
+    * every epoch's admission is a filter against its broadcast budget
+    * row, so adding epochs adds no shuffles. Budgets are integers and
+    * admission is a pure function of the data → engine-exact.
+    * Output: one row per (epoch, admitted doc). */
+  def annealingSchedule(df: DataFrame, idCol: String, groupCol: String,
+                        weightCol: String,
+                        epochBudgets: Seq[(Int, Map[String, Long])]): DataFrame = {
+    require(epochBudgets.nonEmpty, "need at least one epoch")
+    val spark = df.sparkSession
+    val budgets = spark.createDataFrame(
+      epochBudgets.flatMap { case (e, m) => m.map { case (g, b) => (e, g, b) } })
+      .toDF("epoch", groupCol, "_budget_")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+    df.withColumn("_cum_", sum(col(weightCol)).over(w))
+      .join(F.broadcast(budgets), Seq(groupCol))
+      .where(col("_cum_") <= col("_budget_"))
+      .select(col("epoch"), col(groupCol), col(idCol), col(weightCol),
+        col("_cum_").as("cum_weight"))
+  }
+
   /** Per-domain quota cap (the RefinedWeb/C4 anti-monoculture stage,
     * public recipe): within each domain keep at most `cap` documents,
     * best-quality first — a handful of mega-domains must not dominate

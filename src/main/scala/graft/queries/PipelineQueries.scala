@@ -257,6 +257,25 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    // ---- sampling: multi-epoch annealing schedule — each epoch admits
+    // per-lang docs under its OWN token budget (broad mix early, skewed
+    // to the target language late); one window, N broadcast filters -------
+    "pp06_anneal_schedule" -> ((s, d) => {
+      val counted = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountUdf(col("text")).cast("long").as("bpe_tokens"))
+      graft.operators.Sampling.annealingSchedule(counted, "doc_id", "lang",
+        "bpe_tokens", Seq(
+          1 -> Map("en" -> 5000L, "de" -> 5000L, "fr" -> 5000L,
+            "es" -> 5000L, "zh" -> 5000L),
+          2 -> Map("en" -> 9000L, "de" -> 3000L, "fr" -> 3000L,
+            "es" -> 3000L, "zh" -> 1500L),
+          3 -> Map("en" -> 15000L, "de" -> 1000L, "fr" -> 1000L)))
+        .groupBy("epoch", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("bpe_tokens").as("tokens"),
+          max("cum_weight").as("budget_used"))
+        .orderBy("epoch", "lang")
+    }),
+
     // ---- sampling: per-domain quota cap (anti-monoculture stage; rows
     // retained with rank + keep so audits can see what the cap dropped) ------
     "dm01_domain_cap" -> ((s, d) =>
@@ -1572,6 +1591,33 @@ object PipelineQueries {
         |  CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id)
         |       AS INTEGER) AS rank
         |FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // anneal-schedule replay: ts02's token proxy, ONE cumulative window,
+    // per-epoch budget rows joined and filtered
+    "pp06_anneal_schedule" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+        |      w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, lang, bpe,
+        |    sum(bpe) OVER (PARTITION BY lang ORDER BY doc_id
+        |                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM tok),
+        |budgets(epoch, lang, b) AS (VALUES
+        |  (1, 'en', 5000), (1, 'de', 5000), (1, 'fr', 5000),
+        |  (1, 'es', 5000), (1, 'zh', 5000),
+        |  (2, 'en', 9000), (2, 'de', 3000), (2, 'fr', 3000),
+        |  (2, 'es', 3000), (2, 'zh', 1500),
+        |  (3, 'en', 15000), (3, 'de', 1000), (3, 'fr', 1000))
+        |SELECT b.epoch, c.lang, count(*) AS n_docs,
+        |  CAST(sum(c.bpe) AS BIGINT) AS tokens,
+        |  CAST(max(c.cum_tokens) AS BIGINT) AS budget_used
+        |FROM cum c JOIN budgets b ON b.lang = c.lang
+        |WHERE c.cum_tokens <= b.b
+        |GROUP BY b.epoch, c.lang ORDER BY b.epoch, c.lang""".stripMargin,
 
     // domain-cap replay: one window, best-quality-first rank per source
     "dm01_domain_cap" ->

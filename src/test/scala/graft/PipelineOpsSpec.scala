@@ -119,6 +119,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       (4L, 1, true)))
   }
 
+  test("annealingSchedule: per-epoch budgets admit independently, cum order by id") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "b", 10L)
+    ).toDF("doc_id", "grp", "toks")
+    val out = graft.operators.Sampling.annealingSchedule(df, "doc_id", "grp",
+      "toks", Seq(1 -> Map("a" -> 30L, "b" -> 30L), 2 -> Map("a" -> 15L)))
+      .select("epoch", "doc_id")
+      .as[(Int, Long)].collect().sorted.toSeq
+    // epoch 1 admits all of a (cum 10,20,30 <= 30) + b; epoch 2 admits
+    // only doc 1 of a (cum 10 <= 15; doc 2 at 20 exceeds) and b not at all
+    assert(out == Seq((1, 1L), (1, 2L), (1, 3L), (1, 4L), (2, 1L)))
+  }
+
   test("dsir resampleTopK: deterministic, without replacement, seed-sensitive") {
     val w = (1L to 200L).map(i => (i, if (i <= 20) 5.0 else 0.0))
       .toDF("doc_id", "weight")
