@@ -47,7 +47,9 @@ object ExplainAudit {
         // model-broadcast scoring + k-bounded Gumbel top-k, domain-cap
         // window, host-equi broadcast robots match
         "dd11_semantic_dedup", "ds02_dsir_weights", "ds03_dsir_resample",
-        "dm01_domain_cap", "cr02_robots_filter", "ts08_char_entropy")
+        "dm01_domain_cap", "cr02_robots_filter", "ts08_char_entropy",
+        "bp03_tokenize_ids", "dd12_incremental_neardup",
+        "pp06_anneal_schedule")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
