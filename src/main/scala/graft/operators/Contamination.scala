@@ -45,4 +45,31 @@ object Contamination {
       .na.fill(0L, Seq("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
   }
+
+  /** Exact-substring contamination: a training doc is flagged when any
+    * benchmark snippet appears VERBATIM inside it — the stricter
+    * companion to [[overlapReport]]'s n-gram measure (the form used for
+    * canary strings and verbatim answer leakage, where token-level
+    * overlap is too forgiving).
+    *
+    * Scale: snippets broadcast (benchmark-sized, tiny next to the
+    * corpus); the scan is one pass over training text. The per-row cost
+    * is |snippets| substring searches — at a real snippet count compile
+    * the broadcast set into one Aho-Corasick automaton inside a
+    * mapPartitions (same output, one pass per char); the declarative
+    * contains-join below IS that semantics and keeps the oracle gate.
+    * Output: (trainId, n_hits, contaminated). */
+  def exactContainsReport(train: DataFrame, trainId: String,
+                          trainText: String, snippets: DataFrame,
+                          snippetCol: String): DataFrame = {
+    val sn = snippets.select(col(snippetCol).as("_sn_")).distinct()
+    val hits = train.select(col(trainId), col(trainText).as("_t_"))
+      .crossJoin(F.broadcast(sn))
+      .where(col("_t_").contains(col("_sn_")))
+      .groupBy(trainId).agg(count(lit(1)).as("n_hits"))
+    train.select(col(trainId))
+      .join(hits, Seq(trainId), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
 }

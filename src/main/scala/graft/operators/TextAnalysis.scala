@@ -123,6 +123,26 @@ object TextAnalysis {
         (expr("array_max(transform(array_distinct(_g2_), g -> size(filter(_g2_, x -> x = g))))")
           .cast("double") / size(col("_g2_"))).as("top_bigram_frac"))
 
+  /** HTML → text extraction (the WET step of a crawl pipeline, public
+    * CommonCrawl convention): drop script/style subtrees, strip tags,
+    * decode the five predefined XML entities, collapse whitespace. Every
+    * pattern stays in the Java/RE2-shared regex subset (alternation,
+    * lazy quantifiers, (?is) flags — no backreferences, no lookarounds),
+    * and entity decoding is non-regex `replace`, so a SQL oracle replays
+    * the transform byte-for-byte. &amp; decodes LAST — decoding it
+    * earlier would conjure entities out of literal text like
+    * `&amp;lt;`. Per-row, shuffle-free. */
+  def stripHtml(df: DataFrame, textCol: String): DataFrame = {
+    val noScript = regexp_replace(col(textCol),
+      lit("(?is)<(script|style)[^>]*>.*?</(script|style)>"), lit(" "))
+    val noTags = regexp_replace(noScript, lit("<[^>]+>"), lit(" "))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    df.withColumn("clean_text",
+      trim(regexp_replace(decoded, lit("\\s+"), lit(" "))))
+  }
+
   /** Per-document Shannon entropy of the character distribution (nats):
     * H = −Σ_c (k_c/n)·ln(k_c/n). A low-entropy document is repetitive or
     * templated (the cheap proxy for "would gzip well" that curation

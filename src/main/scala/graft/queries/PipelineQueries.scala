@@ -293,6 +293,37 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("entropy"), 6).as("entropy_r"))
         .orderBy("doc_id")),
 
+    // ---- text extraction: HTML -> text (the crawl WET step). Docs are
+    // wrapped in a deterministic HTML shell (style/script subtrees, tags,
+    // entities) and must come back exactly; the script body contains a
+    // literal "<p>" so subtree removal is provably ordered before tag
+    // stripping ------------------------------------------------------------
+    "hx01_html_strip" -> ((s, d) => {
+      val wrapped = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><head><style>p{color:red}</style></head>" +
+          "<body class=\"m\"><p>&quot;"),
+        col("text"),
+        lit("&quot; &amp;amp; <b>tail</b><script type=\"text/js\">" +
+          "var x = \"<p>\";</script></body></html>")).as("text"))
+      TextAnalysis.stripHtml(wrapped, "text")
+        .select(col("doc_id"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- decontamination: exact-substring (verbatim leakage / canary
+    // strings — the stricter companion to dc01's n-gram overlap) ------------
+    "dc02_exact_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val snippets = docs.where(col("doc_id") % 100 === 7)
+        .select(substring(col("text"), 10, 40).as("snippet"))
+        .where(length(col("snippet")) === 40)
+      graft.operators.Contamination.exactContainsReport(
+        docs.where(col("doc_id") % 100 =!= 7), "doc_id", "text",
+        snippets, "snippet")
+        .select("doc_id", "n_hits", "contaminated")
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: blocklist filter (C4 bad-words stage) --------------
     "bf01_blocklist_filter" -> ((s, d) =>
       TextAnalysis.blocklistFilter(Tables.documents(s, d), "doc_id", "text",
@@ -1646,6 +1677,43 @@ object PipelineQueries {
         |    AS entropy_r
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // HTML-strip replay: same shell, same RE2-subset patterns with the
+    // 'g' flag, same entity replace chain (&amp; last), same collapse
+    "hx01_html_strip" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style></head>' ||
+        |    '<body class="m"><p>&quot;' || text ||
+        |    '&quot; &amp;amp; <b>tail</b><script type="text/js">' ||
+        |    'var x = "<p>";</script></body></html>' AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
+        |  FROM w),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t
+        |  FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&amp;', '&') AS t
+        |  FROM s2)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // exact-contamination replay: benchmark snippet list as a scalar,
+    // per-doc contains count
+    "dc02_exact_contamination" ->
+      """WITH sn AS (
+        |  SELECT DISTINCT substring(text, 10, 40) AS s FROM documents
+        |  WHERE doc_id % 100 = 7 AND length(substring(text, 10, 40)) = 40),
+        |snl AS (SELECT coalesce(list(s), []) AS ss FROM sn)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ss, x -> contains(text, x))) AS BIGINT)
+        |    AS n_hits,
+        |  len(list_filter(ss, x -> contains(text, x))) > 0 AS contaminated
+        |FROM documents, snl WHERE doc_id % 100 <> 7
+        |ORDER BY doc_id""".stripMargin,
 
     // blocklist replay: the literal lowercase phrase list, matched terms
     // in list order, first match or ''

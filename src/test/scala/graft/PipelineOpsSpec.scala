@@ -149,6 +149,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s1.count(_ <= 20) >= 8)
   }
 
+  test("stripHtml: script subtree removed before tags, entities decoded, &amp; last") {
+    val df = Seq(
+      (1L, """<p>a &lt;b&gt; c</p><script>if (1<2) { x("<div>"); }</script> d"""),
+      (2L, """x &amp;lt; y"""), // &amp; decodes LAST -> literal "&lt;" survives
+      (3L, """<style a="b">p{}</style>ok   done""")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripHtml(df, "text")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "a <b> c d")
+    assert(out(2L) == "x &lt; y")
+    assert(out(3L) == "ok done")
+  }
+
+  test("exact-contains contamination: verbatim hit flagged, zero-hit rows kept") {
+    val train = Seq((1L, "the quick brown fox jumps"),
+      (2L, "nothing to see here")).toDF("doc_id", "text")
+    val sn = Seq("quick brown", "absent snippet").toDF("snippet")
+    val out = graft.operators.Contamination
+      .exactContainsReport(train, "doc_id", "text", sn, "snippet")
+      .select("doc_id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 0L, false)))
+  }
+
   test("charEntropy: uniform alphabet hits ln(k), single char is 0, empty is 0") {
     val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.charEntropy(df, "text", "doc_id")
