@@ -250,10 +250,20 @@ object Dedup {
     * sparse by construction — LSH already bounded candidate fan-out — so
     * the diameter (and round count) stays single-digit on real corpora.
     *
+    * An ADAPTIVE fast path mirrors AQE's spirit: the edge count is
+    * already materialized for the persist, and when it is under
+    * `driverThreshold` the whole graph is collected and solved with
+    * union-find on the driver — identical min-label output, zero
+    * iteration jobs. Near-dup edge sets are small relative to the corpus
+    * by construction (only duplicates produce pairs), so this path
+    * carries most real runs; the distributed fixpoint remains the
+    * unbounded-scale path and is exercised directly by spec.
+    *
     * Output: (`idCol`, `component`) for every node that appears in `pairs`,
     * component = min node id reachable. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          driverThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // pairs is referenced twice by the symmetric union; persist it for the
     // one job that materializes edges so an expensive upstream (a full
@@ -264,8 +274,35 @@ object Dedup {
     val edges = p.select(col(aCol).as("_src_"), col(bCol).as("_dst_"))
       .union(p.select(col(bCol), col(aCol)))
       .distinct().repartition(col("_dst_")).persist()
-    edges.count()
+    val nEdges = edges.count()
     p.unpersist()
+    // long ids only: the fast path materializes (Long, Long) and must not
+    // silently change the output schema for other id types
+    val longIds = pairs.schema(aCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    if (nEdges <= driverThreshold && longIds) {
+      import spark.implicits._
+      val es = edges.select(col("_src_").cast("long"), col("_dst_").cast("long"))
+        .as[(Long, Long)].collect() // bounded by driverThreshold
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so the final root IS the min-label component
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val out = parent.keys.toArray.sorted.map(id => (id, find(id)))
+      return spark.createDataset(out.toSeq)
+        .toDF("id", "component")
+    }
     var labels = edges.select(col("_src_").as("_id_"))
       .distinct().withColumn("_lbl_", col("_id_")).localCheckpoint()
     var converged = false

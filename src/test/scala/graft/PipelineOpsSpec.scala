@@ -974,12 +974,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-    // a longer path needs multiple propagation rounds to converge
+    // a longer path needs multiple propagation rounds to converge; force
+    // the DISTRIBUTED fixpoint (driverThreshold = 0) so both paths are
+    // exercised, and assert it equals the driver union-find fast path
     val path = (1L to 8L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
-    val comp2 = graft.operators.Dedup.connectedComponents(path, "id_a", "id_b")
+    val distributed = graft.operators.Dedup
+      .connectedComponents(path, "id_a", "id_b", driverThreshold = 0L)
       .as[(Long, Long)].collect().toMap
-    assert(comp2 == (1L to 8L).map(_ -> 1L).toMap)
+    val fast = graft.operators.Dedup
+      .connectedComponents(path, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == (1L to 8L).map(_ -> 1L).toMap)
+    assert(fast == distributed)
   }
 
   test("chunking: sliding windows with overlap, short docs yield one chunk") {
