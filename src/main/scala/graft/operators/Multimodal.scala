@@ -400,6 +400,64 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Nearest-neighbor image resize — the normalize-before-training step
+    * (every vision pipeline feeds fixed-dimension tensors). Decode is
+    * REAL (`javax.imageio`), the resample is pure integer index math
+    * (src pixel = (x·inW)/outW, (y·inH)/outH — floor division, so the
+    * mapping is engine-exact and retry-stable), and the result
+    * re-encodes as PNG through the JDK writer. Corrupt/null bytes
+    * quarantine to null output columns (same contract as
+    * [[extractFeatures]]). Batched mapPartitions; the oracle gates the
+    * metadata projection (dims) and the pixel mapping is spec-asserted
+    * against the synthetic gradient. */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int,
+                   batchSize: Int = 256): DataFrame = {
+    require(outW > 0 && outH > 0, "target dims must be positive")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("in_width", IntegerType),
+      StructField("in_height", IntegerType),
+      StructField("out_width", IntegerType),
+      StructField("out_height", IntegerType),
+      StructField("out_bytes", org.apache.spark.sql.types.BinaryType)))
+    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          val img =
+            if (bytes == null) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Row(r.getAs[Long]("media_id"), null, null, null, null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val out = new java.awt.image.BufferedImage(outW, outH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val opx = new Array[Int](outW * outH)
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) {
+                opx(y * outW + x) = px(sy * w + x * w / outW)
+                x += 1
+              }
+              y += 1
+            }
+            out.setRGB(0, 0, outW, outH, opx, 0, outW)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row(r.getAs[Long]("media_id"), w, h, outW, outH, bos.toByteArray)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling: emit `nFrames` rows per media row (frame_index,
     * total container frames, per-frame features) — the explode-shaped
     * output of a frame sampler. For video mimes this is REAL: the AVI

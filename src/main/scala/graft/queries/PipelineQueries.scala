@@ -674,6 +674,25 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // ---- multimodal: REAL nearest-neighbor resize (decode -> integer
+    // index remap -> PNG re-encode). Oracle gates the dims projection +
+    // re-decode success; the pixel mapping is spec-asserted against the
+    // synthetic gradient -----------------------------------------------------
+    "mm05_image_resize" -> ((s, d) => {
+      val stage = graft.sources.Scratch.sharedDir("media",
+        s"mm01_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        graft.operators.Multimodal.syntheticMedia(
+          Tables.documents(s, d).select("doc_id"), "doc_id")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val media = s.read.parquet(stage)
+      graft.operators.Multimodal.resizeImages(media, outW = 16, outH = 16)
+        .select(col("media_id"), col("in_width"), col("in_height"),
+          col("out_width"), col("out_height"),
+          col("out_bytes").isNotNull.as("encoded"))
+        .orderBy("media_id")
+    }),
+
     // ---- multimodal: REAL audio decode (javax.sound.sampled WAV) ----------
     // metadata projection + decode-success flags are the oracle-gated part
     // (the RMS features themselves are spec-asserted bit-exactly against
@@ -2190,6 +2209,15 @@ object PipelineQueries {
     "mm01_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/png' AS mime,
         | CAST((doc_id % 4) * 16 + 16 AS INTEGER) AS width, 16 AS feat_dim
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // resize replay: in-dims from the synthetic formulas, out-dims fixed,
+    // every row must have re-encoded successfully
+    "mm05_image_resize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        | CAST((doc_id % 4) * 16 + 16 AS INTEGER) AS in_width,
+        | CAST((doc_id % 3) * 16 + 16 AS INTEGER) AS in_height,
+        | 16 AS out_width, 16 AS out_height, true AS encoded
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm02_frame_samples" ->

@@ -619,6 +619,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImageFeatures(Array[Byte](1, 2, 3), 4) == null)
   }
 
+  test("multimodal: resize maps pixels by exact nearest-neighbor index math") {
+    val media = Multimodal.syntheticMedia(spark.range(5, 6).toDF("id"), "id")
+    // media_id 5 -> in 32x48 ((5%4)*16+16, (5%3)*16+16)
+    val out = Multimodal.resizeImages(media, outW = 4, outH = 4)
+      .select("media_id", "in_width", "in_height", "out_bytes")
+      .collect().head
+    assert(out.getInt(1) == 32 && out.getInt(2) == 48)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("out_bytes")))
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.pngBytes(5L, 32, 48)))
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((resized.getRGB(x, y) & 0xFFFFFF) ==
+        (src.getRGB(x * 32 / 4, y * 48 / 4) & 0xFFFFFF),
+        s"pixel ($x,$y) not the nearest-neighbor source pixel")
+    // corrupt bytes quarantine to null columns, not a crash
+    val bad = Multimodal.resizeImages(
+      media.withColumn("bytes", lit(Array[Byte](9, 9, 9))), 4, 4).collect().head
+    assert(bad.isNullAt(5) && bad.isNullAt(1))
+  }
+
   test("multimodal: WAV decode recovers the exact synthesized PCM energy envelope") {
     import graft.operators.Multimodal
     // WAV is lossless 16-bit PCM, so the decoded windowed RMS must equal
