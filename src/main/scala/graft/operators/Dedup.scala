@@ -597,8 +597,15 @@ object Dedup {
       .agg(expr("transform(array_sort(collect_list(struct(_df_, _gram_))), x -> x._gram_)")
         .as("_grams_"))
       .withColumn("_n_", size(col("_grams_")))
+      // every ceil() below subtracts 1e-9 first: double products like
+      // 35 * 0.8 land a hair ABOVE the exact integer (28.000000000000004),
+      // and an unguarded ceil then rounds 28 -> 29, silently shortening
+      // the prefix / tightening a bound past the theorem — which DROPS
+      // true boundary pairs (jaccard exactly t). The epsilon only ever
+      // loosens (more candidates); the exact verify filter keeps output
+      // identical.
       .withColumn("_plen_",
-        (col("_n_") - ceil(col("_n_") * minJaccard) + 1).cast("int"))
+        (col("_n_") - ceil(col("_n_") * minJaccard - 1e-9) + 1).cast("int"))
       .persist()
     // candidate generation on ids only — the gram arrays join in AFTER the
     // distinct, so the (potentially wide) candidate shuffle carries two
@@ -610,7 +617,8 @@ object Dedup {
       posexplode(slice(col("_grams_"), lit(1), col("_plen_")))
         .as(Seq("_p0_", "_gram_")))
       .select(col("_id_"), col("_n_"), (col("_p0_") + 1).as("_p_"), col("_gram_"))
-    val iMin = ceil((col("_na_") + col("_nb_")) * minJaccard / (1 + minJaccard))
+    val iMin = ceil(
+      (col("_na_") + col("_nb_")) * minJaccard / (1 + minJaccard) - 1e-9)
     val candidates = prefixes
       .select(col("_gram_"), col("_id_").as("id_a"),
         col("_n_").as("_na_"), col("_p_").as("_pa_"))
@@ -618,7 +626,7 @@ object Dedup {
         col("_n_").as("_nb_"), col("_p_").as("_pb_")), "_gram_")
       .where(col("id_a") < col("id_b") &&
         least(col("_na_"), col("_nb_")) >=
-          ceil(greatest(col("_na_"), col("_nb_")) * minJaccard) &&
+          ceil(greatest(col("_na_"), col("_nb_")) * minJaccard - 1e-9) &&
         least(col("_pa_"), col("_pb_")) - 1 + 1 +
           least(col("_na_") - col("_pa_"), col("_nb_") - col("_pb_")) >= iMin)
       .select("id_a", "id_b").distinct()
@@ -632,7 +640,7 @@ object Dedup {
       // with incompatible gram-set sizes drop BEFORE the O(|a|+|b|)
       // intersection — the verify stage's dominant cost on long documents
       .where(least(col("_na_"), col("_nb_")) >=
-        ceil(greatest(col("_na_"), col("_nb_")) * minJaccard))
+        ceil(greatest(col("_na_"), col("_nb_")) * minJaccard - 1e-9))
       .withColumn("_inter_", size(array_intersect(col("_ga_"), col("_gb_"))))
       .withColumn("jaccard",
         col("_inter_") / (col("_na_") + col("_nb_") - col("_inter_")))

@@ -989,6 +989,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(segEx(1L) == 3L)
   }
 
+  test("ngramJaccard equals brute force on random corpora, including exact-boundary pairs") {
+    // seeded random word-salad over a tiny vocab plus PLANTED boundary
+    // pairs whose jaccard is EXACTLY the threshold — the case an
+    // unguarded float ceil in the candidate filters silently drops
+    // (35 * 0.8 = 28.000000000000004 -> ceil 29)
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val randomDocs = (1L to 30L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // planted: doc 101's distinct trigram set (28 grams) fully inside doc
+    // 102's (35 grams): jaccard = 28/35 = 0.8 exactly
+    val w = (1 to 37).map(k => s"w$k") // 37 tokens -> 35 distinct trigrams
+    val planted = Seq((101L, w.take(30).mkString(" ")), // 28 trigrams
+      (102L, w.mkString(" ")))
+    for (t <- Seq(0.5, 0.8)) {
+      val df = (randomDocs ++ planted).toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .ngramJaccardPairs(df, "text", "doc_id", n = 3, minJaccard = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // brute force over exact distinct-gram sets in plain Scala
+      val gramSets = (randomDocs ++ planted).map { case (id, text) =>
+        val toks = text.split(" ")
+        val gs = (if (toks.length < 3) Seq(toks.mkString(" "))
+          else toks.sliding(3).map(_.mkString(" ")).toSeq).toSet
+        (id, gs)
+      }
+      val want = (for {
+        (ia, ga) <- gramSets; (ib, gb) <- gramSets if ia < ib
+        i = (ga & gb).size
+        if i.toDouble / (ga.size + gb.size - i) >= t
+      } yield (ia, ib)).toSet
+      assert(got == want, s"t=$t: missing ${want -- got}, extra ${got -- want}")
+      if (t == 0.8) assert(want.contains((101L, 102L)), "planted boundary pair lost")
+    }
+  }
+
   test("connected components: chains merge, separate clusters stay apart") {
     // chain 1-2-3 (transitive: pair (1,3) is absent) + island pair (10,11)
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
