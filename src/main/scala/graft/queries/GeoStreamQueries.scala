@@ -200,6 +200,35 @@ object GeoStreamQueries {
     // per-batch names = idempotent under retries); the gate reads every
     // shard back and checks the full key set + byte lengths. That check is
     // batch-split-independent, so the oracle is a plain batch replay
+    // ---- streaming ingest with incremental dedup: the production shape —
+    // each micro-batch dedups against the STANDING corpus on disk (bounded
+    // state: digests live in the corpus files, not executor memory — cf.
+    // sm02's in-memory dropDuplicates state) and appends its survivors.
+    // Arrival is pinned to doc_id order by the landing zone, so the final
+    // corpus IS the batch keep-first dedup — a plain SQL oracle ---------------
+    "sm08_stream_ingest_dedup" -> ((s, d) => {
+      val stage = documentsLandingZone(s, d)
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+      val corpusDir = graft.sources.Scratch.dir(s, "ingest",
+        s"sm08_${System.nanoTime}")
+      var seeded = false
+      Streams.runForeachBatch(stream.select(col("doc_id"), col("text")),
+        (batch, _) => {
+          val sp = batch.sparkSession
+          val corpus =
+            if (seeded) sp.read.parquet(corpusDir)
+            else sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema)
+          graft.operators.Dedup.exactIncremental(batch, corpus, "text", "doc_id")
+            .write.mode(if (seeded) "append" else "overwrite").parquet(corpusDir)
+          seeded = true
+        })
+      s.read.parquet(corpusDir)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+        .orderBy("doc_id")
+    }),
+
     "sm07_stream_to_shards" -> ((s, d) => {
       val stage = documentsLandingZone(s, d)
       val schema = s.read.parquet(stage).schema
@@ -416,6 +445,15 @@ object GeoStreamQueries {
     "sm07_stream_to_shards" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // streamed incremental-dedup replay: arrival pinned to doc_id order
+    // makes the standing-corpus admission equal global keep-first
+    "sm08_stream_ingest_dedup" ->
+      """SELECT doc_id, md5(text) AS text_hash FROM (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Watermarked stream-stream replay: ordered arrival + 2h watermark
     // (wider than the 1h band) means eviction never races a possible
