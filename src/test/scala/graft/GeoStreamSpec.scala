@@ -36,6 +36,36 @@ class GeoStreamSpec extends AnyFunSuite {
     assert(out == Seq(1L))
   }
 
+  test("grid point-in-polygon equals direct all-pairs on random data, any cell size") {
+    // the grid join must be a pure optimization: whatever the cell pitch
+    // (including one that splits polygons across many cells), the result
+    // set equals testing every (point, polygon) pair directly
+    val rnd = new scala.util.Random(11)
+    val ptRows = (1L to 60L).map(i =>
+      (i, rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+    val polyRows = (100L to 115L).map { id =>
+      val cx = rnd.nextDouble() * 10
+      val cy = rnd.nextDouble() * 10
+      (id, Seq(cx, cy, cx + 0.5 + rnd.nextDouble() * 3, cy + rnd.nextDouble(),
+        cx + rnd.nextDouble(), cy + 0.5 + rnd.nextDouble() * 3))
+    }
+    val want = (for {
+      (pid, x, y) <- ptRows
+      (id, ring) <- polyRows
+      xs = ring.indices.collect { case i if i % 2 == 0 => ring(i) }.toArray
+      ys = ring.indices.collect { case i if i % 2 == 1 => ring(i) }.toArray
+      if Geo.pointInRing(x, y, xs, ys)
+    } yield (pid, id)).toSet
+    assert(want.nonEmpty, "fixture degenerate: no containment at all")
+    val pts = ptRows.toDF("pid", "x", "y")
+    val polys = Geo.withBbox(polyRows.toDF("poly_id", "ring"))
+    for (cs <- Seq(0.0, 0.7, 5.0)) {
+      val got = Geo.pointInPolygonJoin(pts, "x", "y", polys, cellSize = cs)
+        .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"cellSize=$cs: missing ${want -- got}, extra ${got -- want}")
+    }
+  }
+
   test("checkpoint: roundtrip with parquet-illegal column names") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val df = Seq((1, "a"), (2, "b")).toDF("my col,x", "t=v;{}")
