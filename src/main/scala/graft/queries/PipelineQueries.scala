@@ -276,6 +276,28 @@ object PipelineQueries {
         .orderBy("epoch", "lang")
     }),
 
+    // ---- composition capstone for the round-8 tier: entropy quality
+    // filter -> DSIR weights fit on the SURVIVORS -> Gumbel-max resample
+    // -> per-domain cap. Each stage is individually gated; this gates the
+    // chain (including that the DSIR model refits on the filtered pool) --
+    "pp07_curation_v2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = docs.join(
+        TextAnalysis.charEntropy(docs, "text", "doc_id")
+          .where(col("entropy") >= 2.85).select("doc_id"), "doc_id")
+      val w = graft.operators.Dsir.importanceWeights(kept, "text", "doc_id",
+        isTarget = col("lang") === "en", buckets = 64)
+      val sample = graft.operators.Dsir.resampleTopK(w, "doc_id", "weight",
+        k = 100, seed = 5L)
+      val withSrc = sample.join(docs.select("doc_id", "source"), "doc_id")
+      graft.operators.Sampling.perDomainCap(withSrc, "source", "sample_key",
+        "doc_id", cap = 5)
+        .select(col("doc_id"), col("source"),
+          col("rank").cast(IntegerType).as("rank"),
+          col("domain_rank").cast(IntegerType).as("domain_rank"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- sampling: per-domain quota cap (anti-monoculture stage; rows
     // retained with rank + keep so audits can see what the cap dropped) ------
     "dm01_domain_cap" -> ((s, d) =>
@@ -1668,6 +1690,93 @@ object PipelineQueries {
         |FROM cum c JOIN budgets b ON b.lang = c.lang
         |WHERE c.cum_tokens <= b.b
         |GROUP BY b.epoch, c.lang ORDER BY b.epoch, c.lang""".stripMargin,
+
+    // curation-v2 replay: ts08's entropy chain filters the pool, ds02's
+    // DSIR machinery refits on the survivors, ds03's Gumbel key (seed 5:
+    // doc_id + 5·γ mod 2⁶⁴ = +1663341875487337577), dm01's cap window
+    "pp07_curation_v2" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |eagg AS (
+        |  SELECT doc_id, list(k ORDER BY c) AS ks, sum(k) AS n
+        |  FROM cnt GROUP BY doc_id),
+        |ent AS (
+        |  SELECT doc_id, -list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    [(k / n) * ln(k / n) FOR k IN ks]), (x, y) -> x + y) AS e
+        |  FROM eagg),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.text
+        |  FROM documents d JOIN ent ON ent.doc_id = d.doc_id
+        |  WHERE ent.e >= 2.85),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+        |  FROM kept),
+        |bl AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(list_transform(list_transform(list_transform(w,
+        |      t -> list_reduce(list_prepend(CAST(7 AS UHUGEINT),
+        |             [CAST(unicode(c) AS UHUGEINT)
+        |              FOR c IN string_split(t, '')]),
+        |             (a, x) -> (31 * a + x)
+        |               % CAST(18446744073709551616 AS UHUGEINT))),
+        |      h -> (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |           % CAST(18446744073709551616 AS UHUGEINT)),
+        |      h -> (xor(h, h >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |           % CAST(18446744073709551616 AS UHUGEINT)),
+        |      h -> CAST(xor(h, h >> 31) % 64 AS INT)) AS bs
+        |  FROM toks),
+        |flat AS (SELECT doc_id, lang, unnest(bs) AS b FROM bl),
+        |st0 AS (
+        |  SELECT b, count(*) AS s_cnt,
+        |    count(*) FILTER (WHERE lang = 'en') AS t_cnt
+        |  FROM flat GROUP BY b),
+        |st AS (
+        |  SELECT r.b, coalesce(s_cnt, 0) AS s_cnt, coalesce(t_cnt, 0) AS t_cnt
+        |  FROM range(0, 64) r(b) LEFT JOIN st0 ON st0.b = r.b),
+        |tot AS (SELECT sum(s_cnt) AS s_tot, sum(t_cnt) AS t_tot FROM st),
+        |lr AS (
+        |  SELECT list(ln((t_cnt + 1.0) * (s_tot + 64)
+        |                 / ((s_cnt + 1.0) * (t_tot + 64))) ORDER BY b) AS a
+        |  FROM st, tot),
+        |wt AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [a[b + 1] FOR b IN bs]), (x, y) -> x + y) AS weight
+        |  FROM bl, lr),
+        |g AS (
+        |  SELECT doc_id, weight, xor(p2, p2 >> 31) >> 11 AS h FROM (
+        |    SELECT doc_id, weight,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT doc_id, weight,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT doc_id, weight,
+        |              CAST(doc_id AS UHUGEINT) +
+        |                CAST(1663341875487337577 AS UHUGEINT) AS p0
+        |            FROM wt)))),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    weight + (-ln(-ln((CAST(h AS DOUBLE) + 0.5)
+        |                      / 9007199254740992))) AS sample_key
+        |  FROM g),
+        |topk AS (
+        |  SELECT doc_id, sample_key,
+        |    row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rank
+        |  FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100),
+        |capd AS (
+        |  SELECT t.doc_id, d.source, t.rank,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY t.sample_key DESC, t.doc_id) AS drk
+        |  FROM topk t JOIN documents d ON d.doc_id = t.doc_id)
+        |SELECT doc_id, source, CAST(rank AS INTEGER) AS rank,
+        |  CAST(drk AS INTEGER) AS domain_rank, drk <= 5 AS keep
+        |FROM capd ORDER BY doc_id""".stripMargin,
 
     // domain-cap replay: one window, best-quality-first rank per source
     "dm01_domain_cap" ->
