@@ -49,7 +49,8 @@ object ExplainAudit {
         "dd11_semantic_dedup", "ds02_dsir_weights", "ds03_dsir_resample",
         "dm01_domain_cap", "cr02_robots_filter", "ts08_char_entropy",
         "bp03_tokenize_ids", "dd12_incremental_neardup",
-        "pp06_anneal_schedule")
+        "pp06_anneal_schedule", "hx01_html_strip",
+        "dc02_exact_contamination", "pp07_curation_v2")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
