@@ -150,15 +150,21 @@ object Bench {
     val headline = Set("dd03", "dd05", "dd06", "fz01", "fz02", "ann01",
       "ann02", "sm01", "sm05", "mm01", "gr01", "bm01", "bp02", "ck01",
       "pk01", "pp05", "geo01", "sk01", "bk01", "tr02", "ts01", "cr01")
-    val qJson = results.collect {
+    // if the headline set ever outgrows the tail-window budget, DROP
+    // entries from the end rather than failing — a crashed Bench leaves
+    // the round with no artifact at all, strictly worse than a shorter
+    // inline map (the full map is in the per-query file regardless)
+    def lineFor(entries: Seq[String]): String = {
+      val qJson = entries.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$nErrors,"queries":$qJson,"sf":"$sfDir","per_query_file":"${outPath.toString}"}"""
+    }
+    var inline = results.collect {
       case (k, v) if k.startsWith("q") || headline(k.takeWhile(_ != '_')) =>
         "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f"
-    }.mkString("{", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$nErrors,"queries":$qJson,"sf":"$sfDir","per_query_file":"${outPath.toString}"}"""
-    require(line.length < 1500,
-      s"bench stdout line is ${line.length} B; the driver tail window " +
-        "clips ~2.6 KB minus sbt's trailing output — trim the headline set")
-    println(line)
+    }
+    while (lineFor(inline).length >= 1500 && inline.nonEmpty)
+      inline = inline.init
+    println(lineFor(inline))
     spark.stop()
   }
 }
