@@ -194,12 +194,15 @@ object BpeTrainer {
     * (word_pos, piece_pos)); the dictionary shortcut composes because
     * segmentation is a pure per-word function.
     * Output: (idCol, token_ids array<int>). */
-  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
-                    merges: Seq[Merge]): DataFrame = {
-    val ordered = merges.sortBy(_.rank)
-    // base symbols via the same SQL charization train() uses, so the
-    // vocabulary is a pure function of (corpus, merges); bounded collect —
-    // the result is the alphabet
+  /** Broadcastable tokenizer state shared by [[tokenizeToIds]] and
+    * [[tokenizeToIdsMemoized]]: merge rank maps + the fitted vocabulary.
+    * Base symbols come from the same SQL charization train() uses, so
+    * the vocabulary is a pure function of (corpus, merges); the collect
+    * is bounded — its result is the alphabet. Merge outputs take ids
+    * 0..M−1 in rank order (first wins = min id on piece collisions);
+    * single-char base symbols never collide with a (>= 2-char) merge. */
+  private def tokenizerState(df: DataFrame, textCol: String,
+                             ordered: Seq[Merge]) = {
     val baseChars = df
       .select(explode(split(col(textCol), "\\s+")).as("_w_"))
       .where(col("_w_") =!= "")
@@ -211,17 +214,21 @@ object BpeTrainer {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
       ordered.zipWithIndex.foreach { case (mg, i) =>
         val p = mg.left + mg.right
-        if (!m.contains(p)) m(p) = i // rank order => first wins = min id
+        if (!m.contains(p)) m(p) = i
       }
-      baseChars.zipWithIndex.foreach { case (c, j) =>
-        m(c) = ordered.size + j // single char never collides with a merge
-      }
+      baseChars.zipWithIndex.foreach { case (c, j) => m(c) = ordered.size + j }
       m.toMap
     }
-    val bc = df.sparkSession.sparkContext.broadcast((
+    df.sparkSession.sparkContext.broadcast((
       ordered.map(m => (m.left, m.right) -> m.rank).toMap,
       ordered.map(m => m.rank -> ((m.left, m.right))).toMap,
       vocab))
+  }
+
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[Merge]): DataFrame = {
+    val ordered = merges.sortBy(_.rank)
+    val bc = tokenizerState(df, textCol, ordered)
     val idsUdf = udf { (text: String) =>
       val (ranks, pairs, v) = bc.value
       text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
@@ -229,5 +236,36 @@ object BpeTrainer {
       }.toArray
     }
     df.select(col(idCol), idsUdf(col(textCol)).as("token_ids"))
+  }
+
+  /** [[tokenizeToIds]]'s corpus-scale lane (bit-identical output,
+    * asserted by spec): segmentation+id-mapping runs once per DISTINCT
+    * word — the dictionary shortcut [[segmentCounts]] uses — and the
+    * per-document arrays reassemble through a positional explode /
+    * ordered regroup, so word repetition across a 100 TB corpus costs a
+    * dictionary join instead of re-running the merge scan per
+    * occurrence. */
+  def tokenizeToIdsMemoized(df: DataFrame, idCol: String, textCol: String,
+                            merges: Seq[Merge]): DataFrame = {
+    val ordered = merges.sortBy(_.rank)
+    val bc = tokenizerState(df, textCol, ordered)
+    val wordIds = udf { (w: String) =>
+      val (ranks, pairs, v) = bc.value
+      applyMerges(w, ranks, pairs).map(p => v.getOrElse(p, -1)).toArray
+    }
+    val words = df.select(col(idCol),
+      posexplode(filter(split(col(textCol), "\\s+"), w => w =!= ""))
+        .as(Seq("_wp_", "_w_")))
+    val dict = words.select("_w_").distinct()
+      .select(col("_w_"), wordIds(col("_w_")).as("_ids_"))
+    val rebuilt = words.join(dict, "_w_")
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_wp_"), col("_ids_")))),
+        x => x("_ids_"))).as("token_ids"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<int>")).as("token_ids"))
   }
 }

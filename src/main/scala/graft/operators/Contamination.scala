@@ -54,11 +54,10 @@ object Contamination {
     *
     * Scale: snippets broadcast (benchmark-sized, tiny next to the
     * corpus); the scan is one pass over training text. The per-row cost
-    * is |snippets| substring searches — at a real snippet count compile
-    * the broadcast set into one Aho-Corasick automaton inside a
-    * mapPartitions (same output, one pass per char); the declarative
-    * contains-join below IS that semantics and keeps the oracle gate.
-    * Output: (trainId, n_hits, contaminated). */
+    * is |snippets| substring searches — at a real snippet count use
+    * [[exactContainsReportAC]] (one automaton pass per char, identical
+    * output); the declarative contains-join below IS the gated
+    * semantics. Output: (trainId, n_hits, contaminated). */
   def exactContainsReport(train: DataFrame, trainId: String,
                           trainText: String, snippets: DataFrame,
                           snippetCol: String): DataFrame = {
@@ -70,6 +69,77 @@ object Contamination {
     train.select(col(trainId))
       .join(hits, Seq(trainId), "left")
       .na.fill(0L, Seq("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Aho-Corasick trie with BFS failure links (Aho & Corasick '75,
+    * public algorithm): matches ALL patterns against a text in one
+    * left-to-right pass, independent of pattern count. Built once on the
+    * driver from the (benchmark-sized) snippet set, broadcast to
+    * executors. `matchedDistinct` returns how many DISTINCT patterns
+    * occur — exactly the contains-join's count. */
+  private[operators] final class AhoCorasick(patterns: Array[String])
+      extends Serializable {
+    import scala.collection.mutable
+    private val next = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    private val out = mutable.ArrayBuffer(mutable.BitSet.empty)
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { ch =>
+        s = next(s).getOrElseUpdate(ch, {
+          next += mutable.HashMap.empty[Char, Int]
+          out += mutable.BitSet.empty
+          next.size - 1
+        })
+      }
+      out(s) += pi
+    }
+    private val fail = Array.fill(next.size)(0)
+    // BFS: child fail = longest proper suffix state; outputs propagate so
+    // a state "knows" every pattern ending at any of its suffixes
+    locally {
+      val q = mutable.Queue.empty[Int]
+      next(0).values.foreach(q.enqueue)
+      while (q.nonEmpty) {
+        val s = q.dequeue()
+        next(s).foreach { case (ch, child) =>
+          var f = fail(s)
+          while (f != 0 && !next(f).contains(ch)) f = fail(f)
+          fail(child) = next(f).get(ch).filter(_ != child).getOrElse(0)
+          out(child) |= out(fail(child))
+          q.enqueue(child)
+        }
+      }
+    }
+    def matchedDistinct(text: String): Int = {
+      val seen = mutable.BitSet.empty
+      var s = 0
+      var i = 0
+      while (i < text.length && seen.size < patterns.length) {
+        val ch = text.charAt(i)
+        while (s != 0 && !next(s).contains(ch)) s = fail(s)
+        s = next(s).getOrElse(ch, 0)
+        if (out(s).nonEmpty) seen |= out(s)
+        i += 1
+      }
+      seen.size
+    }
+  }
+
+  /** [[exactContainsReport]]'s big-snippet-set lane: identical output
+    * (bit-for-bit, asserted by spec), different cost — one automaton
+    * pass per character instead of |snippets| substring searches per
+    * row. The snippet collect is benchmark-sized by contract. */
+  def exactContainsReportAC(train: DataFrame, trainId: String,
+                            trainText: String, snippets: DataFrame,
+                            snippetCol: String): DataFrame = {
+    val pats = snippets.select(col(snippetCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val bc = train.sparkSession.sparkContext.broadcast(new AhoCorasick(pats))
+    val nHits = udf { (t: String) =>
+      if (t == null) 0L else bc.value.matchedDistinct(t).toLong
+    }
+    train.select(col(trainId), nHits(col(trainText)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
 }

@@ -162,6 +162,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(3L) == "ok done")
   }
 
+  test("Aho-Corasick contamination lane equals the contains-join bit-for-bit") {
+    // overlapping/nested patterns stress the failure links: "b" inside
+    // "ab" inside "abc"; "xy" shares a suffix with "zxy"
+    val rnd = new scala.util.Random(3)
+    val alpha = "abcxyz"
+    val train = (1L to 40L).map { i =>
+      (i, Seq.fill(30)(alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("doc_id", "text")
+    val sn = Seq("b", "ab", "abc", "xy", "zxy", "qq").toDF("snippet")
+    val a = graft.operators.Contamination
+      .exactContainsReport(train, "doc_id", "text", sn, "snippet")
+      .select("doc_id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val b = graft.operators.Contamination
+      .exactContainsReportAC(train, "doc_id", "text", sn, "snippet")
+      .select("doc_id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.exists(_._2 > 1), "fixture degenerate: no multi-pattern hit")
+  }
+
+  test("memoized tokenizeToIds equals the per-occurrence lane bit-for-bit") {
+    val df = Seq((1L, "abab ab abab"), (2L, "ba ab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = graft.operators.BpeTrainer.train(df, "text", numMerges = 2)
+    val a = graft.operators.BpeTrainer
+      .tokenizeToIds(df, "doc_id", "text", merges)
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = graft.operators.BpeTrainer
+      .tokenizeToIdsMemoized(df, "doc_id", "text", merges)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+    assert(a(1L).nonEmpty && a(3L).isEmpty)
+  }
+
   test("exact-contains contamination: verbatim hit flagged, zero-hit rows kept") {
     val train = Seq((1L, "the quick brown fox jumps"),
       (2L, "nothing to see here")).toDF("doc_id", "text")
