@@ -332,6 +332,101 @@ object Dedup {
     labels.select(col("_id_").as("id"), col("_lbl_").as("component"))
   }
 
+  /** Star-contraction connected components — the alternating
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC 2014). Same output contract
+    * as [[connectedComponents]] (`(id, component)`, component = min
+    * reachable id), different round complexity: label propagation needs
+    * O(component diameter) rounds, star contraction converges in
+    * O(log² n) rounds w.h.p. REGARDLESS of diameter. Near-dup graphs are
+    * low-diameter, so [[connectedComponents]] (with its driver fast path)
+    * stays the default; this is the 100 TB path for high-diameter inputs —
+    * web link graphs, road networks, long citation chains — where a
+    * diameter-bound fixpoint would run thousands of rounds.
+    *
+    * Both stars are expressed RELATIONALLY — an aggregate for each node's
+    * min neighbor joined back to the edge list — never a per-node
+    * `collect_list` of the neighborhood, so a hub with 10⁸ neighbors is
+    * partial-aggregated map-side instead of materialized as one row (the
+    * usual OOM of naive star implementations; residual join skew on hub
+    * keys is exactly what AQE skew-join splitting handles):
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m(u) = min(Γ(u) ∪ u) — cuts long chains toward minima;
+    *  - small-star(u): u and its smaller neighbors all re-point to
+    *    m⁻(u) = min(Γ⁻(u) ∪ u) — flattens the local trees into stars.
+    * Every emitted edge (x, m) has x > m, so the edge set stays in
+    * canonical (hi, lo) orientation and self-loops never re-enter.
+    * Fixpoint = edge set unchanged over a full round (checked exactly:
+    * equal counts + empty anti-join, two ids-only jobs on a set that is
+    * SHRINKING toward one edge per non-min node); at fixpoint the edges
+    * are depth-1 stars rooted at component minima, so labels read off
+    * directly. Per-round `localCheckpoint` truncates lineage, same
+    * discipline as [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 30): DataFrame = {
+    // one materialization of a possibly-expensive upstream feeds both the
+    // node set and the initial edge set (same discipline as
+    // connectedComponents' persist)
+    val p = pairs.persist()
+    val nodes = p.select(col(aCol).as("id"))
+      .union(p.select(col(bCol))).distinct().localCheckpoint()
+    // canonical orientation: (hi, lo), self-loops dropped
+    var edges = p
+      .select(greatest(col(aCol), col(bCol)).as("_hi_"),
+        least(col(aCol), col(bCol)).as("_lo_"))
+      .where(col("_hi_") =!= col("_lo_"))
+      .distinct().localCheckpoint()
+    var nE = edges.count()
+    p.unpersist()
+    var converged = nE == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: m(u) = least(min Γ(u), u) over the FULL neighborhood
+      // (symmetric view); strictly-larger neighbors re-point to m
+      val sym = edges.select(col("_hi_").as("_u_"), col("_lo_").as("_v_"))
+        .union(edges.select(col("_lo_"), col("_hi_")))
+      val mins = sym.groupBy("_u_").agg(min(col("_v_")).as("_mn_"))
+        .select(col("_u_"), least(col("_mn_"), col("_u_")).as("_m_"))
+      val afterLarge = sym.where(col("_v_") > col("_u_"))
+        .join(mins, "_u_")
+        .select(col("_v_").as("_hi_"), col("_m_").as("_lo_"))
+        .distinct().localCheckpoint()
+      // small-star: canonical (hi, lo) IS the smaller-neighbor adjacency
+      // Γ⁻(hi); m⁻ = min Γ⁻(u) (< u, so the least() with u is implicit);
+      // u and every non-min smaller neighbor re-point to m⁻
+      val minsSmall = afterLarge.groupBy("_hi_").agg(min(col("_lo_")).as("_m_"))
+      val next = afterLarge.join(minsSmall, "_hi_")
+        .where(col("_lo_") =!= col("_m_"))
+        .select(col("_lo_").as("_hi_"), col("_m_").as("_lo_"))
+        .union(minsSmall.select(col("_hi_"), col("_m_")))
+        .distinct().localCheckpoint()
+      val nNext = next.count()
+      // exact fixpoint test on two distinct sets: equal counts + empty
+      // difference (ids-only jobs over a set shrinking toward one edge
+      // per non-min node)
+      converged = nNext == nE &&
+        next.exceptAll(edges).limit(1).count() == 0
+      edges = next
+      nE = nNext
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar: no fixpoint after $maxIter " +
+      "rounds (pathological input — raise maxIter)")
+    // the composite fixpoint is a star forest by Kiveris et al.'s
+    // convergence theorem; assert the depth-1 property (no root is also a
+    // member) so a latent violation fails loudly instead of mislabeling
+    require(edges.alias("a").join(edges.alias("b"),
+      col("a._lo_") === col("b._hi_"), "left_semi").limit(1).count() == 0,
+      "connectedComponentsStar: fixpoint is not a star forest")
+    // stars are (member, min). Minima have no outgoing edge and isolated
+    // nodes (self-pairs in the input) have none either — restore both
+    // from the node set with component = self.
+    nodes
+      .join(edges.select(col("_hi_").as("id"), col("_lo_").as("component")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------

@@ -202,6 +202,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- dedup: star-contraction CC over the SAME pair graph as dd06 —
+    // the O(log² n)-round high-diameter scale path; identical min-label
+    // output, so it shares dd06's recursive-CTE oracle verbatim ------------
+    "dd13_cc_star" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "text",
+        "doc_id", n = 3, minJaccard = 0.8)
+      Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup: quality-aware representative election over dd06 clusters --
     // same pair graph as dd06, but keep = the LONGEST member (n_chars) of
     // each cluster instead of the min id — what a curation pipeline
@@ -2518,6 +2530,36 @@ object PipelineQueries {
     // by recursive CTE — min reachable id per node IS the component label
     // the label-propagation fixpoint converges to
     "dd06_dedup_clusters" ->
+      """WITH RECURSIVE grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                 FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id
+        |)
+        |SELECT id AS doc_id, min(r) AS component, min(r) = id AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // dd13 replay: star contraction computes the SAME min-reachable-id
+    // labels as dd06's propagation fixpoint — one oracle, two algorithms
+    "dd13_cc_star" ->
       """WITH RECURSIVE grams AS (
         |  SELECT doc_id,
         |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')

@@ -1082,6 +1082,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fast == distributed)
   }
 
+  test("star contraction: high-diameter path, random graph, and isolated pairs") {
+    import graft.operators.Dedup
+    // diameter-63 path: label propagation needs ~63 rounds, star
+    // contraction must finish in far fewer (O(log² n)); ids reversed and
+    // sparse so the min is at the FAR end and ids are non-dense
+    val path = (1L to 64L).sliding(2).map(s => (s.head * 7, s.last * 7))
+      .toSeq.toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(path, "id_a", "id_b", maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(star == (1L to 64L).map(i => (i * 7, 7L)).toMap)
+    // random graph with several components: equality with the union-find
+    // fast path of the default implementation
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val viaStar = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val viaProp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar == viaProp)
+    // self-pairs only: node survives with component = self
+    val selfOnly = Seq((5L, 5L), (9L, 9L)).toDF("id_a", "id_b")
+    val s2 = Dedup.connectedComponentsStar(selfOnly, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(s2 == Map(5L -> 5L, 9L -> 9L))
+  }
+
   test("chunking: sliding windows with overlap, short docs yield one chunk") {
     val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7"), (2L, "a b")).toDF("doc_id", "text")
     val r = graft.operators.Packing
