@@ -331,4 +331,68 @@ object Analytics {
           (col("_num_") / col("_dx_")) * col("_sx_").cast("double")) /
           col("n").cast("double")).as("intercept"))
   }
+
+  /** EXACT frequency heavy hitters at bounded shuffle cost — every key
+    * whose count is at least `ceil(N · num / den)` of the N input rows,
+    * with its exact count. The answer equals the naive
+    * `GROUP BY key HAVING count(*) >= t`, but the naive plan shuffles the
+    * FULL distinct-key set — at web scale (URLs, n-grams, user agents)
+    * that distinct set is nearly the data size, and the shuffle is the
+    * job. This is the classic two-pass scheme instead:
+    *
+    *  1. one `mapPartitions` pass runs a Misra–Gries summary with
+    *     k = ceil(den/num) counters per partition. MG's guarantee: any
+    *     key with partition frequency > n_p/(k+1) survives the partition's
+    *     summary, and by averaging any key with GLOBAL frequency
+    *     ≥ N·num/den > N/(k+1) must clear that bar somewhere — so the
+    *     union of per-partition survivors is a SUPERSET of the true heavy
+    *     hitters. Each partition emits one row: (row count, ≤k candidate
+    *     keys). Nothing driver-side; decrement-all is amortized O(1)/row.
+    *  2. an exact recount of candidates only: broadcast the candidate set
+    *     (≤ k·P keys, independent of distinct-key cardinality), hash-join
+    *     it into the scan as a semi-filter, and `groupBy` just the
+    *     surviving rows — map-side partial aggregation means at most
+    *     k·P (key, partial-count) rows ever shuffle.
+    *
+    * The threshold is the RATIONAL fraction num/den evaluated in integer
+    * arithmetic (`(N·num + den − 1) div den`), so the cut replays exactly
+    * in any engine — no float threshold to straddle. Keys are compared by
+    * their string form (the summary's map key); the output keeps the
+    * original column. Output: (`keyCol`, cnt) for keys with
+    * cnt ≥ ceil(N·num/den). */
+  def heavyHitters(df: DataFrame, keyCol: String, num: Long,
+                   den: Long): DataFrame = {
+    require(num > 0 && den >= num, "fraction num/den must be in (0, 1]")
+    val k = ((den + num - 1) / num).toInt // ceil(den/num) >= 1/phi
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("string").as("k")).as[String]
+    // pass 1: per-partition Misra–Gries; one (n_p, survivors) row each
+    val summaries = keyed.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { x =>
+        n += 1
+        counters.get(x) match {
+          case Some(c) => counters.update(x, c + 1)
+          case None if counters.size < k => counters.update(x, 1L)
+          case None => // decrement-all; drop zeroed counters
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters.update(key, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      Iterator.single((n, counters.keys.toSeq))
+    }.toDF("np", "cands").localCheckpoint() // one MG pass feeds N + cands
+    val n = summaries.agg(sum(col("np"))).as[Option[Long]].head.getOrElse(0L)
+    val threshold = (n * num + den - 1) / den
+    val cands = summaries.select(explode(col("cands")).as("k")).distinct()
+    df.join(broadcast(cands), df(keyCol).cast("string") === cands("k"),
+        "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+  }
 }

@@ -25,6 +25,16 @@ object AnalyticsQueries {
         .orderBy("step_idx")
     }),
 
+    // ---- exact heavy hitters: words covering >= 1/400 of all token
+    // occurrences, via per-partition Misra-Gries + exact candidate
+    // recount — the bounded-shuffle form of GROUP BY ... HAVING ----------
+    "hh01_heavy_hitter_words" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+      Analytics.heavyHitters(words, "word", num = 1L, den = 400L)
+        .orderBy(desc("cnt"), col("word"))
+    }),
+
     // ---- retention: weekly cohorts over the event log -------------------
     "rt01_retention_cohorts" -> ((s, d) =>
       Analytics.retentionCohorts(Tables.events(s, d), "user_id", "ts",
@@ -184,6 +194,17 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // hh01 replay: the naive full-shuffle form the two-pass scheme equals;
+    // threshold is the SAME integer ceil-division program
+    "hh01_heavy_hitter_words" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |n AS (SELECT count(*) AS n FROM w)
+        |SELECT word, count(*) AS cnt FROM w, n
+        |GROUP BY word, n.n
+        |HAVING count(*) >= (n.n * 1 + 399) // 400
+        |ORDER BY cnt DESC, word""".stripMargin,
+
     "fu01_funnel_steps" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

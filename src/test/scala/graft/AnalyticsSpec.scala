@@ -18,6 +18,27 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("heavyHitters: equals brute force under adversarial partitioning") {
+    // Zipf-ish stream: key i appears ~ 2000/i times, plus a noise tail of
+    // singletons so the distinct-key set dwarfs the heavy set
+    val rows = (1 to 40).flatMap(i => Seq.fill(2000 / i)(s"k$i")) ++
+      (1 to 3000).map(i => s"noise$i")
+    val brute = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    for (parts <- Seq(1, 7, 32); (num, den) <- Seq((1L, 100L), (1L, 37L))) {
+      val df = spark.createDataset(scala.util.Random.shuffle(rows))
+        .repartition(parts).toDF("key")
+      val got = Analytics.heavyHitters(df, "key", num, den)
+        .as[(String, Long)].collect().toMap
+      val threshold = (n * num + den - 1) / den
+      val want = brute.filter(_._2 >= threshold)
+      assert(got == want, s"parts=$parts num/den=$num/$den t=$threshold")
+    }
+    // empty input → empty result, no divide-by-zero
+    assert(Analytics.heavyHitters(Seq.empty[String].toDF("key"),
+      "key", 1L, 10L).count() == 0)
+  }
+
   test("funnelTimes: strict order, stallers kept, same-ts not counted") {
     val ev = Seq(
       // u1 completes in order
