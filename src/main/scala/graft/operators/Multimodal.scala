@@ -21,7 +21,9 @@ import org.apache.spark.sql.types._
   * envelopes; VIDEO is MJPEG-in-AVI — the RIFF container is demuxed by a
   * hand-rolled parser (the same no-external-libs approach as
   * `sources/Shapefile.scala`) and each frame is a real JPEG decoded by
-  * `javax.imageio`. `decodeStub` remains only for mimes with no codec.
+  * `javax.imageio`; animated GIF is a second real container, demuxed
+  * losslessly through `ImageReader`'s multi-image API. `decodeStub`
+  * remains only for mimes with no codec.
   */
 object Multimodal {
 
@@ -309,6 +311,96 @@ object Multimodal {
     else decodeImageFeatures(frames(frames.length / 2), dim)
   }
 
+  // ------------------------------------------------------------- animated gif
+
+  /** A real, deterministic ANIMATED GIF: `nFrames` solid-gray frames
+    * (gray = [[videoFrameGray]] — the same per-frame formula as the AVI
+    * fixture, so cross-container specs share one expectation) written
+    * through the JDK's own GIF sequence writer with a per-frame
+    * GraphicControlExtension (250 ms delay). Unlike MJPEG, GIF's indexed
+    * palette is LOSSLESS for these frames, so decode assertions are
+    * exact, not tolerance-based — the second fully-real container format
+    * beside AVI. */
+  def gifBytes(id: Long, nFrames: Int, width: Int = 32,
+               height: Int = 24): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { f =>
+      val g = videoFrameGray(id, f)
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(g, g, g))
+      gr.fillRect(0, 0, width, height)
+      gr.dispose()
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = {
+        val kids = root.getChildNodes
+        val found = (0 until kids.getLength).map(kids.item)
+          .find(_.getNodeName == "GraphicControlExtension")
+        found.getOrElse {
+          val n = new IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(n); n
+        }.asInstanceOf[IIOMetadataNode]
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "25") // hundredths of a second
+      gce.setAttribute("transparentColorIndex", "0")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Real GIF frame demux/decode: the JDK `ImageReader`'s multi-image API
+    * (`getNumImages(true)` + `read(i)`) returns every stored frame's
+    * raster. Frames come back AS STORED — compositing partial-rect frames
+    * under GIF disposal modes is a presentation concern; the fixtures (and
+    * normalized ML corpora) store full frames, which need none. Null for
+    * null, non-GIF, or undecodable input — the quarantine contract. */
+  def decodeGifFrames(bytes: Array[Byte]): Array[java.awt.image.BufferedImage] = {
+    if (bytes == null) return null
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      if (!reader.getFormatName.equalsIgnoreCase("gif")) return null
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      if (n <= 0) null else Array.tabulate(n)(reader.read)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private val gifUdf = udf { (id: Long, nf: Int) => gifBytes(id, nf) }
+
+  /** Deterministic animated-GIF media table (mime image/gif, real bytes
+    * per row, 4-6 frames at 4 fps) — the GIF analogue of
+    * [[syntheticVideo]]. */
+  def syntheticGif(df: DataFrame, idCol: String): DataFrame = df
+    .select(col(idCol).cast(LongType).as("media_id"))
+    .withColumn("_nf_", (lit(4) + pmod(col("media_id"), lit(3))).cast(IntegerType))
+    .withColumn("meta", struct(
+      lit("image/gif").as("mime"),
+      lit(32).cast(IntegerType).as("width"),
+      lit(24).cast(IntegerType).as("height"),
+      (col("_nf_").cast(LongType) * 250).as("duration_ms")))
+    .withColumn("bytes", gifUdf(col("media_id"), col("_nf_")))
+    .drop("_nf_")
+
   /** Real image decode + pooling: `javax.imageio` parses the container
     * bytes, then luminance means over `dim` vertical strips (strip s spans
     * columns [s·w/dim, (s+1)·w/dim)) form the feature vector — each value
@@ -323,6 +415,14 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
+    poolLuminance(img, dim)
+  }
+
+  /** Luminance-strip pooling over an already-decoded image — the shared
+    * feature program of every image-bearing codec path (still images, AVI
+    * frames, GIF frames). */
+  private def poolLuminance(img: java.awt.image.BufferedImage,
+                            dim: Int): Array[Float] = {
     val (w, h) = (img.getWidth, img.getHeight)
     val sums = new Array[Double](dim)
     val counts = new Array[Long](dim)
@@ -464,8 +564,11 @@ object Multimodal {
     * is demuxed ([[demuxAviFrames]]), `nFrames` frames are sampled
     * uniformly across the container (frame k reads source frame
     * ⌊k·total/nFrames⌋), and each sampled frame's JPEG decodes through
-    * `javax.imageio`. Non-video mimes keep the stub byte-slice codec
-    * (n_frames_total = null marks the output as stub-derived). */
+    * `javax.imageio`. Animated GIF (mime image/gif) is equally REAL via
+    * [[decodeGifFrames]], same uniform sampling, and lossless — exact
+    * gray assertions instead of JPEG tolerances. Other mimes keep the
+    * stub byte-slice codec (n_frames_total = null marks the output as
+    * stub-derived). */
   def sampleFrames(media: DataFrame, nFrames: Int = 4, dim: Int = 8): DataFrame = {
     val frameUdf = udf { (mime: String, bytes: Array[Byte]) =>
       if (bytes == null) Seq.empty[(Int, Option[Int], Seq[Float])]
@@ -475,6 +578,14 @@ object Multimodal {
         else (0 until nFrames).map { k =>
           val feats = decodeImageFeatures(all(k * all.length / nFrames), dim)
           (k, Some(all.length), if (feats == null) null else feats.toSeq)
+        }
+      } else if (mime == "image/gif") {
+        // animated GIF: equally real — decoded frames, uniform sampling
+        val all = decodeGifFrames(bytes)
+        if (all == null) Seq.empty[(Int, Option[Int], Seq[Float])] // quarantine
+        else (0 until nFrames).map { k =>
+          (k, Some(all.length),
+            poolLuminance(all(k * all.length / nFrames), dim).toSeq)
         }
       } else (0 until nFrames).map { f =>
         val slice = bytes.slice(f * 8, f * 8 + 64)

@@ -768,6 +768,25 @@ object PipelineQueries {
         .orderBy("media_id", "frame_index")
     }),
 
+    // ---- multimodal: animated-GIF frame sampling — the SECOND real
+    // container. GIF is lossless, so the oracle gates the EXACT decoded
+    // gray of every sampled frame (round(strip-0 luminance * 255) must
+    // replay videoFrameGray's integer formula), not just metadata --------
+    "mm06_gif_frames" -> ((s, d) => {
+      val stage = graft.sources.Scratch.sharedDir("media",
+        s"mm06_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        graft.operators.Multimodal.syntheticGif(
+          Tables.documents(s, d).select("doc_id").where(col("doc_id") < 100), "doc_id")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val media = s.read.parquet(stage)
+      graft.operators.Multimodal.sampleFrames(media, nFrames = 4, dim = 4)
+        .select(col("media_id"), col("frame_index"), col("n_frames_total"),
+          round(element_at(col("features"), 1) * 255)
+            .cast(IntegerType).as("gray"))
+        .orderBy("media_id", "frame_index")
+    }),
+
     "mm02_frame_samples" -> ((s, d) => {
       val media = graft.operators.Multimodal.syntheticMedia(
         Tables.documents(s, d).select("doc_id").where(col("doc_id") < 100), "doc_id")
@@ -2353,6 +2372,18 @@ object PipelineQueries {
         | CAST(4 + doc_id % 3 AS INTEGER) AS n_frames_total,
         | 4 AS feat_dim, TRUE AS decoded
         |FROM documents, range(0, 4) t(i)
+        |WHERE doc_id < 100 ORDER BY media_id, frame_index""".stripMargin,
+
+    // mm06 replay: total = 4 + id%3; sampled frame k reads source frame
+    // (k*total)//4; decoded gray must equal 16 + (id*29 + src*31) % 224 —
+    // a full pixel-exact decode gate, possible because GIF is lossless
+    "mm06_gif_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(k AS INTEGER) AS frame_index,
+        |  CAST(4 + doc_id % 3 AS INTEGER) AS n_frames_total,
+        |  CAST(16 + (doc_id * 29 + ((k * (4 + doc_id % 3)) // 4) * 31) % 224
+        |       AS INTEGER) AS gray
+        |FROM documents, range(0, 4) t(k)
         |WHERE doc_id < 100 ORDER BY media_id, frame_index""".stripMargin,
 
     // audio decode gate: metadata replays the synthesis formulas; feat_dim

@@ -719,6 +719,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"$feats vs $expected")
   }
 
+  test("multimodal: animated GIF roundtrips frame count, order, and EXACT grays") {
+    import graft.operators.Multimodal
+    val gif = Multimodal.gifBytes(5L, nFrames = 6)
+    // a real GIF89a container that ImageIO (or any viewer) accepts
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    val frames = Multimodal.decodeGifFrames(gif)
+    assert(frames.length == 6)
+    for ((img, f) <- frames.zipWithIndex) {
+      assert(img.getWidth == 32 && img.getHeight == 24)
+      val g = Multimodal.videoFrameGray(5L, f)
+      // LOSSLESS: every pixel of every frame is the exact synthesis gray
+      val px = img.getRGB(0, 0, 32, 24, null, 0, 32)
+      assert(px.forall(p => (p & 0xFFFFFF) == ((g << 16) | (g << 8) | g)),
+        s"frame $f expected gray $g")
+    }
+    // quarantine contract: garbage, null, truncated, and non-GIF bytes
+    assert(Multimodal.decodeGifFrames(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.decodeGifFrames(null) == null)
+    assert(Multimodal.decodeGifFrames(Multimodal.aviBytes(1L, 2)) == null)
+    // DataFrame path: uniform sampling + exact decoded grays
+    val media = Multimodal.syntheticGif(spark.range(0, 8).toDF("id"), "id")
+    val rows = Multimodal.sampleFrames(media, nFrames = 4, dim = 4)
+      .where($"media_id" === 5).orderBy("frame_index")
+      .select("frame_index", "n_frames_total", "features")
+      .as[(Int, Option[Int], Seq[Float])].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) ==
+      (0 until 4).map(k => (k, Some(4 + 5 % 3))))
+    for ((k, Some(total), feats) <- rows) {
+      val g = Multimodal.videoFrameGray(5L, k * total / 4)
+      assert(feats.forall(v => math.round(v * 255) == g),
+        s"sampled frame $k: $feats vs gray $g")
+    }
+  }
+
   test("multimodal: AVI demux recovers frame count, order, and JPEG gray levels") {
     import graft.operators.Multimodal
     val avi = Multimodal.aviBytes(5L, nFrames = 6)
