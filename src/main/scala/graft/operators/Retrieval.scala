@@ -73,4 +73,46 @@ object Retrieval {
     byDoc.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Exact phrase search over a POSITIONAL inverted index — the "quoted
+    * query" Lucene serves from term position lists, as one relational
+    * program. `phrases` is (phrase_id, phrase); output is one row per
+    * (phrase_id, doc) with `n_matches` = number of occurrences of the
+    * phrase as a CONTIGUOUS token run (overlapping occurrences counted,
+    * matches at any position, multi-word or single-word phrases alike).
+    *
+    * The plan is anchor alignment, constant join-depth in phrase length:
+    * positional postings (doc, pos, term) join the broadcast exploded
+    * phrase terms (phrase_id, ppos, term) on the term, each hit votes for
+    * anchor = pos − ppos, and an anchor where the distinct-position vote
+    * count equals the phrase length is a full match. One broadcast join +
+    * two aggregates TOTAL for any number of phrases of any length — the
+    * naive plan is a LIKE scan of every document per phrase, and the
+    * chained-self-join plan (one join per adjacent term pair) grows with
+    * phrase length and re-shuffles the posting table each step.
+    *
+    * Scale shape: the posting stream shrinks at the broadcast semi-match
+    * (only tokens that appear in some phrase survive); the vote shuffle
+    * keys on (phrase_id, doc, anchor) — ids and ints, never text; doc
+    * text itself is read once. Everything is integer arithmetic, so a SQL
+    * engine replays the result exactly. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrases: DataFrame): DataFrame = {
+    val postings = docs.select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "term")))
+      .where(col("term") =!= "")
+    val pterms = phrases.select(col("phrase_id"),
+        posexplode(split(lower(col("phrase")), "\\s+")).as(Seq("ppos", "term")))
+      .where(col("term") =!= "")
+    val plen = pterms.groupBy("phrase_id").agg(count(lit(1)).as("plen"))
+    val votes = postings.join(broadcast(pterms), "term")
+      .select(col("phrase_id"), col(idCol),
+        (col("pos") - col("ppos")).as("anchor"), col("ppos"))
+    votes.groupBy(col("phrase_id"), col(idCol), col("anchor"))
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(plen), "phrase_id")
+      .where(col("hits") === col("plen") && col("anchor") >= 0)
+      .groupBy(col("phrase_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }

@@ -35,6 +35,18 @@ object AnalyticsQueries {
         .orderBy(desc("cnt"), col("word"))
     }),
 
+    // ---- exact phrase search over positional postings: anchor-alignment
+    // join, constant depth in phrase length; overlapping matches counted
+    // ("a a a"), an out-of-vocabulary phrase yields no rows ---------------
+    "ph01_phrase_search" -> ((s, d) => {
+      import s.implicits._
+      val phrases = Seq((1, "fast table"), (2, "table part"),
+        (3, "scan scan"), (4, "a a a"), (5, "spark flink engine"))
+        .toDF("phrase_id", "phrase")
+      Retrieval.phraseSearch(Tables.documents(s, d), "doc_id", "text", phrases)
+        .orderBy("phrase_id", "doc_id")
+    }),
+
     // ---- retention: weekly cohorts over the event log -------------------
     "rt01_retention_cohorts" -> ((s, d) =>
       Analytics.retentionCohorts(Tables.events(s, d), "user_id", "ts",
@@ -204,6 +216,32 @@ object AnalyticsQueries {
         |GROUP BY word, n.n
         |HAVING count(*) >= (n.n * 1 + 399) // 400
         |ORDER BY cnt DESC, word""".stripMargin,
+
+    // ph01 replay: the same anchor-alignment program — zipped unnest gives
+    // positional tokens, votes group on (phrase, doc, anchor), full
+    // matches have plen votes
+    "ph01_phrase_search" ->
+      """WITH p AS (SELECT * FROM (VALUES (1, 'fast table'),
+        |    (2, 'table part'), (3, 'scan scan'), (4, 'a a a'),
+        |    (5, 'spark flink engine')) t(phrase_id, phrase)),
+        |pt AS (SELECT phrase_id,
+        |         unnest(string_split(lower(phrase), ' ')) AS term,
+        |         unnest(range(len(string_split(lower(phrase), ' ')))) AS ppos
+        |       FROM p),
+        |plen AS (SELECT phrase_id, count(*) AS plen FROM pt GROUP BY phrase_id),
+        |tok AS (SELECT doc_id,
+        |          unnest(string_split(lower(text), ' ')) AS term,
+        |          unnest(range(len(string_split(lower(text), ' ')))) AS pos
+        |        FROM documents),
+        |votes AS (SELECT pt.phrase_id, tok.doc_id, tok.pos - pt.ppos AS anchor
+        |          FROM tok JOIN pt ON tok.term = pt.term),
+        |full_m AS (SELECT v.phrase_id, v.doc_id, v.anchor
+        |           FROM votes v GROUP BY v.phrase_id, v.doc_id, v.anchor
+        |           HAVING count(*) = (SELECT plen FROM plen
+        |                              WHERE plen.phrase_id = v.phrase_id))
+        |SELECT phrase_id, doc_id, count(*) AS n_matches
+        |FROM full_m GROUP BY phrase_id, doc_id
+        |ORDER BY phrase_id, doc_id""".stripMargin,
 
     "fu01_funnel_steps" ->
       """WITH s1 AS (

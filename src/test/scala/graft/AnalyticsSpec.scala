@@ -18,6 +18,22 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("phraseSearch: overlap counting, repeated terms, case fold, edges") {
+    val docs = Seq(
+      (1L, "a a a a"),           // "a a" overlaps 3x; "a a a" overlaps 2x
+      (2L, "X y x Y"),           // case-folded "x y" at 0 and 2
+      (3L, "b"),                 // phrase longer than doc: no match
+      (4L, "a b a b a"),         // "a b a" overlapping at 0 and 2
+      (5L, "")).toDF("doc_id", "text")
+    val phrases = Seq((1, "a a"), (2, "a a a"), (3, "x y"),
+      (4, "a b a"), (5, "b"), (6, "missing term")).toDF("phrase_id", "phrase")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", phrases)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1, 1L, 3L), (2, 1L, 2L), (3, 2L, 2L), (4, 4L, 2L),
+      (5, 3L, 1L), (5, 4L, 2L)))
+  }
+
   test("heavyHitters: equals brute force under adversarial partitioning") {
     // Zipf-ish stream: key i appears ~ 2000/i times, plus a noise tail of
     // singletons so the distinct-key set dwarfs the heavy set
