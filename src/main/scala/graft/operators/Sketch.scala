@@ -109,4 +109,69 @@ object Sketch {
         (((col("est_a") + col("est_b")) - col("est_union"))
           / col("est_union")).as("jaccard_est"))
   }
+
+  // --------------------------------------------------------------- count-min
+
+  /** Per-slot hash for the count-min family: splitmix64 re-mix of the
+    * avalanched base, reduced by UNSIGNED mod (the same
+    * `remainderUnsigned` convention as MinHash, so a DuckDB UHUGEINT `%`
+    * replays it without sign gymnastics). */
+  private val cmBucketUdf = udf { (base: Long, i: Int, width: Int) =>
+    java.lang.Long.remainderUnsigned(
+      graft.functions.TextKernels.mix64(base + i), width.toLong).toInt
+  }
+  private val strHashUdf =
+    udf { (s: String) => graft.functions.TextKernels.polyHash64Mixed(s) }
+
+  /** Count-min frequency sketch (Cormode & Muthukrishnan 2005) — the
+    * mergeable, ORACLE-REPLAYABLE approximate counter: `depth` rows of
+    * `width` integer buckets; item x adds its count to bucket
+    * `mix64(h(x) + i) mod width` in every row i, and the estimate is the
+    * MIN over rows — always ≥ the true count, over by at most
+    * 2N/width with probability 1 − 2^−depth. Complements [[kmvDistinct]]
+    * (distinct cardinality) with frequency mass, and [[Analytics
+    * .heavyHitters]] (exact, two passes) with a one-pass mergeable
+    * summary of EVERY key at O(depth·width) space.
+    *
+    * Plan shape for 100 TB: exact per-key partial counts FIRST (one
+    * map-side-combined aggregate — CMS is linear, so adding a key's total
+    * once equals adding its occurrences one by one), then only DISTINCT
+    * keys are hashed, exploded `depth` ways, and re-aggregated into the
+    * d·w-cell table. The sketch of a union of corpora is the cell-wise
+    * sum — plain `groupBy(row, bucket).sum` over concatenated sketches.
+    * All integer arithmetic: the oracle replays every cell and estimate
+    * bit for bit.
+    *
+    * Output: (`row_i`, `bucket`, `cnt`) — at most depth·width rows. */
+  def countMinBuild(df: DataFrame, keyCol: String, depth: Int,
+                    width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    val counts = df.groupBy(col(keyCol).cast("string").as("_k_"))
+      .agg(count(lit(1)).as("_c_"))
+      .withColumn("_b_", strHashUdf(col("_k_")))
+    counts
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row_i"),
+        col("_b_"), col("_c_"))
+      .select(col("row_i"),
+        cmBucketUdf(col("_b_"), col("row_i"), lit(width)).as("bucket"),
+        col("_c_"))
+      .groupBy("row_i", "bucket")
+      .agg(sum(col("_c_")).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinBuild]] sketch for `probes`
+    * (single column `keyCol`): min over rows of the addressed cells,
+    * 0 for never-bucketed keys. `depth`/`width` must match the build. */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                       depth: Int, width: Int): DataFrame = {
+    val addressed = probes
+      .select(col(keyCol), strHashUdf(col(keyCol).cast("string")).as("_b_"))
+      .select(col(keyCol), col("_b_"),
+        explode(sequence(lit(0), lit(depth - 1))).as("row_i"))
+      .select(col(keyCol), col("row_i"),
+        cmBucketUdf(col("_b_"), col("row_i"), lit(width)).as("bucket"))
+    addressed.join(broadcast(sketch), Seq("row_i", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
 }

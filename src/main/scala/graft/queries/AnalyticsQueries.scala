@@ -35,6 +35,27 @@ object AnalyticsQueries {
         .orderBy(desc("cnt"), col("word"))
     }),
 
+    // ---- count-min sketch: one-pass mergeable frequency summary; point
+    // estimates for probe words (incl. an absent one) next to their exact
+    // counts — the overestimate-only guarantee surfaced as a column ------
+    "cm01_countmin_words" -> ((s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+      // width 16 < the 31-word vocabulary: collisions are guaranteed, so
+      // the overestimate property is exercised for real, not vacuously
+      val sketch = Sketch.countMinBuild(words, "word", depth = 4, width = 16)
+      val probes = Seq("table", "a", "spark", "value", "flink").toDF("word")
+      val exact = words.groupBy("word").agg(count(lit(1)).as("true_cnt"))
+      Sketch.countMinEstimate(sketch, probes, "word", depth = 4, width = 16)
+        .join(exact, Seq("word"), "left")
+        .select(col("word"), col("est_cnt"),
+          coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+          (col("est_cnt") >= coalesce(col("true_cnt"), lit(0L)))
+            .as("overestimate_ok"))
+        .orderBy("word")
+    }),
+
     // ---- exact phrase search over positional postings: anchor-alignment
     // join, constant depth in phrase length; overlapping matches counted
     // ("a a a"), an out-of-vocabulary phrase yields no rows ---------------
@@ -216,6 +237,46 @@ object AnalyticsQueries {
         |GROUP BY word, n.n
         |HAVING count(*) >= (n.n * 1 + 399) // 400
         |ORDER BY cnt DESC, word""".stripMargin,
+
+    // cm01 replay: exact per-word counts, then ONE hash program over
+    // corpus ∪ probe words (UHUGEINT poly fold + splitmix64, re-mixed
+    // per row with +i, unsigned mod width), cell sums, min-over-rows
+    "cm01_countmin_words" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |cnts AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+        |probes AS (SELECT unnest(['table', 'a', 'spark', 'value', 'flink']) AS word),
+        |keys AS (SELECT word FROM cnts UNION SELECT word FROM probes),
+        |ph AS (
+        |  SELECT word, list_reduce(list_prepend(CAST(7 AS UHUGEINT),
+        |    [CAST(unicode(ch) AS UHUGEINT) FOR ch IN string_split(word, '')]),
+        |    (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS UHUGEINT)) AS h
+        |  FROM keys),
+        |b1 AS (SELECT word, (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS h FROM ph),
+        |b2 AS (SELECT word, (xor(h, h >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS h FROM b1),
+        |base AS (SELECT word, xor(h, h >> 31) AS h FROM b2),
+        |g0 AS (SELECT word, i, (h + CAST(i AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS g
+        |       FROM base, range(0, 4) t(i)),
+        |g1 AS (SELECT word, i, (xor(g, g >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS g FROM g0),
+        |g2 AS (SELECT word, i, (xor(g, g >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS g FROM g1),
+        |bkt AS (SELECT word, CAST(i AS INTEGER) AS row_i,
+        |          CAST(xor(g, g >> 31) % 16 AS INTEGER) AS bucket FROM g2),
+        |cells AS (SELECT row_i, bucket, sum(c) AS cnt
+        |          FROM bkt JOIN cnts USING (word) GROUP BY row_i, bucket),
+        |paddr AS (SELECT p.word, b.row_i, b.bucket
+        |          FROM probes p JOIN bkt b ON b.word = p.word),
+        |est AS (SELECT word, min(coalesce(cnt, 0)) AS est_cnt
+        |        FROM paddr LEFT JOIN cells USING (row_i, bucket)
+        |        GROUP BY word)
+        |SELECT e.word, e.est_cnt, coalesce(cnts.c, 0) AS true_cnt,
+        |       e.est_cnt >= coalesce(cnts.c, 0) AS overestimate_ok
+        |FROM est e LEFT JOIN cnts ON cnts.word = e.word
+        |ORDER BY e.word""".stripMargin,
 
     // ph01 replay: the same anchor-alignment program — zipped unnest gives
     // positional tokens, votes group on (phrase, doc, anchor), full

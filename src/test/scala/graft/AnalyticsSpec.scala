@@ -18,6 +18,35 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("countMin: overestimate-only, exact when wide, cell-sum merge") {
+    import graft.operators.Sketch
+    val rows = (1 to 30).flatMap(i => Seq.fill(i * 3)(s"k$i"))
+    val df = spark.createDataset(rows).repartition(5).toDF("key")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = ((1 to 30 by 3).map(i => s"k$i") :+ "absent").toDF("key")
+    // narrow sketch: 30 keys into 8 buckets — collisions guaranteed, but
+    // never an underestimate; absent key stays 0 or collides upward
+    val narrow = Sketch.countMinBuild(df, "key", depth = 3, width = 8)
+    val estN = Sketch.countMinEstimate(narrow, probes, "key", 3, 8)
+      .as[(String, Long)].collect().toMap
+    for ((k, e) <- estN) assert(e >= exact.getOrElse(k, 0L), s"$k under")
+    // wide sketch: collisions vanishingly unlikely at width 4096 -> exact
+    val wide = Sketch.countMinBuild(df, "key", depth = 4, width = 4096)
+    val estW = Sketch.countMinEstimate(wide, probes, "key", 4, 4096)
+      .as[(String, Long)].collect().toMap
+    assert(estW == probes.as[String].collect()
+      .map(k => k -> exact.getOrElse(k, 0L)).toMap)
+    // mergeability: sketch(A ++ B) == cellwise sum of sketch(A), sketch(B)
+    val (a, b) = (rows.take(500), rows.drop(500))
+    val skA = Sketch.countMinBuild(a.toDF("key"), "key", 3, 8)
+    val skB = Sketch.countMinBuild(b.toDF("key"), "key", 3, 8)
+    val merged = skA.unionByName(skB).groupBy("row_i", "bucket")
+      .agg(sum("cnt").as("cnt"))
+      .as[(Int, Int, Long)].collect().toSet
+    val whole = narrow.as[(Int, Int, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("phraseSearch: overlap counting, repeated terms, case fold, edges") {
     val docs = Seq(
       (1L, "a a a a"),           // "a a" overlaps 3x; "a a a" overlaps 2x
