@@ -35,6 +35,27 @@ object AnalyticsQueries {
         .orderBy(desc("cnt"), col("word"))
     }),
 
+    // ---- marketing attribution: each purchase credited to the user's
+    // most recent preceding touch (click/view) via the as-of join, then
+    // revenue rolled up per channel — the composition the as-of
+    // primitive exists for; untouched purchases credit 'direct'.
+    // Revenue is milli-quantized BEFORE the sum (integer, order-free) ----
+    "at01_last_touch_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsOfJoin.backward(conv, touches, "user_id", "ts",
+          payloadCols = Seq("event_type", "event_id"), rightTieCol = "event_id")
+        .select(coalesce(col("asof.event_type"), lit("direct")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(expr("cast(round(value * 1000) as bigint)")).as("revenue_milli"))
+        .orderBy("channel")
+    }),
+
     // ---- count-min sketch: one-pass mergeable frequency summary; point
     // estimates for probe words (incl. an absent one) next to their exact
     // counts — the overestimate-only guarantee surfaced as a column ------
@@ -237,6 +258,26 @@ object AnalyticsQueries {
         |GROUP BY word, n.n
         |HAVING count(*) >= (n.n * 1 + 399) // 400
         |ORDER BY cnt DESC, word""".stripMargin,
+
+    // at01 replay: DuckDB's NATIVE asof join over tie-deduped touches
+    // (same keep-min-event_id election as the Spark rightTieCol), then
+    // the identical integer revenue rollup
+    "at01_last_touch_attribution" ->
+      """WITH touches AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, ts
+        |                            ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |t1 AS (SELECT user_id, ts, event_type FROM touches WHERE rn = 1),
+        |conv AS (SELECT user_id, ts, value FROM events
+        |         WHERE event_type = 'purchase'),
+        |att AS (
+        |  SELECT coalesce(t1.event_type, 'direct') AS channel, conv.value
+        |  FROM conv ASOF LEFT JOIN t1
+        |    ON conv.user_id = t1.user_id AND conv.ts >= t1.ts)
+        |SELECT channel, count(*) AS n_purchases,
+        |       sum(CAST(round(value * 1000) AS BIGINT)) AS revenue_milli
+        |FROM att GROUP BY channel ORDER BY channel""".stripMargin,
 
     // cm01 replay: exact per-word counts, then ONE hash program over
     // corpus ∪ probe words (UHUGEINT poly fold + splitmix64, re-mixed
