@@ -109,4 +109,30 @@ object Temporal {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Keyed (count, sum) aggregate state — the materialized-view shape
+    * maintained incrementally by [[applyAggDelta]]. DECIMAL total so the
+    * distributed sum is exact and order-free (the repo-wide oracle
+    * discipline). */
+  def aggregateState(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valCol).cast("decimal(18,2)")).as("total"))
+
+  /** Incremental materialized-aggregate maintenance: fold a delta batch
+    * into an existing [[aggregateState]] WITHOUT rescanning the base data
+    * — aggregate the delta alone (it's the only part that shuffles at
+    * base-table granularity), union the two small state tables, and
+    * re-combine. count and DECIMAL sum are associative/commutative, so
+    * the result is row-identical to a full rebuild over base ∪ delta —
+    * the property mv01 gates. At 100 TB this is the difference between
+    * touching a day's ingest and touching the whole history; the same
+    * shape maintains any commutative-monoid aggregate (min/max/sum-of-
+    * squares ride along as extra columns). */
+  def applyAggDelta(state: DataFrame, delta: DataFrame, keyCol: String,
+                    valCol: String): DataFrame =
+    state.unionByName(aggregateState(delta, keyCol, valCol))
+      .groupBy(col(keyCol))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("total")).as("total"))
 }

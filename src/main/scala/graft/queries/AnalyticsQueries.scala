@@ -35,6 +35,21 @@ object AnalyticsQueries {
         .orderBy(desc("cnt"), col("word"))
     }),
 
+    // ---- incremental materialized-aggregate maintenance: base state +
+    // delta fold must be row-identical to a full rebuild over base ∪
+    // delta (count/DECIMAL-sum associativity) — the oracle IS the full
+    // rebuild, so the gate proves the incremental path exactly ------------
+    "mv01_incremental_agg" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val base = orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val delta = orders.where(pmod(col("o_orderkey"), lit(3)) === 0)
+      val state = Temporal.aggregateState(base, "o_custkey", "o_totalprice")
+      Temporal.applyAggDelta(state, delta, "o_custkey", "o_totalprice")
+        .select(col("o_custkey"), col("n_rows"),
+          col("total").cast("double").as("total_price"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- marketing attribution: each purchase credited to the user's
     // most recent preceding touch (click/view) via the as-of join, then
     // revenue rolled up per channel — the composition the as-of
@@ -258,6 +273,13 @@ object AnalyticsQueries {
         |GROUP BY word, n.n
         |HAVING count(*) >= (n.n * 1 + 399) // 400
         |ORDER BY cnt DESC, word""".stripMargin,
+
+    // mv01 replay: the FULL rebuild the incremental fold must equal
+    "mv01_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // at01 replay: DuckDB's NATIVE asof join over tie-deduped touches
     // (same keep-min-event_id election as the Spark rightTieCol), then

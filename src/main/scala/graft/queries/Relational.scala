@@ -467,6 +467,44 @@ object Relational {
         ORDER BY region_name, nation_name""")
     }),
 
+    // ---- remaining ANSI window surface: percent_rank / cume_dist
+    // (integer-ratio IEEE divisions, replay exactly) + framed first_value
+    // and nth_value under the default RANGE frame; the (date, orderkey)
+    // composite order removes peer-row ambiguity ---------------------------
+    "wf01_window_surface" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- full CUBE over (region, nation): all four grouping-set shapes
+    // (both, region-only, nation-only, grand total) in one Expand pass —
+    // same spark.sql front door and analyzer rationale as cu01 ------------
+    "cu02_cube_revenue" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("cu02_orders")
+      Tables.customer(s, d).createOrReplaceTempView("cu02_customer")
+      Tables.nation(s, d).createOrReplaceTempView("cu02_nation")
+      Tables.region(s, d).createOrReplaceTempView("cu02_region")
+      s.sql("""
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               count(1) AS n_orders
+        FROM cu02_orders
+        JOIN cu02_customer ON o_custkey = c_custkey
+        JOIN cu02_nation ON c_nationkey = n_nationkey
+        JOIN cu02_region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, n_name)
+        ORDER BY region_name, nation_name""")
+    }),
+
     // ---- graph: fixed-point integer PageRank over the (undirected)
     // customer–supplier trade graph — bit-identical ranks on any engine --
     "gr01_pagerank" -> ((s, d) => {
@@ -781,6 +819,29 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "wf01_window_surface" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "cu02_cube_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
 
     // 3 unrolled synchronous rounds of the integer fixed-point update

@@ -16,6 +16,23 @@ class TemporalGraphSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("applyAggDelta: equals full rebuild across new keys, repeated folds, empty delta") {
+    val base = Seq((1L, 10.0), (1L, 5.5), (2L, 7.25)).toDF("k", "v")
+    val d1 = Seq((2L, 1.0), (3L, 9.0)).toDF("k", "v") // 3 is a NEW key
+    val d2 = spark.emptyDataset[(Long, Double)].toDF("k", "v")
+    val d3 = Seq((1L, 0.75)).toDF("k", "v")
+    val inc = Seq(d1, d2, d3).foldLeft(
+      Temporal.aggregateState(base, "k", "v"))(
+      (st, dl) => Temporal.applyAggDelta(st, dl, "k", "v"))
+    val full = Temporal.aggregateState(
+      Seq(base, d1, d2, d3).reduce(_ unionByName _), "k", "v")
+    val got = inc.select(col("k"), col("n_rows"),
+      col("total").cast("double")).as[(Long, Long, Double)].collect().toSet
+    val want = full.select(col("k"), col("n_rows"),
+      col("total").cast("double")).as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("rangeJoin equals the naive inequality join, any bucket width") {
     val points = Seq(
       (1L, 10L, ts("2024-01-01 00:00:05")),
