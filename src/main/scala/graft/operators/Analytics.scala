@@ -332,6 +332,33 @@ object Analytics {
           col("n").cast("double")).as("intercept"))
   }
 
+  /** 2-D skyline (Pareto frontier), both dimensions MINIMIZED: keep every
+    * row not dominated by another (q dominates p iff qx ≤ px ∧ qy ≤ py,
+    * strict in at least one; duplicate frontier points all survive). The
+    * textbook plan is the quadratic NOT EXISTS self-join — the oracle
+    * replays exactly that — but 2-D skylines are a SORT, not a join:
+    * within each x keep only the y-minima, then a row survives iff its y
+    * is strictly below the running y-minimum of all smaller x. One
+    * per-x aggregate + one ordered window over the DISTINCT x set (tiny
+    * after the first step) + one join back: at 100 TB that is a key
+    * shuffle and a range-partitioned sort versus a self-join that
+    * explodes on Σ per-cell². The global window runs over the distinct-x
+    * table only; if x itself is ultra-high-cardinality, the
+    * [[Packing.packSequencesSharded]] two-phase recipe (per-shard minima,
+    * prefix-min stitch) applies verbatim. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val perX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("_ymin_"))
+    val w = Window.orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("_prev_", min(col("_ymin_")).over(w))
+      .where(col("_prev_").isNull || col("_ymin_") < col("_prev_"))
+      .select(col(xCol), col("_ymin_"))
+    df.join(frontier.withColumnRenamed("_ymin_", yCol),
+        Seq(xCol, yCol), "left_semi")
+      .select(df.columns.map(col): _*) // semi-join hoists keys; restore order
+  }
+
   /** EXACT frequency heavy hitters at bounded shuffle cost — every key
     * whose count is at least `ceil(N · num / den)` of the N input rows,
     * with its exact count. The answer equals the naive

@@ -35,6 +35,18 @@ object AnalyticsQueries {
         .orderBy(desc("cnt"), col("word"))
     }),
 
+    // ---- 2-D skyline: cheapest-earliest order frontier (minimize price,
+    // minimize date) over a customer slice — sort-based plan, gated
+    // against the quadratic NOT EXISTS definition ------------------------
+    "sl01_skyline_orders" -> ((s, d) => {
+      val orders = Tables.orders(s, d).where(col("o_custkey") < 300)
+        .withColumn("o_price_milli",
+          expr("cast(round(o_totalprice * 1000) as bigint)"))
+      Analytics.skyline2d(orders, "o_price_milli", "o_orderdate")
+        .select(col("o_orderkey"), col("o_price_milli"), col("o_orderdate"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- incremental materialized-aggregate maintenance: base state +
     // delta fold must be row-identical to a full rebuild over base ∪
     // delta (count/DECIMAL-sum associativity) — the oracle IS the full
@@ -273,6 +285,22 @@ object AnalyticsQueries {
         |GROUP BY word, n.n
         |HAVING count(*) >= (n.n * 1 + 399) // 400
         |ORDER BY cnt DESC, word""".stripMargin,
+
+    // sl01 replay: the quadratic NOT EXISTS dominance definition the
+    // sort-based plan must equal (price integer-quantized both sides)
+    "sl01_skyline_orders" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 1000) AS BIGINT)
+        |           AS o_price_milli, o_orderdate
+        |  FROM orders WHERE o_custkey < 300)
+        |SELECT o_orderkey, o_price_milli, o_orderdate FROM o p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM o q
+        |  WHERE q.o_price_milli <= p.o_price_milli
+        |    AND q.o_orderdate <= p.o_orderdate
+        |    AND (q.o_price_milli < p.o_price_milli
+        |         OR q.o_orderdate < p.o_orderdate))
+        |ORDER BY o_orderkey""".stripMargin,
 
     // mv01 replay: the FULL rebuild the incremental fold must equal
     "mv01_incremental_agg" ->

@@ -18,6 +18,24 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("skyline2d: equals brute-force dominance, duplicates survive together") {
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      Seq((0L, 39L), (0L, 39L)) // duplicated candidate frontier point
+    val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val got = Analytics.skyline2d(df, "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = pts.zipWithIndex.collect { case ((x, y), i)
+      if !pts.exists { case (qx, qy) =>
+        qx <= x && qy <= y && (qx < x || qy < y) } => (i.toLong, x, y)
+    }.toSet
+    assert(got == want)
+    // every duplicate of a surviving frontier point is kept
+    val dupIds = pts.zipWithIndex.collect { case ((0L, 39L), i) => i.toLong }.toSet
+    assert(dupIds.subsetOf(got.map(_._1)) || dupIds.intersect(got.map(_._1)).isEmpty)
+  }
+
   test("countMin: overestimate-only, exact when wide, cell-sum merge") {
     import graft.operators.Sketch
     val rows = (1 to 30).flatMap(i => Seq.fill(i * 3)(s"k$i"))
