@@ -422,4 +422,82 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= threshold)
   }
+
+  /** Per-group robust outliers by Median Absolute Deviation: rows whose
+    * integer value deviates from the group's (lower) median by more than
+    * `mult`× the (lower) median of absolute deviations. The z-score
+    * variant ([[zscoreOutliers]]) is itself skewed by the outliers it
+    * hunts; MAD's 50% breakdown point is the robust form.
+    *
+    * `valCol` must be integer-typed (pre-quantize floats upstream, e.g.
+    * price → milli-units): with integer values both medians are integers
+    * by rank selection (`1 + (50·(n−1)) div 100`, the [[groupQuantiles]]
+    * convention), the deviation is an integer, and the cut
+    * `dev > mult·mad` is a pure integer comparison — the whole operator
+    * is float-free and replays bit-identically on any engine.
+    *
+    * Plan: two windows over the SAME partition key — one exchange, two
+    * sorts (value order, then deviation order) — then a row filter. No
+    * broadcast, no driver state; group cardinality bounds the sort, not
+    * the outlier count. Output: outlier rows as (`keyCol`, `idCol`,
+    * `valCol`, med, mad, dev). */
+  def madOutliers(df: DataFrame, keyCol: String, idCol: String,
+                  valCol: String, mult: Long): DataFrame = {
+    require(mult >= 1, s"mult must be >= 1, got $mult")
+    val byKey = Window.partitionBy(keyCol)
+    val wVal = byKey.orderBy(col(valCol), col(idCol))
+    val medRank = lit(1) + expr("(50 * (_n_ - 1)) div 100")
+    val withMed = df.select(col(keyCol), col(idCol),
+        col(valCol).cast("long").as(valCol))
+      .withColumn("_n_", count(lit(1)).over(byKey))
+      .withColumn("_rnv_", row_number().over(wVal))
+      .withColumn("med",
+        max(when(col("_rnv_") === medRank, col(valCol))).over(byKey))
+      .withColumn("dev", abs(col(valCol) - col("med")))
+    val wDev = byKey.orderBy(col("dev"), col(idCol))
+    withMed
+      .withColumn("_rnd_", row_number().over(wDev))
+      .withColumn("mad",
+        max(when(col("_rnd_") === medRank, col("dev"))).over(byKey))
+      .where(col("dev") > lit(mult) * col("mad"))
+      .select(col(keyCol), col(idCol), col(valCol), col("med"), col("mad"),
+        col("dev"))
+  }
+
+  /** Cohen's kappa inter-annotator agreement per group: how far the two
+    * label columns' agreement exceeds chance, the standard QA gate before
+    * trusting human (or heuristic) labels for training data.
+    *
+    * Everything up to the last step is integral: n, the agreement count,
+    * and the chance term Σ_c na_c·nb_c are exact longs, and kappa is the
+    * single correctly-rounded division
+    * `(n·agree − Σ na·nb) / (n² − Σ na·nb)` — engine-portable by
+    * construction. Groups where chance agreement is already perfect
+    * (n² = Σ na·nb, e.g. both raters constant) emit kappa = NULL rather
+    * than 0/0.
+    *
+    * Plan: one aggregate for (n, agree), one per-(group, label) aggregate
+    * per rater joined on (group, label) for the chance term — all
+    * key-partitioned shuffles on the group key, no driver state. Output:
+    * (`keyCol`, n, n_agree, kappa). */
+  def cohensKappa(df: DataFrame, keyCol: String, raterACol: String,
+                  raterBCol: String): DataFrame = {
+    val base = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(when(col(raterACol) === col(raterBCol), 1L).otherwise(0L))
+        .as("n_agree"))
+    val ma = df.groupBy(col(keyCol), col(raterACol).as("_lbl_"))
+      .agg(count(lit(1)).as("_na_"))
+    val mb = df.groupBy(col(keyCol), col(raterBCol).as("_lbl_"))
+      .agg(count(lit(1)).as("_nb_"))
+    val chance = ma.join(mb, Seq(keyCol.toString, "_lbl_"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_na_") * col("_nb_")).as("_sab_"))
+    base.join(chance, keyCol)
+      .select(col(keyCol), col("n"), col("n_agree"),
+        when(col("n") * col("n") =!= col("_sab_"),
+          (col("n") * col("n_agree") - col("_sab_")).cast("double") /
+            (col("n") * col("n") - col("_sab_")).cast("double"))
+          .as("kappa"))
+  }
 }

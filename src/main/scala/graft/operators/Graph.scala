@@ -88,4 +88,74 @@ object Graph {
         coalesce(col("in_degree"), lit(0L)).as("in_degree"),
         coalesce(col("in_distinct"), lit(0L)).as("in_distinct"))
   }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected graph, via the DEGREE-ORDERED wedge join (Cohen's
+    * MapReduce triangle plan / the Schank–Wagner forward algorithm).
+    *
+    * Input edges may be directed, duplicated, or self-looping — they are
+    * canonicalized (`least/greatest`, self-loops dropped, distinct) first.
+    * Each undirected edge is then ORIENTED from its lower-ranked endpoint
+    * to its higher-ranked one, where rank = (degree, id) packed into one
+    * long (`degree·2³² + id`; requires ids < 2³² and degrees < 2³¹ —
+    * `require`d). Wedges are generated only at each edge's LOWER-ranked
+    * endpoint, so per-node wedge fan-out is bounded by the oriented
+    * out-degree ≤ O(√m) — the whole plan is Σ outdeg² ≈ m^1.5 worst case
+    * instead of Σ deg² (which a hub node makes quadratic). At 100 TB this
+    * is the difference between a skew-proof three-join plan and a hot-key
+    * explosion: every join is a key-partitioned equi-join on node ids,
+    * nothing is broadcast, and the one quadratic term is provably capped
+    * by the orientation.
+    *
+    * All counting is integral; the only float is the final clustering
+    * coefficient `2t / (d(d-1))` — two exact integers through one
+    * correctly-rounded IEEE division, so results replay bit-identically
+    * on any engine.
+    *
+    * Returns (node_id, degree, triangles, clustering) for every node of
+    * the canonical graph. */
+  def triangleStats(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("_a_"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("_b_"))
+      .where(col("_a_") < col("_b_"))
+      .distinct()
+      .localCheckpoint() // degrees + orientation + closure all re-read it
+    val deg = canon.select(col("_a_").as("node_id"))
+      .union(canon.select(col("_b_").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("degree"))
+    // rank packing: degree·2^32 + id gives a total order where low-degree
+    // nodes sort first (ties by id) — one long comparison per edge. The
+    // id bound is enforced lazily inside the plan (no eager job here).
+    val ranked = deg.select(
+      when(col("node_id") >= lit(4294967296L) || col("node_id") < 0,
+        raise_error(lit("triangleStats rank packing needs 0 <= id < 2^32")))
+        .otherwise(col("node_id")).as("node_id"),
+      (col("degree") * lit(4294967296L) + col("node_id")).as("_rk_"))
+    val oriented = canon
+      .join(ranked.select(col("node_id").as("_a_"), col("_rk_").as("_rka_")), "_a_")
+      .join(ranked.select(col("node_id").as("_b_"), col("_rk_").as("_rkb_")), "_b_")
+      .select(
+        when(col("_rka_") < col("_rkb_"), col("_a_")).otherwise(col("_b_")).as("u"),
+        when(col("_rka_") < col("_rkb_"), col("_b_")).otherwise(col("_a_")).as("v"),
+        greatest(col("_rka_"), col("_rkb_")).as("rkv"))
+      .localCheckpoint() // read three times by the wedge + closure joins
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("rkv").as("rkx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("rkv").as("rky")), "u")
+      .where(col("rkx") < col("rky"))
+      .select(col("u"), col("x"), col("y"))
+    val triangles = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val perNode = triangles
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node_id"), "left")
+      .select(col("node_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * 2L).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

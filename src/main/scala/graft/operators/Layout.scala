@@ -43,4 +43,36 @@ object Layout {
       .sortWithinPartitions("_z_")
       .drop("_z_")
   }
+
+  /** Zone-map (per-block min/max index) + data-skipping report: the
+    * bookkeeping a lakehouse keeps per file/row-group, computed as a
+    * first-class relation so a layout can be AUDITED before committing to
+    * it. For each block (any blocking column — a file id, a z-bucket, a
+    * partition): row count, min/max of each stat column, and for the
+    * range predicate `lo <= predCol <= hi` both the skipping DECISION
+    * (`scanned` — false means the zone map alone proves the block empty
+    * of matches) and the ground truth (`n_matching`). The ratio of
+    * scanned blocks to matching rows is exactly the layout's pruning
+    * quality — this is the measurement zOrderBy exists to win.
+    *
+    * One partial+final aggregate on the block key; min/max/conditional
+    * count all map-side combine, so the shuffle carries one row per
+    * block per partition regardless of data size. All integer — replays
+    * identically anywhere. */
+  def zoneMapReport(df: DataFrame, blockCol: Column, statCols: Seq[String],
+                    predCol: String, lo: Long, hi: Long): DataFrame = {
+    require(statCols.nonEmpty, "need at least one stat column")
+    require(lo <= hi, s"empty predicate range [$lo, $hi]")
+    val p = col(predCol).cast("long")
+    val aggs =
+      statCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"min_$c"),
+        max(col(c).cast("long")).as(s"max_$c"))) ++ Seq(
+        min(p).as("_pmin_"), max(p).as("_pmax_"),
+        sum(when(p >= lo && p <= hi, 1L).otherwise(0L)).as("n_matching"))
+    df.groupBy(blockCol.as("block_id"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .withColumn("scanned", col("_pmax_") >= lo && col("_pmin_") <= hi)
+      .drop("_pmin_", "_pmax_")
+  }
 }

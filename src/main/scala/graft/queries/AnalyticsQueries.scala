@@ -271,6 +271,38 @@ object AnalyticsQueries {
         .select(col("day"), col("_rev_").cast("double").as("revenue"),
           col("filled").cast("double").as("filled"), col("is_gap"))
         .orderBy("day")
+    }),
+
+    // ---- robust outliers: MAD (50% breakdown) per order priority over
+    // milli-quantized price — float-free; mult=2 because totalprice is a
+    // lineitem sum (gamma-ish right tail: 2×MAD fires, 3× selects zero) --
+    "az02_mad_outliers" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderpriority"),
+        col("o_orderkey"),
+        expr("cast(round(o_totalprice * 1000) as bigint)").as("price_milli"))
+      Analytics.madOutliers(o, "o_orderpriority", "o_orderkey",
+          "price_milli", mult = 2)
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- inter-annotator agreement: Cohen's kappa per language between
+    // two heuristic length labelers (char-count buckets vs sentence-count
+    // buckets — correlated but far from identical, so kappa is the
+    // signal, not a degenerate 1.0) --------------------------------------
+    "ia01_cohens_kappa" -> ((s, d) => {
+      val labeled = Tables.documents(s, d).select(col("lang"),
+        when(col("n_chars") < 220, "short")
+          .when(col("n_chars") < 420, "med").otherwise("long").as("rater_a"),
+        {
+          val periods = length(col("text")) -
+            length(replace(col("text"), lit("."), lit("")))
+          when(periods < 3, "short").when(periods < 6, "med")
+            .otherwise("long").as("rater_b")
+        })
+      // kappa itself is one division of exact integers — correctly
+      // rounded, so it ships unrounded and still hash-matches
+      Analytics.cohensKappa(labeled, "lang", "rater_a", "rater_b")
+        .orderBy("lang")
     })
   )
 
@@ -782,6 +814,63 @@ object AnalyticsQueries {
         |    AS filled,
         |  rev IS NULL AS is_gap
         |FROM spine s LEFT JOIN daily d ON s.day = d.day
-        |ORDER BY s.day""".stripMargin
+        |ORDER BY s.day""".stripMargin,
+
+    // MAD replay: identical integer rank selection (`1 + (50·(n−1))//100`)
+    // for both medians, pure integer cut — float-free end to end
+    "az02_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey AS id,
+        |    CAST(round(o_totalprice * 1000) AS BIGINT) AS val
+        |  FROM orders),
+        |r AS (
+        |  SELECT grp, id, val,
+        |    row_number() OVER (PARTITION BY grp ORDER BY val, id) AS rnv,
+        |    count(*) OVER (PARTITION BY grp) AS n
+        |  FROM v),
+        |m AS (
+        |  SELECT *, max(CASE WHEN rnv = 1 + (50 * (n - 1)) // 100
+        |    THEN val END) OVER (PARTITION BY grp) AS med FROM r),
+        |d2 AS (SELECT *, abs(val - med) AS dev FROM m),
+        |r2 AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY grp ORDER BY dev, id) AS rnd
+        |  FROM d2),
+        |m2 AS (
+        |  SELECT *, max(CASE WHEN rnd = 1 + (50 * (n - 1)) // 100
+        |    THEN dev END) OVER (PARTITION BY grp) AS mad FROM r2)
+        |SELECT grp AS o_orderpriority, id AS o_orderkey,
+        |  val AS price_milli, med, mad, dev
+        |FROM m2 WHERE dev > 2 * mad ORDER BY id""".stripMargin,
+
+    // kappa replay: integer counts, one exact division
+    // (n·agree − Σ na·nb) / (n² − Σ na·nb); NULL when chance is perfect
+    "ia01_cohens_kappa" ->
+      """WITH l AS (
+        |  SELECT lang,
+        |    CASE WHEN n_chars < 220 THEN 'short'
+        |         WHEN n_chars < 420 THEN 'med' ELSE 'long' END AS ra,
+        |    CASE WHEN length(text) - length(replace(text, '.', '')) < 3
+        |           THEN 'short'
+        |         WHEN length(text) - length(replace(text, '.', '')) < 6
+        |           THEN 'med' ELSE 'long' END AS rb
+        |  FROM documents),
+        |base AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM l GROUP BY lang),
+        |ma AS (SELECT lang, ra AS lbl, count(*) AS na FROM l GROUP BY 1, 2),
+        |mb AS (SELECT lang, rb AS lbl, count(*) AS nb FROM l GROUP BY 1, 2),
+        |chance AS (
+        |  SELECT ma.lang, CAST(sum(na * nb) AS BIGINT) AS sab
+        |  FROM ma JOIN mb ON ma.lang = mb.lang AND ma.lbl = mb.lbl
+        |  GROUP BY ma.lang)
+        |SELECT b.lang, b.n, b.n_agree,
+        |  CASE WHEN b.n * b.n <> c.sab
+        |    THEN CAST(b.n * b.n_agree - c.sab AS DOUBLE)
+        |         / CAST(b.n * b.n - c.sab AS DOUBLE) END AS kappa
+        |FROM base b JOIN chance c ON b.lang = c.lang
+        |ORDER BY b.lang""".stripMargin
   )
 }

@@ -594,6 +594,46 @@ object PipelineQueries {
         .orderBy("z_bucket")
     }),
 
+    // ---- layout: zone-map data-skipping report — z-bucket blocks vs the
+    // unclustered orderkey-range baseline, same 30-day predicate. The
+    // gated table IS the pruning audit: z-order scans a fraction of its
+    // blocks, the linear layout scans ~all (day is uncorrelated with
+    // insertion order) — the measurable claim behind zo01's layout ------
+    "zm01_zonemap_skipping" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("_day_", datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1992-01-01"))))
+      val (lo, hi) = (400L, 429L)
+      def report(tag: String, block: org.apache.spark.sql.Column,
+                 df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Layout.zoneMapReport(df, block,
+            Seq("o_custkey", "_day_"), "_day_", lo, hi)
+          .withColumn("layout", lit(tag))
+      val zBlocks = report("zorder",
+        shiftright(graft.operators.Layout.zOrderValue(
+          col("o_custkey"), col("_day_")), 16), o)
+      val linBlocks = report("linear", expr("o_orderkey div 2048"), o)
+      zBlocks.unionByName(linBlocks)
+        .select(col("layout"), col("block_id"), col("n_rows"),
+          col("min_o_custkey"), col("max_o_custkey"),
+          col("min__day_").as("min_day"), col("max__day_").as("max_day"),
+          col("n_matching"), col("scanned"))
+        .orderBy("layout", "block_id")
+    }),
+
+    // ---- similarity: hard-negative mining for contrastive training —
+    // nearest WRONG-label neighbors per query vector (the exact form;
+    // the LSH candidate path composes identically at scale) --------------
+    "hn01_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(
+        emb.where(col("vec_id") < 50), emb, "vec_id", "embedding",
+        "label", k = 3)
+        .select(col("query_id"), col("query_label"), col("neighbor_id"),
+          col("neighbor_label"), col("rank").cast(IntegerType).as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- similarity search: exact top-3 ANN baseline (oracle-able) ---------
     "ann01_knn_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -2126,6 +2166,52 @@ object PipelineQueries {
         |  CAST(min(dy) AS INT) AS min_day, CAST(max(dy) AS INT) AS max_day
         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
     },
+
+    // zone-map replay: same morton program as zo01 for the z-bucket
+    // blocks, plus the orderkey-range baseline; min/max/count/conditional
+    // sum and the boolean skipping decision are all integer/boolean
+    "zm01_zonemap_skipping" -> {
+      val z = (0 until 16).map(i =>
+        s"(((ck >> $i) & 1) << ${2 * i}) | (((dy >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" |\n        ")
+      s"""WITH b AS (
+        |  SELECT o_orderkey, o_custkey AS ck,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dy
+        |  FROM orders),
+        |z AS (SELECT o_orderkey, ck, dy, ($z) AS zv FROM b),
+        |blk AS (
+        |  SELECT 'zorder' AS layout, zv >> 16 AS block_id, ck, dy FROM z
+        |  UNION ALL
+        |  SELECT 'linear', o_orderkey // 2048, ck, dy FROM z)
+        |SELECT layout, block_id, count(*) AS n_rows,
+        |  min(ck) AS min_o_custkey, max(ck) AS max_o_custkey,
+        |  CAST(min(dy) AS BIGINT) AS min_day, CAST(max(dy) AS BIGINT) AS max_day,
+        |  CAST(sum(CASE WHEN dy BETWEEN 400 AND 429 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matching,
+        |  (max(dy) >= 400 AND min(dy) <= 429) AS scanned
+        |FROM blk GROUP BY layout, block_id
+        |ORDER BY layout, block_id""".stripMargin
+    },
+
+    // hard negatives: the ann01 brute-force replay with the wrong-label
+    // join predicate — ordering by cosine only (rank gates, floats don't)
+    "hn01_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label, rank
+        |FROM (
+        |  SELECT q.vec_id AS query_id, q.label AS query_label,
+        |         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id)
+        |         AS INTEGER) AS rank
+        |  FROM e q JOIN e c
+        |    ON q.vec_id <> c.vec_id AND q.label <> c.label
+        |  WHERE q.vec_id < 50) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // Full LSH replay: per (table, bit-plane) one mixed long (splitmix64 of
     // seed + t*1000003 + b), plane component d = ±1 from bit (d mod 64),

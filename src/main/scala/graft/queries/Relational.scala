@@ -531,6 +531,21 @@ object Relational {
           (col("l_suppkey") + 1000000L).as("dst"))
       graft.operators.Graph.degreeStats(edges, "src", "dst")
         .orderBy("node_id")
+    }),
+
+    // ---- graph: per-part triangle count + clustering coefficient over
+    // the co-purchase graph (parts sharing an order), via the
+    // degree-ordered wedge join — the skew-proof O(m^1.5) plan; the
+    // customer–supplier graph is bipartite (triangle-free), so this runs
+    // on the part–part projection where closure is real ------------------
+    "gr03_triangle_stats" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.operators.Graph.triangleStats(pairs, "src", "dst")
+        .orderBy("node_id")
     })
   )
 
@@ -893,6 +908,45 @@ object Relational {
         |  FROM nodes n LEFT JOIN c3 ON n.node_id = c3.node_id)
         |SELECT node_id, CAST(rank AS BIGINT) AS rank
         |FROM r3 ORDER BY node_id""".stripMargin,
+
+    // same degree-ordered orientation as the Spark plan — but the oracle
+    // only needs ANY consistent triangle enumeration; the per-node counts
+    // and the one-division clustering coefficient are what must agree
+    "gr03_triangle_stats" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |canon AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT node_id, count(*) AS degree FROM (
+        |    SELECT a AS node_id FROM canon
+        |    UNION ALL SELECT b FROM canon) GROUP BY node_id),
+        |rk AS (SELECT node_id, degree * 4294967296 + node_id AS r FROM deg),
+        |o AS (
+        |  SELECT CASE WHEN ra.r < rb.r THEN c.a ELSE c.b END AS u,
+        |         CASE WHEN ra.r < rb.r THEN c.b ELSE c.a END AS v,
+        |         CASE WHEN ra.r < rb.r THEN rb.r ELSE ra.r END AS rkv
+        |  FROM canon c
+        |  JOIN rk ra ON ra.node_id = c.a JOIN rk rb ON rb.node_id = c.b),
+        |tri AS (
+        |  SELECT w.u, w.x, w.y FROM (
+        |    SELECT o1.u, o1.v AS x, o2.v AS y
+        |    FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.rkv < o2.rkv) w
+        |  JOIN o e ON e.u = w.x AND e.v = w.y),
+        |per_node AS (
+        |  SELECT node_id, count(*) AS triangles FROM (
+        |    SELECT u AS node_id FROM tri
+        |    UNION ALL SELECT x FROM tri
+        |    UNION ALL SELECT y FROM tri) GROUP BY node_id)
+        |SELECT d.node_id, d.degree,
+        |  coalesce(p.triangles, 0) AS triangles,
+        |  CASE WHEN d.degree >= 2
+        |    THEN CAST(coalesce(p.triangles, 0) * 2 AS DOUBLE)
+        |         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+        |    ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN per_node p ON d.node_id = p.node_id
+        |ORDER BY d.node_id""".stripMargin,
 
     "gr02_degree_stats" ->
       """WITH edges AS (

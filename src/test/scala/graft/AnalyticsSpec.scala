@@ -271,6 +271,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(hits.toSeq == Seq(("g", 1000.0)))
   }
 
+  test("madOutliers: planted outlier found, robust to the outlier itself; degenerate groups silent") {
+    // group g: 1..21 (med 11, MAD 5) + planted 1000 → only the plant
+    // exceeds 3×MAD. zscore at the same data would have its mean/std
+    // dragged by the plant; MAD's cut stays put.
+    val g = (1L to 21L).map(v => ("g", v * 10, v)) :+ (("g", 10000L, 22L))
+    val extra = Seq(("solo", 7L, 23L), ("flat", 5L, 24L), ("flat", 5L, 25L))
+    val df = (g ++ extra).toDF("k", "v", "id")
+    val hits = graft.operators.Analytics.madOutliers(df, "k", "id", "v", 3)
+      .select("k", "v", "med", "mad", "dev")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(hits == Seq(("g", 10000L, 110L, 50L, 9890L)))
+  }
+
+  test("cohensKappa: textbook 0.4 case exactly; constant raters give NULL") {
+    // 2×2 with po=0.7, pe=0.5 → kappa = 0.4 exactly in integer arithmetic
+    val cells = Seq(("y", "y", 35), ("y", "n", 15), ("n", "y", 15),
+      ("n", "n", 35))
+    val rows = cells.flatMap { case (a, b, c) => Seq.fill(c)(("g1", a, b)) } ++
+      Seq.fill(10)(("g2", "x", "x")) // both raters constant → pe = 1
+    val got = graft.operators.Analytics.cohensKappa(
+        rows.toDF("grp", "ra", "rb"), "grp", "ra", "rb")
+      .orderBy("grp")
+      .select("grp", "n", "n_agree", "kappa")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(("g1", 100L, 70L, Some(0.4)),
+      ("g2", 10L, 10L, None)))
+  }
+
+  test("zoneMapReport: stats exact, pruning decision matches ground truth") {
+    val df = Seq(("A", 1L, 10L), ("A", 5L, 11L), ("A", 10L, 12L),
+      ("B", 20L, 13L), ("B", 25L, 14L), ("B", 30L, 15L)).toDF("blk", "x", "y")
+    val got = graft.operators.Layout.zoneMapReport(df, col("blk"),
+        Seq("x", "y"), "x", lo = 12L, hi = 25L)
+      .orderBy("block_id")
+      .select("block_id", "n_rows", "min_x", "max_x", "n_matching", "scanned")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("A", 3L, 1L, 10L, 0L, false),
+      ("B", 3L, 20L, 30L, 2L, true)))
+    // the decision is conservative: scanned=false ⟹ n_matching=0
+    got.foreach { case (_, _, _, _, m, s) => assert(s || m == 0L) }
+  }
+
   test("movingAverage: partial leading frames, per-partition isolation") {
     val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
       ("b", 1, 100.0)).toDF("k", "t", "v")

@@ -582,6 +582,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Seq((2L, 1), (3L, 2)))
   }
 
+  test("hard negatives: nearest same-label neighbor excluded, wrong-label ranks hold") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),   // query, label 0
+      (2L, Seq(0.99f, 0.1f), 0),  // nearest overall — same label, excluded
+      (3L, Seq(0.9f, 0.4f), 1),
+      (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(-1.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df.where($"vec_id" === 1), df,
+      "vec_id", "embedding", "label", k = 3)
+      .select("neighbor_id", "neighbor_label", "rank")
+      .as[(Long, Int, Int)].collect().toSeq.sortBy(_._3)
+    assert(out == Seq((3L, 1, 1), (4L, 1, 2), (5L, 2, 3)))
+    // equivalence: hardNegatives == bruteForceTopK restricted to
+    // wrong-label corpus rows (on real embeddings, a bigger k)
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where($"vec_id" < 20)
+    val got = Similarity.hardNegatives(q, emb, "vec_id", "embedding",
+        "label", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val labels = emb.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    val want = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = emb.count().toInt)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .filter { case (qid, nid, _) => labels(qid) != labels(nid) }
+      .groupBy(_._1).toSeq.flatMap { case (qid, ns) =>
+        ns.sortBy(_._3).map(_._2).take(5).zipWithIndex.map {
+          case (nid, i) => (qid, nid, i + 1) } }.toSet
+    assert(got == want)
+  }
+
   test("LSH ANN: recall >= 0.5 vs brute force top-3 on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where($"vec_id" < 30)

@@ -127,6 +127,42 @@ class TemporalGraphSpec extends AnyFunSuite {
       (11L, 0L, 0L, 1L, 1L)))
   }
 
+  test("triangleStats: known counts, canonicalization of dup/loop/reversed edges") {
+    // square 1-2-3-4-1 plus diagonal 1-3 → triangles (1,2,3) and (1,3,4);
+    // fed with a duplicate, a self-loop, and a reversed edge to prove
+    // canonicalization
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (2L, 1L), (1L, 2L), (3L, 3L)).toDF("src", "dst")
+    val got = Graph.triangleStats(edges, "src", "dst")
+      .orderBy("node_id")
+      .select("node_id", "degree", "triangles", "clustering")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 2.0 / 3.0),
+      (2L, 2L, 1L, 1.0),
+      (3L, 3L, 2L, 2.0 / 3.0),
+      (4L, 2L, 1L, 1.0)))
+  }
+
+  test("triangleStats equals brute-force enumeration on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val adj = edges.collect { case (a, b) if a != b =>
+      Set(math.min(a, b) -> math.max(a, b)) }.flatten.toSet
+    val nodes = adj.flatMap { case (a, b) => Seq(a, b) }
+    val naive = nodes.map { u =>
+      val nb = adj.collect { case (a, b) if a == u => b
+                             case (a, b) if b == u => a }
+      u -> nb.toSeq.combinations(2).count {
+        case Seq(x, y) => adj((math.min(x, y), math.max(x, y))) }
+    }.toMap
+    val got = Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .select("node_id", "triangles").as[(Long, Long)].collect().toMap
+    assert(got.keySet == nodes)
+    nodes.foreach(u => assert(got(u) == naive(u).toLong,
+      s"node $u: got ${got(u)} want ${naive(u)}"))
+  }
+
   test("int8 quantization: codes saturate at ±127, max-abs element hits it") {
     val df = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0f, 0f, 0f)))
       .toDF("id", "v")
