@@ -343,6 +343,33 @@ object GeoStreamQueries {
         .select(col("docId"), col("textHash"), col("keep"),
           col("dupIndex").cast(IntegerType).as("dupIndex"))
         .orderBy("docId")
+    }),
+
+    // Streaming SLIDING windows: 6-hour windows every 2 hours over the
+    // events stream — each event lands in exactly win/slide = 3
+    // overlapping windows (epoch-aligned, same rule both engines).
+    // Complete mode + AvailableNow is batch-equivalent with no watermark;
+    // state = open windows × event types, and the overlap factor
+    // multiplies it — at scale, watermark + append bounds that (sm03's
+    // sentinel pattern), and slide ≥ win/4 keeps the multiplier sane.
+    // Reuses sm05's landing zone: no extra staging cost.
+    "sm09_stream_sliding_windows" -> ((s, d) => {
+      val stage = eventsIntervalStage(s, d)
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+        // parquet re-read is TIMESTAMP_NTZ; session TZ pinned UTC → identity
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val agg = stream
+        .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+        // count only: DISTINCT aggregates are unsupported over streams
+        // (exact distinct needs unbounded per-window state)
+        .agg(count(lit(1)).as("n_events"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
+      Streams.runToMemory(agg, "sm09_sink", outputMode = "complete",
+          statePartitions = Some(8))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("min_user"), col("max_user"))
+        .orderBy("win_start", "event_type")
     })
   )
 
@@ -489,6 +516,20 @@ object GeoStreamQueries {
         |       max(ts) + INTERVAL 12 HOUR AS session_end,
         |       count(*) AS n_events
         |FROM c GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // sliding-window replay: each event expands to its 3 epoch-aligned
+    // containing windows (start = 2h-floor(ts) − k·2h, k ∈ 0..2 — every
+    // one satisfies start ≤ ts < start + 6h, so no residual filter)
+    "sm09_stream_sliding_windows" ->
+      """WITH w AS (
+        |  SELECT e.event_type, e.user_id,
+        |    make_timestamp(
+        |      ((epoch_us(e.ts) // 7200000000) * 7200000000)
+        |        - k.k * 7200000000) AS win_start
+        |  FROM events e, range(0, 3) k(k))
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
   )
 }
