@@ -973,6 +973,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- tokenizer serving: WordPiece greedy longest-match over the
+    // BPE-trained vocab; the char set drops {j, q} (a vocab trained on a
+    // sibling corpus missing code points) so the [UNK] path is real —
+    // 'join' and 'query' become unmatchable words ---------------------------
+    "wp01_wordpiece_segment" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.BpeTrainer.train(docs, "text", numMerges = 8)
+      // distinct-chars collect is alphabet-bounded (vocab-dictionary
+      // precedent), not data-sized
+      val chars = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+        .select(explode(split(col("w"), "")).as("c"))
+        .where(col("c") =!= "").distinct().as[String].collect().toSet
+      val vocab = graft.operators.WordPiece.vocabFrom(
+        merges, chars -- Set("j", "q"))
+      graft.operators.WordPiece.segmentStats(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
     // ---- sequence prep: sliding-window chunking (oracle-able) --------------
     "ck01_chunk_documents" -> ((s, d) => {
       graft.operators.Packing.chunkDocuments(
@@ -2573,6 +2593,60 @@ object PipelineQueries {
          |$rounds
          |SELECT * FROM (
          |$ranks) t ORDER BY rank""".stripMargin
+    },
+
+    // WordPiece replay: bp02's 8 training rounds build the merge pieces,
+    // vocab = pieces ∪ (corpus chars − {j,q}), then greedy longest-match
+    // unrolled 10 rounds (max word length is 8, each round consumes ≥ 1
+    // char) — `best` is the longest vocab piece prefixing the remainder
+    "wp01_wordpiece_segment" -> {
+      val greedyRounds = (1 to 10).map { k =>
+        s"""g$k AS (
+           |  SELECT w,
+           |    CASE WHEN unk OR rem = '' OR best IS NULL THEN rem
+           |         ELSE substr(rem, best + 1) END AS rem,
+           |    CASE WHEN unk OR rem = '' OR best IS NULL THEN np
+           |         ELSE np + 1 END AS np,
+           |    (unk OR (rem <> '' AND best IS NULL)) AS unk
+           |  FROM (
+           |    SELECT w, rem, np, unk,
+           |      (SELECT max(length(v.p)) FROM vocab v
+           |       WHERE v.p = rem[1:length(v.p)]) AS best
+           |    FROM g${k - 1}) t)""".stripMargin
+      }.mkString(",\n")
+      val pieceRows = (1 to 8).map(k => s"SELECT (SELECT l || r FROM m$k) AS p")
+        .mkString("\n         |  UNION ALL ")
+      s"""WITH dtok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                x -> x <> '')) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, count(*) AS f FROM dtok GROUP BY w),
+         |s0 AS (
+         |  SELECT w, f, [w[i:i] FOR i IN range(1, length(w) + 1)] AS s FROM wf),
+         |$BpeRoundsSql,
+         |pieces AS (
+         |  $pieceRows),
+         |chars AS (
+         |  SELECT DISTINCT unnest([w[i:i] FOR i IN range(1, length(w) + 1)])
+         |    AS p
+         |  FROM wf),
+         |vocab AS MATERIALIZED (
+         |  -- MATERIALIZED: each greedy round references vocab; inlined,
+         |  -- every reference would re-expand the whole BPE round chain
+         |  SELECT DISTINCT p FROM (
+         |    SELECT p FROM pieces
+         |    UNION ALL
+         |    SELECT p FROM chars WHERE p NOT IN ('j', 'q'))),
+         |g0 AS MATERIALIZED (
+         |  SELECT w, w AS rem, 0 AS np, false AS unk FROM wf),
+         |$greedyRounds,
+         |seg AS (
+         |  SELECT w, CASE WHEN unk THEN 1 ELSE np END AS np, unk FROM g10)
+         |SELECT d.doc_id, count(*) AS n_words,
+         |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(CASE WHEN s.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         |FROM dtok d JOIN seg s ON s.w = d.w
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },
 
     // BPE-apply replay: bp01's round chain carrying the word key, then the

@@ -582,6 +582,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Seq((2L, 1), (3L, 2)))
   }
 
+  test("wordpiece: longest match wins, UNK collapses the word, rollup per doc") {
+    val vocab = Set("un", "unable", "able", "a", "b", "l", "e", "n", "u")
+    val docs = Seq(
+      (1L, "unable unab"),   // 1 piece (whole-word match) + 3 pieces
+      (2L, "xyz able"),      // UNK (x not in vocab) + 1 piece
+      (3L, "  ")).toDF("doc_id", "text") // whitespace-only: no row
+    val got = graft.operators.WordPiece.segmentStats(docs, "doc_id", "text",
+        vocab)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_pieces", "n_unk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L, 0L), (2L, 2L, 2L, 1L)))
+  }
+
   test("hard negatives: nearest same-label neighbor excluded, wrong-label ranks hold") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f), 0),   // query, label 0
