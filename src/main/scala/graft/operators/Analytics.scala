@@ -423,6 +423,45 @@ object Analytics {
       .where(col("cnt") >= threshold)
   }
 
+  /** Exponentially-weighted moving average with α = 1/2 over the last
+    * `horizon` observations: ewma_n = Σ_{j=0..h-1} x_{n−j} · 2^−(j+1)
+    * (the truncated, non-renormalized EWM — pandas `ewm(adjust=False)`
+    * style but with a finite tail, which is what makes it windowable).
+    *
+    * Engine-portable floats BY CONSTRUCTION, not by luck: `valCol` must
+    * be integer (pre-quantized); every term is an exact long divided by a
+    * power of two (exact in binary floating point), and with values
+    * < 2^(53−horizon) the running sum never rounds — so ANY summation
+    * order gives the identical double, and a SQL replay hash-matches.
+    * That envelope (e.g. 2^37 at horizon 16) is `require`d away from
+    * misuse at the caller's quantization scale.
+    *
+    * Plan: one window sort per series key; the frame materializes at most
+    * `horizon` values per row (collect_list over a bounded frame), then a
+    * codegen'd higher-order fold — no self-join, no driver state. Output:
+    * input keys + `ewma_milli`-style smoothed double named `ewmaCol`. */
+  def ewmaSmooth(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                 valCol: String, ewmaCol: String,
+                 horizon: Int = 16): DataFrame = {
+    require(horizon >= 1 && horizon <= 32, s"horizon in [1,32], got $horizon")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(horizon - 1), Window.currentRow)
+    val guarded = when(
+      abs(col(valCol).cast("long")) >= lit(1L << (53 - horizon)),
+      raise_error(lit(s"ewmaSmooth: |value| must be < 2^${53 - horizon} " +
+        "for exact summation — quantize coarser or shrink the horizon")))
+      .otherwise(col(valCol).cast("long"))
+    df.withColumn("_ewv_", guarded)
+      .withColumn("_lst_", collect_list(col("_ewv_")).over(w))
+      .withColumn(ewmaCol, expr(
+        """aggregate(
+          |  zip_with(_lst_, sequence(1, size(_lst_)),
+          |    (v, i) -> v / cast(shiftleft(1L, size(_lst_) - i + 1) as double)),
+          |  cast(0 as double), (a, x) -> a + x)""".stripMargin))
+      .drop("_ewv_", "_lst_")
+  }
+
   /** Per-group robust outliers by Median Absolute Deviation: rows whose
     * integer value deviates from the group's (lower) median by more than
     * `mult`× the (lower) median of absolute deviations. The z-score

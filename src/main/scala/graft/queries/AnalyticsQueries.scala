@@ -285,6 +285,20 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- EWMA smoothing (α = 1/2, horizon 16) of each user's event
+    // values — every term is an exact long over a power of two, so the
+    // double replays bit-identically in any engine --------------------------
+    "ew01_ewma_values" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        expr("cast(round(value * 1000) as bigint)").as("val_milli"))
+      Analytics.ewmaSmooth(ev, "user_id", Seq("ts", "event_id"),
+          "val_milli", "ewma_milli")
+        .select(col("user_id"), col("event_id"), col("val_milli"),
+          col("ewma_milli"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- inter-annotator agreement: Cohen's kappa per language between
     // two heuristic length labelers (char-count buckets vs sentence-count
     // buckets — correlated but far from identical, so kappa is the
@@ -842,6 +856,25 @@ object AnalyticsQueries {
         |SELECT grp AS o_orderpriority, id AS o_orderkey,
         |  val AS price_milli, med, mad, dev
         |FROM m2 WHERE dev > 2 * mad ORDER BY id""".stripMargin,
+
+    // EWMA replay: same bounded frame list, same exact-by-construction
+    // terms (long / power-of-two); list_sum order is irrelevant because
+    // no term ever rounds
+    "ew01_ewma_values" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS val_milli
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, val_milli,
+        |    list(val_milli) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst
+        |  FROM v)
+        |SELECT user_id, event_id, val_milli,
+        |  list_sum([lst[i] / CAST(1 << (len(lst) - i + 1) AS DOUBLE)
+        |            FOR i IN range(1, len(lst) + 1)]) AS ewma_milli
+        |FROM l ORDER BY user_id, event_id""".stripMargin,
 
     // kappa replay: integer counts, one exact division
     // (n·agree − Σ na·nb) / (n² − Σ na·nb); NULL when chance is perfect

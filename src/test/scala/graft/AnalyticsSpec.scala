@@ -299,6 +299,27 @@ class AnalyticsSpec extends AnyFunSuite {
       ("g2", 10L, 10L, None)))
   }
 
+  test("ewmaSmooth: hand-computed halving weights, horizon truncation, envelope guard") {
+    val df = Seq(("u", 1, 8L), ("u", 2, 4L), ("u", 3, 2L), ("w", 1, 6L))
+      .toDF("k", "t", "v")
+    val full = graft.operators.Analytics.ewmaSmooth(
+        df, "k", Seq("t"), "v", "e", horizon = 16)
+      .select("k", "t", "e").as[(String, Int, Double)].collect().toSet
+    // u: 8/2=4; 8/4+4/2=4; 8/8+4/4+2/2=3; w independent: 6/2=3
+    assert(full == Set(("u", 1, 4.0), ("u", 2, 4.0), ("u", 3, 3.0),
+      ("w", 1, 3.0)))
+    val h2 = graft.operators.Analytics.ewmaSmooth(
+        df, "k", Seq("t"), "v", "e", horizon = 2)
+      .where($"k" === "u" && $"t" === 3)
+      .select("e").as[Double].collect().head
+    assert(h2 == 4.0 / 4 + 2.0 / 2) // first value truncated out
+    val over = Seq(("u", 1, 1L << 40)).toDF("k", "t", "v")
+    assertThrows[Exception] {
+      graft.operators.Analytics.ewmaSmooth(over, "k", Seq("t"), "v", "e")
+        .collect()
+    }
+  }
+
   test("zoneMapReport: stats exact, pruning decision matches ground truth") {
     val df = Seq(("A", 1L, 10L), ("A", 5L, 11L), ("A", 10L, 12L),
       ("B", 20L, 13L), ("B", 25L, 14L), ("B", 30L, 15L)).toDF("blk", "x", "y")
