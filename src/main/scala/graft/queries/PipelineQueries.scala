@@ -993,6 +993,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- tokenizer training: unigram-LM (SentencePiece-style) EM —
+    // the third tokenizer family (BPE merges bottom-up, WordPiece serves
+    // top-down, unigram SCORES segmentations). Iterative-ML fixture
+    // gate (rows-only + spec), the gp01/tp01 convention: the E-step is a
+    // real-valued fixpoint no SQL oracle can replay ------------------------
+    "ug01_unigram_vocab" -> ((s, d) => {
+      import s.implicits._
+      val vocab = graft.operators.UnigramLm.train(
+        Tables.documents(s, d), "text", vocabSize = 40)
+      vocab.zipWithIndex
+        .map { case (p, i) => (i + 1, p.piece, math.rint(p.prob * 1e9) / 1e9) }
+        .toDF("rank", "piece", "prob_r")
+    }),
+
+    // ---- tokenizer serving: Viterbi segmentation under the unigram
+    // vocab (fixture gate; spec pins lattice semantics) ---------------------
+    "ug02_unigram_segment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.operators.UnigramLm.train(docs, "text",
+        vocabSize = 40)
+      graft.operators.UnigramLm.segmentStats(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
     // ---- sequence prep: sliding-window chunking (oracle-able) --------------
     "ck01_chunk_documents" -> ((s, d) => {
       graft.operators.Packing.chunkDocuments(

@@ -582,6 +582,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Seq((2L, 1), (3L, 2)))
   }
 
+  test("unigram LM: EM lifts likelihood over the char baseline, chars survive, viterbi segments") {
+    import graft.operators.UnigramLm
+    val docs = Seq((1L, "the order line"), (2L, "the the order"),
+      (3L, "line order the order")).toDF("doc_id", "text")
+    val vocab = UnigramLm.train(docs, "text", vocabSize = 20,
+      emRounds = 2, maxPieceLen = 5, seedCap = 64)
+    val pm = vocab.map(p => p.piece -> p.prob).toMap
+    // probs are a distribution; every corpus char survives pruning
+    assert(math.abs(pm.values.sum - 1.0) < 1e-9)
+    "theorlin ".trim.foreach(c =>
+      assert(pm.contains(c.toString), s"char '$c' pruned"))
+    // trained vocab explains the corpus strictly better than chars alone
+    val charVocab = pm.keys.filter(_.length == 1).toSeq.sorted
+      .map(c => UnigramLm.Piece(c, 1.0 / pm.keys.count(_.length == 1)))
+    val trained = UnigramLm.corpusLogLikelihood(docs, "text", vocab)
+    val baseline = UnigramLm.corpusLogLikelihood(docs, "text", charVocab)
+    assert(trained > baseline,
+      s"EM should beat the char baseline: $trained <= $baseline")
+    // frequent whole words become single pieces under Viterbi
+    val stats = UnigramLm.segmentStats(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_pieces", "n_unseg")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats.map(_._2) == Seq(3L, 3L, 4L)) // word counts
+    assert(stats.forall(_._4 == 0L), "all words reachable (chars kept)")
+    assert(stats.map(_._3).sum < stats.map(s =>
+      s._2 * 5).sum, "pieces must compress vs chars")
+    // unreachable word (char outside vocab) flags n_unseg, costs 1 piece
+    val alien = Seq((9L, "zzz the")).toDF("doc_id", "text")
+    val a = UnigramLm.segmentStats(alien, "doc_id", "text", vocab)
+      .select("n_words", "n_pieces", "n_unseg")
+      .as[(Long, Long, Long)].collect().head
+    assert(a._1 == 2L && a._3 == 1L)
+  }
+
+  test("unigram LM expected counts: forward-backward mass lands on the dominant piece") {
+    import graft.operators.UnigramLm
+    // char-only uniform: "ab" splits evenly; with a strong "ab" piece the
+    // expected count concentrates on it
+    val charProbs = Map("a" -> 0.5, "b" -> 0.5)
+    val e1 = UnigramLm.expectedCounts("ab", charProbs, 2)
+    assert(math.abs(e1("a") - 1.0) < 1e-12 &&
+      math.abs(e1("b") - 1.0) < 1e-12)
+    val mixed = Map("a" -> 0.05, "b" -> 0.05, "ab" -> 0.9)
+    val e2 = UnigramLm.expectedCounts("ab", mixed, 2)
+    // P(segment as [ab]) = 0.9 / (0.9 + 0.0025)
+    val pAb = 0.9 / (0.9 + 0.05 * 0.05)
+    assert(math.abs(e2("ab") - pAb) < 1e-12)
+    assert(math.abs(e2("a") - (1 - pAb)) < 1e-12)
+  }
+
   test("wordpiece: longest match wins, UNK collapses the word, rollup per doc") {
     val vocab = Set("un", "unable", "able", "a", "b", "l", "e", "n", "u")
     val docs = Seq(
