@@ -50,7 +50,13 @@ object ExplainAudit {
         "dm01_domain_cap", "cr02_robots_filter", "ts08_char_entropy",
         "bp03_tokenize_ids", "dd12_incremental_neardup",
         "pp06_anneal_schedule", "hx01_html_strip",
-        "dc02_exact_contamination", "pp07_curation_v2")
+        "dc02_exact_contamination", "pp07_curation_v2",
+        // round-9 tier: degree-ordered wedge join, wrong-label ANN,
+        // double-window MAD, zone-map block aggregate, memoized WordPiece
+        // join, bounded-frame EWMA
+        "gr03_triangle_stats", "hn01_hard_negatives", "az02_mad_outliers",
+        "zm01_zonemap_skipping", "wp01_wordpiece_segment",
+        "ew01_ewma_values")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

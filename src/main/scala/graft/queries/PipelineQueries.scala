@@ -603,7 +603,9 @@ object PipelineQueries {
       val o = Tables.orders(s, d)
         .withColumn("_day_", datediff(col("o_orderdate").cast("date"),
           to_date(lit("1992-01-01"))))
-      val (lo, hi) = (400L, 429L)
+      // orders span days ~1096-3500 of the 1992 epoch; a 30-day window
+      // inside the data range makes the pruning audit non-trivial
+      val (lo, hi) = (1400L, 1429L)
       def report(tag: String, block: org.apache.spark.sql.Column,
                  df: org.apache.spark.sql.DataFrame) =
         graft.operators.Layout.zoneMapReport(df, block,
@@ -2230,9 +2232,9 @@ object PipelineQueries {
         |SELECT layout, block_id, count(*) AS n_rows,
         |  min(ck) AS min_o_custkey, max(ck) AS max_o_custkey,
         |  CAST(min(dy) AS BIGINT) AS min_day, CAST(max(dy) AS BIGINT) AS max_day,
-        |  CAST(sum(CASE WHEN dy BETWEEN 400 AND 429 THEN 1 ELSE 0 END)
+        |  CAST(sum(CASE WHEN dy BETWEEN 1400 AND 1429 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_matching,
-        |  (max(dy) >= 400 AND min(dy) <= 429) AS scanned
+        |  (max(dy) >= 1400 AND min(dy) <= 1429) AS scanned
         |FROM blk GROUP BY layout, block_id
         |ORDER BY layout, block_id""".stripMargin
     },
