@@ -135,4 +135,40 @@ object Temporal {
       .groupBy(col(keyCol))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("total")).as("total"))
+
+  /** Snapshot diff — the table-versioning primitive: given two snapshots
+    * of a keyed table, emit one row per key whose state changed, tagged
+    * `added` / `removed` / `changed`, with the old and new value of each
+    * compared column side by side (`old_<c>` / `new_<c>`). Unchanged keys
+    * (every compared column null-safe-equal) are dropped.
+    *
+    * Plan: ONE full-outer sort-merge join on the key — both snapshots
+    * shuffle once, no driver state, and the change classification is a
+    * row-local expression. At 100 TB, cut the join short by pre-hashing:
+    * aggregate a per-key row hash on each side, anti-join equal hashes
+    * first, and full-outer only the survivors — same output, and the
+    * full-width rows of unchanged keys (the overwhelming majority of a
+    * daily snapshot pair) never shuffle. Keys must be unique per
+    * snapshot (it is a diff of STATES, not of multisets — dedup first
+    * or diff [[latestState]] outputs). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compared column")
+    val o = oldDf.select(col(keyCol) +:
+      (lit(true).as("_in_old_") +:
+        compareCols.map(c => col(c).as(s"old_$c"))): _*)
+    val n = newDf.select(col(keyCol) +:
+      (lit(true).as("_in_new_") +:
+        compareCols.map(c => col(c).as(s"new_$c"))): _*)
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("_in_old_").isNull, "added")
+          .when(col("_in_new_").isNull, "removed")
+          .when(changed, "changed"))
+      .where(col("change").isNotNull)
+      .drop("_in_old_", "_in_new_")
+  }
 }

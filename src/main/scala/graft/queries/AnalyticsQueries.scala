@@ -285,6 +285,23 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- snapshot diff: two synthetic versions of the orders table →
+    // added/removed/changed rows in one full-outer join; %5/%7 key
+    // filters give real adds AND removes, %3 bumps prices for changes ----
+    "df01_snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 1000) as bigint)").as("price_milli"),
+        col("o_orderstatus"))
+      val oldS = base.where(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      val newS = base.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("price_milli",
+          when(pmod(col("o_orderkey"), lit(3)) === 0,
+            col("price_milli") + 500L).otherwise(col("price_milli")))
+      Temporal.snapshotDiff(oldS, newS, "o_orderkey",
+          Seq("price_milli", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- EWMA smoothing (α = 1/2, horizon 16) of each user's event
     // values — every term is an exact long over a power of two, so the
     // double replays bit-identically in any engine --------------------------
@@ -856,6 +873,29 @@ object AnalyticsQueries {
         |SELECT grp AS o_orderpriority, id AS o_orderkey,
         |  val AS price_milli, med, mad, dev
         |FROM m2 WHERE dev > 2 * mad ORDER BY id""".stripMargin,
+
+    // snapshot-diff replay: one full outer join, null-safe comparisons
+    "df01_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 1000) AS BIGINT) AS pm,
+        |    o_orderstatus AS st
+        |  FROM orders),
+        |o AS (SELECT * FROM base WHERE k % 5 <> 0),
+        |n AS (
+        |  SELECT k, CASE WHEN k % 3 = 0 THEN pm + 500 ELSE pm END AS pm, st
+        |  FROM base WHERE k % 7 <> 0),
+        |d AS (
+        |  SELECT coalesce(o.k, n.k) AS o_orderkey,
+        |    o.pm AS old_price_milli, o.st AS old_o_orderstatus,
+        |    n.pm AS new_price_milli, n.st AS new_o_orderstatus,
+        |    CASE WHEN o.k IS NULL THEN 'added'
+        |         WHEN n.k IS NULL THEN 'removed'
+        |         WHEN o.pm IS DISTINCT FROM n.pm
+        |           OR o.st IS DISTINCT FROM n.st THEN 'changed' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.k = n.k)
+        |SELECT * FROM d WHERE change IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     // EWMA replay: same bounded frame list, same exact-by-construction
     // terms (long / power-of-two); list_sum order is irrelevant because

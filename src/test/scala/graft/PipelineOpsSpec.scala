@@ -680,6 +680,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("hard negatives LSH path: labels always differ, recall >= 0.5 vs exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where($"vec_id" < 30)
+    val exact = Similarity.hardNegatives(q, emb, "vec_id", "embedding",
+        "label", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.hardNegativesLsh(q, emb, "vec_id", "embedding",
+        "label", k = 3, dim = 64, bitsPerTable = 4, nTables = 16)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(approx.forall { case (_, ql, _, nl) => ql != nl },
+      "LSH path leaked a same-label pair")
+    val approxPairs = approx.map(t => (t._1, t._3)).toSet
+    val recall = exact.count(approxPairs.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"hard-negative LSH recall was $recall")
+  }
+
   test("LSH ANN: recall >= 0.5 vs brute force top-3 on real embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.where($"vec_id" < 30)

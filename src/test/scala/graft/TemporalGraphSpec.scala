@@ -127,6 +127,26 @@ class TemporalGraphSpec extends AnyFunSuite {
       (11L, 0L, 0L, 1L, 1L)))
   }
 
+  test("snapshotDiff: add/remove/change classified, unchanged and null=null dropped") {
+    val oldS = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d"))).toDF("k", "v")
+    val newS = Seq((1L, Some("a")), (2L, Some("B")), (3L, None),
+      (5L, Some("e"))).toDF("k", "v")
+    val got = Temporal.snapshotDiff(oldS, newS, "k", Seq("v"))
+      .select("k", "change", "old_v", "new_v")
+      .as[(Long, String, Option[String], Option[String])].collect().toSet
+    assert(got == Set(
+      (2L, "changed", Some("b"), Some("B")),
+      (4L, "removed", Some("d"), None),
+      (5L, "added", None, Some("e"))))
+    // null -> value counts as changed (null-safe compare, not SQL-equals)
+    val n2v = Temporal.snapshotDiff(
+        Seq((9L, Option.empty[String])).toDF("k", "v"),
+        Seq((9L, Some("x"))).toDF("k", "v"), "k", Seq("v"))
+      .select("change").as[String].collect().toSeq
+    assert(n2v == Seq("changed"))
+  }
+
   test("triangleStats: known counts, canonicalization of dup/loop/reversed edges") {
     // square 1-2-3-4-1 plus diagonal 1-3 → triangles (1,2,3) and (1,3,4);
     // fed with a duplicate, a self-loop, and a reversed edge to prove
