@@ -358,6 +358,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- curation audit: drop provenance — every document labeled with
+    // the FIRST curation stage that rejects it (short → blocklist →
+    // low-entropy), null = kept. The "why was my sample dropped" report a
+    // production pipeline must be able to answer; composes three gated
+    // signals with a fixed evaluation order, so the label is a pure
+    // row-local CASE after one entropy aggregate ---------------------------
+    "dp01_drop_provenance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ent = TextAnalysis.charEntropy(docs, "text", "doc_id")
+        .select(col("doc_id"), round(col("entropy"), 6).as("_ent_"))
+      val toks = length(col("text")) -
+        length(replace(col("text"), lit(" "), lit(""))) + lit(1)
+      val blocked = Seq("big vector", "slow filter", "merge batch")
+        .map(p => col("text").contains(p)).reduce(_ || _)
+      docs.join(ent, "doc_id")
+        .withColumn("drop_reason",
+          when(toks < 30, "short")
+            .when(blocked, "blocklist")
+            .when(col("_ent_") < 2.78, "low_entropy"))
+        .select(col("doc_id"), col("drop_reason").isNull.as("kept"),
+          col("drop_reason"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: blocklist filter (C4 bad-words stage) --------------
     "bf01_blocklist_filter" -> ((s, d) =>
       TextAnalysis.blocklistFilter(Tables.documents(s, d), "doc_id", "text",
@@ -1904,6 +1928,34 @@ object PipelineQueries {
         |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // drop-provenance replay: ts08's entropy chain + row-local CASE in
+    // the same stage order
+    "dp01_drop_provenance" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |agg AS (
+        |  SELECT doc_id, list(k ORDER BY c) AS ks, sum(k) AS n
+        |  FROM cnt GROUP BY doc_id),
+        |e AS (
+        |  SELECT d.doc_id,
+        |    round(coalesce(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [(k / n) * ln(k / n) FOR k IN ks]), (x, y) -> x + y), 0.0), 6)
+        |      AS ent
+        |  FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id),
+        |lbl AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 30
+        |           THEN 'short'
+        |         WHEN text LIKE '%big vector%' OR text LIKE '%slow filter%'
+        |           OR text LIKE '%merge batch%' THEN 'blocklist'
+        |         WHEN e.ent < 2.78 THEN 'low_entropy' END AS drop_reason
+        |  FROM documents d JOIN e ON e.doc_id = d.doc_id)
+        |SELECT doc_id, drop_reason IS NULL AS kept, drop_reason
+        |FROM lbl ORDER BY doc_id""".stripMargin,
 
     // char-entropy replay: per-char counts, fold ordered by char, k/n as
     // double division — the sort_array struct order on the Spark side
