@@ -426,6 +426,69 @@ object TextAnalysis {
       when(col(scoreCol).isNull, nBuckets).otherwise(bucket))
   }
 
+  /** RAKE keyword extraction (public algorithm: Rose et al. '10 — Rapid
+    * Automatic Keyword Extraction): candidate phrases are maximal runs of
+    * non-stopword tokens (capped at `maxPhraseLen` words, the standard
+    * practice), each word scores deg(w)/freq(w) over the CORPUS-wide
+    * candidate set (deg = Σ length of phrases containing w — co-
+    * occurrence degree; freq = occurrence count), and a phrase scores the
+    * sum of its words' scores. Top-`topK` phrases per document.
+    *
+    * Float determinism: deg and freq are exact integers, each word score
+    * is ONE correctly-rounded division, and the phrase sum folds in
+    * word-position order seeded at 0.0 — the identical sequence a SQL
+    * replay produces, so ranking never diverges; ties break on (phrase
+    * text, phrase position).
+    *
+    * Scale shape: one window per document (phrase-id running count), one
+    * corpus-wide word aggregate (map-side combined — vocabulary-sized
+    * shuffle), one word→stats hash join, one per-doc top-k window. No
+    * driver state, no pairwise anything. Output: (idCol, rank, phrase,
+    * score_r). */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String], maxPhraseLen: Int = 4,
+                   topK: Int = 3): DataFrame = {
+    require(maxPhraseLen >= 1 && topK >= 1, "bad RAKE parameters")
+    val toks = df.select(col(idCol),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("_i_", "_w_")))
+      .where(col("_w_") =!= "")
+      .withColumn("_st_",
+        when(col("_w_").isin(stopwords: _*), 1L).otherwise(0L))
+    val wDoc = Window.partitionBy(idCol).orderBy("_i_")
+    val phrases = toks
+      .withColumn("_pid_", sum(col("_st_")).over(wDoc))
+      .where(col("_st_") === 0)
+      .groupBy(col(idCol), col("_pid_"))
+      .agg(sort_array(collect_list(struct(col("_i_"), col("_w_"))))
+        .as("_ws_"))
+      .withColumn("_words_", expr("transform(_ws_, x -> x._w_)"))
+      .withColumn("_len_", size(col("_words_")))
+      .where(col("_len_") <= maxPhraseLen)
+      .drop("_ws_")
+    val stats = phrases
+      .select(explode(col("_words_")).as("_w_"), col("_len_"))
+      .groupBy("_w_")
+      .agg(count(lit(1)).as("_freq_"), sum(col("_len_")).as("_deg_"))
+    val scored = phrases
+      .select(col(idCol), col("_pid_"),
+        posexplode(col("_words_")).as(Seq("_wi_", "_w_")))
+      .join(stats, "_w_")
+      .groupBy(col(idCol), col("_pid_"))
+      .agg(sort_array(collect_list(struct(col("_wi_"), col("_w_"),
+        (col("_deg_").cast("double") / col("_freq_").cast("double"))
+          .as("_s_")))).as("_terms_"))
+      .select(col(idCol), col("_pid_"),
+        expr("concat_ws(' ', transform(_terms_, x -> x._w_))").as("phrase"),
+        expr("aggregate(_terms_, cast(0 as double), (a, x) -> a + x._s_)")
+          .as("_score_"))
+    val wTop = Window.partitionBy(idCol)
+      .orderBy(col("_score_").desc, col("phrase"), col("_pid_"))
+    scored.withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("phrase"),
+        round(col("_score_"), 6).as("score_r"))
+  }
+
   /** Convenience: annotate a document DataFrame with all analysis cols. */
   def annotate(df: DataFrame, textCol: String): DataFrame = df
     .withColumn("lang_pred", langIdUdf(col(textCol)))

@@ -382,6 +382,13 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- text analysis: RAKE keyword extraction — top-3 stopword-
+    // delimited phrases per doc by corpus-wide deg/freq word scores ---------
+    "kw01_rake_keywords" -> ((s, d) =>
+      TextAnalysis.rakeKeywords(Tables.documents(s, d), "doc_id", "text",
+          stopwords = Seq("the", "a", "value", "data"))
+        .orderBy("doc_id", "rank")),
+
     // ---- text analysis: blocklist filter (C4 bad-words stage) --------------
     "bf01_blocklist_filter" -> ((s, d) =>
       TextAnalysis.blocklistFilter(Tables.documents(s, d), "doc_id", "text",
@@ -1928,6 +1935,48 @@ object PipelineQueries {
         |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // RAKE replay: same phrase-id window, same integer deg/freq stats,
+    // same position-ordered score fold seeded at 0.0
+    "kw01_rake_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, w, i,
+        |    CASE WHEN w IN ('the','a','value','data') THEN 1 ELSE 0 END AS st
+        |  FROM (SELECT doc_id, unnest(ws) AS w,
+        |          generate_subscripts(ws, 1) AS i
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split_regex(text, '\s+'),
+        |                            x -> x <> '') AS ws
+        |              FROM documents))),
+        |p AS (
+        |  SELECT doc_id, i, w, st,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+        |  FROM t),
+        |ph AS (
+        |  SELECT doc_id, pid, list(w ORDER BY i) AS words, count(*) AS ln
+        |  FROM p WHERE st = 0 GROUP BY doc_id, pid
+        |  HAVING count(*) <= 4),
+        |wstat AS (
+        |  SELECT w, count(*) AS freq, CAST(sum(ln) AS BIGINT) AS deg
+        |  FROM (SELECT unnest(words) AS w, ln FROM ph) GROUP BY w),
+        |terms AS (
+        |  SELECT e.doc_id, e.pid, e.wi, e.w,
+        |    CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE) AS sc
+        |  FROM (SELECT doc_id, pid, unnest(words) AS w,
+        |          generate_subscripts(words, 1) AS wi FROM ph) e
+        |  JOIN wstat s ON s.w = e.w),
+        |sc AS (
+        |  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY wi) AS phrase,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(sc ORDER BY wi)), (a, x) -> a + x) AS score
+        |  FROM terms GROUP BY doc_id, pid),
+        |r AS (
+        |  SELECT doc_id, pid, phrase, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, phrase, pid) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, phrase, round(score, 6) AS score_r
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // drop-provenance replay: ts08's entropy chain + row-local CASE in
     // the same stage order

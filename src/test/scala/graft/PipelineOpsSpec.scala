@@ -582,6 +582,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Seq((2L, 1), (3L, 2)))
   }
 
+  test("RAKE: deg/freq scores, stopword phrase splits, phrase-length cap, top-k") {
+    import graft.operators.TextAnalysis
+    // phrases: "red apple" / "apple" / "long phrase beyond cap limit"(>4, dropped)
+    val docs = Seq(
+      (1L, "red apple the apple"),
+      (2L, "long phrase beyond cap limit")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(docs, "doc_id", "text",
+        stopwords = Seq("the"), maxPhraseLen = 4, topK = 3)
+      .select("doc_id", "rank", "phrase", "score_r")
+      .as[(Long, Int, String, Double)].collect().toSeq.sorted
+    // stats over kept phrases: red(freq1,deg2) apple(freq2,deg3)
+    // "red apple" = 2/1 + 3/2 = 3.5; "apple" = 1.5; doc2 fully dropped
+    assert(got == Seq((1L, 1, "red apple", 3.5), (1L, 2, "apple", 1.5)))
+  }
+
   test("unigram LM: EM lifts likelihood over the char baseline, chars survive, viterbi segments") {
     import graft.operators.UnigramLm
     val docs = Seq((1L, "the order line"), (2L, "the the order"),
