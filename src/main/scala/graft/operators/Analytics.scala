@@ -332,6 +332,71 @@ object Analytics {
           col("n").cast("double")).as("intercept"))
   }
 
+  /** Two-feature least squares per group (y ~ b0 + b1·x1 + b2·x2) with
+    * R², by exact normal equations: ten DECIMAL moment sums (order-free —
+    * the one distributed pass), then Cramer's rule on the CENTERED 2×2
+    * system as a FIXED double program, token-for-token the oracle's SQL.
+    * Every double op is correctly rounded over exact inputs with a fixed
+    * parenthesization, so the coefficients replay bit-identically — the
+    * [[linearFit]] discipline one dimension up. Degenerate groups
+    * (singular system, zero variance in y) yield NULL coefficients / R²
+    * rather than ±Inf.
+    *
+    * Replay caveat (found the hard way): once a moment's scaled integer
+    * exceeds 2^53 (sum(y²) here), DuckDB's direct wide-DECIMAL→DOUBLE
+    * cast drifts by 1 ulp, while Spark's BigDecimal.doubleValue is
+    * correctly rounded — the oracle must route that cast through VARCHAR
+    * (strtod is correctly rounded) to stay bit-identical. */
+  def linearFit2(df: DataFrame, keyCol: String, x1Col: String,
+                 x2Col: String, yCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,2)")
+    val x1 = dec(col(x1Col)); val x2 = dec(col(x2Col)); val y = dec(col(yCol))
+    val m = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("_s1_"), sum(x2).as("_s2_"), sum(y).as("_sy_"),
+      sum(x1 * x1).as("_s11_"), sum(x2 * x2).as("_s22_"),
+      sum(x1 * x2).as("_s12_"),
+      sum(x1 * y).as("_s1y_"), sum(x2 * y).as("_s2y_"),
+      sum(y * y).as("_syy_"))
+    m.select(col(keyCol), col("n"),
+        expr("cast(n as double)").as("_dn_"),
+        expr("cast(_s1_ as double)").as("_d1_"),
+        expr("cast(_s2_ as double)").as("_d2_"),
+        expr("cast(_sy_ as double)").as("_dy_"),
+        expr("cast(_s11_ as double)").as("_d11_"),
+        expr("cast(_s22_ as double)").as("_d22_"),
+        expr("cast(_s12_ as double)").as("_d12_"),
+        expr("cast(_s1y_ as double)").as("_d1y_"),
+        expr("cast(_s2y_ as double)").as("_d2y_"),
+        expr("cast(_syy_ as double)").as("_dyy_"))
+      .select(col(keyCol), col("n"),
+        col("_dn_"), col("_d1_"), col("_d2_"), col("_dy_"),
+        expr("_dn_ * _d11_ - _d1_ * _d1_").as("_a11_"),
+        expr("_dn_ * _d22_ - _d2_ * _d2_").as("_a22_"),
+        expr("_dn_ * _d12_ - _d1_ * _d2_").as("_a12_"),
+        expr("_dn_ * _d1y_ - _d1_ * _dy_").as("_b1_"),
+        expr("_dn_ * _d2y_ - _d2_ * _dy_").as("_b2_"),
+        expr("_dn_ * _dyy_ - _dy_ * _dy_").as("_sst_"))
+      .select(col(keyCol), col("n"),
+        col("_dn_"), col("_d1_"), col("_d2_"), col("_dy_"),
+        col("_b1_"), col("_b2_"), col("_sst_"),
+        expr("_a11_ * _a22_ - _a12_ * _a12_").as("_det_"),
+        col("_a11_"), col("_a22_"), col("_a12_"))
+      .select(col(keyCol), col("n"),
+        col("_dn_"), col("_d1_"), col("_d2_"), col("_dy_"),
+        col("_b1_"), col("_b2_"), col("_sst_"),
+        expr("""case when _det_ <> 0.0
+                then (_b1_ * _a22_ - _b2_ * _a12_) / _det_ end""").as("beta1"),
+        expr("""case when _det_ <> 0.0
+                then (_b2_ * _a11_ - _b1_ * _a12_) / _det_ end""").as("beta2"))
+      .select(col(keyCol), col("n"), col("beta1"), col("beta2"),
+        expr("(_dy_ - beta1 * _d1_ - beta2 * _d2_) / _dn_").as("beta0"),
+        expr("""case when _sst_ <> 0.0
+                then (beta1 * _b1_ + beta2 * _b2_) / _sst_ end""").as("r2"))
+      .select(col(keyCol), col("n"), col("beta0"), col("beta1"),
+        col("beta2"), col("r2"))
+  }
+
   /** 2-D skyline (Pareto frontier), both dimensions MINIMIZED: keep every
     * row not dominated by another (q dominates p iff qx ≤ px ∧ qy ≤ py,
     * strict in at least one; duplicate frontier points all survive). The

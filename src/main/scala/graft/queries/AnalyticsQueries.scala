@@ -285,6 +285,21 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- multiple regression: order price ~ (total quantity, item
+    // count) per priority — exact decimal moments, Cramer's rule as a
+    // fixed double program; R² included ----------------------------------
+    "lr02_linear_fit2" -> ((s, d) => {
+      val feats = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+      val joined = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .join(feats, col("o_orderkey") === col("l_orderkey"))
+      Analytics.linearFit2(joined, "o_orderpriority",
+          "sum_qty", "n_items", "o_totalprice")
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- snapshot diff: two synthetic versions of the orders table →
     // added/removed/changed rows in one full-outer join; %5/%7 key
     // filters give real adds AND removes, %3 bumps prices for changes ----
@@ -873,6 +888,59 @@ object AnalyticsQueries {
         |SELECT grp AS o_orderpriority, id AS o_orderkey,
         |  val AS price_milli, med, mad, dev
         |FROM m2 WHERE dev > 2 * mad ORDER BY id""".stripMargin,
+
+    // two-feature regression replay: identical decimal moments, identical
+    // staged double program (token-for-token with linearFit2)
+    "lr02_linear_fit2" ->
+      """WITH f AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS sum_qty,
+        |    count(*) AS n_items
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (
+        |  SELECT o_orderpriority AS k,
+        |    CAST(sum_qty AS DECIMAL(18,2)) AS x1,
+        |    CAST(n_items AS DECIMAL(18,2)) AS x2,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+        |  FROM orders JOIN f ON o_orderkey = l_orderkey),
+        |m AS (
+        |  -- decimal -> double goes THROUGH VARCHAR: DuckDB's direct
+        |  -- wide-DECIMAL cast is not correctly rounded once the scaled
+        |  -- integer exceeds 2^53 (observed 1-ulp drift on sum(y*y)),
+        |  -- while strtod and Spark's BigDecimal.doubleValue both are
+        |  SELECT k, count(*) AS n,
+        |    CAST(count(*) AS DOUBLE) AS dn,
+        |    CAST(CAST(sum(x1) AS VARCHAR) AS DOUBLE) AS d1,
+        |    CAST(CAST(sum(x2) AS VARCHAR) AS DOUBLE) AS d2,
+        |    CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS dy,
+        |    CAST(CAST(sum(x1 * x1) AS VARCHAR) AS DOUBLE) AS d11,
+        |    CAST(CAST(sum(x2 * x2) AS VARCHAR) AS DOUBLE) AS d22,
+        |    CAST(CAST(sum(x1 * x2) AS VARCHAR) AS DOUBLE) AS d12,
+        |    CAST(CAST(sum(x1 * y) AS VARCHAR) AS DOUBLE) AS d1y,
+        |    CAST(CAST(sum(x2 * y) AS VARCHAR) AS DOUBLE) AS d2y,
+        |    CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS dyy
+        |  FROM j GROUP BY k),
+        |a AS (
+        |  SELECT k, n, dn, d1, d2, dy,
+        |    dn * d11 - d1 * d1 AS a11, dn * d22 - d2 * d2 AS a22,
+        |    dn * d12 - d1 * d2 AS a12,
+        |    dn * d1y - d1 * dy AS b1v, dn * d2y - d2 * dy AS b2v,
+        |    dn * dyy - dy * dy AS sst
+        |  FROM m),
+        |dt AS (SELECT *, a11 * a22 - a12 * a12 AS det FROM a),
+        |bet AS (
+        |  SELECT k, n, dn, d1, d2, dy, b1v, b2v, sst,
+        |    CASE WHEN det <> 0.0
+        |      THEN (b1v * a22 - b2v * a12) / det END AS beta1,
+        |    CASE WHEN det <> 0.0
+        |      THEN (b2v * a11 - b1v * a12) / det END AS beta2
+        |  FROM dt)
+        |SELECT k AS o_orderpriority, n,
+        |  (dy - beta1 * d1 - beta2 * d2) / dn AS beta0, beta1, beta2,
+        |  CASE WHEN sst <> 0.0
+        |    THEN (beta1 * b1v + beta2 * b2v) / sst END AS r2
+        |FROM bet ORDER BY o_orderpriority""".stripMargin,
 
     // snapshot-diff replay: one full outer join, null-safe comparisons
     "df01_snapshot_diff" ->

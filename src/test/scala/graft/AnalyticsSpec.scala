@@ -299,6 +299,28 @@ class AnalyticsSpec extends AnyFunSuite {
       ("g2", 10L, 10L, None)))
   }
 
+  test("linearFit2: exact plane recovered with r2=1; collinear and flat groups go NULL") {
+    val exact = for {
+      x1 <- 1 to 5; x2 <- 1 to 4
+    } yield ("fit", x1.toDouble, x2.toDouble, 2.0 + 3.0 * x1 - x2)
+    val collinear = (1 to 6).map(i =>
+      ("coll", i.toDouble, 2.0 * i, i.toDouble)) // x2 = 2·x1 → singular
+    val flat = (1 to 5).map(i => ("flat", i.toDouble, (i % 2).toDouble, 7.0))
+    val df = (exact ++ collinear ++ flat).toDF("k", "x1", "x2", "y")
+    val got = graft.operators.Analytics.linearFit2(df, "k", "x1", "x2", "y")
+      .select("k", "beta0", "beta1", "beta2", "r2")
+      .as[(String, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().map(r => r._1 -> r).toMap
+    val fit = got("fit")
+    assert(fit._2 == Some(2.0) && fit._3 == Some(3.0) &&
+      fit._4 == Some(-1.0) && fit._5 == Some(1.0),
+      s"expected exact plane, got $fit")
+    assert(got("coll")._3.isEmpty && got("coll")._4.isEmpty,
+      "singular system must yield NULL betas")
+    // flat y: betas 0, intercept 7, SST = 0 → r2 NULL
+    assert(got("flat")._2 == Some(7.0) && got("flat")._5.isEmpty)
+  }
+
   test("ewmaSmooth: hand-computed halving weights, horizon truncation, envelope guard") {
     val df = Seq(("u", 1, 8L), ("u", 2, 4L), ("u", 3, 2L), ("w", 1, 6L))
       .toDF("k", "t", "v")
