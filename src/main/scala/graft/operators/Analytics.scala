@@ -568,6 +568,59 @@ object Analytics {
         col("dev"))
   }
 
+  /** Per-group winsorization: clip an integer value column to the
+    * group's [loPct, hiPct] percentile bounds (the robust outlier
+    * TREATMENT, where [[madOutliers]] is the detector). Bounds use the
+    * same integer rank selection as [[groupQuantiles]]
+    * (`1 + (p·(n−1)) div 100`, lower interpolation), so bounds, clip,
+    * and flags are all pure integer arithmetic — engine-portable with no
+    * float anywhere. One window sort per group (both bounds read off the
+    * same value ordering). Output: every input row as (`keyCol`,
+    * `idCol`, `valCol`, lo, hi, clipped, was_clipped). */
+  def winsorize(df: DataFrame, keyCol: String, idCol: String,
+                valCol: String, loPct: Int, hiPct: Int): DataFrame = {
+    require(loPct >= 0 && hiPct <= 100 && loPct <= hiPct,
+      s"need 0 <= loPct <= hiPct <= 100, got [$loPct, $hiPct]")
+    val byKey = Window.partitionBy(keyCol)
+    val wVal = byKey.orderBy(col(valCol), col(idCol))
+    def rankOf(p: Int) = lit(1) + expr(s"($p * (_n_ - 1)) div 100")
+    df.select(col(keyCol), col(idCol), col(valCol).cast("long").as(valCol))
+      .withColumn("_n_", count(lit(1)).over(byKey))
+      .withColumn("_rnv_", row_number().over(wVal))
+      .withColumn("lo",
+        max(when(col("_rnv_") === rankOf(loPct), col(valCol))).over(byKey))
+      .withColumn("hi",
+        max(when(col("_rnv_") === rankOf(hiPct), col(valCol))).over(byKey))
+      .withColumn("clipped", greatest(col("lo"), least(col("hi"), col(valCol))))
+      .withColumn("was_clipped", col("clipped") =!= col(valCol))
+      .select(keyCol, idCol, valCol, "lo", "hi", "clipped", "was_clipped")
+  }
+
+  /** Weekday seasonal profile + residual over a daily series: each day's
+    * value vs the mean of its day-of-week across the whole series — the
+    * one-knob seasonal decomposition that answers "is this dip a real
+    * anomaly or just a weekend". Day-of-week is the ENGINE-NEUTRAL
+    * `(days_since_1970-01-01 + 4) mod 7` (0 = Sunday) — Spark's
+    * `dayofweek` and DuckDB's differ in both origin and range, epoch-day
+    * arithmetic agrees everywhere. The profile mean is one exact DECIMAL
+    * sum per weekday through one correctly-rounded division; the
+    * residual is one fixed subtraction. Output: (dayCol, dow, value
+    * double, profile, residual). */
+  def weekdayProfile(df: DataFrame, dayCol: String,
+                     valCol: String): DataFrame = {
+    val dow = pmod(datediff(col(dayCol), to_date(lit("1970-01-01"))) + 4, lit(7))
+    val daily = df.select(col(dayCol), dow.as("dow"),
+      col(valCol).cast("decimal(18,2)").as("_v_"))
+    val profile = daily.groupBy("dow")
+      .agg(expr("cast(sum(_v_) as double) / cast(count(1) as double)")
+        .as("profile"))
+    daily.join(profile, "dow")
+      .select(col(dayCol), col("dow"),
+        col("_v_").cast("double").as(valCol),
+        col("profile"),
+        (col("_v_").cast("double") - col("profile")).as("residual"))
+  }
+
   /** Cohen's kappa inter-annotator agreement per group: how far the two
     * label columns' agreement exceeds chance, the standard QA gate before
     * trusting human (or heuristic) labels for training data.

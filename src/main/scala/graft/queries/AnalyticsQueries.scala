@@ -285,6 +285,27 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- robust treatment: winsorize account balances per market
+    // segment at the exact [10, 90] rank percentiles — all integer ------
+    "wz01_winsorize_balances" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_mktsegment"),
+        col("c_custkey"),
+        expr("cast(round(c_acctbal * 1000) as bigint)").as("bal_milli"))
+      Analytics.winsorize(c, "c_mktsegment", "c_custkey", "bal_milli",
+          loPct = 10, hiPct = 90)
+        .orderBy("c_custkey")
+    }),
+
+    // ---- seasonality: daily revenue vs its weekday profile — the
+    // engine-neutral epoch-day dow, exact decimal means -------------------
+    "sz01_weekday_profile" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      Analytics.weekdayProfile(daily, "day", "revenue")
+        .orderBy("day")
+    }),
+
     // ---- multiple regression: order price ~ (total quantity, item
     // count) per priority — exact decimal moments, Cramer's rule as a
     // fixed double program; R² included ----------------------------------
@@ -888,6 +909,51 @@ object AnalyticsQueries {
         |SELECT grp AS o_orderpriority, id AS o_orderkey,
         |  val AS price_milli, med, mad, dev
         |FROM m2 WHERE dev > 2 * mad ORDER BY id""".stripMargin,
+
+    // winsorize replay: same single value-ordered window, same integer
+    // rank bounds, same clip
+    "wz01_winsorize_balances" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment AS g, c_custkey AS id,
+        |    CAST(round(c_acctbal * 1000) AS BIGINT) AS bal_milli
+        |  FROM customer),
+        |r AS (
+        |  SELECT g, id, bal_milli,
+        |    row_number() OVER (PARTITION BY g ORDER BY bal_milli, id) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM v),
+        |b AS (
+        |  SELECT *,
+        |    max(CASE WHEN rn = 1 + (10 * (n - 1)) // 100
+        |      THEN bal_milli END) OVER (PARTITION BY g) AS lo,
+        |    max(CASE WHEN rn = 1 + (90 * (n - 1)) // 100
+        |      THEN bal_milli END) OVER (PARTITION BY g) AS hi
+        |  FROM r)
+        |SELECT g AS c_mktsegment, id AS c_custkey, bal_milli, lo, hi,
+        |  greatest(lo, least(hi, bal_milli)) AS clipped,
+        |  greatest(lo, least(hi, bal_milli)) <> bal_milli AS was_clipped
+        |FROM b ORDER BY id""".stripMargin,
+
+    // weekday-profile replay: epoch-day dow, exact decimal sums, one
+    // division + one subtraction
+    "sz01_weekday_profile" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY day),
+        |d AS (
+        |  SELECT day,
+        |    (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dow,
+        |    rev
+        |  FROM daily),
+        |p AS (
+        |  SELECT dow,
+        |    CAST(sum(rev) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS profile
+        |  FROM d GROUP BY dow)
+        |SELECT d.day, CAST(d.dow AS INT) AS dow,
+        |  CAST(d.rev AS DOUBLE) AS revenue, p.profile,
+        |  CAST(d.rev AS DOUBLE) - p.profile AS residual
+        |FROM d JOIN p ON d.dow = p.dow ORDER BY d.day""".stripMargin,
 
     // two-feature regression replay: identical decimal moments, identical
     // staged double program (token-for-token with linearFit2)

@@ -299,6 +299,35 @@ class AnalyticsSpec extends AnyFunSuite {
       ("g2", 10L, 10L, None)))
   }
 
+  test("winsorize: exact rank bounds, clipping flags, per-group isolation") {
+    val df = ((1L to 10L).map(v => ("g", v, v * 100)) :+ (("solo", 99L, 5L)))
+      .toDF("k", "id", "v")
+    val got = graft.operators.Analytics.winsorize(df, "k", "id", "v", 10, 90)
+      .where($"k" === "g")
+      .select("v", "lo", "hi", "clipped", "was_clipped")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // n=10: lo rank 1 → 100, hi rank 9 → 900; only 1000 clips
+    assert(got.forall { case (_, lo, hi, _, _) => lo == 100 && hi == 900 })
+    assert(got.map(_._4) == Seq(100L, 200L, 300L, 400L, 500L, 600L, 700L,
+      800L, 900L, 900L))
+    assert(got.count(_._5) == 1)
+  }
+
+  test("weekdayProfile: engine-neutral dow, zero residual for constant weekdays") {
+    // 1970-01-01 is a Thursday → dow (epoch+4)%7 = 4
+    val days = (0 until 14).map { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i))
+      (d, if (i % 7 < 2) 100.0 else 50.0) // value depends only on dow
+    }
+    val got = graft.operators.Analytics.weekdayProfile(
+        days.toDF("day", "rev"), "day", "rev")
+      .select("day", "dow", "residual").as[(java.sql.Date, Int, Double)]
+      .collect().toSeq
+    assert(got.size == 14)
+    assert(got.forall(_._3 == 0.0), "constant-per-weekday ⟹ zero residual")
+    assert(got.find(_._1.toString == "1970-01-01").get._2 == 4) // Thursday
+  }
+
   test("linearFit2: exact plane recovered with r2=1; collinear and flat groups go NULL") {
     val exact = for {
       x1 <- 1 to 5; x2 <- 1 to 4
