@@ -71,4 +71,32 @@ object Skew {
       .join(dims.where(!hotCol), Seq(key), joinType)
     hot.unionByName(cold)
   }
+
+  /** Join-key skew profile: the measurement that decides BETWEEN
+    * [[saltedJoin]] and [[hotColdJoin]] before burning a cluster-day on
+    * a skewed shuffle. For the `topK` heaviest keys: exact count, the
+    * key's share as an integer permille (`cnt·1000 div N` — no float
+    * threshold to straddle), and `suggested_salt = ceil(cnt·D / N)` — the
+    * number of salt buckets that levels this key down to the average
+    * key's partition load (1 = not skewed). One aggregate + one top-k
+    * window + one broadcast of the 1-row totals; the full distinct-key
+    * set never leaves the executors. Output: (`keyCol`, cnt, n_total,
+    * n_keys, permille, suggested_salt) ordered heaviest-first. */
+  def profileKeys(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+    // global sort+limit is TakeOrdered (per-partition top-k + driver
+    // merge of k·P rows) — NOT a single-partition window over the full
+    // distinct-key set
+    val top = counts.orderBy(col("cnt").desc, col(keyCol)).limit(topK)
+    val totals = counts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("n_keys"))
+    top.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"), col("n_total"), col("n_keys"),
+        expr("(cnt * 1000) div n_total").as("permille"),
+        expr("(cnt * n_keys + n_total - 1) div n_total")
+          .as("suggested_salt"))
+      .orderBy(col("cnt").desc, col(keyCol))
+  }
 }

@@ -285,6 +285,16 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- ops: join-key skew profile over the corpus word key — the
+    // report that picks between salted and hot/cold join plans; integer
+    // permille and ceil-salt so no float threshold can straddle ----------
+    "sk02_skew_profile" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .where(col("word") =!= "")
+      graft.operators.Skew.profileKeys(words, "word", topK = 10)
+    }),
+
     // ---- robust treatment: winsorize account balances per market
     // segment at the exact [10, 90] rank percentiles — all integer ------
     "wz01_winsorize_balances" -> ((s, d) => {
@@ -909,6 +919,22 @@ object AnalyticsQueries {
         |SELECT grp AS o_orderpriority, id AS o_orderkey,
         |  val AS price_milli, med, mad, dev
         |FROM m2 WHERE dev > 2 * mad ORDER BY id""".stripMargin,
+
+    // skew-profile replay: same counts, totals, integer permille/salt
+    "sk02_skew_profile" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |           x -> x <> '')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS n_keys
+        |  FROM c),
+        |top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 10)
+        |SELECT word, cnt, n_total, n_keys,
+        |  (cnt * 1000) // n_total AS permille,
+        |  (cnt * n_keys + n_total - 1) // n_total AS suggested_salt
+        |FROM top, t ORDER BY cnt DESC, word""".stripMargin,
 
     // winsorize replay: same single value-ordered window, same integer
     // rank bounds, same clip

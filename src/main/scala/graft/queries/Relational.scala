@@ -441,6 +441,44 @@ object Relational {
     // ---- §2.4 BI surface: rollup with subtotal rows ------------------------
     // coalesce-to-'ALL' labels the subtotal levels portably (TPC-H names
     // are never null, so the sentinel is unambiguous)
+    // ---- rollup + share-of-parent: each nation as a fraction of its
+    // region, each region as a fraction of the grand total — the
+    // contribution decomposition every BI drilldown needs; parents are
+    // read off the SAME rollup via windowed conditional max, no second
+    // aggregation pass. Shares divide exact decimal sums cast to double
+    // (small enough for exact casts), so they replay bit-identically ----
+    "cu03_share_of_parent" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("cu03_orders")
+      Tables.customer(s, d).createOrReplaceTempView("cu03_customer")
+      Tables.nation(s, d).createOrReplaceTempView("cu03_nation")
+      Tables.region(s, d).createOrReplaceTempView("cu03_region")
+      s.sql("""
+        WITH base AS (
+          SELECT r_name, n_name,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM cu03_orders
+          JOIN cu03_customer ON o_custkey = c_custkey
+          JOIN cu03_nation ON c_nationkey = n_nationkey
+          JOIN cu03_region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)),
+        p AS (
+          SELECT r_name, n_name, rev,
+            max(CASE WHEN n_name IS NULL THEN rev END)
+              OVER (PARTITION BY r_name) AS reg_rev,
+            max(CASE WHEN r_name IS NULL AND n_name IS NULL THEN rev END)
+              OVER () AS tot_rev
+          FROM base)
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               CAST(rev AS DOUBLE) AS revenue,
+               CASE WHEN r_name IS NULL THEN CAST(1.0 AS DOUBLE)
+                    WHEN n_name IS NULL
+                      THEN CAST(rev AS DOUBLE) / CAST(tot_rev AS DOUBLE)
+                    ELSE CAST(rev AS DOUBLE) / CAST(reg_rev AS DOUBLE)
+               END AS share_of_parent
+        FROM p ORDER BY region_name, nation_name""")
+    }),
+
     "cu01_rollup_revenue" -> ((s, d) => {
       // via the spark.sql surface: Dataset.rollup's Expand keeps the
       // original grouping attributes alive next to the nullable copies,
@@ -822,6 +860,32 @@ object Relational {
         |       FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS price_partial
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "cu03_share_of_parent" ->
+      """WITH base AS (
+        |  SELECT r_name, n_name,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY ROLLUP (r_name, n_name)),
+        |p AS (
+        |  SELECT r_name, n_name, rev,
+        |    max(CASE WHEN n_name IS NULL THEN rev END)
+        |      OVER (PARTITION BY r_name) AS reg_rev,
+        |    max(CASE WHEN r_name IS NULL AND n_name IS NULL THEN rev END)
+        |      OVER () AS tot_rev
+        |  FROM base)
+        |SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CASE WHEN r_name IS NULL THEN CAST(1.0 AS DOUBLE)
+        |       WHEN n_name IS NULL
+        |         THEN CAST(rev AS DOUBLE) / CAST(tot_rev AS DOUBLE)
+        |       ELSE CAST(rev AS DOUBLE) / CAST(reg_rev AS DOUBLE)
+        |  END AS share_of_parent
+        |FROM p ORDER BY region_name, nation_name""".stripMargin,
 
     "cu01_rollup_revenue" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,

@@ -299,6 +299,17 @@ class AnalyticsSpec extends AnyFunSuite {
       ("g2", 10L, 10L, None)))
   }
 
+  test("profileKeys: hot key gets a leveling salt, uniform keys get 1") {
+    val rows = Seq.fill(90)("hot") ++ (1 to 10).map(i => s"cold$i")
+    val got = graft.operators.Skew.profileKeys(rows.toDF("k"), "k", topK = 3)
+      .select("k", "cnt", "permille", "suggested_salt")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // N=100, D=11: hot → ceil(90·11/100)=10 buckets; cold → 1
+    assert(got.head == (("hot", 90L, 900L, 10L)))
+    assert(got.tail.forall { case (_, c, pm, s) =>
+      c == 1L && pm == 10L && s == 1L })
+  }
+
   test("winsorize: exact rank bounds, clipping flags, per-group isolation") {
     val df = ((1L to 10L).map(v => ("g", v, v * 100)) :+ (("solo", 99L, 5L)))
       .toDF("k", "id", "v")
