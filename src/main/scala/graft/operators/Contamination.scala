@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination for training corpora (public technique: the
@@ -58,6 +59,46 @@ object Contamination {
     * [[exactContainsReportAC]] (one automaton pass per char, identical
     * output); the declarative contains-join below IS the gated
     * semantics. Output: (trainId, n_hits, contaminated). */
+  /** Cross-document memorization-risk report: for each document, the
+    * fraction of its distinct word n-grams that also appear in at least
+    * one OTHER document — the span-level duplication signal that predicts
+    * verbatim memorization (exact-dup and near-dup filters miss partially
+    * copied spans; this measures them). All integer: risk is reported in
+    * permille (`n_shared·1000 div n_grams`), so the gate has no float to
+    * straddle.
+    *
+    * Plan: explode n-grams, distinct (doc, gram) — the dedup that makes
+    * "shared" mean CROSS-document — then one gram-keyed count window (one
+    * shuffle, the dd05 window-df discipline) and one doc-keyed rollup.
+    * Gram keys here are the joined strings (gate-friendly); at 100 TB
+    * hash them to 64-bit first (xxhash64 — ids-only shuffles, same
+    * plan). Documents with fewer than n tokens emit no row. */
+  def memorizationRisk(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val words = df.select(col(idCol),
+      split(col(textCol), "\\s+").as("_ws_"))
+      .select(col(idCol), expr("filter(_ws_, x -> x != '')").as("_ws_"))
+    val grams = words
+      // guard BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
+      // ([1, 0]), so a short doc would emit grams at invalid indices
+      .where(size(col("_ws_")) >= n)
+      .select(col(idCol), expr(
+        s"""transform(sequence(1, size(_ws_) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(_ws_, i, $n)))""".stripMargin)
+        .as("_gs_"))
+      .select(col(idCol), explode(col("_gs_")).as("_g_"))
+      .distinct()
+    val w = Window.partitionBy("_g_")
+    grams
+      .withColumn("_docs_", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_docs_") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("risk_permille",
+        expr("(n_shared * 1000) div n_grams"))
+  }
+
   def exactContainsReport(train: DataFrame, trainId: String,
                           trainText: String, snippets: DataFrame,
                           snippetCol: String): DataFrame = {

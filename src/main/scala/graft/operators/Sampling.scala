@@ -107,6 +107,23 @@ object Sampling {
     df.where(h < thrCol)
   }
 
+  /** Exact-k uniform sample per group: each group's first `k` rows in
+    * `(mix64(id), id)` admission order — the per-domain eval-subset /
+    * debugging-slice maker. The sampled set is a PURE FUNCTION of the
+    * data (no RNG state): stable under retries, partitioning, engines —
+    * the [[temperatureMix]] admission specialized to a fixed quota. One
+    * window per group; WindowGroupLimit turns the rank filter into
+    * per-partition top-k, so only ~k rows per group per partition sort. */
+  def groupSample(df: DataFrame, idCol: String, groupCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val admit = Window.partitionBy(groupCol)
+      .orderBy(mixUdf(col(idCol).cast("long")), col(idCol))
+    df.withColumn("_rk_", row_number().over(admit))
+      .where(col("_rk_") <= k)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Sample ~`targetSize` rows with per-group quotas ∝ weight(group size),
     * capped at the group's size; within a group, rows are admitted in
     * `(mix64(id), id)` order, so the sampled SET is a pure function of the

@@ -358,6 +358,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- memorization risk: per-doc fraction (permille) of distinct
+    // 5-grams shared with at least one OTHER document — the span-level
+    // duplication signal exact/near dedup misses ---------------------------
+    "mr01_memorization_risk" -> ((s, d) =>
+      graft.operators.Contamination.memorizationRisk(
+          Tables.documents(s, d), "doc_id", "text", n = 5)
+        .orderBy("doc_id")),
+
     // ---- curation audit: drop provenance — every document labeled with
     // the FIRST curation stage that rejects it (short → blocklist →
     // low-entropy), null = kept. The "why was my sample dropped" report a
@@ -915,6 +923,14 @@ object PipelineQueries {
     // sqrt-weight quota allocation + avalanched-hash admission order; the
     // whole sampled SET is gated, not just per-source counts, so the oracle
     // proves the admission ordering too
+    // ---- exact-k per-source sample: the deterministic eval-subset cut,
+    // admission by (mix64(id), id) — a pure function of the data ----------
+    "gs01_group_sample" -> ((s, d) =>
+      graft.operators.Sampling.groupSample(
+          Tables.documents(s, d).select("doc_id", "source"),
+          "doc_id", "source", k = 20)
+        .orderBy("doc_id")),
+
     "pp02_temperature_mix" -> ((s, d) => {
       graft.operators.Sampling.temperatureMix(
         Tables.documents(s, d).select("doc_id", "source"), "doc_id", "source",
@@ -1936,6 +1952,28 @@ object PipelineQueries {
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
 
+    // memorization-risk replay: same distinct (doc, gram) set, same
+    // gram-count window, integer permille
+    "mr01_memorization_risk" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(ws[i:i+4], ' ')
+        |              FOR i IN range(1, len(ws) - 4 + 1)]) AS g
+        |    FROM ws WHERE len(ws) >= 5)),
+        |c AS (
+        |  SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS docs FROM g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  (CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000) // count(*) AS risk_permille
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // RAKE replay: same phrase-id window, same integer deg/freq stats,
     // same position-ordered score fold seeded at 0.0
     "kw01_rake_keywords" ->
@@ -2149,6 +2187,32 @@ object PipelineQueries {
         |            FROM documents))))
         |SELECT doc_id, source FROM m
         |WHERE h < CAST(922337203685477632 AS UHUGEINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    // group-sample replay: seedless mix64 stream, signed reinterpretation
+    // for rank order (pp02's pattern), per-source rank <= k
+    "gs01_group_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, xor(p2, p2 >> 31) AS h FROM (
+        |    SELECT doc_id, source,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT doc_id, source,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT doc_id, source,
+        |              CAST(doc_id AS UHUGEINT) AS p0
+        |            FROM documents)))),
+        |r AS (
+        |  -- signed rank order == unsigned order of h with the sign bit
+        |  -- flipped (the sh01 trick), no subtraction to overflow
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY xor(h, CAST(9223372036854775808 AS UHUGEINT)),
+        |        doc_id) AS rk
+        |  FROM m)
+        |SELECT doc_id, source FROM r WHERE rk <= 20
         |ORDER BY doc_id""".stripMargin,
 
     // stratified replay: seed-0 stream (p0 = doc_id), per-source CASE
