@@ -261,6 +261,48 @@ object Analytics {
       .select(rowCol, colCol, "obs", "expected", "term", "chi2_scaled", "dof")
   }
 
+  /** Population Stability Index between two samples of the same metric —
+    * the standard drift monitor between a reference window and a current
+    * window (PSI < 0.1 stable, > 0.25 shifted, by the usual rule of
+    * thumb). Fixed bins over [lo, hi) with edge clamping (the
+    * [[histogram]] bin program), add-one smoothing so empty bins never
+    * hit ln(0), per-bin term `(pA − pB)·ln(pA/pB)` as a fixed double
+    * program, and the PSI total as the SUM OF 1e-9-SCALED INTEGER terms
+    * (the [[chiSquare]] discipline) — order-free, so the statistic
+    * replays exactly. Output: one row per bin with both counts, both
+    * smoothed proportions, the term, and the global `psi_scaled`. */
+  def psiDrift(dfA: DataFrame, dfB: DataFrame, valCol: String,
+               lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    def binned(df: DataFrame, cnt: String) = {
+      val raw = floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBins))
+      df.groupBy(least(lit(nBins - 1L), greatest(lit(0L), raw.cast("long")))
+          .as("bin"))
+        .agg(count(lit(1)).as(cnt))
+    }
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    val bins = spark.range(0, nBins).select(col("id").as("bin"))
+    val joined = bins
+      .join(binned(dfA, "_ca_"), Seq("bin"), "left")
+      .join(binned(dfB, "_cb_"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("_ca_"), lit(0L)).as("cnt_a"),
+        coalesce(col("_cb_"), lit(0L)).as("cnt_b"))
+    val tot = joined.agg(sum(col("cnt_a")).as("_na_"),
+      sum(col("cnt_b")).as("_nb_"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("pa", expr(
+        s"cast(cnt_a + 1 as double) / cast(_na_ + $nBins as double)"))
+      .withColumn("pb", expr(
+        s"cast(cnt_b + 1 as double) / cast(_nb_ + $nBins as double)"))
+      .withColumn("term", expr("(pa - pb) * ln(pa / pb)"))
+      .withColumn("psi_scaled",
+        sum(expr("cast(round(term * 1.0e9) as bigint)"))
+          .over(Window.partitionBy()))
+      .select("bin", "cnt_a", "cnt_b", "pa", "pb", "term", "psi_scaled")
+  }
+
   /** Per-group z-score outliers: rows whose value deviates from the group
     * mean by more than `threshold` sample standard deviations. Mean and
     * variance come from exact DECIMAL moment sums (one partial+final

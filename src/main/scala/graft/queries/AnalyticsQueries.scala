@@ -285,6 +285,37 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- anomaly days: weekday-profile residuals, milli-quantized, cut
+    // by MAD — the composition the two primitives exist for (seasonality
+    // removed BEFORE the robust cut, so weekends aren't "anomalies") -----
+    "ad01_anomalous_days" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      val resid = Analytics.weekdayProfile(daily, "day", "revenue")
+        .select(col("day"),
+          expr("cast(round(residual * 1000) as bigint)").as("resid_milli"))
+        .withColumn("_g_", lit("all"))
+      Analytics.madOutliers(resid, "_g_", "day", "resid_milli", mult = 4)
+        .select(col("day"), col("resid_milli"), col("med"), col("mad"),
+          col("dev"))
+        .orderBy("day")
+    }),
+
+    // ---- drift monitoring: PSI of the order-price distribution, first
+    // half of the date range vs second — add-one smoothed fixed bins,
+    // 1e-9-scaled integer statistic (the chi-square discipline) ----------
+    "ps01_psi_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_totalprice"),
+        col("o_orderdate").cast("date").as("_dt_"))
+      val cut = to_date(lit("1996-07-01"))
+      Analytics.psiDrift(
+          o.where(col("_dt_") < cut).select("o_totalprice"),
+          o.where(col("_dt_") >= cut).select("o_totalprice"),
+          "o_totalprice", lo = 0.0, hi = 600000.0, nBins = 10)
+        .orderBy("bin")
+    }),
+
     // ---- ops: join-key skew profile over the corpus word key — the
     // report that picks between salted and hot/cold join plans; integer
     // permille and ceil-salt so no float threshold can straddle ----------
@@ -919,6 +950,80 @@ object AnalyticsQueries {
         |SELECT grp AS o_orderpriority, id AS o_orderkey,
         |  val AS price_milli, med, mad, dev
         |FROM m2 WHERE dev > 2 * mad ORDER BY id""".stripMargin,
+
+    // anomaly-days replay: sz01's profile chain into az02's MAD chain
+    "ad01_anomalous_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY day),
+        |dd AS (
+        |  SELECT day,
+        |    (date_diff('day', DATE '1970-01-01', day) + 4) % 7 AS dow, rev
+        |  FROM daily),
+        |p AS (
+        |  SELECT dow,
+        |    CAST(sum(rev) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS profile
+        |  FROM dd GROUP BY dow),
+        |res AS (
+        |  SELECT dd.day,
+        |    CAST(round((CAST(dd.rev AS DOUBLE) - p.profile) * 1000)
+        |      AS BIGINT) AS val
+        |  FROM dd JOIN p ON dd.dow = p.dow),
+        |r AS (
+        |  SELECT day, val,
+        |    row_number() OVER (ORDER BY val, day) AS rnv,
+        |    count(*) OVER () AS n
+        |  FROM res),
+        |m AS (
+        |  SELECT *, max(CASE WHEN rnv = 1 + (50 * (n - 1)) // 100
+        |    THEN val END) OVER () AS med FROM r),
+        |d2 AS (SELECT *, abs(val - med) AS dev FROM m),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (ORDER BY dev, day) AS rnd FROM d2),
+        |m2 AS (
+        |  SELECT *, max(CASE WHEN rnd = 1 + (50 * (n - 1)) // 100
+        |    THEN dev END) OVER () AS mad FROM r2)
+        |SELECT day, val AS resid_milli, med, mad, dev
+        |FROM m2 WHERE dev > 4 * mad ORDER BY day""".stripMargin,
+
+    // PSI replay: identical bin program, smoothing, term, scaled sum
+    "ps01_psi_drift" ->
+      """WITH a AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1996-07-01'),
+        |b AS (
+        |  SELECT o_totalprice AS v FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'),
+        |bins AS (SELECT unnest(range(0, 10)) AS bin),
+        |ha AS (
+        |  SELECT least(9, greatest(0,
+        |    CAST(floor((v - 0.0) / 600000.0 * 10) AS BIGINT))) AS bin,
+        |    count(*) AS ca
+        |  FROM a GROUP BY 1),
+        |hb AS (
+        |  SELECT least(9, greatest(0,
+        |    CAST(floor((v - 0.0) / 600000.0 * 10) AS BIGINT))) AS bin,
+        |    count(*) AS cb
+        |  FROM b GROUP BY 1),
+        |j AS (
+        |  SELECT bins.bin, coalesce(ca, 0) AS cnt_a, coalesce(cb, 0) AS cnt_b
+        |  FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)),
+        |t AS (
+        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+        |    CAST(sum(cnt_b) AS BIGINT) AS nb
+        |  FROM j),
+        |p AS (
+        |  SELECT bin, cnt_a, cnt_b,
+        |    CAST(cnt_a + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS pa,
+        |    CAST(cnt_b + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS pb
+        |  FROM j, t),
+        |q AS (SELECT *, (pa - pb) * ln(pa / pb) AS term FROM p)
+        |SELECT bin, CAST(cnt_a AS BIGINT) AS cnt_a,
+        |  CAST(cnt_b AS BIGINT) AS cnt_b, pa, pb, term,
+        |  CAST(sum(CAST(round(term * 1.0e9) AS BIGINT)) OVER () AS BIGINT)
+        |    AS psi_scaled
+        |FROM q ORDER BY bin""".stripMargin,
 
     // skew-profile replay: same counts, totals, integer permille/salt
     "sk02_skew_profile" ->
