@@ -34,7 +34,22 @@ object AsOfJoin {
                tsCol: String, payloadCols: Seq[String],
                rightTieCol: String): DataFrame =
     merge(left, right, keyCol, tsCol, payloadCols, rightTieCol,
-      descending = false)
+      descending = false, toleranceSeconds = None)
+
+  /** [[backward]] with a staleness bound (pandas merge_asof `tolerance`):
+    * a match older than `toleranceSeconds` before the left timestamp is
+    * nulled out — the "quote is only good for N minutes" contract. Same
+    * one-shuffle window program; the carried payload rides with its own
+    * timestamp, so the bound is a row-local epoch-seconds comparison
+    * (fractional-exact: both engines divide the same micros by 1e6). */
+  def backwardWithin(left: DataFrame, right: DataFrame, keyCol: String,
+                     tsCol: String, payloadCols: Seq[String],
+                     rightTieCol: String,
+                     toleranceSeconds: Double): DataFrame = {
+    require(toleranceSeconds > 0, "toleranceSeconds must be positive")
+    merge(left, right, keyCol, tsCol, payloadCols, rightTieCol,
+      descending = false, toleranceSeconds = Some(toleranceSeconds))
+  }
 
   /** Forward direction: the single EARLIEST right row with `r.ts >= l.ts`
     * ("next checkpoint after the event"). Same program with the window
@@ -44,16 +59,19 @@ object AsOfJoin {
               tsCol: String, payloadCols: Seq[String],
               rightTieCol: String): DataFrame =
     merge(left, right, keyCol, tsCol, payloadCols, rightTieCol,
-      descending = true)
+      descending = true, toleranceSeconds = None)
 
   private def merge(left: DataFrame, right: DataFrame, keyCol: String,
                     tsCol: String, payloadCols: Seq[String],
-                    rightTieCol: String, descending: Boolean): DataFrame = {
+                    rightTieCol: String, descending: Boolean,
+                    toleranceSeconds: Option[Double]): DataFrame = {
     val tieW = Window.partitionBy(keyCol, tsCol).orderBy(col(rightTieCol))
     val r1 = right.withColumn("_rn_", row_number().over(tieW))
       .where(col("_rn_") === 1)
-    val pay = struct(payloadCols.map(col): _*)
-    val payType = right.select(pay.as("_pay_")).schema("_pay_").dataType
+    // the match timestamp rides inside the carried struct so a staleness
+    // bound stays a row-local comparison after the window
+    val pay = struct((col(tsCol).as("_mts_") +: payloadCols.map(col)): _*)
+    val payType = r1.select(pay.as("_pay_")).schema("_pay_").dataType
     val lStruct = struct(left.columns.map(col): _*)
     val lType = left.select(lStruct.as("_lrow_")).schema("_lrow_").dataType
     val rU = r1.select(col(keyCol), col(tsCol), pay.as("_pay_"),
@@ -65,9 +83,21 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCol)
       .orderBy(tsOrder, col("_side_"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rU.unionByName(lU)
+    val matched = rU.unionByName(lU)
       .withColumn("_m_", last(col("_pay_"), ignoreNulls = true).over(w))
       .where(col("_side_") === 1)
-      .select(col("_lrow_.*"), col("_m_").as("asof"))
+    val inBound = toleranceSeconds match {
+      case None => col("_m_").isNotNull
+      case Some(tol) =>
+        val gap =
+          if (descending)
+            col("_m_._mts_").cast("double") - col(tsCol).cast("double")
+          else col(tsCol).cast("double") - col("_m_._mts_").cast("double")
+        col("_m_").isNotNull && gap <= lit(tol)
+    }
+    matched
+      .withColumn("asof",
+        when(inBound, col("_m_").dropFields("_mts_")))
+      .select(col("_lrow_.*"), col("asof"))
   }
 }

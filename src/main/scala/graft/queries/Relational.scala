@@ -378,6 +378,24 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // staleness-bounded as-of: matches older than 7 days are nulled
+    // (pandas merge_asof `tolerance`); the oracle applies the same bound
+    // as a post-filter on DuckDB's native ASOF join
+    "as03_asof_join_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("anchor_id"),
+          col("value").as("anchor_value"))
+      graft.operators.AsOfJoin.backwardWithin(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        "user_id", "ts", Seq("anchor_id", "anchor_value"), "anchor_id",
+        toleranceSeconds = 604800.0)
+        .select(col("event_id"), col("user_id"),
+          col("asof.anchor_id").as("anchor_id"),
+          col("asof.anchor_value").as("anchor_value"))
+        .orderBy("event_id")
+    }),
+
     // forward direction: EARLIEST purchase at or after each event
     "as02_asof_join_forward" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -795,6 +813,24 @@ object Relational {
         |FROM events l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // bound replayed with Spark's exact double program: exact
+    // double(micros) then one correctly-rounded /1e6 per side
+    "as03_asof_join_tolerance" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id AS anchor_id, value AS anchor_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT l.event_id, l.user_id,
+        |    (epoch_us(l.ts) / 1000000.0) - (epoch_us(r.ts) / 1000000.0)
+        |      AS gap,
+        |    r.anchor_id, r.anchor_value
+        |  FROM events l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts)
+        |SELECT event_id, user_id,
+        |  CASE WHEN gap <= 604800.0 THEN anchor_id END AS anchor_id,
+        |  CASE WHEN gap <= 604800.0 THEN anchor_value END AS anchor_value
+        |FROM m ORDER BY event_id""".stripMargin,
 
     "as02_asof_join_forward" ->
       """WITH r AS (

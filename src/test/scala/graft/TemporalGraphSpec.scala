@@ -127,6 +127,24 @@ class TemporalGraphSpec extends AnyFunSuite {
       (11L, 0L, 0L, 1L, 1L)))
   }
 
+  test("asof tolerance: stale matches nulled, fresh kept, boundary inclusive") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 12:00:00"), 2L),
+      (1L, ts("2024-01-02 12:00:00"), 3L)).toDF("k", "t", "lid")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 7L)).toDF("k", "t", "rid")
+    val got = graft.operators.AsOfJoin.backwardWithin(left, right, "k", "t",
+        Seq("rid"), "rid", toleranceSeconds = 3600 * 3.0)
+      .select(col("lid"), col("asof.rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(7L), 2L -> Some(7L), 3L -> None))
+    // exactly-at-tolerance is inclusive (<=)
+    val edge = graft.operators.AsOfJoin.backwardWithin(left, right, "k", "t",
+        Seq("rid"), "rid", toleranceSeconds = 3600.0)
+      .select(col("lid"), col("asof.rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(edge(1L) == Some(7L) && edge(2L).isEmpty)
+  }
+
   test("snapshotDiff: add/remove/change classified, unchanged and null=null dropped") {
     val oldS = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
       (4L, Some("d"))).toDF("k", "v")
