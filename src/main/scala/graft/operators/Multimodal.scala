@@ -451,6 +451,93 @@ object Multimodal {
     out
   }
 
+  /** 64-bit average perceptual hash (aHash — public recipe): decode,
+    * pool luminance onto an 8×8 grid, one bit per cell = cell mean ≥
+    * grid mean. Survives re-encoding, resizing, and small edits — the
+    * image-modality analogue of [[Dedup]]'s SimHash for text. Arithmetic
+    * is plain double means inside ONE JVM call per image (deterministic
+    * on any JVM); undecodable bytes quarantine to null. */
+  def imageAHash(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0) return null
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val rgb = px(y * w + x)
+        val lum = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        val c = gy * 8 + math.min(x * 8 / w, 7)
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    var total = 0.0
+    var cells = 0
+    val means = new Array[Double](64)
+    while (i < 64) {
+      if (counts(i) > 0) { means(i) = sums(i) / counts(i); total += means(i); cells += 1 }
+      i += 1
+    }
+    val mean = if (cells == 0) 0.0 else total / cells
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (counts(i) > 0 && means(i) >= mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  private val aHashUdf = udf { (b: Array[Byte]) => Option(imageAHash(b)).map(_.longValue) }
+
+  /** Image near-duplicate pairs by aHash hamming distance ≤ `maxHamming`
+    * — the multimodal dedup lane. Plan is the [[Dedup.simHashPairs]]
+    * pigeonhole: the 64-bit hash splits into `maxHamming + 1` blocks, a
+    * pair within the bound MUST agree on at least one block (pigeonhole),
+    * so candidates come from block equi-joins — ids+hashes only, no
+    * image bytes ever shuffle twice — and a popcount verify finishes.
+    * Output: (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+    val nBlocks = maxHamming + 1
+    val hashed = media
+      .select(col(idCol).as("_id_"), aHashUdf(col(bytesCol)).as("_h_"))
+      .where(col("_h_").isNotNull)
+      .localCheckpoint() // hashes reused by blocks and both verify joins
+    val blocks = hashed.select(col("_id_"),
+      explode(sequence(lit(0), lit(nBlocks - 1))).as("_blk_"),
+      col("_h_"))
+    val width = 64 / nBlocks
+    // last block absorbs the remainder bits; unsigned shift then mask
+    val b = blocks.withColumn("_bv_", expr(
+      s"""shiftrightunsigned(_h_, _blk_ * $width) &
+         |  if(_blk_ = ${nBlocks - 1}, -1L, ${(1L << width) - 1}L)""".stripMargin))
+    val cands = b.as("x").join(b.as("y"),
+        col("x._blk_") === col("y._blk_") && col("x._bv_") === col("y._bv_") &&
+          col("x._id_") < col("y._id_"))
+      .select(col("x._id_").as("id_a"), col("y._id_").as("id_b"))
+      .distinct()
+    cands
+      .join(hashed.select(col("_id_").as("id_a"), col("_h_").as("_ha_")), "id_a")
+      .join(hashed.select(col("_id_").as("id_b"), col("_h_").as("_hb_")), "id_b")
+      .withColumn("hamming", bit_count(col("_ha_").bitwiseXOR(col("_hb_"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** STUB decode for media without a JDK codec (video frames): bytes ->
     * deterministic pseudo-features. The signature, batching, and output
     * schema are what a real demuxer drops into. */

@@ -772,6 +772,23 @@ object PipelineQueries {
 
     // ---- multimodal plumbing: batched decode + frame sampling (stubbed
     // codec; rows-only) ------------------------------------------------------
+    // ---- multimodal dedup: image near-dup pairs by 64-bit average
+    // perceptual hash, pigeonhole-blocked like SimHash. Rows-only gate
+    // (DuckDB can't decode PNG); the spec pins hash semantics on planted
+    // duplicates/perturbations. Reuses mm01's staged media --------------
+    "mm07_image_neardup" -> ((s, d) => {
+      val stage = graft.sources.Scratch.sharedDir("media",
+        s"mm01_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        graft.operators.Multimodal.syntheticMedia(
+          Tables.documents(s, d).select("doc_id"), "doc_id")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val media = s.read.parquet(stage).where(col("media_id") < 100)
+      graft.operators.Multimodal.imageNearDupPairs(
+          media, "media_id", "bytes", maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     "mm01_media_features" -> ((s, d) => {
       // the media table is INPUT data (a real pipeline reads it via
       // binaryFile); synthesize + PNG-encode it once per machine so the

@@ -750,6 +750,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fp(0) == fp(1) && fp(1) != fp(2))
   }
 
+  test("image aHash: re-encode invariant, perturbation-tolerant, inversion-hostile") {
+    def png(f: (Int, Int) => Int, w: Int = 32, h: Int = 32): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gradAt(w: Int)(x: Int, y: Int) = {
+      val v = x * 255 / (w - 1); (v << 16) | (v << 8) | v
+    }
+    def grad(x: Int, y: Int) = gradAt(32)(x, y)
+    val base = Multimodal.imageAHash(png(grad))
+    // identical content at a DIFFERENT size → identical hash (grid pools)
+    assert(base == Multimodal.imageAHash(png(gradAt(64), 64, 64)))
+    // one corrupted pixel barely moves the hash
+    val perturbed = Multimodal.imageAHash(
+      png((x, y) => if (x == 3 && y == 3) 0xFFFFFF else grad(x, y)))
+    assert(java.lang.Long.bitCount(base ^ perturbed) <= 2)
+    // inverted gradient is far away
+    val inverted = Multimodal.imageAHash(
+      png((x, y) => grad(31 - x, y)))
+    assert(java.lang.Long.bitCount(base ^ inverted) >= 16)
+    // undecodable bytes quarantine to null
+    assert(Multimodal.imageAHash(Array[Byte](1, 2, 3)) == null)
+    // pair join: exact twin found at hamming 0, inverted twin excluded
+    val rows = Seq((1L, png(grad)), (2L, png(gradAt(64), 64, 64)),
+      (3L, png((x, y) => grad(31 - x, y)))).toDF("id", "bytes")
+    val pairs = Multimodal.imageNearDupPairs(rows, "id", "bytes",
+        maxHamming = 2)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
+
   test("multimodal: batched feature extraction preserves ids and emits fixed dim") {
     val media = Multimodal.syntheticMedia(
       spark.range(0, 100).toDF("id"), "id")
