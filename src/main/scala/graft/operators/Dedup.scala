@@ -261,6 +261,22 @@ object Dedup {
     *
     * Output: (`idCol`, `component`) for every node that appears in `pairs`,
     * component = min node id reachable. */
+  /** Incremental connected components: fold NEW pairs into an existing
+    * `(id, component)` labeling without revisiting historical pair
+    * generation — the daily-update path of a standing dedup corpus. The
+    * labeling is itself an edge set (each id → its component min) that
+    * exactly preserves prior connectivity, so CC over labels ∪ newPairs
+    * equals CC over the full historical pair set — the contract dd14
+    * gates against the full-rebuild oracle. Cost scales with
+    * |labels| + |delta|: one row per RETAINED doc plus the day's pairs,
+    * not the pair history — at 100 TB that is the difference between
+    * touching the corpus index and re-mining every pair ever seen. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+                            aCol: String, bCol: String): DataFrame =
+    connectedComponents(
+      labels.select(col("id").as(aCol), col("component").as(bCol))
+        .unionByName(newPairs.select(aCol, bCol)), aCol, bCol)
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
                           driverThreshold: Long = 1L << 20): DataFrame = {

@@ -61,6 +61,38 @@ object PipelineQueries {
     * (count DESC, l, r) argmax merge, and a greedy-leftmost re-segment
     * via the chr(31)-joined fold. Consumers start from `s0` = per-word
     * char lists and read `s8` (+ `m1`..`m8` for the vocabulary). */
+  /** Full near-dup-graph connected-components replay (recursive CTE over
+    * the 3-gram Jaccard pair graph). Shared by dd06 (propagation), dd13
+    * (star contraction), and dd14 (incremental fold) — one ground truth,
+    * three algorithms, which is exactly each operator's contract. */
+  private val Dd06CcSql =
+    """WITH RECURSIVE grams AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+      |                 FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id
+      |)
+      |SELECT id AS doc_id, min(r) AS component, min(r) = id AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   private val BpeRoundsSql = (1 to 8).map { k =>
     s"""p$k AS (
        |  SELECT l, r, sum(f) AS c FROM (
@@ -197,6 +229,22 @@ object PipelineQueries {
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "text",
         "doc_id", n = 3, minJaccard = 0.8)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup: INCREMENTAL components — docs < 400 are the standing
+    // corpus (labeled once), docs ≥ 400 arrive as a delta batch; folding
+    // (labels ∪ delta pairs) must equal the full rebuild, so dd06's
+    // full-graph oracle gates it verbatim --------------------------------
+    "dd14_incremental_components" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "text",
+        "doc_id", n = 3, minJaccard = 0.8).select("id_a", "id_b")
+      val prior = pairs.where(col("id_b") < 400)
+      val delta = pairs.where(col("id_b") >= 400)
+      val labels = Dedup.connectedComponents(prior, "id_a", "id_b")
+      Dedup.incrementalComponents(labels, delta, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("component"),
           (col("id") === col("component")).as("keep"))
         .orderBy("doc_id")
@@ -2928,63 +2976,15 @@ object PipelineQueries {
     // Cluster replay: dd05's exact pair derivation, then transitive closure
     // by recursive CTE — min reachable id per node IS the component label
     // the label-propagation fixpoint converges to
-    "dd06_dedup_clusters" ->
-      """WITH RECURSIVE grams AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
-        |                 FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |), pairs AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs
-        |), reach AS (
-        |  SELECT src AS id, src AS r FROM edges
-        |  UNION
-        |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id
-        |)
-        |SELECT id AS doc_id, min(r) AS component, min(r) = id AS keep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // incremental CC gates against the FULL-graph rebuild — identical
+    // SQL to dd06 (the equality of the two is the operator's contract)
+    "dd14_incremental_components" -> Dd06CcSql,
+
+    "dd06_dedup_clusters" -> Dd06CcSql,
 
     // dd13 replay: star contraction computes the SAME min-reachable-id
     // labels as dd06's propagation fixpoint — one oracle, two algorithms
-    "dd13_cc_star" ->
-      """WITH RECURSIVE grams AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
-        |                 FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |), pairs AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs
-        |), reach AS (
-        |  SELECT src AS id, src AS r FROM edges
-        |  UNION
-        |  SELECT e.src, x.r FROM reach x JOIN edges e ON e.dst = x.id
-        |)
-        |SELECT id AS doc_id, min(r) AS component, min(r) = id AS keep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dd13_cc_star" -> Dd06CcSql,
 
     // Preprocess-chain replay: dedup rn over the WHOLE corpus before the
     // language filter (order matters — mirrors Dedup.exact then .where),
