@@ -502,19 +502,20 @@ object Multimodal {
 
   private val aHashUdf = udf { (b: Array[Byte]) => Option(imageAHash(b)).map(_.longValue) }
 
-  /** Image near-duplicate pairs by aHash hamming distance ≤ `maxHamming`
-    * — the multimodal dedup lane. Plan is the [[Dedup.simHashPairs]]
-    * pigeonhole: the 64-bit hash splits into `maxHamming + 1` blocks, a
-    * pair within the bound MUST agree on at least one block (pigeonhole),
-    * so candidates come from block equi-joins — ids+hashes only, no
-    * image bytes ever shuffle twice — and a popcount verify finishes.
-    * Output: (id_a, id_b, hamming), id_a < id_b. */
-  def imageNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
-                        maxHamming: Int): DataFrame = {
+  /** Near-duplicate pairs over ANY 64-bit perceptual hash column by
+    * hamming distance ≤ `maxHamming` — the shared pair engine of the
+    * multimodal dedup lane ([[imageNearDupPairs]], [[audioNearDupPairs]]).
+    * Plan is the [[Dedup.simHashPairs]] pigeonhole: the hash splits into
+    * `maxHamming + 1` blocks, a pair within the bound MUST agree on at
+    * least one block, so candidates come from block equi-joins —
+    * ids+hashes only, media bytes never shuffle — and a popcount verify
+    * finishes. Output: (id_a, id_b, hamming), id_a < id_b. */
+  def hashNearDupPairs(hashedIn: DataFrame, idCol: String, hashCol: String,
+                       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
     val nBlocks = maxHamming + 1
-    val hashed = media
-      .select(col(idCol).as("_id_"), aHashUdf(col(bytesCol)).as("_h_"))
+    val hashed = hashedIn
+      .select(col(idCol).as("_id_"), col(hashCol).as("_h_"))
       .where(col("_h_").isNotNull)
       .localCheckpoint() // hashes reused by blocks and both verify joins
     val blocks = hashed.select(col("_id_"),
@@ -537,6 +538,78 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Image near-duplicate pairs: [[imageAHash]] + [[hashNearDupPairs]]. */
+  def imageNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
+                        maxHamming: Int): DataFrame =
+    hashNearDupPairs(
+      media.select(col(idCol), aHashUdf(col(bytesCol)).as("_ah_")),
+      idCol, "_ah_", maxHamming)
+
+  /** 64-bit audio fingerprint: decode (real `javax.sound.sampled` WAV
+    * path), mix to mono, one bit per autocorrelation lag 1..64 — bit =
+    * the normalized autocorrelation at that lag is non-negative. Pitch-
+    * selective (a tone's lag-sign pattern is its period signature) and
+    * duration-tolerant (signs of full-signal sums barely move with
+    * length), which is what makes it a fingerprint rather than a
+    * checksum. Undecodable / non-16-bit-PCM bytes quarantine to null. */
+  def audioFingerprint(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null) return null
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return null
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16) return null
+      val data = ais.readAllBytes()
+      val channels = fmt.getChannels
+      val bigEndian = fmt.isBigEndian
+      val nFrames = data.length / (2 * channels)
+      if (nFrames < 66) return null
+      val mono = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        var acc = 0.0
+        while (c < channels) {
+          val i = (f * channels + c) * 2
+          val s =
+            if (bigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+            else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        mono(f) = acc / channels
+        f += 1
+      }
+      var hash = 0L
+      var lag = 1
+      while (lag <= 64) {
+        var t = 0
+        var s = 0.0
+        val end = nFrames - lag
+        while (t < end) { s += mono(t) * mono(t + lag); t += 1 }
+        if (s >= 0.0) hash |= (1L << (lag - 1))
+        lag += 1
+      }
+      hash
+    } finally ais.close()
+  }
+
+  private val audioFpUdf = udf { (b: Array[Byte]) =>
+    Option(audioFingerprint(b)).map(_.longValue) }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint]] +
+    * [[hashNearDupPairs]] — same-pitch recordings pair at small hamming
+    * regardless of duration. */
+  def audioNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
+                        maxHamming: Int): DataFrame =
+    hashNearDupPairs(
+      media.select(col(idCol), audioFpUdf(col(bytesCol)).as("_af_")),
+      idCol, "_af_", maxHamming)
 
   /** STUB decode for media without a JDK codec (video frames): bytes ->
     * deterministic pseudo-features. The signature, batching, and output

@@ -893,6 +893,24 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // ---- multimodal dedup: audio near-dup pairs by autocorrelation-sign
+    // fingerprint — same-pitch tones pair across different durations.
+    // Rows-only (no SQL WAV decode); spec pins pitch selectivity.
+    // Reuses mm03's staged audio, restricted so the 16 pitch classes
+    // give bounded same-class pair counts --------------------------------
+    "mm08_audio_neardup" -> ((s, d) => {
+      val stage = graft.sources.Scratch.sharedDir("media",
+        s"mm03_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        graft.operators.Multimodal.syntheticAudio(
+          Tables.documents(s, d).select("doc_id").where(col("doc_id") < 200), "doc_id")
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val media = s.read.parquet(stage).where(col("media_id") < 64)
+      graft.operators.Multimodal.audioNearDupPairs(
+          media, "media_id", "bytes", maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- multimodal: REAL video demux + frame decode ----------------------
     // n_frames_total is the demuxer's own count of '00dc' chunks recovered
     // from the RIFF tree — hash-matching the synthesis formula proves the

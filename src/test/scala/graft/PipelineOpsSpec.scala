@@ -786,6 +786,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 0)))
   }
 
+  test("audio fingerprint: pitch-selective, duration-tolerant, quarantine") {
+    // same pitch (id ≡ mod 16) at different lengths → near-identical
+    // fingerprints; different pitch → far
+    val a = Multimodal.audioFingerprint(Multimodal.wavBytes(3L, nSamples = 1600))
+    val aLong = Multimodal.audioFingerprint(Multimodal.wavBytes(3L, nSamples = 2400))
+    val b = Multimodal.audioFingerprint(Multimodal.wavBytes(7L, nSamples = 1600))
+    assert(java.lang.Long.bitCount(a ^ aLong) <= 4,
+      s"same pitch drifted ${java.lang.Long.bitCount(a ^ aLong)} bits")
+    assert(java.lang.Long.bitCount(a ^ b) >= 10,
+      s"different pitch only ${java.lang.Long.bitCount(a ^ b)} bits apart")
+    assert(Multimodal.audioFingerprint(Array[Byte](9, 9, 9)) == null)
+    // pair engine: same-pitch pair found, cross-pitch pair excluded
+    val rows = Seq((1L, Multimodal.wavBytes(3L, nSamples = 1600)),
+      (2L, Multimodal.wavBytes(3L, nSamples = 2000)),
+      (3L, Multimodal.wavBytes(7L, nSamples = 1600))).toDF("id", "bytes")
+    val pairs = Multimodal.audioNearDupPairs(rows, "id", "bytes",
+        maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("multimodal: batched feature extraction preserves ids and emits fixed dim") {
     val media = Multimodal.syntheticMedia(
       spark.range(0, 100).toDF("id"), "id")
