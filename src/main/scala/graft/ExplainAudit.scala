@@ -56,7 +56,12 @@ object ExplainAudit {
         // join, bounded-frame EWMA
         "gr03_triangle_stats", "hn01_hard_negatives", "az02_mad_outliers",
         "zm01_zonemap_skipping", "wp01_wordpiece_segment",
-        "ew01_ewma_values")
+        "ew01_ewma_values",
+        // round-9 second wave: full-outer diff, moment regression,
+        // gram-count window, pigeonhole media pairs, incremental CC
+        "df01_snapshot_diff", "lr02_linear_fit2", "kw01_rake_keywords",
+        "mr01_memorization_risk", "mm07_image_neardup",
+        "dd14_incremental_components")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -32,7 +32,31 @@ object Graph {
     * `(node_id, rank)` where node ids are every distinct src or dst. */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int, scale: Long = 1000000000000L,
-                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
+    pageRankIntFrom(edges, srcCol, dstCol, iterations, scale, dampNum,
+      dampDen, teleport = None)
+
+  /** Personalized PageRank: the teleport mass restarts at `teleport`'s
+    * node set instead of uniformly — rank becomes proximity TO THE SEEDS
+    * (crawl frontier prioritization from trusted hosts, related-item
+    * ranking from a user's history; public algorithm, same fixed-point
+    * integer arithmetic as [[pageRankInt]] so it replays bit-identically).
+    * Seeds also start with all the initial mass; non-seeds start (and
+    * restart) at zero base. `teleport` is one id column; seeds outside
+    * the graph's node set are ignored (inner join). */
+  def personalizedPageRankInt(edges: DataFrame, srcCol: String,
+                              dstCol: String, teleport: DataFrame,
+                              iterations: Int,
+                              scale: Long = 1000000000000L,
+                              dampNum: Long = 85L,
+                              dampDen: Long = 100L): DataFrame =
+    pageRankIntFrom(edges, srcCol, dstCol, iterations, scale, dampNum,
+      dampDen, teleport = Some(teleport))
+
+  private def pageRankIntFrom(edges: DataFrame, srcCol: String,
+                              dstCol: String, iterations: Int, scale: Long,
+                              dampNum: Long, dampDen: Long,
+                              teleport: Option[DataFrame]): DataFrame = {
     require(iterations >= 0 && dampDen > 0 && dampNum >= 0 &&
       dampNum <= dampDen && scale > 0, "bad pageRank parameters")
     // materialize the edge list ONCE: without this every derivation below
@@ -46,23 +70,44 @@ object Graph {
       .distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
-    val init = scale / n
-    val base = ((dampDen - dampNum) * init) / dampDen
+    // per-node initial mass and restart base: uniform in the classic
+    // form; concentrated on the (graph-restricted) seed set when
+    // personalized — non-seeds start and restart at zero
+    val nodesWB = teleport match {
+      case None =>
+        val init = scale / n
+        val base = ((dampDen - dampNum) * init) / dampDen
+        nodes.withColumn("_init_", lit(init)).withColumn("_base_", lit(base))
+      case Some(t) =>
+        val seeds = t.select(col(t.columns.head).cast("long").as("node_id"))
+          .distinct().join(nodes, "node_id").localCheckpoint()
+        val s = seeds.count()
+        require(s > 0, "personalized pageRank: no teleport seed is in the graph")
+        val initS = scale / s
+        val baseS = ((dampDen - dampNum) * initS) / dampDen
+        nodes.join(seeds.withColumn("_isSeed_", lit(1)), Seq("node_id"), "left")
+          .select(col("node_id"),
+            when(col("_isSeed_").isNotNull, lit(initS)).otherwise(lit(0L))
+              .as("_init_"),
+            when(col("_isSeed_").isNotNull, lit(baseS)).otherwise(lit(0L))
+              .as("_base_"))
+          .localCheckpoint()
+    }
     val deg = e.groupBy("_src_").agg(count(lit(1)).as("_deg_"))
     // repartitioned on the join key so each round's rank join reuses the
     // cached layout instead of re-exchanging the edge side every time
     val edgesWithDeg = e.join(deg, "_src_")
       .repartition(col("_src_")).localCheckpoint()
-    var ranks = nodes.withColumn("rank", lit(init))
+    var ranks = nodesWB.select(col("node_id"), col("_init_").as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = edgesWithDeg
         .join(ranks, col("_src_") === col("node_id"))
         .select(col("_dst_").as("node_id"),
           expr("rank div _deg_").as("_c_"))
         .groupBy("node_id").agg(sum(col("_c_")).as("_in_"))
-      ranks = nodes.join(contrib, Seq("node_id"), "left")
+      ranks = nodesWB.join(contrib, Seq("node_id"), "left")
         .select(col("node_id"),
-          (lit(base) +
+          (col("_base_") +
             expr(s"($dampNum * coalesce(_in_, 0L)) div $dampDen"))
             .as("rank"))
         .localCheckpoint()

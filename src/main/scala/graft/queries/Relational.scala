@@ -589,6 +589,27 @@ object Relational {
         .orderBy("node_id")
     }),
 
+    // ---- graph: PERSONALIZED PageRank — teleport mass restarts at a
+    // seed set (customers < 10), so rank measures proximity to the seeds
+    // (crawl prioritization / related-item ranking); same bit-exact
+    // integer fixed point as gr01 ----------------------------------------
+    "gr04_personalized_pagerank" -> ((s, d) => {
+      val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("sup"))
+        .distinct()
+      val edges = pairs
+        .select(col("cust").as("src"), (col("sup") + 1000000L).as("dst"))
+        .unionByName(pairs.select((col("sup") + 1000000L).as("src"),
+          col("cust").as("dst")))
+      val seeds = Tables.customer(s, d).select(col("c_custkey"))
+        .where(col("c_custkey") < 10)
+      graft.operators.Graph.personalizedPageRankInt(edges, "src", "dst",
+          seeds, iterations = 3)
+        .orderBy("node_id")
+    }),
+
     // ---- graph: per-part triangle count + clustering coefficient over
     // the co-purchase graph (parts sharing an order), via the
     // degree-ordered wedge join — the skew-proof O(m^1.5) plan; the
@@ -958,6 +979,61 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE (r_name, n_name)
         |ORDER BY region_name, nation_name""".stripMargin,
+
+    // personalized variant of gr01's unrolled rounds: init and restart
+    // base are concentrated on the seed nodes (zero elsewhere)
+    "gr04_personalized_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT cust AS src, 1000000 + sup AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT 1000000 + sup AS src, cust AS dst FROM pairs),
+        |nodes AS (
+        |  SELECT src AS node_id FROM edges
+        |  UNION SELECT dst FROM edges),
+        |seeds AS (SELECT node_id FROM nodes WHERE node_id < 10),
+        |params AS (
+        |  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS init,
+        |    CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT)
+        |      AS base
+        |  FROM seeds),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        |nb AS (
+        |  SELECT n.node_id,
+        |    CASE WHEN s.node_id IS NOT NULL
+        |      THEN (SELECT init FROM params) ELSE 0 END AS init,
+        |    CASE WHEN s.node_id IS NOT NULL
+        |      THEN (SELECT base FROM params) ELSE 0 END AS base
+        |  FROM nodes n LEFT JOIN seeds s ON n.node_id = s.node_id),
+        |r0 AS (SELECT node_id, init AS rank FROM nb),
+        |c1 AS (
+        |  SELECT e.dst AS node_id, CAST(sum(r.rank // g.d) AS BIGINT) AS s
+        |  FROM edges e JOIN deg g ON e.src = g.src
+        |  JOIN r0 r ON e.src = r.node_id GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT nb.node_id, nb.base + (85 * coalesce(c1.s, 0)) // 100
+        |    AS rank
+        |  FROM nb LEFT JOIN c1 ON nb.node_id = c1.node_id),
+        |c2 AS (
+        |  SELECT e.dst AS node_id, CAST(sum(r.rank // g.d) AS BIGINT) AS s
+        |  FROM edges e JOIN deg g ON e.src = g.src
+        |  JOIN r1 r ON e.src = r.node_id GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT nb.node_id, nb.base + (85 * coalesce(c2.s, 0)) // 100
+        |    AS rank
+        |  FROM nb LEFT JOIN c2 ON nb.node_id = c2.node_id),
+        |c3 AS (
+        |  SELECT e.dst AS node_id, CAST(sum(r.rank // g.d) AS BIGINT) AS s
+        |  FROM edges e JOIN deg g ON e.src = g.src
+        |  JOIN r2 r ON e.src = r.node_id GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT nb.node_id, nb.base + (85 * coalesce(c3.s, 0)) // 100
+        |    AS rank
+        |  FROM nb LEFT JOIN c3 ON nb.node_id = c3.node_id)
+        |SELECT node_id, CAST(rank AS BIGINT) AS rank
+        |FROM r3 ORDER BY node_id""".stripMargin,
 
     // 3 unrolled synchronous rounds of the integer fixed-point update
     // base + (85 * sum(rank // deg)) // 100 — every step integral, so the

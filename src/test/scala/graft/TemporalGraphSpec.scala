@@ -114,6 +114,32 @@ class TemporalGraphSpec extends AnyFunSuite {
     assert(s2(9L) > s2(1L) && s2(1L) == s2(2L) && s2(2L) == s2(3L))
   }
 
+  test("personalized pageRank: seeds-everywhere equals classic; mass stays near seeds") {
+    val ring = (0L until 8L).flatMap(i =>
+      Seq((i, (i + 1) % 8), ((i + 1) % 8, i))).toDF("src", "dst")
+    val allNodes = (0L until 8L).toDF("node_id")
+    val classic = Graph.pageRankInt(ring, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val uniformSeeded = Graph.personalizedPageRankInt(ring, "src", "dst",
+        allNodes, iterations = 3).as[(Long, Long)].collect().toMap
+    assert(classic == uniformSeeded,
+      "teleporting to ALL nodes must equal classic PageRank exactly")
+    val seeded = Graph.personalizedPageRankInt(ring, "src", "dst",
+        Seq(0L).toDF("node_id"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    // an even ring is bipartite: finite-round mass oscillates by parity,
+    // so compare WITHIN each parity class — distance from the seed must
+    // decay there — and the antipode (distance 4) gets nothing in 3 hops
+    assert(seeded(0L) > seeded(2L) && seeded(1L) > seeded(3L) &&
+      seeded(4L) == seeded.values.min,
+      s"rank must decay with ring distance per parity class: $seeded")
+    // seeds outside the graph are ignored; all-foreign seeds reject
+    assertThrows[IllegalArgumentException] {
+      Graph.personalizedPageRankInt(ring, "src", "dst",
+        Seq(99L).toDF("node_id"), iterations = 1).collect()
+    }
+  }
+
   test("degreeStats: multigraph multiplicity vs distinct, zero-fill") {
     val edges = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L))
       .toDF("src", "dst")
