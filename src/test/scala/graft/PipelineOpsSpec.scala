@@ -983,6 +983,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("count").distinct().as[Long].collect().toSeq == Seq(4L))
   }
 
+  test("GraftExtensions installs cosine_similarity via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // a NEW session over the shared context, built through the same
+      // SparkSessionExtensions hook --conf spark.sql.extensions invokes
+      // (the conf form is only read when the SparkCONTEXT is created, so
+      // a suite sharing one context must use the builder form)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prior, "extensions test needs a freshly built session")
+      val v = s2.sql(
+        """SELECT cosine_similarity(
+          |  array(cast(0.6 as float), cast(0.8 as float)),
+          |  array(cast(0.6 as float), cast(0.8 as float)))""".stripMargin)
+        .head.getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-6, s"unit self-cosine was $v")
+    } finally {
+      // never stop s2 (shared SparkContext); just restore the suite session
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("cosine_similarity native expression matches the JVM kernel, codegen on") {
     val df = Tables.embeddings(spark, sf).limit(50)
       .select($"vec_id", $"embedding")
