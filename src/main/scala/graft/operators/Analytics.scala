@@ -663,6 +663,44 @@ object Analytics {
         (col("_v_").cast("double") - col("profile")).as("residual"))
   }
 
+  /** Quantile normalization across groups: each row's value maps to the
+    * GLOBAL value at its within-group relative rank — the batch-effect
+    * correction that puts per-source score distributions on one scale
+    * before cross-source thresholds (quality cuts, mixing quotas) are
+    * applied. Pure integer rank arithmetic: within-group rank r of n_g
+    * maps to global rank `1 + ((r−1)·(N−1)) div (n_g−1)` (endpoints map
+    * to endpoints; singleton groups map to the global median rank
+    * `1 + (N−1) div 2`), and the normalized value is read off the global
+    * value order by that rank — no float anywhere, so the mapping
+    * replays exactly.
+    *
+    * Plan: one group-keyed window (rank within group), one global sorted
+    * index over the value column (a calendar/corpus-sized sort; shard it
+    * by the [[Packing.packSequencesSharded]] two-phase recipe when the
+    * row count itself is the problem), one equi-join on the computed
+    * global rank. Output: input keys + `normalized`. */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valCol: String): DataFrame = {
+    val wg = Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol))
+    val ranked = df.select(col(groupCol), col(idCol),
+        col(valCol).cast("long").as(valCol))
+      .withColumn("_r_", row_number().over(wg))
+      .withColumn("_ng_", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("_N_", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("_gr_",
+        when(col("_ng_") > 1,
+          lit(1) + expr("((_r_ - 1) * (_N_ - 1)) div (_ng_ - 1)"))
+          .otherwise(lit(1) + expr("(_N_ - 1) div 2")))
+    val globalIdx = df.select(col(valCol).cast("long").as("_gv_"),
+        col(idCol).as("_gid_"))
+      .withColumn("_gr_", row_number().over(
+        Window.orderBy(col("_gv_"), col("_gid_"))))
+      .select("_gr_", "_gv_")
+    ranked.join(globalIdx, "_gr_")
+      .select(col(groupCol), col(idCol), col(valCol),
+        col("_gv_").as("normalized"))
+  }
+
   /** Cohen's kappa inter-annotator agreement per group: how far the two
     * label columns' agreement exceeds chance, the standard QA gate before
     * trusting human (or heuristic) labels for training data.

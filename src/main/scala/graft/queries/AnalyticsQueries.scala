@@ -285,6 +285,15 @@ object AnalyticsQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- quantile normalization: per-source doc lengths mapped onto
+    // the global length distribution by integer rank — batch-effect
+    // correction before any cross-source threshold --------------------------
+    "qn01_quantile_normalize" -> ((s, d) =>
+      Analytics.quantileNormalize(
+          Tables.documents(s, d).select("source", "doc_id", "n_chars"),
+          "source", "doc_id", "n_chars")
+        .orderBy("doc_id")),
+
     // ---- anomaly days: weekday-profile residuals, milli-quantized, cut
     // by MAD — the composition the two primitives exist for (seasonality
     // removed BEFORE the robust cut, so weekends aren't "anomalies") -----
@@ -950,6 +959,29 @@ object AnalyticsQueries {
         |SELECT grp AS o_orderpriority, id AS o_orderkey,
         |  val AS price_milli, med, mad, dev
         |FROM m2 WHERE dev > 2 * mad ORDER BY id""".stripMargin,
+
+    // quantile-normalize replay: same integer rank mapping and global
+    // value index
+    "qn01_quantile_normalize" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS ng,
+        |    count(*) OVER () AS N
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CASE WHEN ng > 1
+        |      THEN 1 + ((r - 1) * (N - 1)) // (ng - 1)
+        |      ELSE 1 + (N - 1) // 2 END AS gr
+        |  FROM r),
+        |g AS (
+        |  SELECT n_chars AS gv,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+        |  FROM documents)
+        |SELECT m.source, m.doc_id, m.n_chars, g.gv AS normalized
+        |FROM m JOIN g ON m.gr = g.gr ORDER BY m.doc_id""".stripMargin,
 
     // anomaly-days replay: sz01's profile chain into az02's MAD chain
     "ad01_anomalous_days" ->

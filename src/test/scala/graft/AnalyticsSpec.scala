@@ -299,6 +299,23 @@ class AnalyticsSpec extends AnyFunSuite {
       ("g2", 10L, 10L, None)))
   }
 
+  test("quantileNormalize: endpoints map to endpoints, distributions align, singleton to median") {
+    // group a: shifted low; group b: shifted high; after normalization
+    // both map onto the same global value set by rank
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 100L), ("b", 5L, 200L), ("b", 6L, 300L),
+      ("solo", 7L, 55L))
+    val got = graft.operators.Analytics.quantileNormalize(
+        rows.toDF("g", "id", "v"), "g", "id", "v")
+      .select("id", "normalized").as[(Long, Long)].collect().toMap
+    // N=7; global sorted values: 10,20,30,55,100,200,300
+    // group a/b (n=3): ranks 1,2,3 → global ranks 1, 4, 7 → 10, 55, 300
+    assert(got(1L) == 10L && got(2L) == 55L && got(3L) == 300L)
+    assert(got(4L) == 10L && got(5L) == 55L && got(6L) == 300L)
+    // singleton → global median rank 4 → 55
+    assert(got(7L) == 55L)
+  }
+
   test("profileKeys: hot key gets a leveling salt, uniform keys get 1") {
     val rows = Seq.fill(90)("hot") ++ (1 to 10).map(i => s"cold$i")
     val got = graft.operators.Skew.profileKeys(rows.toDF("k"), "k", topK = 3)
