@@ -74,6 +74,108 @@ object Retrieval {
       .where(col("rank") <= k)
   }
 
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    * '98) over a ranked candidate list — the reranker that stops a
+    * retrieval page (or a RAG context window) from filling with k copies
+    * of the same document: greedily pick the candidate maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_selected`.
+    *
+    * Relevance is the candidate's integer fixed-point score normalized by
+    * the query's max (one correctly-rounded division); similarity is
+    * n-gram Jaccard between candidate documents (exact integer i/u
+    * through one division); λ arrives as the rational `lambdaNum /
+    * lambdaDen` so both engines evaluate literally `(7.0·nrel)/10.0 −
+    * (3.0·msim)/10.0` — never a `1 − 0.7` whose binary value differs
+    * from the SQL literal `0.3`. Every float is a fixed program over
+    * exact integers → the selection order replays exactly; ties break on
+    * the doc id.
+    *
+    * Plan: per-query work only — candidates per query are top-k'-bounded
+    * upstream, so the pairwise-similarity join is Σ(k')² per query, and
+    * each greedy round is one join + one window over the (tiny) remaining
+    * set, `localCheckpoint`ed so round t's plan doesn't re-derive rounds
+    * 1..t−1. Output: (query_id, `docCol`, rank, `relFpCol`). */
+  def mmrRerank(candidates: DataFrame, docCol: String, relFpCol: String,
+                docs: DataFrame, docIdCol: String, textCol: String,
+                k: Int, lambdaNum: Int = 7, lambdaDen: Int = 10,
+                n: Int = 3): DataFrame = {
+    require(k >= 1 && lambdaDen > 0 && lambdaNum >= 0 &&
+      lambdaNum <= lambdaDen && n >= 1, "bad MMR parameters")
+    val lam = s"$lambdaNum.0"
+    val oneMinus = s"${lambdaDen - lambdaNum}.0"
+    val den = s"$lambdaDen.0"
+    val cands = candidates.select(col("query_id"), col(docCol),
+      col(relFpCol).cast("long").as("_rel_")).localCheckpoint()
+    val wq = Window.partitionBy("query_id")
+    val nrel = cands
+      .withColumn("_relmax_", max(col("_rel_")).over(wq))
+      .withColumn("_nrel_", expr(
+        "cast(_rel_ as double) / cast(_relmax_ as double)"))
+      .select(col("query_id"), col(docCol), col("_rel_"), col("_nrel_"))
+      .localCheckpoint()
+    // n-gram sets of candidate docs only (semi-join shrinks the scan)
+    val candDocs = cands.select(col(docCol)).distinct()
+    val grams = docs
+      .join(candDocs.withColumnRenamed(docCol, docIdCol), docIdCol)
+      .select(col(docIdCol), split(col(textCol), "\\s+").as("_ws_"))
+      .select(col(docIdCol), expr("filter(_ws_, x -> x != '')").as("_ws_"))
+      .where(size(col("_ws_")) >= n)
+      .select(col(docIdCol), explode(expr(
+        s"""transform(sequence(1, size(_ws_) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(_ws_, i, $n)))""".stripMargin))
+        .as("_g_"))
+      .distinct().localCheckpoint()
+    val sizes = grams.groupBy(docIdCol).agg(count(lit(1)).as("_ng_"))
+    val inter = grams.as("ga").join(grams.as("gb"),
+        col("ga._g_") === col("gb._g_") &&
+          col(s"ga.$docIdCol") < col(s"gb.$docIdCol"))
+      .groupBy(col(s"ga.$docIdCol").as("_da_"),
+        col(s"gb.$docIdCol").as("_db_"))
+      .agg(count(lit(1)).as("_i_"))
+    val pairSim = inter
+      .join(sizes.select(col(docIdCol).as("_da_"), col("_ng_").as("_na_")),
+        "_da_")
+      .join(sizes.select(col(docIdCol).as("_db_"), col("_ng_").as("_nb_")),
+        "_db_")
+      .select(col("_da_"), col("_db_"), expr(
+        "cast(_i_ as double) / cast(_na_ + _nb_ - _i_ as double)")
+        .as("_sim_"))
+      .localCheckpoint()
+    val wPick = wq.orderBy(col("_mmr_").desc, col(docCol))
+    var selected = nrel
+      .withColumn("_mmr_", col("_nrel_"))
+      .withColumn("_rk_", row_number().over(wPick))
+      .where(col("_rk_") === 1)
+      .select(col("query_id"), col(docCol), col("_rel_"),
+        lit(1).as("rank"))
+      .localCheckpoint()
+    var remaining = nrel.join(selected.select("query_id", docCol),
+      Seq("query_id", docCol), "left_anti").localCheckpoint()
+    for (t <- 2 to k) {
+      val selDocs = selected.select(col("query_id"),
+        col(docCol).as("_sel_"))
+      val sims = remaining.join(selDocs, "query_id")
+        .join(pairSim,
+          (least(col(docCol), col("_sel_")) === col("_da_")) &&
+            (greatest(col(docCol), col("_sel_")) === col("_db_")),
+          "left")
+        .groupBy(col("query_id"), col(docCol))
+        .agg(max(coalesce(col("_sim_"), lit(0.0))).as("_msim_"))
+      val picked = remaining.join(sims, Seq("query_id", docCol.toString))
+        .withColumn("_mmr_", expr(
+          s"($lam * _nrel_) / $den - ($oneMinus * _msim_) / $den"))
+        .withColumn("_rk_", row_number().over(wPick))
+        .where(col("_rk_") === 1)
+        .select(col("query_id"), col(docCol), col("_rel_"),
+          lit(t).as("rank"))
+      selected = selected.unionByName(picked).localCheckpoint()
+      remaining = remaining.join(picked.select("query_id", docCol),
+        Seq("query_id", docCol), "left_anti").localCheckpoint()
+    }
+    selected.select(col("query_id"), col(docCol), col("rank"),
+      col("_rel_").as(relFpCol))
+  }
+
   /** Exact phrase search over a POSITIONAL inverted index — the "quoted
     * query" Lucene serves from term position lists, as one relational
     * program. `phrases` is (phrase_id, phrase); output is one row per

@@ -161,6 +161,26 @@ object AnalyticsQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- MMR diversified rerank: BM25 top-8 candidates reranked to 4
+    // by λ·relevance − (1−λ)·max-Jaccard-to-selected (λ = 7/10 as a
+    // rational — no 1−0.7 float literal to diverge) ----------------------
+    "mmr01_diversified_topk" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, "spark"), (1L, "join"), (1L, "window"),
+        (2L, "hash"), (2L, "table"), (2L, "scan"),
+        (3L, "customer"), (3L, "order"), (3L, "value"))
+        .toDF("query_id", "term")
+      val docs = Tables.documents(s, d)
+      val cands = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 8)
+        .select(col("query_id"), col("doc_id"), col("score_scaled"))
+      Retrieval.mmrRerank(cands, "doc_id", "score_scaled",
+          docs, "doc_id", "text", k = 4)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").cast(IntegerType).as("rank"), col("score_scaled"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- exact-sum Pearson corr + least-squares line --------------------
     // small-magnitude columns (quantity, discount) keep every decimal sum
     // under 2^53 so the final double casts are exact — see Analytics doc
@@ -668,6 +688,116 @@ object AnalyticsQueries {
         |      ORDER BY score_scaled DESC, doc_id) AS INTEGER) AS rank
         |  FROM agg) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // MMR replay: bm01's scoring prelude to top-8 candidates, then the
+    // greedy rounds unrolled — identical fixed double programs for
+    // normalized relevance, Jaccard, and the λ-rational selection score
+    "mmr01_diversified_topk" -> {
+      val rounds = (2 to 4).map { t =>
+        val prevSel = if (t == 2) "s1"
+          else s"(SELECT query_id, doc_id FROM sl${t - 1})"
+        s"""m$t AS (
+           |  SELECT r.query_id, r.doc_id,
+           |    max(coalesce(ps.sim, 0.0)) AS msim
+           |  FROM r$t r JOIN $prevSel s ON r.query_id = s.query_id
+           |  LEFT JOIN ps ON least(r.doc_id, s.doc_id) = ps.da
+           |    AND greatest(r.doc_id, s.doc_id) = ps.db
+           |  GROUP BY r.query_id, r.doc_id),
+           |p$t AS (
+           |  SELECT query_id, doc_id, score_scaled, $t AS rank FROM (
+           |    SELECT r.query_id, r.doc_id, r.score_scaled,
+           |      row_number() OVER (PARTITION BY r.query_id
+           |        ORDER BY (7.0 * r.nrel) / 10.0 - (3.0 * m.msim) / 10.0
+           |          DESC, r.doc_id) AS rk
+           |    FROM r$t r JOIN m$t m
+           |      ON r.query_id = m.query_id AND r.doc_id = m.doc_id) z
+           |  WHERE rk = 1),
+           |sl$t AS (
+           |  SELECT query_id, doc_id FROM ${if (t == 2) "s1"
+             else s"sl${t - 1}"}
+           |  UNION ALL SELECT query_id, doc_id FROM p$t),
+           |r${t + 1} AS (
+           |  SELECT r$t.* FROM r$t ANTI JOIN p$t
+           |    USING (query_id, doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+         |    FROM documents) u
+         |  WHERE t <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM toks GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |stats AS (
+         |  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+         |    CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+         |      / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |q(query_id, term) AS (VALUES
+         |  (1, 'spark'), (1, 'join'), (1, 'window'),
+         |  (2, 'hash'), (2, 'table'), (2, 'scan'),
+         |  (3, 'customer'), (3, 'order'), (3, 'value')),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |         * ((tf * (1.0 + CAST(1.2 AS DOUBLE)))
+         |            / (tf + CAST(1.2 AS DOUBLE)
+         |               * (0.25 + 0.75 * dl / avgdl)))
+         |         * 1000000) AS BIGINT) AS w
+         |  FROM q JOIN dfreq USING (term) JOIN tf USING (term)
+         |    JOIN dl USING (doc_id)
+         |  CROSS JOIN stats),
+         |agg AS (
+         |  SELECT query_id, doc_id, CAST(sum(w) AS BIGINT) AS score_scaled
+         |  FROM scored GROUP BY query_id, doc_id),
+         |cand AS (
+         |  SELECT query_id, doc_id, score_scaled FROM (
+         |    SELECT query_id, doc_id, score_scaled,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_scaled DESC, doc_id) AS rk
+         |    FROM agg) t WHERE rk <= 8),
+         |relm AS (
+         |  SELECT query_id, max(score_scaled) AS relmax
+         |  FROM cand GROUP BY query_id),
+         |nr AS (
+         |  SELECT c.query_id, c.doc_id, c.score_scaled,
+         |    CAST(c.score_scaled AS DOUBLE) / CAST(r.relmax AS DOUBLE)
+         |      AS nrel
+         |  FROM cand c JOIN relm r ON c.query_id = r.query_id),
+         |cd AS (SELECT DISTINCT doc_id FROM cand),
+         |gw AS (
+         |  SELECT d.doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+         |      AS ws
+         |  FROM documents d JOIN cd ON d.doc_id = cd.doc_id),
+         |g AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id,
+         |      unnest([array_to_string(ws[i:i+2], ' ')
+         |              FOR i IN range(1, len(ws) - 3 + 1 + 1)]) AS g
+         |    FROM gw WHERE len(ws) >= 3) z),
+         |sz AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+         |it AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ps AS (
+         |  SELECT da, db,
+         |    CAST(i AS DOUBLE) / CAST(sa.ng + sb.ng - i AS DOUBLE) AS sim
+         |  FROM it JOIN sz sa ON sa.doc_id = da
+         |  JOIN sz sb ON sb.doc_id = db),
+         |s1 AS (
+         |  SELECT query_id, doc_id, score_scaled, 1 AS rank FROM (
+         |    SELECT nr.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY nrel DESC, doc_id) AS rk FROM nr) z WHERE rk = 1),
+         |r2 AS (SELECT nr.* FROM nr ANTI JOIN s1 USING (query_id, doc_id)),
+         |$rounds
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  CAST(rank AS INT) AS rank, score_scaled
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM p2
+         |      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4) f
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     // exact decimal moment sums, then one fixed double program per output
     // (div/sqrt are correctly-rounded IEEE ops → bit-identical replay)

@@ -299,6 +299,27 @@ class AnalyticsSpec extends AnyFunSuite {
       ("g2", 10L, 10L, None)))
   }
 
+  test("mmrRerank: near-duplicate runner-up displaced by a diverse doc") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // shares 5/7 grams
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val cands = Seq((9L, 1L, 1000000L), (9L, 2L, 920000L),
+      (9L, 3L, 700000L)).toDF("query_id", "doc_id", "score_scaled")
+    val got = Retrieval.mmrRerank(cands, "doc_id", "score_scaled",
+        docs, "doc_id", "text", k = 3)
+      .orderBy("rank").select("doc_id", "rank")
+      .as[(Long, Int)].collect().toSeq
+    // round 2: B scores 0.7·0.92 − 0.3·(5/7) ≈ 0.430 < C's 0.7·0.7 = 0.49
+    assert(got == Seq((1L, 1), (3L, 2), (2L, 3)),
+      s"diversity must displace the near-duplicate: $got")
+    // with λ = 1 MMR degenerates to pure relevance order
+    val pure = Retrieval.mmrRerank(cands, "doc_id", "score_scaled",
+        docs, "doc_id", "text", k = 3, lambdaNum = 10, lambdaDen = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(pure == Seq(1L, 2L, 3L))
+  }
+
   test("quantileNormalize: endpoints map to endpoints, distributions align, singleton to median") {
     // group a: shifted low; group b: shifted high; after normalization
     // both map onto the same global value set by rank
