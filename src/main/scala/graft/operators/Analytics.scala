@@ -737,4 +737,137 @@ object Analytics {
             (col("n") * col("n") - col("_sab_")).cast("double"))
           .as("kappa"))
   }
+
+  /** EXACT global multi-quantile by histogram-refinement selection — the
+    * way to take a true percentile over 100 TB without ever sorting it.
+    *
+    * A global sort (or a global `row_number` window, like the qt01/wz01
+    * per-group forms applied to one giant group) funnels the whole column
+    * through a range-partitioned sort; at cluster scale that is the most
+    * expensive primitive in the engine. But an EXACT order statistic only
+    * needs counts: the p-th value is the r-th smallest with
+    * r = 1 + (p·(n−1)) div 100 (this module's [[groupQuantiles]] lower
+    * selection), and r-th-smallest can be found by successively narrowing
+    * a value interval. Each pass histograms the active interval of every
+    * still-open target into `nBins` equal integer-width bins — ONE
+    * partial+final aggregate whose result is at most |pcts|·nBins tiny
+    * rows — then the driver walks the cumulative counts to pick the bin
+    * holding rank r and recurses into it. The interval shrinks ≥ nBins×
+    * per pass, so even a full 64-bit domain resolves in
+    * ceil(64 / log2 nBins) passes (4096 bins → ≤ 6 scans of one pruned
+    * column, each shuffling only the histogram). No data row ever moves.
+    *
+    * `valCol` must be integer-typed (the repo-wide quantize-first
+    * convention; milli-quantize money upstream), with |v| < 2^62 so
+    * `v − lo` cannot overflow. NULLs are excluded (SQL ordering
+    * semantics). All selection arithmetic is exact integer — the result
+    * hash-matches a sorted-rank oracle on any engine. Output: one row per
+    * requested percentile, (pct INT, value BIGINT), built on the driver
+    * from |pcts| resolved scalars. */
+  def exactQuantilesBisect(df: DataFrame, valCol: String, pcts: Seq[Int],
+                           nBins: Int = 4096): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
+      s"pcts must be in [0,100], got $pcts")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valCol).cast("long").as("_v_"))
+      .where(col("_v_").isNotNull)
+    val head = vals.agg(count(lit(1)), min("_v_"), max("_v_")).head()
+    val n = head.getLong(0)
+    if (n == 0L)
+      return spark.emptyDataset[(Int, Long)].toDF("pct", "value")
+    // state per target: value is the rank-th smallest inside [lo, hi]
+    case class Target(pct: Int, var lo: Long, var hi: Long, var rank: Long)
+    val targets = pcts.distinct.sorted.map { p =>
+      Target(p, head.getLong(1), head.getLong(2), 1L + (p.toLong * (n - 1)) / 100L)
+    }
+    while (targets.exists(t => t.lo < t.hi)) {
+      val active = targets.filter(t => t.lo < t.hi)
+      // per-target bin width: ceil(width / nBins) keeps bin < nBins and
+      // shrinks the interval by >= nBins x per pass (BigInt only on the
+      // driver, to survive hi - lo spanning most of the long range)
+      val steps = active.map { t =>
+        ((BigInt(t.hi) - BigInt(t.lo) + nBins) / nBins).toLong.max(1L)
+      }
+      val binCols = active.zip(steps).zipWithIndex.map { case ((t, step), i) =>
+        struct(lit(i).as("q"),
+          // `div`, not `/`: Column./ is double division (the pk01 pitfall),
+          // wrong past 2^53 and floor-vs-truncate wrong for negatives
+          when(col("_v_").between(t.lo, t.hi),
+            expr(s"(_v_ - (${t.lo}L)) div ${step}L")).as("bin"))
+      }
+      val hist = vals
+        .select(explode(array(binCols: _*)).as("_qb_"))
+        .where(col("_qb_.bin").isNotNull)
+        .groupBy(col("_qb_.q").as("q"), col("_qb_.bin").as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+    // walk each target's cumulative histogram to the bin holding its rank
+      active.zip(steps).zipWithIndex.foreach { case ((t, step), i) =>
+        val bins = hist(i).map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        var remaining = t.rank
+        val (bin, inBin) = bins.collectFirst {
+          case (b, c) if { val hit = remaining <= c; if (!hit) remaining -= c; hit } =>
+            (b, remaining)
+        }.get
+        t.rank = inBin
+        val newLo = t.lo + bin * step
+        t.hi = math.min(t.hi, newLo + step - 1)
+        t.lo = newLo
+      }
+    }
+    spark.createDataset(targets.map(t => (t.pct, t.lo))).toDF("pct", "value")
+  }
+
+  /** Welch's two-sample t statistic per metric group — the unequal-variance
+    * A/B test report (the safe default; pooled-variance Student's t is
+    * wrong the moment the arms differ in spread or size).
+    *
+    * Moments are exact: per-arm n, Σv, Σv² as DECIMAL sums of a
+    * DECIMAL(18,2) value (squares at DECIMAL(38,4) cannot round below
+    * ~10^17 rows), so the only floating point is the final fixed program —
+    * mean = Σv/n, sample variance s² = (Σv² − Σv²/n)/(n−1), then
+    *   t  = (meanA − meanB) / sqrt(sA²/nA + sB²/nB)
+    *   df = (sA²/nA + sB²/nB)² / ((sA²/nA)²/(nA−1) + (sB²/nB)²/(nB−1))
+    * each written ONCE with fixed parenthesization (the az01 convention) so
+    * a SQL replay is bit-identical. Arms with n < 2 or zero combined
+    * variance yield NULL t (insufficient evidence ≠ infinite evidence).
+    *
+    * Plan: one partial+final aggregate per arm over the group key, one
+    * equi-join of two tiny per-group tables — scan-bound at any scale.
+    * Output: (`keyCol`, n_a, mean_a, n_b, mean_b, t_stat, welch_df). */
+  def welchTTest(df: DataFrame, keyCol: String, armCol: String,
+                 valCol: String, armA: String, armB: String): DataFrame = {
+    def moments(arm: String, sfx: String) = df
+      .where(col(armCol) === arm)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as(s"n_$sfx"),
+        sum(col(valCol).cast("decimal(18,2)")).as(s"_s$sfx"),
+        sum(col(valCol).cast("decimal(18,2)") * col(valCol).cast("decimal(18,2)"))
+          .as(s"_ss$sfx"))
+    def vOverN(sfx: String): Column = {
+      val nn = col(s"n_$sfx").cast("double")
+      val s = col(s"_s$sfx").cast("double")
+      val ss = col(s"_ss$sfx").cast("double")
+      // s^2/n with the variance expanded in place, fixed parenthesization
+      ((ss - (s * s) / nn) / (nn - lit(1.0))) / nn
+    }
+    moments(armA, "a").join(moments(armB, "b"), keyCol)
+      .withColumn("_se2_",
+        when(col("n_a") >= 2 && col("n_b") >= 2, vOverN("a") + vOverN("b")))
+      .select(col(keyCol),
+        col("n_a"), (col("_sa").cast("double") / col("n_a").cast("double")).as("mean_a"),
+        col("n_b"), (col("_sb").cast("double") / col("n_b").cast("double")).as("mean_b"),
+        when(col("_se2_") > 0,
+          (col("_sa").cast("double") / col("n_a").cast("double") -
+            col("_sb").cast("double") / col("n_b").cast("double")) /
+            sqrt(col("_se2_"))).as("t_stat"),
+        when(col("_se2_") > 0,
+          (col("_se2_") * col("_se2_")) /
+            ((vOverN("a") * vOverN("a")) / (col("n_a").cast("double") - lit(1.0)) +
+              (vOverN("b") * vOverN("b")) / (col("n_b").cast("double") - lit(1.0))))
+          .as("welch_df"))
+  }
 }

@@ -159,6 +159,63 @@ object Graph {
     *
     * Returns (node_id, degree, triangles, clustering) for every node of
     * the canonical graph. */
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007, public): every node starts labeled with its own id; each
+    * round it adopts the label carried by the PLURALITY of its neighbors,
+    * ties broken by the smallest label — which makes every round a pure
+    * function of the previous labeling, so a fixed iteration count is
+    * deterministic on any engine, any partitioning, any retry (the same
+    * property the integer PageRank buys with fixed-point sums; here votes
+    * are already integers). Communities ≈ trade/link clusters — the
+    * coarse structure a curation run balances sampling across, where
+    * [[Dedup.connectedComponents]] only separates disconnected islands.
+    *
+    * Input edges are symmetrized and deduplicated (undirected reading,
+    * self-loops dropped): each undirected edge votes once in each
+    * direction. Every node of the edge list has ≥ 1 neighbor by
+    * construction, so each round relabels every node.
+    *
+    * Plan per round: one equi-join of the (checkpointed, pre-partitioned)
+    * edge list to current labels, one (node, label) count aggregate, one
+    * per-node argmax window on the vote table — all shuffles keyed on
+    * node id; the window partitions by node over ≤ degree rows, never a
+    * global sort. `localCheckpoint` per round caps plan depth, the same
+    * discipline as [[pageRankInt]]. Synchronous LPA can oscillate on
+    * bipartite structure — callers pick `iterations` as a view, not a
+    * fixpoint promise. Returns (node_id, label) after `iterations`
+    * rounds. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val undirected = edges
+      .select(col(srcCol).cast("long").as("_a_"),
+        col(dstCol).cast("long").as("_b_"))
+      .where(col("_a_") =!= col("_b_"))
+    val sym = undirected
+      .union(undirected.select(col("_b_").as("_a_"), col("_a_").as("_b_")))
+      .distinct()
+      .repartition(col("_a_"))
+      .localCheckpoint()
+    var labels = sym.select(col("_a_").as("node_id"))
+      .distinct()
+      .withColumn("label", col("node_id"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val votes = sym
+        .join(labels, sym("_a_") === labels("node_id"))
+        .groupBy(col("_b_").as("node_id"), col("label"))
+        .agg(count(lit(1)).as("_n_"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node_id").orderBy(col("_n_").desc, col("label"))
+      labels = votes
+        .withColumn("_rn_", row_number().over(w))
+        .where(col("_rn_") === 1)
+        .select(col("node_id"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame = {
     val canon = edges

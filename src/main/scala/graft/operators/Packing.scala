@@ -154,6 +154,76 @@ object Packing {
       .drop("_cum_", "_start_")
   }
 
+  /** Whole-document bin packing by BEST-FIT DECREASING — the packing a
+    * dataloader uses when documents must NOT be split across training
+    * sequences (instruction tuning, contrastive pairs), where
+    * [[packSequences]]' concat-and-chunk rule cuts mid-document. Items are
+    * taken longest-first (ties by id) and each is placed into the FULLEST
+    * open bin that still fits it (ties: lowest bin id), opening a new bin
+    * only when none fits — the classic 11/9·OPT + 6/9 guarantee
+    * (Dósa 2007, public) against the ceil(Σtokens/capacity) lower bound.
+    *
+    * The fold is inherently sequential, so scale comes from sharding
+    * (the [[runningTotalSharded]] discipline): items split into
+    * `numShards` contiguous id ranges, BFD runs independently per shard
+    * (one task each, items of one shard in memory), and bin ids are
+    * namespaced `shard · 2^40 + local` (collision-free below 2^40 bins
+    * per shard, the [[lengthBucketedBatches]] convention). Unlike the
+    * prefix sum, BFD is order-sensitive ACROSS the whole item set, so
+    * sharding is not output-neutral: each shard's packing is individually
+    * valid and deterministic, and the waste bound degrades by at most one
+    * underfull bin per shard — the price of parallelism, stated rather
+    * than hidden. Items larger than `capacity` get a dedicated oversize
+    * bin (flagged, never shared).
+    *
+    * Requires a numeric `idCol`. Output: one row per item —
+    * (`idCol`, `tokensCol`, shard BIGINT, bin_id BIGINT, oversized
+    * BOOLEAN). Per-bin fills are one groupBy away. */
+  def packBestFitDecreasing(df: DataFrame, idCol: String, tokensCol: String,
+                            capacity: Long, numShards: Int = 1): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
+      max(col(idCol)).cast("long").as("hi")).head()
+    if (bounds.isNullAt(0))
+      return spark.emptyDataset[(Long, Long, Long, Long, Boolean)]
+        .toDF(idCol, tokensCol, "shard", "bin_id", "oversized")
+    val lo = bounds.getLong(0)
+    val width = 1L.max((bounds.getLong(1) - lo) / numShards + 1)
+    df.select(expr(s"(cast($idCol as bigint) - ($lo)) div $width").as("_shard_"),
+        col(idCol).cast("long").as("_id_"),
+        col(tokensCol).cast("long").as("_w_"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val items = it.map { case (_, id, w) => (id, w) }.toArray
+          .sortBy { case (id, w) => (-w, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (id, w) =>
+          val bin =
+            if (w > capacity) { fills += w; fills.length - 1 }
+            else {
+              // fullest bin that still fits; linear scan is O(bins) per
+              // item — fine per shard; a fill-ordered tree drops it to
+              // O(log bins) if a shard ever holds millions of items
+              var best = -1
+              var i = 0
+              while (i < fills.length) {
+                if (fills(i) + w <= capacity &&
+                  (best < 0 || fills(i) > fills(best))) best = i
+                i += 1
+              }
+              if (best < 0) { fills += w; fills.length - 1 }
+              else { fills(best) += w; best }
+            }
+          (id, w, shard, shard * (1L << 40) + bin, w > capacity)
+        }
+      }
+      .toDF(idCol, tokensCol, "shard", "bin_id", "oversized")
+  }
+
   /** Shifted-right mix64 for modular cut-point draws: `mix64(x) >>> 1` is
     * always non-negative, so `% m` means the same thing to a signed engine
     * (Spark) and an unsigned one (the DuckDB oracle) for ANY modulus —

@@ -440,6 +440,37 @@ object AnalyticsQueries {
       // rounded, so it ships unrounded and still hash-matches
       Analytics.cohensKappa(labeled, "lang", "rater_a", "rater_b")
         .orderBy("lang")
+    }),
+
+    // ---- EXACT global percentiles WITHOUT a global sort: histogram-
+    // refinement selection — each pass is one tiny count aggregate, the
+    // driver narrows each target's value interval ≥ 4096× per pass; the
+    // oracle is the sorted-rank definition the passes must equal ----------
+    "qd01_exact_quantiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        expr("cast(round(l_extendedprice * 1000) as bigint)")
+          .as("price_milli"))
+      Analytics.exactQuantilesBisect(li, "price_milli", Seq(1, 25, 50, 75, 99))
+        .orderBy("pct")
+    }),
+
+    // ---- A/B test: Welch's unequal-variance t per order priority, arms =
+    // open vs fulfilled orders — exact DECIMAL moments, one fixed double
+    // program (az01/lr02 conventions, incl. the VARCHAR-routed oracle
+    // cast) ---------------------------------------------------------------
+    "ab01_welch_ttest" -> ((s, d) =>
+      Analytics.welchTTest(Tables.orders(s, d), "o_orderpriority",
+          "o_orderstatus", "o_totalprice", armA = "O", armB = "F")
+        .orderBy("o_orderpriority")),
+
+    // ---- privacy: k-anonymity / l-diversity over (nation, segment)
+    // quasi-identifiers with a bucketed balance as the sensitive value ----
+    "ka01_k_anonymity" -> ((s, d) => {
+      val c = Tables.customer(s, d).withColumn("acctbal_k",
+        floor(col("c_acctbal") / 1000).cast("long"))
+      graft.operators.DataQuality.kAnonymityReport(c,
+          Seq("c_nationkey", "c_mktsegment"), "acctbal_k", k = 10L, l = 4L)
+        .orderBy("c_nationkey", "c_mktsegment")
     })
   )
 
@@ -1371,6 +1402,69 @@ object AnalyticsQueries {
         |    THEN CAST(b.n * b.n_agree - c.sab AS DOUBLE)
         |         / CAST(b.n * b.n - c.sab AS DOUBLE) END AS kappa
         |FROM base b JOIN chance c ON b.lang = c.lang
-        |ORDER BY b.lang""".stripMargin
+        |ORDER BY b.lang""".stripMargin,
+
+    // qd01 replay: the sorted-rank DEFINITION of the percentile (rank =
+    // 1 + (p·(n−1)) div 100, lower selection) that the bisection passes
+    // must land on exactly
+    "qd01_exact_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 1000) AS BIGINT) AS pm
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT pm, row_number() OVER (ORDER BY pm) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM v)
+        |SELECT CAST(p AS INTEGER) AS pct, pm AS value
+        |FROM r JOIN (VALUES (1), (25), (50), (75), (99)) t(p)
+        |  ON rn = 1 + (p * (n - 1)) // 100
+        |ORDER BY pct""".stripMargin,
+
+    // Welch replay: exact DECIMAL moments (VARCHAR-routed double cast —
+    // the lr02 finding), then the identical fixed program for s²/n, t,
+    // and the Welch–Satterthwaite df
+    "ab01_welch_ttest" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS k, o_orderstatus AS arm, count(*) AS n,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |      AS DOUBLE) AS s,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+        |                  * CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |      AS DOUBLE) AS ss
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1, 2),
+        |a AS (SELECT k, n AS n_a, s AS sa, ss AS ssa FROM m WHERE arm = 'O'),
+        |b AS (SELECT k, n AS n_b, s AS sb, ss AS ssb FROM m WHERE arm = 'F'),
+        |j AS (
+        |  SELECT k, n_a, sa, n_b, sb,
+        |    ((ssa - (sa * sa) / CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS va,
+        |    ((ssb - (sb * sb) / CAST(n_b AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS vb
+        |  FROM a JOIN b USING (k)),
+        |f AS (SELECT *, CASE WHEN n_a >= 2 AND n_b >= 2 THEN va + vb END
+        |        AS se2 FROM j)
+        |SELECT k AS o_orderpriority,
+        |  n_a, sa / CAST(n_a AS DOUBLE) AS mean_a,
+        |  n_b, sb / CAST(n_b AS DOUBLE) AS mean_b,
+        |  CASE WHEN se2 > 0 THEN
+        |    (sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE)) / sqrt(se2)
+        |  END AS t_stat,
+        |  CASE WHEN se2 > 0 THEN
+        |    (se2 * se2) / ((va * va) / (CAST(n_a AS DOUBLE) - 1.0)
+        |                   + (vb * vb) / (CAST(n_b AS DOUBLE) - 1.0))
+        |  END AS welch_df
+        |FROM f ORDER BY o_orderpriority""".stripMargin,
+
+    // k-anonymity replay: one grouped aggregate, SQL GROUP BY null
+    // semantics on the quasi key, count(DISTINCT) diversity
+    "ka01_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |    AS n_sensitive,
+        |  count(*) >= 10 AS k_anonymous,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 4
+        |    AS l_diverse
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin
   )
 }

@@ -1188,6 +1188,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence prep: whole-document BEST-FIT-DECREASING bin packing
+    // (no document ever split, unlike pk01's concat-and-chunk) — per-bin
+    // fills gated against a DuckDB recursive-CTE replay of the exact
+    // fold; doc_id < 1000 keeps the oracle's recursion depth bounded ------
+    "pk03_packing_bfd" -> ((s, d) => {
+      val counted = Tables.documents(s, d)
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .where(col("n_tokens") <= 256)
+      graft.operators.Packing.packBestFitDecreasing(counted, "doc_id",
+          "n_tokens", capacity = 256, numShards = 1)
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill"))
+        .withColumn("waste", lit(256L) - col("fill"))
+        .orderBy("bin_id")
+    }),
+
     // ---- text analysis: full annotate (UDF surface; rows-only) -------------
     "ts04_annotate" -> ((s, d) => {
       TextAnalysis.annotate(Tables.documents(s, d), "text")
@@ -3104,6 +3121,46 @@ object PipelineQueries {
     // the sharded path must produce BIT-IDENTICAL output to pk01 — that
     // identity is the gate
     "pk02_sequence_packing_sharded" -> PackingSql,
+
+    // pk03 replay: the best-fit-decreasing fold run literally — a
+    // recursive CTE threads the bin-fill list through the items in
+    // (tokens DESC, id ASC) order; best fit = first position of the max
+    // feasible fill (list_position returns the LOWEST index, matching the
+    // Spark tie-break); per-bin fills/counts unnested at the end
+    "pk03_packing_bfd" ->
+      """WITH it AS (
+        |  SELECT doc_id, w, row_number() OVER (ORDER BY w DESC, doc_id) AS i
+        |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS w
+        |        FROM documents WHERE doc_id < 1000) x
+        |  WHERE w <= 256),
+        |rec AS (
+        |  WITH RECURSIVE st(i, fills, cnts) AS (
+        |    SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+        |           CAST([] AS BIGINT[])
+        |    UNION ALL
+        |    SELECT st.i + 1,
+        |      CASE WHEN b.k IS NULL THEN list_append(st.fills, it.w)
+        |           ELSE list_slice(st.fills, 1, b.k - 1)
+        |                || [st.fills[b.k] + it.w]
+        |                || list_slice(st.fills, b.k + 1, len(st.fills)) END,
+        |      CASE WHEN b.k IS NULL
+        |             THEN list_append(st.cnts, CAST(1 AS BIGINT))
+        |           ELSE list_slice(st.cnts, 1, b.k - 1)
+        |                || [st.cnts[b.k] + 1]
+        |                || list_slice(st.cnts, b.k + 1, len(st.cnts)) END
+        |    FROM st
+        |    JOIN it ON it.i = st.i + 1
+        |    LEFT JOIN LATERAL (
+        |      SELECT list_position(st.fills,
+        |        list_max(list_filter(st.fills, f -> f + it.w <= 256))) AS k
+        |    ) b ON TRUE)
+        |  SELECT * FROM st),
+        |fin AS (SELECT * FROM rec ORDER BY i DESC LIMIT 1)
+        |SELECT CAST(unnest(generate_series(1, len(fills))) - 1 AS BIGINT)
+        |    AS bin_id,
+        |  unnest(cnts) AS n_docs, unnest(fills) AS fill,
+        |  256 - unnest(fills) AS waste
+        |FROM fin""".stripMargin,
 
     // Temperature-mix replay: integer quota math (floor-sqrt weights,
     // integer division) and the splitmix64 admission order over doc_id,

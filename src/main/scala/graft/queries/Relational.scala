@@ -623,6 +623,22 @@ object Relational {
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       graft.operators.Graph.triangleStats(pairs, "src", "dst")
         .orderBy("node_id")
+    }),
+
+    // ---- graph: COMMUNITY detection by synchronous label propagation
+    // over the trade graph — plurality vote per round, min-label ties, so
+    // a fixed round count is fully deterministic (oracle = the two rounds
+    // unrolled in SQL) ---------------------------------------------------
+    "lp01_label_propagation" -> ((s, d) => {
+      val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(pairs, "src", "dst",
+          iterations = 2)
+        .orderBy("node_id")
     })
   )
 
@@ -1123,6 +1139,33 @@ object Relational {
         |    ELSE 0.0 END AS clustering
         |FROM deg d LEFT JOIN per_node p ON d.node_id = p.node_id
         |ORDER BY d.node_id""".stripMargin,
+
+    // lp01 replay: both synchronous rounds unrolled — vote table per
+    // round, plurality via row_number ordered (count DESC, label ASC)
+    "lp01_label_propagation" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (
+        |  SELECT cust AS a, 1000000 + sup AS b FROM pairs
+        |  UNION
+        |  SELECT 1000000 + sup AS a, cust AS b FROM pairs),
+        |l0 AS (SELECT DISTINCT a AS node_id, a AS label FROM e),
+        |v1 AS (
+        |  SELECT e.b AS node_id, l.label, count(*) AS c
+        |  FROM e JOIN l0 l ON e.a = l.node_id GROUP BY e.b, l.label),
+        |l1 AS (
+        |  SELECT node_id, label FROM (
+        |    SELECT node_id, label, row_number() OVER (PARTITION BY node_id
+        |      ORDER BY c DESC, label) AS rn FROM v1) WHERE rn = 1),
+        |v2 AS (
+        |  SELECT e.b AS node_id, l.label, count(*) AS c
+        |  FROM e JOIN l1 l ON e.a = l.node_id GROUP BY e.b, l.label),
+        |l2 AS (
+        |  SELECT node_id, label FROM (
+        |    SELECT node_id, label, row_number() OVER (PARTITION BY node_id
+        |      ORDER BY c DESC, label) AS rn FROM v2) WHERE rn = 1)
+        |SELECT node_id, label FROM l2 ORDER BY node_id""".stripMargin,
 
     "gr02_degree_stats" ->
       """WITH edges AS (

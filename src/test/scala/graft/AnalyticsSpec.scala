@@ -537,6 +537,74 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.map(_._4).toSeq == Seq(false, true, true, false))
   }
 
+  test("exactQuantilesBisect: equals sort-rank selection through many passes") {
+    val rnd = new scala.util.Random(91)
+    // duplicates, negatives, and a huge-magnitude tail; nBins = 4 forces
+    // the interval refinement through many passes instead of one
+    val vals = Seq.fill(3000)(rnd.nextInt(200).toLong - 100L) ++
+      Seq.fill(50)(rnd.nextLong() / 4) ++ Seq(Long.MinValue / 4, Long.MaxValue / 4)
+    val df = vals.toDF("v").repartition(7)
+    val pcts = Seq(0, 1, 25, 50, 75, 99, 100)
+    val got = Analytics.exactQuantilesBisect(df, "v", pcts, nBins = 4)
+      .as[(Int, Long)].collect().toMap
+    val sorted = vals.sorted
+    val n = sorted.length
+    for (p <- pcts) {
+      val want = sorted((1L + (p.toLong * (n - 1)) / 100L).toInt - 1)
+      assert(got(p) == want, s"pct $p")
+    }
+    // empty input: empty result, right schema
+    val empty = Analytics.exactQuantilesBisect(
+      spark.emptyDataset[Long].toDF("v"), "v", Seq(50))
+    assert(empty.columns.toSeq == Seq("pct", "value") && empty.count() == 0)
+    // singleton: every percentile is the one value
+    val one = Analytics.exactQuantilesBisect(Seq(7L).toDF("v"), "v", Seq(0, 100))
+      .as[(Int, Long)].collect().toMap
+    assert(one == Map(0 -> 7L, 100 -> 7L))
+  }
+
+  test("welchTTest: textbook value, null on degenerate arms") {
+    val a = Seq(27.5, 21.0, 19.0, 23.6, 17.0, 17.9, 16.9, 20.1, 21.9, 22.6,
+      23.1, 19.6, 19.0, 21.7, 21.4)
+    val b = Seq(27.1, 22.0, 20.8, 23.4, 23.4, 23.5, 25.8, 22.0, 24.8, 20.2,
+      21.9, 22.1, 22.9, 30.5, 25.2)
+    val df = (a.map(("m", "A", _)) ++ b.map(("m", "B", _)))
+      .toDF("k", "arm", "v")
+    val r = Analytics.welchTTest(df, "k", "arm", "v", "A", "B")
+      .select("t_stat", "welch_df").as[(Double, Double)].collect().head
+    // expected values computed independently (plain-Python moments):
+    // t = -2.894164, df = 27.917241
+    assert(math.abs(r._1 - -2.894164) < 1e-5, s"t was ${r._1}")
+    assert(math.abs(r._2 - 27.917241) < 1e-5, s"df was ${r._2}")
+    // one-row arm: no variance estimate, t and df must be NULL not Inf
+    val tiny = Seq(("k", "A", 1.0), ("k", "B", 2.0), ("k", "B", 3.0))
+      .toDF("k", "arm", "v")
+    val rt = Analytics.welchTTest(tiny, "k", "arm", "v", "A", "B").collect().head
+    assert(rt.isNullAt(rt.fieldIndex("t_stat")))
+    assert(rt.isNullAt(rt.fieldIndex("welch_df")))
+    // zero variance both arms: guard again (se2 = 0 is not evidence)
+    val flat = Seq(("k", "A", 5.0), ("k", "A", 5.0), ("k", "B", 5.0),
+      ("k", "B", 5.0)).toDF("k", "arm", "v")
+    val rf = Analytics.welchTTest(flat, "k", "arm", "v", "A", "B").collect().head
+    assert(rf.isNullAt(rf.fieldIndex("t_stat")))
+  }
+
+  test("kAnonymityReport: planted small class flagged, null quasi is a class") {
+    import graft.operators.DataQuality
+    val rows = Seq.tabulate(20)(i => (Option("FR"), "seg1", i.toLong)) ++ // diverse
+      Seq.tabulate(5)(i => (Option("DE"), "seg1", 42L)) ++ // small + uniform
+      Seq.tabulate(12)(_ => (Option.empty[String], "seg2", 7L)) // null quasi
+    val df = rows.toDF("country", "segment", "salary")
+    val got = DataQuality.kAnonymityReport(df, Seq("country", "segment"),
+        "salary", k = 10, l = 3)
+      .as[(Option[String], String, Long, Long, Boolean, Boolean)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(got((Some("FR"), "seg1")) == ((20L, 20L, true, true)))
+    assert(got((Some("DE"), "seg1")) == ((5L, 1L, false, false)))
+    // nulls group together (conservative: "unknown" is still a class)
+    assert(got((None, "seg2")) == ((12L, 1L, true, false)))
+  }
+
   test("linearFit: exact line recovered; corr symmetric in sign") {
     // y = 2x + 1 exactly → corr 1, slope 2, intercept 1
     val df = (1 to 10).map(i => ("g", i.toDouble, 2.0 * i + 1))

@@ -1426,4 +1426,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(0) == ((1L, 3L, 2L, true)))
     assert(r(1) == ((2L, 3L, 0L, false)))
   }
+
+  test("packBestFitDecreasing: hand fold, best-fit ties, oversize, shards") {
+    import graft.operators.Packing
+    // decreasing order: 7(id1) 6(id2) 4(id3) 3(id4) 3(id5) 1(id6), cap 10
+    //   7 -> bin0 [7]; 6 -> bin1 [6]; 4 -> best fit is bin1 (6+4=10)
+    //   3 -> bin0 [10]; 3 -> bin2 [3]; 1 -> bin2 fits but so does nothing
+    //     fuller: bins are [10,10,3] -> bin2 [4]
+    val items = Seq((1L, 7L), (2L, 6L), (3L, 4L), (4L, 3L), (5L, 3L), (6L, 1L))
+      .toDF("id", "w")
+    val got = Packing.packBestFitDecreasing(items, "id", "w", capacity = 10)
+      .select("id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 2L,
+      6L -> 2L), got.toString)
+    // best-fit tie (two bins equally full): LOWEST bin id wins
+    val tie = Seq((1L, 5L), (2L, 5L), (3L, 2L)).toDF("id", "w")
+    val tieGot = Packing.packBestFitDecreasing(tie, "id", "w", capacity = 7)
+      .select("id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(tieGot == Map(1L -> 0L, 2L -> 1L, 3L -> 0L))
+    // oversize items get dedicated flagged bins, never shared
+    val big = Seq((1L, 12L), (2L, 12L), (3L, 4L)).toDF("id", "w")
+    val bigRows = Packing.packBestFitDecreasing(big, "id", "w", capacity = 10)
+      .select("id", "bin_id", "oversized").as[(Long, Long, Boolean)]
+      .collect().toSeq
+    val byBin = bigRows.groupBy(_._2)
+    assert(bigRows.count(_._3) == 2)
+    assert(byBin.filter(_._2.exists(_._3)).forall(_._2.size == 1))
+    // sharding: valid fills per shard, namespaced bins, deterministic
+    // under repartitioning; every item appears exactly once
+    val rnd = new scala.util.Random(7)
+    val many = Seq.tabulate(400)(i => (i.toLong, 1L + rnd.nextInt(200)))
+      .toDF("id", "w")
+    val sharded = Packing.packBestFitDecreasing(many, "id", "w",
+      capacity = 256, numShards = 4)
+    val rows = sharded.as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 400 && rows.map(_._1).distinct.length == 400)
+    assert(rows.forall { case (_, _, shard, bin, _) => bin >> 40 == shard })
+    val fills = rows.groupBy(_._4).map { case (_, g) => g.map(_._2).sum }
+    assert(fills.forall(_ <= 256))
+    val again = Packing.packBestFitDecreasing(many.repartition(11), "id",
+      "w", capacity = 256, numShards = 4)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
 }

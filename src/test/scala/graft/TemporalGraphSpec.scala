@@ -270,4 +270,31 @@ class TemporalGraphSpec extends AnyFunSuite {
       Map("a" -> 0.0), default = 0.5).select("id").as[Long].collect()
     assert(withDefault.forall(_ % 2 == 1))
   }
+
+  test("labelPropagation: cliques converge to min label, bridge stays put") {
+    // two 4-cliques joined by one bridge edge 4–10: after two plurality
+    // rounds each clique agrees on its min label, and the bridge's
+    // single cross-vote cannot outvote a clique majority (hand-simulated;
+    // triangles would NOT work — min-label ties leak across the bridge)
+    val clique = (ns: Seq[Long]) =>
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L)))
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), got.toString)
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), got.toString)
+    // zero rounds: everyone keeps their own id
+    val id0 = Graph.labelPropagation(edges, "src", "dst", iterations = 0)
+      .as[(Long, Long)].collect()
+    assert(id0.forall { case (n, l) => n == l })
+    // determinism: same labels under different input partitioning and
+    // duplicated/reversed edges (symmetrize + distinct must normalize)
+    val messy = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst"))).union(edges).repartition(13)
+    val again = Graph.labelPropagation(messy, "src", "dst", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
 }
