@@ -61,7 +61,13 @@ object ExplainAudit {
         // gram-count window, pigeonhole media pairs, incremental CC
         "df01_snapshot_diff", "lr02_linear_fit2", "kw01_rake_keywords",
         "mr01_memorization_risk", "mm07_image_neardup",
-        "dd14_incremental_components")
+        "dd14_incremental_components",
+        // round-10 tier: vote-argmax LPA round, bucketed
+        // sorted-neighborhood pair join, CUSUM single-sort window stack,
+        // lag-7 self-join backtest, reverse-cumulative KM risk set
+        "lp01_label_propagation", "rl01_sorted_neighborhood",
+        "cs01_cusum_drift", "fc01_seasonal_backtest", "km01_survival",
+        "ab01_welch_ttest", "ka01_k_anonymity", "pk03_packing_bfd")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

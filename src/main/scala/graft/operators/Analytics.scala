@@ -738,6 +738,120 @@ object Analytics {
           .as("kappa"))
   }
 
+  /** Seasonal-naive forecast backtest with MASE (Hyndman & Koehler 2006,
+    * public) over a daily integer series: train days (< `cutoff`) build a
+    * per-weekday integer-mean profile, test days are forecast by their
+    * weekday's profile value, and the error is scored against the
+    * seasonal-naive baseline (the same day last week) — MASE < 1 means
+    * the profile beats "just repeat last week". The backtest every
+    * forecasting pipeline runs before trusting a model, expressed so it
+    * replays exactly: day-of-week is the engine-neutral epoch-day
+    * arithmetic of [[weekdayProfile]], the profile is an integer
+    * division, all error sums are exact int64, and MASE is the single
+    * final division. Test days whose lag-7 day is absent from the series
+    * are excluded from BOTH error sums (no forecast can be scored
+    * against a baseline that doesn't exist).
+    *
+    * Plan: one aggregate for the profile (broadcast-sized: 7 rows), one
+    * self-join on the lag-7 day key, one final 7-row aggregate. Output
+    * per weekday: (dow, n_test, sum_abs_err, sum_abs_naive_err, mase
+    * NULL when the naive error is zero). */
+  def seasonalNaiveBacktest(df: DataFrame, dayCol: String, valCol: String,
+                            cutoff: String): DataFrame = {
+    val dow = pmod(datediff(col(dayCol), to_date(lit("1970-01-01"))) + 4,
+      lit(7))
+    val daily = df.select(col(dayCol).cast("date").as("_day_"),
+      dow.as("dow"), col(valCol).cast("long").as("_v_"))
+    val profile = daily.where(col("_day_") < lit(cutoff))
+      .groupBy("dow").agg(expr("sum(_v_) div count(1)").as("_fc_"))
+    val lag = daily.select(col("_day_").as("_lagday_"), col("_v_").as("_nv_"))
+    daily.where(col("_day_") >= lit(cutoff))
+      .join(lag, col("_lagday_") === date_sub(col("_day_"), 7))
+      .join(broadcast(profile), "dow")
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_test"),
+        sum(abs(col("_v_") - col("_fc_"))).as("sum_abs_err"),
+        sum(abs(col("_v_") - col("_nv_"))).as("sum_abs_naive_err"))
+      .withColumn("mase",
+        when(col("sum_abs_naive_err") > 0,
+          col("sum_abs_err").cast("double") /
+            col("sum_abs_naive_err").cast("double")))
+  }
+
+  /** Kaplan–Meier survival curve (Kaplan & Meier 1958, public) over
+    * right-censored integer durations — for a training-data platform the
+    * canonical use is time-to-convert / time-to-label funnels where
+    * subjects still waiting must not be counted as failures. For each
+    * distinct EVENT time t: n_risk = subjects with duration ≥ t, n_events
+    * = events at exactly t, and the survival estimate
+    * Ŝ(t) = Π_{t_j ≤ t} (1 − d_j/n_j), carried as LOG-survival in
+    * 1e-6 fixed point: each factor's ln((n−d)/n) is rounded to micro
+    * units BEFORE the cumulative sum, so the running total is an
+    * order-free integer sum (the bm01 discipline — a raw double product
+    * would be partitioning-dependent). Once the risk set is extinguished
+    * by an event time (d = n, Ŝ hits exact zero), that time and all
+    * later ones carry NULL log-survival rather than −∞.
+    *
+    * Plan: one per-time aggregate, one window (ordered by time, both the
+    * reverse-cumulative risk set and the forward log sum read it) — a
+    * single shuffle on nothing but the distinct-time table. Output:
+    * (t, n_risk, n_events, log_surv_micro BIGINT). */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val perTime = df
+      .select(col(durationCol).cast("long").as("t"),
+        when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("_e_"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("_n_"), sum(col("_e_")).as("n_events"))
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    perTime
+      .withColumn("n_risk", sum(col("_n_")).over(wDesc))
+      .where(col("n_events") > 0)
+      .withColumn("_term_",
+        when(col("n_events") < col("n_risk"),
+          expr("cast(round(ln(cast(n_risk - n_events as double)" +
+            " / cast(n_risk as double)) * 1000000) as bigint)")))
+      .withColumn("log_surv_micro",
+        when(min(when(col("_term_").isNull, 0L).otherwise(1L)).over(wAsc) === 1L,
+          sum(col("_term_")).over(wAsc)))
+      .select(col("t"), col("n_risk"), col("n_events"), col("log_surv_micro"))
+  }
+
+  /** Two-sided CUSUM change-point detection (Page 1954, public) over an
+    * integer-valued ordered series — the sequential drift detector that
+    * fires on a SUSTAINED shift long before any single point is an
+    * outlier (the gap [[madOutliers]]/[[zscoreOutliers]] leave open).
+    *
+    * The textbook recurrence S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target)) looks
+    * inherently sequential, but it has an exact closed form: with
+    * Pᵢ = Σ_{j≤i}(xⱼ − target),  S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ), and
+    * symmetrically S⁻ᵢ = max(0, max_{j≤i} Pⱼ) − Pᵢ — so BOTH sides fall
+    * out of ONE ordered window (prefix sum + prefix min + prefix max over
+    * the same frame, one sort per key). Everything is int64 arithmetic on
+    * an integer `valCol` (quantize money upstream): bit-portable, no
+    * recursion, no driver state, and at 100 TB one shuffle on the series
+    * key. `target`/`threshold` are Column expressions so callers can
+    * derive them per key (e.g. the integer mean) — they must be
+    * engine-portable integers themselves to keep the oracle exact.
+    *
+    * Output: input columns + cusum_hi, cusum_lo, alarm_hi, alarm_lo. */
+  def cusumAlarms(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                  valCol: String, target: Column,
+                  threshold: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_d_", col(valCol).cast("long") - target)
+      .withColumn("_p_", sum(col("_d_")).over(w))
+      .withColumn("cusum_hi", col("_p_") - least(lit(0L), min(col("_p_")).over(w)))
+      .withColumn("cusum_lo", greatest(lit(0L), max(col("_p_")).over(w)) - col("_p_"))
+      .withColumn("alarm_hi", col("cusum_hi") >= threshold)
+      .withColumn("alarm_lo", col("cusum_lo") >= threshold)
+      .drop("_d_", "_p_")
+  }
+
   /** EXACT global multi-quantile by histogram-refinement selection — the
     * way to take a true percentile over 100 TB without ever sorting it.
     *

@@ -134,6 +134,59 @@ object Graph {
         coalesce(col("in_distinct"), lit(0L)).as("in_distinct"))
   }
 
+  /** k-core of an undirected graph (Seidman 1983, public): the unique
+    * maximal subgraph where every node keeps degree ≥ k — the standard
+    * "dense kernel" cut for link-graph curation (spam farms and
+    * long-tail leaf pages peel away; the core is what survives).
+    *
+    * Computed by synchronous peeling: drop every node whose CURRENT
+    * degree is < k, remove its edges, repeat. The fixpoint is
+    * order-independent (the k-core is unique), so synchronous rounds are
+    * deterministic on any engine/partitioning. Each round is one degree
+    * aggregate + one semi-join-shaped edge filter, both keyed on node id
+    * — no broadcast that grows with the graph, `localCheckpoint` per
+    * round against plan blowup (the [[pageRankInt]] discipline). Rounds
+    * needed = the peeling depth of the graph (typically a handful; the
+    * worst case is a path, which [[graft.operators.Dedup]]'s
+    * star-contraction CC would also iterate on). `maxRounds` caps the
+    * loop and `require`s convergence — an unconverged cut is a wrong
+    * answer, not a best effort.
+    *
+    * Input edges are canonicalized (undirected, dedup, self-loops
+    * dropped). Returns (node_id, core_degree) for the surviving nodes:
+    * core_degree = degree within the k-core, ≥ k by construction. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Long,
+            maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val undirected = edges
+      .select(col(srcCol).cast("long").as("_a_"),
+        col(dstCol).cast("long").as("_b_"))
+      .where(col("_a_") =!= col("_b_"))
+    var live = undirected
+      .union(undirected.select(col("_b_").as("_a_"), col("_a_").as("_b_")))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val deg = live.groupBy("_a_").agg(count(lit(1)).as("_deg_"))
+      val keep = deg.where(col("_deg_") >= k).select("_a_")
+      val next = live
+        .join(keep, "_a_")
+        .join(keep.select(col("_a_").as("_b_")), "_b_")
+        .select("_a_", "_b_")
+        .localCheckpoint()
+      // converged iff no directed edge was dropped (count is exact on the
+      // deduped symmetric list, so equality means the node set held)
+      converged = next.count() == live.count()
+      live = next
+    }
+    require(converged, s"kCore did not converge in $maxRounds rounds")
+    live.groupBy(col("_a_").as("node_id"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected graph, via the DEGREE-ORDERED wedge join (Cohen's
     * MapReduce triangle plan / the Schank–Wagner forward algorithm).

@@ -271,6 +271,39 @@ object TextAnalysis {
     docs.select(col(idCol)).distinct().join(scored, Seq(idCol), "left")
   }
 
+  /** Unicode NFC normalizer (both engines implement the same Unicode
+    * standard algorithm, so the oracle replays it with `nfc_normalize`). */
+  val nfcUdf = udf { (text: String) =>
+    if (text == null) null
+    else java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Unicode hygiene report: NFC-normalize the text and flag the two
+    * things a multilingual curation pass triages first — non-canonical
+    * encodings (the same visible string byte-differing across sources
+    * defeats exact dedup and vocabulary lookups until NFC collapses
+    * composed/decomposed forms), and Latin/Cyrillic MIXED-SCRIPT tokens
+    * (the classic homoglyph-spoofing signature: "pаypal" with a Cyrillic
+    * а). Script detection is explicit code-point ranges, not
+    * \p{Script=...} classes, because the explicit ranges mean the same
+    * thing to Java regex and RE2; astral (non-BMP) planes are out of
+    * scope for the counters (Spark's `length` counts UTF-16 units,
+    * DuckDB's counts code points — equal only inside the BMP).
+    *
+    * Per-row Columns + one scalar UDF — shuffle-free, linear. Output:
+    * (`idCol`, text_nfc, nfc_changed, n_nonascii, mixed_script). */
+  def unicodeClean(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val nfc = nfcUdf(col(textCol))
+    df.select(col(idCol), nfc.as("text_nfc"),
+      (col(textCol) =!= nfc).as("nfc_changed"),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[^\\u0000-\\u007f]", "")))
+        .as("n_nonascii"),
+      (col(textCol).rlike("[\\u0400-\\u04ff]") &&
+        col(textCol).rlike("[A-Za-z]")).as("mixed_script"))
+  }
+
   /** C4-style heuristic cleaning (Raffel et al. 2020 §2.2, public recipe):
     * keep only lines that end in terminal punctuation (`.` `!` `?` `"`),
     * have at least `minWordsPerLine` words, and don't mention javascript;

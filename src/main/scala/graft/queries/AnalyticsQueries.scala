@@ -463,6 +463,94 @@ object AnalyticsQueries {
           "o_orderstatus", "o_totalprice", armA = "O", armB = "F")
         .orderBy("o_orderpriority")),
 
+    // ---- change-point detection: two-sided integer CUSUM over each
+    // priority's daily revenue, target = the integer per-key mean, both
+    // sides from one window via the prefix-sum/prefix-extrema identity ----
+    "cs01_cusum_drift" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderdate"))
+        .agg(sum(expr("cast(round(o_totalprice * 1000) as bigint)"))
+          .as("rev_milli"))
+      val tgt = daily.groupBy("o_orderpriority")
+        .agg(expr("sum(rev_milli) div count(1)").as("_tgt_"))
+      Analytics.cusumAlarms(daily.join(tgt, "o_orderpriority"),
+          "o_orderpriority", Seq("o_orderdate"), "rev_milli",
+          col("_tgt_"), col("_tgt_") * 8L)
+        .select(col("o_orderpriority"), col("o_orderdate"), col("rev_milli"),
+          col("cusum_hi"), col("cusum_lo"), col("alarm_hi"), col("alarm_lo"))
+        .orderBy("o_orderpriority", "o_orderdate")
+    }),
+
+    // ---- record linkage: sorted-neighborhood blocking over part names —
+    // rank-bucket equi-join (never a rank-range theta join), fan-in 3w
+    // per bucket regardless of key skew ----------------------------------
+    "rl01_sorted_neighborhood" -> ((s, d) => {
+      graft.operators.Linkage.sortedNeighborhoodPairs(
+          Tables.part(s, d).select(col("p_partkey"), col("p_name")),
+          "p_partkey", "p_name", w = 5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- entity-resolution CAPSTONE: a roster dirtied with
+    // deterministic one-character deletions -> sorted-neighborhood
+    // blocking -> Levenshtein scoring -> connected components -> golden
+    // records (component = min id by CC construction, so the
+    // representative lookup is one equi-join) ----------------------------
+    "er01_entity_resolution" -> ((s, d) => {
+      // p_partkey < 2000: at sf0.1 the name space is dense enough that
+      // lev-2 neighbor chains weld ~750-node components, and the
+      // oracle's transitive closure is quadratic in component size —
+      // bound the roster so the replay stays tractable (pk03 precedent)
+      val base = Tables.part(s, d).where(col("p_partkey") < 2000)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val dirty = base.where(pmod(col("id"), lit(3)) === 0)
+        .withColumn("_p_", (lit(1) + pmod(col("id"), lit(8))).cast("int"))
+        .select((col("id") + 10000000L).as("id"),
+          concat(expr("substring(name, 1, _p_)"),
+            expr("substring(name, _p_ + 2, 10000)")).as("name"))
+      val roster = base.unionByName(dirty)
+      val matches = graft.operators.Linkage
+        .sortedNeighborhoodPairs(roster, "id", "name", w = 4)
+        .where(levenshtein(col("a_key"), col("b_key")) <= 2)
+      val cc = graft.operators.Dedup
+        .connectedComponents(matches, "a_id", "b_id")
+      cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .join(roster.select(col("id").as("component"),
+          col("name").as("rep_name")), "component")
+        .orderBy("component")
+    }),
+
+    // ---- forecasting: seasonal-naive backtest with MASE — weekday
+    // profile from the train window forecasts the test window, scored
+    // against same-day-last-week; integer error sums, one final division -
+    "fc01_seasonal_backtest" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("cast(round(o_totalprice * 1000) as bigint)"))
+          .as("rev_milli"))
+      Analytics.seasonalNaiveBacktest(daily, "day", "rev_milli",
+          cutoff = "2000-01-01")
+        .orderBy("dow")
+    }),
+
+    // ---- survival: Kaplan-Meier time-to-convert over the event log —
+    // signup cohort, purchase = event, last activity censors; survival
+    // carried as an order-free fixed-point log sum -----------------------
+    "km01_survival" -> ((s, d) => {
+      val f = Tables.events(s, d).groupBy("user_id").agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tc"),
+        max(col("ts")).as("tlast"))
+      val subjects = f.where(col("t0").isNotNull).select(
+        when(col("tc").isNotNull && col("tc") >= col("t0"),
+          datediff(to_date(col("tc")), to_date(col("t0"))))
+          .otherwise(datediff(to_date(col("tlast")), to_date(col("t0"))))
+          .cast("long").as("dur"),
+        (col("tc").isNotNull && col("tc") >= col("t0")).as("converted"))
+      Analytics.kaplanMeier(subjects, "dur", "converted")
+        .orderBy("t")
+    }),
+
     // ---- privacy: k-anonymity / l-diversity over (nation, segment)
     // quasi-identifiers with a bucketed balance as the sensitive value ----
     "ka01_k_anonymity" -> ((s, d) => {
@@ -1454,6 +1542,156 @@ object AnalyticsQueries {
         |                   + (vb * vb) / (CAST(n_b AS DOUBLE) - 1.0))
         |  END AS welch_df
         |FROM f ORDER BY o_orderpriority""".stripMargin,
+
+    // rl01 replay: the DEFINITION — rank by (key, id), every pair within
+    // w positions (the theta join the bucket plan must equal)
+    "rl01_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT p_partkey AS id, p_name AS key,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+        |  FROM part)
+        |SELECT a.id AS a_id, b.id AS b_id, a.key AS a_key, b.key AS b_key,
+        |  CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+        |FROM r a JOIN r b ON b.rn - a.rn > 0 AND b.rn - a.rn < 5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // er01 replay: same dirty roster, the rank-window blocking
+    // definition, DuckDB's levenshtein (same classic edit distance),
+    // recursive transitive closure for components (the dd06 pattern)
+    "er01_entity_resolution" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT p_partkey AS id, p_name AS name FROM part
+        |  WHERE p_partkey < 2000),
+        |dirty0 AS (
+        |  SELECT id, CAST(1 + id % 8 AS INTEGER) AS p
+        |  FROM base WHERE id % 3 = 0),
+        |dirty AS (
+        |  SELECT d.id + 10000000 AS id,
+        |    substring(b.name, 1, d.p)
+        |      || substring(b.name, d.p + 2, 10000) AS name
+        |  FROM dirty0 d JOIN base b ON b.id = d.id),
+        |roster AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM dirty),
+        |r AS (
+        |  SELECT id, name, row_number() OVER (ORDER BY name, id) AS rn
+        |  FROM roster),
+        |m AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM r a JOIN r b ON b.rn - a.rn > 0 AND b.rn - a.rn < 4
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (
+        |  SELECT ia AS src, ib AS dst FROM m UNION SELECT ib, ia FROM m),
+        |reach AS (
+        |  SELECT src AS id, src AS rr FROM edges
+        |  UNION
+        |  SELECT e.src, x.rr FROM reach x JOIN edges e ON e.dst = x.id),
+        |comp AS (SELECT id, min(rr) AS component FROM reach GROUP BY id),
+        |sizes AS (
+        |  SELECT component, count(*) AS cluster_size
+        |  FROM comp GROUP BY component)
+        |SELECT s.component, s.cluster_size, ro.name AS rep_name
+        |FROM sizes s JOIN roster ro ON ro.id = s.component
+        |ORDER BY s.component""".stripMargin,
+
+    // fc01 replay: same epoch-day dow, integer profile, exact error sums,
+    // one final division; lag-7 join excludes unmatched days on both sums
+    "fc01_seasonal_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM orders GROUP BY 1),
+        |d2 AS (
+        |  SELECT day, ((day - DATE '1970-01-01') + 4) % 7 AS dow, v
+        |  FROM daily),
+        |prof AS (
+        |  SELECT dow, CAST(sum(v) // count(*) AS BIGINT) AS fc
+        |  FROM d2 WHERE day < DATE '2000-01-01' GROUP BY 1),
+    |test AS (
+        |  SELECT t.dow AS dow, t.v, l.v AS nv, p.fc
+        |  FROM d2 t JOIN d2 l ON l.day = t.day - 7
+        |  JOIN prof p ON p.dow = t.dow
+        |  WHERE t.day >= DATE '2000-01-01')
+        |SELECT dow, count(*) AS n_test,
+        |  CAST(sum(abs(v - fc)) AS BIGINT) AS sum_abs_err,
+        |  CAST(sum(abs(v - nv)) AS BIGINT) AS sum_abs_naive_err,
+        |  CASE WHEN sum(abs(v - nv)) > 0 THEN
+        |    CAST(CAST(sum(abs(v - fc)) AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(sum(abs(v - nv)) AS BIGINT) AS DOUBLE) END AS mase
+        |FROM test GROUP BY dow ORDER BY dow""".stripMargin,
+
+    // km01 replay: same cohort derivation, reverse-cumulative risk set,
+    // micro-rounded ln terms summed as integers, NULL past extinction
+    "km01_survival" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tc,
+        |    max(ts) AS tlast
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT CASE WHEN tc IS NOT NULL AND tc >= t0
+        |      THEN CAST(CAST(tc AS DATE) - CAST(t0 AS DATE) AS BIGINT)
+        |      ELSE CAST(CAST(tlast AS DATE) - CAST(t0 AS DATE) AS BIGINT)
+        |    END AS t,
+        |    (tc IS NOT NULL AND tc >= t0) AS e
+        |  FROM f WHERE t0 IS NOT NULL),
+        |pt AS (
+        |  SELECT t, count(*) AS n,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+        |  FROM s GROUP BY t),
+        |r AS (
+        |  SELECT t, n_events, CAST(sum(n) OVER (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |    AS n_risk
+        |  FROM pt),
+        |ev AS (
+        |  SELECT t, n_risk, n_events,
+        |    CASE WHEN n_events < n_risk THEN
+        |      CAST(round(ln(CAST(n_risk - n_events AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT) END AS term
+        |  FROM r WHERE n_events > 0)
+        |SELECT t, n_risk, n_events,
+        |  CASE WHEN min(CASE WHEN term IS NULL THEN 0 ELSE 1 END)
+        |      OVER w = 1
+        |    THEN CAST(sum(term) OVER w AS BIGINT) END AS log_surv_micro
+        |FROM ev
+        |WINDOW w AS (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY t""".stripMargin,
+
+    // CUSUM replay: the same closed form — prefix sum, then prefix
+    // min/max of it in a second window level (integer throughout; sums
+    // cast back to BIGINT against DuckDB's HUGEINT widening)
+    "cs01_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority, o_orderdate,
+        |    CAST(sum(CAST(round(o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+        |      AS rev_milli
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(rev_milli) // count(*) AS BIGINT) AS tgt
+        |  FROM daily GROUP BY 1),
+        |p AS (
+        |  SELECT d.o_orderpriority, d.o_orderdate, d.rev_milli, t.tgt,
+        |    CAST(sum(d.rev_milli - t.tgt) OVER (
+        |      PARTITION BY d.o_orderpriority ORDER BY d.o_orderdate
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS pp
+        |  FROM daily d JOIN t USING (o_orderpriority)),
+        |q AS (
+        |  SELECT *,
+        |    min(pp) OVER w AS pmin, max(pp) OVER w AS pmax
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT o_orderpriority, o_orderdate, rev_milli,
+        |  pp - least(CAST(0 AS BIGINT), pmin) AS cusum_hi,
+        |  greatest(CAST(0 AS BIGINT), pmax) - pp AS cusum_lo,
+        |  pp - least(CAST(0 AS BIGINT), pmin) >= tgt * 8 AS alarm_hi,
+        |  greatest(CAST(0 AS BIGINT), pmax) - pp >= tgt * 8 AS alarm_lo
+        |FROM q ORDER BY o_orderpriority, o_orderdate""".stripMargin,
 
     // k-anonymity replay: one grouped aggregate, SQL GROUP BY null
     // semantics on the quasi key, count(DISTINCT) diversity

@@ -375,6 +375,24 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("entropy"), 6).as("entropy_r"))
         .orderBy("doc_id")),
 
+    // ---- text analysis: Unicode hygiene — NFC normalization plus
+    // mixed-script homoglyph triage. Docs are deterministically mutated
+    // so all four cases occur: decomposed combining marks (NFC changes
+    // them), precomposed accents (NFC-stable), Cyrillic-for-Latin
+    // substitution (mixed script), and untouched ASCII ---------------------
+    "uc01_unicode_clean" -> ((s, d) => {
+      val mutated = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" cafe\u0301 nai\u0308ve")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(col("text"), lit(" caf\u00e9")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            regexp_replace(col("text"), "a", "\u0430"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.unicodeClean(mutated, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- text extraction: HTML -> text (the crawl WET step). Docs are
     // wrapped in a deterministic HTML shell (style/script subtrees, tags,
     // entities) and must come back exactly; the script body contains a
@@ -3358,6 +3376,32 @@ object PipelineQueries {
         |  FROM tg t JOIN bg b ON b.gram = t.gram GROUP BY 1)
         |SELECT s.doc_id, s.n_grams, h.n_overlap
         |FROM sizes s JOIN hits h ON h.doc_id = s.doc_id
-        |WHERE h.n_overlap >= 3 ORDER BY s.doc_id""".stripMargin
+        |WHERE h.n_overlap >= 3 ORDER BY s.doc_id""".stripMargin,
+
+    // uc01 replay: same deterministic mutations (combining marks spelled
+    // via escapes so no editor can silently normalize them), DuckDB's
+    // nfc_normalize vs the JDK Normalizer — both implement Unicode NFC;
+    // explicit code-point ranges keep Java regex and RE2 in agreement
+    "uc01_unicode_clean" -> {
+      val comb = "\u0301" // combining acute
+      val diaer = "\u0308" // combining diaeresis
+      val eAcute = "\u00e9"
+      val cyrA = "\u0430" // Cyrillic a
+      s"""WITH src AS (
+         |  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+         |    WHEN 0 THEN text || ' cafe$comb nai${diaer}ve'
+         |    WHEN 1 THEN text || ' caf$eAcute'
+         |    WHEN 2 THEN regexp_replace(text, 'a', '$cyrA', 'g')
+         |    ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id, nfc_normalize(text) AS text_nfc,
+         |  text <> nfc_normalize(text) AS nfc_changed,
+         |  length(text)
+         |    - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+         |    AS n_nonascii,
+         |  regexp_matches(text, '[\\x{0400}-\\x{04ff}]')
+         |    AND regexp_matches(text, '[A-Za-z]') AS mixed_script
+         |FROM src ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -639,6 +639,19 @@ object Relational {
       graft.operators.Graph.labelPropagation(pairs, "src", "dst",
           iterations = 2)
         .orderBy("node_id")
+    }),
+
+    // ---- graph: 80-core of the co-purchase part graph — synchronous
+    // peeling to the unique dense kernel (converges in 5 rounds at both
+    // gate scales; the oracle unrolls 8, extra rounds are no-ops) ---------
+    "gr05_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.operators.Graph.kCore(pairs, "src", "dst", k = 80L)
+        .orderBy("node_id")
     })
   )
 
@@ -1166,6 +1179,30 @@ object Relational {
         |    SELECT node_id, label, row_number() OVER (PARTITION BY node_id
         |      ORDER BY c DESC, label) AS rn FROM v2) WHERE rn = 1)
         |SELECT node_id, label FROM l2 ORDER BY node_id""".stripMargin,
+
+    // gr05 replay: 8 peel rounds unrolled (converges in 5 at both gate
+    // scales — the extra rounds filter nothing and cost one no-op pass).
+    // Every round CTE is MATERIALIZED: each e_i is referenced three
+    // times, so inlining would expand the chain 3^8-fold
+    "gr05_kcore" -> {
+      val round = (i: Int) =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) >= 80),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a),""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |canon AS (
+         |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey < b.l_partkey),
+         |e0 AS MATERIALIZED (
+         |  SELECT a, b FROM canon UNION ALL SELECT b AS a, a AS b FROM canon),
+         |${(1 to 8).map(round).mkString("\n")}
+         |fin AS (SELECT a, b FROM e8)
+         |SELECT a AS node_id, count(*) AS core_degree
+         |FROM fin GROUP BY a ORDER BY node_id""".stripMargin
+    },
 
     "gr02_degree_stats" ->
       """WITH edges AS (

@@ -563,6 +563,98 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(one == Map(0 -> 7L, 100 -> 7L))
   }
 
+  test("sortedNeighborhoodPairs: equals the rank-window definition, skew-safe") {
+    import graft.operators.Linkage
+    // skewed keys: many duplicates of one key value — ranks stay unique
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, if (i % 3 == 0) "dup" else s"k${rnd.nextInt(50)}"))
+    val df = rows.toDF("id", "key").repartition(7)
+    val w = 4
+    val got = Linkage.sortedNeighborhoodPairs(df, "id", "key", w)
+      .select("a_id", "b_id", "rank_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    val ranked = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+    val want = (for {
+      (a, ra) <- ranked; (b, rb) <- ranked
+      if rb - ra > 0 && rb - ra < w
+    } yield (a._1, b._1, (rb - ra).toLong)).toSet
+    assert(got == want)
+    // every unordered pair once
+    assert(got.map(p => (p._1, p._2)).size == got.size)
+  }
+
+  test("seasonalNaiveBacktest: perfect weekly cycle scores mase 0, lag gaps excluded") {
+    // 10 exact weekly cycles then 3 test weeks: profile == value on every
+    // test day -> sum_abs_err 0; seasonal-naive also exact -> mase NULL
+    // (0/0 is refused, not 0); then perturb one test day
+    val base = java.time.LocalDate.parse("2020-01-06") // a Monday
+    def series(perturb: Boolean) = (0 until 91).map { i =>
+      val day = java.sql.Date.valueOf(base.plusDays(i))
+      val v = 100L + (i % 7) * 10L +
+        (if (perturb && i == 80) 70L else 0L)
+      (day, v)
+    }.toDF("day", "v")
+    val cutoff = base.plusDays(70).toString
+    val clean = Analytics.seasonalNaiveBacktest(series(false), "day", "v", cutoff)
+      .as[(Int, Long, Long, Long, Option[Double])].collect()
+    assert(clean.length == 7)
+    assert(clean.forall(r => r._3 == 0L && r._4 == 0L && r._5.isEmpty))
+    val hit = Analytics.seasonalNaiveBacktest(series(true), "day", "v", cutoff)
+      .as[(Int, Long, Long, Long, Option[Double])].collect()
+      .filter(r => r._3 > 0 || r._4 > 0)
+    // day 80 misses its profile by 70 and its lag-7 by 70; day 87 (same
+    // dow, one week later) now also misses ITS lag by 70 -> mase = 1/2
+    assert(hit.length == 1 && hit.head._3 == 70L && hit.head._4 == 140L)
+    assert(math.abs(hit.head._5.get - 0.5) < 1e-15)
+  }
+
+  test("kaplanMeier: textbook risk sets, censoring, extinction goes NULL") {
+    // durations: events at 2,2,4; censored at 3,5 -> risk sets 5 then 2
+    // (the censored-at-3 subject leaves before t=4): S(2)=3/5,
+    // S(4)=3/5 * 1/2
+    val df = Seq((2L, true), (2L, true), (3L, false), (4L, true), (5L, false))
+      .toDF("dur", "ev")
+    val got = Analytics.kaplanMeier(df, "dur", "ev")
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((2L, 5L, 2L), (4L, 2L, 1L)))
+    def micro(x: Double) = math.round(x * 1e6)
+    assert(got(0)._4.get == micro(math.log(3.0 / 5.0)))
+    assert(got(1)._4.get == micro(math.log(3.0 / 5.0)) +
+      micro(math.log(1.0 / 2.0)))
+    // extinction: last at-risk subject converts -> NULL from there on
+    val ext = Seq((1L, true), (2L, true)).toDF("dur", "ev")
+    val gotE = Analytics.kaplanMeier(ext, "dur", "ev")
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(gotE(0)._4.isDefined && gotE(1)._4.isEmpty)
+  }
+
+  test("cusumAlarms: closed form equals the textbook recurrence") {
+    val rnd = new scala.util.Random(17)
+    val xs = Seq.fill(500)(rnd.nextInt(100).toLong - 50L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "i", "x").repartition(5)
+    val got = Analytics.cusumAlarms(df, "k", Seq("i"), "x",
+        target = lit(3L), threshold = lit(120L))
+      .select("i", "cusum_hi", "cusum_lo", "alarm_hi", "alarm_lo")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    var (sHi, sLo) = (0L, 0L)
+    xs.zipWithIndex.foreach { case (x, i) =>
+      sHi = math.max(0L, sHi + (x - 3L))
+      sLo = math.max(0L, sLo + (3L - x))
+      assert(got(i)._2 == sHi && got(i)._3 == sLo, s"at $i")
+      assert(got(i)._4 == (sHi >= 120L) && got(i)._5 == (sLo >= 120L))
+    }
+    // per-key isolation: a second key restarts from zero
+    val two = (xs.zipWithIndex.map { case (x, i) => ("a", i.toLong, x) } ++
+      Seq(("b", 0L, 1000L))).toDF("k", "i", "x")
+    val b = Analytics.cusumAlarms(two, "k", Seq("i"), "x", lit(3L), lit(120L))
+      .where(col("k") === "b").select("cusum_hi")
+      .as[Long].collect().head
+    assert(b == 997L)
+  }
+
   test("welchTTest: textbook value, null on degenerate arms") {
     val a = Seq(27.5, 21.0, 19.0, 23.6, 17.0, 17.9, 16.9, 20.1, 21.9, 22.6,
       23.1, 19.6, 19.0, 21.7, 21.4)

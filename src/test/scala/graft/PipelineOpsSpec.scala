@@ -1427,6 +1427,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(1) == ((2L, 3L, 0L, false)))
   }
 
+  test("unicodeClean: NFC composes, counters count, homoglyphs flagged") {
+    val rows = Seq(
+      (1L, "plain ascii text"),
+      (2L, "cafe\u0301 nai\u0308ve"), // decomposed: NFC must compose
+      (3L, "caf\u00e9"), // precomposed: NFC-stable
+      (4L, "p\u0430yp\u0430l scam"), // Cyrillic \u0430 amid Latin
+      (5L, "\u0432\u0441\u0451 \u0445\u043e\u0440\u043e\u0448\u043e")) // pure Cyrillic
+      .toDF("id", "text")
+    val got = TextAnalysis.unicodeClean(rows, "id", "text")
+      .as[(Long, String, Boolean, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == (("plain ascii text", false, 0, false)))
+    assert(got(2L) == (("caf\u00e9 na\u00efve", true, 2, false)))
+    assert(got(3L) == (("caf\u00e9", false, 1, false)))
+    assert(!got(4L)._2 && got(4L)._4 && got(4L)._3 == 2)
+    assert(!got(5L)._4, "pure Cyrillic is not MIXED script")
+  }
+
   test("packBestFitDecreasing: hand fold, best-fit ties, oversize, shards") {
     import graft.operators.Packing
     // decreasing order: 7(id1) 6(id2) 4(id3) 3(id4) 3(id5) 1(id6), cap 10

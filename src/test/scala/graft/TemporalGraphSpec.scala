@@ -297,4 +297,28 @@ class TemporalGraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(again == got)
   }
+
+  test("kCore: cascade peels the tail, core degrees exact, convergence required") {
+    // 4-clique (a 3-core) with a pendant chain 4-20-21: k=2 peels the
+    // chain one node per round (21 first, then 20), k=3 also cuts nothing
+    // of the clique; messy input (dup/reversed/self-loop) normalizes
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 20L), (20L, 21L), (21L, 21L), (20L, 4L)))
+      .toDF("src", "dst")
+    val core3 = Graph.kCore(edges, "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val core2 = Graph.kCore(edges, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core2.keySet == Set(1L, 2L, 3L, 4L) && core2(4L) == 3L)
+    // k larger than any degree: empty core, still converges
+    assert(Graph.kCore(edges, "src", "dst", k = 10).count() == 0)
+    // a 6-path needs 3 peel rounds at k=2 (both pendant ends per round);
+    // maxRounds below that must refuse rather than return a wrong cut
+    val path = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.kCore(path, "src", "dst", k = 2, maxRounds = 2)
+    }
+  }
 }
