@@ -83,6 +83,7 @@ object Bench {
     // across concurrent runs.
     Seq("sm01_stream_daily_orders", "sm02_stream_dedup",
         "sm03_stream_sessions", "sm05_stream_stream_join",
+        "sm10_stream_cusum",
         "mm01_media_features", "mm03_audio_features",
         "mm04_video_frames").foreach { n =>
       SparkEntry.queries.get(n).filter(_ => only.forall(_.contains(n)))

@@ -168,6 +168,7 @@ object Graph {
       .localCheckpoint()
     var converged = false
     var round = 0
+    var liveCount = live.count()
     while (!converged && round < maxRounds) {
       round += 1
       val deg = live.groupBy("_a_").agg(count(lit(1)).as("_deg_"))
@@ -178,8 +179,11 @@ object Graph {
         .select("_a_", "_b_")
         .localCheckpoint()
       // converged iff no directed edge was dropped (count is exact on the
-      // deduped symmetric list, so equality means the node set held)
-      converged = next.count() == live.count()
+      // deduped symmetric list, so equality means the node set held);
+      // carrying the previous count makes it one job per round, not two
+      val nextCount = next.count()
+      converged = nextCount == liveCount
+      liveCount = nextCount
       live = next
     }
     require(converged, s"kCore did not converge in $maxRounds rounds")

@@ -71,6 +71,25 @@ object GeoStreamQueries {
         }
     }
 
+  /** Events landing zone for sm10: same mtime-in-event_id-order contract
+    * as [[eventsIntervalStage]], plus the `value` column the CUSUM folds
+    * over. Separate tag so sm05/sm06's staged zones stay byte-stable. */
+  private def eventsValueStage(s: SparkSession, d: String): String =
+    graft.sources.Scratch.sharedDir("stream_stage",
+      s"sm10_events_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/events.parquet")}") { tmp =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(tmp)
+      Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          require(f.setLastModified(1700000000000L + i * 60000L),
+            s"events staging: setLastModified failed for $f")
+        }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Two-phase point-in-polygon join: 4x4 grid cells over derived points
     "geo01_point_in_polygon" -> ((s, d) => {
@@ -229,6 +248,30 @@ object GeoStreamQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- STREAMING two-sided CUSUM: per-user purchase-value drift via
+    // the textbook recurrence in flatMapGroupsWithState (two longs of
+    // state per user); the oracle replays cs01's closed form in batch —
+    // the same sequence by algebra, so the gate proves the stream exact -
+    "sm10_stream_cusum" -> ((s, d) => {
+      import s.implicits._
+      val stage = eventsValueStage(s, d)
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+      val typed = stream.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("cast(round(value * 1000) as bigint)"))
+        .as[(Long, Long, Long)]
+      val verdicts = Streams.cusumDecisions(typed,
+        target = 40000L, threshold = 400000L)
+      Streams.runToMemory(verdicts.toDF(), "sm10_cusum",
+          statePartitions = Some(4))
+        .select(col("userId").as("user_id"), col("eventId").as("event_id"),
+          col("valMilli").as("val_milli"), col("cusumHi").as("cusum_hi"),
+          col("cusumLo").as("cusum_lo"), col("alarmHi").as("alarm_hi"),
+          col("alarmLo").as("alarm_lo"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "sm07_stream_to_shards" -> ((s, d) => {
       val stage = documentsLandingZone(s, d)
       val schema = s.read.parquet(stage).schema
@@ -374,6 +417,31 @@ object GeoStreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // sm10 replay: the batch closed form (prefix sum + prefix extrema,
+    // cs01's identity) — algebraically the same sequence the streaming
+    // recurrence emits, per user over purchases in event_id order
+    "sm10_stream_cusum" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id, v,
+        |    CAST(sum(v - 40000) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS pp
+        |  FROM p),
+        |q AS (
+        |  SELECT *, min(pp) OVER w2 AS pmin, max(pp) OVER w2 AS pmax
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, v AS val_milli,
+        |  pp - least(CAST(0 AS BIGINT), pmin) AS cusum_hi,
+        |  greatest(CAST(0 AS BIGINT), pmax) - pp AS cusum_lo,
+        |  pp - least(CAST(0 AS BIGINT), pmin) >= 400000 AS alarm_hi,
+        |  greatest(CAST(0 AS BIGINT), pmax) - pp >= 400000 AS alarm_lo
+        |FROM q ORDER BY user_id, event_id""".stripMargin,
     "geo01_point_in_polygon" ->
       """WITH pts AS (
         |  SELECT event_id,

@@ -114,6 +114,51 @@ object Streams {
         })
   }
 
+  /** One streaming CUSUM verdict for one observation of one series. */
+  case class CusumVerdict(userId: Long, eventId: Long, valMilli: Long,
+                          cusumHi: Long, cusumLo: Long,
+                          alarmHi: Boolean, alarmLo: Boolean)
+
+  /** Stateful STREAMING two-sided CUSUM — the online form of
+    * [[graft.operators.Analytics.cusumAlarms]]: the batch operator
+    * replaces the recurrence with a closed form over total prefixes,
+    * which a stream by definition never has, so the streaming form runs
+    * the textbook recurrence itself with (S⁺, S⁻) as two longs of
+    * per-key state in `flatMapGroupsWithState`. Because the recurrence
+    * and the closed form are algebraically the SAME sequence, a batch
+    * replay of the closed form is an exact oracle for the stream — the
+    * sm05 discipline applied to drift detection.
+    *
+    * Within a micro-batch a key's rows are folded in ascending `eventId`
+    * order; cross-batch correctness needs arrival in id order, which the
+    * landing zones pin (mtime-stamped range partitions). State is two
+    * longs per active series, partitioned by the key — the state-store
+    * sharding scales with distinct keys, not observations. */
+  def cusumDecisions(rows: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+                     target: Long, threshold: Long)
+      : org.apache.spark.sql.Dataset[CusumVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) => {
+          var (hi, lo) = state.getOption.getOrElse((0L, 0L))
+          // eager fold: the state write below must see the final sums,
+          // not race a lazily-consumed iterator
+          val out = it.toArray.sortBy(_._2).map { case (_, eid, v) =>
+            hi = math.max(0L, hi + (v - target))
+            lo = math.max(0L, lo + (target - v))
+            CusumVerdict(uid, eid, v, hi, lo,
+              hi >= threshold, lo >= threshold)
+          }
+          state.update((hi, lo))
+          out.iterator
+        })
+  }
+
   /** Run a streaming DataFrame to completion against bounded input via the
     * memory sink; returns the materialized result. Test/verify harness —
     * `processAllAvailable` drives every pending micro-batch synchronously. */

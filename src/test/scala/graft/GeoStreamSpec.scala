@@ -124,6 +124,38 @@ class GeoStreamSpec extends AnyFunSuite {
       (5L, true, 0)))
   }
 
+  test("streaming CUSUM: recurrence state carries across micro-batches, per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)] // (user, eventId, valMilli)
+    val verdicts = Streams.cusumDecisions(in.toDS(), target = 10L,
+      threshold = 25L)
+    val name = s"cusum_${System.nanoTime()}"
+    val q = verdicts.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // batch 1: user 1 drifts high (out of id order — the fold must sort);
+    // user 2 sits at target
+    in.addData((1L, 2L, 30L), (1L, 1L, 20L), (2L, 1L, 10L))
+    q.processAllAvailable()
+    // batch 2: user 1 keeps drifting (state must carry: S+ was 30),
+    // user 2 crashes low
+    in.addData((1L, 3L, 20L), (2L, 2L, 0L), (2L, 3L, 0L), (2L, 4L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(name)
+      .select("userId", "eventId", "cusumHi", "cusumLo", "alarmHi", "alarmLo")
+      .as[(Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 1L, 10L, 0L, false, false), // 20-10
+      (1L, 2L, 30L, 0L, true, false), // +20 -> alarm
+      (1L, 3L, 40L, 0L, true, false), // cross-batch: 30+10
+      (2L, 1L, 0L, 0L, false, false),
+      (2L, 2L, 0L, 10L, false, false),
+      (2L, 3L, 0L, 20L, false, false),
+      (2L, 4L, 0L, 30L, false, true))) // low-side alarm at 30 >= 25
+  }
+
   test("watermarked stream-stream join: matches emitted, state evicted as watermark advances") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
