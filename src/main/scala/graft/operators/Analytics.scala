@@ -820,6 +820,80 @@ object Analytics {
       .select(col("t"), col("n_risk"), col("n_events"), col("log_surv_micro"))
   }
 
+  /** Per-GROUP exact quantiles by the [[exactQuantilesBisect]] passes —
+    * the scale path for [[groupQuantiles]] when single groups outgrow a
+    * window sort: the window form range-sorts every group's rows; this
+    * form never sorts anything, it histograms ALL (group, pct) targets
+    * in the same shared pass (one aggregate per refinement round for the
+    * whole table, not per group). Driver state is one (lo, hi, rank)
+    * triple per target, so the method fits group cardinalities up to
+    * ~millions of targets; beyond that, fall back to the window form
+    * whose state lives in the shuffle. Groups are discovered with one
+    * distinct scan; the rank convention and integer-only discipline are
+    * exactly [[groupQuantiles]]', so results are interchangeable.
+    * Output: (`groupCol`, pct INT, value BIGINT). */
+  def groupQuantilesBisect(df: DataFrame, groupCol: String, valCol: String,
+                           pcts: Seq[Int], nBins: Int = 4096,
+                           maxGroups: Int = 1 << 20): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
+      s"pcts must be in [0,100], got $pcts")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(groupCol).cast("string").as("_g_"),
+        col(valCol).cast("long").as("_v_"))
+      .where(col("_v_").isNotNull && col("_g_").isNotNull)
+    val groups = vals.groupBy("_g_")
+      .agg(count(lit(1)).as("n"), min("_v_").as("lo"), max("_v_").as("hi"))
+      .collect()
+    require(groups.length <= maxGroups,
+      s"groupQuantilesBisect: ${groups.length} groups exceed maxGroups=" +
+        s"$maxGroups — use the window-sort groupQuantiles instead")
+    case class T(g: String, pct: Int, var lo: Long, var hi: Long,
+                 var rank: Long)
+    val targets = groups.flatMap { r =>
+      pcts.distinct.sorted.map { p =>
+        T(r.getString(0), p, r.getLong(2), r.getLong(3),
+          1L + (p.toLong * (r.getLong(1) - 1)) / 100L)
+      }
+    }
+    while (targets.exists(t => t.lo < t.hi)) {
+      val active = targets.filter(t => t.lo < t.hi)
+      val steps = active.map { t =>
+        ((BigInt(t.hi) - BigInt(t.lo) + nBins) / nBins).toLong.max(1L)
+      }
+      // per-pass target table, broadcast-joined on the group key: each
+      // row meets only ITS group's open targets (≤ |pcts| of them), so
+      // pass cost is rows × pcts whatever the group cardinality — the
+      // struct-array alternative would be rows × total targets
+      val tdf = broadcast(spark.createDataset(
+        active.zip(steps).zipWithIndex.map { case ((t, step), i) =>
+          (t.g, i, t.lo, t.hi, step)
+        }.toSeq).toDF("_g_", "_q_", "_tlo_", "_thi_", "_step_"))
+      val hist = vals.join(tdf, "_g_")
+        .where(col("_v_").between(col("_tlo_"), col("_thi_")))
+        .groupBy(col("_q_"),
+          expr("(_v_ - _tlo_) div _step_").as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+      active.zip(steps).zipWithIndex.foreach { case ((t, step), i) =>
+        val bins = hist(i).map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        var remaining = t.rank
+        val (bin, inBin) = bins.collectFirst {
+          case (b, c) if { val hit = remaining <= c; if (!hit) remaining -= c; hit } =>
+            (b, remaining)
+        }.get
+        t.rank = inBin
+        val newLo = t.lo + bin * step
+        t.hi = math.min(t.hi, newLo + step - 1)
+        t.lo = newLo
+      }
+    }
+    spark.createDataset(targets.toSeq.map(t => (t.g, t.pct, t.lo)))
+      .toDF(groupCol, "pct", "value")
+  }
+
   /** Two-sided CUSUM change-point detection (Page 1954, public) over an
     * integer-valued ordered series — the sequential drift detector that
     * fires on a SUSTAINED shift long before any single point is an

@@ -454,6 +454,18 @@ object AnalyticsQueries {
         .orderBy("pct")
     }),
 
+    // ---- per-GROUP exact percentiles via the SAME bisection passes,
+    // all (group, pct) targets sharing each histogram aggregate — the
+    // scale path for qt01 when single groups outgrow a window sort ------
+    "qd02_group_quantiles_bisect" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 1000) as bigint)")
+          .as("price_milli"))
+      Analytics.groupQuantilesBisect(li, "l_returnflag", "price_milli",
+          Seq(25, 50, 75))
+        .orderBy("l_returnflag", "pct")
+    }),
+
     // ---- A/B test: Welch's unequal-variance t per order priority, arms =
     // open vs fulfilled orders — exact DECIMAL moments, one fixed double
     // program (az01/lr02 conventions, incl. the VARCHAR-routed oracle
@@ -1507,6 +1519,23 @@ object AnalyticsQueries {
         |FROM r JOIN (VALUES (1), (25), (50), (75), (99)) t(p)
         |  ON rn = 1 + (p * (n - 1)) // 100
         |ORDER BY pct""".stripMargin,
+
+    // qd02 replay: the per-group sorted-rank definition (qt01's program
+    // at milli quantization) the shared bisection must land on
+    "qd02_group_quantiles_bisect" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 1000) AS BIGINT) AS pm
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, pm,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY pm) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM v)
+        |SELECT l_returnflag, CAST(p AS INTEGER) AS pct, pm AS value
+        |FROM r JOIN (VALUES (25), (50), (75)) t(p)
+        |  ON rn = 1 + (p * (n - 1)) // 100
+        |ORDER BY l_returnflag, pct""".stripMargin,
 
     // Welch replay: exact DECIMAL moments (VARCHAR-routed double cast —
     // the lr02 finding), then the identical fixed program for s²/n, t,

@@ -53,6 +53,20 @@ object SourceQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ORC round-trip: documents written as ORC (Spark's second bundled
+    // columnar format — schema, string/long types, and compression all
+    // exercised), read back and projected. DuckDB can't read ORC, so the
+    // oracle is SOURCE EQUIVALENCE: the same projection straight off the
+    // parquet table — any loss or reorder in the ORC path breaks the hash
+    "sr01_orc_roundtrip" -> ((s, d) => {
+      val dir = tmpDir(s, "orc", d)
+      Tables.documents(s, d).write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Crawler: BFS over a synthetic link graph (2 out-edges per node,
     // derived from nation keys), seed "0", depth <= 4. The frontier
     // anti-join guarantees min-depth-first visits — mirrored by the
@@ -202,6 +216,9 @@ object SourceQueries {
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "sr01_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ws01_tar_shards" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,

@@ -563,6 +563,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(one == Map(0 -> 7L, 100 -> 7L))
   }
 
+  test("groupQuantilesBisect: equals the window-sort form on every group") {
+    val rnd = new scala.util.Random(41)
+    // uneven groups incl. a singleton and a duplicate-heavy group
+    val rows = Seq.tabulate(1200)(i =>
+      (s"g${i % 5}", (rnd.nextInt(500) - 250).toLong)) ++
+      Seq(("lone", 7L)) ++ Seq.fill(100)(("dups", 42L))
+    val df = rows.toDF("k", "v").repartition(9)
+    val pcts = Seq(0, 25, 50, 75, 100)
+    val got = Analytics.groupQuantilesBisect(df, "k", "v", pcts, nBins = 4)
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      for (p <- pcts) {
+        val want = sorted((1L + (p.toLong * (sorted.length - 1)) / 100L).toInt - 1)
+        assert(got((g, p)) == want, s"group $g pct $p")
+      }
+    }
+    assert(got.size == 7 * pcts.length)
+  }
+
   test("sortedNeighborhoodPairs: equals the rank-window definition, skew-safe") {
     import graft.operators.Linkage
     // skewed keys: many duplicates of one key value — ranks stay unique
