@@ -805,6 +805,13 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- similarity: greedy k-center coreset (farthest-point, int8
+    // distances so the whole greedy chain replays exactly) ----------------
+    "fp01_farthest_points" -> ((s, d) =>
+      graft.operators.Similarity.farthestPointsInt8(
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+        .orderBy("sel_rank")),
+
     // ---- text analysis: char/token stats (oracle-able) ---------------------
     "ts01_doc_stats" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -2757,6 +2764,53 @@ object PipelineQueries {
         |      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // fp01 replay: the greedy chain unrolled — same int8 codes as ann06,
+    // each round selects (max dist, min id) among unchosen and folds a
+    // least() into every point's distance; MATERIALIZED against the
+    // 3^8-style inline blowup (the gr05 lesson)
+    "fp01_farthest_points" -> {
+      def dist(a: String, b: String) =
+        s"CAST(list_sum([CAST($a[i] - $b[i] AS BIGINT) * ($a[i] - $b[i]) " +
+          s"FOR i IN range(1, len($a) + 1)]) AS BIGINT)"
+      val rounds = (2 to 8).map { r =>
+        val excl = (1 until r).map(j => s"SELECT vec_id FROM c$j")
+          .mkString(" UNION ALL ")
+        s"""c$r AS MATERIALIZED (
+           |  SELECT vec_id, qv, m FROM d${r - 1}
+           |  WHERE vec_id NOT IN ($excl)
+           |  ORDER BY m DESC, vec_id LIMIT 1),
+           |d$r AS MATERIALIZED (
+           |  SELECT d.vec_id, d.qv, least(d.m, ${dist("d.qv", "c.qv")}) AS m
+           |  FROM d${r - 1} d, c$r c),""".stripMargin
+      }.mkString("\n")
+      val sel = (2 to 8).map(r =>
+        s"UNION ALL SELECT $r AS sel_rank, vec_id, m AS dist_to_set FROM c$r")
+        .mkString("\n")
+      s"""WITH s AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS scale,
+         |    embedding
+         |  FROM embeddings),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id, CASE WHEN scale = 0 THEN [0 FOR x IN embedding]
+         |    ELSE [CAST(round(CAST(x AS DOUBLE) * 127.0 / scale) AS INTEGER)
+         |          FOR x IN embedding] END AS qv
+         |  FROM s),
+         |c1 AS MATERIALIZED (
+         |  SELECT vec_id, qv FROM q
+         |  WHERE vec_id = (SELECT min(vec_id) FROM q)),
+         |d1 AS MATERIALIZED (
+         |  SELECT q.vec_id, q.qv, ${dist("q.qv", "c.qv")} AS m
+         |  FROM q, c1 c),
+         |$rounds
+         |fin AS (
+         |  SELECT 1 AS sel_rank, vec_id, CAST(NULL AS BIGINT) AS dist_to_set
+         |  FROM c1
+         |$sel)
+         |SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id, dist_to_set
+         |FROM fin ORDER BY sel_rank""".stripMargin
+    },
 
     // the multimodal projections surface only deterministic metadata (the
     // stub decode's float features are deliberately excluded), so the

@@ -1427,6 +1427,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r(1) == ((2L, 3L, 0L, false)))
   }
 
+  test("farthestPointsInt8: greedy chain by hand, duplicates never chosen") {
+    // quantization-clean directions: (1,0)->(127,0), (0,1)->(0,127),
+    // (-1,0)->(-127,0); id 4 duplicates id 1 (distance 0 to the set)
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(-1f, 0f)), (4L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.farthestPointsInt8(vecs, "vec_id", "embedding", k = 3)
+      .as[(Int, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // seed = min id; then the far end (254^2); then the orthogonal point
+    assert(got == Seq(
+      (1, 1L, None),
+      (2, 3L, Some(254L * 254L)),
+      (3, 2L, Some(2L * 127L * 127L))))
+  }
+
   test("unicodeClean: NFC composes, counters count, homoglyphs flagged") {
     val rows = Seq(
       (1L, "plain ascii text"),
