@@ -820,6 +820,71 @@ object Analytics {
       .select(col("t"), col("n_risk"), col("n_events"), col("log_surv_micro"))
   }
 
+  /** WEIGHTED exact quantiles by the [[exactQuantilesBisect]] passes —
+    * the p-th weighted percentile is the smallest value whose cumulative
+    * weight reaches rank 1 + (p·(W−1)) div 100 of the total weight W.
+    * The curation use is token-weighted document statistics ("at what
+    * document length does half the TOKEN MASS live?" — unweighted
+    * percentiles over documents answer a different, less useful
+    * question). Same no-sort histogram refinement, with per-bin WEIGHT
+    * sums instead of counts; weights must be non-negative integers
+    * (`require`d in-plan), values integer, both the repo-wide
+    * quantize-first discipline. Zero-weight rows can never host a rank
+    * and are filtered up front. Output: (pct INT, value BIGINT). */
+  def weightedQuantilesBisect(df: DataFrame, valCol: String,
+                              weightCol: String, pcts: Seq[Int],
+                              nBins: Int = 4096): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
+      s"pcts must be in [0,100], got $pcts")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valCol).cast("long").as("_v_"),
+        when(col(weightCol).cast("long") < 0,
+          raise_error(lit("weightedQuantilesBisect: negative weight")))
+          .otherwise(col(weightCol).cast("long")).as("_w_"))
+      .where(col("_v_").isNotNull && col("_w_").isNotNull && col("_w_") > 0)
+    val head = vals.agg(sum("_w_"), min("_v_"), max("_v_")).head()
+    if (head.isNullAt(0))
+      return spark.emptyDataset[(Int, Long)].toDF("pct", "value")
+    val w = head.getLong(0)
+    case class T(pct: Int, var lo: Long, var hi: Long, var rank: Long)
+    val targets = pcts.distinct.sorted.map { p =>
+      T(p, head.getLong(1), head.getLong(2), 1L + (p.toLong * (w - 1)) / 100L)
+    }
+    while (targets.exists(t => t.lo < t.hi)) {
+      val active = targets.filter(t => t.lo < t.hi)
+      val steps = active.map { t =>
+        ((BigInt(t.hi) - BigInt(t.lo) + nBins) / nBins).toLong.max(1L)
+      }
+      val binCols = active.zip(steps).zipWithIndex.map { case ((t, step), i) =>
+        struct(lit(i).as("q"),
+          when(col("_v_").between(t.lo, t.hi),
+            expr(s"(_v_ - (${t.lo}L)) div ${step}L")).as("bin"))
+      }
+      val hist = vals
+        .select(col("_w_"), explode(array(binCols: _*)).as("_qb_"))
+        .where(col("_qb_.bin").isNotNull)
+        .groupBy(col("_qb_.q").as("q"), col("_qb_.bin").as("bin"))
+        .agg(sum(col("_w_")).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+      active.zip(steps).zipWithIndex.foreach { case ((t, step), i) =>
+        val bins = hist(i).map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        var remaining = t.rank
+        val (bin, inBin) = bins.collectFirst {
+          case (b, c) if { val hit = remaining <= c; if (!hit) remaining -= c; hit } =>
+            (b, remaining)
+        }.get
+        t.rank = inBin
+        val newLo = t.lo + bin * step
+        t.hi = math.min(t.hi, newLo + step - 1)
+        t.lo = newLo
+      }
+    }
+    spark.createDataset(targets.map(t => (t.pct, t.lo))).toDF("pct", "value")
+  }
+
   /** Per-GROUP exact quantiles by the [[exactQuantilesBisect]] passes —
     * the scale path for [[groupQuantiles]] when single groups outgrow a
     * window sort: the window form range-sorts every group's rows; this

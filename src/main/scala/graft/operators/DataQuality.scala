@@ -79,6 +79,30 @@ object DataQuality {
     * class-cardinality rows at any scale. Output: quasi columns +
     * (class_size, n_sensitive, k_anonymous, l_diverse), one row per
     * equivalence class. */
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938, public —
+    * the standard fabricated-data smell test): observed leading-digit
+    * shares of a positive integer column against the log10(1 + 1/d)
+    * law. Naturally-occurring multiplicative quantities follow it;
+    * uniform synthetics and hand-typed figures don't — both deviations
+    * are the signal, so the report just lays shares side by side.
+    *
+    * Engine portability: the leading digit comes from the integer's
+    * STRING form (integer-to-decimal-string is exact everywhere, unlike
+    * float formatting), observed shares are integer ppm divisions, and
+    * the expected share is log10 rounded to 1e-6 BEFORE comparison (the
+    * bm01 ln discipline). One grouped aggregate — scan-bound. Output:
+    * (digit INT, n_obs, obs_ppm, exp_ppm), digits 1-9. */
+  def benfordReport(df: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("long")
+    df.where(v > 0)
+      .select(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("obs_ppm",
+        expr("(1000000 * n_obs) div sum(n_obs) over ()"))
+      .withColumn("exp_ppm",
+        expr("cast(round(log10(1.0 + 1.0 / digit) * 1000000) as bigint)"))
+  }
+
   def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
                        sensitiveCol: String, k: Long, l: Long): DataFrame = {
     require(quasiCols.nonEmpty, "at least one quasi-identifier column")

@@ -171,4 +171,42 @@ object Temporal {
       .where(col("change").isNotNull)
       .drop("_in_old_", "_in_new_")
   }
+
+  /** Point-in-time LABEL construction: for every activity row, "did an
+    * outcome follow within `horizonSeconds`" — the leakage-safe way to
+    * build supervised targets from an event log (churn/conversion
+    * labels, feature-store style). The window is STRICTLY exclusive at
+    * the activity instant: a same-timestamp outcome is not the future,
+    * and silently counting it is exactly the label leakage this
+    * operator exists to prevent.
+    *
+    * Plan: union the two tagged streams and sort once per key with
+    * outcomes ORDERED BEFORE activities at equal timestamps; then each
+    * activity's next outcome is one `min(outcome ts)` over the
+    * rows-following frame — same-instant outcomes sit before the row
+    * and drop out of the frame by construction, no inequality join, no
+    * per-activity probe. One shuffle on the key, one sort, at any
+    * scale. Output: one row per activity —
+    * (`keyCol`, `idCol`, `tsCol`, next_outcome_ts, label BOOLEAN). */
+  def futureOutcomeLabels(activity: DataFrame, outcomes: DataFrame,
+                          keyCol: String, tsCol: String, idCol: String,
+                          horizonSeconds: Long): DataFrame = {
+    require(horizonSeconds > 0, s"horizon must be positive, got $horizonSeconds")
+    val a = activity.select(col(keyCol).as("_k_"), col(tsCol).as("_ts_"),
+      col(idCol).as("_id_"), lit(1).as("_tag_"))
+    val o = outcomes.select(col(keyCol).as("_k_"), col(tsCol).as("_ts_"),
+      lit(null).cast(a.schema("_id_").dataType).as("_id_"),
+      lit(0).as("_tag_"))
+    val w = Window.partitionBy("_k_").orderBy(col("_ts_"), col("_tag_"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    a.unionByName(o)
+      .withColumn("_next_",
+        min(when(col("_tag_") === 0, col("_ts_"))).over(w))
+      .where(col("_tag_") === 1)
+      .select(col("_k_").as(keyCol), col("_id_").as(idCol),
+        col("_ts_").as(tsCol), col("_next_").as("next_outcome_ts"),
+        (col("_next_").isNotNull &&
+          col("_next_") <= expr(s"timestampadd(SECOND, $horizonSeconds, _ts_)"))
+          .as("label"))
+  }
 }

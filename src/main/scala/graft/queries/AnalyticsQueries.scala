@@ -454,6 +454,38 @@ object AnalyticsQueries {
         .orderBy("pct")
     }),
 
+    // ---- TOKEN-WEIGHTED document-length percentiles: at what length
+    // does p% of the token MASS live — weighted bisection, no sort ------
+    "qd03_weighted_quantiles" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("n_chars").as("doc_len"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      Analytics.weightedQuantilesBisect(docs, "doc_len", "n_tokens",
+          Seq(10, 50, 90))
+        .orderBy("pct")
+    }),
+
+    // ---- point-in-time labels: for every view, did the user purchase
+    // within 30 days — the leakage-safe supervised-target builder
+    // (same-instant outcomes excluded by construction) -------------------
+    "tl01_timetravel_labels" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.Temporal.futureOutcomeLabels(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", horizonSeconds = 2592000L)
+        .orderBy("event_id")
+    }),
+
+    // ---- Benford first-digit audit over order totals (milli-quantized
+    // so the leading digit comes from an exact integer string) -----------
+    "bd01_benford_digits" -> ((s, d) => {
+      val v = Tables.orders(s, d).select(
+        expr("cast(round(o_totalprice * 1000) as bigint)").as("price_milli"))
+      graft.operators.DataQuality.benfordReport(v, "price_milli")
+        .orderBy("digit")
+    }),
+
     // ---- per-GROUP exact percentiles via the SAME bisection passes,
     // all (group, pct) targets sharing each histogram aggregate — the
     // scale path for qt01 when single groups outgrow a window sort ------
@@ -1519,6 +1551,61 @@ object AnalyticsQueries {
         |FROM r JOIN (VALUES (1), (25), (50), (75), (99)) t(p)
         |  ON rn = 1 + (p * (n - 1)) // 100
         |ORDER BY pct""".stripMargin,
+
+    // qd03 replay: the weighted sorted-rank definition — smallest value
+    // whose cumulative weight reaches 1 + (p·(W−1)) div 100
+    "qd03_weighted_quantiles" ->
+      """WITH v AS (
+        |  SELECT n_chars AS doc_len,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM v),
+        |r AS (
+        |  SELECT doc_len,
+        |    CAST(sum(w) OVER (ORDER BY doc_len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw
+        |  FROM v)
+        |SELECT CAST(p AS INTEGER) AS pct,
+        |  (SELECT min(doc_len) FROM r
+        |   WHERE cw >= 1 + (p * (tot.tw - 1)) // 100) AS value
+        |FROM (VALUES (10), (50), (90)) t(p), tot
+        |ORDER BY pct""".stripMargin,
+
+    // tl01 replay: same union-sort program — outcomes ordered before
+    // activities at equal ts, min over the rows-following frame
+    "tl01_timetravel_labels" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, ts, event_id AS id, 1 AS tag
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, 0 FROM events
+        |  WHERE event_type = 'purchase'),
+        |x AS (
+        |  SELECT k, ts, id, tag,
+        |    min(CASE WHEN tag = 0 THEN ts END) OVER (
+        |      PARTITION BY k ORDER BY ts, tag
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM u)
+        |SELECT k AS user_id, id AS event_id, ts, nxt AS next_outcome_ts,
+        |  (nxt IS NOT NULL AND nxt <= ts + to_seconds(CAST(2592000 AS BIGINT)))
+        |    AS label
+        |FROM x WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
+    // Benford replay: leading digit off the exact integer string,
+    // integer ppm shares, micro-rounded log10 expectation
+    "bd01_benford_digits" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 1000)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE CAST(round(o_totalprice * 1000) AS BIGINT) > 0),
+        |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit)
+        |SELECT digit, n_obs,
+        |  CAST((1000000 * n_obs) // (SELECT sum(n_obs) FROM g) AS BIGINT)
+        |    AS obs_ppm,
+        |  CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+        |    AS exp_ppm
+        |FROM g ORDER BY digit""".stripMargin,
 
     // qd02 replay: the per-group sorted-rank definition (qt01's program
     // at milli quantization) the shared bisection must land on

@@ -563,6 +563,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(one == Map(0 -> 7L, 100 -> 7L))
   }
 
+  test("weightedQuantilesBisect: equals the weighted-rank definition") {
+    val rnd = new scala.util.Random(77)
+    val rows = Seq.fill(800)((rnd.nextInt(1000).toLong - 500L,
+      rnd.nextInt(20).toLong)) :+ ((9999L, 0L)) // zero weight never hosts
+    val df = rows.toDF("v", "w").repartition(5)
+    val pcts = Seq(0, 10, 50, 90, 100)
+    val got = Analytics.weightedQuantilesBisect(df, "v", "w", pcts, nBins = 4)
+      .as[(Int, Long)].collect().toMap
+    val expanded = rows.filter(_._2 > 0).sortBy(_._1)
+    val totW = expanded.map(_._2).sum
+    for (p <- pcts) {
+      val r = 1L + (p.toLong * (totW - 1)) / 100L
+      var cum = 0L
+      val want = expanded.collectFirst {
+        case (v, w) if { cum += w; cum >= r } => v
+      }.get
+      assert(got(p) == want, s"pct $p")
+    }
+    assert(!got.values.toSet.contains(9999L), "zero-weight value chosen")
+    // unit weights must equal the unweighted operator
+    val uw = rows.filter(_._2 > 0).map(_._1).toDF("v").withColumn("w", lit(1L))
+    val a = Analytics.weightedQuantilesBisect(uw, "v", "w", Seq(25, 75))
+      .as[(Int, Long)].collect().toMap
+    val b = Analytics.exactQuantilesBisect(uw.select("v"), "v", Seq(25, 75))
+      .as[(Int, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("futureOutcomeLabels: strict exclusivity, horizon edge, no-outcome rows") {
+    import graft.operators.Temporal
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val acts = Seq((1L, ts(0), 10L), (1L, ts(100), 11L), (2L, ts(0), 20L),
+      (3L, ts(0), 30L)).toDF("u", "t", "id")
+    val outs = Seq((1L, ts(0)), // same instant: NOT the future of act 10
+      (1L, ts(130)), (2L, ts(30))).toDF("u", "t")
+    val got = Temporal.futureOutcomeLabels(acts, outs, "u", "t", "id",
+        horizonSeconds = 30L)
+      .select("id", "label").as[(Long, Boolean)].collect().toMap
+    assert(!got(10L), "same-ts outcome leaked into the label")
+    assert(got(11L), "outcome exactly at horizon must count (inclusive)")
+    assert(got(20L))
+    assert(!got(30L), "no outcome at all")
+  }
+
+  test("benfordReport: hand counts, ppm shares, digits bounded") {
+    import graft.operators.DataQuality
+    val vals = Seq(123L, 19L, 1L, 250L, 2L, 999L, -5L, 0L).toDF("v")
+    val got = DataQuality.benfordReport(vals, "v")
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1, 2, 9)) // negatives and zero excluded
+    assert(got(1)._2 == 3 && got(2)._2 == 2 && got(9)._2 == 1)
+    assert(got(1)._3 == 500000L) // 3 of 6
+    assert(got(1)._4 == math.round(math.log10(2.0) * 1e6))
+  }
+
   test("groupQuantilesBisect: equals the window-sort form on every group") {
     val rnd = new scala.util.Random(41)
     // uneven groups incl. a singleton and a duplicate-heavy group
