@@ -67,7 +67,9 @@ object ExplainAudit {
         // lag-7 self-join backtest, reverse-cumulative KM risk set
         "lp01_label_propagation", "rl01_sorted_neighborhood",
         "cs01_cusum_drift", "fc01_seasonal_backtest", "km01_survival",
-        "ab01_welch_ttest", "ka01_k_anonymity", "pk03_packing_bfd")
+        "ab01_welch_ttest", "ka01_k_anonymity", "pk03_packing_bfd",
+        "er01_entity_resolution", "tl01_timetravel_labels",
+        "bd01_benford_digits", "sr01_orc_roundtrip")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

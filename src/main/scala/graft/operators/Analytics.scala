@@ -738,6 +738,77 @@ object Analytics {
           .as("kappa"))
   }
 
+  /** Randomization (permutation-style) test for a difference in means —
+    * the assumption-free companion to [[welchTTest]]: instead of a
+    * t-distribution, the null is simulated by re-assigning every row to
+    * a pseudo-random arm `nPerms` times and asking how often the
+    * re-assigned |mean difference| reaches the observed one. The p-value
+    * is (1 + n_extreme) / (1 + nPerms) (the add-one form that never
+    * returns 0).
+    *
+    * Determinism is the whole design: "random" re-assignment is the
+    * sign bit of mix64(id + i·φ) (splitmix64 golden gamma, the gs01
+    * stream convention), so every permutation replays bit-identically
+    * in SQL. The extremeness comparison never divides: |s_A/n_A −
+    * s_B/n_B| ≥ |obs| is cross-multiplied into DECIMAL(38) integer
+    * products (≈10²⁵ at this scale — far inside both engines' 128-bit
+    * decimals), so no float ever decides a count. A degenerate
+    * permutation (an empty arm) counts as extreme — conservative, and
+    * vanishingly rare beyond toy sizes.
+    *
+    * Plan: one aggregate for the observed moments, one explode(nPerms)
+    * + partial aggregate for the null distribution (map-side combine
+    * keeps the shuffle at nPerms rows), one tiny count. Output: one row
+    * (n_a, mean_a, n_b, mean_b, n_perms, n_extreme, p_value). */
+  def randomizationTest(df: DataFrame, idCol: String, armCol: String,
+                        valCol: String, armA: String, armB: String,
+                        nPerms: Int = 64): DataFrame = {
+    require(nPerms >= 1, s"nPerms must be >= 1, got $nPerms")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // seed arithmetic lives INSIDE the udf: i·φ wraps past Long.Max by
+    // design, which Column arithmetic under ANSI mode would refuse
+    val permBitUdf = udf((id: Long, i: Int) =>
+      graft.functions.TextKernels.mix64(
+        id + i.toLong * 0x9e3779b97f4a7c15L) < 0)
+    val base = df.where(col(armCol).isin(armA, armB))
+      .select(col(idCol).cast("long").as("_id_"),
+        (col(armCol) === armA).as("_isA_"),
+        col(valCol).cast("long").as("_v_"))
+    val o = base.agg(
+      sum(when(col("_isA_"), col("_v_"))).as("sa"),
+      count(when(col("_isA_"), 1)).as("na"),
+      sum(when(!col("_isA_"), col("_v_"))).as("sb"),
+      count(when(!col("_isA_"), 1)).as("nb")).head()
+    val (sa, na, sb, nb) = (o.getLong(0), o.getLong(1), o.getLong(2), o.getLong(3))
+    require(na > 0 && nb > 0, "both arms need rows")
+    val dObs = (BigInt(sa) * nb - BigInt(sb) * na).abs
+    val bObs = BigInt(na) * nb
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val perms = base
+      .select(col("_id_"), col("_v_"),
+        explode(expr(s"sequence(1, $nPerms)")).as("_i_"))
+      .withColumn("_pa_", permBitUdf(col("_id_"), col("_i_")))
+      .groupBy("_i_")
+      .agg(coalesce(sum(when(col("_pa_"), col("_v_"))), lit(0L)).as("psa"),
+        count(when(col("_pa_"), 1)).as("pna"),
+        coalesce(sum(when(!col("_pa_"), col("_v_"))), lit(0L)).as("psb"),
+        count(when(!col("_pa_"), 1)).as("pnb"))
+      .withColumn("_extreme_",
+        col("pna") === 0 || col("pnb") === 0 ||
+          abs(dec(col("psa")) * dec(col("pnb")) -
+            dec(col("psb")) * dec(col("pna"))) *
+            lit(new java.math.BigDecimal(bObs.bigInteger)) >=
+            lit(new java.math.BigDecimal(dObs.bigInteger)) *
+              (dec(col("pna")) * dec(col("pnb"))))
+    val nExtreme = perms.agg(
+      sum(when(col("_extreme_"), 1L).otherwise(0L))).head().getLong(0)
+    Seq((na, sa.toDouble / na.toDouble, nb, sb.toDouble / nb.toDouble,
+      nPerms, nExtreme, (1.0 + nExtreme) / (1.0 + nPerms)))
+      .toDF("n_a", "mean_a", "n_b", "mean_b", "n_perms", "n_extreme",
+        "p_value")
+  }
+
   /** Seasonal-naive forecast backtest with MASE (Hyndman & Koehler 2006,
     * public) over a daily integer series: train days (< `cutoff`) build a
     * per-weekday integer-mean profile, test days are forecast by their

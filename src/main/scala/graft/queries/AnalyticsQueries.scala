@@ -595,6 +595,17 @@ object AnalyticsQueries {
         .orderBy("t")
     }),
 
+    // ---- randomization test: assumption-free p-value for the O-vs-F
+    // mean gap — 64 deterministic mix64 re-assignments, extremeness by
+    // DECIMAL cross-multiplication (no float ever decides a count) -------
+    "ab02_randomization_test" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 1000) as bigint)").as("price_milli"))
+      Analytics.randomizationTest(o, "o_orderkey", "o_orderstatus",
+        "price_milli", armA = "O", armB = "F", nPerms = 64)
+    }),
+
     // ---- privacy: k-anonymity / l-diversity over (nation, segment)
     // quasi-identifiers with a bucketed balance as the sensitive value ----
     "ka01_k_anonymity" -> ((s, d) => {
@@ -1808,6 +1819,62 @@ object AnalyticsQueries {
         |  pp - least(CAST(0 AS BIGINT), pmin) >= tgt * 8 AS alarm_hi,
         |  greatest(CAST(0 AS BIGINT), pmax) - pp >= tgt * 8 AS alarm_lo
         |FROM q ORDER BY o_orderpriority, o_orderdate""".stripMargin,
+
+    // ab02 replay: the same 64 splitmix64 re-assignment streams (gs01's
+    // UHUGEINT chain, seed = id + i·φ mod 2^64), HUGEINT
+    // cross-multiplied extremeness, add-one p-value
+    "ab02_randomization_test" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS id, o_orderstatus = 'O' AS isa,
+        |    CAST(round(o_totalprice * 1000) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+        |obs AS (
+        |  SELECT CAST(sum(CASE WHEN isa THEN v END) AS BIGINT) AS sa,
+        |    count(CASE WHEN isa THEN 1 END) AS na,
+        |    CAST(sum(CASE WHEN NOT isa THEN v END) AS BIGINT) AS sb,
+        |    count(CASE WHEN NOT isa THEN 1 END) AS nb
+        |  FROM b),
+        |e AS (
+        |  SELECT b.v, t.i,
+        |    (CAST(b.id AS UHUGEINT) + CAST(t.i AS UHUGEINT)
+        |      * CAST(11400714819323198485 AS UHUGEINT))
+        |      % CAST(18446744073709551616 AS UHUGEINT) AS p0
+        |  FROM b, range(1, 65) t(i)),
+        |m AS (
+        |  SELECT v, i, xor(p2, p2 >> 31) AS h FROM (
+        |    SELECT v, i,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT v, i,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM e))),
+        |perm AS (
+        |  SELECT i,
+        |    CAST(coalesce(sum(CASE WHEN hi THEN v END), 0) AS HUGEINT)
+        |      AS psa,
+        |    CAST(count(CASE WHEN hi THEN 1 END) AS HUGEINT) AS pna,
+        |    CAST(coalesce(sum(CASE WHEN NOT hi THEN v END), 0) AS HUGEINT)
+        |      AS psb,
+        |    CAST(count(CASE WHEN NOT hi THEN 1 END) AS HUGEINT) AS pnb
+        |  FROM (SELECT i, v,
+        |          h >= CAST(9223372036854775808 AS UHUGEINT) AS hi
+        |        FROM m)
+        |  GROUP BY i),
+        |ex AS (
+        |  SELECT count(*) AS n_extreme FROM perm, obs
+        |  WHERE pna = 0 OR pnb = 0
+        |     OR abs(psa * pnb - psb * pna) * (CAST(na AS HUGEINT) * nb)
+        |        >= abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+        |           * (pna * pnb))
+        |SELECT na AS n_a, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+        |  nb AS n_b, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+        |  CAST(64 AS INTEGER) AS n_perms,
+        |  CAST(n_extreme AS BIGINT) AS n_extreme,
+        |  (CAST(1 AS DOUBLE) + CAST(n_extreme AS DOUBLE))
+        |    / CAST(65 AS DOUBLE) AS p_value
+        |FROM obs, ex""".stripMargin,
 
     // k-anonymity replay: one grouped aggregate, SQL GROUP BY null
     // semantics on the quasi key, count(DISTINCT) diversity

@@ -563,6 +563,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(one == Map(0 -> 7L, 100 -> 7L))
   }
 
+  test("randomizationTest: planted effect rejects, null effect doesn't, replayable") {
+    import graft.functions.TextKernels
+    // strong planted effect: arm A ~ 1000, arm B ~ 0 (600 rows each)
+    val strong = (0L until 1200L).map(i =>
+      (i, if (i % 2 == 0) "A" else "B", if (i % 2 == 0) 1000L else 0L))
+      .toDF("id", "arm", "v")
+    val rs = Analytics.randomizationTest(strong, "id", "arm", "v", "A", "B")
+      .select("n_extreme", "p_value").as[(Long, Double)].collect().head
+    assert(rs._1 == 0L && math.abs(rs._2 - 1.0 / 65.0) < 1e-15,
+      s"planted effect should never be matched by a re-assignment: $rs")
+    // pure noise: same value everywhere -> every permutation ties the
+    // observed zero difference -> p = 1
+    val flat = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "A" else "B", 7L)).toDF("id", "arm", "v")
+    val rf = Analytics.randomizationTest(flat, "id", "arm", "v", "A", "B")
+      .select("p_value").as[Double].collect().head
+    assert(rf == 1.0)
+    // extremeness count equals a direct Scala replay of the same streams
+    val small = (0L until 50L).map(i =>
+      (i, if (i < 25) "A" else "B", i % 7)).toDF("id", "arm", "v")
+    val got = Analytics.randomizationTest(small, "id", "arm", "v", "A", "B",
+      nPerms = 16).select("n_extreme").as[Long].collect().head
+    val rows = (0L until 50L).map(i => (i, i < 25, (i % 7)))
+    val (sa, na) = (rows.filter(_._2).map(_._3).sum, 25L)
+    val (sb, nb) = (rows.filterNot(_._2).map(_._3).sum, 25L)
+    val dObs = (BigInt(sa) * nb - BigInt(sb) * na).abs
+    val want = (1 to 16).count { i =>
+      val as = rows.groupBy(r =>
+        TextKernels.mix64(r._1 + i.toLong * 0x9e3779b97f4a7c15L) < 0)
+      val (psa, pna) = (as.getOrElse(true, Nil).map(_._3).sum,
+        as.getOrElse(true, Nil).size.toLong)
+      val (psb, pnb) = (as.getOrElse(false, Nil).map(_._3).sum,
+        as.getOrElse(false, Nil).size.toLong)
+      pna == 0 || pnb == 0 ||
+        (BigInt(psa) * pnb - BigInt(psb) * pna).abs * (BigInt(na) * nb) >=
+          dObs * (BigInt(pna) * pnb)
+    }
+    assert(got == want.toLong)
+  }
+
   test("weightedQuantilesBisect: equals the weighted-rank definition") {
     val rnd = new scala.util.Random(77)
     val rows = Seq.fill(800)((rnd.nextInt(1000).toLong - 500L,
