@@ -136,6 +136,68 @@ object Temporal {
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("total")).as("total"))
 
+  /** Incremental JOIN maintenance — the delta rule for materialized join
+    * views (Blakeley et al. 1986, public):
+    *   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB.
+    * Given the join's current content plus the two delta batches (and
+    * the OLD base sides for the cross terms), the new view is the old
+    * content union the three delta joins — base never re-joins base,
+    * which at 100 TB is the difference between touching a day's ingest
+    * and re-running the whole join. Inserts only (the monotone case;
+    * deletes need a multiset-annotated view — stated, not hidden).
+    * Equality with the full rebuild over (A ∪ ΔA) ⋈ (B ∪ ΔB) is exactly
+    * what the gate checks.
+    *
+    * Plan: ΔA ⋈ B and A ⋈ ΔB shuffle the BASE side once each on the
+    * join key (broadcast the delta when it's small — Spark's planner
+    * does this from size estimates); ΔA ⋈ ΔB is delta-sized. */
+  def applyJoinDelta(view: DataFrame, baseA: DataFrame, baseB: DataFrame,
+                     deltaA: DataFrame, deltaB: DataFrame,
+                     keyCol: String): DataFrame =
+    view
+      .unionByName(deltaA.join(baseB, keyCol))
+      .unionByName(baseA.join(deltaB, keyCol))
+      .unionByName(deltaA.join(deltaB, keyCol))
+
+  /** Two-sample Kolmogorov–Smirnov statistic — the nonparametric "did
+    * the distribution move" check (complements [[Analytics.psiDrift]]'s
+    * binned form with the exact sup-distance over ALL thresholds). For
+    * integer samples the statistic is exact: at every distinct value x,
+    * D(x) = |cdf₁(x) − cdf₂(x)| = |c₁(x)·n₂ − c₂(x)·n₁| / (n₁·n₂), and
+    * keeping the NUMERATOR integer until one final division makes the
+    * max engine-portable (no float CDF subtractions to disagree on).
+    *
+    * Plan: per-value counts for each sample full-outer-merged, one
+    * ordered window for the two running counts, one max aggregate —
+    * a single sort over DISTINCT values, not rows. Output: one row
+    * (n_a, n_b, ks_num BIGINT, ks_stat DOUBLE = ks_num/(n_a·n_b)). */
+  def ksStatistic(dfA: DataFrame, dfB: DataFrame,
+                  valCol: String): DataFrame = {
+    val a = dfA.select(col(valCol).cast("long").as("_v_"))
+      .where(col("_v_").isNotNull)
+      .groupBy("_v_").agg(count(lit(1)).as("_ca_"))
+    val b = dfB.select(col(valCol).cast("long").as("_v_"))
+      .where(col("_v_").isNotNull)
+      .groupBy("_v_").agg(count(lit(1)).as("_cb_"))
+    val w = Window.orderBy("_v_")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    a.join(b, Seq("_v_"), "full_outer")
+      .select(col("_v_"), coalesce(col("_ca_"), lit(0L)).as("_ca_"),
+        coalesce(col("_cb_"), lit(0L)).as("_cb_"))
+      .withColumn("_cuma_", sum("_ca_").over(w))
+      .withColumn("_cumb_", sum("_cb_").over(w))
+      .withColumn("_na_", sum("_ca_").over(wAll))
+      .withColumn("_nb_", sum("_cb_").over(wAll))
+      .withColumn("_d_",
+        abs(col("_cuma_") * col("_nb_") - col("_cumb_") * col("_na_")))
+      .agg(max("_na_").as("n_a"), max("_nb_").as("n_b"),
+        max("_d_").as("ks_num"))
+      .select(col("n_a"), col("n_b"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks_stat"))
+  }
+
   /** Snapshot diff — the table-versioning primitive: given two snapshots
     * of a keyed table, emit one row per key whose state changed, tagged
     * `added` / `removed` / `changed`, with the old and new value of each

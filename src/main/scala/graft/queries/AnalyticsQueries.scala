@@ -595,6 +595,35 @@ object AnalyticsQueries {
         .orderBy("t")
     }),
 
+    // ---- incremental JOIN maintenance: the three delta terms (ΔA⋈B,
+    // A⋈ΔB, ΔA⋈ΔB) folded into the stale view must equal a full rebuild
+    // over (A∪ΔA)⋈(B∪ΔB) — the oracle IS the rebuild ---------------------
+    "mv02_incremental_join" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        expr("cast(round(l_quantity * 1000) as bigint)").as("qty_milli"))
+      val baseA = orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val deltaA = orders.where(pmod(col("o_orderkey"), lit(3)) === 0)
+      val baseB = li.where(pmod(col("l_linenumber"), lit(2)) =!= 0)
+      val deltaB = li.where(pmod(col("l_linenumber"), lit(2)) === 0)
+      val view = baseA.join(baseB, "o_orderkey")
+      graft.operators.Temporal.applyJoinDelta(view, baseA, baseB,
+          deltaA, deltaB, "o_orderkey")
+        .orderBy("o_orderkey", "l_linenumber", "qty_milli")
+    }),
+
+    // ---- two-sample Kolmogorov-Smirnov: exact sup-distance between the
+    // O and F price distributions — integer numerator until one final
+    // division --------------------------------------------------------------
+    "ks01_ks_statistic" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def arm(st: String) = o.where(col("o_orderstatus") === st).select(
+        expr("cast(round(o_totalprice * 1000) as bigint)").as("price_milli"))
+      graft.operators.Temporal.ksStatistic(arm("O"), arm("F"), "price_milli")
+    }),
+
     // ---- randomization test: assumption-free p-value for the O-vs-F
     // mean gap — 64 deterministic mix64 re-assignments, extremeness by
     // DECIMAL cross-multiplication (no float ever decides a count) -------
@@ -1819,6 +1848,43 @@ object AnalyticsQueries {
         |  pp - least(CAST(0 AS BIGINT), pmin) >= tgt * 8 AS alarm_hi,
         |  greatest(CAST(0 AS BIGINT), pmax) - pp >= tgt * 8 AS alarm_lo
         |FROM q ORDER BY o_orderpriority, o_orderdate""".stripMargin,
+
+    // mv02 replay: the full rebuild the delta fold must equal
+    "mv02_incremental_join" ->
+      """SELECT o_orderkey, o_orderpriority, l_linenumber,
+        |  CAST(round(l_quantity * 1000) AS BIGINT) AS qty_milli
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber, qty_milli""".stripMargin,
+
+    // ks01 replay: per-value counts full-outer-merged, running counts in
+    // one ordered window, integer cross-multiplied sup-distance
+    "ks01_ks_statistic" ->
+      """WITH a AS (
+        |  SELECT CAST(round(o_totalprice * 1000) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (
+        |  SELECT CAST(round(o_totalprice * 1000) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |ca AS (SELECT v, count(*) AS ca FROM a GROUP BY v),
+        |cb AS (SELECT v, count(*) AS cb FROM b GROUP BY v),
+        |m AS (
+        |  SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |r AS (
+        |  SELECT sum(ca) OVER wd AS cuma, sum(cb) OVER wd AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM m
+        |  WINDOW wd AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |fin AS (
+        |  SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num
+        |  FROM r)
+        |SELECT n_a, n_b, ks_num,
+        |  CAST(ks_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks_stat
+        |FROM fin""".stripMargin,
 
     // ab02 replay: the same 64 splitmix64 re-assignment streams (gs01's
     // UHUGEINT chain, seed = id + i·φ mod 2^64), HUGEINT

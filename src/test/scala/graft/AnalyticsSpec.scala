@@ -563,6 +563,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(one == Map(0 -> 7L, 100 -> 7L))
   }
 
+  test("applyJoinDelta: three delta terms equal the full rebuild") {
+    import graft.operators.Temporal
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3")).toDF("k", "pa")
+    val da = Seq((2L, "a2d"), (4L, "a4d")).toDF("k", "pa")
+    val b = Seq((1L, "b1"), (2L, "b2"), (4L, "b4")).toDF("k", "pb")
+    val db = Seq((1L, "b1d"), (3L, "b3d"), (4L, "b4d")).toDF("k", "pb")
+    val view = a.join(b, "k")
+    val got = Temporal.applyJoinDelta(view, a, b, da, db, "k")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val want = a.unionByName(da).join(b.unionByName(db), "k")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.size > view.count(), "deltas must have added rows")
+  }
+
+  test("ksStatistic: hand CDFs, identical samples give zero, shift detected") {
+    import graft.operators.Temporal
+    val x = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val y = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val r = Temporal.ksStatistic(x, y, "v")
+      .as[(Long, Long, Long, Double)].collect().head
+    // at v=2: cdf_x = 2/4, cdf_y = 0 -> D = 1/2 (numerator 2*4-0 = 8)
+    assert(r == ((4L, 4L, 8L, 0.5)))
+    val same = Temporal.ksStatistic(x, x, "v")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(same._3 == 0L && same._4 == 0.0)
+  }
+
   test("randomizationTest: planted effect rejects, null effect doesn't, replayable") {
     import graft.functions.TextKernels
     // strong planted effect: arm A ~ 1000, arm B ~ 0 (600 rows each)
