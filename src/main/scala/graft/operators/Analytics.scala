@@ -738,6 +738,32 @@ object Analytics {
           .as("kappa"))
   }
 
+  /** Exact sliding-window distinct count — the "7-day active users"
+    * metric computed the scalable way. The naive plan self-joins each
+    * anchor day against a week of raw events; this one dedupes to
+    * (key, day) FIRST (the only cardinality that matters), explodes
+    * each pair to the `windowDays` anchor days it can serve
+    * (linear ×w in the deduped pairs, not in raw events), keeps anchors
+    * that actually occur in the data, and takes one distinct-count per
+    * anchor. Every step is an equi-join/aggregate — no range join, no
+    * per-day rescan; the ×w explosion is the exact, bounded price of
+    * exactness (a KMV merge is the approximate alternative, see
+    * [[graft.operators.Sketch]]). Output: (`dayCol`, n_distinct) for
+    * every observed day, counting keys active in [day−w+1, day]. */
+  def slidingDistinct(df: DataFrame, dayCol: String, keyCol: String,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val kd = df.select(col(keyCol).as("_k_"),
+      col(dayCol).cast("date").as("_d_")).distinct()
+    val anchors = kd.select(col("_d_").as(dayCol)).distinct()
+    kd.select(col("_k_"),
+        explode(expr(s"sequence(_d_, date_add(_d_, ${windowDays - 1}))"))
+          .as(dayCol))
+      .join(anchors, dayCol)
+      .groupBy(dayCol)
+      .agg(countDistinct(col("_k_")).as("n_distinct"))
+  }
+
   /** Randomization (permutation-style) test for a difference in means —
     * the assumption-free companion to [[welchTTest]]: instead of a
     * t-distribution, the null is simulated by re-assigning every row to

@@ -159,6 +159,40 @@ object Temporal {
       .unionByName(baseA.join(deltaB, keyCol))
       .unionByName(deltaA.join(deltaB, keyCol))
 
+  /** DELETE-capable incremental join maintenance — [[applyJoinDelta]]
+    * generalized to the signed-multiset (z-set / DBSP-style, public)
+    * form: every side carries an integer multiplicity, deltas carry
+    * +1/−1 (or any signed count), and the SAME three-term delta rule
+    * maintains the view because multiplicities multiply through the
+    * join and add through the union:
+    *   m_ΔV(t) = m_ΔA·m_B + m_A·m_ΔB + m_ΔA·m_ΔB.
+    * Rows whose folded multiplicity reaches zero vanish — that is what
+    * makes a DELETE just a −1 insert. Inputs: each frame as
+    * (`keyCol`, payload columns..., `multCol`); both payload sets must
+    * be disjoint apart from the key. Output: the new view in the same
+    * shape, mult ≠ 0 only.
+    *
+    * Plan: three joins (base sides shuffle once each, delta-sized
+    * otherwise) + one grouped sum over (key, payloads) — the grouping
+    * touches only view-candidate rows, never re-joins base to base. */
+  def applyJoinDeltaSigned(view: DataFrame, baseA: DataFrame,
+                           baseB: DataFrame, deltaA: DataFrame,
+                           deltaB: DataFrame, keyCol: String,
+                           multCol: String): DataFrame = {
+    def term(l: DataFrame, r: DataFrame) = l
+      .withColumnRenamed(multCol, "_ml_")
+      .join(r.withColumnRenamed(multCol, "_mr_"), keyCol)
+      .withColumn(multCol, col("_ml_") * col("_mr_"))
+      .drop("_ml_", "_mr_")
+    val cols = term(baseA, baseB).columns
+    val all = Seq(view, term(deltaA, baseB), term(baseA, deltaB),
+      term(deltaA, deltaB)).map(_.select(cols.map(col): _*))
+    all.reduce(_ unionByName _)
+      .groupBy(cols.filter(_ != multCol).map(col): _*)
+      .agg(sum(col(multCol)).as(multCol))
+      .where(col(multCol) =!= 0)
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic — the nonparametric "did
     * the distribution move" check (complements [[Analytics.psiDrift]]'s
     * binned form with the exact sup-distance over ALL thresholds). For

@@ -614,6 +614,38 @@ object AnalyticsQueries {
         .orderBy("o_orderkey", "l_linenumber", "qty_milli")
     }),
 
+    // ---- DELETE-capable join-view maintenance: signed multiplicities
+    // (a DELETE is a -1 insert), same three-term rule; a key deleted on
+    // one side must vanish from the view — the oracle is the rebuild
+    // over the post-delta state ------------------------------------------
+    "mv03_incremental_join_deletes" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("m", lit(1L))
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        expr("cast(round(l_quantity * 1000) as bigint)").as("qty_milli"))
+        .withColumn("m", lit(1L))
+      // deltas: INSERT the %3==0 orders late, DELETE the %7==0 lineitems
+      val baseA = orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val deltaA = orders.where(pmod(col("o_orderkey"), lit(3)) === 0)
+      val deltaB = li.where(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("m", lit(-1L))
+      val view = baseA.join(li.withColumnRenamed("m", "mb"), "o_orderkey")
+        .withColumn("m", col("m") * col("mb")).drop("mb")
+      graft.operators.Temporal.applyJoinDeltaSigned(view, baseA, li,
+          deltaA, deltaB, "o_orderkey", "m")
+        .orderBy("o_orderkey", "l_linenumber", "qty_milli")
+    }),
+
+    // ---- exact 7-day rolling active users: dedupe-then-explode plan,
+    // one distinct-count per observed day ---------------------------------
+    "wd01_window_distinct" -> ((s, d) =>
+      Analytics.slidingDistinct(Tables.events(s, d), "ts", "user_id",
+          windowDays = 7)
+        .withColumnRenamed("ts", "day")
+        .orderBy("day")),
+
     // ---- two-sample Kolmogorov-Smirnov: exact sup-distance between the
     // O and F price distributions — integer numerator until one final
     // division --------------------------------------------------------------
@@ -1855,6 +1887,31 @@ object AnalyticsQueries {
         |  CAST(round(l_quantity * 1000) AS BIGINT) AS qty_milli
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey, l_linenumber, qty_milli""".stripMargin,
+
+    // mv03 replay: rebuild over the post-delta state (all orders, the
+    // non-deleted lineitems), grouped so duplicate payload tuples carry
+    // their multiplicity — z-set semantics on both sides
+    "mv03_incremental_join_deletes" ->
+      """SELECT o_orderkey, o_orderpriority, l_linenumber,
+        |  CAST(round(l_quantity * 1000) AS BIGINT) AS qty_milli,
+        |  CAST(count(*) AS BIGINT) AS m
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_orderkey % 7 <> 0
+        |GROUP BY o_orderkey, o_orderpriority, l_linenumber,
+        |  CAST(round(l_quantity * 1000) AS BIGINT)
+        |ORDER BY o_orderkey, l_linenumber, qty_milli""".stripMargin,
+
+    // wd01 replay: the dedupe-then-window definition over observed days
+    "wd01_window_distinct" ->
+      """WITH kd AS (
+        |  SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM kd),
+        |x AS (
+        |  SELECT d.day AS day, kd.k
+        |  FROM kd JOIN days d ON d.day BETWEEN kd.day AND kd.day + 6)
+        |SELECT day, count(DISTINCT k) AS n_distinct
+        |FROM x GROUP BY day ORDER BY day""".stripMargin,
 
     // ks01 replay: per-value counts full-outer-merged, running counts in
     // one ordered window, integer cross-multiplied sup-distance

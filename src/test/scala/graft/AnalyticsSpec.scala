@@ -578,6 +578,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size > view.count(), "deltas must have added rows")
   }
 
+  test("applyJoinDeltaSigned: deletes vanish, duplicate payloads carry multiplicity") {
+    import graft.operators.Temporal
+    val a = Seq((1L, "a1", 1L), (2L, "a2", 1L)).toDF("k", "pa", "m")
+    val b = Seq((1L, "b1", 1L), (1L, "b1", 1L), (2L, "b2", 1L))
+      .toDF("k", "pb", "m") // duplicate payload -> multiplicity 2
+    val emptyView = Seq.empty[(Long, String, String, Long)]
+      .toDF("k", "pa", "pb", "m")
+    val view = Temporal.applyJoinDeltaSigned(
+      emptyView, a.limit(0), b.limit(0), a, b, "k", "m")
+    assert(view.as[(Long, String, String, Long)].collect().toSet ==
+      Set((1L, "a1", "b1", 2L), (2L, "a2", "b2", 1L)))
+    // delete one copy of (1, b1): multiplicity drops 2 -> 1; delete the
+    // (2, b2) row entirely: the joined row must VANISH
+    val db = Seq((1L, "b1", -1L), (2L, "b2", -1L)).toDF("k", "pb", "m")
+    val after = Temporal.applyJoinDeltaSigned(view, a, b,
+      a.limit(0), db, "k", "m")
+    assert(after.as[(Long, String, String, Long)].collect().toSet ==
+      Set((1L, "a1", "b1", 1L)))
+  }
+
+  test("slidingDistinct: hand windows over sparse days") {
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val df = Seq(
+      (1L, day("2024-01-01")), (2L, day("2024-01-01")),
+      (1L, day("2024-01-05")), (3L, day("2024-01-05")),
+      (1L, day("2024-01-20"))).toDF("k", "d")
+    val got = Analytics.slidingDistinct(df, "d", "k", windowDays = 7)
+      .as[(java.sql.Date, Long)].collect()
+      .map(r => r._1.toString -> r._2).toMap
+    // Jan 5 window [Dec 30, Jan 5] sees {1,2} from Jan 1 plus {1,3}
+    assert(got == Map("2024-01-01" -> 2L, "2024-01-05" -> 3L,
+      "2024-01-20" -> 1L))
+  }
+
   test("ksStatistic: hand CDFs, identical samples give zero, shift detected") {
     import graft.operators.Temporal
     val x = Seq(1L, 2L, 3L, 4L).toDF("v")
