@@ -738,6 +738,41 @@ object Analytics {
           .as("kappa"))
   }
 
+  /** Metric contribution analysis — the "what drove the change" BI
+    * decomposition: a metric moved between two periods; attribute the
+    * total delta to segments and rank them by contribution. Additive
+    * metrics decompose exactly (Σ segment deltas = total delta), so the
+    * report is pure integer sums plus one correctly-rounded double
+    * division per segment for the share (a `div` share would need
+    * floor-vs-truncate care on NEGATIVE deltas — engines disagree — so
+    * the share is the one deliberate double here). Segments missing
+    * from a period contribute their full appearance/disappearance.
+    *
+    * Plan: one filtered aggregate per period on the segment key,
+    * full-outer-merged — two scans, no window. Output per segment:
+    * (segment, before, after, delta, share_of_delta DOUBLE, rank by
+    * |delta| desc). */
+  def contributionAnalysis(df: DataFrame, segCol: String, valCol: String,
+                           inBefore: Column, inAfter: Column): DataFrame = {
+    val b = df.where(inBefore).groupBy(col(segCol))
+      .agg(sum(col(valCol).cast("long")).as("before"))
+    val a = df.where(inAfter).groupBy(col(segCol))
+      .agg(sum(col(valCol).cast("long")).as("after"))
+    val merged = b.join(a, Seq(segCol), "full_outer")
+      .select(col(segCol), coalesce(col("before"), lit(0L)).as("before"),
+        coalesce(col("after"), lit(0L)).as("after"))
+      .withColumn("delta", col("after") - col("before"))
+    val w = Window.partitionBy()
+    merged
+      .withColumn("_tot_", sum("delta").over(w))
+      .withColumn("share_of_delta",
+        when(col("_tot_") =!= 0,
+          col("delta").cast("double") / col("_tot_").cast("double")))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("delta")).desc, col(segCol))))
+      .drop("_tot_")
+  }
+
   /** Exact sliding-window distinct count — the "7-day active users"
     * metric computed the scalable way. The naive plan self-joins each
     * anchor day against a week of raw events; this one dedupes to

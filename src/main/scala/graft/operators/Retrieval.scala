@@ -217,4 +217,31 @@ object Retrieval {
       .groupBy(col("phrase_id"), col(idCol))
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Conjunctive (boolean AND) retrieval: documents containing EVERY
+    * term of a query — the filter mode next to [[bm25TopK]]'s ranked
+    * mode (the two compose: AND-filter first, rank survivors). The
+    * relational form of posting-list intersection: distinct (doc, term)
+    * pairs joined to the query terms, grouped per (query, doc), kept
+    * when the distinct-hit count equals the query's term count. Each
+    * query's cost is its rarest-term posting list post-join — the
+    * intersection never materializes more than the matched pairs, and
+    * everything shuffles on the term key then the (query, doc) key.
+    * Output: (query_id, doc_id) matches. */
+  def booleanAnd(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .distinct()
+    val qsz = queries.select(col("query_id"), lower(col("term")).as("term"))
+      .distinct()
+    val counts = qsz.groupBy("query_id").agg(count(lit(1)).as("_nq_"))
+    toks.join(qsz, "term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("_hits_"))
+      .join(counts, "query_id")
+      .where(col("_hits_") === col("_nq_"))
+      .select(col("query_id"), col(idCol))
+  }
 }

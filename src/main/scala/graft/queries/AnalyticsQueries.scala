@@ -614,6 +614,33 @@ object AnalyticsQueries {
         .orderBy("o_orderkey", "l_linenumber", "qty_milli")
     }),
 
+    // ---- contribution analysis: which priority drove the 1999-to-2000
+    // revenue change — exact integer decomposition, double shares -------
+    "ca01_contribution_analysis" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderpriority"),
+        expr("cast(round(o_totalprice * 1000) as bigint)").as("rev_milli"),
+        to_date(col("o_orderdate")).as("day"))
+      Analytics.contributionAnalysis(o, "o_orderpriority", "rev_milli",
+          inBefore = col("day").between(lit("1999-01-01"), lit("1999-12-31")),
+          inAfter = col("day").between(lit("2000-01-01"), lit("2000-12-31")))
+        .select(col("o_orderpriority"), col("before"), col("after"),
+          col("delta"), col("share_of_delta"),
+          col("rank").cast(IntegerType).as("rank"))
+        .orderBy("rank")
+    }),
+
+    // ---- boolean AND retrieval: docs containing EVERY query term — the
+    // relational posting-list intersection --------------------------------
+    "bm02_boolean_and" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark"), (1L, "table"),
+        (2L, "hash"), (2L, "join"), (2L, "scan"),
+        (3L, "customer"), (3L, "zzz_absent"))
+        .toDF("query_id", "term")
+      Retrieval.booleanAnd(Tables.documents(s, d), "doc_id", "text", qs)
+        .orderBy("query_id", "doc_id")
+    }),
+
     // ---- DELETE-capable join-view maintenance: signed multiplicities
     // (a DELETE is a -1 insert), same three-term rule; a key deleted on
     // one side must vanish from the view — the oracle is the rebuild
@@ -1887,6 +1914,61 @@ object AnalyticsQueries {
         |  CAST(round(l_quantity * 1000) AS BIGINT) AS qty_milli
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey, l_linenumber, qty_milli""".stripMargin,
+
+    // ca01 replay: two filtered integer aggregates full-outer-merged,
+    // double share, |delta|-ranked
+    "ca01_contribution_analysis" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS seg,
+        |    CAST(round(o_totalprice * 1000) AS BIGINT) AS v,
+        |    CAST(o_orderdate AS DATE) AS day
+        |  FROM orders),
+        |b AS (
+        |  SELECT seg, CAST(sum(v) AS BIGINT) AS before FROM o
+        |  WHERE day BETWEEN DATE '1999-01-01' AND DATE '1999-12-31'
+        |  GROUP BY seg),
+        |a AS (
+        |  SELECT seg, CAST(sum(v) AS BIGINT) AS after FROM o
+        |  WHERE day BETWEEN DATE '2000-01-01' AND DATE '2000-12-31'
+        |  GROUP BY seg),
+        |m AS (
+        |  SELECT coalesce(b.seg, a.seg) AS seg,
+        |    coalesce(b.before, 0) AS before, coalesce(a.after, 0) AS after
+        |  FROM b FULL OUTER JOIN a ON b.seg = a.seg),
+        |dd AS (
+        |  SELECT seg, before, after, after - before AS delta,
+        |    CAST(sum(after - before) OVER () AS BIGINT) AS tot
+        |  FROM m)
+        |SELECT seg AS o_orderpriority, before, after, delta,
+        |  CASE WHEN tot <> 0
+        |    THEN CAST(delta AS DOUBLE) / CAST(tot AS DOUBLE) END
+        |    AS share_of_delta,
+        |  CAST(row_number() OVER (ORDER BY abs(delta) DESC, seg)
+        |       AS INTEGER) AS rank
+        |FROM dd ORDER BY rank""".stripMargin,
+
+    // bm02 replay: distinct (doc, term) ⨝ query terms, per-(query, doc)
+    // hit count equal to the query's term count
+    "bm02_boolean_and" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t AS term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '\s+')) AS t
+        |    FROM documents) u
+        |  WHERE t <> ''),
+        |q(query_id, term) AS (VALUES
+        |  (1, 'spark'), (1, 'table'),
+        |  (2, 'hash'), (2, 'join'), (2, 'scan'),
+        |  (3, 'customer'), (3, 'zzz_absent')),
+        |n AS (SELECT query_id, count(DISTINCT term) AS nq FROM q GROUP BY 1)
+        |SELECT CAST(t.query_id AS BIGINT) AS query_id, t.doc_id
+        |FROM (
+        |  SELECT q.query_id, toks.doc_id, count(*) AS hits
+        |  FROM toks JOIN q ON toks.term = q.term
+        |  GROUP BY q.query_id, toks.doc_id) t
+        |JOIN n ON n.query_id = t.query_id
+        |WHERE t.hits = n.nq
+        |ORDER BY query_id, doc_id""".stripMargin,
 
     // mv03 replay: rebuild over the post-delta state (all orders, the
     // non-deleted lineitems), grouped so duplicate payload tuples carry

@@ -578,6 +578,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size > view.count(), "deltas must have added rows")
   }
 
+  test("contributionAnalysis: exact decomposition, appear/disappear segments, ranks") {
+    val rows = Seq( // (seg, v, period 0=before 1=after)
+      ("a", 100L, 0), ("a", 150L, 1), // +50
+      ("b", 200L, 0), ("b", 80L, 1), // -120
+      ("c", 50L, 1), // appears: +50
+      ("d", 30L, 0)) // disappears: -30
+      .toDF("seg", "v", "p")
+    val got = Analytics.contributionAnalysis(rows, "seg", "v",
+        inBefore = col("p") === 0, inAfter = col("p") === 1)
+      .as[(String, Long, Long, Long, Option[Double], Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 100L, 150L, 50L, Some(-1.0), 2)))
+    assert(got("b")._4 == -120L && got("b")._6 == 1)
+    assert(got("c") == (("c", 0L, 50L, 50L, Some(-1.0), 3)))
+    assert(got("d")._4 == -30L)
+    // segment deltas sum to the total: 50 - 120 + 50 - 30 = -50; shares
+    // then sum to 1 (each delta / -50)
+    assert(got.values.map(_._4).sum == -50L)
+    assert(math.abs(got.values.flatMap(_._5).sum - 1.0) < 1e-12)
+  }
+
+  test("booleanAnd: all-terms matching, absent term kills the query, case folds") {
+    import graft.operators.Retrieval
+    val docs = Seq((1L, "Fast Spark table"), (2L, "spark only"),
+      (3L, "table spark spark")).toDF("doc_id", "text")
+    val qs = Seq((1L, "spark"), (1L, "TABLE"), (2L, "spark"),
+      (3L, "spark"), (3L, "missing")).toDF("query_id", "term")
+    val got = Retrieval.booleanAnd(docs, "doc_id", "text", qs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L)))
+  }
+
   test("applyJoinDeltaSigned: deletes vanish, duplicate payloads carry multiplicity") {
     import graft.operators.Temporal
     val a = Seq((1L, "a1", 1L), (2L, "a2", 1L)).toDF("k", "pa", "m")
