@@ -69,7 +69,11 @@ object ExplainAudit {
         "cs01_cusum_drift", "fc01_seasonal_backtest", "km01_survival",
         "ab01_welch_ttest", "ka01_k_anonymity", "pk03_packing_bfd",
         "er01_entity_resolution", "tl01_timetravel_labels",
-        "bd01_benford_digits", "sr01_orc_roundtrip")
+        "bd01_benford_digits", "sr01_orc_roundtrip",
+        "mv02_incremental_join", "mv03_incremental_join_deletes",
+        "ks01_ks_statistic", "wd01_window_distinct",
+        "ca01_contribution_analysis", "bm02_boolean_and",
+        "ab02_randomization_test")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
