@@ -54,4 +54,27 @@ object Linkage {
     // no dedup needed: b's bucket is fixed, so a pair matches through
     // exactly one of a's two exploded keys — never both
   }
+
+  /** MULTI-PASS sorted neighborhood (the form Hernández & Stolfo
+    * actually recommend): one pass per blocking key, pairs unioned —
+    * because any single sort key has blind spots (a leading typo
+    * teleports a record across the name sort; a reversed-key pass still
+    * catches it by suffix). Pairs are canonicalized to (id_lo, id_hi)
+    * since two passes can rank the same two records in opposite orders,
+    * and `n_passes` reports how many passes proposed each pair — the
+    * standard downstream prior (2-pass agreement is stronger evidence).
+    * Cost is additive in passes: each is its own [[sortedNeighborhoodPairs]]
+    * bucket join, merged by one (lo, hi) aggregate. */
+  def multiPassPairs(df: DataFrame, idCol: String, keyCols: Seq[String],
+                     w: Int): DataFrame = {
+    require(keyCols.nonEmpty, "at least one blocking key")
+    keyCols.zipWithIndex.map { case (k, i) =>
+      sortedNeighborhoodPairs(df, idCol, k, w)
+        .select(least(col("a_id"), col("b_id")).as("id_lo"),
+          greatest(col("a_id"), col("b_id")).as("id_hi"),
+          lit(i).as("_pass_"))
+    }.reduce(_ unionByName _)
+      .groupBy("id_lo", "id_hi")
+      .agg(countDistinct(col("_pass_")).as("n_passes"))
+  }
 }

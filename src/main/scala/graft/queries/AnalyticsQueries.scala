@@ -564,6 +564,17 @@ object AnalyticsQueries {
         .orderBy("component")
     }),
 
+    // ---- multi-pass blocking: name pass ∪ reversed-name pass, pairs
+    // canonicalized, per-pair agreement count --------------------------
+    "rl02_multipass_blocking" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          reverse(col("p_name")).as("p_name_rev"))
+      graft.operators.Linkage.multiPassPairs(parts, "p_partkey",
+          Seq("p_name", "p_name_rev"), w = 4)
+        .orderBy("id_lo", "id_hi")
+    }),
+
     // ---- forecasting: seasonal-naive backtest with MASE — weekday
     // profile from the train window forecasts the test window, scored
     // against same-day-last-week; integer error sums, one final division -
@@ -1807,6 +1818,28 @@ object AnalyticsQueries {
         |SELECT s.component, s.cluster_size, ro.name AS rep_name
         |FROM sizes s JOIN roster ro ON ro.id = s.component
         |ORDER BY s.component""".stripMargin,
+
+    // rl02 replay: two rank-window theta joins (name, reversed name),
+    // canonicalized union, distinct-pass count
+    "rl02_multipass_blocking" ->
+      """WITH r1 AS (
+        |  SELECT p_partkey AS id,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+        |  FROM part),
+        |r2 AS (
+        |  SELECT p_partkey AS id,
+        |    row_number() OVER (ORDER BY reverse(p_name), p_partkey) AS rn
+        |  FROM part),
+        |u AS (
+        |  SELECT least(a.id, b.id) AS id_lo, greatest(a.id, b.id) AS id_hi,
+        |    0 AS pass
+        |  FROM r1 a JOIN r1 b ON b.rn - a.rn > 0 AND b.rn - a.rn < 4
+        |  UNION ALL
+        |  SELECT least(a.id, b.id), greatest(a.id, b.id), 1
+        |  FROM r2 a JOIN r2 b ON b.rn - a.rn > 0 AND b.rn - a.rn < 4)
+        |SELECT id_lo, id_hi, count(DISTINCT pass) AS n_passes
+        |FROM u GROUP BY id_lo, id_hi
+        |ORDER BY id_lo, id_hi""".stripMargin,
 
     // fc01 replay: same epoch-day dow, integer profile, exact error sums,
     // one final division; lag-7 join excludes unmatched days on both sums

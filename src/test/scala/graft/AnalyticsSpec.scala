@@ -773,6 +773,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size == 7 * pcts.length)
   }
 
+  test("multiPassPairs: reversed-key pass catches what the name sort misses") {
+    import graft.operators.Linkage
+    // "xsmith" sorts far from "smith", but their REVERSALS are adjacent
+    val rows = Seq((1L, "smith"), (2L, "xsmith"), (3L, "aaaa"), (4L, "bbbb"),
+      (5L, "mmmm"), (6L, "zzzz")).toDF("id", "key")
+    val df = rows.withColumn("rkey", reverse(col("key")))
+    val got = Linkage.multiPassPairs(df, "id", Seq("key", "rkey"), w = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // w=2: only rank-adjacent pairs. Name order: aaaa bbbb mmmm smith
+    // xsmith zzzz -> (1,2) adjacent there AND in reversed order
+    // (htims/htimsx) -> 2 passes
+    assert(got((1L, 2L)) == 2L)
+    // canonical ordering: every pair appears once with id_lo < id_hi
+    assert(got.keySet.forall { case (lo, hi) => lo < hi })
+  }
+
   test("sortedNeighborhoodPairs: equals the rank-window definition, skew-safe") {
     import graft.operators.Linkage
     // skewed keys: many duplicates of one key value — ranks stay unique
