@@ -1122,11 +1122,16 @@ object PipelineQueries {
 
     // ---- tokenizer handoff: text -> vocabulary ids (oracle-able) -----------
     // the array a training loader consumes; merge outputs take ids 0..7,
-    // base symbols follow sorted
+    // base symbols follow sorted. The gate projects the id array through
+    // concat_ws so every gated column is a sortable scalar (the driver's
+    // comparator cannot sort array cells); library callers use
+    // BpeTrainer.tokenizeToIds directly for the typed array
     "bp03_tokenize_ids" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = graft.operators.BpeTrainer.train(docs, "text", numMerges = 8)
       graft.operators.BpeTrainer.tokenizeToIds(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          concat_ws(",", col("token_ids")).as("token_ids_csv"))
         .orderBy("doc_id")
     }),
 
@@ -3075,7 +3080,7 @@ object PipelineQueries {
          |    AS token_ids
          |  FROM ids GROUP BY doc_id)
          |SELECT d.doc_id,
-         |  coalesce(a.token_ids, CAST([] AS INTEGER[])) AS token_ids
+         |  coalesce(array_to_string(a.token_ids, ','), '') AS token_ids_csv
          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
