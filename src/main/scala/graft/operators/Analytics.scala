@@ -832,10 +832,15 @@ object Analytics {
     val permBitUdf = udf((id: Long, i: Int) =>
       graft.functions.TextKernels.mix64(
         id + i.toLong * 0x9e3779b97f4a7c15L) < 0)
+    // rows whose id fails the long cast are excluded up front: a NULL id
+    // would count in the observed moments yet drop out of every
+    // permutation arm (the udf's null propagation), biasing n_extreme —
+    // the observed and permuted populations must be identical
     val base = df.where(col(armCol).isin(armA, armB))
       .select(col(idCol).cast("long").as("_id_"),
         (col(armCol) === armA).as("_isA_"),
         col(valCol).cast("long").as("_v_"))
+      .where(col("_id_").isNotNull)
     val o = base.agg(
       sum(when(col("_isA_"), col("_v_"))).as("sa"),
       count(when(col("_isA_"), 1)).as("na"),
@@ -880,20 +885,28 @@ object Analytics {
     * replays exactly: day-of-week is the engine-neutral epoch-day
     * arithmetic of [[weekdayProfile]], the profile is an integer
     * division, all error sums are exact int64, and MASE is the single
-    * final division. Test days whose lag-7 day is absent from the series
-    * are excluded from BOTH error sums (no forecast can be scored
-    * against a baseline that doesn't exist).
+    * final division. Two exclusions apply, both by construction: test
+    * days whose lag-7 day is absent from the series are excluded from
+    * BOTH error sums (no forecast can be scored against a baseline that
+    * doesn't exist), and test days whose WEEKDAY never occurs before the
+    * cutoff are excluded too (the profile inner join — there is no
+    * trained forecast for that weekday, so nothing to score). Input may
+    * carry multiple rows per day: the operator pre-aggregates to one
+    * daily total before anything else, so the lag-7 self-join can never
+    * fan out.
     *
-    * Plan: one aggregate for the profile (broadcast-sized: 7 rows), one
-    * self-join on the lag-7 day key, one final 7-row aggregate. Output
-    * per weekday: (dow, n_test, sum_abs_err, sum_abs_naive_err, mase
-    * NULL when the naive error is zero). */
+    * Plan: one per-day pre-aggregate, one aggregate for the profile
+    * (broadcast-sized: 7 rows), one self-join on the lag-7 day key, one
+    * final 7-row aggregate. Output per weekday: (dow, n_test,
+    * sum_abs_err, sum_abs_naive_err, mase NULL when the naive error is
+    * zero). */
   def seasonalNaiveBacktest(df: DataFrame, dayCol: String, valCol: String,
                             cutoff: String): DataFrame = {
     val dow = pmod(datediff(col(dayCol), to_date(lit("1970-01-01"))) + 4,
       lit(7))
     val daily = df.select(col(dayCol).cast("date").as("_day_"),
-      dow.as("dow"), col(valCol).cast("long").as("_v_"))
+        dow.as("dow"), col(valCol).cast("long").as("_v_"))
+      .groupBy("_day_", "dow").agg(sum(col("_v_")).as("_v_"))
     val profile = daily.where(col("_day_") < lit(cutoff))
       .groupBy("dow").agg(expr("sum(_v_) div count(1)").as("_fc_"))
     val lag = daily.select(col("_day_").as("_lagday_"), col("_v_").as("_nv_"))
@@ -1087,8 +1100,17 @@ object Analytics {
         t.lo = newLo
       }
     }
-    spark.createDataset(targets.toSeq.map(t => (t.g, t.pct, t.lo)))
-      .toDF(groupCol, "pct", "value")
+    // join back to the distinct group frame so groupCol keeps its
+    // ORIGINAL type (the bisection keys on the string form internally;
+    // returning that would silently coerce e.g. an int key to string,
+    // unlike the window-sort groupQuantiles this op is interchangeable
+    // with). Both sides are group-cardinality-sized.
+    val out = spark.createDataset(targets.toSeq.map(t => (t.g, t.pct, t.lo)))
+      .toDF("_g_", "pct", "value")
+    val keys = df.select(col(groupCol)).where(col(groupCol).isNotNull)
+      .distinct()
+    keys.join(out, keys(groupCol).cast("string") === out("_g_"))
+      .select(col(groupCol), col("pct"), col("value"))
   }
 
   /** Two-sided CUSUM change-point detection (Page 1954, public) over an

@@ -59,26 +59,6 @@ object DataQuality {
       .toDF("check", "n_rows", "n_violations")
   }
 
-  /** k-anonymity / l-diversity risk report (Sweeney 2002; Machanavajjhala
-    * et al. 2007 — the standard publishable-data gates): every
-    * quasi-identifier equivalence class with its size and the number of
-    * distinct sensitive values it exposes. A class smaller than `k` means
-    * those rows re-identify by joining the quasi columns against any
-    * public roster; a class with fewer than `l` sensitive values leaks the
-    * attribute even when identity stays hidden (everyone in the class
-    * shares it). Training-data curation runs this before releasing any
-    * aggregate or sample keyed on demographic-shaped columns.
-    *
-    * NULL in a quasi column is its own class (SQL GROUP BY semantics — the
-    * conservative read: "unknown" still partitions the roster); NULL
-    * sensitive values don't count toward diversity
-    * (`count(DISTINCT)` semantics on both engines).
-    *
-    * Plan: one partial+final aggregate on the quasi key (count +
-    * distinct-count), no joins, no windows — a single shuffle of
-    * class-cardinality rows at any scale. Output: quasi columns +
-    * (class_size, n_sensitive, k_anonymous, l_diverse), one row per
-    * equivalence class. */
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938, public —
     * the standard fabricated-data smell test): observed leading-digit
     * shares of a positive integer column against the log10(1 + 1/d)
@@ -103,6 +83,26 @@ object DataQuality {
         expr("cast(round(log10(1.0 + 1.0 / digit) * 1000000) as bigint)"))
   }
 
+  /** k-anonymity / l-diversity risk report (Sweeney 2002; Machanavajjhala
+    * et al. 2007 — the standard publishable-data gates): every
+    * quasi-identifier equivalence class with its size and the number of
+    * distinct sensitive values it exposes. A class smaller than `k` means
+    * those rows re-identify by joining the quasi columns against any
+    * public roster; a class with fewer than `l` sensitive values leaks the
+    * attribute even when identity stays hidden (everyone in the class
+    * shares it). Training-data curation runs this before releasing any
+    * aggregate or sample keyed on demographic-shaped columns.
+    *
+    * NULL in a quasi column is its own class (SQL GROUP BY semantics — the
+    * conservative read: "unknown" still partitions the roster); NULL
+    * sensitive values don't count toward diversity
+    * (`count(DISTINCT)` semantics on both engines).
+    *
+    * Plan: one partial+final aggregate on the quasi key (count +
+    * distinct-count), no joins, no windows — a single shuffle of
+    * class-cardinality rows at any scale. Output: quasi columns +
+    * (class_size, n_sensitive, k_anonymous, l_diverse), one row per
+    * equivalence class. */
   def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
                        sensitiveCol: String, k: Long, l: Long): DataFrame = {
     require(quasiCols.nonEmpty, "at least one quasi-identifier column")
