@@ -136,6 +136,30 @@ object Temporal {
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("total")).as("total"))
 
+  /** DELETE-capable incremental aggregate maintenance — [[applyAggDelta]]
+    * generalized to signed multiplicities (the z-set form that already
+    * maintains the join view in [[applyJoinDeltaSigned]]): each delta row
+    * carries `multCol` (+1 insert, −1 delete, any signed count), the
+    * retractable count adds m and the retractable DECIMAL sum adds
+    * m·value — both stay commutative GROUPS (not just monoids), which is
+    * exactly what makes a DELETE foldable without rescanning base data.
+    * Keys whose count retracts to zero vanish from the state, so the
+    * result is row-identical to a full rebuild over the post-delete base
+    * — the property mv04 gates. Same single delta-sized shuffle as the
+    * insert-only fold; the state side never rescans. */
+  def applyAggDeltaSigned(state: DataFrame, delta: DataFrame,
+                          keyCol: String, valCol: String,
+                          multCol: String): DataFrame = {
+    val deltaState = delta.groupBy(col(keyCol))
+      .agg(sum(col(multCol).cast("long")).as("n_rows"),
+        sum(col(valCol).cast("decimal(18,2)") *
+          col(multCol).cast("decimal(18,0)")).as("total"))
+    state.unionByName(deltaState)
+      .groupBy(col(keyCol))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("total")).as("total"))
+      .where(col("n_rows") =!= 0)
+  }
+
   /** Incremental JOIN maintenance — the delta rule for materialized join
     * views (Blakeley et al. 1986, public):
     *   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB.

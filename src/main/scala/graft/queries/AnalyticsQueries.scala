@@ -676,6 +676,25 @@ object AnalyticsQueries {
         .orderBy("o_orderkey", "l_linenumber", "qty_milli")
     }),
 
+    // ---- DELETE-capable aggregate-view maintenance: signed deltas fold
+    // into the (count, sum) state — inserts land late, deletes retract
+    // base rows, fully-retracted keys vanish; the oracle is the rebuild
+    // over the post-delete base (the mv03 pattern for the agg twin) -------
+    "mv04_incremental_agg_deletes" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val base = orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val state = Temporal.aggregateState(base, "o_custkey", "o_totalprice")
+      val ins = orders.where(pmod(col("o_orderkey"), lit(3)) === 0)
+        .withColumn("m", lit(1L))
+      val del = base.where(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("m", lit(-1L))
+      Temporal.applyAggDeltaSigned(state, ins.unionByName(del),
+          "o_custkey", "o_totalprice", "m")
+        .select(col("o_custkey"), col("n_rows"),
+          col("total").cast("double").as("total_price"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- exact 7-day rolling active users: dedupe-then-explode plan,
     // one distinct-count per observed day ---------------------------------
     "wd01_window_distinct" -> ((s, d) =>
@@ -751,6 +770,17 @@ object AnalyticsQueries {
         |    AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
+    // mv04 replay: the rebuild over the POST-DELETE base — surviving rows
+    // are everything except the deleted slice (base %3!=0 rows whose key
+    // is %5==0); fully-retracted customers simply have no rows here
+    "mv04_incremental_agg_deletes" ->
+      """SELECT o_custkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders
+        |WHERE NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     // at01 replay: DuckDB's NATIVE asof join over tie-deduped touches
     // (same keep-min-event_id election as the Spark rightTieCol), then
     // the identical integer revenue rollup
@@ -768,7 +798,8 @@ object AnalyticsQueries {
         |  FROM conv ASOF LEFT JOIN t1
         |    ON conv.user_id = t1.user_id AND conv.ts >= t1.ts)
         |SELECT channel, count(*) AS n_purchases,
-        |       sum(CAST(round(value * 1000) AS BIGINT)) AS revenue_milli
+        |       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+        |         AS revenue_milli
         |FROM att GROUP BY channel ORDER BY channel""".stripMargin,
 
     // cm01 replay: exact per-word counts, then ONE hash program over
@@ -803,7 +834,8 @@ object AnalyticsQueries {
         |          FROM bkt JOIN cnts USING (word) GROUP BY row_i, bucket),
         |paddr AS (SELECT p.word, b.row_i, b.bucket
         |          FROM probes p JOIN bkt b ON b.word = p.word),
-        |est AS (SELECT word, min(coalesce(cnt, 0)) AS est_cnt
+        |est AS (SELECT word,
+        |          CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_cnt
         |        FROM paddr LEFT JOIN cells USING (row_i, bucket)
         |        GROUP BY word)
         |SELECT e.word, e.est_cnt, coalesce(cnts.c, 0) AS true_cnt,
