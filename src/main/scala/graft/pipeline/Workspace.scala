@@ -1,0 +1,287 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Workspace BI-model compiler (reference: vue/server/model.js:28-77 —
+  * a model is `{sources, tables[{name, fields[{name, type, dataType,
+  * formule, format, visible, order, level, orderby?}]}], reports}`;
+  * vue/server/workspace.js:1-31 — workspaces persist model/visuals/
+  * datasources JSON per user). The reference's server only stores and
+  * serves that JSON (vue/server/api.js:138-163 parses the datasource and
+  * echoes the query back); the query semantics it names — formula fields
+  * like `GetYear(BirthDate)` / `Format(Date, 'yyyyMMM')` /
+  * `DateDiff(Date, Now(), 'yyyy')` (vue/data/data.js:8-33) grouped by
+  * axis fields and aggregated over measure fields (the chart descriptors
+  * at vue/data/data.js:51-77) — are what this compiler expresses,
+  * Spark-first: every formula compiles to a Catalyst expression string,
+  * a report is one declarative groupBy/agg, and the whole plan stays
+  * inside whole-stage codegen (no UDFs anywhere).
+  *
+  * The JSON is read through Spark's own JSON source with an explicit
+  * schema (the TopicTree save/load discipline) — a model file is
+  * driver-side configuration, so collecting it is bounded by the model's
+  * own size, never by data.
+  *
+  * Formula language (the reference surface plus the obvious closure):
+  *   - bare field references, including names with spaces/accents
+  *     (`Code Pays`) — resolved against the mounted table's columns;
+  *   - `GetYear(e)` / `GetMonth(e)` / `GetDay(e)` → int date parts;
+  *   - `Format(e, 'pattern')` → `date_format` with the Java pattern the
+  *     reference already uses (`yyyyMMM`, `yyyyMM`);
+  *   - `DateDiff(a, b, 'unit')` with unit `yyyy`/`mm`/`dd` → signed
+  *     whole-unit difference b−a (year/month arithmetic on date parts,
+  *     day arithmetic on datediff — integer end to end);
+  *   - `Round(e)` → nearest integer (the exact-measure idiom: a money
+  *     double becomes an exactly-summable integer measure via
+  *     `Round(price * 1000)` + a bigint field dataType);
+  *   - `Now()` → `current_date()` (kept out of gated fixtures: it is
+  *     non-deterministic by nature, exactly why the reference's demo
+  *     model uses it only for patient age);
+  *   - integer/string literals and `+ - * /` between compiled terms.
+  *
+  * Scale: compilation is pure driver-side string work on a KB-sized
+  * model; execution is whatever the compiled single groupBy/agg plan is —
+  * one shuffle on the axis key with map-side partial aggregation, same
+  * as any hand-written report over the fact table.
+  */
+object Workspace {
+
+  case class WsField(name: String, dataType: String, formule: String,
+                     visible: Option[Boolean], order: Option[Long],
+                     level: Option[Long], orderby: Option[String])
+  case class WsTable(name: String, source: String,
+                     fields: Seq[WsField])
+  case class WsMeasure(field: String, agg: String)
+  case class WsReport(name: String, table: String, axes: Seq[String],
+                      measures: Seq[WsMeasure], filter: Option[String],
+                      legend: Option[String])
+  case class WsModel(sources: Seq[String], tables: Seq[WsTable],
+                     reports: Seq[WsReport])
+
+  /** Load a model.json (one JSON document, possibly multi-line — the
+    * workspace.js storage shape) into the typed model. */
+  def load(spark: SparkSession, path: String): WsModel = {
+    val enc = Encoders.product[WsModel]
+    val rows = spark.read.schema(enc.schema)
+      .option("multiLine", "true").json(path)
+      .as[WsModel](enc).collect()
+    require(rows.length == 1, s"expected one model document at $path, " +
+      s"got ${rows.length}")
+    rows.head
+  }
+
+  // ---- formula compiler ----------------------------------------------------
+
+  /** Compile a reference `formule` string to a Spark SQL expression
+    * string (then `expr()` — Catalyst parses, optimizes, and codegens
+    * it like any hand-written column). */
+  def compileFormula(formula: String, columns: Set[String]): Column =
+    expr(compileToSql(formula.trim, columns))
+
+  /** The formula → Spark-SQL-string step alone (what [[compileFormula]]
+    * wraps in `expr`); public so callers can inspect/log compiled plans. */
+  def compileToSql(f: String, columns: Set[String]): String = {
+    val s = f.trim
+    // binary arithmetic at top level (left-assoc, no precedence beyond
+    // * / over + - ; parenthesized output keeps Catalyst's reading exact)
+    splitTop(s, Seq('+', '-')).orElse(splitTop(s, Seq('*', '/'))) match {
+      case Some((l, op, r)) =>
+        s"(${compileToSql(l, columns)} $op ${compileToSql(r, columns)})"
+      case None => compileAtom(s, columns)
+    }
+  }
+
+  /** Split on the LAST top-level occurrence of one of `ops` (left
+    * associativity), ignoring operators inside parens/quotes. Returns
+    * None when the string is a single atom. */
+  private def splitTop(s: String, ops: Seq[Char]): Option[(String, Char, String)] = {
+    var depth = 0; var inQ = false; var found = -1
+    for (i <- s.indices) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          // a sign whose previous non-space char is '(' or an operator
+          // is unary, not binary
+          val prev = s.substring(0, i).reverse.dropWhile(_ == ' ')
+            .headOption.getOrElse('(')
+          if (depth == 0 && ops.contains(c) &&
+            !"+-*/(,".contains(prev) && i < s.length - 1)
+            found = i
+      }
+    }
+    if (found < 0) None
+    else Some((s.substring(0, found), s.charAt(found), s.substring(found + 1)))
+  }
+
+  private def compileAtom(s0: String, columns: Set[String]): String = {
+    val s = s0.trim
+    require(s.nonEmpty, "empty formula atom")
+    if (s.startsWith("(") && s.endsWith(")") && balanced(s.substring(1, s.length - 1)))
+      return s"(${compileToSql(s.substring(1, s.length - 1), columns)})"
+    if (s.startsWith("'") && s.endsWith("'")) return s // string literal
+    if (s.matches("-?[0-9]+(\\.[0-9]+)?")) return s    // numeric literal
+    val call = "([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)".r
+    s match {
+      case call(fn, argStr) =>
+        val args = splitArgs(argStr)
+        def arg(i: Int) = compileToSql(args(i), columns)
+        def lit(i: Int): String = {
+          val a = args(i).trim
+          require(a.startsWith("'") && a.endsWith("'"),
+            s"$fn expects a quoted literal at arg ${i + 1}, got: $a")
+          a
+        }
+        fn.toLowerCase match {
+          case "getyear"  => s"year(${arg(0)})"
+          case "getmonth" => s"month(${arg(0)})"
+          case "getday"   => s"day(${arg(0)})"
+          case "format"   => s"date_format(${arg(0)}, ${lit(1)})"
+          case "round"    => s"round(${arg(0)})"
+          case "now"      => "current_date()"
+          case "datediff" =>
+            val unit = lit(2).stripPrefix("'").stripSuffix("'").toLowerCase
+            val (a, b) = (arg(0), arg(1))
+            unit match {
+              case "yyyy" => s"(year($b) - year($a))"
+              case "mm"   => s"((year($b) - year($a)) * 12 + (month($b) - month($a)))"
+              case "dd"   => s"datediff($b, $a)"
+              case u => throw new IllegalArgumentException(
+                s"DateDiff unit must be yyyy/mm/dd, got '$u'")
+            }
+          case other => throw new IllegalArgumentException(
+            s"unknown workspace formula function: $other (formula: $s)")
+        }
+      case _ =>
+        // bare field reference — must exist on the mounted table; spaces
+        // and non-ASCII survive via backticks
+        require(columns.contains(s),
+          s"formula references unknown column '$s' (have: " +
+            s"${columns.toSeq.sorted.mkString(", ")})")
+        s"`${s.replace("`", "``")}`"
+    }
+  }
+
+  private def balanced(s: String): Boolean = {
+    var depth = 0; var inQ = false
+    s.forall { c =>
+      if (inQ) { if (c == '\'') inQ = false; true }
+      else c match {
+        case '\'' => inQ = true; true
+        case '(' => depth += 1; true
+        case ')' => depth -= 1; depth >= 0
+        case _ => true
+      }
+    } && depth == 0
+  }
+
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var start = 0
+    for (i <- s.indices) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    if (s.trim.nonEmpty || start > 0) out += s.substring(start)
+    out.result().map(_.trim)
+  }
+
+  // ---- report execution ----------------------------------------------------
+
+  private val aggs: Map[String, Column => Column] = Map(
+    "sum" -> (c => sum(c)), "count" -> (c => count(c)),
+    "min" -> (c => min(c)), "max" -> (c => max(c)),
+    "avg" -> (c => avg(c)), "count_distinct" -> (c => countDistinct(c)))
+
+  /** Compile one field of `table` to its typed (unaliased) Column: the
+    * formula through the compiler, then the field's declared dataType as
+    * a cast (the model's contract with its visuals — an `int` field IS
+    * int, whatever the formula's natural type). */
+  private def fieldExpr(table: WsTable, fieldName: String,
+                        columns: Set[String]): Column = {
+    val f = table.fields.find(_.name == fieldName).getOrElse(
+      throw new IllegalArgumentException(
+        s"report references unknown field '$fieldName' on table " +
+          s"'${table.name}' (have: ${table.fields.map(_.name).mkString(", ")})"))
+    val c = compileFormula(f.formule, columns)
+    f.dataType.toLowerCase match {
+      case "int"    => c.cast("int")
+      case "bigint" => c.cast("long")
+      case "double" => c.cast("double")
+      case _        => c // string/date fields keep the formula's own type
+    }
+  }
+
+  /** Run a named report: the mounted frames map table names (the model's
+    * `Source`-qualified tables) to DataFrames — parquet scans, usually.
+    * The result is the report's grid: one row per axis combination with
+    * the aggregated measures, ordered by the axes (deterministic — the
+    * grid a visual renders is order-stable).
+    *
+    * `legend` (the chart descriptors' arity-1 Legend slot,
+    * vue/data/data.js:53,60,69) pivots the single measure across the
+    * legend field's values — one column per value, sorted so the output
+    * schema is deterministic. Legend values are collected on the driver
+    * (a chart legend is small by its own contract — it has to fit in a
+    * legend box); combinations absent from the data are NULL cells, the
+    * grid a stacked/grouped chart consumes. */
+  def runReport(model: WsModel, reportName: String,
+                mounted: Map[String, DataFrame]): DataFrame = {
+    val report = model.reports.find(_.name == reportName).getOrElse(
+      throw new IllegalArgumentException(s"unknown report '$reportName' " +
+        s"(have: ${model.reports.map(_.name).mkString(", ")})"))
+    val table = model.tables.find(_.name == report.table).getOrElse(
+      throw new IllegalArgumentException(
+        s"report table '${report.table}' is not in the model"))
+    val df = mounted.getOrElse(table.name,
+      throw new IllegalArgumentException(
+        s"table '${table.name}' is not mounted"))
+    val columns = df.columns.toSet
+    val filtered = report.filter.map(f =>
+      df.where(compileFormula(f, columns).cast("boolean"))).getOrElse(df)
+    require(report.axes.nonEmpty, "a report needs at least one axis field")
+    require(report.measures.nonEmpty, "a report needs at least one measure")
+    val axisCols = report.axes.map(a =>
+      fieldExpr(table, a, columns).as(a))
+    def aggFn(m: WsMeasure) = aggs.getOrElse(m.agg.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown aggregate '${m.agg}' (have: ${aggs.keys.mkString(", ")})"))
+    report.legend match {
+      case Some(legendField) =>
+        require(report.measures.size == 1,
+          "a legend report takes exactly one measure (the chart contract)")
+        val m = report.measures.head
+        val legendCol = fieldExpr(table, legendField, columns).cast("string")
+        val values = filtered.select(legendCol.as("_lv_"))
+          .where(col("_lv_").isNotNull).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        require(values.nonEmpty, s"legend field '$legendField' has no values")
+        filtered
+          .withColumn("_legend_", legendCol)
+          .groupBy(axisCols: _*)
+          .pivot("_legend_", values)
+          .agg(aggFn(m)(fieldExpr(table, m.field, columns)))
+          .orderBy(report.axes.map(col): _*)
+      case None =>
+        val measureCols = report.measures.map { m =>
+          aggFn(m)(fieldExpr(table, m.field, columns))
+            .as(s"${m.agg.toLowerCase}_" +
+              m.field.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+        }
+        filtered.groupBy(axisCols: _*)
+          .agg(measureCols.head, measureCols.tail: _*)
+          .orderBy(report.axes.map(col): _*)
+    }
+  }
+}

@@ -31,6 +31,46 @@ object Relational {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private val oneDec: Column = lit(1).cast(DecimalType(18, 2))
 
+  /** Shared bi01/bi02 workspace-model fixture (the vue model.js shape):
+    * written to scratch, then loaded back through Spark's JSON source —
+    * the gate exercises the loader, not just the compiler. */
+  private def biModelFixture(s: SparkSession, d: String): String = {
+    val dir = graft.sources.Scratch.dir(s, "wsmodel", s"bi_$d")
+    val modelJson =
+      """{"sources": ["tpch"],
+        | "tables": [
+        |  {"name": "Orders", "source": "tpch", "fields": [
+        |   {"name": "Order Year", "dataType": "int",
+        |    "formule": "GetYear(o_orderdate)", "visible": true,
+        |    "order": 1, "level": 2},
+        |   {"name": "Order Month", "dataType": "string",
+        |    "formule": "Format(o_orderdate, 'yyyy-MM')", "visible": true,
+        |    "order": 2, "level": 2,
+        |    "orderby": "Format(o_orderdate, 'yyyyMM')"},
+        |   {"name": "Order Status", "dataType": "string",
+        |    "formule": "o_orderstatus", "visible": true,
+        |    "order": 3, "level": 1},
+        |   {"name": "Price Milli", "dataType": "bigint",
+        |    "formule": "Round(o_totalprice * 1000)", "visible": false,
+        |    "order": 4, "level": 1},
+        |   {"name": "Order Key", "dataType": "bigint",
+        |    "formule": "o_orderkey", "visible": false,
+        |    "order": 5, "level": 1}]}],
+        | "reports": [
+        |  {"name": "Orders by month", "table": "Orders",
+        |   "axes": ["Order Year", "Order Month"],
+        |   "measures": [{"field": "Price Milli", "agg": "sum"},
+        |                {"field": "Order Key", "agg": "count"}]},
+        |  {"name": "Orders by status", "table": "Orders",
+        |   "axes": ["Order Year"], "legend": "Order Status",
+        |   "measures": [{"field": "Price Milli", "agg": "sum"}]}]}
+        |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/model.json"),
+      modelJson.getBytes("UTF-8"))
+    s"$dir/model.json"
+  }
+
   /** Final-output normalization: the driver's gate reads Spark parquet via
     * pandas (decimals keep scale: Decimal('253942.00')) but the DuckDB oracle
     * via float64 ('253942.0') — so any DECIMAL final column hash-mismatches on
@@ -523,6 +563,28 @@ object Relational {
         ORDER BY region_name, nation_name""")
     }),
 
+    // ---- §2 BI workspace surface: reports defined PURELY in a JSON
+    // model fixture (reference vue/server/model.js:28-77 model shape,
+    // workspace.js:1-31 storage), loaded through Spark's JSON source and
+    // compiled by graft.pipeline.Workspace into one groupBy/agg plan —
+    // formula fields (GetYear / Format / Round·arithmetic) as axes and
+    // exact integer measures, the full JSON-model → DataFrame path -------
+    "bi01_workspace_report" -> ((s, d) => {
+      val model = graft.pipeline.Workspace.load(s, biModelFixture(s, d))
+      graft.pipeline.Workspace.runReport(model, "Orders by month",
+        Map("Orders" -> Tables.orders(s, d)))
+    }),
+
+    // ---- BI workspace chart: the arity-1 Legend slot of the reference's
+    // chart descriptors (vue/data/data.js:53,60,69) pivots the single
+    // measure across the legend field's values — the grid a stacked bar
+    // renders; absent (axis, legend) combinations stay NULL cells --------
+    "bi02_workspace_legend" -> ((s, d) => {
+      val model = graft.pipeline.Workspace.load(s, biModelFixture(s, d))
+      graft.pipeline.Workspace.runReport(model, "Orders by status",
+        Map("Orders" -> Tables.orders(s, d)))
+    }),
+
     // ---- remaining ANSI window surface: percent_rank / cume_dist
     // (integer-ratio IEEE divisions, replay exactly) + framed first_value
     // and nth_value under the default RANGE frame; the (date, orderkey)
@@ -787,6 +849,33 @@ object Relational {
         | count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_total
         |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo""".stripMargin,
+
+    // bi01 replay: the JSON-model report compiles to exactly this grid —
+    // year/month axes, exact integer milli-price sum (the Round-measure
+    // idiom), per-axis order count; outer BIGINT cast per the HUGEINT rule
+    "bi01_workspace_report" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS "Order Year",
+        | strftime(o_orderdate, '%Y-%m') AS "Order Month",
+        | CAST(sum(CAST(round(o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+        |   AS sum_price_milli,
+        | count(o_orderkey) AS count_order_key
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // bi02 replay: the legend pivot as conditional aggregation — one
+    // column per status value (sorted: F, O, P), NULL where the (year,
+    // status) combination has no orders, exactly the pivoted grid
+    "bi02_workspace_legend" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS "Order Year",
+        | CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |   THEN CAST(round(o_totalprice * 1000) AS BIGINT) END) AS BIGINT)
+        |   AS "F",
+        | CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |   THEN CAST(round(o_totalprice * 1000) AS BIGINT) END) AS BIGINT)
+        |   AS "O",
+        | CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |   THEN CAST(round(o_totalprice * 1000) AS BIGINT) END) AS BIGINT)
+        |   AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q19_order_size_buckets" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'

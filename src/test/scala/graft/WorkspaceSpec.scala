@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Workspace
+
+/** Specs for the workspace JSON-model compiler (the bi01 gate hash-matches
+  * a full report; these pin the formula-language corners the gate's model
+  * doesn't exercise: precedence, literals, spaced column names, DateDiff
+  * units, filter compilation, and loader/report error surfaces). */
+class WorkspaceSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val cols = Set("BirthDate", "Date", "Code Pays", "price", "qty")
+
+  test("formula compiler: reference surface maps to Catalyst SQL") {
+    assert(Workspace.compileToSql("GetYear(BirthDate)", cols) ==
+      "year(`BirthDate`)")
+    assert(Workspace.compileToSql("Format(Date, 'yyyyMMM')", cols) ==
+      "date_format(`Date`, 'yyyyMMM')")
+    assert(Workspace.compileToSql("GetDay(Date)", cols) == "day(`Date`)")
+    assert(Workspace.compileToSql("Code Pays", cols) == "`Code Pays`")
+    assert(Workspace.compileToSql("DateDiff(BirthDate, Now(), 'yyyy')", cols)
+      == "(year(current_date()) - year(`BirthDate`))")
+    assert(Workspace.compileToSql("DateDiff(BirthDate, Date, 'dd')", cols)
+      == "datediff(`Date`, `BirthDate`)")
+    assert(Workspace.compileToSql("DateDiff(BirthDate, Date, 'mm')", cols)
+      == "((year(`Date`) - year(`BirthDate`)) * 12 + " +
+        "(month(`Date`) - month(`BirthDate`)))")
+  }
+
+  test("formula compiler: arithmetic precedence and literals") {
+    // * binds tighter than + (split on the last top-level +/- first)
+    assert(Workspace.compileToSql("price + qty * 2", cols) ==
+      "(`price` + (`qty` * 2))")
+    assert(Workspace.compileToSql("Round(price * 1000)", cols) ==
+      "round((`price` * 1000))")
+    // explicit parens beat the default precedence — prove by evaluation
+    val r = Workspace.compileToSql("(price + qty) * 2", cols)
+    val df = Seq((3.0, 2L)).toDF("price", "qty")
+      .select(expr(r).as("v"))
+    assert(df.head().getDouble(0) == 10.0)
+  }
+
+  test("formula compiler: unknown function and unknown column reject") {
+    intercept[IllegalArgumentException] {
+      Workspace.compileToSql("Frobnicate(price)", cols)
+    }
+    intercept[IllegalArgumentException] {
+      Workspace.compileToSql("no_such_col", cols)
+    }
+    intercept[IllegalArgumentException] {
+      Workspace.compileToSql("DateDiff(Date, Date, 'ss')", cols)
+    }
+  }
+
+  private def fixtureModel(): Workspace.WsModel = {
+    val dir = graft.sources.Scratch.dir(spark, "wsmodel", "spec")
+    val json =
+      """{"sources": ["s1"],
+        | "tables": [{"name": "T", "source": "s1", "fields": [
+        |   {"name": "Yr", "dataType": "int",
+        |    "formule": "GetYear(d)", "visible": true, "order": 1},
+        |   {"name": "Amount Milli", "dataType": "bigint",
+        |    "formule": "Round(amount * 1000)", "visible": false, "order": 2},
+        |   {"name": "K", "dataType": "string", "formule": "k", "order": 3}]}],
+        | "reports": [
+        |   {"name": "by year", "table": "T", "axes": ["Yr"],
+        |    "measures": [{"field": "Amount Milli", "agg": "sum"},
+        |                 {"field": "K", "agg": "count_distinct"}]},
+        |   {"name": "filtered", "table": "T", "axes": ["K"],
+        |    "measures": [{"field": "Amount Milli", "agg": "max"}],
+        |    "filter": "GetYear(d) - 2020"},
+        |   {"name": "legend", "table": "T", "axes": ["Yr"],
+        |    "legend": "K",
+        |    "measures": [{"field": "Amount Milli", "agg": "sum"}]}]}
+        |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/model.json"), json.getBytes("UTF-8"))
+    Workspace.load(spark, s"$dir/model.json")
+  }
+
+  private def data() = Seq(
+    ("2020-03-01", 1.25, "a"), ("2020-07-09", 2.00, "b"),
+    ("2021-01-15", 0.50, "a"), ("2021-06-30", 3.75, "a"))
+    .toDF("d0", "amount", "k")
+    .select(to_date(col("d0")).as("d"), col("amount"), col("k"))
+
+  test("loader + report: axes, typed measures, deterministic grid") {
+    val model = fixtureModel()
+    assert(model.sources == Seq("s1"))
+    assert(model.tables.head.fields.map(_.name) ==
+      Seq("Yr", "Amount Milli", "K"))
+    val grid = Workspace.runReport(model, "by year", Map("T" -> data()))
+    assert(grid.columns.toSeq ==
+      Seq("Yr", "sum_amount_milli", "count_distinct_k"))
+    val rows = grid.as[(Int, Long, Long)].collect().toSeq
+    assert(rows == Seq((2020, 3250L, 2L), (2021, 4250L, 1L)))
+    // the axis field's declared int dataType is enforced on the output
+    assert(grid.schema("Yr").dataType.typeName == "integer")
+  }
+
+  test("report filter compiles through the formula language") {
+    val model = fixtureModel()
+    // filter "GetYear(d) - 2020" is non-zero (truthy) only for 2021 rows
+    val grid = Workspace.runReport(model, "filtered", Map("T" -> data()))
+    val rows = grid.as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("a", 3750L)))
+  }
+
+  test("legend report pivots the measure, absent combinations stay NULL") {
+    val model = fixtureModel()
+    val grid = Workspace.runReport(model, "legend", Map("T" -> data()))
+    // sorted legend values become the measure columns
+    assert(grid.columns.toSeq == Seq("Yr", "a", "b"))
+    val rows = grid.as[(Int, Option[Long], Option[Long])].collect().toSeq
+    assert(rows == Seq(
+      (2020, Some(1250L), Some(2000L)),
+      (2021, Some(4250L), None))) // no 'b' rows in 2021 -> NULL cell
+  }
+
+  test("report errors name the missing piece") {
+    val model = fixtureModel()
+    val e1 = intercept[IllegalArgumentException] {
+      Workspace.runReport(model, "nope", Map("T" -> data()))
+    }
+    assert(e1.getMessage.contains("unknown report"))
+    val e2 = intercept[IllegalArgumentException] {
+      Workspace.runReport(model, "by year", Map.empty)
+    }
+    assert(e2.getMessage.contains("not mounted"))
+  }
+}
