@@ -177,6 +177,30 @@ object SourceQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Archive decompress-on-ingest (reference net2demy/Execute.scala:
+    // 63-380): stage a zip landing zone from documents, stream-extract
+    // every entry into loose storage files (the crawler's deflate step),
+    // then scan the EXTRACTED files back — the gate proves bytes landed,
+    // not just the manifest. ASCII text, so bytes == chars and the oracle
+    // replays length() directly (the ws01 convention; multibyte,
+    // flattening, and the 7z/gz/bz2/xz/tar.gz codec lanes are
+    // spec-asserted in ArchiveIngestSpec)
+    "cr03_zip_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val src = graft.sources.Scratch.dir(s, "zip", s"cr03_src_$d")
+      val dest = graft.sources.Scratch.dir(s, "zip", s"cr03_dest_$d")
+      graft.sources.ArchiveIngest.writeZip(
+        docs.repartition(4, col("doc_id")), "doc_id", "text", src)
+      graft.sources.ArchiveIngest.extract(s, src, dest).count() // land files
+      s.read.format("binaryFile").load(s"$dest/*.txt")
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long")
+            .as("doc_id"),
+          col("length").cast(IntegerType).as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // WebDataset-style tar shards: write documents as one ustar shard per
     // partition, stream the shards back, and prove every sample survived
     // with its exact byte length (text is ASCII, so bytes == chars and the
@@ -220,6 +244,11 @@ object SourceQueries {
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ws01_tar_shards" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    // cr03 lands the same rows through the zip ingest path: if any entry
+    // is lost or truncated during extract, doc_id/byte-length rows diverge
+    "cr03_zip_ingest" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 

@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Archive decompress-on-ingest (reference: net2demy/Execute.scala:63-380
+  * — the archive branch of its download loop streams a fetched `.zip`
+  * through `java.util.zip.ZipInputStream` (Execute.scala:395+) or a `.7z`
+  * through commons-compress' SevenZFile (Execute.scala:350+), and lands
+  * every entry as its own storage file, flattening entry paths with
+  * `/` → `-`; its crawl matcher also recognizes `.tar.gz` and `.bz2`
+  * suffixes, Execute.scala:113).
+  *
+  * Spark-first re-expression: the unit of parallelism is the ARCHIVE — a
+  * landing zone holds many archives (one per crawl batch / source), so a
+  * `binaryFile` scan distributes one task per archive and each task
+  * streams its own decoder; entries are written straight to the
+  * destination through the task-side Hadoop FileSystem (hdfs/s3a/file —
+  * the TarShards write discipline). Within one archive the stream is
+  * inherently sequential (DEFLATE/LZMA have no random access), which is
+  * the right trade at 100 TB: archives are many and modest, entries
+  * stream at IO speed, and no driver ever holds file bytes.
+  *
+  * Codec matrix — every decoder is a Spark-BUNDLED public jar (the
+  * declared unmanaged classpath, zero new dependencies):
+  *  - `.zip`            → `java.util.zip.ZipInputStream` (JDK)
+  *  - `.7z`             → commons-compress `SevenZFile` (LZMA/LZMA2 via
+  *                        the bundled tukaani xz jar) — the reference's
+  *                        own 7z decoder
+  *  - `.tar.gz`/`.tgz`  → JDK GZIP + the ustar parser shared with
+  *                        [[TarShards]]
+  *  - `.gz`/`.bz2`/`.xz` (single-file) → JDK GZIP / commons-compress
+  *                        BZip2/XZ; one output named minus the suffix
+  * Unrecognized extensions are skipped (reported nowhere — the landing
+  * zone contract is "archives only", mirror of the reference's explicit
+  * suffix regex).
+  */
+object ArchiveIngest {
+
+  /** Stream every entry of every archive under `srcDir` into `destDir`,
+    * one output file per entry, entry paths flattened with `/` → `-`
+    * (the reference's zname convention; directory entries are skipped).
+    * Name collisions across archives are the caller's contract, exactly
+    * as in the reference (last write wins, nondeterministically — keep
+    * archive contents disjoint). Returns the ingest manifest:
+    * (archive, entry, dest_name, n_bytes), one row per landed file. */
+  def extract(spark: SparkSession, srcDir: String, destDir: String,
+              glob: String = "*"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("archive", StringType),
+      StructField("entry", StringType),
+      StructField("dest_name", StringType),
+      StructField("n_bytes", LongType)))
+    val rdd = spark.read.format("binaryFile").load(s"$srcDir/$glob")
+      .select(col("path"), col("content")).rdd
+      .flatMap { r =>
+        val archive = r.getAs[String]("path").split('/').last
+        val fs = new org.apache.hadoop.fs.Path(destDir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        entriesOf(archive, r.getAs[Array[Byte]]("content")).map {
+          case (name, bytes) =>
+            val zname = name.replaceAll("/", "-")
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(s"$destDir/$zname"), true)
+            try out.write(bytes) finally out.close()
+            Row(archive, name, zname, bytes.length.toLong)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Distributed entry scan WITHOUT landing files: (archive, name, bytes)
+    * per regular entry — for pipelines that ingest archive contents
+    * directly into a table instead of re-materializing loose files. */
+  def read(spark: SparkSession, srcDir: String,
+           glob: String = "*"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("archive", StringType),
+      StructField("name", StringType),
+      StructField("bytes", BinaryType)))
+    val rdd = spark.read.format("binaryFile").load(s"$srcDir/$glob")
+      .select(col("path"), col("content")).rdd
+      .flatMap { r =>
+        val archive = r.getAs[String]("path").split('/').last
+        entriesOf(archive, r.getAs[Array[Byte]]("content"))
+          .map { case (n, b) => Row(archive, n, b) }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Decode one in-memory archive by filename extension (see the codec
+    * matrix above); unrecognized extensions yield no entries. */
+  def entriesOf(fileName: String, bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val lower = fileName.toLowerCase
+    if (lower.endsWith(".zip")) zipEntriesOf(bytes)
+    else if (lower.endsWith(".7z")) sevenZEntriesOf(bytes)
+    else if (lower.endsWith(".tar.gz") || lower.endsWith(".tgz"))
+      TarShards.parseTar(drain(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))))
+    else if (lower.endsWith(".gz"))
+      Seq(chopExt(fileName) -> drain(new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))))
+    else if (lower.endsWith(".bz2"))
+      Seq(chopExt(fileName) -> drain(
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+          new java.io.ByteArrayInputStream(bytes))))
+    else if (lower.endsWith(".xz"))
+      Seq(chopExt(fileName) -> drain(
+        new org.apache.commons.compress.compressors.xz.XZCompressorInputStream(
+          new java.io.ByteArrayInputStream(bytes))))
+    else Seq.empty
+  }
+
+  private def chopExt(name: String): String =
+    name.substring(0, name.lastIndexOf('.'))
+
+  private def drain(in: java.io.InputStream): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    try {
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    buf.toByteArray
+  }
+
+  /** Decode one in-memory zip through ZipInputStream (the streaming
+    * decoder, not ZipFile's central-directory random access — matches the
+    * reference and needs no temp file). Directory entries are skipped. */
+  def zipEntriesOf(zipBytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(zipBytes))
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    try {
+      var entry = zis.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory) out += entry.getName -> drain2(zis)
+        zis.closeEntry()
+        entry = zis.getNextEntry
+      }
+    } finally zis.close()
+    out.result()
+  }
+
+  // drain without closing (the stream owns multiple entries)
+  private def drain2(in: java.io.InputStream): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](64 * 1024)
+    var n = in.read(chunk)
+    while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    buf.toByteArray
+  }
+
+  /** Decode one in-memory 7z archive (the reference's SevenZFile path;
+    * 7z headers need random access, which SeekableInMemoryByteChannel
+    * provides without a temp file). Directory entries are skipped. */
+  def sevenZEntriesOf(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(bytes)
+    val sz = org.apache.commons.compress.archivers.sevenz.SevenZFile
+      .builder().setSeekableByteChannel(ch).get()
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    try {
+      var entry = sz.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 * 1024)
+          var n = sz.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = sz.read(chunk) }
+          out += entry.getName -> buf.toByteArray
+        }
+        entry = sz.getNextEntry
+      }
+    } finally sz.close()
+    out.result()
+  }
+
+  /** Write (key, text) rows as zip archives, one per partition, at
+    * `dir/prefix-NNNNN.zip`, entry `<key>.txt` per row — the fixture/
+    * export twin of [[extract]] (the reference only ever CONSUMES
+    * archives; producing them here gives round-trip tests and a compact
+    * text-export sink). Entry mtimes are pinned to epoch so archive
+    * bytes are deterministic for a given partitioning. */
+  def writeZip(df: DataFrame, keyCol: String, textCol: String, dir: String,
+               prefix: String = "batch"): Unit = {
+    df.select(col(keyCol).cast("string").as("_k_"),
+        col(textCol).cast("string").as("_t_"))
+      .rdd.foreachPartition { it =>
+        // an entry-less ZipOutputStream throws on close — an empty
+        // partition lands no archive at all
+        if (it.hasNext) {
+          val pid = TaskContext.getPartitionId()
+          val path = new org.apache.hadoop.fs.Path(f"$dir/$prefix-$pid%05d.zip")
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val zos = new java.util.zip.ZipOutputStream(
+            new java.io.BufferedOutputStream(fs.create(path, true)))
+          try {
+            it.foreach { r =>
+              val e = new java.util.zip.ZipEntry(r.getAs[String]("_k_") + ".txt")
+              e.setTime(0L)
+              zos.putNextEntry(e)
+              zos.write(r.getAs[String]("_t_").getBytes("UTF-8"))
+              zos.closeEntry()
+            }
+          } finally zos.close()
+        }
+      }
+  }
+}
