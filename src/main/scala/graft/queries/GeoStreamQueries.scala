@@ -388,6 +388,34 @@ object GeoStreamQueries {
         .orderBy("docId")
     }),
 
+    // BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark — the
+    // production answer to sm02's unbounded-state exact dedup (sm02's
+    // flatMapGroupsWithState keeps every key forever; here state expires
+    // `delay` behind the watermark, so a perpetual stream holds only a
+    // sliding window of keys). Dedup key includes the calendar day, and
+    // every sighting of a (user, type, day) key is < 1 day of event time
+    // after the first while the watermark lags 2 days — so no duplicate
+    // ever outlives its state entry and no key is emitted twice, which
+    // makes the batch replay exactly DISTINCT over the staged zone. The
+    // gate projects the KEY columns only: which physical duplicate wins
+    // inside a micro-batch is not contractual. Eviction itself (the
+    // point of the operator) is spec-asserted via numRowsTotal.
+    "sm11_stream_dedup_watermarked" -> ((s, d) => {
+      val stage = eventsIntervalStage(s, d)
+      val schema = s.read.parquet(stage).schema
+      val deduped = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+        // parquet re-read is TIMESTAMP_NTZ; session TZ pinned UTC → identity
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("day", to_date(col("ts")))
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      Streams.runToMemory(deduped, "sm11_sink", outputMode = "append",
+          statePartitions = Some(8))
+        .select(col("user_id"), col("event_type"),
+          col("day").cast("string").as("day"))
+        .orderBy("user_id", "event_type", "day")
+    }),
+
     // Streaming SLIDING windows: 6-hour windows every 2 hours over the
     // events stream — each event lands in exactly win/slide = 3
     // overlapping windows (epoch-aligned, same rule both engines).
@@ -442,6 +470,15 @@ object GeoStreamQueries {
         |  pp - least(CAST(0 AS BIGINT), pmin) >= 400000 AS alarm_hi,
         |  greatest(CAST(0 AS BIGINT), pmax) - pp >= 400000 AS alarm_lo
         |FROM q ORDER BY user_id, event_id""".stripMargin,
+    // sm11 replay: with the day in the dedup key and the watermark two
+    // days behind event time, the streaming dedup emits each key exactly
+    // once — the batch closed form is plain DISTINCT
+    "sm11_stream_dedup_watermarked" ->
+      """SELECT DISTINCT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d') AS day
+        |FROM events
+        |ORDER BY user_id, event_type, day""".stripMargin,
+
     "geo01_point_in_polygon" ->
       """WITH pts AS (
         |  SELECT event_id,

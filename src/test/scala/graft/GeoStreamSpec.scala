@@ -202,6 +202,48 @@ class GeoStreamSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  test("dropDuplicatesWithinWatermark: in-window dupes dropped, state evicted, late re-arrival re-emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val deduped = in.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val name = s"wmdedup_${System.nanoTime()}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // batch 1: key 1 three times inside the window, key 2 once
+      in.addData((1L, ts(0)), (1L, ts(1)), (1L, ts(2)), (2L, ts(0)))
+      q.processAllAvailable()
+      // batch 2: two hours later — advances the watermark far past the
+      // t~0 entries' expiry (t + 10min), so they leave the state store
+      in.addData((3L, ts(120)))
+      q.processAllAvailable()
+      // batch 3: key 1 re-arrives AFTER its entry was evicted — by the
+      // operator's contract it is emitted AGAIN (the bounded-state trade:
+      // dedup is exact only within the watermark delay)
+      in.addData((1L, ts(240)), (1L, ts(241)))
+      q.processAllAvailable()
+      val totals = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal)
+      q.stop()
+      val out = spark.table(name).select("k", "ts")
+        .as[(Long, java.sql.Timestamp)].collect().toSeq
+      // one survivor per key per window: k=1 twice (t~0 and t~240 windows),
+      // k=2 and k=3 once each
+      assert(out.map(_._1).groupBy(identity).view.mapValues(_.size).toMap ==
+        Map(1L -> 2, 2L -> 1, 3L -> 1))
+      // and the dedup state actually SHRANK as the watermark advanced
+      assert(totals.nonEmpty, "no state-operator progress recorded")
+      assert(totals.last < totals.max, s"state never evicted: totals=$totals")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("flattenHierarchy denormalizes ancestor paths") {
     val nodes = Seq(
       (1L, None: Option[Long], "root"),
