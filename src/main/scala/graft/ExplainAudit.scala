@@ -73,7 +73,13 @@ object ExplainAudit {
         "mv02_incremental_join", "mv03_incremental_join_deletes",
         "ks01_ks_statistic", "wd01_window_distinct",
         "ca01_contribution_analysis", "bm02_boolean_and",
-        "ab02_randomization_test")
+        "ab02_randomization_test",
+        // driver-round-9 tier: JSON-model compiled report + legend pivot,
+        // archive-parallel zip extract readback, signed agg-view fold,
+        // bisect group quantiles with its type-preserving join-back
+        "bi01_workspace_report", "bi02_workspace_legend",
+        "cr03_zip_ingest", "mv04_incremental_agg_deletes",
+        "qd02_group_quantiles_bisect")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
