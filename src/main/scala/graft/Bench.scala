@@ -63,6 +63,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Root cause of the round-8 "unexplained stack trace in the bench
+    // tail": reading a freshly staged dir through a glob path triggers
+    // Spark's FileStreamSink metadata probe, which logs its CAUGHT
+    // FileNotFoundException at WARN **with the full stack trace** (the
+    // glob is probed as a literal path and misses). The queries proceed
+    // and time normally — the trace is pure log noise, but in the
+    // driver's tail window it reads as a crash the errors:0 artifact
+    // can't explain. Silence that one logger; real failures still print
+    // tagged [bench] lines (and count in `errors`).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
 
     // optional comma-separated query filter for targeted local timing runs;
     // a blank value means "no filter", not "match nothing"
