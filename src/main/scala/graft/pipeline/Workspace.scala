@@ -235,7 +235,17 @@ object Workspace {
     * schema is deterministic. Legend values are collected on the driver
     * (a chart legend is small by its own contract — it has to fit in a
     * legend box); combinations absent from the data are NULL cells, the
-    * grid a stacked/grouped chart consumes. */
+    * grid a stacked/grouped chart consumes.
+    *
+    * A field's `orderby` formula (the model carries one whenever the
+    * DISPLAY value doesn't sort — `Format(Date, 'yyyyMMM')` displays
+    * "1995Jan" but sorts by `Format(Date, 'yyyyMM')`,
+    * vue/server/model.js:52) sorts that axis by the compiled orderby
+    * expression instead of the display column. The orderby expression
+    * rides through the aggregation as an extra grouping key and is
+    * dropped from the output; the model's contract is that orderby is
+    * functionally aligned with the display formula (same granularity),
+    * exactly as in the reference's month fields. */
   def runReport(model: WsModel, reportName: String,
                 mounted: Map[String, DataFrame]): DataFrame = {
     val report = model.reports.find(_.name == reportName).getOrElse(
@@ -252,8 +262,22 @@ object Workspace {
       df.where(compileFormula(f, columns).cast("boolean"))).getOrElse(df)
     require(report.axes.nonEmpty, "a report needs at least one axis field")
     require(report.measures.nonEmpty, "a report needs at least one measure")
-    val axisCols = report.axes.map(a =>
-      fieldExpr(table, a, columns).as(a))
+    // axis fields with an orderby formula contribute a second, hidden
+    // grouping key to sort on; `(displayCol, sortCol, hiddenName)`
+    val axisParts = report.axes.zipWithIndex.map { case (a, i) =>
+      val f = table.fields.find(_.name == a)
+      val ob = f.flatMap(_.orderby).map { o =>
+        (compileFormula(o, columns), s"_ob${i}_")
+      }
+      (fieldExpr(table, a, columns).as(a), ob)
+    }
+    val groupCols = axisParts.flatMap { case (display, ob) =>
+      display +: ob.map { case (c, n) => c.as(n) }.toSeq
+    }
+    val sortCols = report.axes.zip(axisParts).map { case (a, (_, ob)) =>
+      ob.map { case (_, n) => col(n) }.getOrElse(col(a))
+    }
+    val hidden = axisParts.flatMap(_._2.map(_._2))
     def aggFn(m: WsMeasure) = aggs.getOrElse(m.agg.toLowerCase,
       throw new IllegalArgumentException(
         s"unknown aggregate '${m.agg}' (have: ${aggs.keys.mkString(", ")})"))
@@ -269,19 +293,21 @@ object Workspace {
         require(values.nonEmpty, s"legend field '$legendField' has no values")
         filtered
           .withColumn("_legend_", legendCol)
-          .groupBy(axisCols: _*)
+          .groupBy(groupCols: _*)
           .pivot("_legend_", values)
           .agg(aggFn(m)(fieldExpr(table, m.field, columns)))
-          .orderBy(report.axes.map(col): _*)
+          .orderBy(sortCols: _*)
+          .drop(hidden: _*)
       case None =>
         val measureCols = report.measures.map { m =>
           aggFn(m)(fieldExpr(table, m.field, columns))
             .as(s"${m.agg.toLowerCase}_" +
               m.field.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
         }
-        filtered.groupBy(axisCols: _*)
+        filtered.groupBy(groupCols: _*)
           .agg(measureCols.head, measureCols.tail: _*)
-          .orderBy(report.axes.map(col): _*)
+          .orderBy(sortCols: _*)
+          .drop(hidden: _*)
     }
   }
 }

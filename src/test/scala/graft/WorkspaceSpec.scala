@@ -64,7 +64,10 @@ class WorkspaceSpec extends AnyFunSuite {
         |    "formule": "GetYear(d)", "visible": true, "order": 1},
         |   {"name": "Amount Milli", "dataType": "bigint",
         |    "formule": "Round(amount * 1000)", "visible": false, "order": 2},
-        |   {"name": "K", "dataType": "string", "formule": "k", "order": 3}]}],
+        |   {"name": "K", "dataType": "string", "formule": "k", "order": 3},
+        |   {"name": "Month", "dataType": "string",
+        |    "formule": "Format(d, 'MMM')", "order": 4,
+        |    "orderby": "Format(d, 'yyyyMM')"}]}],
         | "reports": [
         |   {"name": "by year", "table": "T", "axes": ["Yr"],
         |    "measures": [{"field": "Amount Milli", "agg": "sum"},
@@ -74,6 +77,8 @@ class WorkspaceSpec extends AnyFunSuite {
         |    "filter": "GetYear(d) - 2020"},
         |   {"name": "legend", "table": "T", "axes": ["Yr"],
         |    "legend": "K",
+        |    "measures": [{"field": "Amount Milli", "agg": "sum"}]},
+        |   {"name": "by month", "table": "T", "axes": ["Month"],
         |    "measures": [{"field": "Amount Milli", "agg": "sum"}]}]}
         |""".stripMargin
     java.nio.file.Files.write(
@@ -91,7 +96,7 @@ class WorkspaceSpec extends AnyFunSuite {
     val model = fixtureModel()
     assert(model.sources == Seq("s1"))
     assert(model.tables.head.fields.map(_.name) ==
-      Seq("Yr", "Amount Milli", "K"))
+      Seq("Yr", "Amount Milli", "K", "Month"))
     val grid = Workspace.runReport(model, "by year", Map("T" -> data()))
     assert(grid.columns.toSeq ==
       Seq("Yr", "sum_amount_milli", "count_distinct_k"))
@@ -118,6 +123,17 @@ class WorkspaceSpec extends AnyFunSuite {
     assert(rows == Seq(
       (2020, Some(1250L), Some(2000L)),
       (2021, Some(4250L), None))) // no 'b' rows in 2021 -> NULL cell
+  }
+
+  test("orderby formula sorts the axis chronologically, not by display value") {
+    val model = fixtureModel()
+    val grid = Workspace.runReport(model, "by month", Map("T" -> data()))
+    // the hidden sort key is dropped from the output
+    assert(grid.columns.toSeq == Seq("Month", "sum_amount_milli"))
+    val months = grid.select("Month").as[String].collect().toSeq
+    // display "Mar Jul Jan Jun" would sort alphabetically Jan,Jul,Jun,Mar;
+    // the yyyyMM orderby gives chronological order across both years
+    assert(months == Seq("Mar", "Jul", "Jan", "Jun"))
   }
 
   test("report errors name the missing piece") {
