@@ -49,6 +49,58 @@ object Analytics {
     }
   }
 
+  /** Multi-touch LINEAR attribution — the equal-credit companion to the
+    * as-of last-touch rollup (at01): every conversion's integer revenue
+    * splits across ALL of the user's touches inside the lookback window
+    * `(conv_ts − windowSeconds, conv_ts]`. Credit is exactly conserved
+    * by largest-remainder allocation: each touch gets `rev div n` and
+    * the `rev mod n` leftover milli-units go one each to the MOST RECENT
+    * touches (recency order, tie-broken by `touchTieCol`) — so the
+    * per-channel rollup sums exactly to total conversion revenue, and
+    * being pure integer arithmetic it replays on any engine.
+    * Conversions with no in-window touch credit the `direct` channel in
+    * full (the at01 convention).
+    *
+    * Plan: one user-key equi-join with the window range as a residual
+    * filter (fan-out = touches-per-user-window × conversions-per-user,
+    * the analytics-join shape), one conversion-key window for (n, rank),
+    * one channel rollup with map-side combine. For 100 TB event logs
+    * with hot users, pre-bucket by time and join on (user, bucket) — the
+    * [[Temporal.rangeJoin]] recipe; the windowed shape here is the
+    * within-bucket step of that plan.
+    *
+    * Output: (channel, n_credits, revenue_milli), one row per channel
+    * (including `direct`). */
+  def linearAttribution(conversions: DataFrame, touches: DataFrame,
+                        userCol: String, tsCol: String, channelCol: String,
+                        revenueMilliCol: String, convIdCol: String,
+                        touchTieCol: String,
+                        windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val conv = conversions.select(col(userCol), col(tsCol).as("_cts_"),
+      col(convIdCol).as("_cid_"), col(revenueMilliCol).cast("long").as("_rev_"))
+    val t = touches.select(col(userCol), col(tsCol).as("_tts_"),
+      col(channelCol).as("channel"), col(touchTieCol).as("_tid_"))
+    val joined = conv.join(t, Seq(userCol))
+      .where(col("_tts_") <= col("_cts_") &&
+        col("_tts_") > col("_cts_") - expr(s"INTERVAL $windowSeconds SECONDS"))
+    val w = Window.partitionBy(col("_cid_"))
+    val wr = w.orderBy(col("_tts_").desc, col("_tid_").desc)
+    val credited = joined
+      .withColumn("_n_", count(lit(1)).over(w))
+      .withColumn("_r_", row_number().over(wr))
+      .withColumn("_share_",
+        expr("_rev_ div _n_") +
+          when(col("_r_") <= expr("_rev_ % _n_"), 1L).otherwise(0L))
+      .select(col("channel"), col("_share_"))
+    val direct = conv.join(
+        joined.select(col("_cid_")).distinct(), Seq("_cid_"), "left_anti")
+      .select(lit("direct").as("channel"), col("_rev_").as("_share_"))
+    credited.unionByName(direct)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"), sum(col("_share_")).as("revenue_milli"))
+  }
+
   /** Retention cohort matrix: users are assigned to the period of their
     * first activity (`cohort_period`), and each (cohort, offset) cell
     * counts distinct users active `period_offset` periods later. Periods

@@ -676,6 +676,23 @@ object AnalyticsQueries {
         .orderBy("o_orderkey", "l_linenumber", "qty_milli")
     }),
 
+    // ---- multi-touch LINEAR attribution: every purchase's milli-revenue
+    // splits equally across the user's touches in a 7-day lookback,
+    // remainder to the most recent touches (largest-remainder — credit
+    // exactly conserved, pure integer); untouched purchases -> 'direct' --
+    "at02_linear_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("cast(round(value * 1000) as bigint)").as("rev_milli"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      Analytics.linearAttribution(conv, touches, "user_id", "ts",
+          "event_type", "rev_milli", convIdCol = "event_id",
+          touchTieCol = "event_id", windowSeconds = 7L * 24 * 3600)
+        .orderBy("channel")
+    }),
+
     // ---- DELETE-capable aggregate-view maintenance: signed deltas fold
     // into the (count, sum) state — inserts land late, deletes retract
     // base rows, fully-retracted keys vanish; the oracle is the rebuild
@@ -769,6 +786,39 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // at02 replay: same integer largest-remainder split — floor share via
+    // integer division, the rev % n leftover milli-units to the most
+    // recent touches by (tts, tid) rank; direct = NOT EXISTS in-window
+    "at02_linear_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, ts AS cts, event_id AS cid,
+        |         CAST(round(value * 1000) AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, ts AS tts, event_type AS channel, event_id AS tid
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT c.cid, c.rev, t.channel, t.tts, t.tid
+        |  FROM conv c JOIN t ON t.user_id = c.user_id
+        |  WHERE t.tts <= c.cts AND t.tts > c.cts - INTERVAL 7 DAY),
+        |r AS (
+        |  SELECT cid, rev, channel,
+        |    count(*) OVER (PARTITION BY cid) AS n,
+        |    row_number() OVER (PARTITION BY cid
+        |                       ORDER BY tts DESC, tid DESC) AS rk
+        |  FROM j),
+        |shares AS (
+        |  SELECT channel,
+        |    rev // n + CASE WHEN rk <= rev % n THEN 1 ELSE 0 END AS share
+        |  FROM r
+        |  UNION ALL
+        |  SELECT 'direct' AS channel, rev AS share
+        |  FROM conv c
+        |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.cid = c.cid))
+        |SELECT channel, count(*) AS n_credits,
+        |       CAST(sum(share) AS BIGINT) AS revenue_milli
+        |FROM shares GROUP BY channel ORDER BY channel""".stripMargin,
 
     // mv04 replay: the rebuild over the POST-DELETE base — surviving rows
     // are everything except the deleted slice (base %3!=0 rows whose key

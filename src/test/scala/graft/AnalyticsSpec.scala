@@ -491,6 +491,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(state(snap1.unionByName(later)) == full)
   }
 
+  test("linearAttribution: credit conserved, remainder to recent, direct fallback") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // user 1: purchase of 10 milli with 3 touches in window -> shares
+    // 4 (most recent gets the extra), 3, 3; user 2: no touch -> direct
+    val conv = Seq(
+      (1L, ts(30), 900L, 10L),
+      (2L, ts(30), 901L, 7L)).toDF("user_id", "ts", "event_id", "rev_milli")
+    val touches = Seq(
+      (1L, ts(1), "view", 10L),
+      (1L, ts(2), "click", 11L),
+      (1L, ts(3), "view", 12L) // most recent
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.operators.Analytics.linearAttribution(conv, touches,
+        "user_id", "ts", "event_type", "rev_milli",
+        convIdCol = "event_id", touchTieCol = "event_id",
+        windowSeconds = 3600)
+      .as[(String, Long, Long)].collect()
+      .map { case (c, n, r) => c -> ((n, r)) }.toMap
+    // 10 div 3 = 3 each; remainder 1 -> rank-1 touch (ts(3), view)
+    assert(got == Map(
+      "view" -> (2L, 3L + 4L), "click" -> (1L, 3L), "direct" -> (1L, 7L)))
+    // conservation: total credited == total conversion revenue
+    assert(got.values.map(_._2).sum == 17L)
+    // a touch OUTSIDE the window never earns credit
+    val gotNarrow = graft.operators.Analytics.linearAttribution(conv, touches,
+        "user_id", "ts", "event_type", "rev_milli",
+        convIdCol = "event_id", touchTieCol = "event_id",
+        windowSeconds = 60) // only ts(30)-60s window: no touches qualify
+      .as[(String, Long, Long)].collect()
+      .map { case (c, n, r) => c -> ((n, r)) }.toMap
+    assert(gotNarrow == Map("direct" -> (2L, 17L)))
+  }
+
   test("DataQuality.report: planted violations of each check type") {
     val child = Seq((1L, 10.0), (1L, -3.0), (2L, 5.0), (4L, 2.0))
       .toDF("key", "v")
