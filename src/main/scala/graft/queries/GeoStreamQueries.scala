@@ -388,6 +388,52 @@ object GeoStreamQueries {
         .orderBy("docId")
     }),
 
+    // STREAMING archive ingest: the crawler's zip landing zone drained
+    // as a binary-file stream (one archive per micro-batch), each batch
+    // decompressed IN EXECUTORS by ArchiveIngest's decoder and handed
+    // off as an idempotent per-batch parquet (the sm07 foreachBatch
+    // discipline) — the crawl → decompress → training-table loop closed
+    // as a stream. Gate reads every batch's handoff back; oracle = the
+    // same per-document byte lengths the zip round trip must preserve.
+    "sm12_stream_archive_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      // fresh dirs per run: a rerun's different batch split must not mix
+      // with a previous run's leftover handoffs
+      val tag = System.nanoTime
+      val src = graft.sources.Scratch.dir(s, "zip", s"sm12_src_${d}_$tag")
+      graft.sources.ArchiveIngest.writeZip(
+        docs.repartition(4, col("doc_id")), "doc_id", "text", src)
+      val out = graft.sources.Scratch.dir(s, "zip", s"sm12_out_${d}_$tag")
+      val binSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val stream = s.readStream.format("binaryFile").schema(binSchema)
+        .option("maxFilesPerTrigger", "1").load(s"$src/*.zip")
+      Streams.runForeachBatch(stream.select("path", "content"), (batch, bid) => {
+        val sp = batch.sparkSession
+        import sp.implicits._
+        batch.rdd.flatMap { r =>
+          graft.sources.ArchiveIngest.entriesOf(
+              r.getAs[String]("path").split('/').last,
+              r.getAs[Array[Byte]]("content"))
+            .map { case (n, b) =>
+              (n.stripSuffix(".txt").toLong, b.length) }
+        }.toDF("doc_id", "n_bytes")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(f"$out/batch-b$bid%05d")
+      })
+      s.read.parquet(s"$out/batch-b*")
+        .select(col("doc_id"), col("n_bytes").cast(IntegerType).as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark — the
     // production answer to sm02's unbounded-state exact dedup (sm02's
     // flatMapGroupsWithState keeps every key forever; here state expires
@@ -470,6 +516,13 @@ object GeoStreamQueries {
         |  pp - least(CAST(0 AS BIGINT), pmin) >= 400000 AS alarm_hi,
         |  greatest(CAST(0 AS BIGINT), pmax) - pp >= 400000 AS alarm_lo
         |FROM q ORDER BY user_id, event_id""".stripMargin,
+    // sm12 replay: every staged document survives the zip → stream →
+    // decompress → parquet handoff with its exact byte length (ASCII:
+    // bytes == chars, the ws01/cr03 convention)
+    "sm12_stream_archive_ingest" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
     // sm11 replay: with the day in the dedup key and the watermark two
     // days behind event time, the streaming dedup emits each key exactly
     // once — the batch closed form is plain DISTINCT
