@@ -56,6 +56,10 @@ object Workspace {
   case class WsReport(name: String, table: String, axes: Seq[String],
                       measures: Seq[WsMeasure], filter: Option[String],
                       legend: Option[String])
+  case class WsBinding(slot: String, field: String, agg: Option[String])
+  case class WsVisual(name: String, chart: String, table: String,
+                      bindings: Seq[WsBinding])
+  case class WsVisuals(visuals: Seq[WsVisual])
   case class WsModel(sources: Seq[String], tables: Seq[WsTable],
                      reports: Seq[WsReport])
 
@@ -69,6 +73,119 @@ object Workspace {
     require(rows.length == 1, s"expected one model document at $path, " +
       s"got ${rows.length}")
     rows.head
+  }
+
+  /** Load a visuals.json (the workspace's sibling document,
+    * workspace.js:13-17) into its typed bindings. */
+  def loadVisuals(spark: SparkSession, path: String): Seq[WsVisual] = {
+    val enc = Encoders.product[WsVisuals]
+    val rows = spark.read.schema(enc.schema)
+      .option("multiLine", "true").json(path)
+      .as[WsVisuals](enc).collect()
+    require(rows.length == 1, s"expected one visuals document at $path, " +
+      s"got ${rows.length}")
+    rows.head.visuals
+  }
+
+  /** The visual gallery's slot descriptors (vue/data/data.js:48-80):
+    * slot name → (kind, arity). `axis` slots take plain fields, `measure`
+    * slots take a field plus an aggregate (the measureFunctions list,
+    * data.js:82-88: Sum / Count / Distinct Count / Average). */
+  val visualGallery: Map[String, Seq[(String, String, String)]] = {
+    val grouped = Seq(("Title", "string", "1"), ("Category", "axis", "*"),
+      ("Legend", "axis", "1"), ("Measure", "measure", "*"))
+    Map(
+      "Lines" -> grouped,
+      "Bars" -> grouped,
+      "Scatter" -> Seq(("Title", "string", "1"), ("X-Axis", "measure", "1"),
+        ("Y-Axis", "measure", "1"), ("Category", "axis", "1"),
+        ("Legend", "axis", "1")),
+      "Filter" -> Seq(("Field", "axis", "1")),
+      "Table" -> Seq(("Field", "axis", "*")))
+  }
+
+  private val measureFunctions = Map(
+    "sum" -> "sum", "count" -> "count", "distinct count" -> "count_distinct",
+    "average" -> "avg")
+
+  /** Validate a visual's bindings against its chart's slot descriptors
+    * and compile it to its data grid through [[runReport]]:
+    * Lines/Bars group the Category axes (legend pivots the measure),
+    * Scatter groups Category+Legend with the X/Y measures, Filter/Table
+    * emit the bound fields' DISTINCT ordered tuples (the domain a
+    * slicer/table renders). Rejections name the violated contract:
+    * unknown chart, unknown slot, an arity-1 slot bound twice, a measure
+    * binding without an aggregate (or with an unknown one), an aggregate
+    * on an axis slot, or a chart that needs a measure and has none. */
+  def runVisual(model: WsModel, visuals: Seq[WsVisual], visualName: String,
+                mounted: Map[String, DataFrame]): DataFrame = {
+    val v = visuals.find(_.name == visualName).getOrElse(
+      throw new IllegalArgumentException(s"unknown visual '$visualName' " +
+        s"(have: ${visuals.map(_.name).mkString(", ")})"))
+    val slots = visualGallery.getOrElse(v.chart,
+      throw new IllegalArgumentException(s"unknown chart type " +
+        s"'${v.chart}' (have: ${visualGallery.keys.toSeq.sorted.mkString(", ")})"))
+    val slotByName = slots.map(s => s._1 -> s).toMap
+    v.bindings.foreach { b =>
+      val (_, kind, _) = slotByName.getOrElse(b.slot,
+        throw new IllegalArgumentException(s"visual '${v.name}': chart " +
+          s"'${v.chart}' has no slot '${b.slot}' " +
+          s"(have: ${slots.map(_._1).mkString(", ")})"))
+      if (kind == "measure") {
+        val agg = b.agg.getOrElse(throw new IllegalArgumentException(
+          s"visual '${v.name}': measure slot '${b.slot}' needs an " +
+            s"aggregate (${measureFunctions.keys.toSeq.sorted.mkString(", ")})"))
+        require(measureFunctions.contains(agg.toLowerCase),
+          s"visual '${v.name}': unknown aggregate '$agg'")
+      } else require(b.agg.isEmpty,
+        s"visual '${v.name}': slot '${b.slot}' is an $kind slot — " +
+          "it takes no aggregate")
+    }
+    slots.foreach { case (name, _, arity) =>
+      val n = v.bindings.count(_.slot == name)
+      require(arity == "*" || n <= 1,
+        s"visual '${v.name}': slot '$name' takes one binding, got $n")
+    }
+    def bound(slot: String): Seq[WsBinding] = v.bindings.filter(_.slot == slot)
+    def measuresOf(slotNames: String*): Seq[WsMeasure] =
+      slotNames.flatMap(bound).map(b =>
+        WsMeasure(b.field, measureFunctions(b.agg.get.toLowerCase)))
+    v.chart match {
+      case "Lines" | "Bars" =>
+        val measures = measuresOf("Measure")
+        require(measures.nonEmpty,
+          s"visual '${v.name}': ${v.chart} needs at least one Measure")
+        require(bound("Category").nonEmpty,
+          s"visual '${v.name}': ${v.chart} needs at least one Category")
+        runReport(model.copy(reports = Seq(WsReport(v.name, v.table,
+          axes = bound("Category").map(_.field), measures = measures,
+          filter = None, legend = bound("Legend").headOption.map(_.field)))),
+          v.name, mounted)
+      case "Scatter" =>
+        val measures = measuresOf("X-Axis", "Y-Axis")
+        require(measures.size == 2,
+          s"visual '${v.name}': Scatter needs X-Axis and Y-Axis measures")
+        val axes = (bound("Category") ++ bound("Legend")).map(_.field)
+        require(axes.nonEmpty,
+          s"visual '${v.name}': Scatter needs a Category or Legend axis")
+        runReport(model.copy(reports = Seq(WsReport(v.name, v.table,
+          axes = axes, measures = measures, filter = None, legend = None))),
+          v.name, mounted)
+      case "Filter" | "Table" =>
+        val fields = bound("Field").map(_.field)
+        require(fields.nonEmpty,
+          s"visual '${v.name}': ${v.chart} needs a Field binding")
+        val table = model.tables.find(_.name == v.table).getOrElse(
+          throw new IllegalArgumentException(
+            s"visual table '${v.table}' is not in the model"))
+        val df = mounted.getOrElse(table.name,
+          throw new IllegalArgumentException(
+            s"table '${table.name}' is not mounted"))
+        val columns = df.columns.toSet
+        df.select(fields.map(f => fieldExpr(table, f, columns).as(f)): _*)
+          .distinct()
+          .orderBy(fields.map(col): _*)
+    }
   }
 
   // ---- formula compiler ----------------------------------------------------

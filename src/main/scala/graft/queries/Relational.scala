@@ -31,6 +31,21 @@ object Relational {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private val oneDec: Column = lit(1).cast(DecimalType(18, 2))
 
+  /** The year × status pivot grid both bi02 (report legend) and bi03
+    * (visuals.json Bars binding) must produce. */
+  private val LegendPivotSql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS "Order Year",
+      | CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |   THEN CAST(round(o_totalprice * 1000) AS BIGINT) END) AS BIGINT)
+      |   AS "F",
+      | CAST(sum(CASE WHEN o_orderstatus = 'O'
+      |   THEN CAST(round(o_totalprice * 1000) AS BIGINT) END) AS BIGINT)
+      |   AS "O",
+      | CAST(sum(CASE WHEN o_orderstatus = 'P'
+      |   THEN CAST(round(o_totalprice * 1000) AS BIGINT) END) AS BIGINT)
+      |   AS "P"
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared bi01/bi02 workspace-model fixture (the vue model.js shape):
     * written to scratch, then loaded back through Spark's JSON source —
     * the gate exercises the loader, not just the compiler. */
@@ -68,6 +83,19 @@ object Relational {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/model.json"),
       modelJson.getBytes("UTF-8"))
+    // the sibling visuals.json (workspace.js:13-17): a Bars chart bound
+    // into the gallery slots — Category axis, Legend, Sum measure
+    val visualsJson =
+      """{"visuals": [
+        |  {"name": "Revenue by status", "chart": "Bars",
+        |   "table": "Orders", "bindings": [
+        |    {"slot": "Category", "field": "Order Year"},
+        |    {"slot": "Legend", "field": "Order Status"},
+        |    {"slot": "Measure", "field": "Price Milli", "agg": "Sum"}]}]}
+        |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/visuals.json"),
+      visualsJson.getBytes("UTF-8"))
     s"$dir/model.json"
   }
 
@@ -585,6 +613,20 @@ object Relational {
         Map("Orders" -> Tables.orders(s, d)))
     }),
 
+    // ---- BI workspace visual: the visuals.json sibling document binds
+    // model fields into a gallery chart's slots (vue/data/data.js:48-80
+    // slot/arity descriptors, data.js:82-88 measure functions); the
+    // validated binding compiles through the same report path — the full
+    // workspace surface (model.json + visuals.json) end to end ----------
+    "bi03_workspace_visual" -> ((s, d) => {
+      val modelPath = biModelFixture(s, d)
+      val dir = modelPath.stripSuffix("/model.json")
+      val model = graft.pipeline.Workspace.load(s, modelPath)
+      val visuals = graft.pipeline.Workspace.loadVisuals(s, s"$dir/visuals.json")
+      graft.pipeline.Workspace.runVisual(model, visuals,
+        "Revenue by status", Map("Orders" -> Tables.orders(s, d)))
+    }),
+
     // ---- remaining ANSI window surface: percent_rank / cume_dist
     // (integer-ratio IEEE divisions, replay exactly) + framed first_value
     // and nth_value under the default RANGE frame; the (date, orderkey)
@@ -863,19 +905,11 @@ object Relational {
 
     // bi02 replay: the legend pivot as conditional aggregation — one
     // column per status value (sorted: F, O, P), NULL where the (year,
-    // status) combination has no orders, exactly the pivoted grid
-    "bi02_workspace_legend" ->
-      """SELECT CAST(year(o_orderdate) AS INTEGER) AS "Order Year",
-        | CAST(sum(CASE WHEN o_orderstatus = 'F'
-        |   THEN CAST(round(o_totalprice * 1000) AS BIGINT) END) AS BIGINT)
-        |   AS "F",
-        | CAST(sum(CASE WHEN o_orderstatus = 'O'
-        |   THEN CAST(round(o_totalprice * 1000) AS BIGINT) END) AS BIGINT)
-        |   AS "O",
-        | CAST(sum(CASE WHEN o_orderstatus = 'P'
-        |   THEN CAST(round(o_totalprice * 1000) AS BIGINT) END) AS BIGINT)
-        |   AS "P"
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // status) combination has no orders, exactly the pivoted grid.
+    // bi03 compiles a visuals.json Bars binding to the SAME grid — the
+    // identity of the two replays is the binding layer's contract
+    "bi02_workspace_legend" -> LegendPivotSql,
+    "bi03_workspace_visual" -> LegendPivotSql,
 
     "q19_order_size_buckets" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'

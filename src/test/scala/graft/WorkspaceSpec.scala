@@ -136,6 +136,72 @@ class WorkspaceSpec extends AnyFunSuite {
     assert(months == Seq("Mar", "Jul", "Jan", "Jun"))
   }
 
+  private def fixtureVisuals(): Seq[Workspace.WsVisual] = {
+    val dir = graft.sources.Scratch.dir(spark, "wsmodel", "spec_vis")
+    val json =
+      """{"visuals": [
+        |  {"name": "bars", "chart": "Bars", "table": "T", "bindings": [
+        |    {"slot": "Category", "field": "Yr"},
+        |    {"slot": "Legend", "field": "K"},
+        |    {"slot": "Measure", "field": "Amount Milli", "agg": "Sum"}]},
+        |  {"name": "scatter", "chart": "Scatter", "table": "T", "bindings": [
+        |    {"slot": "Category", "field": "K"},
+        |    {"slot": "X-Axis", "field": "Amount Milli", "agg": "Sum"},
+        |    {"slot": "Y-Axis", "field": "Amount Milli", "agg": "Count"}]},
+        |  {"name": "slicer", "chart": "Filter", "table": "T", "bindings": [
+        |    {"slot": "Field", "field": "Yr"}]},
+        |  {"name": "bad slot", "chart": "Bars", "table": "T", "bindings": [
+        |    {"slot": "Nope", "field": "Yr"},
+        |    {"slot": "Measure", "field": "Amount Milli", "agg": "Sum"}]},
+        |  {"name": "two legends", "chart": "Bars", "table": "T", "bindings": [
+        |    {"slot": "Category", "field": "Yr"},
+        |    {"slot": "Legend", "field": "K"},
+        |    {"slot": "Legend", "field": "Month"},
+        |    {"slot": "Measure", "field": "Amount Milli", "agg": "Sum"}]},
+        |  {"name": "aggless", "chart": "Bars", "table": "T", "bindings": [
+        |    {"slot": "Category", "field": "Yr"},
+        |    {"slot": "Measure", "field": "Amount Milli"}]}]}
+        |""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/visuals.json"), json.getBytes("UTF-8"))
+    Workspace.loadVisuals(spark, s"$dir/visuals.json")
+  }
+
+  test("visuals: a Bars binding compiles to the legend-pivot grid") {
+    val grid = Workspace.runVisual(fixtureModel(), fixtureVisuals(), "bars",
+      Map("T" -> data()))
+    assert(grid.columns.toSeq == Seq("Yr", "a", "b"))
+    assert(grid.as[(Int, Option[Long], Option[Long])].collect().toSeq ==
+      Seq((2020, Some(1250L), Some(2000L)), (2021, Some(4250L), None)))
+  }
+
+  test("visuals: Scatter groups the axis with X/Y measures; Filter emits the domain") {
+    val sc = Workspace.runVisual(fixtureModel(), fixtureVisuals(), "scatter",
+      Map("T" -> data()))
+    assert(sc.columns.toSeq ==
+      Seq("K", "sum_amount_milli", "count_amount_milli"))
+    assert(sc.as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 5500L, 3L), ("b", 2000L, 1L)))
+    val sl = Workspace.runVisual(fixtureModel(), fixtureVisuals(), "slicer",
+      Map("T" -> data()))
+    assert(sl.as[Int].collect().toSeq == Seq(2020, 2021))
+  }
+
+  test("visuals: binding violations name the broken contract") {
+    val model = fixtureModel()
+    val vis = fixtureVisuals()
+    val m = Map("T" -> data())
+    assert(intercept[IllegalArgumentException] {
+      Workspace.runVisual(model, vis, "bad slot", m)
+    }.getMessage.contains("no slot 'Nope'"))
+    assert(intercept[IllegalArgumentException] {
+      Workspace.runVisual(model, vis, "two legends", m)
+    }.getMessage.contains("takes one binding"))
+    assert(intercept[IllegalArgumentException] {
+      Workspace.runVisual(model, vis, "aggless", m)
+    }.getMessage.contains("needs an aggregate"))
+  }
+
   test("report errors name the missing piece") {
     val model = fixtureModel()
     val e1 = intercept[IllegalArgumentException] {
