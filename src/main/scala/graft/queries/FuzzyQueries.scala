@@ -33,6 +33,27 @@ object FuzzyQueries {
         .orderBy("needle", "p_partkey")
     }),
 
+    // Structured-equality-filtered lookup (reference luceneLookup's
+    // filter columns): the query text (a bare part TYPE) is ambiguous
+    // across brands on purpose — the same type string scores against
+    // every brand's parts — and the (q_brand = p_brand) filter key
+    // restricts candidates BEFORE scoring, which is the semantics the
+    // filter exists for. idf/doclen stay global (filter narrows the
+    // token join, not the statistics), exactly what the oracle replays.
+    "fz03_fuzzy_filtered_lookup" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val catalog = part.select(col("p_partkey"), col("p_brand"),
+        concat_ws(" ", col("p_type"), col("p_name")).as("part_text"))
+      val needles = part.select(col("p_brand").as("q_brand"),
+        col("p_type").as("needle")).distinct()
+      FuzzyLookup.lookup(needles, "needle", catalog, "part_text",
+        Options(maxDfRatio = 0.5, tieBreakCol = Some("p_partkey"),
+          filterCols = Seq("q_brand" -> "p_brand")))
+        .where(col("part_text").isNotNull)
+        .select(col("q_brand"), col("needle"), col("p_partkey"))
+        .orderBy("q_brand", "needle", "p_partkey")
+    }),
+
     // Ngram strategy: locate short "titles" as subspans inside full document
     // texts (the reference's NgramStrategy use case). Match identity is
     // hash-gated: gap-clustering is lag/cumsum over query positions, which
@@ -100,6 +121,54 @@ object FuzzyQueries {
         |                            ORDER BY score DESC, p_partkey) AS rn
         |  FROM scored) t
         |WHERE rn = 1 ORDER BY needle, p_partkey""".stripMargin,
+
+    // fz03 replay: fz01's scoring program with the p_brand equality key
+    // added to the EVIDENCE join only — idf and doclen remain global
+    // statistics (the filter narrows candidates, not the corpus), and
+    // top-1 resolves per (q_brand, needle)
+    "fz03_fuzzy_filtered_lookup" ->
+      """WITH cat AS (
+        |  SELECT p_partkey, p_brand,
+        |         concat_ws(' ', p_type, p_name) AS part_text
+        |  FROM part),
+        |needles AS (
+        |  SELECT DISTINCT p_brand AS q_brand, p_type AS needle FROM part),
+        |rtok AS (
+        |  SELECT p_partkey, p_brand,
+        |         unnest(regexp_extract_all(lower(part_text), '[a-z0-9]+')) AS tok
+        |  FROM cat),
+        |doclen AS (SELECT p_partkey, count(*) AS dl FROM rtok GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM cat),
+        |idf AS (
+        |  SELECT tok, ln(1 + CAST(nd AS DOUBLE) / df) AS idf
+        |  FROM (SELECT tok, count(DISTINCT p_partkey) AS df
+        |        FROM rtok GROUP BY 1), n
+        |  WHERE CAST(df AS DOUBLE) / nd <= 0.5),
+        |qt AS (
+        |  SELECT q_brand, needle, generate_subscripts(toks, 1) AS qpos,
+        |         unnest(toks) AS tok
+        |  FROM (SELECT q_brand, needle,
+        |          regexp_extract_all(lower(needle), '[a-z0-9]+') AS toks
+        |        FROM needles)),
+        |ev AS (
+        |  SELECT DISTINCT q.q_brand, q.needle, r.p_partkey, q.qpos, x.idf
+        |  FROM qt q
+        |  JOIN idf x ON x.tok = q.tok
+        |  JOIN (SELECT DISTINCT p_partkey, p_brand, tok FROM rtok) r
+        |    ON r.tok = q.tok AND r.p_brand = q.q_brand),
+        |scored AS (
+        |  SELECT e.q_brand, e.needle, e.p_partkey,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list(e.idf ORDER BY e.qpos)), (a, x) -> a + x)
+        |           / sqrt(d.dl) AS score
+        |  FROM ev e JOIN doclen d ON d.p_partkey = e.p_partkey
+        |  GROUP BY e.q_brand, e.needle, e.p_partkey, d.dl)
+        |SELECT q_brand, needle, p_partkey FROM (
+        |  SELECT q_brand, needle, p_partkey,
+        |         row_number() OVER (PARTITION BY q_brand, needle
+        |                            ORDER BY score DESC, p_partkey) AS rn
+        |  FROM scored) t
+        |WHERE rn = 1 ORDER BY q_brand, needle, p_partkey""".stripMargin,
 
     // Ngram-strategy replay: same tokenize/idf/doclen recipe as fz01
     // (maxDfRatio defaults to 1.0 here — no prune), then per (doc, title)
