@@ -97,16 +97,35 @@ object FuzzyLookup {
 
   def lookup(left: DataFrame, queryCol: String, right: DataFrame,
              textCol: String, opts: Options = Options()): DataFrame = {
-    val leftKeyed = left.withColumn("_lid_", monotonically_increasing_id())
-    val rightKeyed = right.withColumn("_rid_", monotonically_increasing_id())
-    // The scoring pipeline works on fully re-aliased projections (fresh
-    // attribute ids), so re-joining leftKeyed/rightKeyed at the end is not an
-    // ambiguous self-join.
     val fIdx = opts.filterCols.indices
     val lf = opts.filterCols.zipWithIndex.map { case ((l, _), i) => col(l).as(s"_qf${i}_") }
     val rf = opts.filterCols.zipWithIndex.map { case ((_, r), i) => col(r).as(s"_rf${i}_") }
-    val queries = leftKeyed.select(
-      Seq(col("_lid_").as("_qlid_"), col(queryCol).as("_qtext_")) ++ lf: _*)
+    // Query memoization (the distinct-word discipline used by the
+    // tokenizers): a match is a pure function of (query text, filter
+    // keys), so the scoring pipeline runs over the DISTINCT query set and
+    // the final stitch joins results back BY VALUE. Two wins at scale:
+    // (1) cost follows distinct query strings, not left rows — a left
+    // with millions of rows over a small query vocabulary (lookupMulti's
+    // second column, entity gazetteers) pays for the vocabulary only;
+    // (2) the join-back is value-based, so there is no row-id to misalign
+    // when the left is itself a shuffle output (a real bug observed at
+    // sf0.1: monotonically_increasing_id re-evaluated in a different row
+    // order between the pipeline and the stitch, landing one query's
+    // match on another's row). The distinct query frame IS id-keyed
+    // internally — localCheckpoint pins those ids to one evaluation.
+    val queries = left
+      .select(Seq(col(queryCol).as("_qtext_")) ++ lf: _*)
+      .distinct()
+      .withColumn("_qlid_", monotonically_increasing_id())
+      .localCheckpoint()
+    // The right side is consumed by the token pipeline, the tie-break
+    // select, and the stitch: pin its ids the same way (the catalog side
+    // is the dictionary of the join — bounded by contract).
+    val rightKeyed = right.withColumn("_rid_", monotonically_increasing_id())
+      .localCheckpoint()
+    // The scoring pipeline works on fully re-aliased projections (fresh
+    // attribute ids), so re-joining queries/rightKeyed at the end is not an
+    // ambiguous self-join.
     val texts = rightKeyed.select(
       Seq(col("_rid_").as("_trid_"), col(textCol).as("_ttext_")) ++ rf: _*)
 
@@ -299,11 +318,18 @@ object FuzzyLookup {
         col("_s_").as("_si_"), col("_e_").as("_ei_"), col("_tags0_"))
 
     // ---- stitch the full rows back (left outer ⇒ null padding) ------------
-    // Qualified-by-alias references: the scoring subtree shares lineage with
-    // leftKeyed/rightKeyed, so df("col") resolution would trip Spark's
-    // ambiguous-self-join check; alias scoping resolves cleanly.
-    leftKeyed.as("GL")
-      .join(best.as("GB"), col("GL._lid_") === col("GB._qlid_"), "left")
+    // Value-based: each left row meets ITS distinct-query row on
+    // null-safe (text, filter keys) equality, then that query's topK
+    // matches. Qualified-by-alias references: the scoring subtree shares
+    // lineage with queries/rightKeyed, so df("col") resolution would trip
+    // Spark's ambiguous-self-join check; alias scoping resolves cleanly.
+    val stitchCond = fIdx.foldLeft(
+      col(s"GL.`$queryCol`") <=> col("GQ._qtext_")) { (c, i) =>
+      c && col(s"GL.`${opts.filterCols(i)._1}`") <=> col(s"GQ._qf${i}_")
+    }
+    left.as("GL")
+      .join(queries.as("GQ"), stitchCond, "left")
+      .join(best.as("GB"), col("GQ._qlid_") === col("GB._qlid_"), "left")
       .join(rightKeyed.as("GR"), col("GB._trid_") === col("GR._rid_"), "left")
       .select(left.columns.map(c => col(s"GL.`$c`")) ++
         right.columns.map(c => col(s"GR.`$c`")) ++ Seq(
@@ -320,7 +346,12 @@ object FuzzyLookup {
     * _endIndex_} structs (null-padded for unmatched elements). */
   def lookupArray(left: DataFrame, arrayQueryCol: String, right: DataFrame,
                   textCol: String, opts: Options = Options()): DataFrame = {
+    // _laid_ is consumed by both the exploded lookup and the final join
+    // back — pin it to one evaluation (the same misalignment hazard the
+    // value-based stitch removes inside lookup; here the array column
+    // itself is the join identity, so an id key is the honest option)
     val keyed = left.withColumn("_laid_", monotonically_increasing_id())
+      .localCheckpoint()
     val exploded = keyed.select(col("_laid_"),
       posexplode(col(arrayQueryCol)).as(Seq("_qi_", "_q_")))
     val matched = lookup(exploded, "_q_", right, textCol, opts)
