@@ -78,6 +78,31 @@ object FuzzyQueries {
         .orderBy("n1", "n2")
     }),
 
+    // Array-query lookup (reference luceneLookup over an array column):
+    // every element resolves independently and results come back as an
+    // array ALIGNED WITH ELEMENT ORDER — the contract this gate pins by
+    // projecting the per-element match keys through concat_ws (positions
+    // preserved; an unmatched element renders '-' so alignment is
+    // visible in the hash, per the gated-output scalar rule).
+    "fz05_fuzzy_array_lookup" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val catalog = part.select(
+        col("p_partkey"),
+        concat_ws(" ", col("p_brand"), col("p_type"), col("p_name")).as("part_text"))
+      val pairs = part.select(
+        concat_ws(" ", col("p_brand"), col("p_type")).as("n1"),
+        array_join(slice(split(col("p_name"), " "), 1, 2), " ").as("n2"))
+        .distinct()
+        .withColumn("qs", array(col("n1"), col("n2")))
+      FuzzyLookup.lookupArray(pairs, "qs", catalog, "part_text",
+        Options(maxDfRatio = 0.5, tieBreakCol = Some("p_partkey")))
+        .select(col("n1"), col("n2"),
+          concat_ws(",", expr(
+            "transform(qs_res, x -> coalesce(cast(x.p_partkey as string), '-'))"))
+            .as("match_keys"))
+        .orderBy("n1", "n2")
+    }),
+
     // Ngram strategy: locate short "titles" as subspans inside full document
     // texts (the reference's NgramStrategy use case). Match identity is
     // hash-gated: gap-clustering is lag/cumsum over query positions, which
@@ -102,6 +127,59 @@ object FuzzyQueries {
   // the prune (as the Spark side does), evidence summed once per query
   // position, score = raw/sqrt(doclen), ties broken on min p_partkey.
   // Candidates whose every token is pruned produce no row on either side.
+  /** Shared fz04/fz05 replay program: the fz01 scoring recipe run once
+    * per DISTINCT query string across BOTH query columns (a match is a
+    * pure function of its text — the memoized-lookup contract), ending
+    * at a `best` (query → top-1 partkey) map the two final selects
+    * join back to the pair rows. */
+  private val MultiLookupCte =
+    """WITH cat AS (
+      |  SELECT p_partkey,
+      |         concat_ws(' ', p_brand, p_type, p_name) AS part_text
+      |  FROM part),
+      |pairs AS (
+      |  SELECT DISTINCT concat_ws(' ', p_brand, p_type) AS n1,
+      |         array_to_string(string_split(p_name, ' ')[1:2], ' ') AS n2
+      |  FROM part),
+      |rtok AS (
+      |  SELECT p_partkey,
+      |         unnest(regexp_extract_all(lower(part_text), '[a-z0-9]+')) AS tok
+      |  FROM cat),
+      |doclen AS (SELECT p_partkey, count(*) AS dl FROM rtok GROUP BY 1),
+      |n AS (SELECT count(*) AS nd FROM cat),
+      |idf AS (
+      |  SELECT tok, ln(1 + CAST(nd AS DOUBLE) / df) AS idf
+      |  FROM (SELECT tok, count(DISTINCT p_partkey) AS df
+      |        FROM rtok GROUP BY 1), n
+      |  WHERE CAST(df AS DOUBLE) / nd <= 0.5),
+      |rdist AS (SELECT DISTINCT p_partkey, tok FROM rtok),
+      |qs AS (
+      |  SELECT DISTINCT q FROM (
+      |    SELECT n1 AS q FROM pairs UNION SELECT n2 AS q FROM pairs)),
+      |qt AS (
+      |  SELECT q, generate_subscripts(toks, 1) AS qpos, unnest(toks) AS tok
+      |  FROM (SELECT q, regexp_extract_all(lower(q), '[a-z0-9]+') AS toks
+      |        FROM qs)),
+      |ev AS (
+      |  SELECT DISTINCT t.q, r.p_partkey, t.qpos, x.idf
+      |  FROM qt t
+      |  JOIN idf x ON x.tok = t.tok
+      |  JOIN rdist r ON r.tok = t.tok),
+      |scored AS (
+      |  SELECT e.q, e.p_partkey,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list(e.idf ORDER BY e.qpos)), (a, x) -> a + x)
+      |           / sqrt(d.dl) AS score
+      |  FROM ev e JOIN doclen d ON d.p_partkey = e.p_partkey
+      |  GROUP BY e.q, e.p_partkey, d.dl),
+      |best AS (
+      |  SELECT q, p_partkey FROM (
+      |    SELECT q, p_partkey,
+      |           row_number() OVER (PARTITION BY q
+      |                              ORDER BY score DESC, p_partkey) AS rn
+      |    FROM scored) t
+      |  WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "fz01_fuzzy_part_lookup" ->
       """WITH cat AS (
@@ -149,60 +227,28 @@ object FuzzyQueries {
     // fz04 replay: fz01's scoring program run once per DISTINCT query
     // string of each column (a lookup depends only on its own text),
     // then both top-1 maps LEFT-joined back to the pair rows — rows
-    // whose needle lost every token to the df prune stay with NULLs
-    "fz04_fuzzy_multi_lookup" ->
-      """WITH cat AS (
-        |  SELECT p_partkey,
-        |         concat_ws(' ', p_brand, p_type, p_name) AS part_text
-        |  FROM part),
-        |pairs AS (
-        |  SELECT DISTINCT concat_ws(' ', p_brand, p_type) AS n1,
-        |         array_to_string(string_split(p_name, ' ')[1:2], ' ') AS n2
-        |  FROM part),
-        |rtok AS (
-        |  SELECT p_partkey,
-        |         unnest(regexp_extract_all(lower(part_text), '[a-z0-9]+')) AS tok
-        |  FROM cat),
-        |doclen AS (SELECT p_partkey, count(*) AS dl FROM rtok GROUP BY 1),
-        |n AS (SELECT count(*) AS nd FROM cat),
-        |idf AS (
-        |  SELECT tok, ln(1 + CAST(nd AS DOUBLE) / df) AS idf
-        |  FROM (SELECT tok, count(DISTINCT p_partkey) AS df
-        |        FROM rtok GROUP BY 1), n
-        |  WHERE CAST(df AS DOUBLE) / nd <= 0.5),
-        |rdist AS (SELECT DISTINCT p_partkey, tok FROM rtok),
-        |qs AS (
-        |  SELECT DISTINCT q FROM (
-        |    SELECT n1 AS q FROM pairs UNION SELECT n2 AS q FROM pairs)),
-        |qt AS (
-        |  SELECT q, generate_subscripts(toks, 1) AS qpos, unnest(toks) AS tok
-        |  FROM (SELECT q, regexp_extract_all(lower(q), '[a-z0-9]+') AS toks
-        |        FROM qs)),
-        |ev AS (
-        |  SELECT DISTINCT t.q, r.p_partkey, t.qpos, x.idf
-        |  FROM qt t
-        |  JOIN idf x ON x.tok = t.tok
-        |  JOIN rdist r ON r.tok = t.tok),
-        |scored AS (
-        |  SELECT e.q, e.p_partkey,
-        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |           list(e.idf ORDER BY e.qpos)), (a, x) -> a + x)
-        |           / sqrt(d.dl) AS score
-        |  FROM ev e JOIN doclen d ON d.p_partkey = e.p_partkey
-        |  GROUP BY e.q, e.p_partkey, d.dl),
-        |best AS (
-        |  SELECT q, p_partkey FROM (
-        |    SELECT q, p_partkey,
-        |           row_number() OVER (PARTITION BY q
-        |                              ORDER BY score DESC, p_partkey) AS rn
-        |    FROM scored) t
-        |  WHERE rn = 1)
+    // whose needle lost every token to the df prune stay with NULLs.
+    // fz05 replays the SAME program with the two matches rendered as the
+    // ordered element-key string (unmatched -> '-').
+    "fz04_fuzzy_multi_lookup" -> (MultiLookupCte +
+      """
         |SELECT p.n1, p.n2, b1.p_partkey AS r1_partkey,
         |       b2.p_partkey AS r2_partkey
         |FROM pairs p
         |LEFT JOIN best b1 ON b1.q = p.n1
         |LEFT JOIN best b2 ON b2.q = p.n2
-        |ORDER BY p.n1, p.n2""".stripMargin,
+        |ORDER BY p.n1, p.n2""".stripMargin),
+
+    "fz05_fuzzy_array_lookup" -> (MultiLookupCte +
+      """
+        |SELECT p.n1, p.n2,
+        |       concat_ws(',', coalesce(CAST(b1.p_partkey AS VARCHAR), '-'),
+        |                 coalesce(CAST(b2.p_partkey AS VARCHAR), '-'))
+        |         AS match_keys
+        |FROM pairs p
+        |LEFT JOIN best b1 ON b1.q = p.n1
+        |LEFT JOIN best b2 ON b2.q = p.n2
+        |ORDER BY p.n1, p.n2""".stripMargin),
 
     // fz03 replay: fz01's scoring program with the p_brand equality key
     // added to the EVIDENCE join only — idf and doclen remain global
