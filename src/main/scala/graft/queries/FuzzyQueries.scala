@@ -103,6 +103,35 @@ object FuzzyQueries {
         .orderBy("n1", "n2")
     }),
 
+    // Predict strategy (reference PredictStrategy): term weights play
+    // the role of per-token model likelihoods — tokens under
+    // minTokenLikehood drop, then only the ±2-position window around
+    // the peak-weight token (≥ 0.75·peak) scores. The weights fixture
+    // is a LITERAL map over the 16-word type vocabulary (syllable-2
+    // words peak at 1.0, syllable-3 at 0.8 ride along, syllable-1 at
+    // 0.3 fall under the 0.4 threshold), so the whole
+    // threshold→peak-window→weighted-evidence chain replays in SQL.
+    "fz06_fuzzy_predict_lookup" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val catalog = part.select(
+        col("p_partkey"),
+        concat_ws(" ", col("p_brand"), col("p_type"), col("p_name")).as("part_text"))
+      val needles = part.select(col("p_type").as("needle")).distinct()
+      val weights = Map(
+        "standard" -> 0.3, "small" -> 0.3, "medium" -> 0.3,
+        "large" -> 0.3, "economy" -> 0.3, "promo" -> 0.3,
+        "anodized" -> 1.0, "burnished" -> 1.0, "plated" -> 1.0,
+        "polished" -> 1.0, "brushed" -> 1.0,
+        "tin" -> 0.8, "nickel" -> 0.8, "brass" -> 0.8,
+        "steel" -> 0.8, "copper" -> 0.8)
+      FuzzyLookup.lookup(needles, "needle", catalog, "part_text",
+        Options(strategy = "predict", termWeights = weights,
+          tieBreakCol = Some("p_partkey")))
+        .where(col("part_text").isNotNull)
+        .select("needle", "p_partkey")
+        .orderBy("needle", "p_partkey")
+    }),
+
     // Ngram strategy: locate short "titles" as subspans inside full document
     // texts (the reference's NgramStrategy use case). Match identity is
     // hash-gated: gap-clustering is lag/cumsum over query positions, which
@@ -249,6 +278,76 @@ object FuzzyQueries {
         |LEFT JOIN best b1 ON b1.q = p.n1
         |LEFT JOIN best b2 ON b2.q = p.n2
         |ORDER BY p.n1, p.n2""".stripMargin),
+
+    // fz06 replay: the predict chain in SQL — literal weights VALUES,
+    // the 0.4 likelihood threshold, peak = max weight per needle with
+    // peakpos = its FIRST position, the (≥ 0.75·peak, |Δpos| ≤ 2)
+    // window, then weighted evidence (idf·tw) folded in position order;
+    // no df prune (query tokens are the 16-word type vocabulary)
+    "fz06_fuzzy_predict_lookup" ->
+      """WITH cat AS (
+        |  SELECT p_partkey,
+        |         concat_ws(' ', p_brand, p_type, p_name) AS part_text
+        |  FROM part),
+        |needles AS (SELECT DISTINCT p_type AS needle FROM part),
+        |w(tok, tw) AS (VALUES
+        |  ('standard', 0.3), ('small', 0.3), ('medium', 0.3),
+        |  ('large', 0.3), ('economy', 0.3), ('promo', 0.3),
+        |  ('anodized', 1.0), ('burnished', 1.0), ('plated', 1.0),
+        |  ('polished', 1.0), ('brushed', 1.0),
+        |  ('tin', 0.8), ('nickel', 0.8), ('brass', 0.8),
+        |  ('steel', 0.8), ('copper', 0.8)),
+        |rtok AS (
+        |  SELECT p_partkey,
+        |         unnest(regexp_extract_all(lower(part_text), '[a-z0-9]+')) AS tok
+        |  FROM cat),
+        |doclen AS (SELECT p_partkey, count(*) AS dl FROM rtok GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM cat),
+        |idf AS (
+        |  SELECT tok, ln(1 + CAST(nd AS DOUBLE) / df) AS idf
+        |  FROM (SELECT tok, count(DISTINCT p_partkey) AS df
+        |        FROM rtok GROUP BY 1), n),
+        |rdist AS (SELECT DISTINCT p_partkey, tok FROM rtok),
+        |qt AS (
+        |  SELECT needle, generate_subscripts(toks, 1) AS qpos,
+        |         unnest(toks) AS tok
+        |  FROM (SELECT needle,
+        |          regexp_extract_all(lower(needle), '[a-z0-9]+') AS toks
+        |        FROM needles)),
+        |qw AS (
+        |  SELECT q.needle, q.qpos, q.tok, w.tw
+        |  FROM qt q JOIN w ON w.tok = q.tok
+        |  WHERE w.tw >= 0.4),
+        |pk AS (SELECT needle, max(tw) AS peak FROM qw GROUP BY 1),
+        |pp AS (
+        |  SELECT q.needle, min(q.qpos) AS peakpos
+        |  FROM qw q JOIN pk ON pk.needle = q.needle AND q.tw = pk.peak
+        |  GROUP BY 1),
+        |kept AS (
+        |  SELECT q.needle, q.qpos, q.tok, q.tw
+        |  FROM qw q
+        |  JOIN pk ON pk.needle = q.needle
+        |  JOIN pp ON pp.needle = q.needle
+        |  WHERE q.tw >= pk.peak * 0.75
+        |    AND abs(q.qpos - pp.peakpos) <= 2),
+        |ev AS (
+        |  SELECT DISTINCT k.needle, r.p_partkey, k.qpos, x.idf * k.tw AS wgt
+        |  FROM kept k
+        |  JOIN idf x ON x.tok = k.tok
+        |  JOIN rdist r ON r.tok = k.tok),
+        |scored AS (
+        |  SELECT e.needle, e.p_partkey,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list(e.wgt ORDER BY e.qpos)), (a, x) -> a + x)
+        |           / sqrt(d.dl) AS score
+        |  FROM ev e JOIN doclen d ON d.p_partkey = e.p_partkey
+        |  GROUP BY e.needle, e.p_partkey, d.dl)
+        |SELECT needle, p_partkey FROM (
+        |  SELECT needle, p_partkey,
+        |         row_number() OVER (PARTITION BY needle
+        |                            ORDER BY score DESC, p_partkey) AS rn
+        |  FROM scored) t
+        |WHERE rn = 1 ORDER BY needle, p_partkey""".stripMargin,
 
     // fz03 replay: fz01's scoring program with the p_brand equality key
     // added to the EVIDENCE join only — idf and doclen remain global
