@@ -84,7 +84,11 @@ object Transformers {
     df.withColumn(out,
       (row_number().over(Window.orderBy(col(orderCol))) - 1).cast(LongType))
 
-  /** Unique (not consecutive) ids with no shuffle — the 100 TB variant. */
+  /** Unique (not consecutive) ids with no shuffle — the 100 TB variant.
+    * The ids are stable only while the input plan re-evaluates in the
+    * same row order (true for scans; NOT guaranteed for shuffle
+    * outputs): a caller that branches the result into multiple
+    * computations should `localCheckpoint()` it first. */
   def addIdUnordered(df: DataFrame, out: String = "id"): DataFrame =
     df.withColumn(out, monotonically_increasing_id())
 
@@ -149,7 +153,13 @@ object Transformers {
                        tokenCol: String = "token", vecCol: String = "vector",
                        out: String = "doc_vector"): DataFrame = {
     val vecSum = udaf(ArraySumAgg)
+    // _wid_ is consumed by the exploded pipeline AND the stitch join:
+    // pin it to one evaluation — monotonically_increasing_id depends on
+    // intra-partition row order, which a shuffle-output input does not
+    // guarantee across re-evaluations (the FuzzyLookup misalignment
+    // class, observed at sf0.1)
     val keyed = df.withColumn("_wid_", monotonically_increasing_id())
+      .localCheckpoint()
     val toks = keyed.select(col("_wid_"),
       posexplode(col(tokensCol)).as(Seq("_tpos_", "_tok_")))
     val lex = vectors.select(lower(col(tokenCol)).as("_tok_"),
@@ -235,7 +245,9 @@ object Transformers {
     * one row per (form, lemma); first lemma per form wins ties. */
   def lemmatize(df: DataFrame, tokensCol: String, lexicon: DataFrame,
                 out: String = "lemmas"): DataFrame = {
+    // pinned id: see applyWordVectors — same double-consumption shape
     val keyed = df.withColumn("_lmid_", monotonically_increasing_id())
+      .localCheckpoint()
     val toks = keyed.select(col("_lmid_"),
       posexplode(col(tokensCol)).as(Seq("_pos_", "_tok_")))
     val lex = lexicon.groupBy(lower(col("simplified")).as("_tok_"))
@@ -287,7 +299,9 @@ object Transformers {
     *         tokens pass through). Join + per-doc beam, shuffle-native. */
   def lemmatizeDisambiguated(df: DataFrame, tokensCol: String, lexicon: DataFrame,
                              out: String = "lemmas"): DataFrame = {
+    // pinned id: see applyWordVectors — same double-consumption shape
     val keyed = df.withColumn("_lmid_", monotonically_increasing_id())
+      .localCheckpoint()
     val toks = keyed.select(col("_lmid_"),
       posexplode(col(tokensCol)).as(Seq("_pos_", "_tok_")))
     val lex = lexicon.select(lower(col("simplified")).as("_tok_"),
