@@ -79,7 +79,11 @@ object ExplainAudit {
         // bisect group quantiles with its type-preserving join-back
         "bi01_workspace_report", "bi02_workspace_legend",
         "cr03_zip_ingest", "mv04_incremental_agg_deletes",
-        "qd02_group_quantiles_bisect")
+        "qd02_group_quantiles_bisect",
+        // memoized-lookup tier: distinct-query pipeline + value stitch,
+        // weighted predict window; the linear-attribution range join
+        "fz04_fuzzy_multi_lookup", "fz06_fuzzy_predict_lookup",
+        "at02_linear_attribution")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
