@@ -61,6 +61,13 @@ object Analytics {
     * Conversions with no in-window touch credit the `direct` channel in
     * full (the at01 convention).
     *
+    * Negative revenue (refunds/chargebacks) is handled EXPLICITLY: the
+    * split runs on `abs(rev)` and the sign is re-applied per share, so
+    * credit is exactly conserved for either sign (naive `div`/`%` on a
+    * negative value truncates toward zero in Spark but floors in
+    * engines with floor-division, losing remainder credits AND engine
+    * agreement — the split itself must stay non-negative).
+    *
     * Plan: one user-key equi-join with the window range as a residual
     * filter (fan-out = touches-per-user-window × conversions-per-user,
     * the analytics-join shape), one conversion-key window for (n, rank),
@@ -90,8 +97,82 @@ object Analytics {
       .withColumn("_n_", count(lit(1)).over(w))
       .withColumn("_r_", row_number().over(wr))
       .withColumn("_share_",
-        expr("_rev_ div _n_") +
-          when(col("_r_") <= expr("_rev_ % _n_"), 1L).otherwise(0L))
+        when(col("_rev_") < 0, lit(-1L)).otherwise(lit(1L)) *
+          (expr("abs(_rev_) div _n_") +
+            when(col("_r_") <= expr("abs(_rev_) % _n_"), 1L).otherwise(0L)))
+      .select(col("channel"), col("_share_"))
+    val direct = conv.join(
+        joined.select(col("_cid_")).distinct(), Seq("_cid_"), "left_anti")
+      .select(lit("direct").as("channel"), col("_rev_").as("_share_"))
+    credited.unionByName(direct)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"), sum(col("_share_")).as("revenue_milli"))
+  }
+
+  /** Multi-touch POSITION-BASED ("U-shaped") attribution — the third
+    * member of the attribution family (at01 last-touch, at02 linear):
+    * 40 % of a conversion's revenue to the FIRST in-window touch, 40 %
+    * to the LAST, the remaining 20 % split equally across the middles.
+    * One touch takes all; two touches split 50/50.
+    *
+    * Exactly-conserving integer scheme (weighted largest remainder):
+    * per conversion with n ≥ 3 touches, integer weights
+    * w = 40·(n−2) for the endpoints and 20 for each middle
+    * (W = Σw = 100·(n−2)); n ≤ 2 uses w = 1, W = n. Each touch gets
+    * `abs(rev)·w div W`, and the leftover `(Σ abs(rev)·w mod W) / W`
+    * whole milli-units go one each to the touches with the LARGEST
+    * fractional part `abs(rev)·w mod W` (tie → most recent, then
+    * `touchTieCol`). The sign is re-applied per share (the at02
+    * refund convention), so credit is conserved for either sign and
+    * the division arithmetic stays non-negative — truncating and
+    * flooring engines agree. Conversions with no in-window touch
+    * credit `direct` in full.
+    *
+    * Plan: identical shape to [[linearAttribution]] — one user-key
+    * equi-join with the window as a residual, one conversion-key window
+    * for (n, position ranks, remainder ranks), one channel rollup. The
+    * same [[Temporal.rangeJoin]] bucketing recipe applies at 100 TB.
+    *
+    * Output: (channel, n_credits, revenue_milli). */
+  def positionAttribution(conversions: DataFrame, touches: DataFrame,
+                          userCol: String, tsCol: String, channelCol: String,
+                          revenueMilliCol: String, convIdCol: String,
+                          touchTieCol: String,
+                          windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val conv = conversions.select(col(userCol), col(tsCol).as("_cts_"),
+      col(convIdCol).as("_cid_"), col(revenueMilliCol).cast("long").as("_rev_"))
+    val t = touches.select(col(userCol), col(tsCol).as("_tts_"),
+      col(channelCol).as("channel"), col(touchTieCol).as("_tid_"))
+    val joined = conv.join(t, Seq(userCol))
+      .where(col("_tts_") <= col("_cts_") &&
+        col("_tts_") > col("_cts_") - expr(s"INTERVAL $windowSeconds SECONDS"))
+    val w = Window.partitionBy(col("_cid_"))
+    val wAsc = w.orderBy(col("_tts_").asc, col("_tid_").asc)
+    val weighted = joined
+      .withColumn("_n_", count(lit(1)).over(w))
+      .withColumn("_pos_", row_number().over(wAsc))
+      .withColumn("_w_",
+        when(col("_n_") <= 2, lit(1L))
+          .otherwise(when(col("_pos_") === 1 || col("_pos_") === col("_n_"),
+            lit(40L) * (col("_n_") - 2)).otherwise(lit(20L))))
+      .withColumn("_bigw_",
+        when(col("_n_") <= 2, col("_n_").cast("long"))
+          .otherwise(lit(100L) * (col("_n_") - 2)))
+      .withColumn("_floor_", expr("abs(_rev_) * _w_ div _bigw_"))
+      .withColumn("_frac_", expr("abs(_rev_) * _w_ % _bigw_"))
+    val wRem = w.orderBy(col("_frac_").desc, col("_tts_").desc,
+      col("_tid_").desc)
+    val credited = weighted
+      .withColumn("_fsum_", sum(col("_frac_")).over(w))
+      // Σ frac is an exact multiple of W (it is the total withheld
+      // credit) — integer div, not float division
+      .withColumn("_extra_", expr("_fsum_ div _bigw_"))
+      .withColumn("_rr_", row_number().over(wRem))
+      .withColumn("_share_",
+        when(col("_rev_") < 0, lit(-1L)).otherwise(lit(1L)) *
+          (col("_floor_") +
+            when(col("_rr_") <= col("_extra_"), 1L).otherwise(0L)))
       .select(col("channel"), col("_share_"))
     val direct = conv.join(
         joined.select(col("_cid_")).distinct(), Seq("_cid_"), "left_anti")

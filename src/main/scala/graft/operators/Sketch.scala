@@ -174,4 +174,78 @@ object Sketch {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
+
+  /** HyperLogLog register table (Flajolet/Fusy/Gandouet/Meunier, AofA
+    * 2007) over `mix64`-avalanched keys: the top `p` hash bits address a
+    * register, the rank of the highest set bit among the remaining
+    * `64 − p` bits (counted from the top; 64−p+1 for an all-zero tail)
+    * is the register's candidate, registers keep the max.
+    *
+    * Engine-portable by construction: the bit-rank is
+    * `(64−p+1) − bitLength(tail)` with bitLength read as
+    * `length(bin(tail))` — both Spark and DuckDB print minimal binary
+    * strings, so the oracle replays the rank with NO float log2 (the
+    * power-of-two boundary trap). A group's register table is at most
+    * `2^p` rows (absent register = 0), so the shuffle after the map-side
+    * partial max is `2^p` rows per group REGARDLESS of input size — the
+    * whole point at 100 TB, and why Spark's own approx_count_distinct
+    * is this exact shape (theirs is HLL++ with engine-private registers
+    * that no oracle can replay; these registers are the paper's).
+    *
+    * Mergeable: max over unioned register tables = the sketch of the
+    * union — [[hllEstimate]] accepts any such merge.
+    *
+    * Output: (groupCols…, register, rho) — only non-zero registers. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], idCol: String,
+                   p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 18, s"precision p must be in [4,18], got $p")
+    val tailBits = 64 - p
+    val h = mixUdf(col(idCol).cast("long"))
+    val tail = h.bitwiseAND(lit((1L << tailBits) - 1L))
+    df.select(groupCols.map(col) :+
+        shiftrightunsigned(h, tailBits).as("register") :+ tail.as("_t_"): _*)
+      .withColumn("rho",
+        when(col("_t_") === 0L, lit(tailBits + 1))
+          .otherwise(lit(tailBits + 1) - length(bin(col("_t_")))))
+      .groupBy((groupCols :+ "register").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Cardinality estimates from [[hllRegisters]] output (same `p`).
+    * The harmonic denominator Σ 2^−rho is computed EXACTLY as the
+    * integer Σ 2^(K−rho) with K = 64−p+1 (absent registers contribute
+    * 2^K), summed in DECIMAL(38,0) — no float accumulation order to
+    * disagree on; the only doubles are the final α·m²·2^K / S division
+    * chain and the paper's small-range linear-counting branch
+    * `m·ln(m/V)` (V = zero registers), each a fixed program of
+    * correctly-rounded IEEE ops that replays bit-identically.
+    *
+    * Output: (groupCols…, n_zero_registers, est_distinct BIGINT). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  p: Int = 12): DataFrame = {
+    val m = 1L << p
+    val bigK = 64 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val grouped = registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_nreg_"),
+        sum(expr(s"cast(shiftleft(1L, $bigK - rho) as decimal(38,0))"))
+          .as("_spart_"))
+    grouped
+      .withColumn("n_zero_registers", lit(m) - col("_nreg_"))
+      .withColumn("_s_", col("_spart_") +
+        col("n_zero_registers").cast("decimal(38,0)") *
+          lit(BigDecimal(2).pow(bigK).toBigInt.toString).cast("decimal(38,0)"))
+      .withColumn("_eraw_",
+        lit(alpha * m.toDouble * m.toDouble * math.pow(2.0, bigK)) /
+          col("_s_").cast("double"))
+      .withColumn("est_distinct",
+        floor(when(col("_eraw_") <= lit(2.5 * m) &&
+            col("n_zero_registers") > 0,
+          lit(m.toDouble) *
+            log(lit(m.toDouble) / col("n_zero_registers").cast("double")))
+          .otherwise(col("_eraw_"))).cast("long"))
+      .select(groupCols.map(col) :+ col("n_zero_registers") :+
+        col("est_distinct"): _*)
+  }
 }

@@ -67,11 +67,15 @@ object Workspace {
     * workspace.js storage shape) into the typed model. */
   def load(spark: SparkSession, path: String): WsModel = {
     val enc = Encoders.product[WsModel]
+    // FAILFAST: a malformed document must die as a parse error here, not
+    // as an all-null row that trips an opaque NPE later in runReport
     val rows = spark.read.schema(enc.schema)
-      .option("multiLine", "true").json(path)
+      .option("multiLine", "true").option("mode", "FAILFAST").json(path)
       .as[WsModel](enc).collect()
     require(rows.length == 1, s"expected one model document at $path, " +
       s"got ${rows.length}")
+    require(rows.head.tables != null && rows.head.reports != null,
+      s"model document at $path is missing 'tables'/'reports'")
     rows.head
   }
 
@@ -80,10 +84,12 @@ object Workspace {
   def loadVisuals(spark: SparkSession, path: String): Seq[WsVisual] = {
     val enc = Encoders.product[WsVisuals]
     val rows = spark.read.schema(enc.schema)
-      .option("multiLine", "true").json(path)
+      .option("multiLine", "true").option("mode", "FAILFAST").json(path)
       .as[WsVisuals](enc).collect()
     require(rows.length == 1, s"expected one visuals document at $path, " +
       s"got ${rows.length}")
+    require(rows.head.visuals != null,
+      s"visuals document at $path is missing 'visuals'")
     rows.head.visuals
   }
 
@@ -408,6 +414,12 @@ object Workspace {
           .where(col("_lv_").isNotNull).distinct()
           .collect().map(_.getString(0)).sorted.toSeq
         require(values.nonEmpty, s"legend field '$legendField' has no values")
+        // a legend value that collides with an axis output column would
+        // yield a duplicate name after the pivot — fail as a named
+        // contract violation, not a downstream ambiguous-reference error
+        val collide = values.toSet.intersect(report.axes.toSet)
+        require(collide.isEmpty, s"legend value(s) ${collide.mkString(", ")} " +
+          s"of field '$legendField' collide with axis column name(s)")
         filtered
           .withColumn("_legend_", legendCol)
           .groupBy(groupCols: _*)
@@ -416,10 +428,18 @@ object Workspace {
           .orderBy(sortCols: _*)
           .drop(hidden: _*)
       case None =>
-        val measureCols = report.measures.map { m =>
-          aggFn(m)(fieldExpr(table, m.field, columns))
-            .as(s"${m.agg.toLowerCase}_" +
-              m.field.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+        val measureNames = report.measures.map(m =>
+          s"${m.agg.toLowerCase}_" +
+            m.field.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+        // two measures with the same agg+field (or a measure name equal
+        // to an axis name) would alias to duplicate output columns —
+        // reject up front like the other binding checks
+        val dupes = (measureNames ++ report.axes)
+          .groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+        require(dupes.isEmpty, "duplicate report output column name(s): " +
+          dupes.mkString(", "))
+        val measureCols = report.measures.zip(measureNames).map {
+          case (m, n) => aggFn(m)(fieldExpr(table, m.field, columns)).as(n)
         }
         filtered.groupBy(groupCols: _*)
           .agg(measureCols.head, measureCols.tail: _*)

@@ -787,9 +787,11 @@ object AnalyticsQueries {
         |    AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
-    // at02 replay: same integer largest-remainder split — floor share via
-    // integer division, the rev % n leftover milli-units to the most
-    // recent touches by (tts, tid) rank; direct = NOT EXISTS in-window
+    // at02 replay: same integer largest-remainder split on abs(rev) with
+    // the sign re-applied per share (the operator's explicit negative-
+    // revenue handling — division stays non-negative so truncating and
+    // flooring engines agree); leftover abs(rev) % n milli-units go to
+    // the most recent touches by (tts, tid) rank; direct = NOT EXISTS
     "at02_linear_attribution" ->
       """WITH conv AS (
         |  SELECT user_id, ts AS cts, event_id AS cid,
@@ -810,7 +812,9 @@ object AnalyticsQueries {
         |  FROM j),
         |shares AS (
         |  SELECT channel,
-        |    rev // n + CASE WHEN rk <= rev % n THEN 1 ELSE 0 END AS share
+        |    (CASE WHEN rev < 0 THEN -1 ELSE 1 END) *
+        |      (abs(rev) // n +
+        |       CASE WHEN rk <= abs(rev) % n THEN 1 ELSE 0 END) AS share
         |  FROM r
         |  UNION ALL
         |  SELECT 'direct' AS channel, rev AS share

@@ -192,7 +192,7 @@ object SourceQueries {
       val dest = graft.sources.Scratch.dir(s, "zip", s"cr03_dest_$d")
       graft.sources.ArchiveIngest.writeZip(
         docs.repartition(4, col("doc_id")), "doc_id", "text", src)
-      graft.sources.ArchiveIngest.extract(s, src, dest).count() // land files
+      graft.sources.ArchiveIngest.extract(s, src, dest) // eager: files land here
       s.read.format("binaryFile").load(s"$dest/*.txt")
         .select(
           regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long")

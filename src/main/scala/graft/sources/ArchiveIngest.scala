@@ -45,7 +45,15 @@ object ArchiveIngest {
     * Name collisions across archives are the caller's contract, exactly
     * as in the reference (last write wins, nondeterministically — keep
     * archive contents disjoint). Returns the ingest manifest:
-    * (archive, entry, dest_name, n_bytes), one row per landed file. */
+    * (archive, entry, dest_name, n_bytes), one row per landed file.
+    *
+    * The extraction job runs EAGERLY inside this call (the manifest is
+    * locally checkpointed): every destination file lands exactly once
+    * before the method returns, and re-reading the returned manifest can
+    * never silently re-run the side-effecting write. Destination writes
+    * go through the DRIVER's Hadoop configuration (spark.hadoop.* /
+    * session settings), serialized into the tasks — credentials and
+    * endpoints set via SparkConf reach hdfs://, s3a://, etc. */
   def extract(spark: SparkSession, srcDir: String, destDir: String,
               glob: String = "*"): DataFrame = {
     val schema = StructType(Seq(
@@ -53,12 +61,14 @@ object ArchiveIngest {
       StructField("entry", StringType),
       StructField("dest_name", StringType),
       StructField("n_bytes", LongType)))
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val rdd = spark.read.format("binaryFile").load(s"$srcDir/$glob")
       .select(col("path"), col("content")).rdd
       .flatMap { r =>
         val archive = r.getAs[String]("path").split('/').last
         val fs = new org.apache.hadoop.fs.Path(destDir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .getFileSystem(hconf.value)
         entriesOf(archive, r.getAs[Array[Byte]]("content")).map {
           case (name, bytes) =>
             val zname = name.replaceAll("/", "-")
@@ -68,7 +78,7 @@ object ArchiveIngest {
             Row(archive, name, zname, bytes.length.toLong)
         }
       }
-    spark.createDataFrame(rdd, schema)
+    spark.createDataFrame(rdd, schema).localCheckpoint(true)
   }
 
   /** Distributed entry scan WITHOUT landing files: (archive, name, bytes)
@@ -185,6 +195,8 @@ object ArchiveIngest {
     * bytes are deterministic for a given partitioning. */
   def writeZip(df: DataFrame, keyCol: String, textCol: String, dir: String,
                prefix: String = "batch"): Unit = {
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col(keyCol).cast("string").as("_k_"),
         col(textCol).cast("string").as("_t_"))
       .rdd.foreachPartition { it =>
@@ -193,7 +205,7 @@ object ArchiveIngest {
         if (it.hasNext) {
           val pid = TaskContext.getPartitionId()
           val path = new org.apache.hadoop.fs.Path(f"$dir/$prefix-$pid%05d.zip")
-          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = path.getFileSystem(hconf.value)
           val zos = new java.util.zip.ZipOutputStream(
             new java.io.BufferedOutputStream(fs.create(path, true)))
           try {

@@ -66,13 +66,15 @@ object TarShards {
     val cols = col(keyCol).cast("string").as("_k_") +:
       col(textCol).cast("string").as("_t_") +:
       binCol.map(c => col(c).as("_b_")).toSeq
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(cols: _*).rdd.foreachPartition { it =>
       val pid = TaskContext.getPartitionId()
       val path = new org.apache.hadoop.fs.Path(f"$dir/$prefix-$pid%05d.tar")
-      // task-side Configuration(): executors resolve cluster site configs
-      // from their classpath, so shards write to hdfs://, s3a://, etc.;
+      // driver Hadoop conf serialized into the task: spark.hadoop.* /
+      // session credentials and endpoints reach hdfs://, s3a://, etc.;
       // local runs fall back to file://. create() makes parent dirs.
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = path.getFileSystem(hconf.value)
       val out = new java.io.BufferedOutputStream(fs.create(path, true))
       try {
         it.foreach { r =>

@@ -522,6 +522,18 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect()
       .map { case (c, n, r) => c -> ((n, r)) }.toMap
     assert(gotNarrow == Map("direct" -> (2L, 17L)))
+    // NEGATIVE revenue (a refund): split runs on abs(rev), sign
+    // re-applied — credit exactly conserved, extra -1 to the most recent
+    val refund = Seq((1L, ts(30), 902L, -10L))
+      .toDF("user_id", "ts", "event_id", "rev_milli")
+    val gotNeg = graft.operators.Analytics.linearAttribution(refund, touches,
+        "user_id", "ts", "event_type", "rev_milli",
+        convIdCol = "event_id", touchTieCol = "event_id",
+        windowSeconds = 3600)
+      .as[(String, Long, Long)].collect()
+      .map { case (c, n, r) => c -> ((n, r)) }.toMap
+    assert(gotNeg == Map("view" -> (2L, -7L), "click" -> (1L, -3L)))
+    assert(gotNeg.values.map(_._2).sum == -10L)
   }
 
   test("DataQuality.report: planted violations of each check type") {
@@ -968,5 +980,70 @@ class AnalyticsSpec extends AnyFunSuite {
       .toDF("k", "x", "y")
     val rn = Analytics.linearFit(neg, "k", "x", "y").collect().head
     assert(math.abs(rn.getDouble(2) + 1.0) < 1e-12, "anti-corr")
+  }
+
+  test("positionAttribution: 40/20/40 split, remainder by fractional part, edges") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    def run(conv: org.apache.spark.sql.DataFrame,
+            touches: org.apache.spark.sql.DataFrame) =
+      Analytics.positionAttribution(conv, touches, "user_id", "ts",
+          "event_type", "rev_milli", convIdCol = "event_id",
+          touchTieCol = "event_id", windowSeconds = 3600)
+        .as[(String, Long, Long)].collect()
+        .map { case (c, n, r) => c -> ((n, r)) }.toMap
+    val touches4 = Seq(
+      (1L, ts(1), "a", 10L), (1L, ts(2), "b", 11L),
+      (1L, ts(3), "c", 12L), (1L, ts(4), "d", 13L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    // n=4, rev=1000: endpoints 40% = 400 each, middles 20%/2 = 100 each
+    val even = run(Seq((1L, ts(30), 900L, 1000L))
+      .toDF("user_id", "ts", "event_id", "rev_milli"), touches4)
+    assert(even == Map("a" -> (1L, 400L), "b" -> (1L, 100L),
+      "c" -> (1L, 100L), "d" -> (1L, 400L)))
+    // n=3, rev=7: floors 2/1/2 (w=40/20/40 of 7), remainder 2 goes to the
+    // two frac-80 endpoint touches (most recent first) -> 3/1/3
+    val touches3 = Seq(
+      (1L, ts(1), "a", 10L), (1L, ts(2), "b", 11L), (1L, ts(3), "c", 12L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val odd = run(Seq((1L, ts(30), 900L, 7L))
+      .toDF("user_id", "ts", "event_id", "rev_milli"), touches3)
+    assert(odd == Map("a" -> (1L, 3L), "b" -> (1L, 1L), "c" -> (1L, 3L)))
+    assert(odd.values.map(_._2).sum == 7L)
+    // n=2 splits 50/50, odd milli to the most recent; n=0 -> direct
+    val two = run(Seq((1L, ts(30), 900L, 7L), (2L, ts(30), 901L, 5L))
+        .toDF("user_id", "ts", "event_id", "rev_milli"),
+      Seq((1L, ts(1), "a", 10L), (1L, ts(2), "b", 11L))
+        .toDF("user_id", "ts", "event_type", "event_id"))
+    assert(two == Map("a" -> (1L, 3L), "b" -> (1L, 4L), "direct" -> (1L, 5L)))
+    // negative revenue: conserved with sign re-applied
+    val neg3 = run(Seq((1L, ts(30), 900L, -7L))
+      .toDF("user_id", "ts", "event_id", "rev_milli"), touches3)
+    assert(neg3.values.map(_._2).sum == -7L)
+    assert(neg3 == Map("a" -> (1L, -3L), "b" -> (1L, -1L), "c" -> (1L, -3L)))
+  }
+
+  test("hyperloglog: near-exact small range, <5% mid range, exact max-merge") {
+    import graft.operators.Sketch
+    // two groups: g1 has 3000 distinct ids, g2 has 500; ids overlap
+    val df = ((1 to 3000).map(i => ("g1", i.toLong)) ++
+      (2501 to 3000).map(i => ("g2", i.toLong))).toDF("g", "id")
+    val regs = Sketch.hllRegisters(df, Seq("g"), "id", p = 12)
+    val est = Sketch.hllEstimate(regs, Seq("g"), p = 12)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, z, e) => g -> ((z, e)) }.toMap
+    // p=12 linear-counting regime: both estimates within 5%
+    assert(math.abs(est("g1")._2 - 3000L) <= 150, s"g1 est ${est("g1")}")
+    assert(math.abs(est("g2")._2 - 500L) <= 25, s"g2 est ${est("g2")}")
+    // merge = max over unioned register tables == sketch of the union
+    val merged = Sketch.hllEstimate(
+      regs.groupBy("register").agg(max("rho").as("rho"))
+        .withColumn("g", lit("all")),
+      Seq("g"), p = 12).as[(String, Long, Long)].collect().head
+    val direct = Sketch.hllEstimate(
+      Sketch.hllRegisters(
+        df.select(lit("all").as("g"), col("id")), Seq("g"), "id", p = 12),
+      Seq("g"), p = 12).as[(String, Long, Long)].collect().head
+    assert(merged == direct) // mergeability is EXACT, not approximate
+    assert(math.abs(merged._3 - 3000L) <= 150) // union is still 3000 ids
   }
 }

@@ -124,8 +124,12 @@ class ArchiveIngestSpec extends AnyFunSuite {
     gzo.write("gz payload".getBytes("UTF-8")); gzo.close()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$src/side.json.gz"), gzBos.toByteArray)
-    val manifest = ArchiveIngest.extract(spark, src, dest)
-      .orderBy("entry").collect()
+    val manifestDf = ArchiveIngest.extract(spark, src, dest)
+    // extract is EAGER: every destination file exists before any caller
+    // action on the returned manifest (the must-materialize trap is gone)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dest/a-b-deep.txt")))
+    val manifest = manifestDf.orderBy("entry").collect()
     assert(manifest.map(_.getAs[String]("dest_name")).toSeq ==
       Seq("a-b-deep.txt", "side.json", "top.txt")) // reference's / -> -
     val deep = java.nio.file.Files.readAllBytes(

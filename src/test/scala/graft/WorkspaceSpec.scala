@@ -213,4 +213,38 @@ class WorkspaceSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("not mounted"))
   }
+
+  test("duplicate measure aliases and legend/axis collisions reject up front") {
+    val model = fixtureModel()
+    // two measures with the same agg+field alias to the same column name
+    val dup = model.copy(reports = model.reports.map {
+      case r if r.name == "by year" => r.copy(measures = Seq(
+        Workspace.WsMeasure("Amount Milli", "sum"),
+        Workspace.WsMeasure("Amount Milli", "sum")))
+      case r => r
+    })
+    val e1 = intercept[IllegalArgumentException] {
+      Workspace.runReport(dup, "by year", Map("T" -> data()))
+    }
+    assert(e1.getMessage.contains("duplicate report output column"))
+    // a legend VALUE equal to an axis column name would collide post-pivot
+    val clash = data().withColumn("k", lit("Yr"))
+    val e2 = intercept[IllegalArgumentException] {
+      Workspace.runReport(model, "legend", Map("T" -> clash))
+    }
+    assert(e2.getMessage.contains("collide with axis column"))
+  }
+
+  test("a malformed model document fails as a parse error, not a null row") {
+    val dir = graft.sources.Scratch.dir(spark, "wsmodel", "badspec")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad.json"),
+      "{not json at all".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      Workspace.load(spark, s"$dir/bad.json")
+    }
+    // FAILFAST surfaces a parse error (wrapped by Spark); the old
+    // PERMISSIVE mode let this through as a single all-null row
+    assert(!e.isInstanceOf[NullPointerException])
+  }
 }
