@@ -205,6 +205,46 @@ object AnalyticsQueries {
         .orderBy("grp")
     }),
 
+    // ---- HyperLogLog distinct (p=6, m=64): per-type event_id counts
+    // exercise the raw harmonic path (~2000 ≫ 2.5m=160), the USERS row
+    // (150 distinct user_ids) the small-range linear-counting branch —
+    // both branches replayed by the oracle ------------------------------
+    "hl01_hll_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("event_type").as("grp"),
+          col("event_id").as("k"))
+        .unionByName(ev.select(lit("USERS").as("grp"),
+          col("user_id").as("k")))
+      val exact = base.groupBy("grp")
+        .agg(countDistinct(col("k")).as("n_exact"))
+      Sketch.hllEstimate(
+          Sketch.hllRegisters(base, Seq("grp"), "k", p = 6), Seq("grp"), p = 6)
+        .join(exact, "grp")
+        .select(col("grp"), col("n_exact"), col("n_zero_registers"),
+          col("est_distinct"))
+        .orderBy("grp")
+    }),
+
+    // ---- HLL register MERGE as a time series: users-to-date per day by
+    // prefix-max over daily register tables — the cumulative-distinct
+    // metric that exact DISTINCT recomputes over a growing prefix, the
+    // sketch answers from m rows per day ---------------------------------
+    "hl02_hll_users_to_date" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("cast(ts as bigint) div 86400"))
+      val regs = Sketch.hllRegisters(ev, Seq("day"), "user_id", p = 6)
+      // prefix merge: day D's register table = max over days ≤ D. Days
+      // are calendar-bounded and registers are m=64 rows/day, so the
+      // ≤-join is a days×(days·m) mini-relation — never data-sized
+      val days = regs.select(col("day").as("_d_")).distinct()
+      val cum = days.join(regs, col("day") <= col("_d_"))
+        .groupBy(col("_d_").as("day2"), col("register"))
+        .agg(max(col("rho")).as("rho"))
+        .withColumnRenamed("day2", "day")
+      Sketch.hllEstimate(cum, Seq("day"), p = 6)
+        .orderBy("day")
+    }),
+
     // ---- chi-square independence: order status × priority ---------------
     "ct01_chi_square" -> ((s, d) =>
       Analytics.chiSquare(Tables.orders(s, d),
@@ -693,6 +733,22 @@ object AnalyticsQueries {
         .orderBy("channel")
     }),
 
+    // ---- position-based (U-shaped) attribution: 40% first touch, 40%
+    // last, 20% across middles — weighted largest remainder, credit
+    // exactly conserved in integer milli (the at01/at02 family) ----------
+    "at03_position_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("cast(round(value * 1000) as bigint)").as("rev_milli"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      Analytics.positionAttribution(conv, touches, "user_id", "ts",
+          "event_type", "rev_milli", convIdCol = "event_id",
+          touchTieCol = "event_id", windowSeconds = 7L * 24 * 3600)
+        .orderBy("channel")
+    }),
+
     // ---- DELETE-capable aggregate-view maintenance: signed deltas fold
     // into the (count, sum) state — inserts land late, deletes retract
     // base rows, fully-retracted keys vanish; the oracle is the rebuild
@@ -816,6 +872,57 @@ object AnalyticsQueries {
         |      (abs(rev) // n +
         |       CASE WHEN rk <= abs(rev) % n THEN 1 ELSE 0 END) AS share
         |  FROM r
+        |  UNION ALL
+        |  SELECT 'direct' AS channel, rev AS share
+        |  FROM conv c
+        |  WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.cid = c.cid))
+        |SELECT channel, count(*) AS n_credits,
+        |       CAST(sum(share) AS BIGINT) AS revenue_milli
+        |FROM shares GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // at03 replay: U-shaped weights (endpoints 40·(n−2), middles 20;
+    // n≤2 → equal) as the same weighted largest-remainder integer split —
+    // floors via abs·w // W, the Σfrac // W leftover units to the largest
+    // fractional parts (tie: most recent), sign re-applied per share
+    "at03_position_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, ts AS cts, event_id AS cid,
+        |         CAST(round(value * 1000) AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, ts AS tts, event_type AS channel, event_id AS tid
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT c.cid, c.rev, t.channel, t.tts, t.tid
+        |  FROM conv c JOIN t ON t.user_id = c.user_id
+        |  WHERE t.tts <= c.cts AND t.tts > c.cts - INTERVAL 7 DAY),
+        |r AS (
+        |  SELECT cid, rev, channel, tts, tid,
+        |    count(*) OVER (PARTITION BY cid) AS n,
+        |    row_number() OVER (PARTITION BY cid
+        |                       ORDER BY tts ASC, tid ASC) AS pos
+        |  FROM j),
+        |wgt AS (
+        |  SELECT *,
+        |    CASE WHEN n <= 2 THEN 1
+        |         WHEN pos = 1 OR pos = n THEN 40 * (n - 2)
+        |         ELSE 20 END AS w,
+        |    CASE WHEN n <= 2 THEN n ELSE 100 * (n - 2) END AS bw
+        |  FROM r),
+        |fl AS (
+        |  SELECT *, abs(rev) * w // bw AS flr, abs(rev) * w % bw AS fr
+        |  FROM wgt),
+        |rk AS (
+        |  SELECT *,
+        |    sum(fr) OVER (PARTITION BY cid) // bw AS extra,
+        |    row_number() OVER (PARTITION BY cid
+        |                       ORDER BY fr DESC, tts DESC, tid DESC) AS rr
+        |  FROM fl),
+        |shares AS (
+        |  SELECT channel,
+        |    (CASE WHEN rev < 0 THEN -1 ELSE 1 END) *
+        |      (flr + CASE WHEN rr <= extra THEN 1 ELSE 0 END) AS share
+        |  FROM rk
         |  UNION ALL
         |  SELECT 'direct' AS channel, rev AS share
         |  FROM conv c
@@ -1222,6 +1329,103 @@ object AnalyticsQueries {
         |       ELSE (63.0 * 9.223372036854775808e18) / CAST(hk AS DOUBLE)
         |  END AS estimate
         |FROM ex JOIN kept USING (grp) ORDER BY grp""".stripMargin,
+
+    // HLL replay (p=6, m=64, K=59): same mix64 chain, register = top 6
+    // bits, rho via length(bin(tail)) — NO float log2; harmonic sum as
+    // the exact integer Σ 2^(59−rho) (sum(BIGINT) → HUGEINT), absent
+    // registers contribute 2^59; VARCHAR-routed HUGEINT→DOUBLE (the lr02
+    // rule); α·m²·2^59 written as the same left-assoc double chain Spark
+    // folds; linear-counting branch below 2.5m with V>0
+    "hl01_hll_distinct" ->
+      """WITH base AS (
+        |  SELECT event_type AS grp, event_id AS k FROM events
+        |  UNION ALL SELECT 'USERS', user_id FROM events),
+        |m AS (
+        |  SELECT grp, xor(p2, p2 >> 31) AS h FROM (
+        |    SELECT grp,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT grp,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT grp, CAST(k AS UHUGEINT) AS p0 FROM base) a) b) c),
+        |regs AS (
+        |  SELECT grp, CAST(h >> 58 AS BIGINT) AS register,
+        |    max(CASE WHEN h % CAST(288230376151711744 AS UHUGEINT) = 0 THEN 59
+        |         ELSE 59 - length(bin(CAST(
+        |           h % CAST(288230376151711744 AS UHUGEINT) AS BIGINT)))
+        |        END) AS rho
+        |  FROM m GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT grp, count(*) AS nreg,
+        |    sum(CAST(1 AS BIGINT) << (59 - rho)) AS spart
+        |  FROM regs GROUP BY grp),
+        |sv AS (
+        |  SELECT grp, 64 - nreg AS n_zero_registers,
+        |    spart + CAST(64 - nreg AS HUGEINT)
+        |            * CAST(576460752303423488 AS HUGEINT) AS s
+        |  FROM agg),
+        |er AS (
+        |  SELECT grp, n_zero_registers,
+        |    0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 576460752303423488.0
+        |      / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS eraw
+        |  FROM sv),
+        |fin AS (
+        |  SELECT grp, n_zero_registers,
+        |    CAST(floor(CASE WHEN eraw <= 160.0 AND n_zero_registers > 0
+        |      THEN 64.0 * ln(64.0 / CAST(n_zero_registers AS DOUBLE))
+        |      ELSE eraw END) AS BIGINT) AS est_distinct
+        |  FROM er),
+        |ex AS (SELECT grp, count(DISTINCT k) AS n_exact FROM base GROUP BY grp)
+        |SELECT grp, n_exact, n_zero_registers, est_distinct
+        |FROM ex JOIN fin USING (grp) ORDER BY grp""".stripMargin,
+
+    // hl02 replay: same register program per epoch-day, prefix merge by
+    // the ≤-join over the (days × day-registers) mini-relation, same
+    // estimator per day
+    "hl02_hll_users_to_date" ->
+      """WITH m AS (
+        |  SELECT day, xor(p2, p2 >> 31) AS h FROM (
+        |    SELECT day,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT day,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |              CAST(user_id AS UHUGEINT) AS p0 FROM events) a) b) c),
+        |regs AS (
+        |  SELECT day, CAST(h >> 58 AS BIGINT) AS register,
+        |    max(CASE WHEN h % CAST(288230376151711744 AS UHUGEINT) = 0 THEN 59
+        |         ELSE 59 - length(bin(CAST(
+        |           h % CAST(288230376151711744 AS UHUGEINT) AS BIGINT)))
+        |        END) AS rho
+        |  FROM m GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT d.day AS day, r.register, max(r.rho) AS rho
+        |  FROM (SELECT DISTINCT day FROM regs) d
+        |  JOIN regs r ON r.day <= d.day GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT day, count(*) AS nreg,
+        |    sum(CAST(1 AS BIGINT) << (59 - rho)) AS spart
+        |  FROM cum GROUP BY day),
+        |sv AS (
+        |  SELECT day, 64 - nreg AS n_zero_registers,
+        |    spart + CAST(64 - nreg AS HUGEINT)
+        |            * CAST(576460752303423488 AS HUGEINT) AS s
+        |  FROM agg),
+        |er AS (
+        |  SELECT day, n_zero_registers,
+        |    0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 576460752303423488.0
+        |      / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS eraw
+        |  FROM sv)
+        |SELECT day, n_zero_registers,
+        |  CAST(floor(CASE WHEN eraw <= 160.0 AND n_zero_registers > 0
+        |    THEN 64.0 * ln(64.0 / CAST(n_zero_registers AS DOUBLE))
+        |    ELSE eraw END) AS BIGINT) AS est_distinct
+        |FROM er ORDER BY day""".stripMargin,
 
     // chi² replay: per-cell terms quantized to 1e-9 integers BEFORE the
     // total so the statistic is an order-free integer sum
