@@ -1378,6 +1378,67 @@ object Analytics {
     * Plan: one partial+final aggregate per arm over the group key, one
     * equi-join of two tiny per-group tables — scan-bound at any scale.
     * Output: (`keyCol`, n_a, mean_a, n_b, mean_b, t_stat, welch_df). */
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    * test: compares arm A's rank sum against arm B with no normality
+    * assumption, the right tool when the metric is skewed (latencies,
+    * revenue) and [[welchTTest]]'s mean comparison misleads.
+    *
+    * Everything up to the z score is INTEGER and tie-exact by doubling:
+    * a row at value v carries doubled midrank `2·before(v) + c(v) + 1`
+    * (before = rows strictly below, c = rows tied at v), so tied groups
+    * need no fractional averages. `u2_a = 2·R_A − n_a(n_a+1)` is twice
+    * the U statistic. The normal approximation with tie correction,
+    *   σ²(U) = n_a·n_b·((n+1)·n·(n−1) − Σ(t³−t)) / (12·n·(n−1)),
+    *   z = (u2_a − n_a·n_b) / (2·σ),
+    * is one fixed program over exact DECIMAL inputs (the welch/az01
+    * convention) — a SQL replay is bit-identical.
+    *
+    * Plan: per-value counts (map-side partial), then ONE ordered window
+    * over the DISTINCT values — the [[Temporal.ksStatistic]] shape: the
+    * sort is over value cardinality, never row count. NULL values are
+    * excluded (no rank for "unmeasured").
+    *
+    * Output: one row (n_a, n_b, u2_a, tie_term, z_stat); z is NULL when
+    * either arm is empty or every value ties (zero variance). */
+  def mannWhitneyU(df: DataFrame, armCol: String, valCol: String,
+                   armA: String, armB: String): DataFrame = {
+    val perValue = df
+      .where(col(armCol).isin(armA, armB))
+      .select(col(armCol).as("_arm_"), col(valCol).cast("long").as("_v_"))
+      .where(col("_v_").isNotNull)
+      .groupBy("_v_")
+      .agg(count(lit(1)).as("_c_"),
+        sum(when(col("_arm_") === armA, 1L).otherwise(0L)).as("_ca_"))
+    val w = Window.orderBy("_v_")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = perValue
+      .withColumn("_before_", coalesce(sum(col("_c_")).over(w), lit(0L)))
+      .agg(
+        sum(col("_ca_")).as("n_a"),
+        sum(col("_c_") - col("_ca_")).as("n_b"),
+        sum(col("_ca_") * (lit(2L) * col("_before_") + col("_c_") + lit(1L)))
+          .as("_r2a_"),
+        // cube in DECIMAL: a hot value tied across ≥3M rows would
+        // overflow a LONG c³ silently
+        sum(col("_c_").cast("decimal(38,0)") * col("_c_") * col("_c_")
+          - col("_c_")).as("_tie_"))
+    val n = (col("n_a") + col("n_b")).cast("decimal(38,0)")
+    val varNum = (col("n_a").cast("decimal(38,0)") *
+      col("n_b").cast("decimal(38,0)") *
+      ((n + 1) * n * (n - 1) - col("_tie_"))).cast("decimal(38,0)")
+    agg
+      .withColumn("u2_a", col("_r2a_") - col("n_a") * (col("n_a") + lit(1L)))
+      .withColumn("tie_term", col("_tie_").cast("long"))
+      .withColumn("_var_",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          varNum.cast("double") /
+            (lit(12.0) * n.cast("double") * (n.cast("double") - lit(1.0)))))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("tie_term"),
+        when(col("_var_") > 0,
+          (col("u2_a") - col("n_a") * col("n_b")).cast("double") /
+            (lit(2.0) * sqrt(col("_var_")))).as("z_stat"))
+  }
+
   def welchTTest(df: DataFrame, keyCol: String, armCol: String,
                  valCol: String, armA: String, armB: String): DataFrame = {
     def moments(arm: String, sfx: String) = df

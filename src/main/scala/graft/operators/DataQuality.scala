@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality report (the deequ-shaped surface a curation
@@ -112,5 +113,48 @@ object DataQuality {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("k_anonymous", col("class_size") >= k)
       .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
+  /** Recursive (c,l)-diversity (Machanavajjhala et al., "l-Diversity:
+    * Privacy Beyond k-Anonymity", ICDE 2006 §4.2) — the stronger
+    * criterion [[kAnonymityReport]]'s distinct-count misses: a class
+    * whose sensitive values are 98 % "flu" is trivially 2-"diverse" yet
+    * leaks the attribute with 98 % confidence. With per-class sensitive
+    * frequencies sorted descending r₁ ≥ r₂ ≥ … ≥ r_m, the class is
+    * (c,l)-diverse iff  r₁ < c · (r_l + r_{l+1} + … + r_m)  — the most
+    * common value must not dominate the tail beyond factor `c`. Classes
+    * with fewer than `l` distinct values fail by definition (the tail
+    * sum is empty). `c` is passed as the exact rational cNum/cDen so the
+    * test is pure integer: r₁·cDen < cNum·tail replays on any engine.
+    *
+    * NULL sensitive values are excluded (consistent with the distinct
+    * count above); frequency ties broken by value so the "top" value is
+    * deterministic even when r₁ ties.
+    *
+    * Plan: one (quasi, sensitive) count aggregate, one per-class
+    * descending-frequency window for rank, one class rollup —
+    * everything keyed on the class, nothing global. Output: quasi
+    * columns + (class_size, n_sensitive, top_freq, tail_freq,
+    * cl_diverse), one row per class. */
+  def recursiveLDiversity(df: DataFrame, quasiCols: Seq[String],
+                          sensitiveCol: String, l: Int,
+                          cNum: Long, cDen: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 2, s"recursive (c,l)-diversity needs l >= 2, got $l")
+    require(cNum > 0 && cDen > 0, "c must be a positive rational")
+    val freq = df.where(col(sensitiveCol).isNotNull)
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_f_"))
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("_f_").desc, col(sensitiveCol))
+    freq.withColumn("_rk_", row_number().over(w))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("_f_")).as("class_size"),
+        count(lit(1)).as("n_sensitive"),
+        max(when(col("_rk_") === 1, col("_f_"))).as("top_freq"),
+        sum(when(col("_rk_") >= l, col("_f_")).otherwise(0L)).as("tail_freq"))
+      .withColumn("cl_diverse",
+        col("n_sensitive") >= l &&
+          col("top_freq") * cDen < lit(cNum) * col("tail_freq"))
   }
 }

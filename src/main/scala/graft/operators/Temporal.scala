@@ -46,6 +46,38 @@ object Temporal {
       .drop("_cell_")
   }
 
+  /** Interval×interval OVERLAP join — the two-sided companion to
+    * [[rangeJoin]]: every `left` interval `[lStart, lEnd)` paired with
+    * every `right` interval `[rStart, rEnd)` of the same key that
+    * overlaps it (`lStart < rEnd AND rStart < lEnd`, half-open).
+    *
+    * Same tiling re-expression (the naive key-equi-join plan is
+    * quadratic per hot key): BOTH sides explode to the `bucketWidth`-
+    * second cells they cover and join on `(key, cell)`. An overlapping
+    * pair shares every cell between `max(lStart,rStart)` and
+    * `min(lEnd,rEnd)` — so the join keeps ONLY the cell containing
+    * `greatest(lStart, rStart)` (always a shared cell when the pair
+    * overlaps): exactly one surviving row per pair, NO dedup shuffle.
+    * Cost is linear in replicated interval rows (length/bucketWidth per
+    * interval); pick `bucketWidth` near the typical interval length. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def cells(df: DataFrame, s: String, e: String) =
+      df.withColumn("_cell_", explode(expr(
+        s"sequence(cast($s as bigint) div $bucketWidth, " +
+          s"cast($e as bigint) div $bucketWidth)")))
+    cells(left, lStart, lEnd)
+      .join(cells(right, rStart, rEnd), Seq(keyCol, "_cell_"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .where(col("_cell_") ===
+        expr(s"greatest(cast($lStart as bigint), cast($rStart as bigint))" +
+          s" div $bucketWidth"))
+      .drop("_cell_")
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) validity windows: each key's
     * change events, ordered by `(tsCol, tieCol)`, become versioned rows
     * with `valid_from` = the event's ts, `valid_to` = the NEXT event's ts

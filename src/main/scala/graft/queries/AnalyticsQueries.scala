@@ -805,10 +805,91 @@ object AnalyticsQueries {
       graft.operators.DataQuality.kAnonymityReport(c,
           Seq("c_nationkey", "c_mktsegment"), "acctbal_k", k = 10L, l = 4L)
         .orderBy("c_nationkey", "c_mktsegment")
-    })
+    }),
+
+    // ---- recursive (c,l)-diversity: the dominance-aware privacy check
+    // ka01's distinct-count misses — top value must not exceed c× the
+    // l-th-onward tail; c = 1/2 as the exact rational (1,2) -------------
+    "ka02_recursive_ldiversity" -> ((s, d) => {
+      val c = Tables.customer(s, d).withColumn("acctbal_k",
+        floor(col("c_acctbal") / 1000).cast("long"))
+      graft.operators.DataQuality.recursiveLDiversity(c,
+          Seq("c_nationkey", "c_mktsegment"), "acctbal_k", l = 3,
+          cNum = 1, cDen = 2)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // ---- Mann–Whitney U: click vs view value distributions — the
+    // nonparametric companion to ab01; integer doubled midranks, tie
+    // correction, fixed-program z ---------------------------------------
+    "ab03_mann_whitney" -> ((s, d) =>
+      Analytics.mannWhitneyU(
+        Tables.events(s, d)
+          .where(col("event_type").isin("click", "view"))
+          .select(col("event_type").as("arm"),
+            expr("cast(round(value * 1000) as bigint)").as("v_milli")),
+        "arm", "v_milli", "click", "view"))
   )
 
   val oracleSql: Map[String, String] = Map(
+    // ka02 replay: per-class sensitive frequencies, rank by (freq desc,
+    // value), dominance test as the exact rational r1·cDen < cNum·tail
+    "ka02_recursive_ldiversity" ->
+      """WITH freq AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv, count(*) AS f
+        |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+        |    ORDER BY f DESC, sv) AS rk FROM freq),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(f) AS BIGINT) AS class_size,
+        |    count(*) AS n_sensitive,
+        |    CAST(max(CASE WHEN rk = 1 THEN f END) AS BIGINT) AS top_freq,
+        |    CAST(sum(CASE WHEN rk >= 3 THEN f ELSE 0 END) AS BIGINT)
+        |      AS tail_freq
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, class_size, n_sensitive,
+        |  top_freq, tail_freq,
+        |  (n_sensitive >= 3 AND top_freq * 2 < 1 * tail_freq) AS cl_diverse
+        |FROM cls ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // ab03 replay: same per-value counts, same doubled-midrank rank sum
+    // (2·before + c + 1), same exact-integer variance numerator
+    // VARCHAR-routed to DOUBLE, same fixed z program
+    "ab03_mann_whitney" ->
+      """WITH pv AS (
+        |  SELECT CAST(round(value * 1000) AS BIGINT) AS v, count(*) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |r AS (
+        |  SELECT *, COALESCE(CAST(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    AS bef FROM pv),
+        |a AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(c - ca) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * (2 * bef + c + 1)) AS BIGINT) AS r2a,
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS tie
+        |  FROM r),
+        |f AS (
+        |  SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2_a,
+        |    CAST(tie AS BIGINT) AS tie_term,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |      CAST(CAST(CAST(n_a AS HUGEINT) * n_b *
+        |          ((CAST(n_a AS HUGEINT) + n_b + 1) * (n_a + n_b)
+        |            * (n_a + n_b - 1) - tie) AS VARCHAR) AS DOUBLE)
+        |      / (12.0 * CAST(n_a + n_b AS DOUBLE)
+        |         * (CAST(n_a + n_b AS DOUBLE) - 1.0))
+        |    END AS v2
+        |  FROM a)
+        |SELECT n_a, n_b, u2_a, tie_term,
+        |  CASE WHEN v2 > 0 THEN CAST(u2_a - n_a * n_b AS DOUBLE)
+        |       / (2.0 * sqrt(v2)) END AS z_stat
+        |FROM f""".stripMargin,
+
     // hh01 replay: the naive full-shuffle form the two-pass scheme equals;
     // threshold is the SAME integer ceil-division program
     "hh01_heavy_hitter_words" ->

@@ -494,6 +494,26 @@ object Relational {
         .orderBy("event_id", "anchor_id")
     }),
 
+    // interval×interval OVERLAP join: 30-min activity intervals around
+    // clicks/views against 1-hour pre-purchase windows per user — the
+    // two-sided rangeJoin (grid cells both sides, the max-start-cell
+    // election dedups pairs without a distinct shuffle)
+    "io01_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val act = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("act_id"),
+          expr("cast(ts as bigint)").as("a_start"),
+          (expr("cast(ts as bigint)") + 1800L).as("a_end"))
+      val promo = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("promo_id"),
+          (expr("cast(ts as bigint)") - 3600L).as("p_start"),
+          expr("cast(ts as bigint)").as("p_end"))
+      graft.operators.Temporal.intervalOverlapJoin(act, promo, "user_id",
+          "a_start", "a_end", "p_start", "p_end", bucketWidth = 4096L)
+        .select("act_id", "promo_id", "user_id")
+        .orderBy("act_id", "promo_id")
+    }),
+
     // SCD2 validity windows over each user's purchase history
     "sc01_scd2_intervals" -> ((s, d) => {
       val purchases = Tables.events(s, d)
@@ -1024,6 +1044,24 @@ object Relational {
         |  ON e.user_id = w.user_id
         | AND e.ts >= w.w_start AND e.ts < w.w_end
         |ORDER BY e.event_id, w.anchor_id""".stripMargin,
+
+    // io01 replay: the plain half-open overlap theta join the tiled plan
+    // equals (epoch-second bounds, ls < re AND rs < le)
+    "io01_interval_overlap" ->
+      """WITH act AS (
+        |  SELECT user_id, event_id AS act_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS a_s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS a_e
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |promo AS (
+        |  SELECT user_id, event_id AS promo_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) - 3600 AS p_s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS p_e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.act_id, p.promo_id, a.user_id
+        |FROM act a JOIN promo p ON a.user_id = p.user_id
+        |  AND a.a_s < p.p_e AND p.p_s < a.a_e
+        |ORDER BY act_id, promo_id""".stripMargin,
 
     "sc01_scd2_intervals" ->
       """SELECT user_id,

@@ -1022,6 +1022,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(neg3 == Map("a" -> (1L, -3L), "b" -> (1L, -1L), "c" -> (1L, -3L)))
   }
 
+  test("mannWhitneyU: hand-computed U and z, tie-exact doubled midranks") {
+    // no ties: A=[1,2,3], B=[4,5,6] -> R_A=6, U_A=0, u2_a=0
+    val clean = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(4L, 5L, 6L).map(("b", _)))
+      .toDF("arm", "v")
+    val r1 = Analytics.mannWhitneyU(clean, "arm", "v", "a", "b").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) ==
+      ((3L, 3L, 0L, 0L)))
+    // z = (0 - 9) / (2*sqrt(9*210/360)) = -1.96396...
+    assert(math.abs(r1.getDouble(4) - (-1.9639610121239313)) < 1e-12)
+    // ties: A=[1,1,2], B=[1,2,2] -> doubled midranks 4 and 10,
+    // u2_a = 2*9 - 12 = 6, tie_term = 24+24 = 48, var = 4.05
+    val tied = (Seq(1L, 1L, 2L).map(("a", _)) ++ Seq(1L, 2L, 2L).map(("b", _)))
+      .toDF("arm", "v")
+    val r2 = Analytics.mannWhitneyU(tied, "arm", "v", "a", "b").collect().head
+    assert((r2.getLong(2), r2.getLong(3)) == ((6L, 48L)))
+    assert(math.abs(r2.getDouble(4) - (-3.0 / (2.0 * math.sqrt(4.05)))) < 1e-12)
+    // degenerate: all values equal -> zero variance -> NULL z
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("arm", "v")
+    assert(Analytics.mannWhitneyU(flat, "arm", "v", "a", "b")
+      .collect().head.isNullAt(4))
+  }
+
   test("hyperloglog: near-exact small range, <5% mid range, exact max-merge") {
     import graft.operators.Sketch
     // two groups: g1 has 3000 distinct ids, g2 has 500; ids overlap

@@ -321,4 +321,42 @@ class TemporalGraphSpec extends AnyFunSuite {
       Graph.kCore(path, "src", "dst", k = 2, maxRounds = 2)
     }
   }
+
+  test("intervalOverlapJoin: one row per overlapping pair across cells, half-open") {
+    // left intervals per key k; epoch-second bounds chosen to span cells
+    // (bucketWidth=10): [3,25) covers cells 0..2
+    val left = Seq(("k", 1L, 3L, 25L), ("k", 2L, 30L, 35L),
+      ("x", 3L, 0L, 100L))
+      .toDF("key", "lid", "ls", "le")
+    val right = Seq(("k", 10L, 0L, 50L),   // overlaps lid 1 AND 2
+      ("k", 11L, 24L, 31L),                // overlaps both (edges)
+      ("k", 12L, 25L, 30L),                // adjacent to both: NO overlap
+      ("y", 13L, 0L, 100L))                // wrong key
+      .toDF("key", "rid", "rs", "re")
+    val got = graft.operators.Temporal.intervalOverlapJoin(
+        left, right, "key", "ls", "le", "rs", "re", bucketWidth = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    // exactly one row per overlapping pair — the max-start-cell election
+    // dedups pairs that share many cells (lid1×rid10 share cells 0..2)
+    assert(got.sorted == Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
+    assert(got.size == got.distinct.size)
+  }
+
+  test("recursiveLDiversity: dominance fails, balanced passes, l floor") {
+    val rows =
+      Seq.fill(98)(("z1", "flu")) ++ Seq(("z1", "cold"), ("z1", "hiv")) ++
+        (Seq.fill(5)(("z2", "a")) ++ Seq.fill(4)(("z2", "b")) ++
+          Seq.fill(3)(("z2", "c"))) ++
+        Seq.fill(4)(("z3", "only"))
+    val got = graft.operators.DataQuality.recursiveLDiversity(
+        rows.toDF("zip", "diag"), Seq("zip"), "diag", l = 2,
+        cNum = 3, cDen = 1)
+      .select("zip", "class_size", "n_sensitive", "top_freq", "tail_freq",
+        "cl_diverse")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("z1") == (("z1", 100L, 3L, 98L, 2L, false))) // 98 !< 3*2
+    assert(got("z2") == (("z2", 12L, 3L, 5L, 7L, true)))    // 5 < 3*7
+    assert(got("z3") == (("z3", 4L, 1L, 4L, 0L, false)))    // < l distinct
+  }
 }
