@@ -807,27 +807,31 @@ object Analytics {
     * value order by that rank — no float anywhere, so the mapping
     * replays exactly.
     *
-    * Plan: one group-keyed window (rank within group), one global sorted
-    * index over the value column (a calendar/corpus-sized sort; shard it
-    * by the [[Packing.packSequencesSharded]] two-phase recipe when the
-    * row count itself is the problem), one equi-join on the computed
-    * global rank. Output: input keys + `normalized`. */
+    * Plan: one group-keyed window (rank within group), the total count
+    * as a broadcast 1-row cross join (NOT a partition-less window — that
+    * plan funnels every row through one task), and the global sorted
+    * index built by [[Packing.runningTotalSharded]]'s two-phase prefix
+    * sum (shards on the value domain, `idCol` tie-break) — no
+    * unpartitioned window anywhere in the plan. One equi-join on the
+    * computed global rank stitches the mapping.
+    * Output: input keys + `normalized`. */
   def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
                         valCol: String): DataFrame = {
     val wg = Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol))
+    val total = df.agg(count(lit(1)).as("_N_"))
     val ranked = df.select(col(groupCol), col(idCol),
         col(valCol).cast("long").as(valCol))
       .withColumn("_r_", row_number().over(wg))
       .withColumn("_ng_", count(lit(1)).over(Window.partitionBy(groupCol)))
-      .withColumn("_N_", count(lit(1)).over(Window.partitionBy()))
+      .crossJoin(broadcast(total))
       .withColumn("_gr_",
         when(col("_ng_") > 1,
           lit(1) + expr("((_r_ - 1) * (_N_ - 1)) div (_ng_ - 1)"))
           .otherwise(lit(1) + expr("(_N_ - 1) div 2")))
-    val globalIdx = df.select(col(valCol).cast("long").as("_gv_"),
-        col(idCol).as("_gid_"))
-      .withColumn("_gr_", row_number().over(
-        Window.orderBy(col("_gv_"), col("_gid_"))))
+    val globalIdx = Packing.runningTotalSharded(
+        df.select(col(valCol).cast("long").as("_gv_"), col(idCol).as("_gid_"))
+          .withColumn("_one_", lit(1L)),
+        "_gv_", "_one_", "_gr_", tieCols = Seq("_gid_"))
       .select("_gr_", "_gv_")
     ranked.join(globalIdx, "_gr_")
       .select(col(groupCol), col(idCol), col(valCol),

@@ -75,4 +75,65 @@ object Layout {
       .withColumn("scanned", col("_pmax_") >= lo && col("_pmin_") <= hi)
       .drop("_pmin_", "_pmax_")
   }
+
+  /** Small-file compaction — the lakehouse `OPTIMIZE` bin-packing step:
+    * a directory fragmented into many small parquet files (streaming
+    * ingest, over-parallel writes) is rewritten as few near-`targetBytes`
+    * files. Small files are THE silent 100 TB scan killer: per-file open/
+    * footer overhead dominates once files drop below a few tens of MB,
+    * and a 10^6-file table bottlenecks the driver's listing long before
+    * any byte is read.
+    *
+    * Planning is metadata-only on the driver (exactly how Delta/Iceberg
+    * OPTIMIZE plans): list (name, bytes), first-fit-decreasing bin-pack
+    * into groups capped at `targetBytes` (any single file larger than the
+    * cap gets its own group). Execution is ONE distributed job: scan all
+    * files, tag each row's source file (`input_file_name`), broadcast-join
+    * the file→group plan, hash-repartition on the group id and write
+    * `partitionBy("compaction_group")` — each group lands in exactly one
+    * task's partition, so each group directory holds exactly ONE file
+    * whatever the hash collisions. No row ever passes through the
+    * driver. (The partition column must not start with `_` — Spark's
+    * file index treats `_`-prefixed paths as hidden on read-back.)
+    *
+    * Returns the compaction manifest: (group, n_files, bytes_planned),
+    * one row per output file. The rewritten table reads back with
+    * `spark.read.parquet(destDir)` (the group id is a partition column —
+    * drop it). */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+                        srcDir: String, destDir: String,
+                        targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // keyed by base NAME (unique within one directory) — URI spellings of
+    // input_file_name() and FileStatus differ (file:/ vs file:///)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen))
+      .sortBy { case (name, len) => (-len, name) } // FFD, name tie-break
+    require(files.nonEmpty, s"no parquet files under $srcDir")
+    // first-fit-decreasing over (group -> remaining capacity)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val plan = files.map { case (path, len) =>
+      val fit = bins.indices.find(i => bins(i) + len <= targetBytes)
+      val g = fit.getOrElse { bins += 0L; bins.length - 1 }
+      bins(g) += len
+      (path, g, len)
+    }.toSeq
+    val planDf = plan.map { case (p, g, _) => (p, g) }
+      .toDF("_file_", "compaction_group")
+    spark.read.parquet(srcDir)
+      .withColumn("_file_",
+        regexp_extract(input_file_name(), "[^/]+$", 0))
+      .join(broadcast(planDf), "_file_")
+      .drop("_file_")
+      .repartition(bins.length, col("compaction_group"))
+      .write.mode("overwrite").partitionBy("compaction_group")
+      .parquet(destDir)
+    plan.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (g, fs0) => (g, fs0.size.toLong, fs0.map(_._3).sum) }
+      .toDF("group", "n_files", "bytes_planned")
+  }
 }

@@ -27,18 +27,39 @@ object Linkage {
     * bucket id — per-key fan-in is exactly 3w rows whatever the data
     * skew, because ranks are unique BY CONSTRUCTION even when key values
     * repeat (the hot-key hedge content-hash blocking lacks). The final
-    * `0 < rank_b − rank_a < w` filter trims the over-generation. At
-    * 100 TB the one global-sort window becomes a two-phase sharded rank
-    * (the [[Packing.runningTotalSharded]] prefix-sum discipline applied
-    * to weight-1 rows); the demo keeps the single window and states it.
+    * `0 < rank_b − rank_a < w` filter trims the over-generation.
+    *
+    * The global rank itself is TWO-PHASE SHARDED (the
+    * [[Packing.runningTotalSharded]] prefix-sum discipline applied to
+    * weight-1 rows): rows shard by a `prefixLen`-char prefix of the sort
+    * key (lexicographic prefixes are order-preserving, and equal keys
+    * always share a shard so the (key, id) tie-break stays total), the
+    * per-shard counts prefix-sum through a constant-sized triangular
+    * self-join into per-shard rank bases, and the within-shard
+    * row_number runs partitioned — no single-partition window anywhere,
+    * identical ranks. Prefix skew degrades parallelism, never
+    * correctness; raise `prefixLen` for short common prefixes.
     *
     * Output: (a_id, b_id, a_key, b_key, rank_dist). */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
-                              w: Int): DataFrame = {
+                              w: Int, prefixLen: Int = 2): DataFrame = {
     require(w >= 2, s"window must be >= 2, got $w")
-    val ranked = df
-      .withColumn("_rn_",
-        row_number().over(Window.orderBy(col(keyCol), col(idCol))))
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    // NULL keys coalesce to '' for sharding only — '' is the smallest
+    // prefix and NULLS FIRST keeps them ahead within the shard, so the
+    // global order is unchanged
+    val sharded = df.withColumn("_shard_",
+      substring(coalesce(col(keyCol).cast("string"), lit("")), 1, prefixLen))
+    val counts = sharded.groupBy("_shard_").agg(count(lit(1)).as("_c_"))
+    val bases = counts
+      .join(counts.select(col("_shard_").as("_es_"), col("_c_").as("_ec_")),
+        col("_es_") < col("_shard_"), "left")
+      .groupBy("_shard_")
+      .agg(coalesce(sum(col("_ec_")), lit(0L)).as("_base_"))
+    val wIn = Window.partitionBy("_shard_")
+      .orderBy(col(keyCol).asc_nulls_first, col(idCol))
+    val ranked = sharded.join(broadcast(bases), "_shard_")
+      .withColumn("_rn_", col("_base_") + row_number().over(wIn))
       .select(col(idCol), col(keyCol), col("_rn_"),
         expr(s"(_rn_ - 1) div $w").as("_bk_"))
     val left = ranked.select(col(idCol).as("a_id"), col(keyCol).as("a_key"),

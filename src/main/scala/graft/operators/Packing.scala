@@ -77,10 +77,14 @@ object Packing {
     * same output — boundaries affect parallelism, never results — so skew
     * in the id space degrades speed, not correctness; size `numShards` so
     * one shard's rows fit a single task comfortably. Requires a numeric
-    * `idCol` (doc ids). */
+    * `idCol` (doc ids). When `idCol` is not unique, pass `tieCols` to
+    * make the within-shard order total — shard assignment depends only
+    * on `idCol`, so tied rows always share a shard and the tie-broken
+    * output is deterministic. */
   def runningTotalSharded(df: DataFrame, idCol: String, tokensCol: String,
                           cumCol: String, numShards: Int = 32,
-                          groupCols: Seq[String] = Nil): DataFrame = {
+                          groupCols: Seq[String] = Nil,
+                          tieCols: Seq[String] = Nil): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi")).head()
@@ -97,13 +101,23 @@ object Packing {
     val keys = groupCols :+ "_shard_"
     val totals = sharded.groupBy(keys.map(col): _*)
       .agg(sum(col(tokensCol)).as("_tot_"))
-    val wShards = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy("_shard_")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bases = totals
-      .withColumn("_base_", sum(col("_tot_")).over(wShards) - col("_tot_"))
-      .select(keys.map(col) :+ col("_base_"): _*)
-    val wIn = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    // phase 2: per-shard base = sum of strictly-earlier shards' totals.
+    // The totals table is ≤ numShards rows per group BY CONSTRUCTION, so
+    // a triangular self-join beats a window here: no single-partition
+    // WindowExec funnel anywhere in the plan (a partition-less window
+    // over the tiny table is correct but indistinguishable in the logs
+    // from an accidental data-sized one), and the O(numShards²)-row
+    // join is constant-sized
+    val earlier = totals.select(
+      keys.map(c => col(c).as(s"_e_$c")) :+ col("_tot_").as("_etot_"): _*)
+    val joinCond = groupCols
+      .map(c => col(c) === col(s"_e_$c"))
+      .foldLeft(col("_e__shard_") < col("_shard_"))(_ && _)
+    val bases = totals.join(earlier, joinCond, "left")
+      .groupBy(keys.map(col): _*)
+      .agg(coalesce(sum(col("_etot_")), lit(0L)).as("_base_"))
+    val wIn = Window.partitionBy(keys.map(col): _*)
+      .orderBy((idCol +: tieCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sharded.join(broadcast(bases), keys)
       .withColumn(cumCol, col("_base_") + sum(col(tokensCol)).over(wIn))

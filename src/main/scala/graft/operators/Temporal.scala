@@ -269,16 +269,18 @@ object Temporal {
     val b = dfB.select(col(valCol).cast("long").as("_v_"))
       .where(col("_v_").isNotNull)
       .groupBy("_v_").agg(count(lit(1)).as("_cb_"))
-    val w = Window.orderBy("_v_")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    a.join(b, Seq("_v_"), "full_outer")
+    val merged = a.join(b, Seq("_v_"), "full_outer")
       .select(col("_v_"), coalesce(col("_ca_"), lit(0L)).as("_ca_"),
         coalesce(col("_cb_"), lit(0L)).as("_cb_"))
-      .withColumn("_cuma_", sum("_ca_").over(w))
-      .withColumn("_cumb_", sum("_cb_").over(w))
-      .withColumn("_na_", sum("_ca_").over(wAll))
-      .withColumn("_nb_", sum("_cb_").over(wAll))
+    // running counts via the two-phase sharded prefix sum (the _v_ keys
+    // are unique after the full-outer merge) and totals via a broadcast
+    // 1-row cross join — no partition-less window funnels the
+    // distinct-value table through one task
+    val totals = merged.agg(sum("_ca_").as("_na_"), sum("_cb_").as("_nb_"))
+    Packing.runningTotalSharded(
+        Packing.runningTotalSharded(merged, "_v_", "_ca_", "_cuma_"),
+        "_v_", "_cb_", "_cumb_")
+      .crossJoin(broadcast(totals))
       .withColumn("_d_",
         abs(col("_cuma_") * col("_nb_") - col("_cumb_") * col("_na_")))
       .agg(max("_na_").as("n_a"), max("_nb_").as("n_b"),

@@ -728,6 +728,25 @@ object PipelineQueries {
         .orderBy("layout", "block_id")
     }),
 
+    // ---- layout: small-file compaction (the OPTIMIZE bin-pack) — a
+    // 48-way fragmented copy of orders rewritten as few near-target
+    // files; the gate re-reads the COMPACTED table, proving the rewrite
+    // lost and invented nothing (file-count/grouping asserted in spec) ---
+    "cmp01_compact_small_files" -> ((s, d) => {
+      val frag = graft.sources.Scratch.dir(s, "compact", s"cmp01_src_$d")
+      val dest = graft.sources.Scratch.dir(s, "compact", s"cmp01_dest_$d")
+      Tables.orders(s, d).repartition(48, col("o_orderkey"))
+        .write.mode("overwrite").parquet(frag)
+      graft.operators.Layout.compactSmallFiles(
+        s, frag, dest, targetBytes = 512L * 1024)
+      s.read.parquet(dest)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)")
+            .as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ---- similarity: hard-negative mining for contrastive training —
     // nearest WRONG-label neighbors per query vector (the exact form;
     // the LSH candidate path composes identically at scale) --------------
@@ -2533,6 +2552,16 @@ object PipelineQueries {
         |FROM blk GROUP BY layout, block_id
         |ORDER BY layout, block_id""".stripMargin
     },
+
+    // cmp01 replay: compaction must be a pure physical rewrite — the
+    // status rollup over the compacted table equals the rollup over the
+    // original orders, byte-for-byte (exact DECIMAL sum → one cast)
+    "cmp01_compact_small_files" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // hard negatives: the ann01 brute-force replay with the wrong-label
     // join predicate — ordering by cosine only (rank gates, floats don't)

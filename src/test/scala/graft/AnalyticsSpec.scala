@@ -1022,6 +1022,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(neg3 == Map("a" -> (1L, -3L), "b" -> (1L, -1L), "c" -> (1L, -3L)))
   }
 
+  test("compactSmallFiles: FFD caps groups, one file per group, content exact") {
+    val src = graft.sources.Scratch.dir(spark, "compact", "spec_src")
+    val dest = graft.sources.Scratch.dir(spark, "compact", "spec_dest")
+    val df = (1 to 2000).map(i => (i.toLong, s"row-$i-padding-padding"))
+      .toDF("k", "t")
+    df.repartition(12, col("k")).write.mode("overwrite").parquet(src)
+    val sizes = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length)
+    assert(sizes.length == 12)
+    val target = sizes.max * 3 // groups of ~3 files
+    val manifest = graft.operators.Layout
+      .compactSmallFiles(spark, src, dest, target)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // plan covers every file; multi-file groups respect the cap
+    assert(manifest.map(_._2).sum == 12L)
+    assert(manifest.forall { case (_, n, b) => n == 1 || b <= target })
+    assert(manifest.length < 12) // it actually compacted
+    // exactly ONE parquet file per group directory, hash collisions or not
+    manifest.foreach { case (g, _, _) =>
+      val files = new java.io.File(s"$dest/compaction_group=$g")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"group $g has ${files.length} files")
+    }
+    // pure physical rewrite: nothing lost, nothing invented
+    val back = spark.read.parquet(dest).select("k", "t")
+      .as[(Long, String)].collect().toSet
+    assert(back == df.as[(Long, String)].collect().toSet)
+    // an oversized file gets its own group rather than blocking the pack
+    val manifest2 = graft.operators.Layout
+      .compactSmallFiles(spark, src,
+        graft.sources.Scratch.dir(spark, "compact", "spec_dest2"),
+        sizes.min / 2)
+      .as[(Int, Long, Long)].collect()
+    assert(manifest2.length == 12 && manifest2.forall(_._2 == 1L))
+  }
+
   test("mannWhitneyU: hand-computed U and z, tie-exact doubled midranks") {
     // no ties: A=[1,2,3], B=[4,5,6] -> R_A=6, U_A=0, u2_a=0
     val clean = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(4L, 5L, 6L).map(("b", _)))
