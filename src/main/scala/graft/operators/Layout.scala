@@ -44,6 +44,55 @@ object Layout {
       .drop("_z_")
   }
 
+  /** Append a HILBERT-curve index column `out` over two non-negative
+    * integer columns — the stronger space-filling curve: unlike Morton
+    * order (which teleports at power-of-two seams), every step along the
+    * Hilbert curve moves to a 4-neighbor grid cell, so value ranges map
+    * to tighter rectangles and per-file min/max prune better on BOTH
+    * dimensions (the reason Databricks moved liquid clustering off
+    * z-order). Standard iterative xy→d walk (Wikipedia "Hilbert curve",
+    * public domain): per level `s = 2^i` the quadrant bit pair (rx, ry)
+    * contributes `s²·((3·rx) xor ry)` and the coordinates rotate/reflect
+    * into the sub-quadrant frame.
+    *
+    * Each level materializes as NAMED columns (withColumn chain, which
+    * Catalyst collapses into one projection): the rotation references
+    * both coordinates, so inlining it as one Column expression would
+    * double the tree per level — 4^bits nodes. All bit arithmetic —
+    * codegen'd, shuffle-free, and replayable as the identical staged
+    * program in any engine. Inputs wider than `bitsPerDim` bits must be
+    * range-bucketed first (the zOrderValue contract). */
+  def withHilbertValue(df: DataFrame, x: Column, y: Column, out: String,
+                       bitsPerDim: Int = 16): DataFrame = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31, "bitsPerDim in [1,31]")
+    val mask = (1L << bitsPerDim) - 1
+    val start = df
+      .withColumn("_hx_", x.cast("long").bitwiseAND(lit(mask)))
+      .withColumn("_hy_", y.cast("long").bitwiseAND(lit(mask)))
+      .withColumn(out, lit(0L))
+    val walked = ((bitsPerDim - 1) to 0 by -1).foldLeft(start) { (acc, i) =>
+      val s = 1L << i
+      val rx = when(col("_hx_").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      val ry = when(col("_hy_").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L)
+      acc
+        .withColumn("_rx_", rx).withColumn("_ry_", ry)
+        .withColumn(out, col(out) +
+          lit(s) * lit(s) * (lit(3L) * col("_rx_")).bitwiseXOR(col("_ry_")))
+        // rotate/reflect into the sub-quadrant: flip both coords when
+        // rx=1 (within ry=0), then swap x and y
+        .withColumn("_nx_",
+          when(col("_ry_") === 0,
+            when(col("_rx_") === 1, lit(s - 1) - col("_hy_"))
+              .otherwise(col("_hy_"))).otherwise(col("_hx_")))
+        .withColumn("_hy_",
+          when(col("_ry_") === 0,
+            when(col("_rx_") === 1, lit(s - 1) - col("_hx_"))
+              .otherwise(col("_hx_"))).otherwise(col("_hy_")))
+        .withColumn("_hx_", col("_nx_"))
+    }
+    walked.drop("_hx_", "_hy_", "_rx_", "_ry_", "_nx_")
+  }
+
   /** Zone-map (per-block min/max index) + data-skipping report: the
     * bookkeeping a lakehouse keeps per file/row-group, computed as a
     * first-class relation so a layout can be AUDITED before committing to

@@ -699,6 +699,23 @@ object PipelineQueries {
         .orderBy("z_bucket")
     }),
 
+    // ---- layout: HILBERT-curve clustering — the stronger space-filling
+    // curve (every curve step is a 4-neighbor move, so bucket extents are
+    // tighter rectangles than morton's power-of-two teleports; spec
+    // proves bijection + adjacency + the locality win) -------------------
+    "zo02_hilbert_layout" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("_day_", datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1992-01-01"))))
+      graft.operators.Layout.withHilbertValue(
+          o, col("o_custkey"), col("_day_"), "_h_")
+        .groupBy(shiftright(col("_h_"), 16).as("h_bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+          min("_day_").as("min_day"), max("_day_").as("max_day"))
+        .orderBy("h_bucket")
+    }),
+
     // ---- layout: zone-map data-skipping report — z-bucket blocks vs the
     // unclustered orderkey-range baseline, same 30-day predicate. The
     // gated table IS the pruning audit: z-order scans a fraction of its
@@ -2525,6 +2542,42 @@ object PipelineQueries {
         |  min(ck) AS min_cust, max(ck) AS max_cust,
         |  CAST(min(dy) AS INT) AS min_day, CAST(max(dy) AS INT) AS max_day
         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
+
+    // zo02 replay: the IDENTICAL staged Hilbert walk — one CTE per level
+    // (the rotation reads both coords, so each level is its own stage,
+    // exactly mirroring the Spark withColumn chain), all-integer
+    "zo02_hilbert_layout" -> {
+      val levels = (15 to 0 by -1).zipWithIndex.map { case (i, k) =>
+        val s = 1L << i
+        val prev = if (k == 0) "b" else s"h${k - 1}"
+        val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+        val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+        s"""h$k AS (
+           |  SELECT ck, dy,
+           |    d + ${s * s} * xor(3 * $rx, $ry) AS d,
+           |    CASE WHEN $ry = 0 THEN
+           |      CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END
+           |    ELSE x END AS x,
+           |    CASE WHEN $ry = 0 THEN
+           |      CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END
+           |    ELSE y END AS y
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (
+        |  SELECT o_custkey AS ck,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS dy,
+        |    o_custkey & 65535 AS x,
+        |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      & 65535 AS y,
+        |    CAST(0 AS BIGINT) AS d
+        |  FROM orders),
+        |$levels
+        |SELECT d >> 16 AS h_bucket, count(*) AS n_orders,
+        |  min(ck) AS min_cust, max(ck) AS max_cust,
+        |  CAST(min(dy) AS INT) AS min_day, CAST(max(dy) AS INT) AS max_day
+        |FROM h15 GROUP BY 1 ORDER BY h_bucket""".stripMargin
     },
 
     // zone-map replay: same morton program as zo01 for the z-bucket

@@ -67,6 +67,32 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // Schema evolution: batch 1 writes the original column spelling,
+    // batch 2 the renamed spelling plus an ADDED column; the merged read
+    // coalesces both spellings into one logical column and backfills the
+    // added column with NULL for old rows (SchemaEvolution.readMerged)
+    "sr02_schema_evolution" -> ((s, d) => {
+      val dir = tmpDir(s, "schevo", d)
+      val o = Tables.orders(s, d)
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("amount_v1"))
+        .write.mode("overwrite").parquet(s"$dir/batch=1")
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("amount"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$dir/batch=2")
+      graft.sources.SchemaEvolution
+        .readMerged(s, dir, Map("amount_v1" -> "amount"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(amount) as double)").as("total_amount"),
+          sum(when(col("o_orderstatus").isNotNull, 1L).otherwise(0L))
+            .as("n_with_status"))
+        .orderBy("batch")
+    }),
+
     // Crawler: BFS over a synthetic link graph (2 out-edges per node,
     // derived from nation keys), seed "0", depth <= 4. The frontier
     // anti-join guarantees min-depth-first visits — mirrored by the
@@ -243,6 +269,16 @@ object SourceQueries {
     "sr01_orc_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // sr02 replay: the merged-rename read must equal the logical table —
+    // even keys are batch 1 (old spelling, no status), odd keys batch 2
+    "sr02_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_amount,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_status
+        |FROM orders GROUP BY 1 ORDER BY batch""".stripMargin,
     "ws01_tar_shards" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,

@@ -1022,6 +1022,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(neg3 == Map("a" -> (1L, -3L), "b" -> (1L, -1L), "c" -> (1L, -3L)))
   }
 
+  test("hilbert walk: bijection + unit-step adjacency, tighter than morton") {
+    // exhaustive 8x8 grid (bits=3): d must be a bijection onto 0..63 and
+    // consecutive d cells must be 4-neighbors — THE hilbert property
+    // (morton fails it at every power-of-two seam)
+    val grid = (for { x <- 0 until 8; y <- 0 until 8 } yield (x, y))
+      .toDF("x", "y")
+    val walked = graft.operators.Layout
+      .withHilbertValue(grid, col("x"), col("y"), "d", bitsPerDim = 3)
+      .as[(Int, Int, Long)].collect().sortBy(_._3)
+    assert(walked.map(_._3).toSeq == (0L until 64L))
+    walked.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+    // locality: over 10-cell runs of a 32x32 grid (UNALIGNED with the
+    // 4^k tiles, where morton's seam teleports show), the mean bounding
+    // box area of hilbert runs is strictly tighter than morton's
+    val big = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y))
+      .toDF("x", "y")
+    def meanBox(df: org.apache.spark.sql.DataFrame, c: String) = df
+      .groupBy((col(c) / 10).cast("long").as("run"))
+      .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("a"))
+      .agg(avg("a")).as[Double].collect().head
+    val h = meanBox(graft.operators.Layout.withHilbertValue(
+      big, col("x"), col("y"), "d", 5), "d")
+    val m = meanBox(big.withColumn("z",
+      graft.operators.Layout.zOrderValue(col("x"), col("y"), 5)), "z")
+    assert(h < m, s"hilbert mean box $h !< morton $m")
+  }
+
   test("compactSmallFiles: FFD caps groups, one file per group, content exact") {
     val src = graft.sources.Scratch.dir(spark, "compact", "spec_src")
     val dest = graft.sources.Scratch.dir(spark, "compact", "spec_dest")

@@ -319,4 +319,25 @@ class SourceOpsSpec extends AnyFunSuite {
     val recall = truth.count(found.contains).toDouble / truth.size
     assert(recall >= 0.4, s"portable IVF recall $recall over ${truth.size} true pairs")
   }
+
+  test("schema evolution: rename coalesces spellings, added column backfills NULL") {
+    val dir = graft.sources.Scratch.dir(spark, "schevo", "spec")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price_v1")
+      .write.mode("overwrite").parquet(s"$dir/b=1")
+    Seq((3L, 30.0, "EUR")).toDF("k", "price", "currency")
+      .write.mode("overwrite").parquet(s"$dir/b=2")
+    val got = graft.sources.SchemaEvolution
+      .readMerged(spark, dir, Map("price_v1" -> "price"))
+      .select("k", "price", "currency")
+      .as[(Long, Double, Option[String])].collect().toSet
+    assert(got == Set((1L, 10.0, None), (2L, 20.0, None),
+      (3L, 30.0, Some("EUR"))))
+    // rename-only case: no batch ever wrote the new spelling
+    val dir2 = graft.sources.Scratch.dir(spark, "schevo", "spec2")
+    Seq((1L, 5.0)).toDF("k", "price_v1")
+      .write.mode("overwrite").parquet(s"$dir2/b=1")
+    val only = graft.sources.SchemaEvolution
+      .readMerged(spark, dir2, Map("price_v1" -> "price"))
+    assert(only.columns.contains("price") && !only.columns.contains("price_v1"))
+  }
 }
