@@ -1382,6 +1382,81 @@ object Analytics {
     * Plan: one partial+final aggregate per arm over the group key, one
     * equi-join of two tiny per-group tables — scan-bound at any scale.
     * Output: (`keyCol`, n_a, mean_a, n_b, mean_b, t_stat, welch_df). */
+  /** Per-group Gini coefficient — the inequality/concentration measure
+    * ("do 1 % of customers carry 90 % of revenue"): with the group's
+    * values sorted ascending x₁ ≤ … ≤ x_n,
+    *   G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i).
+    * Everything except the final division is exact DECIMAL integer
+    * arithmetic (values enter as integer milli), and permuting TIED
+    * values never changes Σ i·x_i — so the statistic is deterministic
+    * without a tie-break column and replays bit-identically.
+    *
+    * Values must be non-negative (Gini is undefined below zero);
+    * all-zero or singleton groups emit NULL.
+    *
+    * Plan: one group-partitioned ordered window for ranks, one grouped
+    * aggregate — both keyed on the group, nothing global. Output:
+    * (groupCol, n, total, gini). */
+  def giniCoefficient(df: DataFrame, groupCol: String,
+                      valCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col("_v_"))
+    df.select(col(groupCol), col(valCol).cast("long").as("_v_"))
+      .where(col("_v_").isNotNull)
+      .withColumn("_i_", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_v_")).as("total"),
+        sum(col("_i_").cast("decimal(38,0)") * col("_v_")).as("_w_"),
+        min(col("_v_")).as("_min_"))
+      .select(col(groupCol), col("n"), col("total"),
+        when(col("_min_") >= 0 && col("total") > 0 && col("n") > 1,
+          (lit(2).cast("decimal(38,0)") * col("_w_") -
+            (col("n") + 1).cast("decimal(38,0)") *
+              col("total").cast("decimal(38,0)")).cast("double") /
+            (col("n").cast("decimal(38,0)") *
+              col("total").cast("decimal(38,0)")).cast("double"))
+          .as("gini"))
+  }
+
+  /** Autocorrelation function over an integer-indexed series: for each
+    * lag k ≤ `maxLag`, the ACF  r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)².
+    * Scaled through by n² the centered terms become EXACT integers
+    * (c_t = n·x_t − S with S = Σx, n = count), so both sums are exact
+    * DECIMAL and the one division replays bit-identically — no float μ
+    * subtraction to disagree on.
+    *
+    * Plan: the (n, S) scalars broadcast through a 1-row cross join, the
+    * lag pairs come from ONE equi-join of the series against itself
+    * shifted (`t+k` exploded per lag) — a calendar-bounded series joins
+    * in-memory at any corpus scale, since the series is already an
+    * aggregate. Output: (lag, n_pairs, acf), lags with no pairs or a
+    * constant series emit NULL acf. */
+  def autocorrelation(df: DataFrame, tCol: String, valCol: String,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val base = df.select(col(tCol).cast("long").as("_t_"),
+      col(valCol).cast("long").as("_x_"))
+    val stats = base.agg(count(lit(1)).as("_n_"), sum("_x_").as("_s_"))
+    val centered = base.crossJoin(broadcast(stats))
+      .select(col("_t_"),
+        (col("_n_").cast("decimal(38,0)") * col("_x_") -
+          col("_s_").cast("decimal(38,0)")).as("_c_"))
+    val den = centered.agg(sum(col("_c_") * col("_c_")).as("_den_"))
+    val lagged = centered
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("_tk_", col("_t_") + col("lag"))
+      .join(centered.select(col("_t_").as("_tk_"), col("_c_").as("_ck_")),
+        "_tk_")
+    lagged.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_c_") * col("_ck_")).as("_num_"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        when(col("_den_") > 0,
+          col("_num_").cast("double") / col("_den_").cast("double"))
+          .as("acf"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
     * test: compares arm A's rank sum against arm B with no normality
     * assumption, the right tool when the metric is skewed (latencies,

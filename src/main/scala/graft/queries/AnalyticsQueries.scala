@@ -819,6 +819,31 @@ object AnalyticsQueries {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // ---- per-nation Gini of order revenue: the concentration measure —
+    // exact integer rank-weighted sums, one final division --------------
+    "gn01_gini_concentration" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 1000) as bigint)").as("rev_milli"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      Analytics.giniCoefficient(
+          o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+          "c_nationkey", "rev_milli")
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- ACF of daily revenue, lags 1..7: exact integer centered sums
+    // (c_t = n·x_t − S), one division per lag ----------------------------
+    "ac01_autocorrelation" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1992-01-01"))).as("day"))
+        .agg(sum(expr("cast(round(o_totalprice * 1000) as bigint)"))
+          .as("rev_milli"))
+      Analytics.autocorrelation(daily, "day", "rev_milli", maxLag = 7)
+        .orderBy("lag")
+    }),
+
     // ---- Mann–Whitney U: click vs view value distributions — the
     // nonparametric companion to ab01; integer doubled midranks, tie
     // correction, fixed-program z ---------------------------------------
@@ -854,6 +879,53 @@ object AnalyticsQueries {
         |  top_freq, tail_freq,
         |  (n_sensitive >= 3 AND top_freq * 2 < 1 * tail_freq) AS cl_diverse
         |FROM cls ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // gn01 replay: same ascending rank (ties free — permuting equal
+    // values never moves Σ i·x), exact HUGEINT rank-weighted sums,
+    // VARCHAR-routed division
+    "gn01_gini_concentration" ->
+      """WITH v AS (
+        |  SELECT c_nationkey, CAST(round(o_totalprice * 1000) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT c_nationkey, v,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY v) AS i
+        |  FROM v),
+        |a AS (
+        |  SELECT c_nationkey, count(*) AS n, CAST(sum(v) AS BIGINT) AS total,
+        |    sum(CAST(i AS HUGEINT) * v) AS w, min(v) AS mn
+        |  FROM r GROUP BY 1)
+        |SELECT c_nationkey, n, total,
+        |  CASE WHEN mn >= 0 AND total > 0 AND n > 1 THEN
+        |    CAST(CAST(2 * w - (CAST(n AS HUGEINT) + 1) * total AS VARCHAR)
+        |      AS DOUBLE)
+        |    / CAST(CAST(CAST(n AS HUGEINT) * total AS VARCHAR) AS DOUBLE)
+        |  END AS gini
+        |FROM a ORDER BY c_nationkey""".stripMargin,
+
+    // ac01 replay: same integer-centered series (n·x − S in HUGEINT),
+    // same shifted equi-join per lag, VARCHAR-routed final division
+    "ac01_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS t,
+        |    CAST(sum(CAST(round(o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(x) AS HUGEINT) AS s
+        |       FROM daily),
+        |c AS (SELECT t, CAST(n AS HUGEINT) * x - s AS c FROM daily, st),
+        |den AS (SELECT sum(c * c) AS den FROM c),
+        |p AS (
+        |  SELECT l.lag, a.c AS ca, b.c AS cb
+        |  FROM c a JOIN range(1, 8) l(lag) ON true
+        |  JOIN c b ON b.t = a.t + l.lag)
+        |SELECT lag, count(*) AS n_pairs,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(CAST(sum(ca * cb) AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE)
+        |  END AS acf
+        |FROM p, den GROUP BY lag, den ORDER BY lag""".stripMargin,
 
     // ab03 replay: same per-value counts, same doubled-midrank rank sum
     // (2·before + c + 1), same exact-integer variance numerator

@@ -1022,6 +1022,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(neg3 == Map("a" -> (1L, -3L), "b" -> (1L, -1L), "c" -> (1L, -3L)))
   }
 
+  test("giniCoefficient: hand values, zero for equality, NULL guards") {
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++ Seq(5L, 5L).map(("b", _))
+      ++ Seq(("c", 7L)) ++ Seq(("d", -1L), ("d", 3L))).toDF("g", "v")
+    val got = Analytics.giniCoefficient(df, "g", "v").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("a") == ((4L, 10L, Some(0.25)))) // (2*30 - 5*10)/(4*10)
+    assert(got("b") == ((2L, 10L, Some(0.0)))) // perfect equality
+    assert(got("c") == ((1L, 7L, None)))       // singleton undefined
+    assert(got("d")._3.isEmpty)                // negative value -> NULL
+  }
+
+  test("autocorrelation: alternating series gives -(n-1)/n at lag 1") {
+    val n = 6
+    val df = (0 until n).map(t => (t.toLong, if (t % 2 == 0) 1L else -1L))
+      .toDF("t", "x")
+    val got = Analytics.autocorrelation(df, "t", "x", maxLag = 3)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // mean 0: c_t = n*x_t, r_k = Σ x_t x_{t+k} / Σ x_t² over n-k pairs
+    assert(got(1)._1 == 5L && math.abs(got(1)._2 - (-5.0 / 6)) < 1e-12)
+    assert(got(2)._1 == 4L && math.abs(got(2)._2 - (4.0 / 6)) < 1e-12)
+    assert(got(3)._1 == 3L && math.abs(got(3)._2 - (-3.0 / 6)) < 1e-12)
+  }
+
   test("hilbert walk: bijection + unit-step adjacency, tighter than morton") {
     // exhaustive 8x8 grid (bits=3): d must be a bijection onto 0..63 and
     // consecutive d cells must be 4-neighbors — THE hilbert property
