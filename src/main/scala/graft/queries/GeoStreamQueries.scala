@@ -272,6 +272,38 @@ object GeoStreamQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- STREAMING materialized-aggregate view: every micro-batch
+    // folds into the (user, n_rows, total) state through applyAggDelta —
+    // the mv01 maintenance loop closed as a stream (state re-read each
+    // batch, localCheckpoint before the overwrite so the lazy read can
+    // never race its own rewrite); oracle = the full batch rebuild, the
+    // row-identity applyAggDelta guarantees ------------------------------
+    "sm13_stream_agg_view" -> ((s, d) => {
+      val stage = eventsValueStage(s, d)
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 1)
+      val stateDir = graft.sources.Scratch.dir(s, "aggview",
+        s"sm13_${d}_${System.nanoTime}")
+      var seeded = false
+      Streams.runForeachBatch(
+        stream.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("value")),
+        (batch, _) => {
+          val sp = batch.sparkSession
+          val next =
+            if (!seeded)
+              graft.operators.Temporal.aggregateState(batch, "user_id", "value")
+            else graft.operators.Temporal.applyAggDelta(
+              sp.read.parquet(stateDir), batch, "user_id", "value")
+          next.localCheckpoint(true).write.mode("overwrite").parquet(stateDir)
+          seeded = true
+        })
+      s.read.parquet(stateDir)
+        .select(col("user_id"), col("n_rows"),
+          expr("cast(total as double)").as("total"))
+        .orderBy("user_id")
+    }),
+
     "sm07_stream_to_shards" -> ((s, d) => {
       val stage = documentsLandingZone(s, d)
       val schema = s.read.parquet(stage).schema
@@ -630,6 +662,15 @@ object GeoStreamQueries {
     "sm07_stream_to_shards" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // streaming agg-view replay: count/DECIMAL-sum are commutative, so
+    // however the micro-batches split, the folded state equals the full
+    // rebuild over every purchase
+    "sm13_stream_agg_view" ->
+      """SELECT user_id, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // streamed incremental-dedup replay: arrival pinned to doc_id order
     // makes the standing-corpus admission equal global keep-first
