@@ -83,7 +83,18 @@ object ExplainAudit {
         // memoized-lookup tier: distinct-query pipeline + value stitch,
         // weighted predict window; the linear-attribution range join
         "fz04_fuzzy_multi_lookup", "fz06_fuzzy_predict_lookup",
-        "at02_linear_attribution")
+        "at02_linear_attribution",
+        // driver-round-10 tier: HLL register fold + merge series, tiled
+        // two-sided overlap join, sharded quantile-normalize index,
+        // prefix-sharded neighborhood rank, staged hilbert walk,
+        // compaction rewrite readback, merged-schema read, rank-weighted
+        // gini, lag-join ACF, U-shaped attribution
+        "hl01_hll_distinct", "hl02_hll_users_to_date",
+        "io01_interval_overlap", "qn01_quantile_normalize",
+        "zo02_hilbert_layout", "cmp01_compact_small_files",
+        "sr02_schema_evolution", "gn01_gini_concentration",
+        "ac01_autocorrelation", "at03_position_attribution",
+        "ab03_mann_whitney", "ka02_recursive_ldiversity")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

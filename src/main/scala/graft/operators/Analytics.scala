@@ -1418,6 +1418,46 @@ object Analytics {
           .as("gini"))
   }
 
+  /** Theil–Sen robust slope per group — the median of all pairwise
+    * slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i: breaks down only past
+    * 29 % outliers where least squares ([[linearFit]]) breaks at one.
+    * Each slope is ONE correctly-rounded division of exact integers, and
+    * the median is an ORDER statistic — the single formula
+    * `(lo + hi) / 2` over the ⌈n/2⌉-th and (⌊n/2⌋+1)-th slopes covers
+    * odd (lo = hi, and (x+x)/2 = x exactly in IEEE) and even alike, so
+    * the whole statistic replays bit-identically. Pairs with equal x are
+    * excluded (vertical slope undefined).
+    *
+    * Plan: one group-keyed self-join (pairs are Σ n_g² per group — the
+    * input is a per-period AGGREGATE series, calendar-bounded by
+    * construction, so the quadratic is over months, not rows), one
+    * group-partitioned ordered window, one rollup.
+    * Output: (groupCol, n_pairs, ts_slope). */
+  def theilSenSlope(df: DataFrame, groupCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    val a = df.select(col(groupCol), col(xCol).cast("long").as("_x1_"),
+      col(yCol).cast("long").as("_y1_"))
+    val b = df.select(col(groupCol), col(xCol).cast("long").as("_x2_"),
+      col(yCol).cast("long").as("_y2_"))
+    val pairs = a.join(b, Seq(groupCol))
+      .where(col("_x2_") > col("_x1_"))
+      .select(col(groupCol),
+        ((col("_y2_") - col("_y1_")).cast("double") /
+          (col("_x2_") - col("_x1_")).cast("double")).as("_s_"))
+    val w = Window.partitionBy(groupCol).orderBy(col("_s_"))
+    pairs
+      .withColumn("_rn_", row_number().over(w))
+      .withColumn("_n_", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .groupBy(col(groupCol))
+      .agg(max(col("_n_")).as("n_pairs"),
+        max(when(col("_rn_") === expr("(_n_ + 1) div 2"), col("_s_")))
+          .as("_lo_"),
+        max(when(col("_rn_") === expr("_n_ div 2 + 1"), col("_s_")))
+          .as("_hi_"))
+      .select(col(groupCol), col("n_pairs"),
+        ((col("_lo_") + col("_hi_")) / lit(2.0)).as("ts_slope"))
+  }
+
   /** Autocorrelation function over an integer-indexed series: for each
     * lag k ≤ `maxLag`, the ACF  r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)².
     * Scaled through by n² the centered terms become EXACT integers

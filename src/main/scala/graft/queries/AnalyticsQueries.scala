@@ -832,6 +832,22 @@ object AnalyticsQueries {
         .orderBy("c_nationkey")
     }),
 
+    // ---- Theil–Sen robust trend: per-nation monthly revenue slope as
+    // the median pairwise slope — the outlier-proof companion to lr01 ----
+    "th01_theilsen_trend" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"),
+          (year(col("o_orderdate").cast("date")) * 12 +
+            month(col("o_orderdate").cast("date")) - 1).as("m"))
+        .agg(sum(expr("cast(round(o_totalprice * 1000) as bigint)"))
+          .as("rev_milli"))
+      Analytics.theilSenSlope(monthly, "c_nationkey", "m", "rev_milli")
+        .orderBy("c_nationkey")
+    }),
+
     // ---- ACF of daily revenue, lags 1..7: exact integer centered sums
     // (c_t = n·x_t − S), one division per lag ----------------------------
     "ac01_autocorrelation" -> ((s, d) => {
@@ -902,6 +918,32 @@ object AnalyticsQueries {
         |    / CAST(CAST(CAST(n AS HUGEINT) * total AS VARCHAR) AS DOUBLE)
         |  END AS gini
         |FROM a ORDER BY c_nationkey""".stripMargin,
+
+    // th01 replay: same monthly aggregate, same one-division slopes,
+    // same (lo+hi)/2 order-statistic median (odd counts collapse exactly)
+    "th01_theilsen_trend" ->
+      """WITH monthly AS (
+        |  SELECT c_nationkey,
+        |    year(CAST(o_orderdate AS DATE)) * 12 +
+        |      month(CAST(o_orderdate AS DATE)) - 1 AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.c_nationkey,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS s
+        |  FROM monthly a JOIN monthly b
+        |    ON a.c_nationkey = b.c_nationkey AND b.m > a.m),
+        |r AS (
+        |  SELECT c_nationkey, s,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY s) AS rn,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM p)
+        |SELECT c_nationkey, CAST(max(n) AS BIGINT) AS n_pairs,
+        |  (max(CASE WHEN rn = (n + 1) // 2 THEN s END) +
+        |   max(CASE WHEN rn = n // 2 + 1 THEN s END)) / 2.0 AS ts_slope
+        |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // ac01 replay: same integer-centered series (n·x − S in HUGEINT),
     // same shifted equi-join per lag, VARCHAR-routed final division

@@ -1035,6 +1035,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("d")._3.isEmpty)                // negative value -> NULL
   }
 
+  test("theilSenSlope: outlier-immune median slope, exact on clean lines") {
+    // 5 colinear points (slope 10) + one wild outlier: 15 pair slopes,
+    // ten of them exactly 10 -> the median (8th) is 10, untouched
+    val pts = Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L),
+      (5L, 2000L)).map { case (x, y) => ("g", x, y) }
+      .toDF("g", "x", "y")
+    val r = Analytics.theilSenSlope(pts, "g", "x", "y").collect().head
+    assert(r.getLong(1) == 15L)
+    assert(r.getDouble(2) == 10.0) // exact: (10+10)/2
+    // least squares on the same data is dragged far off by the outlier
+    val ls = Analytics.linearFit(
+      pts.select(col("g"), col("x").cast("double").as("x"),
+        col("y").cast("double").as("y")), "g", "x", "y").collect().head
+    assert(ls.getDouble(3) > 100.0) // slope column
+    // equal-x pairs are excluded, not divided by zero
+    val dup = Seq(("g", 1L, 5L), ("g", 1L, 9L), ("g", 2L, 7L))
+      .toDF("g", "x", "y")
+    val r2 = Analytics.theilSenSlope(dup, "g", "x", "y").collect().head
+    assert(r2.getLong(1) == 2L) // only the two x=1 -> x=2 pairs
+  }
+
   test("autocorrelation: alternating series gives -(n-1)/n at lag 1") {
     val n = 6
     val df = (0 until n).map(t => (t.toLong, if (t % 2 == 0) 1L else -1L))
