@@ -1418,6 +1418,158 @@ object Analytics {
           .as("gini"))
   }
 
+  /** MARKOV-CHAIN (removal-effect) attribution — the model-based member
+    * of the attribution family (at01 last-touch / at02 linear / at03
+    * position are heuristics; this one asks the counterfactual): build
+    * the first-order channel-transition chain over user journeys
+    * (START → touch channels in time order → CONV if the user
+    * converted, else NULL), and credit each channel by its REMOVAL
+    * EFFECT — how much P(conversion) drops when the channel's state is
+    * knocked out of the chain, i.e. every path through it fails
+    * (P(removed) := 0 in the absorption system — Anderl et al.,
+    * "Mapping the customer journey", IJRM 2016).
+    *
+    * EXACT arithmetic throughout: absorption probabilities of a chain
+    * with transition counts c(s→t) solve the integer linear system
+    * `tot(s)·P(s) = Σ_t c(s→t)·P(t) + c(s→CONV)` — so
+    * P(CONV | START) is the exact RATIONAL det(A_start←b)/det(A) by
+    * Cramer's rule, computed here with fraction-free Bareiss
+    * elimination in BigInt. No iteration, no convergence threshold, no
+    * floats: a SQL replay computing the same determinants gets the same
+    * integers. Removal effects quantize to micro
+    * (`(P_base−P_c)/P_base · 1e6`, floored, clamped at 0), and the
+    * converted-users' total revenue splits across channels by the at02
+    * largest-remainder discipline (credit exactly conserved; remainder
+    * by micro-share remainder desc, then channel asc).
+    *
+    * Plan: journey assembly + transition counting is the distributed,
+    * data-sized work (one array-agg per user, ONE counting pass — the
+    * removal variants differ only in the tiny matrix, not the counts);
+    * the collected transition table is ≤ (vocab+2)² rows, and the
+    * solves are driver-side BigInt on that tiny matrix — the
+    * BinaryOptimalEvaluator discipline. Users who converted with NO
+    * touches contribute START→CONV mass (the `direct` population
+    * shapes the baseline but earns no channel credit, matching at01's
+    * convention).
+    *
+    * Output: one row per touch channel —
+    * (channel, removal_micro, credit_milli). */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        tieCol: String, typeCol: String, convType: String,
+                        touchTypes: Seq[String],
+                        revenueExpr: String): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch channel")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touches = events.where(col(typeCol).isin(touchTypes.map(x => x: Any): _*))
+      .groupBy(col(userCol))
+      .agg(expr(s"transform(array_sort(collect_list(" +
+        s"struct($tsCol as t, $tieCol as tb, $typeCol as c))), x -> x.c)")
+        .as("_seq_"))
+    val conv = events.where(col(typeCol) === convType)
+      .groupBy(col(userCol))
+      .agg(sum(expr(revenueExpr)).as("_rev_"))
+    val users = touches.join(conv, Seq(userCol), "full_outer")
+      .select(
+        coalesce(col("_seq_"), expr("array()")).as("_seq_"),
+        when(col("_rev_").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+          .as("_term_"),
+        coalesce(col("_rev_"), lit(0L)).as("_rev_"))
+    val trans = users
+      .select(explode(expr(
+        """CASE WHEN size(_seq_) = 0
+          |  THEN array(struct('__start__' as f, _term_ as t))
+          |  ELSE concat(
+          |    array(struct('__start__' as f, element_at(_seq_, 1) as t)),
+          |    transform(slice(_seq_, 1, size(_seq_) - 1),
+          |      (x, i) -> struct(x as f, element_at(_seq_, i + 2) as t)),
+          |    array(struct(element_at(_seq_, -1) as f, _term_ as t)))
+          |END""".stripMargin)).as("_tr_"))
+      .groupBy(col("_tr_.f").as("f"), col("_tr_.t").as("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totalRev = users.where(col("_term_") === "CONV")
+      .agg(coalesce(sum(col("_rev_")), lit(0L))).as[Long].head()
+
+    // driver-side exact solve over the vocabulary-sized system; a
+    // removed channel's row becomes P(ch) = 0 (knocked-out state)
+    val states = "__start__" +: touchTypes
+    val idx = states.zipWithIndex.toMap
+    def pConv(removed: Option[String]): (BigInt, BigInt) = {
+      val n = states.length
+      val a = Array.fill(n, n)(BigInt(0))
+      val b = Array.fill(n)(BigInt(0))
+      states.indices.foreach { i =>
+        val tot = trans.filter(_._1 == states(i)).map(_._3).sum
+        a(i)(i) = BigInt(if (tot == 0) 1L else tot) // absent state: P = 0
+      }
+      trans.foreach { case (f, t, cnt) =>
+        if (idx.contains(f)) {
+          if (idx.contains(t)) a(idx(f))(idx(t)) -= BigInt(cnt)
+          else if (t == "CONV") b(idx(f)) += BigInt(cnt)
+        }
+      }
+      removed.foreach { ch =>
+        val r = idx(ch)
+        states.indices.foreach(j => a(r)(j) = BigInt(0))
+        a(r)(r) = BigInt(1)
+        b(r) = BigInt(0)
+      }
+      val dA = detBareiss(a.map(_.clone))
+      val aB = a.map(_.clone)
+      states.indices.foreach(i => aB(i)(0) = b(i))
+      val dB = detBareiss(aB)
+      if (dA.signum == 0) (BigInt(0), BigInt(1))
+      else if (dA.signum < 0) (-dB, -dA) else (dB, dA)
+    }
+    val (bn, bd) = pConv(None)
+    val removal = touchTypes.map { ch =>
+      val (cn, cd) = pConv(Some(ch))
+      val diff = bn * cd - cn * bd
+      val micro =
+        if (bn.signum <= 0 || diff.signum <= 0) BigInt(0)
+        else (diff * 1000000) / (bn * cd)
+      ch -> micro.toLong
+    }
+    val reSum = removal.map(_._2).sum
+    val floors = removal.map { case (ch, re) =>
+      val prod = BigInt(totalRev) * re
+      (ch, re, if (reSum == 0) BigInt(0) else prod / reSum,
+        if (reSum == 0) BigInt(0) else prod % reSum)
+    }
+    val extra = (BigInt(totalRev) - floors.map(_._3).sum).toLong
+    val order = floors.sortBy { case (ch, _, _, rem) => (-rem, ch) }
+      .map(_._1).zipWithIndex.toMap
+    val rows = floors.map { case (ch, re, fl, _) =>
+      val credit =
+        if (reSum == 0) 0L
+        else fl.toLong + (if (order(ch) < extra) 1L else 0L)
+      (ch, re, credit)
+    }
+    rows.toDF("channel", "removal_micro", "credit_milli")
+  }
+
+  /** Fraction-free Bareiss determinant over BigInt — exact, division-
+    * free in effect (every interior division is exact by construction).
+    * Mutates its argument. */
+  private def detBareiss(a: Array[Array[BigInt]]): BigInt = {
+    val n = a.length
+    var sign = BigInt(1)
+    var prev = BigInt(1)
+    for (k <- 0 until n - 1) {
+      if (a(k)(k).signum == 0) {
+        val p = (k + 1 until n).find(a(_)(k).signum != 0)
+        if (p.isEmpty) return BigInt(0)
+        val t = a(k); a(k) = a(p.get); a(p.get) = t; sign = -sign
+      }
+      for (i <- k + 1 until n; j <- k + 1 until n)
+        a(i)(j) = (a(i)(j) * a(k)(k) - a(i)(k) * a(k)(j)) / prev
+      prev = a(k)(k)
+    }
+    sign * a(n - 1)(n - 1)
+  }
+
   /** Theil–Sen robust slope per group — the median of all pairwise
     * slopes (y_j−y_i)/(x_j−x_i) over x_j > x_i: breaks down only past
     * 29 % outliers where least squares ([[linearFit]]) breaks at one.

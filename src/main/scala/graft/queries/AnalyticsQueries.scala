@@ -832,6 +832,16 @@ object AnalyticsQueries {
         .orderBy("c_nationkey")
     }),
 
+    // ---- MARKOV removal-effect attribution: the model-based member of
+    // the at01–at03 family — channel credit = exact-rational drop in
+    // P(conv) when the channel's state is knocked out of the journey
+    // chain (Cramer determinants over integer transition counts) --------
+    "at04_markov_attribution" -> ((s, d) =>
+      Analytics.markovAttribution(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type", "purchase",
+          Seq("click", "view"), "cast(round(value * 1000) as bigint)")
+        .orderBy("channel")),
+
     // ---- Theil–Sen robust trend: per-nation monthly revenue slope as
     // the median pairwise slope — the outlier-proof companion to lr01 ----
     "th01_theilsen_trend" -> ((s, d) => {
@@ -918,6 +928,110 @@ object AnalyticsQueries {
         |    / CAST(CAST(CAST(n AS HUGEINT) * total AS VARCHAR) AS DOUBLE)
         |  END AS gini
         |FROM a ORDER BY c_nationkey""".stripMargin,
+
+    // at04 replay: same journeys (list ordered by ts, event_id), same
+    // transition counts, and the SAME exact rationals — the absorption
+    // system tot(s)·P(s) = Σc(s→t)·P(t) + c(s→CONV) solved by explicit
+    // Cramer determinants (a21 = a31 = 0 since nothing re-enters
+    // __start__, so detA = t1·(a22·a33 − a23·a32)); knocked-out channel
+    // = identity row, which collapses to the 2×2 minors below. Removal
+    // micro and the largest-remainder credit replay in HUGEINT.
+    "at04_markov_attribution" ->
+      """WITH seqs AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY user_id),
+        |convs AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |users AS (
+        |  SELECT COALESCE(s.seq, []) AS seq,
+        |    CASE WHEN c.user_id IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+        |      AS term,
+        |    COALESCE(c.rev, 0) AS rev
+        |  FROM seqs s FULL OUTER JOIN convs c ON s.user_id = c.user_id),
+        |tr AS (
+    |  SELECT unnest(CASE WHEN len(seq) = 0
+        |    THEN [['__start__', term]]
+        |    ELSE list_concat(list_concat([['__start__', seq[1]]],
+        |      [[seq[i], seq[i + 1]] FOR i IN range(1, len(seq))]),
+        |      [[seq[-1], term]]) END) AS t
+        |  FROM users),
+        |cnt AS (SELECT t[1] AS f, t[2] AS tt, count(*) AS c
+        |        FROM tr GROUP BY 1, 2),
+        |m AS (
+        |  SELECT
+        |    COALESCE((SELECT CAST(sum(c) AS HUGEINT) FROM cnt
+        |              WHERE f = '__start__'), 1) AS t1,
+        |    COALESCE((SELECT CAST(sum(c) AS HUGEINT) FROM cnt
+        |              WHERE f = 'click'), 1) AS t2,
+        |    COALESCE((SELECT CAST(sum(c) AS HUGEINT) FROM cnt
+        |              WHERE f = 'view'), 1) AS t3,
+        |    COALESCE((SELECT CAST(c AS HUGEINT) FROM cnt
+        |              WHERE f = '__start__' AND tt = 'click'), 0) AS c12,
+        |    COALESCE((SELECT CAST(c AS HUGEINT) FROM cnt
+        |              WHERE f = '__start__' AND tt = 'view'), 0) AS c13,
+        |    COALESCE((SELECT CAST(c AS HUGEINT) FROM cnt
+        |              WHERE f = 'click' AND tt = 'click'), 0) AS c22,
+        |    COALESCE((SELECT CAST(c AS HUGEINT) FROM cnt
+        |              WHERE f = 'click' AND tt = 'view'), 0) AS c23,
+        |    COALESCE((SELECT CAST(c AS HUGEINT) FROM cnt
+        |              WHERE f = 'view' AND tt = 'click'), 0) AS c32,
+        |    COALESCE((SELECT CAST(c AS HUGEINT) FROM cnt
+        |              WHERE f = 'view' AND tt = 'view'), 0) AS c33,
+        |    COALESCE((SELECT CAST(c AS HUGEINT) FROM cnt
+        |              WHERE f = '__start__' AND tt = 'CONV'), 0) AS b1,
+        |    COALESCE((SELECT CAST(c AS HUGEINT) FROM cnt
+        |              WHERE f = 'click' AND tt = 'CONV'), 0) AS b2,
+        |    COALESCE((SELECT CAST(c AS HUGEINT) FROM cnt
+        |              WHERE f = 'view' AND tt = 'CONV'), 0) AS b3),
+        |sol AS (
+        |  SELECT
+        |    t1 * ((t2 - c22) * (t3 - c33) - c23 * c32) AS pn_den,
+        |    b1 * ((t2 - c22) * (t3 - c33) - c23 * c32)
+        |      + c12 * (b2 * (t3 - c33) + c23 * b3)
+        |      + c13 * (b2 * c32 + (t2 - c22) * b3) AS pn_num,
+        |    t1 * (t3 - c33) AS pc_den,
+        |    b1 * (t3 - c33) + c13 * b3 AS pc_num,
+        |    t1 * (t2 - c22) AS pv_den,
+        |    b1 * (t2 - c22) + c12 * b2 AS pv_num
+        |  FROM m),
+        |re AS (
+        |  SELECT 'click' AS channel,
+        |    CASE WHEN pn_num <= 0 OR pn_num * pc_den - pc_num * pn_den <= 0
+        |      THEN CAST(0 AS HUGEINT)
+        |      ELSE ((pn_num * pc_den - pc_num * pn_den) * 1000000)
+        |           // (pn_num * pc_den) END AS re
+        |  FROM sol
+        |  UNION ALL
+        |  SELECT 'view',
+        |    CASE WHEN pn_num <= 0 OR pn_num * pv_den - pv_num * pn_den <= 0
+        |      THEN CAST(0 AS HUGEINT)
+        |      ELSE ((pn_num * pv_den - pv_num * pn_den) * 1000000)
+        |           // (pn_num * pv_den) END
+        |  FROM sol),
+        |tot AS (SELECT CAST(COALESCE(sum(rev), 0) AS HUGEINT) AS trev
+        |        FROM users WHERE term = 'CONV'),
+        |rs AS (SELECT CAST(sum(re) AS HUGEINT) AS resum FROM re),
+        |alloc AS (
+        |  SELECT channel, re,
+        |    CASE WHEN resum = 0 THEN CAST(0 AS HUGEINT)
+        |         ELSE (trev * re) // resum END AS fl,
+        |    CASE WHEN resum = 0 THEN CAST(0 AS HUGEINT)
+        |         ELSE (trev * re) % resum END AS rem
+        |  FROM re, tot, rs),
+        |fin AS (
+        |  SELECT channel, re,
+        |    CASE WHEN (SELECT resum FROM rs) = 0 THEN CAST(0 AS HUGEINT)
+        |      ELSE fl + CASE WHEN
+        |        row_number() OVER (ORDER BY rem DESC, channel)
+        |          <= (SELECT trev FROM tot) - (SELECT sum(fl) FROM alloc)
+        |        THEN 1 ELSE 0 END END AS credit
+        |  FROM alloc)
+        |SELECT channel, CAST(re AS BIGINT) AS removal_micro,
+        |  CAST(credit AS BIGINT) AS credit_milli
+        |FROM fin ORDER BY channel""".stripMargin,
 
     // th01 replay: same monthly aggregate, same one-division slopes,
     // same (lo+hi)/2 order-statistic median (odd counts collapse exactly)

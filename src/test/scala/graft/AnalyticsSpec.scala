@@ -1035,6 +1035,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("d")._3.isEmpty)                // negative value -> NULL
   }
 
+  test("markovAttribution: exact removal effects, conserved credit") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    def run(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      Analytics.markovAttribution(
+          rows.toDF("user_id", "ts", "event_id", "event_type", "value"),
+          "user_id", "ts", "event_id", "event_type", "purchase",
+          Seq("A", "B"), "cast(round(value * 1000) as bigint)")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // chain: S->A:2 S->B:2; A->CONV:1 A->NULL:1; B->NULL:2.
+    // P(conv)=1/4; knocking out A kills every conversion path (RE=1),
+    // knocking out B changes nothing (RE=0) — all credit to A
+    val g1 = run(Seq(
+      (1L, ts(1), 10L, "A", 0.0), (1L, ts(2), 11L, "purchase", 0.01),
+      (2L, ts(1), 20L, "A", 0.0),
+      (3L, ts(1), 30L, "B", 0.0),
+      (4L, ts(1), 40L, "B", 0.0)))
+    assert(g1 == Map("A" -> ((1000000L, 10L)), "B" -> ((0L, 0L))))
+    // symmetric two-path chain: each channel's removal halves P(conv)
+    // -> RE 1/2 each; 9 milli split 5/4 (remainder tie -> channel asc)
+    val g2 = run(Seq(
+      (1L, ts(1), 10L, "A", 0.0), (1L, ts(2), 11L, "purchase", 0.004),
+      (2L, ts(1), 20L, "B", 0.0), (2L, ts(2), 21L, "purchase", 0.005)))
+    assert(g2 == Map("A" -> ((500000L, 5L)), "B" -> ((500000L, 4L))))
+    assert(g2.values.map(_._2).sum == 9L) // credit exactly conserved
+  }
+
   test("theilSenSlope: outlier-immune median slope, exact on clean lines") {
     // 5 colinear points (slope 10) + one wild outlier: 15 pair slopes,
     // ten of them exactly 10 -> the median (8th) is 10, untouched
