@@ -1418,6 +1418,80 @@ object Analytics {
           .as("gini"))
   }
 
+  /** Difference-in-differences — the pre/post × treat/control panel
+    * estimator: effect = (T̄post − T̄pre) − (C̄post − C̄pre), the
+    * parallel-trends answer to "did the launch move the metric beyond
+    * what control drifted anyway". Cell sums are exact DECIMAL; each
+    * mean is one correctly-rounded division and the effect is the fixed
+    * subtraction chain — engine-portable (the welch/az01 convention).
+    *
+    * Plan: ONE partial+final aggregate over (treat, post) — four cells,
+    * map-side combined, scan-bound at any scale. Output: one row
+    * (n/mean per cell, did_effect); any empty cell yields NULL effect. */
+  def diffInDiffs(df: DataFrame, treatCol: String, postCol: String,
+                  valCol: String): DataFrame = {
+    def cell(t: Boolean, p: Boolean, sfx: String) = Seq(
+      sum(when(col(treatCol) === t && col(postCol) === p, 1L).otherwise(0L))
+        .as(s"n_$sfx"),
+      sum(when(col(treatCol) === t && col(postCol) === p,
+        col(valCol).cast("decimal(18,2)"))).as(s"_s$sfx"))
+    val aggs = cell(true, false, "t_pre") ++ cell(true, true, "t_post") ++
+      cell(false, false, "c_pre") ++ cell(false, true, "c_post")
+    def mean(sfx: String): Column =
+      when(col(s"n_$sfx") > 0,
+        col(s"_s$sfx").cast("double") / col(s"n_$sfx").cast("double"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n_t_pre"), mean("t_pre").as("mean_t_pre"),
+        col("n_t_post"), mean("t_post").as("mean_t_post"),
+        col("n_c_pre"), mean("c_pre").as("mean_c_pre"),
+        col("n_c_post"), mean("c_post").as("mean_c_post"),
+        ((mean("t_post") - mean("t_pre")) -
+          (mean("c_post") - mean("c_pre"))).as("did_effect"))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013) — the standard
+    * A/B sensitivity booster: regress the experiment metric `y` on a
+    * PRE-experiment covariate `x` (same unit, unaffected by treatment),
+    * θ = cov(x,y)/var(x) pooled across arms, and report each arm's
+    * adjusted mean  ȳ_adj = ȳ_arm − θ·(x̄_arm − x̄_all). Moments are
+    * exact DECIMAL sums; θ is the single division of the exact integer
+    * forms n·Σxy − Σx·Σy over n·Σx² − (Σx)², and every adjustment is a
+    * fixed double program — bit-portable.
+    *
+    * Plan: one grouped aggregate per arm + one 1-row broadcast of the
+    * pooled moments — scan-bound. Output: one row per arm
+    * (arm, n, mean_raw, mean_adj, theta); θ NULL when var(x) = 0. */
+  def cupedAdjust(df: DataFrame, armCol: String, preCol: String,
+                  valCol: String): DataFrame = {
+    val x = col(preCol).cast("decimal(18,2)")
+    val y = col(valCol).cast("decimal(18,2)")
+    val pooled = df.agg(
+      count(lit(1)).as("_n_"), sum(x).as("_sx_"), sum(y).as("_sy_"),
+      sum(x * x).as("_sxx_"), sum(x * y).as("_sxy_"))
+      .withColumn("_varn_",
+        (col("_n_") * col("_sxx_") - col("_sx_") * col("_sx_"))
+          .cast("decimal(38,6)"))
+      .withColumn("theta",
+        when(col("_varn_") > 0,
+          (col("_n_") * col("_sxy_") - col("_sx_") * col("_sy_"))
+            .cast("double") / col("_varn_").cast("double")))
+      .withColumn("_xbar_",
+        col("_sx_").cast("double") / col("_n_").cast("double"))
+      .select("theta", "_xbar_")
+    df.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(x).as("_ax_"), sum(y).as("_ay_"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n"),
+        (col("_ay_").cast("double") / col("n").cast("double"))
+          .as("mean_raw"),
+        (col("_ay_").cast("double") / col("n").cast("double") -
+          col("theta") *
+            (col("_ax_").cast("double") / col("n").cast("double") -
+              col("_xbar_"))).as("mean_adj"),
+        col("theta"))
+  }
+
   /** MARKOV-CHAIN (removal-effect) attribution — the model-based member
     * of the attribution family (at01 last-touch / at02 linear / at03
     * position are heuristics; this one asks the counterfactual): build

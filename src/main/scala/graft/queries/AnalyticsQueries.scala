@@ -832,6 +832,44 @@ object AnalyticsQueries {
         .orderBy("c_nationkey")
     }),
 
+    // ---- difference-in-differences: purchase value, treat = even
+    // users, post = second half of the calendar (integer midpoint) ------
+    "did01_diff_in_diff" -> ((s, d) => {
+      val ev = Tables.events(s, d).where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("cast(ts as bigint) div 86400").as("day"),
+          expr("cast(round(value * 1000) as bigint)").as("v_milli"))
+      val bounds = ev.agg(min("day").as("_lo_"), max("day").as("_hi_"))
+      Analytics.diffInDiffs(
+        ev.crossJoin(broadcast(bounds))
+          .withColumn("treat", pmod(col("user_id"), lit(2)) === 0)
+          .withColumn("post",
+            col("day") >= expr("_lo_ + (_hi_ - _lo_ + 1) div 2")),
+        "treat", "post", "v_milli")
+    }),
+
+    // ---- CUPED adjusted means: pre-half activity count as covariate,
+    // post-half purchase revenue as metric, arms by user parity ---------
+    "ab04_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("cast(ts as bigint) div 86400").as("day"),
+          expr("cast(round(value * 1000) as bigint)").as("v_milli"))
+      val bounds = ev.agg(min("day").as("_lo_"), max("day").as("_hi_"))
+      val users = ev.crossJoin(broadcast(bounds))
+        .withColumn("_post_",
+          col("day") >= expr("_lo_ + (_hi_ - _lo_ + 1) div 2"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(!col("_post_"), 1L).otherwise(0L)).as("pre_events"),
+          sum(when(col("_post_") && col("event_type") === "purchase",
+            col("v_milli")).otherwise(0L)).as("post_rev"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+      Analytics.cupedAdjust(users, "arm", "pre_events", "post_rev")
+        .orderBy("arm")
+    }),
+
     // ---- MARKOV removal-effect attribution: the model-based member of
     // the at01–at03 family — channel credit = exact-rational drop in
     // P(conv) when the channel's state is knocked out of the journey
@@ -928,6 +966,98 @@ object AnalyticsQueries {
         |    / CAST(CAST(CAST(n AS HUGEINT) * total AS VARCHAR) AS DOUBLE)
         |  END AS gini
         |FROM a ORDER BY c_nationkey""".stripMargin,
+
+    // did01 replay: same integer midpoint split, exact DECIMAL cell
+    // sums, VARCHAR-routed means, same fixed subtraction chain
+    "did01_diff_in_diff" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |p AS (SELECT user_id % 2 = 0 AS treat,
+        |        day >= lo + (hi - lo + 1) // 2 AS post, v
+        |      FROM ev, b),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t_pre,
+        |  sum(CASE WHEN treat AND NOT post
+        |      THEN CAST(v AS DECIMAL(18,2)) END) AS s_t_pre,
+        |  CAST(sum(CASE WHEN treat AND post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t_post,
+        |  sum(CASE WHEN treat AND post
+        |      THEN CAST(v AS DECIMAL(18,2)) END) AS s_t_post,
+        |  CAST(sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c_pre,
+        |  sum(CASE WHEN NOT treat AND NOT post
+        |      THEN CAST(v AS DECIMAL(18,2)) END) AS s_c_pre,
+        |  CAST(sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c_post,
+        |  sum(CASE WHEN NOT treat AND post
+        |      THEN CAST(v AS DECIMAL(18,2)) END) AS s_c_post
+        |  FROM p),
+        |mm AS (SELECT *,
+        |  CASE WHEN n_t_pre > 0 THEN CAST(CAST(s_t_pre AS VARCHAR) AS DOUBLE)
+        |    / CAST(n_t_pre AS DOUBLE) END AS mean_t_pre,
+        |  CASE WHEN n_t_post > 0 THEN CAST(CAST(s_t_post AS VARCHAR) AS DOUBLE)
+        |    / CAST(n_t_post AS DOUBLE) END AS mean_t_post,
+        |  CASE WHEN n_c_pre > 0 THEN CAST(CAST(s_c_pre AS VARCHAR) AS DOUBLE)
+        |    / CAST(n_c_pre AS DOUBLE) END AS mean_c_pre,
+        |  CASE WHEN n_c_post > 0 THEN CAST(CAST(s_c_post AS VARCHAR) AS DOUBLE)
+        |    / CAST(n_c_post AS DOUBLE) END AS mean_c_post
+        |  FROM a)
+        |SELECT n_t_pre, mean_t_pre, n_t_post, mean_t_post,
+        |  n_c_pre, mean_c_pre, n_c_post, mean_c_post,
+        |  (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre)
+        |    AS did_effect
+        |FROM mm""".stripMargin,
+
+    // ab04 replay: same per-user panel, exact pooled moments, the same
+    // θ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) division and adjustment chain
+    "ab04_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(round(value * 1000) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN day < lo + (hi - lo + 1) // 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN day >= lo + (hi - lo + 1) // 2
+        |      AND event_type = 'purchase' THEN v ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev, b GROUP BY user_id),
+        |pool AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(y AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS sxy
+        |  FROM u),
+        |th AS (
+        |  SELECT n,
+        |    CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,6))
+        |          AS VARCHAR) AS DOUBLE)
+        |    END AS theta,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM pool),
+        |arms AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(18,2))) AS ax,
+        |    sum(CAST(y AS DECIMAL(18,2))) AS ay
+        |  FROM u GROUP BY 1)
+        |SELECT arm, a.n,
+        |  CAST(CAST(ay AS VARCHAR) AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |    AS mean_raw,
+        |  CAST(CAST(ay AS VARCHAR) AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |    - theta * (CAST(CAST(ax AS VARCHAR) AS DOUBLE)
+        |               / CAST(a.n AS DOUBLE) - xbar) AS mean_adj,
+        |  theta
+        |FROM arms a, th ORDER BY arm""".stripMargin,
 
     // at04 replay: same journeys (list ordered by ts, event_id), same
     // transition counts, and the SAME exact rationals — the absorption
