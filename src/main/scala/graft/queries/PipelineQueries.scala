@@ -716,6 +716,51 @@ object PipelineQueries {
         .orderBy("h_bucket")
     }),
 
+    // ---- copy-on-write DELETE: range-clustered orders table, predicate
+    // hits only the low-key files — those rewrite, the rest stay
+    // byte-untouched (spec asserts the surgery); gate re-reads the
+    // post-delete table ---------------------------------------------------
+    "cow01_delete_rewrite" -> ((s, d) => {
+      val dir = graft.sources.Scratch.dir(s, "cow",
+        s"cow01_${d}_${System.nanoTime}")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(16, col("o_orderkey"))
+        .write.mode("overwrite").parquet(dir)
+      graft.operators.CopyOnWrite.deleteWhere(
+        s, dir, col("o_orderkey") < 2000, epoch = 1L)
+      s.read.parquet(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)")
+            .as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- copy-on-write MERGE INTO: keyed customer table upserted with
+    // modified balances (matched keys rewrite their files) plus brand-new
+    // keys (appended); gate reads the merged end state row-level ---------
+    "cow02_merge_upsert" -> ((s, d) => {
+      val dir = graft.sources.Scratch.dir(s, "cow",
+        s"cow02_${d}_${System.nanoTime}")
+      val base = Tables.customer(s, d).select(
+        col("c_custkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("acctbal"))
+      base.repartitionByRange(8, col("c_custkey"))
+        .write.mode("overwrite").parquet(dir)
+      val batch = base.where(pmod(col("c_custkey"), lit(100)) === 0)
+        .select(col("c_custkey"),
+          (col("acctbal") + 1000).cast("decimal(18,2)").as("acctbal"))
+        .unionByName(base.where(pmod(col("c_custkey"), lit(50)) === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("acctbal")))
+      graft.operators.CopyOnWrite.mergeInto(
+        s, dir, batch, "c_custkey", epoch = 1L)
+      s.read.parquet(dir)
+        .select(col("c_custkey"), col("acctbal").cast("double"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- layout: zone-map data-skipping report — z-bucket blocks vs the
     // unclustered orderkey-range baseline, same 30-day predicate. The
     // gated table IS the pruning audit: z-order scans a fraction of its
@@ -2605,6 +2650,31 @@ object PipelineQueries {
         |FROM blk GROUP BY layout, block_id
         |ORDER BY layout, block_id""".stripMargin
     },
+
+    // cow01 replay: a copy-on-write delete equals the logical DELETE —
+    // the rollup over the mutated table is the rollup over the filter
+    "cow01_delete_rewrite" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE NOT (o_orderkey < 2000)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // cow02 replay: MERGE end state = base with matched keys replaced
+    // (+1000 balances) plus the shifted-key inserts
+    "cow02_merge_upsert" ->
+      """SELECT c_custkey, CAST(acctbal AS DOUBLE) AS acctbal FROM (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 100 = 0
+        |      THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 1000
+        |           AS DECIMAL(18,2))
+        |      ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |  FROM customer WHERE c_custkey % 50 = 0)
+        |ORDER BY c_custkey""".stripMargin,
 
     // cmp01 replay: compaction must be a pure physical rewrite — the
     // status rollup over the compacted table equals the rollup over the

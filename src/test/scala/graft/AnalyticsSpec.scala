@@ -1035,6 +1035,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("d")._3.isEmpty)                // negative value -> NULL
   }
 
+  test("copy-on-write: delete and merge rewrite only the hit files") {
+    import graft.operators.CopyOnWrite
+    val dir = graft.sources.Scratch.dir(spark, "cow", "spec")
+    (1 to 1000).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+      .repartitionByRange(10, col("k")).write.mode("overwrite").parquet(dir)
+    def snap() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = snap()
+    assert(before.size == 10)
+    val del = CopyOnWrite.deleteWhere(spark, dir, col("k") <= 100, epoch = 1L)
+      .as[(Long, Long, Long)].collect().head
+    assert(del._1 == 10L && del._3 == 100L)
+    assert(del._2 <= 2L && del._2 >= 1L) // range clustering prunes files
+    val after = snap()
+    // every non-hit file survives with its exact mtime — never reopened
+    val kept = before.keySet.intersect(after.keySet)
+    assert(kept.size.toLong == before.size - del._2)
+    kept.foreach(n => assert(before(n) == after(n)))
+    assert(spark.read.parquet(dir).where(col("k") <= 100).count() == 0)
+    assert(spark.read.parquet(dir).count() == 900)
+    // merge: two updates land in their file, two brand-new keys append
+    val batch = Seq((200L, 999L), (201L, 998L), (5000L, 1L), (5001L, 2L))
+      .toDF("k", "v")
+    val before2 = snap()
+    val mg = CopyOnWrite.mergeInto(spark, dir, batch, "k", epoch = 2L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert((mg._3, mg._4) == ((2L, 2L)))
+    assert(mg._2 >= 1L && mg._2 <= 2L)
+    val fin = spark.read.parquet(dir)
+    assert(fin.where(col("k") === 200).select("v").as[Long].head() == 999L)
+    assert(fin.where(col("k") === 5000).count() == 1)
+    assert(fin.count() == 902)
+    val after2 = snap()
+    val kept2 = before2.keySet.intersect(after2.keySet)
+    kept2.foreach(n => assert(before2(n) == after2(n)))
+  }
+
   test("markovAttribution: exact removal effects, conserved credit") {
     def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
     def run(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
