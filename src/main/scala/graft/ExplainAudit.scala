@@ -94,7 +94,13 @@ object ExplainAudit {
         "zo02_hilbert_layout", "cmp01_compact_small_files",
         "sr02_schema_evolution", "gn01_gini_concentration",
         "ac01_autocorrelation", "at03_position_attribution",
-        "ab03_mann_whitney", "ka02_recursive_ldiversity")
+        "ab03_mann_whitney", "ka02_recursive_ldiversity",
+        // second wave: journey-chain counting (the solve is driver-side
+        // by design), pair-slope median, four-cell panel, CUPED pooled
+        // moments, copy-on-write surgery readbacks, streamed agg view
+        "at04_markov_attribution", "th01_theilsen_trend",
+        "did01_diff_in_diff", "ab04_cuped", "cow01_delete_rewrite",
+        "cow02_merge_upsert", "sm13_stream_agg_view")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

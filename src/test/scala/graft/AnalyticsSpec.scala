@@ -1035,6 +1035,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("d")._3.isEmpty)                // negative value -> NULL
   }
 
+  test("diffInDiffs: hand panel, control drift subtracted, NULL on empty cell") {
+    // T: pre mean 10, post mean 25 (+15); C: pre 20, post 24 (+4) -> did 11
+    val panel = Seq(
+      (true, false, 8L), (true, false, 12L), (true, true, 25L),
+      (false, false, 20L), (false, true, 24L)).toDF("t", "p", "v")
+    val r = Analytics.diffInDiffs(panel, "t", "p", "v").collect().head
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 10.0)
+    assert(r.getDouble(3) == 25.0 && r.getDouble(5) == 20.0)
+    assert(r.getDouble(7) == 24.0)
+    assert(math.abs(r.getDouble(8) - 11.0) < 1e-12)
+    // an empty cell yields NULL effect, not a fabricated number
+    val sparse = panel.where(!(col("t") && col("p")))
+    assert(Analytics.diffInDiffs(sparse, "t", "p", "v").collect().head
+      .isNullAt(8))
+  }
+
+  test("cupedAdjust: known covariate slope removed; zero-variance x -> NULL") {
+    // y = 3x + arm effect: arm A units x=1,2 y=10,13; arm B x=3,4 y=20,23
+    // pooled theta = cov/var = 3 exactly; adjusted means move each arm
+    // to its intercept + 3*xbar_all (xbar_all = 2.5)
+    val units = Seq(("A", 1L, 10L), ("A", 2L, 13L),
+      ("B", 3L, 20L), ("B", 4L, 23L)).toDF("arm", "x", "y")
+    val got = Analytics.cupedAdjust(units, "arm", "x", "y").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // theta: (4*159 - 10*66)/(4*30 - 100) = (636-660)/20 ... recompute:
+    // sxy = 10+26+60+92 = 188; sx=10 sy=66 sxx=30
+    // theta = (4*188 - 10*66)/(4*30 - 100) = (752-660)/20 = 4.6
+    assert(math.abs(got("A")._4 - 4.6) < 1e-12)
+    assert(got("A")._2 == 11.5 && got("B")._2 == 21.5)
+    // adjusted: A: 11.5 - 4.6*(1.5-2.5) = 16.1; B: 21.5 - 4.6*(3.5-2.5)
+    assert(math.abs(got("A")._3 - 16.1) < 1e-12)
+    assert(math.abs(got("B")._3 - 16.9) < 1e-12)
+    // constant covariate: theta NULL, adjusted NULL (no fabricated shift)
+    val flat = Seq(("A", 5L, 10L), ("B", 5L, 20L)).toDF("arm", "x", "y")
+    val g2 = Analytics.cupedAdjust(flat, "arm", "x", "y").collect()
+    assert(g2.forall(_.isNullAt(4)))
+  }
+
   test("copy-on-write: delete and merge rewrite only the hit files") {
     import graft.operators.CopyOnWrite
     val dir = graft.sources.Scratch.dir(spark, "cow", "spec")
