@@ -110,8 +110,10 @@ object Packing {
     // join is constant-sized
     val earlier = totals.select(
       keys.map(c => col(c).as(s"_e_$c")) :+ col("_tot_").as("_etot_"): _*)
+    // null-safe group equality: a NULL group is one group (the window
+    // this replaces partitioned NULLs together)
     val joinCond = groupCols
-      .map(c => col(c) === col(s"_e_$c"))
+      .map(c => col(c) <=> col(s"_e_$c"))
       .foldLeft(col("_e__shard_") < col("_shard_"))(_ && _)
     val bases = totals.join(earlier, joinCond, "left")
       .groupBy(keys.map(col): _*)
