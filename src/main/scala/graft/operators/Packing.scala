@@ -121,7 +121,12 @@ object Packing {
     val wIn = Window.partitionBy(keys.map(col): _*)
       .orderBy((idCol +: tieCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sharded.join(broadcast(bases), keys)
+    // null-safe stitch: a using-column join would silently DROP rows of
+    // a NULL group (found by PropertySpec's randomized parity check)
+    val basesR = bases.select(
+      keys.map(c => col(c).as(s"_b_$c")) :+ col("_base_"): _*)
+    val stitchCond = keys.map(c => col(c) <=> col(s"_b_$c")).reduce(_ && _)
+    sharded.join(broadcast(basesR), stitchCond)
       .withColumn(cumCol, col("_base_") + sum(col(tokensCol)).over(wIn))
       .select(df.columns.map(col) :+ col(cumCol): _*)
   }

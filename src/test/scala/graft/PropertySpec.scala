@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized invariant checks (fixed seeds — deterministic): each test
+  * drives an operator with adversarial random inputs and asserts the
+  * property a hand-picked fixture can only sample. The brute-force
+  * reference implementations are deliberately naive — independent of
+  * the operator's plan shape. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  test("attribution conservation: position splits sum to total revenue, any input") {
+    val rnd = new scala.util.Random(42)
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    for (trial <- 1 to 3) {
+      val nUsers = 12
+      val touches = (1 to 120).map { i =>
+        (rnd.nextInt(nUsers).toLong, ts(rnd.nextInt(5000)),
+          s"ch${rnd.nextInt(4)}", 1000L + i)
+      }.toDF("user_id", "ts", "event_type", "event_id")
+      val convs = (1 to 25).map { i =>
+        (rnd.nextInt(nUsers).toLong, ts(rnd.nextInt(5000)), 2000L + i,
+          rnd.nextLong(20001) - 10000L) // negative refunds included
+      }.toDF("user_id", "ts", "event_id", "rev_milli")
+      val total = convs.agg(sum("rev_milli")).as[Long].head()
+      Seq(
+        graft.operators.Analytics.positionAttribution(convs, touches,
+          "user_id", "ts", "event_type", "rev_milli", "event_id",
+          "event_id", windowSeconds = 1800),
+        graft.operators.Analytics.linearAttribution(convs, touches,
+          "user_id", "ts", "event_type", "rev_milli", "event_id",
+          "event_id", windowSeconds = 1800)
+      ).foreach { out =>
+        val credited = out.agg(sum("revenue_milli")).as[Long].head()
+        assert(credited == total, s"trial $trial: $credited != $total")
+      }
+    }
+  }
+
+  test("sharded running total == single global window, with NULL groups and ties") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      (if (rnd.nextInt(4) == 0) null
+       else s"g${rnd.nextInt(3)}", // NULL group must behave as one group
+        rnd.nextInt(40).toLong, // heavy id ties
+        rnd.nextInt(100).toLong,
+        rnd.nextLong()) // unique tie-break
+    }.toDF("g", "id", "tok", "tie")
+    val sharded = graft.operators.Packing.runningTotalSharded(
+        rows, "id", "tok", "cum", numShards = 7,
+        groupCols = Seq("g"), tieCols = Seq("tie"))
+      .select("g", "id", "tie", "cum")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("id", "tie")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val windowed = rows.withColumn("cum", sum("tok").over(w))
+      .select("g", "id", "tie", "cum")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(sharded == windowed)
+  }
+
+  test("intervalOverlapJoin == naive theta join on random intervals") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 150).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (s"k${rnd.nextInt(4)}", i.toLong, s, s + 1 + rnd.nextInt(500))
+    }.toDF("key", "lid", "ls", "le")
+    val right = (1 to 150).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (s"k${rnd.nextInt(4)}", i.toLong, s, s + 1 + rnd.nextInt(500))
+    }.toDF("key", "rid", "rs", "re")
+    val tiled = graft.operators.Temporal.intervalOverlapJoin(
+        left, right, "key", "ls", "le", "rs", "re", bucketWidth = 128)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    val naive = left.join(right, Seq("key"))
+      .where(col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(tiled.length == tiled.distinct.length) // never a duplicate pair
+    assert(tiled.toSet == naive.toSet)
+  }
+
+  test("hilbert d is a bijection at every precision") {
+    for (bits <- Seq(1, 2, 4)) {
+      val n = 1 << bits
+      val grid = (for { x <- 0 until n; y <- 0 until n } yield (x, y))
+        .toDF("x", "y")
+      val d = graft.operators.Layout
+        .withHilbertValue(grid, col("x"), col("y"), "d", bits)
+        .select("d").as[Long].collect().sorted
+      assert(d.toSeq == (0L until (n.toLong * n)), s"bits=$bits")
+    }
+  }
+
+  test("mannWhitneyU matches brute-force midranks on random tied samples") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val a = Seq.fill(30)(rnd.nextInt(8).toLong) // heavy ties
+      val b = Seq.fill(25)(rnd.nextInt(8).toLong)
+      val df = (a.map(("x", _)) ++ b.map(("y", _))).toDF("arm", "v")
+      val r = graft.operators.Analytics.mannWhitneyU(df, "arm", "v", "x", "y")
+        .collect().head
+      // brute force: doubled midrank of each value over the pooled sample
+      val pooled = (a ++ b).sorted
+      def dmr(v: Long) = {
+        val lo = pooled.indexOf(v) + 1
+        val hi = pooled.lastIndexOf(v) + 1
+        lo + hi // 2 * midrank
+      }
+      val u2 = a.map(dmr).sum - a.size.toLong * (a.size + 1)
+      val tie = pooled.groupBy(identity).values
+        .map(g => g.size.toLong * g.size * g.size - g.size).sum
+      assert(r.getLong(2) == u2, s"trial $trial u2")
+      assert(r.getLong(3) == tie, s"trial $trial tie")
+    }
+  }
+
+  test("gini matches the brute sorted-rank formula on random values") {
+    val rnd = new scala.util.Random(31)
+    val vals = Seq.fill(80)(rnd.nextInt(5000).toLong)
+    val r = graft.operators.Analytics
+      .giniCoefficient(vals.map(("g", _)).toDF("g", "v"), "g", "v")
+      .collect().head
+    val sorted = vals.sorted
+    val n = sorted.size.toLong
+    val tot = sorted.sum
+    val w = sorted.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    val expect = (2.0 * w - (n + 1) * tot) / (n.toDouble * tot)
+    assert(math.abs(r.getDouble(3) - expect) < 1e-12)
+  }
+
+  test("hll merge of random partitions == sketch of the union") {
+    val rnd = new scala.util.Random(5)
+    val ids = Seq.fill(4000)(rnd.nextLong())
+    val parts = ids.zipWithIndex
+      .map { case (id, i) => (s"p${i % 7}", id) }.toDF("g", "id")
+    val merged = graft.operators.Sketch.hllEstimate(
+      graft.operators.Sketch
+        .hllRegisters(parts, Seq("g"), "id", p = 10)
+        .groupBy("register").agg(max("rho").as("rho"))
+        .withColumn("g", lit("all")),
+      Seq("g"), p = 10).as[(String, Long, Long)].collect().head
+    val direct = graft.operators.Sketch.hllEstimate(
+      graft.operators.Sketch.hllRegisters(
+        parts.select(lit("all").as("g"), col("id")), Seq("g"), "id", p = 10),
+      Seq("g"), p = 10).as[(String, Long, Long)].collect().head
+    assert(merged == direct)
+    val exact = ids.distinct.size
+    assert(math.abs(merged._3 - exact) <= exact / 10, s"est ${merged._3} vs $exact")
+  }
+}
