@@ -1816,4 +1816,170 @@ object Analytics {
               (vOverN("b") * vOverN("b")) / (col("n_b").cast("double") - lit(1.0))))
           .as("welch_df"))
   }
+
+  /** RFM segmentation — the classic customer-value triage (Recency /
+    * Frequency / Monetary, each scored into `buckets` quantile tiers,
+    * score 1 = best): recency = days from the customer's last order to
+    * the dataset's as-of date (its max order date), frequency = order
+    * count, monetary = summed order value. Tier assignment is NTILE
+    * semantics (bucket sizes differ by ≤ 1, earlier buckets larger,
+    * total order tie-broken by the customer key) — but computed WITHOUT
+    * `ntile().over(Window.orderBy(...))`: a global unpartitioned window
+    * funnels every customer through one task, so the global rank comes
+    * from [[Packing.runningTotalSharded]] (two-phase sharded prefix
+    * count) and the tier from the closed-form ntile formula
+    * `rank ≤ (b+1)·r → (rank−1) div (b+1) + 1, else
+    * r + (rank−(b+1)·r−1) div b + 1` with `b = N div buckets`,
+    * `r = N mod buckets` — pure integer, bit-identical to any engine's
+    * ntile over the same total order.
+    *
+    * Plan: one per-customer aggregate (key-partitioned), one scalar
+    * as-of aggregate broadcast back, three sharded prefix counts (each:
+    * tiny totals table + per-shard parallel windows). Output: one row
+    * per customer — (cust, recency_days, frequency, monetary_cents,
+    * r_score, f_score, m_score). */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+                  valueCentsCol: String, buckets: Int = 5,
+                  numShards: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val per = orders.groupBy(col(custCol))
+      .agg(max(col(dateCol)).as("_last_"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCentsCol).cast("long")).as("monetary_cents"))
+    val asOf = orders.agg(max(col(dateCol)).as("_asof_"),
+      count_distinct(col(custCol)).as("_n_"))
+    val base = per.crossJoin(broadcast(asOf))
+      .withColumn("recency_days",
+        datediff(col("_asof_"), col("_last_")).cast("long"))
+      // rank keys: ascending recency (recent = rank 1), descending
+      // frequency/monetary (big = rank 1) via negation
+      .withColumn("_negf_", -col("frequency"))
+      .withColumn("_negm_", -col("monetary_cents"))
+      .withColumn("_one_", lit(1L))
+    def tier(rankCol: String): Column = {
+      val b = s"(_n_ div $buckets)"
+      val r = s"(_n_ % $buckets)"
+      expr(s"""CASE WHEN $rankCol <= ($b + 1) * $r
+              | THEN ($rankCol - 1) div ($b + 1) + 1
+              | ELSE $r + ($rankCol - ($b + 1) * $r - 1) div $b + 1
+              |END""".stripMargin)
+    }
+    val ranked = Seq(("recency_days", "_rr_"), ("_negf_", "_fr_"),
+      ("_negm_", "_mr_")).foldLeft(base) { case (acc, (idc, rk)) =>
+        Packing.runningTotalSharded(acc, idc, "_one_", rk,
+          numShards = numShards, tieCols = Seq(custCol))
+      }
+    ranked.select(col(custCol), col("recency_days"), col("frequency"),
+      col("monetary_cents"), tier("_rr_").as("r_score"),
+      tier("_fr_").as("f_score"), tier("_mr_").as("m_score"))
+  }
+
+  /** Nearest-neighbor matching WITH REPLACEMENT on a scalar score within
+    * exact-match blocks — the matched-pairs step of an observational ATT
+    * estimate (propensity/covariate matching): every treated unit pairs
+    * with the control in its block whose score is closest. Deterministic
+    * contract: controls sharing a score are represented by the row with
+    * the SMALLEST `idCol`; a distance tie between the nearest-below and
+    * nearest-above control goes to the control with the smaller score
+    * (and the caller's ATT is then exactly replayable by a brute-force
+    * argmin oracle applying the same rules).
+    *
+    * Plan: one (block, score) aggregate for control representatives,
+    * then ONE union + two window passes partitioned by the block key —
+    * the [[AsOfJoin]] program with score as the "time" axis, so cost per
+    * block is sort + linear scan, never the treated × control product.
+    * Like AsOfJoin, a block is a single window partition: blocks are the
+    * parallelism unit (hot-block mitigation: sub-block on a coarse score
+    * range, the AsOfJoin two-phase recipe). Blocks with no control drop
+    * (inner semantics). Output: every treated column +
+    * (ctrl_id, ctrl_score, ctrl_outcome). */
+  def nnMatchedPairs(df: DataFrame, blockCols: Seq[String], idCol: String,
+                     treatCol: String, scoreCol: String,
+                     outcomeCol: String): DataFrame = {
+    require(blockCols.nonEmpty,
+      "need at least one exact-match block column (use a constant to disable)")
+    val reps = df.where(!col(treatCol))
+      .groupBy((blockCols :+ scoreCol).map(col): _*)
+      .agg(min(struct(col(idCol).as("id"),
+        col(outcomeCol).as("outcome"))).as("_rep_"))
+      .select((blockCols.map(col) :+ col(scoreCol).as("_cs_") :+
+        struct(col(scoreCol).as("score"), col("_rep_.id").as("id"),
+          col("_rep_.outcome").as("outcome")).as("_c_")): _*)
+    val treated = df.where(col(treatCol))
+    val cType = reps.select(col("_c_")).schema("_c_").dataType
+    val tStruct = struct(treated.columns.map(col): _*)
+    val tType = treated.select(tStruct.as("_t_")).schema("_t_").dataType
+    val u = reps.select((blockCols.map(col) :+ col("_cs_").as("_s_") :+
+        lit(0).as("_side_") :+ col("_c_") :+
+        lit(null).cast(tType).as("_t_")): _*)
+      .unionByName(treated.select((blockCols.map(col) :+
+        col(scoreCol).cast(reps.schema("_cs_").dataType).as("_s_") :+
+        lit(1).as("_side_") :+ lit(null).cast(cType).as("_c_") :+
+        tStruct.as("_t_")): _*))
+    val wPrev = Window.partitionBy(blockCols.map(col): _*)
+      .orderBy(col("_s_"), col("_side_"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(blockCols.map(col): _*)
+      .orderBy(col("_s_").desc, col("_side_"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dPrev = abs(col("_s_") - col("_prev_.score"))
+    val dNext = abs(col("_next_.score") - col("_s_"))
+    val pick = when(col("_next_").isNull ||
+        (col("_prev_").isNotNull && dPrev <= dNext), col("_prev_"))
+      .otherwise(col("_next_"))
+    u.withColumn("_prev_", last(col("_c_"), ignoreNulls = true).over(wPrev))
+      .withColumn("_next_", last(col("_c_"), ignoreNulls = true).over(wNext))
+      .where(col("_side_") === 1)
+      .withColumn("_m_", pick)
+      .where(col("_m_").isNotNull)
+      .select(treated.columns.map(c => col(s"_t_.$c").as(c)) ++ Seq(
+        col("_m_.id").as("ctrl_id"), col("_m_.score").as("ctrl_score"),
+        col("_m_.outcome").as("ctrl_outcome")): _*)
+  }
+
+  /** Pairwise association rules over baskets — the support / confidence /
+    * lift mining step behind "customers who bought A also bought B"
+    * (Agrawal/Srikant Apriori, VLDB 1994, size-2 tier): for every
+    * directed item pair A→B with joint basket support ≥ `minSupport`,
+    * confidence = P(B|A) and lift = P(A,B)/(P(A)·P(B)), both in integer
+    * fixed point — `conf_milli = (1000·f_ab) div f_a`, `lift_milli =
+    * (1000·f_ab·N) div (f_a·f_b)` — so the rule table replays
+    * bit-identically (float ratios drift; `f_ab·N·1000` bounds the
+    * arithmetic, BIGINT-safe to ~10⁹ baskets × supports).
+    *
+    * Plan: item multiplicity inside a basket collapses first (distinct),
+    * pair counts come from the basket self-join with `A < B` — the
+    * [[Graph.triangleStats]] wedge shape, cost Σ basket-size², so cap
+    * pathological baskets upstream ([[Dedup]] `domain_cap` discipline) —
+    * then each undirected pair emits both directions joined to the two
+    * item supports (item-keyed broadcast-friendly shuffles).
+    * Output: (antecedent, consequent, f_a, f_b, f_ab, conf_milli,
+    * lift_milli). */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val bi = df.select(col(basketCol).as("_bk_"), col(itemCol).as("_it_"))
+      .distinct().localCheckpoint() // read by supports AND the pair join
+    val n = bi.select(col("_bk_")).distinct().count()
+    val items = bi.groupBy(col("_it_")).agg(count(lit(1)).as("_f_"))
+    val pairs = bi.as("a").join(bi.as("b"),
+        col("a._bk_") === col("b._bk_") && col("a._it_") < col("b._it_"))
+      .groupBy(col("a._it_").as("_x_"), col("b._it_").as("_y_"))
+      .agg(count(lit(1)).as("f_ab"))
+      .where(col("f_ab") >= minSupport)
+    val directed = pairs.select(col("_x_").as("antecedent"),
+        col("_y_").as("consequent"), col("f_ab"))
+      .unionByName(pairs.select(col("_y_").as("antecedent"),
+        col("_x_").as("consequent"), col("f_ab")))
+    directed
+      .join(items.select(col("_it_").as("antecedent"), col("_f_").as("f_a")),
+        "antecedent")
+      .join(items.select(col("_it_").as("consequent"), col("_f_").as("f_b")),
+        "consequent")
+      .select(col("antecedent"), col("consequent"), col("f_a"), col("f_b"),
+        col("f_ab"),
+        expr("(1000 * f_ab) div f_a").as("conf_milli"),
+        expr(s"(1000 * f_ab * CAST($n AS BIGINT)) div (f_a * f_b)")
+          .as("lift_milli"))
+  }
 }

@@ -157,4 +157,65 @@ object DataQuality {
         col("n_sensitive") >= l &&
           col("top_freq") * cDen < lit(cNum) * col("tail_freq"))
   }
+
+  /** t-closeness (Li/Li/Venkatasubramanian, ICDE 2007) for a CATEGORICAL
+    * sensitive attribute — the distributional criterion the frequency
+    * tests above miss: a class is t-close when the total-variation
+    * distance between ITS sensitive-value distribution and the GLOBAL
+    * one is ≤ t, so a class can't reveal "this neighborhood is mostly
+    * flu" even when it is k-anonymous and l-diverse.
+    *
+    * Distributions are PER-MILLE QUANTIZED before the distance: each
+    * value's class share `p_v = (1000·f_cv) div n_class` and global
+    * share `q_v = (1000·f_gv) div N` are exact integers, and
+    * `tvd_milli = (Σ_v |p_v − q_v|) div 2` — so the metric replays
+    * bit-identically on any engine at ANY scale (no product ever
+    * exceeds 1000·count; exact-rational TVD would need count×count×1000
+    * products that overflow BIGINT near 10⁹ rows). Values absent from a
+    * class contribute their full q_v, folded in WITHOUT materializing
+    * absent (class, value) rows: Σ_absent q_v = Σ_all q_v − Σ_present
+    * q_v, with Σ_all q_v a global scalar. Quantization error is < 1‰
+    * per distinct sensitive value — report t in milli against the same
+    * quantized metric.
+    *
+    * NULL sensitive values are excluded (the [[kAnonymityReport]]
+    * convention). Plan: one (quasi, sensitive) aggregate, one sensitive
+    * aggregate, one broadcast join of per-value global counts onto the
+    * class-value rows, one class rollup — every shuffle keyed, the only
+    * broadcast the distinct-sensitive-value table. Output: quasi cols +
+    * (class_size, tvd_milli, t_close), one row per class. */
+  def tClosenessReport(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: String, tMilli: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(tMilli >= 0, s"tMilli must be >= 0, got $tMilli")
+    val rows = df.where(col(sensitiveCol).isNotNull)
+    val cv = rows.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_fcv_"))
+    val gv = rows.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("_fgv_"))
+    val tot = gv.agg(sum(col("_fgv_")).as("_N_"))
+    val gq = gv.crossJoin(broadcast(tot))
+      .select(col(sensitiveCol),
+        expr("(1000 * _fgv_) div _N_").as("_q_"))
+    val sumQ = gq.agg(sum(col("_q_")).as("_sq_"))
+    cv.join(broadcast(gq), sensitiveCol)
+      .groupBy(quasiCols.map(col): _*)
+      // p_v needs the CLASS total, known only after the rollup — so the
+      // rollup carries the (f_cv, q_v) terms (bounded by the categorical
+      // sensitive domain, never row-sized) and the quantized |p − q|
+      // finishes row-locally in one array fold
+      .agg(sum(col("_fcv_")).as("class_size"),
+        sum(col("_fcv_")).as("_n_"),
+        sum(col("_q_")).as("_qpres_"),
+        collect_list(struct(col("_fcv_"), col("_q_"))).as("_terms_"))
+      .crossJoin(broadcast(sumQ))
+      .withColumn("tvd_milli", expr(
+        """(aggregate(_terms_,
+          |   CAST(0 AS BIGINT),
+          |   (acc, t) -> acc + abs((1000 * t._fcv_) div _n_ - t._q_))
+          | + _sq_ - _qpres_) div 2""".stripMargin))
+      .select((quasiCols.map(col) :+ col("class_size") :+
+        col("tvd_milli") :+
+        (col("tvd_milli") <= tMilli).as("t_close")): _*)
+  }
 }

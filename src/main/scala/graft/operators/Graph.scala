@@ -317,4 +317,50 @@ object Graph {
             (col("degree") * (col("degree") - 1L)).cast("double"))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Multi-source BFS hop distances: shortest hop count from ANY seed to
+    * every node reachable within `maxHops` (crawl-depth labeling, seed
+    * proximity tiers, link-spam distance-from-trust — the unweighted
+    * companion to [[personalizedPageRankInt]]'s proximity mass).
+    *
+    * Synchronous frontier expansion: round i joins the CURRENT FRONTIER
+    * (nodes first reached at distance i) to the edge list and min-merges
+    * the results into the distance table, so each round is one
+    * src-keyed equi-join plus one node-keyed aggregate — both
+    * key-partitioned shuffles, nothing driver-sized. Joining only the
+    * frontier (not the whole distance table) keeps round cost
+    * proportional to the expanding wave, and the distance table is
+    * `localCheckpoint`ed per round so plan depth never compounds (the
+    * [[Dedup.connectedComponents]] discipline). Integer hop counts make
+    * every round replayable bit-identically by an unrolled SQL oracle.
+    *
+    * `seeds` is one id column; seeds keep distance 0 even if absent from
+    * the edge list. Unreachable (or > `maxHops`) nodes are omitted.
+    * Returns `(node_id, dist)`. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("_src_"), col(dstCol).as("_dst_"))
+      .distinct().localCheckpoint()
+    var dist = seeds.select(seeds.columns.head).toDF("node_id").distinct()
+      .select(col("node_id"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val next = frontier
+        .join(e, frontier("node_id") === e("_src_"))
+        .select(col("_dst_").as("node_id"), lit(hop.toLong).as("dist"))
+      val merged = dist.unionByName(next)
+        .groupBy("node_id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      // next round's frontier = nodes first reached THIS round
+      frontier = merged.join(dist.select(col("node_id").as("_seen_")),
+          merged("node_id") === col("_seen_"), "left_anti")
+        .localCheckpoint()
+      dist = merged
+      if (frontier.isEmpty) hop = maxHops // converged: stop early
+    }
+    dist
+  }
 }

@@ -244,4 +244,40 @@ object Retrieval {
       .where(col("_hits_") === col("_nq_"))
       .select(col("query_id"), col(idCol))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009): merge
+    * per-query rankings from SEVERAL retrievers (lexical BM25, an
+    * embedding ANN, a freshness sort …) into one list by summing
+    * `1/(K + rank)` per document over the runs that retrieved it — the
+    * standard hybrid-retrieval combiner, robust to incomparable score
+    * scales because only RANKS cross run boundaries.
+    *
+    * Integer fixed point: each run contributes `scale div (K + rank)`
+    * micro-units (rank from 1 within its (run, query), ordered by that
+    * run's score descending, doc ascending on ties), so fused scores are
+    * exact longs and replay on any engine — no float sum-order drift.
+    *
+    * Plan: one (run, query)-keyed window for ranks, one (query, doc)
+    * aggregate, one query-keyed window for the final top-`k` — all
+    * key-partitioned; per-query cost is bounded by the runs' candidate
+    * counts, never corpus-sized. Output: (query, doc, n_runs,
+    * fused_micro, fused_rank), `fused_rank <= k`, ties broken by doc. */
+  def reciprocalRankFusion(runs: DataFrame, runCol: String, queryCol: String,
+                           docCol: String, scoreCol: String, k: Int,
+                           rrfK: Long = 60L,
+                           scale: Long = 1000000L): DataFrame = {
+    require(k > 0 && rrfK >= 0 && scale > 0, "need k > 0, rrfK >= 0, scale > 0")
+    val wRun = Window.partitionBy(col(runCol), col(queryCol))
+      .orderBy(col(scoreCol).desc, col(docCol))
+    val wQ = Window.partitionBy(col(queryCol))
+      .orderBy(col("fused_micro").desc, col(docCol))
+    runs
+      .withColumn("_rk_", row_number().over(wRun))
+      .groupBy(col(queryCol), col(docCol))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(expr(s"CAST($scale AS BIGINT) div " +
+          s"(CAST($rrfK AS BIGINT) + _rk_)")).as("fused_micro"))
+      .withColumn("fused_rank", row_number().over(wQ))
+      .where(col("fused_rank") <= k)
+  }
 }

@@ -248,4 +248,50 @@ object Sketch {
       .select(groupCols.map(col) :+ col("n_zero_registers") :+
         col("est_distinct"): _*)
   }
+
+  // --------------------------------------------------------------------- AMS
+
+  /** AMS "tug-of-war" sketch for the second frequency moment F₂ = Σ f²
+    * (Alon/Matias/Szegedy, STOC 1996) — the one-pass mergeable estimate
+    * of SELF-JOIN SIZE, the quantity a join planner wants before it
+    * commits to a key (skew mass, output-size bound) and the repetition
+    * mass of a corpus column. Estimator r of `depth`: every key gets a
+    * pseudo-random sign `1 − 2·(mix64(h(x)+r) & 1)`, the sketch keeps
+    * `S_r = Σ sign·f`, and `S_r²` is an unbiased F₂ estimate; the output
+    * averages the `depth` estimates (integer div — variance drops 1/d).
+    *
+    * Plan shape: exact per-key counts first (one map-side-combined
+    * aggregate — signs are per-KEY, so Σ sign·f over keys equals the
+    * row-at-a-time stream), then DISTINCT keys explode `depth` ways into
+    * d running sums per group. Merge of two corpora's sketches = add the
+    * S_r vectors componentwise. Integer end to end (same mix64 chain as
+    * [[countMinBuild]], same string hash), so a SQL oracle replays every
+    * sum bit for bit; |S_r| ≤ N keeps S_r² inside BIGINT up to N ≈ 3·10⁹
+    * per group — beyond that, widen to decimal at the square.
+    *
+    * Output: one row per group — (groupCols…, f2_est, n_rows) where
+    * `n_rows` = group row count (the F₁ the caller normalizes by). */
+  def amsF2(df: DataFrame, groupCols: Seq[String], keyCol: String,
+            depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val counts = df
+      .groupBy((groupCols.map(col) :+
+        col(keyCol).cast("string").as("_k_")): _*)
+      .agg(count(lit(1)).as("_f_"))
+      .withColumn("_b_", strHashUdf(col("_k_")))
+    counts
+      .select((groupCols.map(col) :+ col("_b_") :+ col("_f_") :+
+        explode(sequence(lit(0), lit(depth - 1))).as("_r_")): _*)
+      .withColumn("_sgn_", lit(1L) - lit(2L) * (mixUdf(col("_b_") + col("_r_"))
+        .bitwiseAND(lit(1L))))
+      .groupBy((groupCols.map(col) :+ col("_r_")): _*)
+      .agg(sum(col("_sgn_") * col("_f_")).as("_s_"),
+        sum(col("_f_")).as("_n_"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_s_") * col("_s_")).as("_sq_"),
+        max(col("_n_")).as("n_rows"))
+      .select((groupCols.map(col) :+
+        expr(s"_sq_ div CAST($depth AS BIGINT)").as("f2_est") :+
+        col("n_rows")): _*)
+  }
 }

@@ -534,4 +534,36 @@ object TextAnalysis {
     .withColumn("bpe_tokens", tokenCountUdf(col(textCol)))
     .withColumn("fingerprint", fingerprintUdf(col(textCol)))
     .drop("_qm_")
+
+  /** Integer-quantized Flesch reading ease — the readability axis the
+    * [[gopherRules]]/[[qualityScore]] heuristics don't cover (a page of
+    * 60-word legalese sentences passes every length/stopword gate and is
+    * still terrible training prose). Flesch = 206.835 − 1.015·(W/S) −
+    * 84.6·(Syl/W), computed here in MILLI fixed point with integral
+    * division — `206835 − (1015·W) div S − (84600·Syl) div W` — so the
+    * score replays bit-identically on any engine (float division would
+    * drift in the last ulp). Standard band: ≥ 60 000 ≈ plain English,
+    * < 30 000 ≈ very hard.
+    *
+    * Counting heuristics (all single-pass regex, codegen-friendly, no
+    * UDF): words = maximal `\S+` runs; sentences = maximal `[.!?]+`
+    * runs, floored at 1; syllables = maximal `[aeiouy]+` runs of the
+    * lowercased text — the classic vowel-group approximation (whitespace
+    * separates words, so whole-text runs ≡ summed per-word runs).
+    * Empty/whitespace-only texts yield NULL score (no words).
+    *
+    * Output: input columns + (n_words, n_sentences, n_syllables,
+    * flesch_milli). */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    def runs(c: Column, pat: String) = size(regexp_extract_all(c, lit(pat), lit(0)))
+    df.withColumn("n_words", runs(col(textCol), "\\S+").cast("long"))
+      .withColumn("n_sentences",
+        greatest(lit(1L), runs(col(textCol), "[.!?]+").cast("long")))
+      .withColumn("n_syllables",
+        runs(lower(col(textCol)), "[aeiouy]+").cast("long"))
+      .withColumn("flesch_milli",
+        when(col("n_words") > 0, expr(
+          "206835 - (1015 * n_words) div n_sentences" +
+            " - (84600 * n_syllables) div n_words")))
+  }
 }

@@ -14,6 +14,92 @@ import graft.operators.{Analytics, DataQuality, Retrieval, Sketch, Temporal}
 object AnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- RFM segmentation: quantile tiers via sharded prefix counts +
+    // the closed-form ntile formula — no global window; the oracle is
+    // DuckDB's own ntile() over the same total order, so the closed form
+    // is validated against an independent implementation ------------------
+    "rfm01_rfm_segments" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      Analytics.rfmSegments(orders, "o_custkey", "o_orderdate", "cents",
+          buckets = 5)
+        .orderBy("o_custkey")
+    }),
+
+    // ---- association rules over order baskets: support ≥ 2 part pairs
+    // with integer-fixed-point confidence and lift --------------------------
+    "ar01_association_rules" -> ((s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      Analytics.associationRules(bi, "basket", "item", minSupport = 2L)
+        .orderBy("antecedent", "consequent")
+    }),
+
+    // ---- matched-pairs ATT: BUILDING-segment customers matched to the
+    // nearest-balance control within their nation (with replacement),
+    // revenue sums per nation; the oracle is the brute-force argmin with
+    // the same deterministic tie rules -------------------------------------
+    "psm01_matched_att" -> ((s, d) => {
+      val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("_rev_"))
+      val df = Tables.customer(s, d)
+        .join(rev, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_mktsegment") === "BUILDING").as("treated"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("bal_cents"),
+          coalesce(col("_rev_"), lit(0L)).as("rev_cents"))
+      Analytics.nnMatchedPairs(df, Seq("c_nationkey"), "c_custkey",
+          "treated", "bal_cents", "rev_cents")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("rev_cents")).as("sum_treated_cents"),
+          sum(col("ctrl_outcome")).as("sum_ctrl_cents"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- AMS tug-of-war F2 sketch per language next to the exact second
+    // moment — self-join-size estimation, bit-replayed end to end ----------
+    "am01_ams_f2" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      val exact = words.groupBy("lang", "word").agg(count(lit(1)).as("_f_"))
+        .groupBy("lang").agg(sum(col("_f_") * col("_f_")).as("f2_exact"))
+      Sketch.amsF2(words, Seq("lang"), "word", depth = 8)
+        .join(exact, "lang")
+        .select(col("lang"), col("n_rows"), col("f2_exact"), col("f2_est"))
+        .orderBy("lang")
+    }),
+
+    // ---- t-closeness over (segment × balance-band) classes against the
+    // global nation distribution, per-mille-quantized TVD ------------------
+    "ka03_t_closeness" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("bal_band", expr(
+          "(cast(round(c_acctbal * 100) as bigint) + 100000) div 200000"))
+      DataQuality.tClosenessReport(cust, Seq("c_mktsegment", "bal_band"),
+          "c_nationkey", tMilli = 250)
+        .orderBy("c_mktsegment", "bal_band")
+    }),
+
+    // ---- reciprocal-rank fusion of a term-frequency run and a
+    // shortest-doc run over the documents corpus, integer RRF scores -------
+    "rrf01_rank_fusion" -> ((s, d) => {
+      import s.implicits._
+      val terms = Seq("table", "spark", "scan").toDF("query")
+      val cand = Tables.documents(s, d).join(terms,
+        expr("array_contains(split(text, ' '), query)"))
+      val runs = cand.select(lit("tf").as("run"), col("query"), col("doc_id"),
+          size(filter(split(col("text"), " "),
+            w => w === col("query"))).cast("long").as("score"))
+        .unionByName(cand.select(lit("short").as("run"), col("query"),
+          col("doc_id"), (-col("n_chars")).cast("long").as("score")))
+      Retrieval.reciprocalRankFusion(runs, "run", "query", "doc_id",
+          "score", k = 10)
+        .withColumn("fused_rank", col("fused_rank").cast("long"))
+        .orderBy("query", "fused_rank")
+    }),
+
     // ---- funnel: signup → view → purchase, per-step completer counts ----
     "fu01_funnel_steps" -> ((s, d) => {
       val ft = Analytics.funnelTimes(Tables.events(s, d),
@@ -921,6 +1007,194 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // rfm01 replay: identical per-customer aggregates, then DuckDB's OWN
+    // ntile() over the same tie-broken total orders — an independent
+    // implementation validating the closed-form sharded tiers
+    "rfm01_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_d,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY o_custkey),
+        |g AS (SELECT max(o_orderdate) AS as_of FROM orders),
+        |base AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', last_d, as_of) AS BIGINT) AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM per, g)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+        |    AS BIGINT) AS m_score
+        |FROM base ORDER BY o_custkey""".stripMargin,
+
+    // ar01 replay: distinct basket-items, triangular pair self-join,
+    // both rule directions, positive-integer floor division throughout
+    "ar01_association_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |n AS (SELECT count(DISTINCT bk) AS nb FROM bi),
+        |items AS (SELECT it, count(*) AS f FROM bi GROUP BY it),
+        |pairs AS (
+        |  SELECT a.it AS x, b.it AS y, count(*) AS f_ab
+        |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |directed AS (
+        |  SELECT x AS antecedent, y AS consequent, f_ab FROM pairs
+        |  UNION ALL SELECT y, x, f_ab FROM pairs)
+        |SELECT antecedent, consequent,
+        |  CAST(fa.f AS BIGINT) AS f_a, CAST(fb.f AS BIGINT) AS f_b,
+        |  CAST(f_ab AS BIGINT) AS f_ab,
+        |  CAST((1000 * f_ab) // fa.f AS BIGINT) AS conf_milli,
+        |  CAST((1000 * f_ab * nb) // (fa.f * fb.f) AS BIGINT) AS lift_milli
+        |FROM directed
+        |JOIN items fa ON fa.it = antecedent
+        |JOIN items fb ON fb.it = consequent, n
+        |ORDER BY antecedent, consequent""".stripMargin,
+
+    // psm01 replay: brute-force argmin with the operator's deterministic
+    // tie rules — nearest |balance diff|, then smaller control balance,
+    // then smaller control custkey — over the within-nation product
+    "psm01_matched_att" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS r
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    c_mktsegment = 'BUILDING' AS treated,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+        |    coalesce(r, 0) AS rv
+        |  FROM customer LEFT JOIN rev ON o_custkey = c_custkey),
+        |m AS (
+        |  SELECT t.c_nationkey, t.c_custkey, t.rv AS trev, ct.rv AS crev,
+        |    row_number() OVER (PARTITION BY t.c_custkey
+        |      ORDER BY abs(t.bal - ct.bal), ct.bal, ct.c_custkey) AS rn
+        |  FROM c t JOIN c ct ON t.c_nationkey = ct.c_nationkey
+        |    AND t.treated AND NOT ct.treated)
+        |SELECT c_nationkey, count(*) AS n_pairs,
+        |  CAST(sum(trev) AS BIGINT) AS sum_treated_cents,
+        |  CAST(sum(crev) AS BIGINT) AS sum_ctrl_cents
+        |FROM m WHERE rn = 1 GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // am01 replay: the cm01 polyhash+splitmix chain per distinct word,
+    // re-mixed with the estimator index for the ±1 sign (bit 0), sign
+    // sums per (lang, estimator), squared-mean estimate vs exact Σf²
+    "am01_ams_f2" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |cnts AS (SELECT lang, word, count(*) AS f FROM w GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT word FROM cnts),
+        |ph AS (
+        |  SELECT word, list_reduce(list_prepend(CAST(7 AS UHUGEINT),
+        |    [CAST(unicode(ch) AS UHUGEINT) FOR ch IN string_split(word, '')]),
+        |    (a, x) -> (31 * a + x) % CAST(18446744073709551616 AS UHUGEINT)) AS h
+        |  FROM keys),
+        |b1 AS (SELECT word, (xor(h, h >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS h FROM ph),
+        |b2 AS (SELECT word, (xor(h, h >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS h FROM b1),
+        |base AS (SELECT word, xor(h, h >> 31) AS h FROM b2),
+        |g0 AS (SELECT word, r, (h + CAST(r AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS g
+        |       FROM base, range(0, 8) t(r)),
+        |g1 AS (SELECT word, r, (xor(g, g >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS g FROM g0),
+        |g2 AS (SELECT word, r, (xor(g, g >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |         % CAST(18446744073709551616 AS UHUGEINT) AS g FROM g1),
+        |sgn AS (SELECT word, r,
+        |          1 - 2 * CAST(xor(g, g >> 31) % 2 AS BIGINT) AS sgn
+        |        FROM g2),
+        |s AS (
+        |  SELECT lang, r, sum(sgn * f) AS sr, sum(f) AS nr
+        |  FROM cnts JOIN sgn USING (word) GROUP BY 1, 2),
+        |est AS (
+        |  SELECT lang, CAST(sum(sr * sr) // 8 AS BIGINT) AS f2_est,
+        |    CAST(max(nr) AS BIGINT) AS n_rows
+        |  FROM s GROUP BY lang),
+        |ex AS (
+        |  SELECT lang, CAST(sum(f * f) AS BIGINT) AS f2_exact
+        |  FROM cnts GROUP BY lang)
+        |SELECT lang, n_rows, f2_exact, f2_est
+        |FROM est JOIN ex USING (lang) ORDER BY lang""".stripMargin,
+
+    // ka03 replay: per-mille-quantized TVD — class terms Σ|p−q| over
+    // present values, absent values folded in via ΣQ − ΣQ_present, all
+    // non-negative integer floor division
+    "ka03_t_closeness" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+        |      AS bal_band,
+        |    c_nationkey AS sv
+        |  FROM customer WHERE c_nationkey IS NOT NULL),
+        |cv AS (SELECT c_mktsegment, bal_band, sv, count(*) AS fcv
+        |       FROM r GROUP BY 1, 2, 3),
+        |gv AS (SELECT sv, count(*) AS fgv FROM r GROUP BY sv),
+        |tot AS (SELECT sum(fgv) AS N FROM gv),
+        |q AS (SELECT sv, (1000 * fgv) // N AS qv FROM gv, tot),
+        |sq AS (SELECT sum(qv) AS sqv FROM q),
+        |cls AS (SELECT c_mktsegment, bal_band, sum(fcv) AS n
+        |        FROM cv GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT cv.c_mktsegment, cv.bal_band,
+        |    sum(abs((1000 * cv.fcv) // cls.n - q.qv)) AS absterm,
+        |    sum(q.qv) AS qpres
+        |  FROM cv
+        |  JOIN q USING (sv)
+        |  JOIN cls ON cls.c_mktsegment = cv.c_mktsegment
+        |    AND cls.bal_band = cv.bal_band
+        |  GROUP BY 1, 2)
+        |SELECT agg.c_mktsegment, agg.bal_band,
+        |  CAST(cls.n AS BIGINT) AS class_size,
+        |  CAST((absterm + sqv - qpres) // 2 AS BIGINT) AS tvd_milli,
+        |  (absterm + sqv - qpres) // 2 <= 250 AS t_close
+        |FROM agg
+        |JOIN cls ON cls.c_mktsegment = agg.c_mktsegment
+        |  AND cls.bal_band = agg.bal_band, sq
+        |ORDER BY agg.c_mktsegment, agg.bal_band""".stripMargin,
+
+    // rrf01 replay: both runs rebuilt with the same scores, per-run
+    // row_number ranks, integer 1e6//(60+rank) fusion, per-query top 10
+    "rrf01_rank_fusion" ->
+      """WITH q AS (SELECT unnest(['table', 'spark', 'scan']) AS query),
+        |cand AS (
+        |  SELECT q.query, d.doc_id, d.n_chars,
+        |    len(list_filter(string_split(d.text, ' '), w -> w = q.query))
+        |      AS tf
+        |  FROM documents d, q
+        |  WHERE list_contains(string_split(d.text, ' '), q.query)),
+        |runs AS (
+        |  SELECT 'tf' AS run, query, doc_id, CAST(tf AS BIGINT) AS score
+        |  FROM cand
+        |  UNION ALL
+        |  SELECT 'short', query, doc_id, CAST(-n_chars AS BIGINT)
+        |  FROM cand),
+        |rk AS (
+        |  SELECT run, query, doc_id, row_number() OVER
+        |    (PARTITION BY run, query ORDER BY score DESC, doc_id) AS rk
+        |  FROM runs),
+        |f AS (
+        |  SELECT query, doc_id, count(*) AS n_runs,
+        |    CAST(sum(1000000 // (60 + rk)) AS BIGINT) AS fused_micro
+        |  FROM rk GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT query, doc_id, n_runs, fused_micro, row_number() OVER
+        |    (PARTITION BY query ORDER BY fused_micro DESC, doc_id)
+        |      AS fused_rank
+        |  FROM f)
+        |SELECT query, doc_id, n_runs, fused_micro,
+        |  CAST(fused_rank AS BIGINT) AS fused_rank
+        |FROM fr WHERE fused_rank <= 10
+        |ORDER BY query, fused_rank""".stripMargin,
+
     // ka02 replay: per-class sensitive frequencies, rank by (freq desc,
     // value), dominance test as the exact rational r1·cDen < cNum·tail
     "ka02_recursive_ldiversity" ->

@@ -375,6 +375,14 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("entropy"), 6).as("entropy_r"))
         .orderBy("doc_id")),
 
+    // ---- text analysis: integer-quantized Flesch reading ease (vowel-
+    // group syllables, [.!?]+ sentence runs) — milli fixed point ---------
+    "ts09_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch_milli"))
+        .orderBy("doc_id")),
+
     // ---- text analysis: Unicode hygiene — NFC normalization plus
     // mixed-script homoglyph triage. Docs are deterministically mutated
     // so all four cases occur: decomposed combining marks (NFC changes
@@ -2257,6 +2265,25 @@ object PipelineQueries {
 
     // char-entropy replay: per-char counts, fold ordered by char, k/n as
     // double division — the sort_array struct order on the Spark side
+    // ts09 replay: regexp run counts (RE2 and Java agree on these simple
+    // classes), same milli fixed-point Flesch with floor division
+    "ts09_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    206835 - (1015 * n_words) // n_sentences
+        |      - (84600 * n_syllables) // n_words
+        |  END AS flesch_milli
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "ts08_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id,

@@ -776,10 +776,90 @@ object Relational {
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       graft.operators.Graph.kCore(pairs, "src", "dst", k = 80L)
         .orderBy("node_id")
+    }),
+
+    // ---- graph: multi-source BFS hop distances from the seed customers
+    // over the undirected trade graph — frontier-join rounds, min-merge;
+    // the oracle unrolls the same three rounds in SQL --------------------
+    "gr06_bfs_distances" -> ((s, d) => {
+      val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("sup"))
+        .distinct()
+      val edges = pairs
+        .select(col("cust").as("src"), (col("sup") + 1000000L).as("dst"))
+        .unionByName(pairs.select((col("sup") + 1000000L).as("src"),
+          col("cust").as("dst")))
+      val seeds = Tables.customer(s, d).select(col("c_custkey"))
+        .where(col("c_custkey") < 10)
+      graft.operators.Graph.bfsDistances(edges, "src", "dst", seeds,
+          maxHops = 3)
+        .orderBy("node_id")
+    }),
+
+    // ---- unpivot (melt): per-nation wide metric row → (nation, metric,
+    // value) long form — Spark's native unpivot against a UNION ALL
+    // replay -------------------------------------------------------------
+    "up01_unpivot" -> ((s, d) => {
+      val wide = Tables.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          countDistinct(col("c_mktsegment")).as("n_segments"),
+          sum(expr("cast(round(c_acctbal * 100) as bigint)"))
+            .as("balance_cents"))
+      wide.unpivot(Array(col("c_nationkey")),
+          Array(col("n_customers"), col("n_segments"),
+            col("balance_cents")),
+          "metric", "value")
+        .orderBy("c_nationkey", "metric")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // gr06 replay: three BFS rounds unrolled — each round expands the
+    // whole distance table (settled nodes re-emit dist ≥ known, min()
+    // discards them, so full-table expansion ≡ the frontier program)
+    "gr06_bfs_distances" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS sup
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT cust AS src, sup AS dst FROM pairs
+        |      UNION ALL SELECT sup, cust FROM pairs),
+        |d0 AS (SELECT c_custkey AS node_id, CAST(0 AS BIGINT) AS dist
+        |       FROM customer WHERE c_custkey < 10),
+        |d1 AS (SELECT node_id, min(dist) AS dist FROM (
+        |         SELECT node_id, dist FROM d0
+        |         UNION ALL
+        |         SELECT e.dst, d0.dist + 1 FROM d0 JOIN e ON d0.node_id = e.src
+        |       ) u GROUP BY node_id),
+        |d2 AS (SELECT node_id, min(dist) AS dist FROM (
+        |         SELECT node_id, dist FROM d1
+        |         UNION ALL
+        |         SELECT e.dst, d1.dist + 1 FROM d1 JOIN e ON d1.node_id = e.src
+        |       ) u GROUP BY node_id),
+        |d3 AS (SELECT node_id, min(dist) AS dist FROM (
+        |         SELECT node_id, dist FROM d2
+        |         UNION ALL
+        |         SELECT e.dst, d2.dist + 1 FROM d2 JOIN e ON d2.node_id = e.src
+        |       ) u GROUP BY node_id)
+        |SELECT node_id, dist FROM d3 ORDER BY node_id""".stripMargin,
+
+    // up01 replay: the long form spelled out as one UNION ALL per metric
+    "up01_unpivot" ->
+      """WITH wide AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS balance_cents
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value
+        |FROM wide
+        |UNION ALL
+        |SELECT c_nationkey, 'n_segments', n_segments FROM wide
+        |UNION ALL
+        |SELECT c_nationkey, 'balance_cents', balance_cents FROM wide
+        |ORDER BY c_nationkey, metric""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

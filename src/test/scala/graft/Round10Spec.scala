@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-10 operator wave: BFS distances, RRF, RFM tiers,
+  * association rules, matched pairs, AMS F2, t-closeness, readability.
+  * Each test checks the operator against a naive reference on inputs
+  * chosen to hit the edge cases (ties, absent values, negative scores,
+  * unreachable nodes). */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  test("bfsDistances: hop counts match Floyd-style closure; unreachable dropped") {
+    // 1→2→3→4→5 path, 10↔11 island, seed {1, 10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val got = graft.operators.Graph.bfsDistances(edges, "src", "dst",
+        seeds, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> 0L, 11L -> 1L)) // 5 is 4 hops: outside maxHops
+    // early-convergence path: island explored fully before maxHops
+    val got2 = graft.operators.Graph.bfsDistances(edges, "src", "dst",
+        Seq(10L).toDF("id"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(10L -> 0L, 11L -> 1L))
+  }
+
+  test("bfsDistances: min over multiple seeds, seed outside graph kept at 0") {
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.operators.Graph.bfsDistances(edges, "src", "dst",
+        Seq(2L, 4L, 99L).toDF("id"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 0L, 4L -> 0L, 99L -> 0L, 3L -> 1L))
+  }
+
+  test("reciprocalRankFusion matches brute force on random runs") {
+    val rnd = new scala.util.Random(17)
+    val runs = for {
+      run <- Seq("a", "b", "c"); q <- Seq(1, 2); doc <- 1 to 20
+      if rnd.nextInt(3) > 0
+    } yield (run, q, doc.toLong, rnd.nextInt(5).toLong) // heavy score ties
+    val df = runs.toDF("run", "q", "doc", "score")
+    val got = graft.operators.Retrieval.reciprocalRankFusion(
+        df, "run", "q", "doc", "score", k = 5)
+      .select("q", "doc", "fused_micro", "fused_rank")
+      .as[(Int, Long, Long, Int)].collect().toSet
+    // brute force
+    val fused = runs.groupBy(r => (r._1, r._2)).toSeq.flatMap {
+      case ((_, q), rows) =>
+        rows.sortBy(r => (-r._4, r._3)).zipWithIndex
+          .map { case (r, i) => ((q, r._3), 1000000L / (60L + i + 1)) }
+    }.groupBy(_._1).map { case ((q, d), xs) => (q, d, xs.map(_._2).sum) }
+    val want = fused.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.toSeq.sortBy(x => (-x._3, x._2)).zipWithIndex.take(5)
+        .map { case ((q, d, s), i) => (q, d, s, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("rfmSegments tiers equal a single ntile window on random orders") {
+    val rnd = new scala.util.Random(29)
+    val orders = (1 to 400).map { _ =>
+      (rnd.nextInt(60).toLong,
+        java.sql.Date.valueOf(s"2024-0${1 + rnd.nextInt(9)}-0${1 + rnd.nextInt(9)}"),
+        rnd.nextInt(10000).toLong)
+    }.toDF("cust", "d", "cents")
+    val got = graft.operators.Analytics.rfmSegments(orders, "cust", "d",
+        "cents", buckets = 5, numShards = 7)
+      .select("cust", "r_score", "f_score", "m_score")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val per = orders.groupBy("cust").agg(max(col("d")).as("last"),
+      count(lit(1)).as("f"), sum(col("cents")).as("m"))
+    val asof = orders.agg(max(col("d")).as("asof"))
+    val w = org.apache.spark.sql.expressions.Window
+    val want = per.crossJoin(broadcast(asof))
+      .withColumn("r", datediff(col("asof"), col("last")).cast("long"))
+      .withColumn("rs", ntile(5).over(w.orderBy(col("r"), col("cust"))).cast("long"))
+      .withColumn("fs", ntile(5).over(w.orderBy(col("f").desc, col("cust"))).cast("long"))
+      .withColumn("ms", ntile(5).over(w.orderBy(col("m").desc, col("cust"))).cast("long"))
+      .select("cust", "rs", "fs", "ms")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("associationRules: exact counts, both directions, fixed-point ratios") {
+    val bi = Seq((1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (2, "c"),
+      (3, "a"), (3, "c"), (4, "d")).toDF("bk", "it")
+    val got = graft.operators.Analytics
+      .associationRules(bi, "bk", "it", minSupport = 2L)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    // N=4 baskets; f(a)=3 f(b)=2 f(c)=2; ab=2, ac=2, bc=1(cut)
+    assert(got == Set(
+      ("b", "a", 2L, 3L, 2L, 1000L, (1000L * 2 * 4) / (2 * 3)),
+      ("a", "b", 3L, 2L, 2L, 666L, (1000L * 2 * 4) / (3 * 2)),
+      ("c", "a", 2L, 3L, 2L, 1000L, (1000L * 2 * 4) / (2 * 3)),
+      ("a", "c", 3L, 2L, 2L, 666L, (1000L * 2 * 4) / (3 * 2))))
+  }
+
+  test("nnMatchedPairs equals brute-force argmin with tie rules, any input") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, s"b${rnd.nextInt(3)}", rnd.nextInt(10) == 0 || i % 3 == 0,
+        rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong) // heavy score ties
+    }
+    val df = rows.toDF("id", "blk", "treated", "score", "outcome")
+    val got = graft.operators.Analytics.nnMatchedPairs(df, Seq("blk"),
+        "id", "treated", "score", "outcome")
+      .select("id", "ctrl_id").as[(Long, Long)].collect().toMap
+    val ctrl = rows.filter(!_._3)
+    val want = rows.filter(_._3).flatMap { t =>
+      val cands = ctrl.filter(_._2 == t._2)
+      if (cands.isEmpty) None
+      else Some(t._1 -> cands.minBy(c =>
+        (math.abs(c._4 - t._4), c._4, c._1))._1)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("amsF2: estimator structure is exact and unbiased-ish on skewed keys") {
+    val words = (Seq.fill(100)("x") ++ Seq.fill(50)("y") ++
+      (1 to 200).map(i => s"w$i")).map(("g", _))
+    val df = words.toDF("g", "k")
+    val exact = 100L * 100 + 50L * 50 + 200L
+    val got = graft.operators.Sketch.amsF2(df, Seq("g"), "k", depth = 64)
+      .as[(String, Long, Long)].collect().head
+    assert(got._3 == words.size.toLong) // n_rows
+    // 64 estimators: mean within 3/sqrt(64) relative error w.h.p.
+    assert(math.abs(got._2 - exact) <= exact * 4 / 10,
+      s"est ${got._2} vs $exact")
+    // replay: one-key group is exactly f² regardless of signs
+    val one = graft.operators.Sketch.amsF2(
+      Seq.fill(7)(("g", "only")).toDF("g", "k"), Seq("g"), "k", depth = 3)
+      .as[(String, Long, Long)].collect().head
+    assert(one._2 == 49L && one._3 == 7L)
+  }
+
+  test("tClosenessReport: quantized TVD matches brute force incl. absent values") {
+    val rows = Seq(("c1", "s1"), ("c1", "s1"), ("c1", "s2"),
+      ("c2", "s3"), ("c2", "s3"), ("c2", "s3"), ("c2", "s1"), ("c3", null))
+    val df = rows.toDF("q", "s")
+    val got = graft.operators.DataQuality
+      .tClosenessReport(df, Seq("q"), "s", tMilli = 300)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val present = rows.filter(_._2 != null)
+    val n = present.size.toLong
+    val gv = present.groupBy(_._2).map { case (v, xs) =>
+      v -> (1000L * xs.size / n) }
+    def tvd(cls: Seq[String]): Long = {
+      val m = cls.size.toLong
+      val cv = cls.groupBy(identity).map { case (v, xs) =>
+        v -> (1000L * xs.size / m) }
+      (gv.map { case (v, q) =>
+        math.abs(cv.getOrElse(v, 0L) - q) }.sum) / 2
+    }
+    val c1 = present.filter(_._1 == "c1").map(_._2)
+    val c2 = present.filter(_._1 == "c2").map(_._2)
+    assert(got("c1") == (c1.size.toLong, tvd(c1), tvd(c1) <= 300))
+    assert(got("c2") == (c2.size.toLong, tvd(c2), tvd(c2) <= 300))
+    assert(!got.contains("c3")) // all-null sensitive class drops
+  }
+
+  test("readability: hand-counted Flesch on fixed texts, empty text is null") {
+    val df = Seq((1L, "The cat sat. It sat!"), (2L, "   "), (3L, "word"))
+      .toDF("id", "t")
+    val got = graft.operators.TextAnalysis.readability(df, "t")
+      .select("id", "n_words", "n_sentences", "n_syllables", "flesch_milli")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // "The cat sat. It sat!": 5 words, 2 sentence runs, syllable runs:
+    // e,a,a,i,a = 5
+    assert(got(1L) == ((5L, 2L, 5L,
+      Some(206835L - (1015L * 5) / 2 - (84600L * 5) / 5))))
+    assert(got(2L) == ((0L, 1L, 0L, None)))
+    assert(got(3L) == ((1L, 1L, 1L,
+      Some(206835L - 1015L - 84600L))))
+  }
+}
