@@ -363,4 +363,39 @@ object Graph {
     }
     dist
   }
+
+  /** Weighted shortest paths by synchronous Bellman–Ford rounds: after
+    * `rounds` relaxations the table holds, for every reachable node, the
+    * exact minimum-weight path USING AT MOST `rounds` EDGES from any
+    * seed — set `rounds` ≥ the weighted diameter for full shortest paths
+    * (the bounded form is itself useful: cost-limited crawl radius,
+    * "within N legs" routing). Integer weights make every round replay
+    * bit-identically in an unrolled SQL oracle (float min-plus drifts).
+    *
+    * Each round relaxes the WHOLE distance table against the edge list —
+    * one src-keyed equi-join + one node-keyed min aggregate, both
+    * key-partitioned shuffles, `localCheckpoint` per round (the
+    * [[bfsDistances]] discipline; re-relaxing settled nodes only re-emits
+    * dominated candidates that min() discards, and unlike BFS a settled
+    * node CAN improve later, so no frontier pruning). Negative weights
+    * are allowed (the bounded-hop semantics is still exact); unreachable
+    * nodes are omitted. Returns `(node_id, dist)`. */
+  def ssspInt(edges: DataFrame, srcCol: String, dstCol: String,
+              weightCol: String, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col(srcCol).as("_src_"), col(dstCol).as("_dst_"),
+        col(weightCol).cast("long").as("_w_"))
+      .groupBy("_src_", "_dst_").agg(min(col("_w_")).as("_w_"))
+      .localCheckpoint()
+    var dist = seeds.select(seeds.columns.head).toDF("node_id").distinct()
+      .select(col("node_id"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("node_id") === e("_src_"))
+        .select(col("_dst_").as("node_id"), (col("dist") + col("_w_")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node_id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

@@ -107,6 +107,35 @@ object Sampling {
     df.where(h < thrCol)
   }
 
+  /** Exact-k WEIGHTED sample without replacement per group — the
+    * quality-weighted subset maker (keep k docs per source, favoring high
+    * scores without going deterministic-top-k): each row draws an integer
+    * priority `(mix64(id) >>> 1) div w` and the k SMALLEST priorities per
+    * group win. A row with weight 2w beats a fixed competitor twice as
+    * often (its priority halves), the draw is a pure function of
+    * (id, weight) — stable across runs, engines, partitionings — and the
+    * arithmetic is integer end to end, so a SQL oracle replays the
+    * selected set exactly (the classic exponential-key A-ES scheme needs
+    * `ln(u)/w` floats, which never replay bit-identically; this integer
+    * priority keeps the same dominance structure). Weights must be ≥ 1
+    * (a 0-weight row would div-by-zero; drop such rows upstream).
+    *
+    * One window per group, WindowGroupLimit → per-partition top-k, same
+    * scale shape as [[groupSample]]. Output = winning rows + `priority`. */
+  def weightedPrioritySample(df: DataFrame, idCol: String, groupCol: String,
+                             weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pr = expr(s"_h_ div ${weightCol}")
+    val admit = Window.partitionBy(groupCol)
+      .orderBy(col("priority"), col(idCol))
+    df.withColumn("_h_",
+        shiftrightunsigned(mixUdf(col(idCol).cast("long")), 1))
+      .withColumn("priority", pr)
+      .withColumn("_rk_", row_number().over(admit))
+      .where(col("_rk_") <= k)
+      .select((df.columns.map(col) :+ col("priority")): _*)
+  }
+
   /** Exact-k uniform sample per group: each group's first `k` rows in
     * `(mix64(id), id)` admission order — the per-domain eval-subset /
     * debugging-slice maker. The sampled set is a PURE FUNCTION of the

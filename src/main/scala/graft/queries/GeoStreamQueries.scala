@@ -168,6 +168,26 @@ object GeoStreamQueries {
         .orderBy("day", "o_orderstatus")
     }),
 
+    // Streaming HLL: the register table maintained as a streaming
+    // complete-mode aggregate (groupBy(grp, register).max(rho) — the
+    // sketch update IS an aggregation, so Structured Streaming keeps it
+    // incrementally per micro-batch with m rows of state per group), then
+    // the batch estimator over the final registers. Oracle = the hl01
+    // replay over the same rows: a streaming sketch of a bounded stream
+    // must equal the batch sketch exactly (max is order-insensitive).
+    "sm14_stream_hll" -> ((s, d) => {
+      val stage = eventsIntervalStage(s, d)
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 2)
+      val regs = graft.operators.Sketch.hllRegisters(
+        stream.select(col("event_type").as("grp"), col("user_id").as("k")),
+        Seq("grp"), "k", p = 6)
+      val table = Streams.runToMemory(regs, "sm14_sink",
+        outputMode = "complete", statePartitions = Some(8))
+      graft.operators.Sketch.hllEstimate(table, Seq("grp"), p = 6)
+        .orderBy("grp")
+    }),
+
     // Stream-static join: each micro-batch of the orders stream hash-joins
     // the STATIC customer dimension (broadcast per batch — the enrich-
     // on-ingest shape), then a complete-mode rollup per market segment.
@@ -523,6 +543,49 @@ object GeoStreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // sm14 replay: the hl01 HLL register+estimator program (p=6, K=59)
+    // over (event_type, user_id) — a bounded stream's complete-mode max
+    // aggregate equals the batch registers exactly
+    "sm14_stream_hll" ->
+      """WITH base AS (
+        |  SELECT event_type AS grp, user_id AS k FROM events),
+        |m AS (
+        |  SELECT grp, xor(p2, p2 >> 31) AS h FROM (
+        |    SELECT grp,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT grp,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT grp, CAST(k AS UHUGEINT) AS p0 FROM base) a) b) c),
+        |regs AS (
+        |  SELECT grp, CAST(h >> 58 AS BIGINT) AS register,
+        |    max(CASE WHEN h % CAST(288230376151711744 AS UHUGEINT) = 0 THEN 59
+        |         ELSE 59 - length(bin(CAST(
+        |           h % CAST(288230376151711744 AS UHUGEINT) AS BIGINT)))
+        |        END) AS rho
+        |  FROM m GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT grp, count(*) AS nreg,
+        |    sum(CAST(1 AS BIGINT) << (59 - rho)) AS spart
+        |  FROM regs GROUP BY grp),
+        |sv AS (
+        |  SELECT grp, 64 - nreg AS n_zero_registers,
+        |    spart + CAST(64 - nreg AS HUGEINT)
+        |            * CAST(576460752303423488 AS HUGEINT) AS s
+        |  FROM agg),
+        |er AS (
+        |  SELECT grp, n_zero_registers,
+        |    0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 576460752303423488.0
+        |      / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS eraw
+        |  FROM sv)
+        |SELECT grp, n_zero_registers,
+        |  CAST(floor(CASE WHEN eraw <= 160.0 AND n_zero_registers > 0
+        |    THEN 64.0 * ln(64.0 / CAST(n_zero_registers AS DOUBLE))
+        |    ELSE eraw END) AS BIGINT) AS est_distinct
+        |FROM er ORDER BY grp""".stripMargin,
+
     // sm10 replay: the batch closed form (prefix sum + prefix extrema,
     // cs01's identity) — algebraically the same sequence the streaming
     // recurrence emits, per user over purchases in event_id order

@@ -839,6 +839,22 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- label-noise triage: every vector's label vs its 5-NN majority
+    // vote — rows outvoted by their neighborhood are relabel candidates ----
+    "ln01_knn_disagreement" -> ((s, d) =>
+      Similarity.knnLabelDisagreement(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("vec_id")),
+
+    // ---- weighted k-per-group sample: integer hash-div-weight priority,
+    // longest docs favored but not deterministic-top-k; the full selected
+    // set (and each row's priority) is gated --------------------------------
+    "wsp01_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedPrioritySample(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          "doc_id", "lang", "n_chars", k = 20)
+        .orderBy("doc_id")),
+
     // ---- similarity search: LSH ANN path (oracle-gated: portable
     // Rademacher planes -> DuckDB replays bucketing AND rerank) ------------
     "ann02_knn_lsh" -> ((s, d) => {
@@ -2834,6 +2850,53 @@ object PipelineQueries {
         |  JOIN ed eb ON eb.vec_id = c.id_b)
         |SELECT id_a, id_b, round(cosine, 6) AS cosine_r
         |FROM scored WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    // ln01 replay: all-pairs cosine ranks, top-5 votes, majority with
+    // (count desc, label) tie rule
+    "ln01_knn_disagreement" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |knn AS (
+        |  SELECT q.vec_id AS qid, c.label AS nl,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rk
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+        |votes AS (
+        |  SELECT qid, nl, count(*) AS n FROM knn WHERE rk <= 5 GROUP BY 1, 2),
+        |top AS (
+        |  SELECT qid, nl, n, row_number() OVER
+        |    (PARTITION BY qid ORDER BY n DESC, nl) AS vr
+        |  FROM votes)
+        |SELECT e.vec_id, e.label AS own_label, t.nl AS pred_label,
+        |  CAST(t.n AS BIGINT) AS n_votes, e.label <> t.nl AS disagree
+        |FROM e JOIN top t ON t.qid = e.vec_id AND t.vr = 1
+        |ORDER BY e.vec_id""".stripMargin,
+
+    // wsp01 replay: the ss01 splitmix chain (no seed step), 63-bit shift,
+    // integer floor-division priority, per-lang top-20 by (priority, id)
+    "wsp01_weighted_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(xor(p2, p2 >> 31) >> 1 AS BIGINT) AS h FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT doc_id, lang, n_chars,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT doc_id, lang, n_chars,
+        |              CAST(doc_id AS UHUGEINT) AS p0
+        |            FROM documents))) a),
+        |p AS (
+        |  SELECT doc_id, lang, n_chars, h // n_chars AS priority,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY h // n_chars, doc_id) AS rk
+        |  FROM m)
+        |SELECT doc_id, lang, n_chars, priority FROM p
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
     "ann01_knn_bruteforce" ->
       """WITH e AS (

@@ -812,6 +812,46 @@ object Relational {
             col("balance_cents")),
           "metric", "value")
         .orderBy("c_nationkey", "metric")
+    }),
+
+    // ---- graph: weighted shortest paths (3 Bellman–Ford rounds) from
+    // the seed customers over the trade graph with deterministic integer
+    // edge weights — min-plus relaxation, oracle-unrolled ------------------
+    "gr07_bellman_ford" -> ((s, d) => {
+      val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("sup"))
+        .distinct()
+      val w = (pmod(col("cust") + col("sup"), lit(7L)) + 1L).as("w")
+      val edges = pairs
+        .select(col("cust").as("src"), (col("sup") + 1000000L).as("dst"), w)
+        .unionByName(pairs.select((col("sup") + 1000000L).as("src"),
+          col("cust").as("dst"), w))
+      val seeds = Tables.customer(s, d).select(col("c_custkey"))
+        .where(col("c_custkey") < 10)
+      graft.operators.Graph.ssspInt(edges, "src", "dst", "w", seeds,
+          rounds = 3)
+        .orderBy("node_id")
+    }),
+
+    // ---- GROUPING SETS: segment margin, priority margin, grand total in
+    // one pass, grouping_id disambiguating structural NULLs ---------------
+    "cu04_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("cu04_orders")
+      Tables.customer(s, d).createOrReplaceTempView("cu04_customer")
+      s.sql("""
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority)
+                 AS BIGINT) AS gid,
+               count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM cu04_orders
+        JOIN cu04_customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        ORDER BY segment, priority""")
     })
   )
 
@@ -843,6 +883,53 @@ object Relational {
         |         SELECT e.dst, d2.dist + 1 FROM d2 JOIN e ON d2.node_id = e.src
         |       ) u GROUP BY node_id)
         |SELECT node_id, dist FROM d3 ORDER BY node_id""".stripMargin,
+
+    // gr07 replay: three min-plus rounds unrolled over the deduped
+    // weighted edge list (parallel edges keep the min weight, as the
+    // operator's pre-aggregate does)
+    "gr07_bellman_ford" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS sup
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e0 AS (
+        |  SELECT cust AS src, sup + 1000000 AS dst,
+        |    (cust + sup) % 7 + 1 AS w
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT sup + 1000000, cust, (cust + sup) % 7 + 1 FROM pairs),
+        |e AS (SELECT src, dst, min(w) AS w FROM e0 GROUP BY src, dst),
+        |d0 AS (SELECT c_custkey AS node_id, CAST(0 AS BIGINT) AS dist
+        |       FROM customer WHERE c_custkey < 10),
+        |d1 AS (SELECT node_id, min(dist) AS dist FROM (
+        |         SELECT node_id, dist FROM d0
+        |         UNION ALL
+        |         SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON d0.node_id = e.src
+        |       ) u GROUP BY node_id),
+        |d2 AS (SELECT node_id, min(dist) AS dist FROM (
+        |         SELECT node_id, dist FROM d1
+        |         UNION ALL
+        |         SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON d1.node_id = e.src
+        |       ) u GROUP BY node_id),
+        |d3 AS (SELECT node_id, min(dist) AS dist FROM (
+        |         SELECT node_id, dist FROM d2
+        |         UNION ALL
+        |         SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON d2.node_id = e.src
+        |       ) u GROUP BY node_id)
+        |SELECT node_id, dist FROM d3 ORDER BY node_id""".stripMargin,
+
+    // cu04 replay: DuckDB's own GROUPING SETS + GROUPING()
+    "cu04_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(c_mktsegment) * 2 + grouping(o_orderpriority)
+        |    AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        |ORDER BY segment, priority""".stripMargin,
 
     // up01 replay: the long form spelled out as one UNION ALL per metric
     "up01_unpivot" ->
