@@ -99,4 +99,36 @@ object Skew {
           .as("suggested_salt"))
       .orderBy(col("cnt").desc, col(keyCol))
   }
+
+  /** Bloom-pruned INNER equi-join — the explicit runtime filter for the
+    * "huge fact ⋈ selective dim" shape: a Bloom filter over the dim's
+    * join keys is broadcast and applied to the fact side BEFORE the
+    * shuffle, so fact rows that cannot possibly match (all but an fpp
+    * fraction of non-matching rows) never leave their input partition.
+    * Join output is IDENTICAL to the plain join — the filter only ever
+    * drops non-matching rows (false positives just ride through to the
+    * real join), which is also why the semantics are inner/semi only: an
+    * outer join must keep unmatched fact rows, exactly what the filter
+    * removes. Spark's own runtime filters cover some of these plans;
+    * this form makes the pruning explicit, tunable, and independent of
+    * the optimizer's thresholds.
+    *
+    * Cost: one pass over the dim keys to size + build the filter
+    * (dim-sized, small by contract), one broadcast of ~1.2·n·ln(1/fpp)
+    * bits, one codegen'd membership test per fact row. Keys are hashed
+    * through their canonical string form so any key type works and
+    * build/probe agree. */
+  def bloomPrunedJoin(facts: DataFrame, dims: DataFrame, factKey: String,
+                      dimKey: String, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp in (0, 1), got $fpp")
+    val keys = dims.select(col(dimKey).cast("string").as("_k_"))
+      .where(col("_k_").isNotNull).distinct()
+    val n = math.max(1L, keys.count())
+    val bf = keys.stat.bloomFilter("_k_", n, fpp)
+    val bc = facts.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: String) =>
+      k != null && bc.value.mightContainString(k))
+    facts.where(mightContain(col(factKey).cast("string")))
+      .join(dims, col(factKey) === dims(dimKey))
+  }
 }

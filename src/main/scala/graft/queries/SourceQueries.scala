@@ -150,6 +150,47 @@ object SourceQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Bloom-pruned join: a selective order slice's keys become a broadcast
+    // Bloom filter applied to lineitem BEFORE the shuffle — identical
+    // output to the plain join (oracle proves it), ~99% of non-matching
+    // fact rows never shuffled. The explicit runtime-filter shape.
+    "bj01_bloom_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 250000.0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"))
+      Skew.bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price_dec")).cast("double").as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Partition-pruned scan: orders written Hive-partitioned by month
+    // (build-once via sharedDir), then a one-month read — the directory
+    // layout turns the filter into a scan of 1/84th of the files
+    // (PartitionPruningSpec asserts the pruned plan; the oracle proves
+    // the month filter's semantics over the logical table).
+    "pt01_partition_pruning" -> ((s, d) => {
+      val dir = Scratch.sharedDir("part_table",
+        s"pt01_orders_v1_${d}_${Scratch.fingerprint(s"$d/orders.parquet")}") { tmp =>
+        Tables.orders(s, d)
+          .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode(SaveMode.Overwrite).partitionBy("order_month")
+          .parquet(tmp)
+      }
+      s.read.parquet(dir)
+        .where(col("order_month") === "1995-03")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Bucketed co-located join: both sides written bucketed by the join key
     // (8 buckets) so the sort-merge join runs with ZERO exchanges — the
     // pre-shuffled layout a 100 TB fact table would be stored in.
@@ -393,6 +434,25 @@ object SourceQueries {
         |ORDER BY u.doc_id""".stripMargin,
 
     "sk01_salted_join" -> joinAggSql,
-    "bk01_bucketed_join" -> joinAggSql
+    "bk01_bucketed_join" -> joinAggSql,
+
+    // bj01 replay: the plain join over the same selective slice — the
+    // Bloom prefilter must be invisible in the result
+    "bj01_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // pt01 replay: the month filter over the logical table
+    "pt01_partition_pruning" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS revenue
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

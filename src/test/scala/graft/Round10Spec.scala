@@ -227,6 +227,42 @@ class Round10Spec extends AnyFunSuite {
     assert(uni != got.map(_._1))
   }
 
+  test("bloomPrunedJoin == plain inner join, any data (false positives ride through)") {
+    val rnd = new scala.util.Random(61)
+    val facts = (1 to 500).map(i => (rnd.nextInt(200).toLong, i.toLong))
+      .toDF("k", "v")
+    val dims = (1 to 30).map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(9)))
+      .toDF("dk", "payload")
+    // tiny filter (high fpp) so false positives actually occur
+    val got = graft.operators.Skew.bloomPrunedJoin(facts, dims, "k", "dk",
+        fpp = 0.3)
+      .select("k", "v", "dk", "payload")
+      .as[(Long, Long, Long, Int)].collect().sorted.toSeq
+    val want = facts.join(dims, col("k") === col("dk"))
+      .select("k", "v", "dk", "payload")
+      .as[(Long, Long, Long, Int)].collect().sorted.toSeq
+    assert(got == want)
+  }
+
+  test("pt01 partitioned layout actually prunes: one month's partitions only") {
+    val d = "/root/testdata/sf0.001"
+    val dir = graft.sources.Scratch.sharedDir("part_table",
+      s"pt01_orders_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/orders.parquet")}") { tmp =>
+      Tables.orders(spark, d)
+        .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("order_month").parquet(tmp)
+    }
+    val q = spark.read.parquet(dir).where(col("order_month") === "1995-03")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("order_month"), s"no partition filter in: $scan")
+    // and the pruned read returns exactly the month's rows
+    val n = q.count()
+    val want = Tables.orders(spark, d)
+      .where(date_format(col("o_orderdate"), "yyyy-MM") === "1995-03").count()
+    assert(n == want && n > 0)
+  }
+
   test("readability: hand-counted Flesch on fixed texts, empty text is null") {
     val df = Seq((1L, "The cat sat. It sat!"), (2L, "   "), (3L, "word"))
       .toDF("id", "t")
