@@ -100,7 +100,19 @@ object ExplainAudit {
         // moments, copy-on-write surgery readbacks, streamed agg view
         "at04_markov_attribution", "th01_theilsen_trend",
         "did01_diff_in_diff", "ab04_cuped", "cow01_delete_rewrite",
-        "cow02_merge_upsert", "sm13_stream_agg_view")
+        "cow02_merge_upsert", "sm13_stream_agg_view",
+        // round-11 tier (conversation round 10): sharded-ntile RFM,
+        // basket pair rules, as-of-shaped matched pairs, sign-sum AMS,
+        // quantized-TVD privacy, window-only RRF, frontier BFS +
+        // min-plus Bellman-Ford rounds, all-pairs vote triage, priority
+        // sample, native unpivot/grouping-sets, Bloom-pruned join,
+        // Hive-partition-pruned scan, regex-count readability
+        "rfm01_rfm_segments", "ar01_association_rules",
+        "psm01_matched_att", "am01_ams_f2", "ka03_t_closeness",
+        "rrf01_rank_fusion", "gr06_bfs_distances", "gr07_bellman_ford",
+        "ln01_knn_disagreement", "wsp01_weighted_sample", "up01_unpivot",
+        "cu04_grouping_sets", "bj01_bloom_join", "pt01_partition_pruning",
+        "ts09_readability")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

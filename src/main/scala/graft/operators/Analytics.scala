@@ -1937,6 +1937,32 @@ object Analytics {
         col("_m_.outcome").as("ctrl_outcome")): _*)
   }
 
+  /** Calibration report for a [0, 1000]-milli score against a boolean
+    * outcome — the reliability diagram behind every "is this model/
+    * heuristic score a probability?" check (and the input to expected
+    * calibration error, which is the n-weighted mean of `gap_milli`):
+    * scores bucket by `bucketMilli`-wide bins, each bin reports observed
+    * positive rate vs mean claimed score, all in integer fixed point so
+    * the table replays on any engine.
+    *
+    * One map-side-combined aggregate on the bucket key — no windows, no
+    * joins; bins are ≤ 1000/bucketMilli rows at any data scale. Output:
+    * (bucket, n, n_pos, pos_rate_milli, avg_score_milli, gap_milli),
+    * bucket = score div bucketMilli. */
+  def calibrationReport(df: DataFrame, labelCol: String,
+                        scoreMilliCol: String,
+                        bucketMilli: Long = 100L): DataFrame = {
+    require(bucketMilli >= 1, s"bucketMilli must be >= 1, got $bucketMilli")
+    df.groupBy(expr(s"$scoreMilliCol div $bucketMilli").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(scoreMilliCol).cast("long")).as("_ss_"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("(1000 * n_pos) div n").as("pos_rate_milli"),
+        expr("_ss_ div n").as("avg_score_milli"),
+        expr("abs((1000 * n_pos) div n - _ss_ div n)").as("gap_milli"))
+  }
+
   /** Pairwise association rules over baskets — the support / confidence /
     * lift mining step behind "customers who bought A also bought B"
     * (Agrawal/Srikant Apriori, VLDB 1994, size-2 tier): for every

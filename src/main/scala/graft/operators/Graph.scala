@@ -398,4 +398,51 @@ object Graph {
     }
     dist
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) after `iterations`
+    * synchronous rounds of the UNNORMALIZED power iteration — each round
+    * is `h(u) = Σ_{u→v} a(v)` then `a(v) = Σ_{u→v} h(u)`, starting from
+    * all-ones. Integer scores replay bit-identically (the conventional
+    * per-round L2 normalization only rescales — it never changes the
+    * ranking — and would force floats, so it is applied ONCE at the end
+    * as a milli quantization by the max). Growth bounds the round count:
+    * values multiply by ≤ in-deg·out-deg per round, so keep
+    * `iterations · log2(degree bound) < 63` — 2-3 rounds, which is also
+    * where HITS rankings stabilize on real graphs.
+    *
+    * Plan: two key-partitioned join+aggregate passes per round over the
+    * edge list (shuffle on dst for h, on src for a), `localCheckpoint`
+    * per round; the max for quantization is one scalar aggregate.
+    * Output: (node_id, hub, auth, hub_milli, auth_milli) over every
+    * node appearing as src or dst. */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("_u_"), col(dstCol).as("_v_"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("_u_").as("node_id"))
+      .union(e.select(col("_v_"))).distinct().localCheckpoint()
+    var auth = nodes.select(col("node_id"), lit(1L).as("a"))
+    var hub = nodes.select(col("node_id"), lit(1L).as("h"))
+    for (_ <- 1 to iterations) {
+      hub = e.join(auth, e("_v_") === auth("node_id"))
+        .groupBy(col("_u_").as("node_id")).agg(sum(col("a")).as("h"))
+        .unionByName(nodes.select(col("node_id"), lit(0L).as("h")))
+        .groupBy("node_id").agg(max(col("h")).as("h")) // sinks keep 0
+        .localCheckpoint()
+      auth = e.join(hub, e("_u_") === hub("node_id"))
+        .groupBy(col("_v_").as("node_id")).agg(sum(col("h")).as("a"))
+        .unionByName(nodes.select(col("node_id"), lit(0L).as("a")))
+        .groupBy("node_id").agg(max(col("a")).as("a"))
+        .localCheckpoint()
+    }
+    val maxes = hub.agg(max(col("h")).as("_mh_"))
+      .crossJoin(auth.agg(max(col("a")).as("_ma_")))
+    hub.join(auth, "node_id").crossJoin(broadcast(maxes))
+      .select(col("node_id"), col("h").as("hub"), col("a").as("auth"),
+        expr("CASE WHEN _mh_ > 0 THEN (1000 * h) div _mh_ ELSE 0 END")
+          .as("hub_milli"),
+        expr("CASE WHEN _ma_ > 0 THEN (1000 * a) div _ma_ ELSE 0 END")
+          .as("auth_milli"))
+  }
 }

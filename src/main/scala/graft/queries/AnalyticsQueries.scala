@@ -100,6 +100,23 @@ object AnalyticsQueries {
         .orderBy("query", "fused_rank")
     }),
 
+    // ---- calibration / reliability report: order AGE (milli-scaled days
+    // since order, over the dataset span) as the "probability finished"
+    // score vs the actual F status — per-decile observed rate, claimed
+    // rate, and gap, all integer fixed point ------------------------------
+    "cal01_calibration_report" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val b = o.agg(min(col("o_orderdate")).as("_mind_"),
+        max(col("o_orderdate")).as("_maxd_"))
+      val scored = o.crossJoin(broadcast(b))
+        .select((col("o_orderstatus") === "F").as("done"),
+          expr("""(1000 * datediff(_maxd_, o_orderdate)) div
+                  greatest(1L, datediff(_maxd_, _mind_))""").as("score_milli"))
+      Analytics.calibrationReport(scored, "done", "score_milli",
+          bucketMilli = 100)
+        .orderBy("bucket")
+    }),
+
     // ---- funnel: signup → view → purchase, per-step completer counts ----
     "fu01_funnel_steps" -> ((s, d) => {
       val ft = Analytics.funnelTimes(Tables.events(s, d),
@@ -1007,6 +1024,26 @@ object AnalyticsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // cal01 replay: same age score, same integer bucket program
+    "cal01_calibration_report" ->
+      """WITH b AS (
+        |  SELECT min(o_orderdate) AS mind, max(o_orderdate) AS maxd
+        |  FROM orders),
+        |s AS (
+        |  SELECT (o_orderstatus = 'F') AS done,
+        |    (1000 * date_diff('day', o_orderdate, maxd))
+        |      // greatest(1, date_diff('day', mind, maxd)) AS sm
+        |  FROM orders, b),
+        |g AS (
+        |  SELECT sm // 100 AS bucket, count(*) AS n,
+        |    sum(CASE WHEN done THEN 1 ELSE 0 END) AS np, sum(sm) AS ss
+        |  FROM s GROUP BY 1)
+        |SELECT bucket, n, CAST(np AS BIGINT) AS n_pos,
+        |  CAST((1000 * np) // n AS BIGINT) AS pos_rate_milli,
+        |  CAST(ss // n AS BIGINT) AS avg_score_milli,
+        |  CAST(abs((1000 * np) // n - ss // n) AS BIGINT) AS gap_milli
+        |FROM g ORDER BY bucket""".stripMargin,
+
     // rfm01 replay: identical per-customer aggregates, then DuckDB's OWN
     // ntile() over the same tie-broken total orders — an independent
     // implementation validating the closed-form sharded tiers

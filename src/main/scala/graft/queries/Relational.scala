@@ -798,6 +798,20 @@ object Relational {
         .orderBy("node_id")
     }),
 
+    // ---- graph: HITS hubs/authorities on the DIRECTED customer→supplier
+    // trade graph (bipartite: customers score as hubs, suppliers as
+    // authorities; each side's other score exercises the sink-zero lane).
+    // Two unnormalized integer rounds + final milli quantization ----------
+    "hits01_hubs_authorities" -> ((s, d) => {
+      val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.Graph.hitsInt(pairs, "src", "dst", iterations = 2)
+        .orderBy("node_id")
+    }),
+
     // ---- unpivot (melt): per-nation wide metric row → (nation, metric,
     // value) long form — Spark's native unpivot against a UNION ALL
     // replay -------------------------------------------------------------
@@ -930,6 +944,39 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         |ORDER BY segment, priority""".stripMargin,
+
+    // hits01 replay: two h/a rounds unrolled with left-join + coalesce
+    // standing in for the operator's union-max sink handling
+    "hits01_hubs_authorities" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+        |h1 AS (SELECT n, coalesce(x.s, 0) AS h FROM nodes
+        |       LEFT JOIN (SELECT u, count(*) AS s FROM e GROUP BY u) x
+        |         ON x.u = n),
+        |a1 AS (SELECT n, coalesce(x.s, 0) AS a FROM nodes
+        |       LEFT JOIN (SELECT v, sum(h1.h) AS s
+        |                  FROM e JOIN h1 ON h1.n = e.u GROUP BY v) x
+        |         ON x.v = n),
+        |h2 AS (SELECT n, coalesce(x.s, 0) AS h FROM nodes
+        |       LEFT JOIN (SELECT u, sum(a1.a) AS s
+        |                  FROM e JOIN a1 ON a1.n = e.v GROUP BY u) x
+        |         ON x.u = n),
+        |a2 AS (SELECT n, coalesce(x.s, 0) AS a FROM nodes
+        |       LEFT JOIN (SELECT v, sum(h2.h) AS s
+        |                  FROM e JOIN h2 ON h2.n = e.u GROUP BY v) x
+        |         ON x.v = n),
+        |mx AS (SELECT max(h) AS mh FROM h2),
+        |ma AS (SELECT max(a) AS maxa FROM a2)
+        |SELECT h2.n AS node_id, CAST(h2.h AS BIGINT) AS hub,
+        |  CAST(a2.a AS BIGINT) AS auth,
+        |  CAST(CASE WHEN mh > 0 THEN (1000 * h2.h) // mh ELSE 0 END
+        |    AS BIGINT) AS hub_milli,
+        |  CAST(CASE WHEN maxa > 0 THEN (1000 * a2.a) // maxa ELSE 0 END
+        |    AS BIGINT) AS auth_milli
+        |FROM h2 JOIN a2 ON a2.n = h2.n, mx, ma
+        |ORDER BY node_id""".stripMargin,
 
     // up01 replay: the long form spelled out as one UNION ALL per metric
     "up01_unpivot" ->

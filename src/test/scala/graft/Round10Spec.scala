@@ -263,6 +263,32 @@ class Round10Spec extends AnyFunSuite {
     assert(n == want && n > 0)
   }
 
+  test("hitsInt: hand-computed two rounds on a small directed graph") {
+    // 1→3, 1→4, 2→3; h1 = outdeg: (1:2, 2:1); a1: 3←{1,2}=3, 4←{1}=2
+    // h2: 1 = a1(3)+a1(4) = 5, 2 = a1(3) = 3; a2: 3 = h2(1)+h2(2) = 8,
+    // 4 = h2(1) = 5
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val got = graft.operators.Graph.hitsInt(e, "s", "d", iterations = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((5L, 0L, 1000L, 0L)))
+    assert(got(2L) == ((3L, 0L, (3000L / 5), 0L)))
+    assert(got(3L) == ((0L, 8L, 0L, 1000L)))
+    assert(got(4L) == ((0L, 5L, 0L, 5000L / 8)))
+  }
+
+  test("calibrationReport: hand-computed buckets incl. gap") {
+    val df = Seq((true, 950L), (false, 930L), (true, 120L), (false, 90L),
+      (false, 110L)).toDF("y", "s")
+    val got = graft.operators.Analytics
+      .calibrationReport(df, "y", "s", bucketMilli = 100L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(9L) == ((2L, 1L, 500L, 940L, 440L)))
+    assert(got(1L) == ((2L, 1L, 500L, 115L, 385L)))
+    assert(got(0L) == ((1L, 0L, 0L, 90L, 90L)))
+  }
+
   test("readability: hand-counted Flesch on fixed texts, empty text is null") {
     val df = Seq((1L, "The cat sat. It sat!"), (2L, "   "), (3L, "word"))
       .toDF("id", "t")
