@@ -2008,4 +2008,95 @@ object Analytics {
         expr(s"(1000 * f_ab * CAST($n AS BIGINT)) div (f_a * f_b)")
           .as("lift_milli"))
   }
+
+  /** Cumulative gains / lift table — the decile ranking report that
+    * completes the model-eval family ([[Tuning.optimizeThreshold]] =
+    * ROC/threshold, [[calibrationReport]] = reliability, this = "how
+    * much of the outcome does the top X% capture"): rows rank by score
+    * descending (ties by `idCol` ascending), split into `buckets`
+    * NTILE-semantics tiers, and each tier reports its own and its
+    * cumulative positive capture vs the random baseline.
+    *
+    * Integer end to end: `gain_milli = (1000·cum_pos) div total_pos`
+    * (share of all positives inside the top tiers), `lift_milli =
+    * (1000·cum_pos·N) div (cum_n·total_pos)` (capture ÷ the random
+    * expectation — 1000 = exactly random). Tiering is the closed-form
+    * ntile arithmetic over a SHARDED global rank
+    * ([[Packing.runningTotalSharded]] — the [[rfmSegments]] program), so
+    * there is no unpartitioned window over the scored rows; the only
+    * tiny table is the `buckets`-row tier rollup, whose cumulative sums
+    * come from a triangular self-join (constant-sized, no WindowExec).
+    *
+    * Output: (bucket, n, n_pos, cum_n, cum_pos, gain_milli, lift_milli),
+    * one row per non-empty tier, bucket 1 = highest scores. */
+  def liftGainsReport(df: DataFrame, idCol: String, scoreCol: String,
+                      labelCol: String, buckets: Int = 10,
+                      numShards: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.select(col(idCol), col(scoreCol),
+        col(labelCol).cast("long").as("_pos_"))
+      .withColumn("_negs_", -col(scoreCol))
+      .withColumn("_one_", lit(1L))
+    val ranked = Packing.runningTotalSharded(base, "_negs_", "_one_",
+      "_rk_", numShards = numShards, tieCols = Seq(idCol))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("_n_"))))
+    val b = s"(_n_ div $buckets)"
+    val r = s"(_n_ % $buckets)"
+    val tiered = ranked.withColumn("bucket",
+      expr(s"""CASE WHEN _rk_ <= ($b + 1) * $r
+              | THEN (_rk_ - 1) div ($b + 1) + 1
+              | ELSE $r + (_rk_ - ($b + 1) * $r - 1) div $b + 1
+              |END""".stripMargin))
+    val per = tiered.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("_pos_")).as("n_pos"))
+    // cumulative over the <= buckets-row rollup: triangular self-join
+    // (the runningTotalSharded phase-2 discipline — no WindowExec)
+    val e = per.select(col("bucket").as("_eb_"), col("n").as("_en_"),
+      col("n_pos").as("_ep_"))
+    val cum = per.join(e, col("_eb_") <= col("bucket"))
+      .groupBy("bucket", "n", "n_pos")
+      .agg(sum(col("_en_")).as("cum_n"), sum(col("_ep_")).as("cum_pos"))
+    val totals = per.agg(sum(col("n")).as("_tn_"),
+      sum(col("n_pos")).as("_tp_"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        expr("(1000 * cum_pos) div _tp_").as("gain_milli"),
+        expr("(1000 * cum_pos * _tn_) div (cum_n * _tp_)").as("lift_milli"))
+  }
+
+  /** Windowed ordered funnel — [[funnelTimes]] with the conversion-window
+    * bound every product-analytics funnel carries ("completed checkout
+    * within 24h of first visit"): step k counts only if it happens
+    * strictly after step k−1 AND within `windowSeconds` of the user's
+    * step-1 anchor. Semantics are EARLIEST-ANCHOR GREEDY (the first-touch
+    * convention): the anchor is the user's first step-1 event, and each
+    * later step takes its earliest admissible completion — deterministic,
+    * join-expressible, and replayable; a sliding re-anchoring scan (any
+    * anchor may complete the chain) is a different, stateful operator.
+    *
+    * Same plan as [[funnelTimes]]: k filtered aggregates chained by a
+    * user-keyed equi-join, each step's filter shrinking the fact slice;
+    * the window bound is one extra predicate inside each `min(when(...))`
+    * — no new shuffles. Output: one row per step-1 user, nullable
+    * `t1..tk`. */
+  def windowFunnelTimes(df: DataFrame, userCol: String, tsCol: String,
+                        stepCol: String, steps: Seq[String],
+                        windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    require(windowSeconds > 0, s"windowSeconds must be > 0: $windowSeconds")
+    val first = df.where(col(stepCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val hit = df.where(col(stepCol) === step)
+        .select(col(userCol), col(tsCol).as("_ts_"))
+      acc.join(hit, Seq(userCol), "left")
+        .groupBy((col(userCol) +: (1 to i).map(j => col(s"t$j"))): _*)
+        .agg(min(when(col("_ts_") > col(prev) &&
+          col("_ts_") <= col("t1") + expr(s"INTERVAL $windowSeconds SECOND"),
+          col("_ts_"))).as(cur))
+    }
+  }
 }

@@ -445,4 +445,51 @@ object Graph {
         expr("CASE WHEN _ma_ > 0 THEN (1000 * a) div _ma_ ELSE 0 END")
           .as("auth_milli"))
   }
+
+  /** Neighbor-set Jaccard link prediction (Liben-Nowell & Kleinberg,
+    * CIKM 2003) — the common-neighbors recommender over an undirected
+    * graph: for every NON-edge pair sharing ≥ 1 neighbor, score =
+    * |N(u)∩N(w)| / |N(u)∪N(w)| in milli fixed point
+    * (`(1000·common) div (deg_u + deg_w − common)` — pure integer, so
+    * the ranking replays exactly; Adamic–Adar's 1/log(deg) weights are
+    * the float variant this deliberately isn't), keeping the top `k`
+    * candidates per node by (jaccard, common, neighbor id).
+    *
+    * Plan: undirected distinct edge list, wedge self-join on the shared
+    * center (the [[triangleStats]] shape — cost Σ deg², so cap
+    * super-node degrees upstream the [[Dedup]] `domain_cap` way),
+    * existing edges removed by an anti-join BEFORE scoring, degrees
+    * joined on each endpoint, and the per-node top-k is a key-partitioned
+    * window Spark rewrites to WindowGroupLimit (per-partition top-k
+    * before the shuffle). Output: (node_id, candidate_id, common,
+    * jaccard_milli, rank), both directions of each surviving pair. */
+  def jaccardLinkPrediction(edges: DataFrame, srcCol: String,
+                            dstCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val und = edges.select(col(srcCol).as("_a_"), col(dstCol).as("_b_"))
+      .where(col("_a_") =!= col("_b_"))
+    val e = und.unionByName(und.select(col("_b_").as("_a_"),
+        col("_a_").as("_b_"))).distinct().localCheckpoint()
+    val deg = e.groupBy(col("_a_").as("node")).agg(count(lit(1)).as("deg"))
+    // wedges u—v—w, u < w: common-neighbor count per unordered pair
+    val common = e.as("l").join(e.as("r"),
+        col("l._a_") === col("r._a_") && col("l._b_") < col("r._b_"))
+      .groupBy(col("l._b_").as("_u_"), col("r._b_").as("_w_"))
+      .agg(count(lit(1)).as("common"))
+      .join(e.select(col("_a_").as("_u_"), col("_b_").as("_w_")),
+        Seq("_u_", "_w_"), "left_anti") // non-edges only
+    val scored = common
+      .join(deg.select(col("node").as("_u_"), col("deg").as("_du_")), "_u_")
+      .join(deg.select(col("node").as("_w_"), col("deg").as("_dw_")), "_w_")
+      .withColumn("jaccard_milli",
+        expr("(1000 * common) div (_du_ + _dw_ - common)"))
+    val both = scored.select(col("_u_").as("node_id"),
+        col("_w_").as("candidate_id"), col("common"), col("jaccard_milli"))
+      .unionByName(scored.select(col("_w_").as("node_id"),
+        col("_u_").as("candidate_id"), col("common"), col("jaccard_milli")))
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("jaccard_milli").desc, col("common").desc,
+        col("candidate_id"))
+    both.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

@@ -363,4 +363,43 @@ object Temporal {
           col("_next_") <= expr(s"timestampadd(SECOND, $horizonSeconds, _ts_)"))
           .as("label"))
   }
+
+  /** DELETE-capable incremental TOP-K view maintenance — the ranking twin
+    * of [[applyAggDeltaSigned]]: the backing state is the signed-multiset
+    * (group, id, score) table (a DELETE is a −1 row; zero-multiplicity
+    * rows vanish — which is exactly why top-k needs the FULL per-group
+    * state behind the k-row view: a delete inside the top k promotes the
+    * k+1-th, which no k-row-only state could recover), and the view is
+    * re-ranked ONLY for groups the delta touches: untouched groups'
+    * view rows pass through by anti-join, byte-identical.
+    *
+    * At 100 TB that locality is the whole point — a day's delta touches
+    * a sliver of the group space, so the expensive rank (score-desc,
+    * id-asc row_number ≤ k, a key-partitioned window) runs over the
+    * touched groups' state only; the state fold itself is one grouped
+    * sum keyed by (group, id, score). Returns (newState, newView), both
+    * in input shape (`multCol` only on the state). */
+  def applyTopKDeltaSigned(state: DataFrame, view: DataFrame,
+                           delta: DataFrame, groupCol: String,
+                           idCol: String, scoreCol: String,
+                           multCol: String, k: Int)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keys = Seq(groupCol, idCol, scoreCol)
+    val newState = state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(multCol).cast("long")).as(multCol))
+      .where(col(multCol) =!= 0)
+    val touched = delta.select(col(groupCol)).distinct()
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val reRanked = newState
+      .join(touched.hint("broadcast"), Seq(groupCol), "left_semi")
+      .withColumn("_rn_", row_number().over(w))
+      .where(col("_rn_") <= k)
+      .select(keys.map(col): _*)
+    val untouched = view
+      .join(touched.hint("broadcast"), Seq(groupCol), "left_anti")
+    (newState, untouched.unionByName(reRanked))
+  }
 }

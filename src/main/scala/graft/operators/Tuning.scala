@@ -188,4 +188,66 @@ object Tuning {
   def rawToScore(df: DataFrame, rawCol: String, out: String = "score"): DataFrame =
     df.withColumn(out,
       (atan(col(rawCol)) / lit(math.Pi) + lit(0.5)))
+
+  /** Exact best binary split per feature — the EXACT GREEDY inner loop of
+    * every decision tree / GBDT trainer (CART; XGBoost's "exact greedy
+    * algorithm", Chen & Guestrin KDD'16 §3.1), run distributed with no
+    * sampling and no quantile-sketch approximation: for each feature,
+    * every distinct value v is a candidate threshold (left = rows ≤ v),
+    * and the winner maximizes the weighted children purity
+    *   score(v) = (P_L² + Q_L²)/N_L + (P_R² + Q_R²)/N_R
+    * (P/Q = positive/negative counts), which is an affine transform of
+    * negative weighted Gini impurity — same argmax, but integer-exact:
+    * score is ranked as the 1e-6 fixed-point floor of the single
+    * fraction ((P_L²+Q_L²)·N_R + (P_R²+Q_R²)·N_L) · 10⁶ div (N_L·N_R)
+    * in DECIMAL(38,0), so the chosen split replays on any engine (a
+    * float Gini can flip near-ties; the documented bound is N ≲ 5·10¹⁰
+    * rows before 10⁶·N³ leaves DECIMAL(38)). Ties break to the smaller
+    * threshold.
+    *
+    * Plan per feature: one distinct-value count aggregate (the
+    * [[Temporal.ksStatistic]] shape), prefix sums via the two-phase
+    * sharded running total (no unpartitioned window over the value
+    * domain), totals as a broadcast scalar, and a sort-limit top-1 —
+    * candidate count is the DISTINCT-VALUE count, never the row count.
+    * Rows with a NULL feature or label are excluded from that feature's
+    * split search (CART's default surrogate handling is out of scope).
+    * Output: one row per feature that admits a split —
+    * (feature, threshold, n_left, pos_left, n_right, pos_right,
+    * score_micro), `threshold` = the winning "≤ v" cut. */
+  def bestSplits(df: DataFrame, featureCols: Seq[String],
+                 labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "at least one feature column")
+    featureCols.map { f =>
+      val counts = df
+        .select(col(f).cast("long").as("_v_"),
+          col(labelCol).cast("long").as("_y_"))
+        .where(col("_v_").isNotNull && col("_y_").isNotNull)
+        .groupBy("_v_")
+        .agg(count(lit(1)).as("_n_"), sum(col("_y_")).as("_p_"))
+      val totals = counts.agg(sum("_n_").as("_tn_"), sum("_p_").as("_tp_"),
+        max("_v_").as("_vmax_"))
+      Packing.runningTotalSharded(
+          Packing.runningTotalSharded(counts, "_v_", "_n_", "_nl_"),
+          "_v_", "_p_", "_pl_")
+        .crossJoin(broadcast(totals))
+        .where(col("_v_") < col("_vmax_")) // both sides non-empty
+        .select(lit(f).as("feature"), col("_v_").as("threshold"),
+          col("_nl_").as("n_left"), col("_pl_").as("pos_left"),
+          (col("_tn_") - col("_nl_")).as("n_right"),
+          (col("_tp_") - col("_pl_")).as("pos_right"))
+        .withColumn("score_micro", expr(
+          """CAST((
+            |  (CAST(pos_left AS DECIMAL(38,0)) * pos_left +
+            |   CAST(n_left - pos_left AS DECIMAL(38,0)) * (n_left - pos_left)
+            |  ) * n_right +
+            |  (CAST(pos_right AS DECIMAL(38,0)) * pos_right +
+            |   CAST(n_right - pos_right AS DECIMAL(38,0)) * (n_right - pos_right)
+            |  ) * n_left
+            |) * 1000000 div (CAST(n_left AS DECIMAL(38,0)) * n_right)
+            |AS BIGINT)""".stripMargin))
+        .orderBy(col("score_micro").desc, col("threshold"))
+        .limit(1)
+    }.reduce(_ unionByName _)
+  }
 }

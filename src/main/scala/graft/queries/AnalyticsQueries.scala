@@ -1,10 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 import graft.Tables
-import graft.operators.{Analytics, DataQuality, Retrieval, Sketch, Temporal}
+import graft.operators.{Analytics, DataQuality, Retrieval, Sketch, Temporal, Tuning}
 
 /** Behavioral-analytics + retrieval tier (late r7): funnel, retention
   * cohorts, interval merge, exact group quantiles, histogram, BM25 top-k,
@@ -117,10 +118,77 @@ object AnalyticsQueries {
         .orderBy("bucket")
     }),
 
+    // ---- cumulative gains / lift deciles: rank customers by total spend,
+    // label = frequent buyer (>= 10 orders) — tiering by the closed-form
+    // sharded ntile, oracle = DuckDB's own ntile() (the rfm01 discipline) -
+    "lift01_cumulative_gains" -> ((s, d) => {
+      val per = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("freq"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("spend"))
+      val base = per.select(col("o_custkey"), col("spend"),
+        (col("freq") >= 10).as("y"))
+      Analytics.liftGainsReport(base, "o_custkey", "spend", "y",
+          buckets = 10)
+        .orderBy("bucket")
+    }),
+
+    // ---- exact CART/GBDT best-split search: every distinct feature value
+    // a candidate threshold, winner ranked by 1e-6 fixed-point weighted
+    // children purity (affine in negative Gini) — no sampling, no sketch -
+    "dt01_best_split" -> ((s, d) => {
+      val per = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("freq"))
+      val base = Tables.customer(s, d)
+        .join(per, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("bal_cents"),
+          col("c_nationkey").cast("long").as("nation"),
+          (col("freq") >= 10).as("y"))
+      Tuning.bestSplits(base, Seq("bal_cents", "nation"), "y")
+        .orderBy("feature")
+    }),
+
+    // ---- DELETE-capable incremental TOP-K view: the mv04 fixture with a
+    // per-customer top-3-orders-by-price view — only delta-touched
+    // customers re-rank, untouched view rows pass through by anti-join --
+    "mv05_incremental_topk" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"))
+      val base = orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      val state = base.withColumn("m", lit(1L))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+      val view = base.withColumn("_rn_", row_number().over(w))
+        .where(col("_rn_") <= 3).drop("_rn_")
+      val ins = orders.where(pmod(col("o_orderkey"), lit(3)) === 0)
+        .withColumn("m", lit(1L))
+      val del = base.where(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("m", lit(-1L))
+      val (_, newView) = Temporal.applyTopKDeltaSigned(state, view,
+        ins.unionByName(del), "o_custkey", "o_orderkey", "price_cents",
+        "m", k = 3)
+      newView.orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ---- funnel: signup → view → purchase, per-step completer counts ----
     "fu01_funnel_steps" -> ((s, d) => {
       val ft = Analytics.funnelTimes(Tables.events(s, d),
         "user_id", "ts", "event_type", Seq("signup", "view", "purchase"))
+      ft.agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"),
+          count(col("t3")).as("c3"))
+        .selectExpr("""stack(3, 1, 'signup', c1, 2, 'view', c2,
+                       3, 'purchase', c3) as (step_idx, step_name, n_users)""")
+        .orderBy("step_idx")
+    }),
+
+    // ---- WINDOWED funnel: fu01 bounded to a 3-day first-touch conversion
+    // window — earliest-anchor greedy semantics, the window one extra
+    // predicate per step, no new shuffles --------------------------------
+    "fu02_window_funnel" -> ((s, d) => {
+      val ft = Analytics.windowFunnelTimes(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("signup", "view", "purchase"),
+        windowSeconds = 259200L)
       ft.agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"),
           count(col("t3")).as("c3"))
         .selectExpr("""stack(3, 1, 'signup', c1, 2, 'view', c2,
