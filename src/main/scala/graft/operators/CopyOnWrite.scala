@@ -74,7 +74,12 @@ object CopyOnWrite {
     val nTotal = spark.read.parquet(dir).inputFiles.length.toLong
     val nDeleted = t.where(pred).count()
     if (hits.nonEmpty) {
-      val keep = spark.read.parquet(hits: _*).where(!pred)
+      // DELETE removes only rows where pred IS TRUE. Under three-valued
+      // logic `!pred` is NULL (not true) for NULL-pred rows, so a bare
+      // where(!pred) would silently drop them during the rewrite; the
+      // coalesce keeps them, matching lakehouse COW delete semantics.
+      val keep = spark.read.parquet(hits: _*)
+        .where(!coalesce(pred, lit(false)))
       rewrite(spark, dir, hits, keep, epoch)
     }
     Seq((nTotal, hits.length.toLong, nDeleted))

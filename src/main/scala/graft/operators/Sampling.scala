@@ -117,20 +117,30 @@ object Sampling {
     * arithmetic is integer end to end, so a SQL oracle replays the
     * selected set exactly (the classic exponential-key A-ES scheme needs
     * `ln(u)/w` floats, which never replay bit-identically; this integer
-    * priority keeps the same dominance structure). Weights must be ≥ 1
-    * (a 0-weight row would div-by-zero; drop such rows upstream).
+    * priority keeps the same dominance structure). Weights must be ≥ 1 —
+    * ENFORCED in-plan: any row with weight < 1 fails the job (a 0/negative
+    * weight would otherwise yield a NULL/negative priority that silently
+    * always wins the ascending admission window).
     *
     * One window per group, WindowGroupLimit → per-partition top-k, same
     * scale shape as [[groupSample]]. Output = winning rows + `priority`. */
   def weightedPrioritySample(df: DataFrame, idCol: String, groupCol: String,
                              weightCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val pr = expr(s"_h_ div ${weightCol}")
+    // Enforce the weight >= 1 contract IN-PLAN: with ANSI off, `_h_ div 0`
+    // yields NULL, which sorts FIRST ascending — a zero/negative-weight
+    // row would otherwise be silently always-selected. Fail loudly.
+    val wChecked = when(col(weightCol).cast("long") >= 1L,
+        col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedPrioritySample: $weightCol must be >= 1, got "),
+        col(weightCol).cast("string"))))
     val admit = Window.partitionBy(groupCol)
       .orderBy(col("priority"), col(idCol))
     df.withColumn("_h_",
         shiftrightunsigned(mixUdf(col(idCol).cast("long")), 1))
-      .withColumn("priority", pr)
+      .withColumn("_w_", wChecked)
+      .withColumn("priority", expr("_h_ div _w_"))
       .withColumn("_rk_", row_number().over(admit))
       .where(col("_rk_") <= k)
       .select((df.columns.map(col) :+ col("priority")): _*)
