@@ -407,9 +407,11 @@ object Graph {
     * per-round L2 normalization only rescales — it never changes the
     * ranking — and would force floats, so it is applied ONCE at the end
     * as a milli quantization by the max). Growth bounds the round count:
-    * values multiply by ≤ in-deg·out-deg per round, so keep
-    * `iterations · log2(degree bound) < 63` — 2-3 rounds, which is also
-    * where HITS rankings stabilize on real graphs.
+    * values multiply by ≤ in-deg·out-deg per round, so
+    * `iterations · log2(degree bound) < 63` is REQUIRED — checked at
+    * plan time against the measured max in/out degrees, failing loudly
+    * instead of silently wrapping Long. 2-3 rounds pass on any real
+    * graph, which is also where HITS rankings stabilize.
     *
     * Plan: two key-partitioned join+aggregate passes per round over the
     * edge list (shuffle on dst for h, on src for a), `localCheckpoint`
@@ -421,6 +423,23 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).as("_u_"), col(dstCol).as("_v_"))
       .distinct().localCheckpoint()
+    // ENFORCE the documented overflow bound against the MEASURED degrees
+    // (two scalar aggregates — metadata-cheap next to the iterations):
+    // per full round every score multiplies by at most maxOutDeg·maxInDeg,
+    // so after `iterations` rounds values fit in a signed 64-bit long only
+    // if iterations · log2(maxOut·maxIn) < 63. Failing loudly here beats
+    // the silent Long wraparound that would otherwise corrupt rankings.
+    val maxOut = e.groupBy(col("_u_")).agg(count(lit(1)).as("_c_"))
+      .agg(coalesce(max(col("_c_")), lit(1L))).head.getLong(0)
+    val maxIn = e.groupBy(col("_v_")).agg(count(lit(1)).as("_c_"))
+      .agg(coalesce(max(col("_c_")), lit(1L))).head.getLong(0)
+    val log2Growth =
+      math.log(maxOut.toDouble * maxIn.toDouble) / math.log(2.0)
+    require(iterations * log2Growth < 63.0,
+      s"hitsInt: $iterations iterations with max out-degree $maxOut and " +
+        s"max in-degree $maxIn can overflow 64-bit scores " +
+        f"($iterations x log2($maxOut*$maxIn) = ${iterations * log2Growth}%.1f >= 63); " +
+        "lower iterations (HITS rankings stabilize in 2-3 rounds)")
     val nodes = e.select(col("_u_").as("node_id"))
       .union(e.select(col("_v_"))).distinct().localCheckpoint()
     var auth = nodes.select(col("node_id"), lit(1L).as("a"))
@@ -457,23 +476,41 @@ object Graph {
     * candidates per node by (jaccard, common, neighbor id).
     *
     * Plan: undirected distinct edge list, wedge self-join on the shared
-    * center (the [[triangleStats]] shape — cost Σ deg², so cap
-    * super-node degrees upstream the [[Dedup]] `domain_cap` way),
+    * center (the [[triangleStats]] shape — cost Σ deg² over CENTER
+    * degrees, so `maxCenterDegree` caps it IN-PLAN: a node with more
+    * than that many neighbors is skipped as a wedge center — the
+    * standard super-node guard, since a 10⁶-degree hub would alone
+    * contribute 10¹² wedges while telling almost nothing about any one
+    * pair; its pairs can still surface through their other, informative
+    * shared neighbors, and its own degree still counts in the union),
     * existing edges removed by an anti-join BEFORE scoring, degrees
     * joined on each endpoint, and the per-node top-k is a key-partitioned
     * window Spark rewrites to WindowGroupLimit (per-partition top-k
     * before the shuffle). Output: (node_id, candidate_id, common,
     * jaccard_milli, rank), both directions of each surviving pair. */
   def jaccardLinkPrediction(edges: DataFrame, srcCol: String,
-                            dstCol: String, k: Int): DataFrame = {
+                            dstCol: String, k: Int,
+                            maxCenterDegree: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxCenterDegree >= 1,
+      s"maxCenterDegree must be >= 1, got $maxCenterDegree")
     val und = edges.select(col(srcCol).as("_a_"), col(dstCol).as("_b_"))
       .where(col("_a_") =!= col("_b_"))
     val e = und.unionByName(und.select(col("_b_").as("_a_"),
         col("_a_").as("_b_"))).distinct().localCheckpoint()
     val deg = e.groupBy(col("_a_").as("node")).agg(count(lit(1)).as("deg"))
+    // super-node guard: drop over-degree CENTERS from the wedge join
+    // (their Σ deg² term), not from the graph — degrees and the
+    // non-edge anti-join still see every edge
+    val eCtr =
+      if (maxCenterDegree == Int.MaxValue) e
+      else e.join(
+        deg.where(col("deg") <= maxCenterDegree)
+          .select(col("node").as("_a_")),
+        Seq("_a_"), "left_semi") // node-sized right side: shuffle semi-join
+          // on the same _a_ key the wedge join shuffles on anyway
     // wedges u—v—w, u < w: common-neighbor count per unordered pair
-    val common = e.as("l").join(e.as("r"),
+    val common = eCtr.as("l").join(eCtr.as("r"),
         col("l._a_") === col("r._a_") && col("l._b_") < col("r._b_"))
       .groupBy(col("l._b_").as("_u_"), col("r._b_").as("_w_"))
       .agg(count(lit(1)).as("common"))

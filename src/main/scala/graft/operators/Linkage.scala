@@ -45,11 +45,19 @@ object Linkage {
                               w: Int, prefixLen: Int = 2): DataFrame = {
     require(w >= 2, s"window must be >= 2, got $w")
     require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    // The global sort key is the STRING CAST of `keyCol`, everywhere:
+    // shards are lexicographic prefixes, so the within-shard order must
+    // be lexicographic too — ordering by a raw numeric key would put
+    // shard '10' before shard '2' while 2 < 10 within, silently
+    // corrupting global ranks. Numeric keys therefore neighbor by their
+    // decimal spelling (zero-pad upstream for numeric adjacency).
     // NULL keys coalesce to '' for sharding only — '' is the smallest
     // prefix and NULLS FIRST keeps them ahead within the shard, so the
     // global order is unchanged
-    val sharded = df.withColumn("_shard_",
-      substring(coalesce(col(keyCol).cast("string"), lit("")), 1, prefixLen))
+    val sharded = df
+      .withColumn("_kstr_", col(keyCol).cast("string"))
+      .withColumn("_shard_",
+        substring(coalesce(col("_kstr_"), lit("")), 1, prefixLen))
     val counts = sharded.groupBy("_shard_").agg(count(lit(1)).as("_c_"))
     val bases = counts
       .join(counts.select(col("_shard_").as("_es_"), col("_c_").as("_ec_")),
@@ -57,7 +65,7 @@ object Linkage {
       .groupBy("_shard_")
       .agg(coalesce(sum(col("_ec_")), lit(0L)).as("_base_"))
     val wIn = Window.partitionBy("_shard_")
-      .orderBy(col(keyCol).asc_nulls_first, col(idCol))
+      .orderBy(col("_kstr_").asc_nulls_first, col(idCol))
     val ranked = sharded.join(broadcast(bases), "_shard_")
       .withColumn("_rn_", col("_base_") + row_number().over(wIn))
       .select(col(idCol), col(keyCol), col("_rn_"),

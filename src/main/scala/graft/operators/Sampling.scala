@@ -127,14 +127,20 @@ object Sampling {
   def weightedPrioritySample(df: DataFrame, idCol: String, groupCol: String,
                              weightCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // Enforce the weight >= 1 contract IN-PLAN: with ANSI off, `_h_ div 0`
+    // Enforce the weight contract IN-PLAN: with ANSI off, `_h_ div 0`
     // yields NULL, which sorts FIRST ascending — a zero/negative-weight
-    // row would otherwise be silently always-selected. Fail loudly.
-    val wChecked = when(col(weightCol).cast("long") >= 1L,
-        col(weightCol).cast("long"))
+    // row would otherwise be silently always-selected. NULL and
+    // fractional weights fail too (cast("long") would silently floor
+    // 1.9 → 1, skewing the documented proportional dominance), and the
+    // message coalesces the value so a NULL weight still reports itself
+    // instead of null-propagating raise_error into a message-less error.
+    val wLong = col(weightCol).cast("long")
+    val wChecked = when(
+        wLong >= 1L && col(weightCol).cast("double") === wLong.cast("double"),
+        wLong)
       .otherwise(raise_error(concat(
-        lit(s"weightedPrioritySample: $weightCol must be >= 1, got "),
-        col(weightCol).cast("string"))))
+        lit(s"weightedPrioritySample: $weightCol must be an integer >= 1, got "),
+        coalesce(col(weightCol).cast("string"), lit("NULL")))))
     val admit = Window.partitionBy(groupCol)
       .orderBy(col("priority"), col(idCol))
     df.withColumn("_h_",

@@ -393,7 +393,12 @@ object Temporal {
     val touched = delta.select(col(groupCol)).distinct()
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol))
+    // Re-rank PRESENT rows only: the z-set state keeps negative
+    // multiplicities (an over-delete awaiting its matching insert), but a
+    // row the view has never seen must not be resurrected into the view
+    // by a net-negative count — `> 0`, not `=!= 0`, is the view contract.
     val reRanked = newState
+      .where(col(multCol) > 0)
       .join(touched.hint("broadcast"), Seq(groupCol), "left_semi")
       .withColumn("_rn_", row_number().over(w))
       .where(col("_rn_") <= k)
