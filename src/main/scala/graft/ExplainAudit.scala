@@ -112,7 +112,17 @@ object ExplainAudit {
         "rrf01_rank_fusion", "gr06_bfs_distances", "gr07_bellman_ford",
         "ln01_knn_disagreement", "wsp01_weighted_sample", "up01_unpivot",
         "cu04_grouping_sets", "bj01_bloom_join", "pt01_partition_pruning",
-        "ts09_readability")
+        "ts09_readability",
+        // round-12 tier: sharded-ntile gains table with triangular
+        // cumulative rollup, per-feature prefix-sum split search,
+        // delta-local top-k view maintenance (broadcast semi/anti on the
+        // touched-group set), window-bounded funnel joins, capped wedge
+        // self-join link prediction, HITS join+agg rounds,
+        // calibration bucket rollup
+        "lift01_cumulative_gains", "dt01_best_split",
+        "mv05_incremental_topk", "fu02_window_funnel",
+        "jp01_jaccard_linkpred", "hits01_hubs_authorities",
+        "cal01_calibration_report")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

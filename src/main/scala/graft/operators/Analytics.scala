@@ -2047,8 +2047,13 @@ object Analytics {
               | THEN (_rk_ - 1) div ($b + 1) + 1
               | ELSE $r + (_rk_ - ($b + 1) * $r - 1) div $b + 1
               |END""".stripMargin))
+    // localCheckpoint the <= buckets-row rollup: it feeds THREE consumers
+    // (both triangular sides + totals), and without materialization each
+    // would recompute the full sharded ranking scan upstream — 3x the
+    // dominant cost at scale for a table of at most `buckets` rows
     val per = tiered.groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum(col("_pos_")).as("n_pos"))
+      .localCheckpoint()
     // cumulative over the <= buckets-row rollup: triangular self-join
     // (the runningTotalSharded phase-2 discipline — no WindowExec)
     val e = per.select(col("bucket").as("_eb_"), col("n").as("_en_"),

@@ -1137,6 +1137,134 @@ object AnalyticsQueries {
         |    AS BIGINT) AS m_score
         |FROM base ORDER BY o_custkey""".stripMargin,
 
+    // lift01 replay: DuckDB's own ntile() over the same (spend DESC,
+    // custkey) order — the rfm01 discipline — then window cumulative
+    // sums; the Spark side's sharded closed-form tiers must agree
+    "lift01_cumulative_gains" ->
+      """WITH per AS (
+        |  SELECT o_custkey, count(*) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (
+        |  SELECT CASE WHEN freq >= 10 THEN 1 ELSE 0 END AS pos,
+        |    ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS bucket
+        |  FROM per),
+        |per_b AS (
+        |  SELECT bucket, count(*) AS n, sum(pos) AS n_pos
+        |  FROM t GROUP BY bucket),
+        |tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per_b),
+        |cum AS (
+        |  SELECT bucket, n, n_pos,
+        |    sum(n) OVER (ORDER BY bucket) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY bucket) AS cum_pos
+        |  FROM per_b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pos AS BIGINT) AS n_pos, CAST(cum_n AS BIGINT) AS cum_n,
+        |  CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CAST((1000 * cum_pos) // tp AS BIGINT) AS gain_milli,
+        |  CAST((1000 * cum_pos * tn) // (cum_n * tp) AS BIGINT)
+        |    AS lift_milli
+        |FROM cum, tot ORDER BY bucket""".stripMargin,
+
+    // dt01 replay: per-feature distinct-value counts, window prefix sums
+    // standing in for the sharded running totals, the same single-fraction
+    // 1e-6 purity score (HUGEINT arithmetic is exact like DECIMAL(38,0)),
+    // ties to the smaller threshold
+    "dt01_best_split" ->
+      """WITH per AS (
+        |  SELECT o_custkey, count(*) AS freq FROM orders GROUP BY o_custkey),
+        |base AS (
+        |  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CASE WHEN freq >= 10 THEN 1 ELSE 0 END AS y
+        |  FROM customer JOIN per ON c_custkey = o_custkey),
+        |lng AS (
+        |  SELECT 'bal_cents' AS feature, bal_cents AS v, y FROM base
+        |  UNION ALL SELECT 'nation', nation, y FROM base),
+        |counts AS (
+        |  SELECT feature, v, count(*) AS n, sum(y) AS p
+        |  FROM lng GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT feature, v,
+        |    sum(n) OVER (PARTITION BY feature ORDER BY v) AS nl,
+        |    sum(p) OVER (PARTITION BY feature ORDER BY v) AS pl,
+        |    sum(n) OVER (PARTITION BY feature) AS tn,
+        |    sum(p) OVER (PARTITION BY feature) AS tp,
+        |    max(v) OVER (PARTITION BY feature) AS vmax
+        |  FROM counts),
+        |cand AS (
+        |  SELECT feature, v AS threshold, nl AS n_left, pl AS pos_left,
+        |    tn - nl AS n_right, tp - pl AS pos_right
+        |  FROM pre WHERE v < vmax),
+        |scored AS (
+        |  SELECT *,
+        |    ((pos_left * pos_left
+        |      + (n_left - pos_left) * (n_left - pos_left)) * n_right +
+        |     (pos_right * pos_right
+        |      + (n_right - pos_right) * (n_right - pos_right)) * n_left
+        |    ) * 1000000 // (n_left * n_right) AS score_micro
+        |  FROM cand),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY feature
+        |    ORDER BY score_micro DESC, threshold) AS rn
+        |  FROM scored)
+        |SELECT feature, CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(n_left AS BIGINT) AS n_left,
+        |  CAST(pos_left AS BIGINT) AS pos_left,
+        |  CAST(n_right AS BIGINT) AS n_right,
+        |  CAST(pos_right AS BIGINT) AS pos_right,
+        |  CAST(score_micro AS BIGINT) AS score_micro
+        |FROM best WHERE rn = 1 ORDER BY feature""".stripMargin,
+
+    // mv05 replay: FULL top-3 rebuild over the post-delta present set
+    // (base − deletes + inserts, i.e. keys with net multiplicity > 0) —
+    // the mv03 rebuild pattern for the ranking twin; agreement proves
+    // both the delta locality and the over-retraction guard
+    "mv05_incremental_topk" ->
+      """WITH pres AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders
+        |  WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY price_cents DESC, o_orderkey) AS rn
+        |  FROM pres)
+        |SELECT o_custkey, o_orderkey, price_cents
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // fu02 replay: fu01's chained left-join aggregates with the one extra
+    // first-touch window predicate per step (anchor = the user's first
+    // signup; each completion must land within 3 days of it)
+    "fu02_window_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1,
+        |    min(CASE WHEN e.ts > s1.t1
+        |          AND e.ts <= s1.t1 + to_seconds(259200) THEN e.ts END)
+        |      AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'view'
+        |  GROUP BY s1.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT s2.user_id,
+        |    min(CASE WHEN e.ts > s2.t2
+        |          AND e.ts <= s2.t1 + to_seconds(259200) THEN e.ts END)
+        |      AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |  GROUP BY s2.user_id, s2.t1)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'signup' AS step_name, count(t1) AS n_users
+        |  FROM s1
+        |  UNION ALL SELECT 2, 'view', count(t2) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(t3) FROM s3) t
+        |ORDER BY step_idx""".stripMargin,
+
     // ar01 replay: distinct basket-items, triangular pair self-join,
     // both rule directions, positive-integer floor division throughout
     "ar01_association_rules" ->

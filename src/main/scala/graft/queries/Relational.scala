@@ -749,6 +749,24 @@ object Relational {
         .orderBy("node_id")
     }),
 
+    // ---- graph: neighbor-set Jaccard link prediction over the
+    // high-quantity co-purchase graph — top-3 non-edge candidates per
+    // part by integer Jaccard, with the super-node center cap engaged so
+    // the oracle also replays the guard (centers with > 50 neighbors
+    // contribute no wedges; their degrees still count in the union) -----
+    "jp01_jaccard_linkpred" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).where(col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.operators.Graph.jaccardLinkPrediction(pairs, "src", "dst",
+          k = 3, maxCenterDegree = 50)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("node_id", "rank")
+    }),
+
     // ---- graph: COMMUNITY detection by synchronous label propagation
     // over the trade graph — plurality vote per round, min-label ties, so
     // a fixed round count is fully deterministic (oracle = the two rounds
@@ -1527,6 +1545,45 @@ object Relational {
         |    ELSE 0.0 END AS clustering
         |FROM deg d LEFT JOIN per_node p ON d.node_id = p.node_id
         |ORDER BY d.node_id""".stripMargin,
+
+    // jp01 replay: the wedge self-join restricted to <= 50-degree centers,
+    // existing edges anti-joined out, integer milli Jaccard from FULL
+    // degrees, per-node top-3 by (jaccard, common, candidate id)
+    "jp01_jaccard_linkpred" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_quantity >= 45),
+        |und0 AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT a, b FROM und0 UNION SELECT b, a FROM und0),
+        |deg AS (SELECT a AS node, count(*) AS deg FROM e GROUP BY 1),
+        |ctr AS (
+        |  SELECT e.a, e.b FROM e JOIN deg ON deg.node = e.a
+        |  WHERE deg.deg <= 50),
+        |cm AS (
+        |  SELECT l.b AS u, r.b AS w, count(*) AS common
+        |  FROM ctr l JOIN ctr r ON l.a = r.a AND l.b < r.b
+        |  GROUP BY 1, 2),
+        |ne AS (
+        |  SELECT cm.u, cm.w, cm.common FROM cm
+        |  LEFT JOIN e ON e.a = cm.u AND e.b = cm.w
+        |  WHERE e.a IS NULL),
+        |scored AS (
+        |  SELECT u, w, common,
+        |    (1000 * common) // (du.deg + dw.deg - common) AS jm
+        |  FROM ne JOIN deg du ON du.node = u JOIN deg dw ON dw.node = w),
+        |bidir AS (
+        |  SELECT u AS node_id, w AS candidate_id, common, jm FROM scored
+        |  UNION ALL SELECT w, u, common, jm FROM scored),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY node_id
+        |    ORDER BY jm DESC, common DESC, candidate_id) AS rnk
+        |  FROM bidir)
+        |SELECT node_id, candidate_id, CAST(common AS BIGINT) AS common,
+        |  CAST(jm AS BIGINT) AS jaccard_milli, CAST(rnk AS BIGINT) AS rank
+        |FROM rk WHERE rnk <= 3 ORDER BY node_id, rank""".stripMargin,
 
     // lp01 replay: both synchronous rounds unrolled — vote table per
     // round, plurality via row_number ordered (count DESC, label ASC)
