@@ -122,7 +122,10 @@ object ExplainAudit {
         "lift01_cumulative_gains", "dt01_best_split",
         "mv05_incremental_topk", "fu02_window_funnel",
         "jp01_jaccard_linkpred", "hits01_hubs_authorities",
-        "cal01_calibration_report")
+        "cal01_calibration_report",
+        // mergeable decimal quantile sketch: one bucket aggregate, the
+        // post-agg bucket-table window, broadcast rank theta-join
+        "qs01_quantile_sketch", "qs02_sketch_merge")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -294,4 +294,88 @@ object Sketch {
         expr(s"_sq_ div CAST($depth AS BIGINT)").as("f2_est") :+
         col("n_rows")): _*)
   }
+
+  /** MERGEABLE relative-error quantile sketch — the approximate,
+    * shard-and-merge companion to the exact quantile ops (qd01–qd03):
+    * bucket every non-negative long by its DECIMAL width and first
+    * `sigDigits` significant digits, count per bucket. The bucket of a
+    * value is a pure string program (`(length(v), substr(v, 1,
+    * sigDigits))` of its decimal spelling), so — unlike DDSketch's
+    * `⌊log_γ v⌋` (Masson/Lee/Rong, VLDB 2019) or HdrHistogram's binary
+    * mantissa — there is no float log anywhere, and a SQL oracle replays
+    * every bucket id exactly. Same guarantee CLASS as DDSketch: buckets
+    * are geometric in the value, so the reported quantile is the true
+    * bucket lower bound with relative width ≤ 10^-(sigDigits-1) (1 % at
+    * the default 3), independent of N and of the value range.
+    *
+    * Mergeability is the point at scale: sketches of shards/days/engines
+    * combine by bucket-count ADDITION ([[mergeQuantileSketches]] — an
+    * order-free grouped sum, the HLL/KMV discipline), and the state is
+    * bounded by the bucket domain (≤ 9·10^(sigDigits-1) per decimal
+    * width, ~19 widths for longs) whatever the data size. NULLs drop
+    * (count semantics); negative values fail IN-PLAN via `raise_error`
+    * (a silent drop would skew every rank; widen with a sign column
+    * upstream if signed data needs sketching).
+    *
+    * Output: (blen, bkey, cnt) — decimal width, leading-digit key,
+    * count. */
+  def decimalQuantileSketch(df: DataFrame, valueCol: String,
+                            sigDigits: Int = 3): DataFrame = {
+    require(sigDigits >= 1 && sigDigits <= 15,
+      s"sigDigits must be in [1, 15], got $sigDigits")
+    val v = col(valueCol).cast("long")
+    val checked = when(v >= 0L, v).otherwise(raise_error(concat(
+      lit(s"decimalQuantileSketch: $valueCol must be >= 0, got "),
+      coalesce(v.cast("string"), lit("NULL")))))
+    df.where(col(valueCol).isNotNull)
+      .select(checked.cast("string").as("_s_"))
+      .select(length(col("_s_")).cast("long").as("blen"),
+        substring(col("_s_"), 1, sigDigits).cast("long").as("bkey"))
+      .groupBy("blen", "bkey").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Union of [[decimalQuantileSketch]] outputs = the sketch of the data
+    * union: one grouped sum, order-free, associative — run it over
+    * per-shard sketches, per-day checkpoints, or cross-engine dumps. */
+  def mergeQuantileSketches(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("blen", "bkey").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[decimalQuantileSketch]]: for each
+    * requested `q` (in milli, e.g. 500 = median) the estimate is the
+    * LOWER BOUND of the bucket holding the rank-⌈q·N/1000⌉ value in
+    * (blen, bkey) order — all integer (the ceiling is
+    * `(q·N + 999) div 1000`; the bound rebuilds the bucket's digits as a
+    * string, no power-of-ten float), so estimates replay exactly, and
+    * `est ≤ true < est + 10^(blen−sigDigits)` gives the relative-error
+    * contract. The cumulative walk is ONE ordered window over the
+    * POST-AGGREGATION bucket table (bucket-domain-sized by construction
+    * — the accepted post-agg window class), then a broadcast theta-join
+    * against the requested ranks and a min_by election.
+    *
+    * Output: (q_milli, n, rank, est), one row per requested quantile. */
+  def sketchQuantiles(sketch: DataFrame, qMillis: Seq[Long],
+                      sigDigits: Int = 3): DataFrame = {
+    require(qMillis.nonEmpty, "at least one quantile")
+    require(qMillis.forall(q => q >= 0 && q <= 1000),
+      s"quantiles must be in [0, 1000] milli, got $qMillis")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val cum = sketch.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("blen"), col("bkey"))))
+      .withColumn("est", concat(col("bkey").cast("string"),
+          expr(s"repeat('0', CAST(blen - length(CAST(bkey AS STRING)) AS INT))"))
+        .cast("long"))
+      .withColumn("_code_", col("blen") * lit(math.pow(10, sigDigits).toLong)
+        + col("bkey"))
+    val ranks = qMillis.toDF("q_milli")
+      .crossJoin(broadcast(sketch.agg(sum(col("cnt")).as("n"))))
+      .withColumn("rank", greatest(lit(1L),
+        expr("(q_milli * n + 999) div 1000")))
+    cum.join(broadcast(ranks), col("cum") >= col("rank"))
+      .groupBy("q_milli", "n", "rank")
+      .agg(min_by(col("est"), col("_code_")).as("est"))
+  }
 }

@@ -396,6 +396,32 @@ object AnalyticsQueries {
         .orderBy("grp")
     }),
 
+    // ---- mergeable decimal quantile sketch: order prices bucketed by
+    // (decimal width, first 3 digits), quantiles = bucket lower bounds at
+    // the integer ceil-rank — every step string/integer, replayed exactly
+    "qs01_quantile_sketch" -> ((s, d) => {
+      val v = Tables.orders(s, d)
+        .select(expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val sk = Sketch.decimalQuantileSketch(v, "cents", sigDigits = 3)
+      Sketch.sketchQuantiles(sk, Seq(10L, 250L, 500L, 750L, 900L, 990L))
+        .orderBy("q_milli")
+    }),
+
+    // ---- sketch MERGE gate: per-parity shard sketches summed into one
+    // — the quantiles of the merge must equal the whole-data oracle,
+    // proving bucket-count addition IS the union sketch ------------------
+    "qs02_sketch_merge" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      def shard(r: Int) = Sketch.decimalQuantileSketch(
+        o.where(pmod(col("o_orderkey"), lit(2)) === r).select("cents"),
+        "cents", sigDigits = 3)
+      Sketch.sketchQuantiles(
+          Sketch.mergeQuantileSketches(Seq(shard(0), shard(1))),
+          Seq(250L, 500L, 750L))
+        .orderBy("q_milli")
+    }),
+
     // ---- HLL register MERGE as a time series: users-to-date per day by
     // prefix-max over daily register tables — the cumulative-distinct
     // metric that exact DISTINCT recomputes over a growing prefix, the
@@ -2326,6 +2352,68 @@ object AnalyticsQueries {
         |ex AS (SELECT grp, count(DISTINCT k) AS n_exact FROM base GROUP BY grp)
         |SELECT grp, n_exact, n_zero_registers, est_distinct
         |FROM ex JOIN fin USING (grp) ORDER BY grp""".stripMargin,
+
+    // qs01 replay: the decimal bucket program in SQL string ops, window
+    // cumulative counts over the bucket table, ceil-rank election by
+    // arg_min over the (blen, bkey)-encoded bucket code
+    "qs01_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT length(CAST(cents AS VARCHAR)) AS blen,
+        |    CAST(substr(CAST(cents AS VARCHAR), 1, 3) AS BIGINT) AS bkey,
+        |    count(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+        |c AS (
+        |  SELECT blen, bkey, cnt,
+        |    sum(cnt) OVER (ORDER BY blen, bkey) AS cum,
+        |    CAST(CAST(bkey AS VARCHAR) || repeat('0',
+        |        CAST(blen - length(CAST(bkey AS VARCHAR)) AS INT))
+        |      AS BIGINT) AS est,
+        |    blen * 1000 + bkey AS code
+        |  FROM b),
+        |q AS (SELECT * FROM (VALUES (10), (250), (500), (750), (900),
+        |  (990)) AS qs(q_milli)),
+        |r AS (SELECT q_milli, n,
+        |  greatest(1, (q_milli * n + 999) // 1000) AS rnk FROM q, t)
+        |SELECT CAST(q_milli AS BIGINT) AS q_milli, n,
+        |  CAST(rnk AS BIGINT) AS rank,
+        |  CAST(arg_min(est, code) AS BIGINT) AS est
+        |FROM c JOIN r ON c.cum >= r.rnk
+        |GROUP BY q_milli, n, rnk
+        |ORDER BY q_milli""".stripMargin,
+
+    // qs02 replay: the WHOLE-data program — merged shard sketches must be
+    // indistinguishable from sketching everything at once
+    "qs02_sketch_merge" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT length(CAST(cents AS VARCHAR)) AS blen,
+        |    CAST(substr(CAST(cents AS VARCHAR), 1, 3) AS BIGINT) AS bkey,
+        |    count(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+        |c AS (
+        |  SELECT blen, bkey, cnt,
+        |    sum(cnt) OVER (ORDER BY blen, bkey) AS cum,
+        |    CAST(CAST(bkey AS VARCHAR) || repeat('0',
+        |        CAST(blen - length(CAST(bkey AS VARCHAR)) AS INT))
+        |      AS BIGINT) AS est,
+        |    blen * 1000 + bkey AS code
+        |  FROM b),
+        |q AS (SELECT * FROM (VALUES (250), (500), (750)) AS qs(q_milli)),
+        |r AS (SELECT q_milli, n,
+        |  greatest(1, (q_milli * n + 999) // 1000) AS rnk FROM q, t)
+        |SELECT CAST(q_milli AS BIGINT) AS q_milli, n,
+        |  CAST(rnk AS BIGINT) AS rank,
+        |  CAST(arg_min(est, code) AS BIGINT) AS est
+        |FROM c JOIN r ON c.cum >= r.rnk
+        |GROUP BY q_milli, n, rnk
+        |ORDER BY q_milli""".stripMargin,
 
     // hl02 replay: same register program per epoch-day, prefix merge by
     // the ≤-join over the (days × day-registers) mini-relation, same

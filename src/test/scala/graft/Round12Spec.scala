@@ -142,6 +142,50 @@ class Round12Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("decimalQuantileSketch: 1% lower-bound accuracy, merge == whole, negatives raise") {
+    import graft.operators.Sketch
+    val rnd = new scala.util.Random(23)
+    // heavy-tailed positives spanning 5 decades, plus edge values
+    val vals = Seq(0L, 1L, 9L, 10L, 99L, 100L) ++
+      Seq.fill(2000)(math.abs(rnd.nextLong()) % 100000 + 1)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val sk = Sketch.decimalQuantileSketch(df.select("v"), "v", sigDigits = 3)
+    val qs = Seq(10L, 250L, 500L, 750L, 900L, 990L)
+    val got = Sketch.sketchQuantiles(sk, qs)
+      .select("q_milli", "n", "rank", "est")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val (n, rank, est) = got(q)
+      assert(n == vals.length)
+      assert(rank == math.max(1L, (q * n + 999) / 1000))
+      val truth = sorted((rank - 1).toInt)
+      // est = bucket lower bound: est <= truth < est + bucket width,
+      // width/est <= 10^-(sig-1) = 1% once bkey has all 3 digits
+      assert(est <= truth, s"q=$q est=$est truth=$truth")
+      val width = math.pow(10,
+        math.max(0, truth.toString.length - 3)).toLong
+      assert(truth < est + width, s"q=$q est=$est truth=$truth w=$width")
+    }
+    // merge of disjoint shard sketches == sketch of everything
+    val (l, r) = df.randomSplit(Array(0.5, 0.5), seed = 7) match {
+      case Array(a, b) => (a, b)
+    }
+    val merged = Sketch.mergeQuantileSketches(Seq(
+        Sketch.decimalQuantileSketch(l.select("v"), "v"),
+        Sketch.decimalQuantileSketch(r.select("v"), "v")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == sk.as[(Long, Long, Long)].collect().toSet)
+    // negative values fail the job loudly, not silently skew ranks
+    val e = intercept[Exception] {
+      Sketch.decimalQuantileSketch(
+        Seq(3L, -5L).toDF("v"), "v").collect()
+    }
+    assert(messages(e).exists(_.contains("must be >= 0, got -5")))
+  }
+
   test("jaccardLinkPrediction: super-node cap skips hub-centered wedges") {
     import graft.operators.Graph
     // hub 100 touches 10..15 (degree 6); leaves have degree 1
