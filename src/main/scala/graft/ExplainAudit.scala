@@ -125,7 +125,8 @@ object ExplainAudit {
         "cal01_calibration_report",
         // mergeable decimal quantile sketch: one bucket aggregate, the
         // post-agg bucket-table window, broadcast rank theta-join
-        "qs01_quantile_sketch", "qs02_sketch_merge")
+        "qs01_quantile_sketch", "qs02_sketch_merge",
+        "qs03_group_quantile_sketch")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

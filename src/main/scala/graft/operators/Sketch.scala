@@ -336,11 +336,67 @@ object Sketch {
 
   /** Union of [[decimalQuantileSketch]] outputs = the sketch of the data
     * union: one grouped sum, order-free, associative — run it over
-    * per-shard sketches, per-day checkpoints, or cross-engine dumps. */
-  def mergeQuantileSketches(sketches: Seq[DataFrame]): DataFrame = {
+    * per-shard sketches, per-day checkpoints, or cross-engine dumps.
+    * Works for grouped sketches too: pass their group columns. */
+  def mergeQuantileSketches(sketches: Seq[DataFrame],
+                            groupCols: Seq[String] = Nil): DataFrame = {
     require(sketches.nonEmpty, "at least one sketch")
     sketches.reduce(_ unionByName _)
-      .groupBy("blen", "bkey").agg(sum(col("cnt")).as("cnt"))
+      .groupBy((groupCols ++ Seq("blen", "bkey")).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Per-group [[decimalQuantileSketch]] — doc-length-per-domain,
+    * price-per-segment, latency-per-endpoint: one bucket aggregate keyed
+    * by (group, bucket), state ≤ bucket-domain rows PER GROUP. Output:
+    * (groupCol, blen, bkey, cnt). */
+  def decimalQuantileSketchBy(df: DataFrame, groupCol: String,
+                              valueCol: String,
+                              sigDigits: Int = 3): DataFrame = {
+    require(sigDigits >= 1 && sigDigits <= 15,
+      s"sigDigits must be in [1, 15], got $sigDigits")
+    val v = col(valueCol).cast("long")
+    val checked = when(v >= 0L, v).otherwise(raise_error(concat(
+      lit(s"decimalQuantileSketchBy: $valueCol must be >= 0, got "),
+      coalesce(v.cast("string"), lit("NULL")))))
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), checked.cast("string").as("_s_"))
+      .select(col(groupCol), length(col("_s_")).cast("long").as("blen"),
+        substring(col("_s_"), 1, sigDigits).cast("long").as("bkey"))
+      .groupBy(groupCol, "blen", "bkey").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantiles from a [[decimalQuantileSketchBy]] sketch —
+    * same integer ceil-rank / bucket-lower-bound program as
+    * [[sketchQuantiles]], but the cumulative walk is a KEY-PARTITIONED
+    * window over the grouped bucket table (per-group bucket-domain-sized
+    * frames, no global sort), ranks join back by the group key, and the
+    * election is one min_by per (group, quantile). Output:
+    * (groupCol, q_milli, n, rank, est). */
+  def sketchQuantilesBy(sketch: DataFrame, groupCol: String,
+                        qMillis: Seq[Long],
+                        sigDigits: Int = 3): DataFrame = {
+    require(qMillis.nonEmpty, "at least one quantile")
+    require(qMillis.forall(q => q >= 0 && q <= 1000),
+      s"quantiles must be in [0, 1000] milli, got $qMillis")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val cum = sketch.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("blen"), col("bkey"))))
+      .withColumn("est", concat(col("bkey").cast("string"),
+          expr(s"repeat('0', CAST(blen - length(CAST(bkey AS STRING)) AS INT))"))
+        .cast("long"))
+      .withColumn("_code_", col("blen") * lit(math.pow(10, sigDigits).toLong)
+        + col("bkey"))
+    val ranks = sketch.groupBy(col(groupCol)).agg(sum(col("cnt")).as("n"))
+      .crossJoin(broadcast(qMillis.toDF("q_milli")))
+      .withColumn("rank", greatest(lit(1L),
+        expr("(q_milli * n + 999) div 1000")))
+    cum.join(ranks, Seq(groupCol))
+      .where(col("cum") >= col("rank"))
+      .groupBy(groupCol, "q_milli", "n", "rank")
+      .agg(min_by(col("est"), col("_code_")).as("est"))
   }
 
   /** Quantile estimates from a [[decimalQuantileSketch]]: for each

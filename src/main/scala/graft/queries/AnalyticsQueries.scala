@@ -422,6 +422,18 @@ object AnalyticsQueries {
         .orderBy("q_milli")
     }),
 
+    // ---- per-group sketch quantiles: price quantiles per order status
+    // via the key-partitioned cumulative walk — the per-domain shape the
+    // global qs01 sketch takes at scale --------------------------------
+    "qs03_group_quantile_sketch" -> ((s, d) => {
+      val v = Tables.orders(s, d).select(col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      Sketch.sketchQuantilesBy(
+          Sketch.decimalQuantileSketchBy(v, "o_orderstatus", "cents"),
+          "o_orderstatus", Seq(250L, 500L, 750L, 990L))
+        .orderBy("o_orderstatus", "q_milli")
+    }),
+
     // ---- HLL register MERGE as a time series: users-to-date per day by
     // prefix-max over daily register tables — the cumulative-distinct
     // metric that exact DISTINCT recomputes over a growing prefix, the
@@ -2414,6 +2426,41 @@ object AnalyticsQueries {
         |FROM c JOIN r ON c.cum >= r.rnk
         |GROUP BY q_milli, n, rnk
         |ORDER BY q_milli""".stripMargin,
+
+    // qs03 replay: qs01's program with every window/total PARTITIONED BY
+    // the group key
+    "qs03_group_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderstatus, length(CAST(cents AS VARCHAR)) AS blen,
+        |    CAST(substr(CAST(cents AS VARCHAR), 1, 3) AS BIGINT) AS bkey,
+        |    count(*) AS cnt
+        |  FROM v GROUP BY 1, 2, 3),
+        |t AS (SELECT o_orderstatus, CAST(sum(cnt) AS BIGINT) AS n
+        |      FROM b GROUP BY 1),
+        |c AS (
+        |  SELECT o_orderstatus, blen, bkey,
+        |    sum(cnt) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY blen, bkey) AS cum,
+        |    CAST(CAST(bkey AS VARCHAR) || repeat('0',
+        |        CAST(blen - length(CAST(bkey AS VARCHAR)) AS INT))
+        |      AS BIGINT) AS est,
+        |    blen * 1000 + bkey AS code
+        |  FROM b),
+        |q AS (SELECT * FROM (VALUES (250), (500), (750), (990))
+        |  AS qs(q_milli)),
+        |r AS (SELECT o_orderstatus, q_milli, n,
+        |  greatest(1, (q_milli * n + 999) // 1000) AS rnk FROM q, t)
+        |SELECT c.o_orderstatus, CAST(q_milli AS BIGINT) AS q_milli, n,
+        |  CAST(rnk AS BIGINT) AS rank,
+        |  CAST(arg_min(est, code) AS BIGINT) AS est
+        |FROM c JOIN r ON c.o_orderstatus = r.o_orderstatus
+        |  AND c.cum >= r.rnk
+        |GROUP BY c.o_orderstatus, q_milli, n, rnk
+        |ORDER BY c.o_orderstatus, q_milli""".stripMargin,
 
     // hl02 replay: same register program per epoch-day, prefix merge by
     // the ≤-join over the (days × day-registers) mini-relation, same

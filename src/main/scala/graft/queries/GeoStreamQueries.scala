@@ -188,6 +188,27 @@ object GeoStreamQueries {
         .orderBy("grp")
     }),
 
+    // Streaming quantile sketch: the decimal bucket table maintained as a
+    // complete-mode count aggregate (the sketch update IS a grouped
+    // count, so Structured Streaming folds it incrementally with
+    // bucket-domain-bounded state), then the batch ceil-rank walk over
+    // the final table. Counts are order-insensitive, so the bounded
+    // stream's sketch equals the batch sketch exactly — oracle = the
+    // qs01 program over the same rows. Reuses sm10's landing zone.
+    "sm15_stream_quantile_sketch" -> ((s, d) => {
+      val stage = eventsValueStage(s, d)
+      val schema = s.read.parquet(stage).schema
+      val stream = Streams.fileStream(s, stage, schema, maxFilesPerTrigger = 2)
+      val sk = graft.operators.Sketch.decimalQuantileSketch(
+        stream.select(expr("cast(round(value * 1000) as bigint)")
+          .as("v_milli")),
+        "v_milli", sigDigits = 3)
+      val table = Streams.runToMemory(sk, "sm15_sink",
+        outputMode = "complete", statePartitions = Some(8))
+      graft.operators.Sketch.sketchQuantiles(table, Seq(100L, 500L, 900L))
+        .orderBy("q_milli")
+    }),
+
     // Stream-static join: each micro-batch of the orders stream hash-joins
     // the STATIC customer dimension (broadcast per batch — the enrich-
     // on-ingest shape), then a complete-mode rollup per market segment.
@@ -585,6 +606,36 @@ object GeoStreamQueries {
         |    THEN 64.0 * ln(64.0 / CAST(n_zero_registers AS DOUBLE))
         |    ELSE eraw END) AS BIGINT) AS est_distinct
         |FROM er ORDER BY grp""".stripMargin,
+
+    // sm15 replay: the qs01 decimal-bucket program over milli values —
+    // a bounded stream's complete-mode count aggregate equals the batch
+    // bucket table exactly
+    "sm15_stream_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT CAST(round(value * 1000) AS BIGINT) AS vm FROM events),
+        |b AS (
+        |  SELECT length(CAST(vm AS VARCHAR)) AS blen,
+        |    CAST(substr(CAST(vm AS VARCHAR), 1, 3) AS BIGINT) AS bkey,
+        |    count(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+        |c AS (
+        |  SELECT blen, bkey, cnt,
+        |    sum(cnt) OVER (ORDER BY blen, bkey) AS cum,
+        |    CAST(CAST(bkey AS VARCHAR) || repeat('0',
+        |        CAST(blen - length(CAST(bkey AS VARCHAR)) AS INT))
+        |      AS BIGINT) AS est,
+        |    blen * 1000 + bkey AS code
+        |  FROM b),
+        |q AS (SELECT * FROM (VALUES (100), (500), (900)) AS qs(q_milli)),
+        |r AS (SELECT q_milli, n,
+        |  greatest(1, (q_milli * n + 999) // 1000) AS rnk FROM q, t)
+        |SELECT CAST(q_milli AS BIGINT) AS q_milli, n,
+        |  CAST(rnk AS BIGINT) AS rank,
+        |  CAST(arg_min(est, code) AS BIGINT) AS est
+        |FROM c JOIN r ON c.cum >= r.rnk
+        |GROUP BY q_milli, n, rnk
+        |ORDER BY q_milli""".stripMargin,
 
     // sm10 replay: the batch closed form (prefix sum + prefix extrema,
     // cs01's identity) — algebraically the same sequence the streaming
