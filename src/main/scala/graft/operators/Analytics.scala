@@ -2058,7 +2058,10 @@ object Analytics {
     // (the runningTotalSharded phase-2 discipline — no WindowExec)
     val e = per.select(col("bucket").as("_eb_"), col("n").as("_en_"),
       col("n_pos").as("_ep_"))
-    val cum = per.join(e, col("_eb_") <= col("bucket"))
+    // broadcast the ≤buckets-row side explicitly: the localCheckpoint
+    // erased its stats, and without the hint the theta-join plans as a
+    // shuffle CartesianProduct instead of a one-pass BNLJ
+    val cum = per.join(broadcast(e), col("_eb_") <= col("bucket"))
       .groupBy("bucket", "n", "n_pos")
       .agg(sum(col("_en_")).as("cum_n"), sum(col("_ep_")).as("cum_pos"))
     val totals = per.agg(sum(col("n")).as("_tn_"),
