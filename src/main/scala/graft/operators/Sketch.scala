@@ -313,9 +313,11 @@ object Sketch {
     * order-free grouped sum, the HLL/KMV discipline), and the state is
     * bounded by the bucket domain (≤ 9·10^(sigDigits-1) per decimal
     * width, ~19 widths for longs) whatever the data size. NULLs drop
-    * (count semantics); negative values fail IN-PLAN via `raise_error`
-    * (a silent drop would skew every rank; widen with a sign column
-    * upstream if signed data needs sketching).
+    * (count semantics); negative AND fractional values fail IN-PLAN via
+    * `raise_error` (a silent drop would skew every rank, and a silent
+    * `cast("long")` floor of 1.9 → 1 would misbucket — quantize
+    * continuous data to integer units upstream, and widen with a sign
+    * column if signed data needs sketching).
     *
     * Output: (blen, bkey, cnt) — decimal width, leading-digit key,
     * count. */
@@ -324,9 +326,11 @@ object Sketch {
     require(sigDigits >= 1 && sigDigits <= 15,
       s"sigDigits must be in [1, 15], got $sigDigits")
     val v = col(valueCol).cast("long")
-    val checked = when(v >= 0L, v).otherwise(raise_error(concat(
-      lit(s"decimalQuantileSketch: $valueCol must be >= 0, got "),
-      coalesce(v.cast("string"), lit("NULL")))))
+    val checked = when(
+        v >= 0L && col(valueCol).cast("double") === v.cast("double"), v)
+      .otherwise(raise_error(concat(
+        lit(s"decimalQuantileSketch: $valueCol must be an integer >= 0, got "),
+        coalesce(col(valueCol).cast("string"), lit("NULL")))))
     df.where(col(valueCol).isNotNull)
       .select(checked.cast("string").as("_s_"))
       .select(length(col("_s_")).cast("long").as("blen"),
@@ -356,9 +360,11 @@ object Sketch {
     require(sigDigits >= 1 && sigDigits <= 15,
       s"sigDigits must be in [1, 15], got $sigDigits")
     val v = col(valueCol).cast("long")
-    val checked = when(v >= 0L, v).otherwise(raise_error(concat(
-      lit(s"decimalQuantileSketchBy: $valueCol must be >= 0, got "),
-      coalesce(v.cast("string"), lit("NULL")))))
+    val checked = when(
+        v >= 0L && col(valueCol).cast("double") === v.cast("double"), v)
+      .otherwise(raise_error(concat(
+        lit(s"decimalQuantileSketchBy: $valueCol must be an integer >= 0, got "),
+        coalesce(col(valueCol).cast("string"), lit("NULL")))))
     df.where(col(valueCol).isNotNull)
       .select(col(groupCol), checked.cast("string").as("_s_"))
       .select(col(groupCol), length(col("_s_")).cast("long").as("blen"),

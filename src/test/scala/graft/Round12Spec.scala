@@ -183,7 +183,20 @@ class Round12Spec extends AnyFunSuite {
       Sketch.decimalQuantileSketch(
         Seq(3L, -5L).toDF("v"), "v").collect()
     }
-    assert(messages(e).exists(_.contains("must be >= 0, got -5")))
+    assert(messages(e).exists(_.contains("must be an integer >= 0, got -5")))
+    // fractional values are rejected, not silently floored into the
+    // wrong bucket
+    val ef = intercept[Exception] {
+      Sketch.decimalQuantileSketch(
+        Seq(3.0, 1.9).toDF("v"), "v").collect()
+    }
+    assert(messages(ef).exists(_.contains("got 1.9")))
+    // the grouped builder carries the same contract
+    val eg = intercept[Exception] {
+      Sketch.decimalQuantileSketchBy(
+        Seq(("g", -1L)).toDF("g", "v"), "g", "v").collect()
+    }
+    assert(messages(eg).exists(_.contains("must be an integer >= 0, got -1")))
   }
 
   test("jaccardLinkPrediction: super-node cap skips hub-centered wedges") {
