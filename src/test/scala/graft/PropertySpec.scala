@@ -152,4 +152,37 @@ class PropertySpec extends AnyFunSuite {
     val exact = ids.distinct.size
     assert(math.abs(merged._3 - exact) <= exact / 10, s"est ${merged._3} vs $exact")
   }
+
+  test("quantile sketch: lower-bound contract at every sigDigits, random shards") {
+    import graft.operators.Sketch
+    val rnd = new scala.util.Random(31)
+    // mixed magnitudes: uniform small, heavy tail, exact powers of ten
+    val vals = Seq.fill(1500)(rnd.nextInt(1000).toLong) ++
+      Seq.fill(500)(math.abs(rnd.nextLong()) % 10000000L) ++
+      (0 to 6).map(e => math.pow(10, e).toLong)
+    val sorted = vals.sorted
+    val df = vals.toDF("v")
+    val qs = Seq(1L, 100L, 333L, 500L, 777L, 999L, 1000L)
+    for (sig <- 1 to 4) {
+      val sk = Sketch.decimalQuantileSketch(df, "v", sigDigits = sig)
+      val got = Sketch.sketchQuantiles(sk, qs, sigDigits = sig)
+        .select("q_milli", "rank", "est")
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == qs.size)
+      got.foreach { case (q, rank, est) =>
+        val truth = sorted((rank - 1).toInt)
+        val width = math.pow(10,
+          math.max(0, truth.toString.length - sig)).toLong
+        assert(est <= truth && truth < est + width,
+          s"sig=$sig q=$q est=$est truth=$truth width=$width")
+      }
+      // random 5-way shard merge == whole-data sketch, any sigDigits
+      val shards = vals.map(v => (rnd.nextInt(5), v)).toDF("s", "v")
+      val merged = Sketch.mergeQuantileSketches((0 until 5).map(i =>
+        Sketch.decimalQuantileSketch(
+          shards.where(col("s") === i).select("v"), "v", sigDigits = sig)))
+      assert(merged.as[(Long, Long, Long)].collect().toSet ==
+        sk.as[(Long, Long, Long)].collect().toSet, s"sig=$sig merge")
+    }
+  }
 }
