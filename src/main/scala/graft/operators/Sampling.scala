@@ -134,9 +134,18 @@ object Sampling {
     // 1.9 → 1, skewing the documented proportional dominance), and the
     // message coalesces the value so a NULL weight still reports itself
     // instead of null-propagating raise_error into a message-less error.
+    // Integrality needs BOTH round-trips: the double compare catches
+    // fractional parts below 2^53 but collapses wide decimals (a
+    // DECIMAL(38,2) like 2^53 + 0.50 rounds to the same double as its
+    // floor); the decimal(38,18) compare catches those but rounds away
+    // sub-1e-18 fractions a double still sees. Residual blind spot:
+    // scale>18 decimals with |fraction| < 5e-19 — quantize upstream.
     val wLong = col(weightCol).cast("long")
     val wChecked = when(
-        wLong >= 1L && col(weightCol).cast("double") === wLong.cast("double"),
+        wLong >= 1L &&
+          col(weightCol).cast("double") === wLong.cast("double") &&
+          col(weightCol).cast("decimal(38,18)") ===
+            wLong.cast("decimal(38,18)"),
         wLong)
       .otherwise(raise_error(concat(
         lit(s"weightedPrioritySample: $weightCol must be an integer >= 1, got "),

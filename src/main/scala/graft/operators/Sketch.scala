@@ -325,9 +325,16 @@ object Sketch {
                             sigDigits: Int = 3): DataFrame = {
     require(sigDigits >= 1 && sigDigits <= 15,
       s"sigDigits must be in [1, 15], got $sigDigits")
+    // Both round-trips: double catches sub-2^53 fractions, decimal(38,18)
+    // catches wide-DECIMAL fractions above 2^53 that round to the same
+    // double as their floor. Residual blind spot: scale>18 decimals with
+    // |fraction| < 5e-19 — quantize upstream.
     val v = col(valueCol).cast("long")
     val checked = when(
-        v >= 0L && col(valueCol).cast("double") === v.cast("double"), v)
+        v >= 0L &&
+          col(valueCol).cast("double") === v.cast("double") &&
+          col(valueCol).cast("decimal(38,18)") === v.cast("decimal(38,18)"),
+        v)
       .otherwise(raise_error(concat(
         lit(s"decimalQuantileSketch: $valueCol must be an integer >= 0, got "),
         coalesce(col(valueCol).cast("string"), lit("NULL")))))
@@ -341,7 +348,13 @@ object Sketch {
   /** Union of [[decimalQuantileSketch]] outputs = the sketch of the data
     * union: one grouped sum, order-free, associative — run it over
     * per-shard sketches, per-day checkpoints, or cross-engine dumps.
-    * Works for grouped sketches too: pass their group columns. */
+    * Works for grouped sketches too: pass their group columns. A sketch
+    * table does not carry its sigDigits; merging sketches built at
+    * DIFFERENT sigDigits is still safe — the quantile walk orders
+    * buckets by their NUMERIC lower bound `est` (not a sigDigits-dependent
+    * code), which keeps `est ≤ truth` provable for any mix — but the
+    * error bound degrades to the COARSEST sigDigits present, so build
+    * shard sketches at one agreed sigDigits. */
   def mergeQuantileSketches(sketches: Seq[DataFrame],
                             groupCols: Seq[String] = Nil): DataFrame = {
     require(sketches.nonEmpty, "at least one sketch")
@@ -359,9 +372,13 @@ object Sketch {
                               sigDigits: Int = 3): DataFrame = {
     require(sigDigits >= 1 && sigDigits <= 15,
       s"sigDigits must be in [1, 15], got $sigDigits")
+    // Same two-round-trip integrality gate as [[decimalQuantileSketch]].
     val v = col(valueCol).cast("long")
     val checked = when(
-        v >= 0L && col(valueCol).cast("double") === v.cast("double"), v)
+        v >= 0L &&
+          col(valueCol).cast("double") === v.cast("double") &&
+          col(valueCol).cast("decimal(38,18)") === v.cast("decimal(38,18)"),
+        v)
       .otherwise(raise_error(concat(
         lit(s"decimalQuantileSketchBy: $valueCol must be an integer >= 0, got "),
         coalesce(col(valueCol).cast("string"), lit("NULL")))))
@@ -377,24 +394,21 @@ object Sketch {
     * [[sketchQuantiles]], but the cumulative walk is a KEY-PARTITIONED
     * window over the grouped bucket table (per-group bucket-domain-sized
     * frames, no global sort), ranks join back by the group key, and the
-    * election is one min_by per (group, quantile). Output:
+    * election is one min(est) per (group, quantile). Output:
     * (groupCol, q_milli, n, rank, est). */
   def sketchQuantilesBy(sketch: DataFrame, groupCol: String,
-                        qMillis: Seq[Long],
-                        sigDigits: Int = 3): DataFrame = {
+                        qMillis: Seq[Long]): DataFrame = {
     require(qMillis.nonEmpty, "at least one quantile")
     require(qMillis.forall(q => q >= 0 && q <= 1000),
       s"quantiles must be in [0, 1000] milli, got $qMillis")
     val spark = sketch.sparkSession
     import spark.implicits._
-    val cum = sketch.withColumn("cum",
-        sum(col("cnt")).over(Window.partitionBy(col(groupCol))
-          .orderBy(col("blen"), col("bkey"))))
-      .withColumn("est", concat(col("bkey").cast("string"),
+    val cum = sketch.withColumn("est", concat(col("bkey").cast("string"),
           expr(s"repeat('0', CAST(blen - length(CAST(bkey AS STRING)) AS INT))"))
         .cast("long"))
-      .withColumn("_code_", col("blen") * lit(math.pow(10, sigDigits).toLong)
-        + col("bkey"))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("est"), col("blen"), col("bkey"))))
     val ranks = sketch.groupBy(col(groupCol)).agg(sum(col("cnt")).as("n"))
       .crossJoin(broadcast(qMillis.toDF("q_milli")))
       .withColumn("rank", greatest(lit(1L),
@@ -402,42 +416,46 @@ object Sketch {
     cum.join(ranks, Seq(groupCol))
       .where(col("cum") >= col("rank"))
       .groupBy(groupCol, "q_milli", "n", "rank")
-      .agg(min_by(col("est"), col("_code_")).as("est"))
+      .agg(min(col("est")).as("est"))
   }
 
   /** Quantile estimates from a [[decimalQuantileSketch]]: for each
     * requested `q` (in milli, e.g. 500 = median) the estimate is the
-    * LOWER BOUND of the bucket holding the rank-⌈q·N/1000⌉ value in
-    * (blen, bkey) order — all integer (the ceiling is
-    * `(q·N + 999) div 1000`; the bound rebuilds the bucket's digits as a
-    * string, no power-of-ten float), so estimates replay exactly, and
-    * `est ≤ true < est + 10^(blen−sigDigits)` gives the relative-error
-    * contract. The cumulative walk is ONE ordered window over the
-    * POST-AGGREGATION bucket table (bucket-domain-sized by construction
-    * — the accepted post-agg window class), then a broadcast theta-join
-    * against the requested ranks and a min_by election.
+    * LOWER BOUND of the bucket holding the rank-⌈q·N/1000⌉ value — all
+    * integer (the ceiling is `(q·N + 999) div 1000`; the bound rebuilds
+    * the bucket's digits as a string, no power-of-ten float), so
+    * estimates replay exactly, and `est ≤ true < est +
+    * 10^(blen−sigDigits)` gives the relative-error contract. The
+    * cumulative walk orders buckets by the numeric lower bound `est`
+    * itself — for a single-sigDigits sketch that coincides with
+    * (blen, bkey) order, and for [[mergeQuantileSketches]] unions of
+    * mixed-sigDigits shards it is the order that keeps `est ≤ true`
+    * provable; no sigDigits parameter is needed (or accepted) here, so
+    * a mismatched caller value can never corrupt the election. ONE
+    * ordered window over the POST-AGGREGATION bucket table
+    * (bucket-domain-sized by construction — the accepted post-agg
+    * window class), then a broadcast theta-join against the requested
+    * ranks and a min(est) election.
     *
     * Output: (q_milli, n, rank, est), one row per requested quantile. */
-  def sketchQuantiles(sketch: DataFrame, qMillis: Seq[Long],
-                      sigDigits: Int = 3): DataFrame = {
+  def sketchQuantiles(sketch: DataFrame, qMillis: Seq[Long]): DataFrame = {
     require(qMillis.nonEmpty, "at least one quantile")
     require(qMillis.forall(q => q >= 0 && q <= 1000),
       s"quantiles must be in [0, 1000] milli, got $qMillis")
     val spark = sketch.sparkSession
     import spark.implicits._
-    val cum = sketch.withColumn("cum",
-        sum(col("cnt")).over(Window.orderBy(col("blen"), col("bkey"))))
-      .withColumn("est", concat(col("bkey").cast("string"),
+    val cum = sketch.withColumn("est", concat(col("bkey").cast("string"),
           expr(s"repeat('0', CAST(blen - length(CAST(bkey AS STRING)) AS INT))"))
         .cast("long"))
-      .withColumn("_code_", col("blen") * lit(math.pow(10, sigDigits).toLong)
-        + col("bkey"))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("est"), col("blen"),
+          col("bkey"))))
     val ranks = qMillis.toDF("q_milli")
       .crossJoin(broadcast(sketch.agg(sum(col("cnt")).as("n"))))
       .withColumn("rank", greatest(lit(1L),
         expr("(q_milli * n + 999) div 1000")))
     cum.join(broadcast(ranks), col("cum") >= col("rank"))
       .groupBy("q_milli", "n", "rank")
-      .agg(min_by(col("est"), col("_code_")).as("est"))
+      .agg(min(col("est")).as("est"))
   }
 }

@@ -165,7 +165,7 @@ class PropertySpec extends AnyFunSuite {
     val qs = Seq(1L, 100L, 333L, 500L, 777L, 999L, 1000L)
     for (sig <- 1 to 4) {
       val sk = Sketch.decimalQuantileSketch(df, "v", sigDigits = sig)
-      val got = Sketch.sketchQuantiles(sk, qs, sigDigits = sig)
+      val got = Sketch.sketchQuantiles(sk, qs)
         .select("q_milli", "rank", "est")
         .as[(Long, Long, Long)].collect()
       assert(got.length == qs.size)
