@@ -368,14 +368,30 @@ object FuzzyLookup {
 
   /** Multi-query variant (reference `luceneLookups`): each query column is
     * resolved against the same right side; results appear as struct columns
-    * `{q}_res` = {right cols, _score_, _startIndex_, _endIndex_}. */
+    * `{q}_res` = {right cols, _score_, _tags_, _startIndex_, _endIndex_}.
+    *
+    * ONE pass for all k query columns — the reference resolves all queries
+    * against the index in a single call (index/implicits.scala:58-123), and
+    * this does the relational equivalent: pack the k columns into an array,
+    * run [[lookupArray]]'s posexplode → single [[lookup]] → regroup, then
+    * unpack element i back into `{queryCols(i)}_res`. The k-sequential
+    * alternative costs k tokenize/candidate-join/window passes and
+    * recomputes the right side's document-frequency statistics k times;
+    * this shape pays ONE candidate equi-join and one IDF computation, and
+    * the distinct-query memoization inside [[lookup]] dedups strings shared
+    * ACROSS columns too. Top-1 per column by contract (the reference's
+    * semantics); ask [[lookup]] directly for multi-candidate results. */
   def lookupMulti(left: DataFrame, queryCols: Seq[String], right: DataFrame,
                   textCol: String, opts: Options = Options()): DataFrame = {
-    queryCols.foldLeft(left) { (acc, q) =>
-      val res = lookup(acc, q, right, textCol, opts)
-      val resCols = right.columns ++ Seq("_score_", "_tags_", "_startIndex_", "_endIndex_")
-      res.withColumn(s"${q}_res", struct(resCols.map(col): _*))
-        .drop(resCols: _*)
-    }
+    require(queryCols.nonEmpty, "at least one query column")
+    require(opts.topK == 1,
+      s"lookupMulti resolves the single best match per query column " +
+        s"(topK must be 1, got ${opts.topK})")
+    val arr = "_mq_"
+    val packed = left.withColumn(arr, array(queryCols.map(col): _*))
+    val looked = lookupArray(packed, arr, right, textCol, opts)
+    queryCols.zipWithIndex.foldLeft(looked) { case (acc, (q, i)) =>
+      acc.withColumn(s"${q}_res", element_at(col(s"${arr}_res"), i + 1))
+    }.select(left.columns.map(col) ++ queryCols.map(q => col(s"${q}_res")): _*)
   }
 }
