@@ -131,6 +131,37 @@ object Packing {
       .select(df.columns.map(col) :+ col(cumCol): _*)
   }
 
+  /** Global NTILE without a global window: the global rank in
+    * (`idCol`, `tieCols`) ascending order comes from
+    * [[runningTotalSharded]] over a constant-1 column, and the tier from
+    * the closed-form ntile formula (bucket sizes differ by ≤ 1, earlier
+    * buckets larger: `rank ≤ (b+1)·r → (rank−1) div (b+1) + 1, else
+    * r + (rank−(b+1)·r−1) div b + 1` with `b = N div buckets`,
+    * `r = N mod buckets`) — pure integer, bit-identical to any engine's
+    * `ntile(buckets)` over the same total order, with no data-sized
+    * single-partition WindowExec anywhere in the plan. Descending
+    * semantics: negate the key. Adds `bucketCol` (1-based). */
+  def ntileSharded(df: DataFrame, idCol: String, buckets: Int,
+                   numShards: Int = 32, tieCols: Seq[String] = Nil,
+                   bucketCol: String = "bucket"): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val ranked = runningTotalSharded(
+      df.withColumn("_one_", lit(1L)), idCol, "_one_", "_gr_",
+      numShards = numShards, tieCols = tieCols)
+    val n = df.agg(count(lit(1)).as("_n_"))
+    val b = s"(_n_ div $buckets)"
+    val r = s"(_n_ % $buckets)"
+    // CASE is lazy, so the `div b` branch never runs when N < buckets
+    // (b = 0 ⇒ every rank takes the THEN branch)
+    ranked.crossJoin(broadcast(n))
+      .withColumn(bucketCol,
+        expr(s"""CASE WHEN _gr_ <= ($b + 1) * $r
+                | THEN (_gr_ - 1) div ($b + 1) + 1
+                | ELSE $r + (_gr_ - ($b + 1) * $r - 1) div $b + 1
+                |END""".stripMargin))
+      .select(df.columns.map(col) :+ col(bucketCol): _*)
+  }
+
   /** Two-phase sharded [[packSequences]] — the 100 TB plan promised
     * there, with IDENTICAL output: a document's (seq_id, seq_offset)
     * depends only on its global start position, which

@@ -258,20 +258,33 @@ object Relational {
     }),
 
     // ---- §2.5 dense_rank (global) ------------------------------------------
+    // With the unique s_suppkey tie-break the order has no ties, so
+    // dense_rank ≡ row_number — which the two-phase sharded prefix count
+    // reconstructs with NO data-sized global window (the oracle stays
+    // dense_rank). Rank key: negated exact cents = s_acctbal DESC.
     "q13_supplier_balance_rank" -> ((s, d) => {
-      val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
-      Tables.supplier(s, d)
-        .withColumn("rk", dense_rank().over(w).cast(IntegerType))
-        .select("s_suppkey", "s_name", "s_acctbal", "rk")
+      val su = Tables.supplier(s, d)
+        .withColumn("_negbal_", expr("cast(s_acctbal * -100 as bigint)"))
+        .withColumn("_one_", lit(1L))
+      graft.operators.Packing.runningTotalSharded(
+          su, "_negbal_", "_one_", "_rk_", tieCols = Seq("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("_rk_").cast(IntegerType).as("rk"))
         .orderBy("s_suppkey")
     }),
 
     // ---- §2.5 ntile (RankSplit-style ranked segmentation) ------------------
+    // Global ntile(4) over the orders fact table WITHOUT the global
+    // window (at 100× the single-partition sort is the scale-killer):
+    // sharded global rank + the closed-form ntile formula, bit-identical
+    // to the engine ntile the oracle still runs.
     "q14_order_quartiles" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .withColumn("bucket", ntile(4).over(w).cast(IntegerType))
-        .select("o_orderkey", "bucket")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("cast(o_totalprice * 100 as bigint)").as("_cents_"))
+      graft.operators.Packing.ntileSharded(
+          o, "_cents_", buckets = 4, tieCols = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("bucket").cast(IntegerType).as("bucket"))
         .orderBy("o_orderkey")
     }),
 
