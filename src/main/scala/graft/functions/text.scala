@@ -68,6 +68,44 @@ object TextKernels extends Serializable {
 
   def tokenize(s: String): Seq[String] = tokenizeWithOffsets(s).map(_.tok)
 
+  // The reference's hand char table folds a few characters DIFFERENTLY
+  // from Unicode NFD (œ→e not oe, æ→a not ae, ñ/ð→o not n/d), turns
+  // hyphens and apostrophes into spaces, and elides French articles
+  // (l'/d' before the apostrophe). Grouping each fold family as
+  // "<target><members…>" keeps the table declarative.
+  private val refFold: Map[Char, String] = {
+    val families = Seq("aàáâãäåæ", "eèéêëœ", "iìíîï",
+      "oðñòóôõöø", "uùúûü", "cç")
+    families.flatMap(f => f.drop(1).map(_ -> f.take(1))).toMap ++
+      Map('-' -> " ", '\'' -> " ")
+  }
+
+  /** Opt-in REFERENCE-PARITY variant of [[simplify]] for callers porting
+    * French-text fixtures byte-for-byte (see FIXTURES.md §12): reproduces
+    * the reference char table's divergences from the NFD fold —
+    * `œ→e`, `æ→a`, `ñ→o`, `ð→o`, hyphen/apostrophe → space, and `l'`/`d'`
+    * article elision ("l'hôpital" → "  hopital", so the article never
+    * becomes a token). [[simplify]] (NFD + ligature expansion) remains
+    * the default everywhere: it covers the full Latin range instead of a
+    * fixed list and keeps `œ→oe`/`æ→ae` (the linguistically standard
+    * expansion). Capability per reference
+    * mllib/src/main/scala/text/Word.scala:34-55; implementation original. */
+  def simplifyRefParity(s: String): String = {
+    if (s == null) return null
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val out = new StringBuilder(lower.length)
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      val elides = (c == 'l' || c == 'd') &&
+        i + 1 < lower.length && lower.charAt(i + 1) == '\''
+      if (elides) out.append(' ')
+      else out.append(refFold.getOrElse(c, c.toString))
+      i += 1
+    }
+    out.toString
+  }
+
   /** 64-bit polynomial rolling hash (h₀=7, h·31+c with natural Long
     * overflow). Chosen over murmur/xxhash because the SAME value is
     * computable in plain SQL on any engine with 128-bit integers

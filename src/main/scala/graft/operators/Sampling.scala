@@ -195,7 +195,7 @@ object Sampling {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_n_"))
     val weighted = counts.withColumn("_wt_", weightCol(col("_n_"), weight))
     val tot = weighted.agg(sum(col("_wt_")).as("_tw_"))
-    val quotas = weighted.crossJoin(tot)
+    val quotas = weighted.crossJoin(F.broadcast(tot))
       // targetSize * wt must fit a signed 64-bit: with wt <= isqrt(group)
       // that holds for any targetSize below ~2^31 rows even against
       // trillion-row groups — beyond that, allocate quotas hierarchically

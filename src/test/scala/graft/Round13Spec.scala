@@ -57,6 +57,25 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("simplifyRefParity reproduces the reference char table; default NFD fold diverges as documented") {
+    import graft.functions.TextKernels.{simplify, simplifyRefParity}
+    // the four documented divergences (FIXTURES.md §12)
+    assert(simplifyRefParity("Œuvre") == "euvre")     // œ→e, not oe
+    assert(simplify("Œuvre") == "oeuvre")
+    assert(simplifyRefParity("Lætitia") == "latitia") // æ→a, not ae
+    assert(simplify("Lætitia") == "laetitia")
+    assert(simplifyRefParity("Señor") == "seoor")     // ñ→o table quirk
+    assert(simplify("Señor") == "senor")
+    // article elision + hyphen/apostrophe → space
+    assert(simplifyRefParity("L'Hôpital-sous-Bois") == "  hopital sous bois")
+    assert(simplify("L'Hôpital-sous-Bois") == "l'hopital-sous-bois")
+    // no elision when the l/d is not followed by an apostrophe, or ends
+    // the string
+    assert(simplifyRefParity("bel") == "bel")
+    assert(simplifyRefParity("d'une grande") == "  une grande")
+    assert(simplifyRefParity(null) == null)
+  }
+
   test("integrality gate catches fractional DECIMALs above 2^53") {
     import graft.operators.{Sampling, Sketch}
     // 2^53 + 0.5: rounds to the same double as its long floor, so the
