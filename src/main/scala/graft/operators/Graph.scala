@@ -140,18 +140,24 @@ object Graph {
     * "dense kernel" cut for link-graph curation (spam farms and
     * long-tail leaf pages peel away; the core is what survives).
     *
-    * Computed by synchronous peeling: drop every node whose CURRENT
-    * degree is < k, remove its edges, repeat. The fixpoint is
-    * order-independent (the k-core is unique), so synchronous rounds are
-    * deterministic on any engine/partitioning. Each round is one degree
-    * aggregate + one semi-join-shaped edge filter, both keyed on node id
-    * — no broadcast that grows with the graph, `localCheckpoint` per
-    * round against plan blowup (the [[pageRankInt]] discipline). Rounds
-    * needed = the peeling depth of the graph (typically a handful; the
-    * worst case is a path, which [[graft.operators.Dedup]]'s
-    * star-contraction CC would also iterate on). `maxRounds` caps the
-    * loop and `require`s convergence — an unconverged cut is a wrong
-    * answer, not a best effort.
+    * Computed by DELTA peeling: the symmetric edge list is built, hashed
+    * on its source endpoint, and checkpointed ONCE — it is never
+    * re-filtered or re-aggregated. Per-round state is the NODE-sized
+    * degree table: dropping frontier F only changes the degrees of F's
+    * neighbors, so each round joins the fixed edge list against F (edges
+    * incident to dropped nodes — the frontier's adjacency, not the whole
+    * graph), aggregates the per-neighbor loss, and subtracts it from the
+    * surviving degree rows. The fixpoint is order-independent (the
+    * k-core is unique), so synchronous rounds are deterministic on any
+    * engine/partitioning; `localCheckpoint` on the node-sized table per
+    * round bounds plan depth (the [[pageRankInt]] discipline). Rounds
+    * needed = the peeling depth of the graph. `maxRounds` caps the loop
+    * and `require`s convergence — an unconverged cut is a wrong answer,
+    * not a best effort.
+    *
+    * The final degrees ARE the answer: a survivor's degree minus its
+    * dropped neighbors is exactly its degree within the core, so no
+    * final edge-list pass is needed.
     *
     * Input edges are canonicalized (undirected, dedup, self-loops
     * dropped). Returns (node_id, core_degree) for the surviving nodes:
@@ -163,33 +169,39 @@ object Graph {
       .select(col(srcCol).cast("long").as("_a_"),
         col(dstCol).cast("long").as("_b_"))
       .where(col("_a_") =!= col("_b_"))
-    var live = undirected
+    // repartition on the per-round join key BEFORE the one-time
+    // checkpoint: the checkpointed RDD keeps its hash partitioning, so
+    // every round's frontier join shuffles only the (small) frontier side
+    val live = undirected
       .union(undirected.select(col("_b_").as("_a_"), col("_a_").as("_b_")))
       .distinct()
+      .repartition(col("_a_"))
       .localCheckpoint()
-    var converged = false
+    var deg = live.groupBy("_a_").agg(count(lit(1)).as("_deg_"))
+      .localCheckpoint()
+    def frontierOf(d: DataFrame): DataFrame =
+      d.where(col("_deg_") < k).select("_a_")
+    var frontier = frontierOf(deg)
+    var frontierCount = frontier.count()
     var round = 0
-    var liveCount = live.count()
-    while (!converged && round < maxRounds) {
+    while (frontierCount > 0 && round < maxRounds) {
       round += 1
-      val deg = live.groupBy("_a_").agg(count(lit(1)).as("_deg_"))
-      val keep = deg.where(col("_deg_") >= k).select("_a_")
-      val next = live
-        .join(keep, "_a_")
-        .join(keep.select(col("_a_").as("_b_")), "_b_")
-        .select("_a_", "_b_")
+      // each dropped node's edges subtract one from each neighbor; edges
+      // between two dropped nodes subtract from rows the anti-join
+      // removes anyway, so no double-count is possible
+      val delta = live.join(frontier, "_a_")
+        .groupBy(col("_b_").as("_a_")).agg(count(lit(1)).as("_d_"))
+      deg = deg.join(frontier, Seq("_a_"), "left_anti")
+        .join(delta, Seq("_a_"), "left")
+        .select(col("_a_"),
+          (col("_deg_") - coalesce(col("_d_"), lit(0L))).as("_deg_"))
         .localCheckpoint()
-      // converged iff no directed edge was dropped (count is exact on the
-      // deduped symmetric list, so equality means the node set held);
-      // carrying the previous count makes it one job per round, not two
-      val nextCount = next.count()
-      converged = nextCount == liveCount
-      liveCount = nextCount
-      live = next
+      frontier = frontierOf(deg)
+      frontierCount = frontier.count()
     }
-    require(converged, s"kCore did not converge in $maxRounds rounds")
-    live.groupBy(col("_a_").as("node_id"))
-      .agg(count(lit(1)).as("core_degree"))
+    require(frontierCount == 0,
+      s"kCore did not converge in $maxRounds rounds")
+    deg.select(col("_a_").as("node_id"), col("_deg_").as("core_degree"))
   }
 
   /** Per-node triangle count + local clustering coefficient over an
