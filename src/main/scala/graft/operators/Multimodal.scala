@@ -453,10 +453,20 @@ object Multimodal {
 
   /** 64-bit average perceptual hash (aHash — public recipe): decode,
     * pool luminance onto an 8×8 grid, one bit per cell = cell mean ≥
-    * grid mean. Survives re-encoding, resizing, and small edits — the
-    * image-modality analogue of [[Dedup]]'s SimHash for text. Arithmetic
-    * is plain double means inside ONE JVM call per image (deterministic
-    * on any JVM); undecodable bytes quarantine to null. */
+    * the IMAGE mean. Survives re-encoding, resizing, and small edits —
+    * the image-modality analogue of [[Dedup]]'s SimHash for text.
+    *
+    * INTEGER-EXACT (the mm05 resize discipline): luminance sums are
+    * longs and the threshold compare is the cross-multiplied rational
+    * `cell_sum · total_pixels ≥ total_sum · cell_pixels` — no float
+    * division anywhere, so exact mean ties resolve deterministically
+    * (≥ ⇒ bit set) and a SQL oracle replays every bit from the pixel
+    * program (the products stay < 2⁶³ up to ~10⁹-pixel images). Using
+    * the image mean instead of the mean of cell means changes nothing
+    * when the grid divides the image evenly (the common case, and all
+    * fixtures); for ragged grids it weights cells by their true pixel
+    * count, which is at least as faithful a threshold. Undecodable
+    * bytes quarantine to null. */
   def imageAHash(bytes: Array[Byte]): java.lang.Long = {
     if (bytes == null) return null
     val img =
@@ -466,7 +476,7 @@ object Multimodal {
     val (w, h) = (img.getWidth, img.getHeight)
     if (w <= 0 || h <= 0) return null
     val px = img.getRGB(0, 0, w, h, null, 0, w)
-    val sums = new Array[Double](64)
+    val sums = new Array[Long](64)
     val counts = new Array[Long](64)
     var y = 0
     while (y < h) {
@@ -482,19 +492,13 @@ object Multimodal {
       }
       y += 1
     }
-    var i = 0
-    var total = 0.0
-    var cells = 0
-    val means = new Array[Double](64)
-    while (i < 64) {
-      if (counts(i) > 0) { means(i) = sums(i) / counts(i); total += means(i); cells += 1 }
-      i += 1
-    }
-    val mean = if (cells == 0) 0.0 else total / cells
+    val totalSum = sums.sum
+    val totalCount = w.toLong * h
     var hash = 0L
-    i = 0
+    var i = 0
     while (i < 64) {
-      if (counts(i) > 0 && means(i) >= mean) hash |= (1L << i)
+      if (counts(i) > 0 && sums(i) * totalCount >= totalSum * counts(i))
+        hash |= (1L << i)
       i += 1
     }
     hash

@@ -951,9 +951,11 @@ object PipelineQueries {
     // ---- multimodal plumbing: batched decode + frame sampling (stubbed
     // codec; rows-only) ------------------------------------------------------
     // ---- multimodal dedup: image near-dup pairs by 64-bit average
-    // perceptual hash, pigeonhole-blocked like SimHash. Rows-only gate
-    // (DuckDB can't decode PNG); the spec pins hash semantics on planted
-    // duplicates/perturbations. Reuses mm01's staged media --------------
+    // perceptual hash, pigeonhole-blocked like SimHash. ORACLE-gated:
+    // PNG is lossless and the hash integer-exact, so DuckDB replays
+    // every bit from the synthetic pixel program; the spec additionally
+    // pins invariance on planted duplicates/perturbations. Reuses mm01's
+    // staged media ------------------------------------------------------
     "mm07_image_neardup" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
         s"mm01_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
@@ -1025,9 +1027,11 @@ object PipelineQueries {
 
     // ---- multimodal dedup: audio near-dup pairs by autocorrelation-sign
     // fingerprint — same-pitch tones pair across different durations.
-    // Rows-only (no SQL WAV decode); spec pins pitch selectivity.
-    // Reuses mm03's staged audio, restricted so the 16 pitch classes
-    // give bounded same-class pair counts --------------------------------
+    // ORACLE-gated: WAV is lossless integer PCM and the lag sums are
+    // exact dyadic rationals, so the sign bits replay as integer sums in
+    // DuckDB; spec pins pitch selectivity. Reuses mm03's staged audio,
+    // restricted so the 16 pitch classes give bounded same-class pair
+    // counts --------------------------------------------------------------
     "mm08_audio_neardup" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
         s"mm03_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
@@ -3058,6 +3062,81 @@ object PipelineQueries {
          |SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id, dist_to_set
          |FROM fin ORDER BY sel_rank""".stripMargin
     },
+
+    // mm07 replay: PNG is lossless and the synthetic pixels follow an
+    // integer formula of (id, x, y), so the aHash replays bit-for-bit —
+    // the threshold compare is the operator's own cross-multiplied
+    // rational (cell_sum * total_px >= total_sum * cell_px), pure
+    // integers, so even exact mean ties agree. Hamming distance is then
+    // a per-cell bit-disagreement count over each id pair.
+    "mm07_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         CAST((doc_id % 4) * 16 + 16 AS BIGINT) AS w,
+        |         CAST((doc_id % 3) * 16 + 16 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 100),
+        |px AS (
+        |  SELECT i.id,
+        |         (x.x * 255) // (i.w - 1) + (y.y * 255) // (i.h - 1)
+        |           + (i.id * 37 + x.x + y.y) % 256 AS lum,
+        |         ((y.y * 8) // i.h) * 8 + (x.x * 8) // i.w AS cell,
+        |         i.w * i.h AS tcnt
+        |  FROM ids i
+        |  JOIN range(0, 64) x(x) ON x.x < i.w
+        |  JOIN range(0, 48) y(y) ON y.y < i.h),
+        |cells AS (
+        |  SELECT id, cell, MAX(tcnt) AS tcnt,
+        |         SUM(lum) AS csum, COUNT(*) AS cnt
+        |  FROM px GROUP BY id, cell),
+        |tot AS (SELECT id, SUM(csum) AS tsum FROM cells GROUP BY id),
+        |bits AS (
+        |  SELECT c.id, c.cell,
+        |         CASE WHEN c.csum * c.tcnt >= t.tsum * c.cnt
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (id)),
+        |ham AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hm
+        |  FROM bits a JOIN bits b ON a.cell = b.cell AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, CAST(hm AS INTEGER) AS hamming
+        |FROM ham WHERE hm <= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // mm08 replay: WAV is lossless 16-bit PCM of integer samples, and
+    // the fingerprint's lag sums are exact dyadic rationals in double
+    // (products of 16-bit samples / 2^30, partial sums < 2^41), so
+    // bit = sign of the INTEGER sum of sample products — engine-exact.
+    // The only cross-engine float is sin(); measured margins are ~1e-4
+    // sample-rounding slack and >=8e8 absolute sum slack, 8+ orders
+    // above any libm-vs-fdlibm ulp drift.
+    "mm08_audio_neardup" ->
+      """WITH ids AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         CAST(800 + (doc_id % 5) * 400 AS BIGINT) AS n,
+        |         220.0 + (doc_id % 16) * 55.0 AS freq
+        |  FROM documents WHERE doc_id < 64),
+        |pcm AS (
+        |  SELECT i.id, i.n, s.s,
+        |         CAST(FLOOR((SIN(2 * PI() * i.freq * (s.s / 8000.0)) * 0.6
+        |                   + SIN(2 * PI() * i.freq * 2 * (s.s / 8000.0)) * 0.25)
+        |                    * 0.9 * 32767 + 0.5) AS BIGINT) AS v
+        |  FROM ids i JOIN range(0, 2400) s(s) ON s.s < i.n),
+        |ac AS (
+        |  SELECT a.id, l.lag, SUM(a.v * b.v) AS acsum
+        |  FROM pcm a
+        |  JOIN range(1, 65) l(lag) ON TRUE
+        |  JOIN pcm b ON b.id = a.id AND b.s = a.s + l.lag
+        |  GROUP BY a.id, l.lag),
+        |bits AS (
+        |  SELECT id, lag, CASE WHEN acsum >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM ac),
+        |ham AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hm
+        |  FROM bits a JOIN bits b ON a.lag = b.lag AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, CAST(hm AS INTEGER) AS hamming
+        |FROM ham WHERE hm <= 4 ORDER BY id_a, id_b""".stripMargin,
 
     // the multimodal projections surface only deterministic metadata (the
     // stub decode's float features are deliberately excluded), so the
