@@ -1278,13 +1278,19 @@ object PipelineQueries {
         .toDF("rank", "piece", "prob_r")
     }),
 
-    // ---- tokenizer serving: Viterbi segmentation under the unigram
-    // vocab (fixture gate; spec pins lattice semantics) ---------------------
+    // ---- tokenizer serving: INTEGER-score Viterbi segmentation under
+    // the frequency-seeded unigram score table — ORACLE-gated: the
+    // scores are fixed-point log-probs of integer counts and the whole
+    // per-word DP is integer arithmetic, so DuckDB replays the
+    // segmentation exactly, ties included. (The EM-trained float vocab
+    // stays on the fixture-gated ug01 trainer — serving is
+    // vocab-agnostic, so this is the same Viterbi lattice the spec pins
+    // under float probs.) -------------------------------------------------
     "ug02_unigram_segment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val vocab = graft.operators.UnigramLm.train(docs, "text",
-        vocabSize = 40)
-      graft.operators.UnigramLm.segmentStats(docs, "doc_id", "text", vocab)
+      val scores = graft.operators.UnigramLm.seedPieceScores(
+        docs, "text", maxPieceLen = 4, topMulti = 64)
+      graft.operators.UnigramLm.segmentStatsInt(docs, "doc_id", "text", scores)
         .orderBy("doc_id")
     }),
 
@@ -3334,6 +3340,84 @@ object PipelineQueries {
          |SELECT d.doc_id, count(*) AS n_words,
          |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
          |  CAST(sum(CASE WHEN s.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         |FROM dtok d JOIN seg s ON s.w = d.w
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
+
+    // ug02 replay: seedPieceScores = integer substring-weight aggregate,
+    // char vocab + top-64 multi-char by (cnt DESC, piece), score =
+    // floor(1e6 * ln(cnt/total)); then the integer Viterbi DP unrolled 8
+    // rounds (max word length), each round carrying the last 4 best
+    // sums/piece counts as state columns (maxPieceLen = 4). Candidates
+    // encode the (score, last-piece-length) tie-break into one integer
+    // (combined = sum*8 + L, L<8), so GREATEST implements the operator's
+    // smallest-backpointer rule exactly.
+    "ug02_unigram_segment" -> {
+      val S = "-4611686018427387904" // sentinel: far below any real sum*8
+      val dpRounds = (1 to 8).map { k =>
+        val cands = (1 to math.min(4, k)).map { l =>
+          s"""COALESCE((t.b${l - 1} + (SELECT sc.score FROM scores sc
+             |        WHERE sc.piece = t.w[${k - l + 1}:$k])) * 8 + $l, $S)""".stripMargin
+        }.mkString(",\n      ")
+        s"""g$k AS (
+           |  SELECT u.w, u.len,
+           |    CASE WHEN u.len < $k THEN u.b0
+           |         WHEN u.bc = $S THEN NULL
+           |         ELSE (u.bc - ((u.bc % 8) + 8) % 8) // 8 END AS b0,
+           |    CASE WHEN u.len < $k THEN u.b1 ELSE u.b0 END AS b1,
+           |    CASE WHEN u.len < $k THEN u.b2 ELSE u.b1 END AS b2,
+           |    CASE WHEN u.len < $k THEN u.b3 ELSE u.b2 END AS b3,
+           |    CASE WHEN u.len < $k THEN u.n0
+           |         WHEN u.bc = $S THEN NULL
+           |         ELSE 1 + (CASE ((u.bc % 8) + 8) % 8
+           |                   WHEN 1 THEN u.n0 WHEN 2 THEN u.n1
+           |                   WHEN 3 THEN u.n2 ELSE u.n3 END) END AS n0,
+           |    CASE WHEN u.len < $k THEN u.n1 ELSE u.n0 END AS n1,
+           |    CASE WHEN u.len < $k THEN u.n2 ELSE u.n1 END AS n2,
+           |    CASE WHEN u.len < $k THEN u.n3 ELSE u.n2 END AS n3
+           |  FROM (
+           |    SELECT t.*, GREATEST(
+           |      $cands) AS bc
+           |    FROM g${k - 1} t) u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dtok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                x -> x <> '')) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, count(*) AS f FROM dtok GROUP BY w),
+         |cand AS (
+         |  SELECT w[s:s + l - 1] AS piece, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM wf, range(1, 9) s(s), range(1, 5) l(l)
+         |  WHERE s + l - 1 <= length(w)
+         |  GROUP BY 1),
+         |multi AS (
+         |  SELECT piece, cnt FROM cand WHERE length(piece) > 1
+         |  ORDER BY cnt DESC, piece LIMIT 64),
+         |vocab AS (
+         |  SELECT piece, cnt FROM cand WHERE length(piece) = 1
+         |  UNION ALL SELECT piece, cnt FROM multi),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+         |scores AS MATERIALIZED (
+         |  -- MATERIALIZED: 26 per-round lookups reference scores; inlined,
+         |  -- each would re-expand the whole candidate aggregate
+         |  SELECT piece, CAST(FLOOR(1e6 * LN(CAST(cnt AS DOUBLE)
+         |           / CAST(total AS DOUBLE))) AS BIGINT) AS score
+         |  FROM vocab, tot),
+         |g0 AS MATERIALIZED (
+         |  SELECT w, length(w) AS len, CAST(0 AS BIGINT) AS b0,
+         |         CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+         |         CAST(NULL AS BIGINT) AS b3, CAST(0 AS BIGINT) AS n0,
+         |         CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+         |         CAST(NULL AS BIGINT) AS n3
+         |  FROM wf),
+         |$dpRounds,
+         |seg AS (
+         |  SELECT w, CASE WHEN b0 IS NULL THEN 1 ELSE n0 END AS np,
+         |         (b0 IS NULL) AS unk
+         |  FROM g8)
+         |SELECT d.doc_id, count(*) AS n_words,
+         |  CAST(sum(s.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(CASE WHEN s.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unseg
          |FROM dtok d JOIN seg s ON s.w = d.w
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },

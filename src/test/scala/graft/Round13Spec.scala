@@ -76,6 +76,39 @@ class Round13Spec extends AnyFunSuite {
     assert(simplifyRefParity(null) == null)
   }
 
+  test("viterbiInt: integer DP, longest-final-piece ties, unseg quarantine") {
+    import graft.operators.UnigramLm
+    // exact tie a+bc == ab+c: ascending-j strict improvement keeps the
+    // SMALLEST backpointer, i.e. the longer final piece "bc"
+    val tied = Map("a" -> -10L, "bc" -> -20L, "ab" -> -20L, "c" -> -10L)
+    assert(UnigramLm.viterbiInt("abc", tied, 2).toSeq == Seq("a", "bc"))
+    // higher-scoring multi-char piece beats per-char path
+    val sc = Map("a" -> -10L, "b" -> -10L, "ab" -> -15L)
+    assert(UnigramLm.viterbiInt("abab", sc, 2).toSeq == Seq("ab", "ab"))
+    // uncoverable position -> null; segmentStatsInt counts 1 + flags
+    assert(UnigramLm.viterbiInt("axb", sc, 2) == null)
+    val docs = Seq((1L, "ab axb"), (2L, "abab")).toDF("doc_id", "text")
+    val scoresDf = sc.toSeq.toDF("piece", "score")
+    val got = UnigramLm.segmentStatsInt(docs, "doc_id", "text", scoresDf)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1L), (2L, 1L, 2L, 0L)))
+  }
+
+  test("seedPieceScores: chars always covered, deterministic top-k cut") {
+    import graft.operators.UnigramLm
+    val docs = Seq((1L, "aa ab aa b")).toDF("doc_id", "text")
+    val scores = UnigramLm.seedPieceScores(docs, "text",
+        maxPieceLen = 2, topMulti = 1)
+      .as[(String, Long)].collect().toMap
+    // chars a,b always in vocab; exactly one multi-char piece survives:
+    // "aa" (cnt 2) beats "ab" (cnt 1)
+    assert(scores.keySet == Set("a", "b", "aa"))
+    // weights: a appears 2x in each "aa" (2 words) + 1 in "ab" = 5;
+    // b = 1 ("ab") + 1 ("b") = 2; aa = 2; total = 9
+    def s(c: Long) = math.floor(1e6 * math.log(c / 9.0)).toLong
+    assert(scores == Map("a" -> s(5), "b" -> s(2), "aa" -> s(2)))
+  }
+
   test("integrality gate catches fractional DECIMALs above 2^53") {
     import graft.operators.{Sampling, Sketch}
     // 2^53 + 0.5: rounds to the same double as its long floor, so the
