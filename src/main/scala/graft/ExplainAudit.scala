@@ -126,7 +126,13 @@ object ExplainAudit {
         // mergeable decimal quantile sketch: one bucket aggregate, the
         // post-agg bucket-table window, broadcast rank theta-join
         "qs01_quantile_sketch", "qs02_sketch_merge",
-        "qs03_group_quantile_sketch")
+        "qs03_group_quantile_sketch",
+        // round-13 tier: sharded global rank/ntile (the last data-sized
+        // global windows removed), one-pass multi-lookup via the array
+        // machinery, delta-peeled kCore, integer-DP unigram serving,
+        // pigeonhole audio near-dup
+        "q13_supplier_balance_rank", "q14_order_quartiles",
+        "gr05_kcore", "ug02_unigram_segment", "mm08_audio_neardup")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
