@@ -380,14 +380,24 @@ object FuzzyLookup {
     * this shape pays ONE candidate equi-join and one IDF computation, and
     * the distinct-query memoization inside [[lookup]] dedups strings shared
     * ACROSS columns too. Top-1 per column by contract (the reference's
-    * semantics); ask [[lookup]] directly for multi-candidate results. */
+    * semantics); ask [[lookup]] directly for multi-candidate results.
+    *
+    * API NOTE (contract change, round 13): earlier rounds accepted
+    * `opts.topK > 1` and multiplied left rows k-fold per extra candidate —
+    * an accident of the fold implementation, not the reference's top-1
+    * semantics. Since the array re-plan this is rejected with a `require`;
+    * callers wanting multiple candidates per query use [[lookup]]. */
   def lookupMulti(left: DataFrame, queryCols: Seq[String], right: DataFrame,
                   textCol: String, opts: Options = Options()): DataFrame = {
     require(queryCols.nonEmpty, "at least one query column")
     require(opts.topK == 1,
       s"lookupMulti resolves the single best match per query column " +
         s"(topK must be 1, got ${opts.topK})")
-    val arr = "_mq_"
+    // Fresh scratch name: suffix until it collides with nothing on the
+    // left frame (neither the packed array column nor its `_res` twin).
+    val arr = Iterator.from(0).map(i => if (i == 0) "_mq_" else s"_mq${i}_")
+      .find(c => !left.columns.contains(c) && !left.columns.contains(s"${c}_res"))
+      .get
     val packed = left.withColumn(arr, array(queryCols.map(col): _*))
     val looked = lookupArray(packed, arr, right, textCol, opts)
     queryCols.zipWithIndex.foldLeft(looked) { case (acc, (q, i)) =>

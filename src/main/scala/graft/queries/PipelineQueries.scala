@@ -1285,7 +1285,10 @@ object PipelineQueries {
     // segmentation exactly, ties included. (The EM-trained float vocab
     // stays on the fixture-gated ug01 trainer — serving is
     // vocab-agnostic, so this is the same Viterbi lattice the spec pins
-    // under float probs.) -------------------------------------------------
+    // under float probs.) NOTE the oracle unrolls the DP exactly 8 rounds
+    // and caps substring starts at 8 — a `guard` CTE in the oracle errors
+    // if any fixture word exceeds 8 chars, so a longer fixture fails the
+    // oracle loudly instead of reporting a spurious engine mismatch. ------
     "ug02_unigram_segment" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val scores = graft.operators.UnigramLm.seedPieceScores(
@@ -3385,9 +3388,18 @@ object PipelineQueries {
          |                x -> x <> '')) AS w
          |  FROM documents),
          |wf AS (SELECT w, count(*) AS f FROM dtok GROUP BY w),
+         |-- COUPLING GUARD: the DP below unrolls exactly 8 rounds and caps
+         |-- substring starts at 8 (range(1,9)) — valid ONLY while every
+         |-- fixture word is <= 8 chars (current max is exactly 8; see the
+         |-- matching note at the operator's fixture spec). A longer word
+         |-- must fail HERE, not as a spurious engine mismatch.
+         |guard AS (
+         |  SELECT CASE WHEN max(length(w)) > 8
+         |    THEN error('ug02 oracle assumes max word length 8; lengthen the DP unroll')
+         |    ELSE 1 END AS ok FROM wf),
          |cand AS (
          |  SELECT w[s:s + l - 1] AS piece, CAST(SUM(f) AS BIGINT) AS cnt
-         |  FROM wf, range(1, 9) s(s), range(1, 5) l(l)
+         |  FROM wf, guard, range(1, 9) s(s), range(1, 5) l(l)
          |  WHERE s + l - 1 <= length(w)
          |  GROUP BY 1),
          |multi AS (

@@ -264,7 +264,7 @@ object Relational {
     // dense_rank). Rank key: negated exact cents = s_acctbal DESC.
     "q13_supplier_balance_rank" -> ((s, d) => {
       val su = Tables.supplier(s, d)
-        .withColumn("_negbal_", expr("cast(s_acctbal * -100 as bigint)"))
+        .withColumn("_negbal_", expr("cast(round(s_acctbal * -100) as bigint)"))
         .withColumn("_one_", lit(1L))
       graft.operators.Packing.runningTotalSharded(
           su, "_negbal_", "_one_", "_rk_", tieCols = Seq("s_suppkey"))
@@ -281,7 +281,7 @@ object Relational {
     "q14_order_quartiles" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"),
-          expr("cast(o_totalprice * 100 as bigint)").as("_cents_"))
+          expr("cast(round(o_totalprice * 100) as bigint)").as("_cents_"))
       graft.operators.Packing.ntileSharded(
           o, "_cents_", buckets = 4, tieCols = Seq("o_orderkey"))
         .select(col("o_orderkey"), col("bucket").cast(IntegerType).as("bucket"))
