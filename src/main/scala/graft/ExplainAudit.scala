@@ -17,8 +17,19 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q01_pricing_summary", "q02_revenue_by_nation",
+    val names = if (args.nonEmpty) args.toSeq else defaultNames
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+
+  /** The audited set — every re-planned or plan-sensitive query accumulated
+    * across rounds. PlanGuardSpec asserts forbidden fragments over this SAME
+    * list, so additions here are automatically guarded in CI. */
+  val defaultNames: Seq[String] =
+    Seq("q01_pricing_summary", "q02_revenue_by_nation",
         "q06_forecast_revenue", "q11_top3_orders_per_customer",
         "fz01_fuzzy_part_lookup", "fz02_fuzzy_subspan_titles",
         "dd03_minhash_pairs", "dd04_simhash_pairs",
@@ -132,11 +143,8 @@ object ExplainAudit {
         // machinery, delta-peeled kCore, integer-DP unigram serving,
         // pigeonhole audio near-dup
         "q13_supplier_balance_rank", "q14_order_quartiles",
-        "gr05_kcore", "ug02_unigram_segment", "mm08_audio_neardup")
-    names.foreach { n =>
-      println(s"\n########## $n ##########")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-    }
-    spark.stop()
-  }
+        "gr05_kcore", "ug02_unigram_segment", "mm08_audio_neardup",
+        // round-14 tier: Mann-Whitney per-value prefix count resharded
+        // (the last data-sized unpartitioned window removed)
+        "ab03_mann_whitney")
 }

@@ -1738,10 +1738,14 @@ object Analytics {
     * is one fixed program over exact DECIMAL inputs (the welch/az01
     * convention) — a SQL replay is bit-identical.
     *
-    * Plan: per-value counts (map-side partial), then ONE ordered window
-    * over the DISTINCT values — the [[Temporal.ksStatistic]] shape: the
-    * sort is over value cardinality, never row count. NULL values are
-    * excluded (no rank for "unmeasured").
+    * Plan: per-value counts (map-side partial), then the strictly-below
+    * prefix count via [[Packing.runningTotalSharded]] over the DISTINCT
+    * values — the [[Temporal.ksStatistic]] cure: a wide-domain metric
+    * (latency micros, revenue cents) has distinct-value cardinality ≈
+    * row cardinality, so an ordered window here would be a data-sized
+    * single-partition WindowExec at scale; the sharded prefix sum keeps
+    * every sort partition-local. NULL values are excluded (no rank for
+    * "unmeasured").
     *
     * Output: one row (n_a, n_b, u2_a, tie_term, z_stat); z is NULL when
     * either arm is empty or every value ties (zero variance). */
@@ -1754,10 +1758,11 @@ object Analytics {
       .groupBy("_v_")
       .agg(count(lit(1)).as("_c_"),
         sum(when(col("_arm_") === armA, 1L).otherwise(0L)).as("_ca_"))
-    val w = Window.orderBy("_v_")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val agg = perValue
-      .withColumn("_before_", coalesce(sum(col("_c_")).over(w), lit(0L)))
+    // inclusive sharded running total minus own count = strictly-below
+    // count ("before"); _v_ is unique after the groupBy, so no tie cols
+    val agg = Packing
+      .runningTotalSharded(perValue, "_v_", "_c_", "_run_")
+      .withColumn("_before_", col("_run_") - col("_c_"))
       .agg(
         sum(col("_ca_")).as("n_a"),
         sum(col("_c_") - col("_ca_")).as("n_b"),
