@@ -172,32 +172,74 @@ object Graph {
     // repartition on the per-round join key BEFORE the one-time
     // checkpoint: the checkpointed RDD keeps its hash partitioning, so
     // every round's frontier join shuffles only the (small) frontier side
+    val kCoreDebug = sys.env.contains("GRAFT_KCORE_DEBUG")
+    val tLive = if (kCoreDebug) System.nanoTime() else 0L
+    // symmetrize by EXPLODE, not a union of the input with itself — a
+    // union would execute the (possibly expensive) upstream edge plan
+    // twice; the explode emits both directions in one pass
     val live = undirected
-      .union(undirected.select(col("_b_").as("_a_"), col("_a_").as("_b_")))
+      .select(explode(array(
+        struct(col("_a_"), col("_b_")),
+        struct(col("_b_").as("_a_"), col("_a_").as("_b_")))).as("_e_"))
+      .select(col("_e_._a_").as("_a_"), col("_e_._b_").as("_b_"))
       .distinct()
       .repartition(col("_a_"))
       .localCheckpoint()
-    var deg = live.groupBy("_a_").agg(count(lit(1)).as("_deg_"))
-      .localCheckpoint()
-    def frontierOf(d: DataFrame): DataFrame =
-      d.where(col("_deg_") < k).select("_a_")
-    var frontier = frontierOf(deg)
-    var frontierCount = frontier.count()
+    if (kCoreDebug)
+      println(f"[kcore] live build ${(System.nanoTime() - tLive) / 1e9}%.3f s")
+    // ONE job per round: the frontier size rides the SAME materialization
+    // that checkpoints the round's degree table, as an `observe` metric —
+    // no separate count() action. The observation is published by the
+    // checkpoint's listener asynchronously; the bounded wait below covers
+    // the publish race, and a count() fallback keeps correctness even if
+    // a runtime ever stopped routing checkpoints through listeners.
+    def checkpointCountingFrontier(d: DataFrame): (DataFrame, Long) = {
+      val t0 = if (kCoreDebug) System.nanoTime() else 0L
+      val obs = org.apache.spark.sql.Observation()
+      val dd = d
+        .observe(obs, count(when(col("_deg_") < k, 1L)).as("_f_"))
+        .localCheckpoint()
+      val cnt =
+        try scala.concurrent.Await
+          .result(obs.future, scala.concurrent.duration.Duration(5, "s"))
+          .getLong(0)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          if (kCoreDebug) println(s"[kcore] observation TIMED OUT")
+          dd.where(col("_deg_") < k).count()
+        }
+      if (kCoreDebug)
+        println(f"[kcore] round job ${(System.nanoTime() - t0) / 1e9}%.3f s frontier=$cnt")
+      (dd, cnt)
+    }
+    var (deg, frontierCount) = checkpointCountingFrontier(
+      live.groupBy("_a_").agg(count(lit(1)).as("_deg_")))
     var round = 0
     while (frontierCount > 0 && round < maxRounds) {
       round += 1
+      // the frontier's exact size is ALREADY KNOWN (observed by the job
+      // that built this round's deg), so the broadcast decision is
+      // runtime-informed and bounded: ≤1M ids (~8 MB) broadcasts — the
+      // common case after round 1 — keeping the live join partition-local
+      // with no frontier exchange; a bigger frontier stays on the
+      // shuffle path (a round-1 frontier at 100 TB can be half the graph)
+      val frontier0 = deg.where(col("_deg_") < k).select("_a_")
+      val frontier =
+        if (frontierCount <= (1L << 20)) broadcast(frontier0) else frontier0
       // each dropped node's edges subtract one from each neighbor; edges
       // between two dropped nodes subtract from rows the anti-join
       // removes anyway, so no double-count is possible
       val delta = live.join(frontier, "_a_")
         .groupBy(col("_b_").as("_a_")).agg(count(lit(1)).as("_d_"))
-      deg = deg.join(frontier, Seq("_a_"), "left_anti")
-        .join(delta, Seq("_a_"), "left")
-        .select(col("_a_"),
-          (col("_deg_") - coalesce(col("_d_"), lit(0L))).as("_deg_"))
-        .localCheckpoint()
-      frontier = frontierOf(deg)
-      frontierCount = frontier.count()
+      // survivors = deg rows NOT in the frontier; the frontier is exactly
+      // the sub-k rows of deg, so the anti-join is a plain filter — one
+      // join fewer per round
+      val (d2, c2) = checkpointCountingFrontier(
+        deg.where(col("_deg_") >= k)
+          .join(delta, Seq("_a_"), "left")
+          .select(col("_a_"),
+            (col("_deg_") - coalesce(col("_d_"), lit(0L))).as("_deg_")))
+      deg = d2
+      frontierCount = c2
     }
     require(frontierCount == 0,
       s"kCore did not converge in $maxRounds rounds")
