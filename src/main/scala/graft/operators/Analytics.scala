@@ -582,16 +582,19 @@ object Analytics {
     * per-x aggregate + one ordered window over the DISTINCT x set (tiny
     * after the first step) + one join back: at 100 TB that is a key
     * shuffle and a range-partitioned sort versus a self-join that
-    * explodes on Σ per-cell². The global window runs over the distinct-x
-    * table only; if x itself is ultra-high-cardinality, the
-    * [[Packing.packSequencesSharded]] two-phase recipe (per-shard minima,
-    * prefix-min stitch) applies verbatim. */
+    * explodes on Σ per-cell². The prefix-min over the distinct-x table is
+    * [[Packing.runningMinSharded]] (per-shard minima, triangular base
+    * join, within-shard partitioned window) — x can be near-unique
+    * (prices), so even the distinct-x set must not funnel into a global
+    * ordered window. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val perX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("_ymin_"))
-    val w = Window.orderBy(col(xCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = perX
-      .withColumn("_prev_", min(col("_ymin_")).over(w))
+    // exclusive prefix-min in x order via the two-phase sharded plan —
+    // the distinct-x table can approach data size (near-unique prices),
+    // so a global ordered window here would be a single-partition sort
+    // funnel at scale (round-15 re-plan; identical output)
+    val frontier = Packing
+      .runningMinSharded(perX, xCol, "_ymin_", "_prev_")
       .where(col("_prev_").isNull || col("_ymin_") < col("_prev_"))
       .select(col(xCol), col("_ymin_"))
     df.join(frontier.withColumnRenamed("_ymin_", yCol),
@@ -1758,6 +1761,11 @@ object Analytics {
       .groupBy("_v_")
       .agg(count(lit(1)).as("_c_"),
         sum(when(col("_arm_") === armA, 1L).otherwise(0L)).as("_ca_"))
+      // lazy local checkpoint: runningTotalSharded's bounds probe is an
+      // eager action, and without this the per-value aggregate (a full
+      // scan + shuffle of the metric column) would execute twice — once
+      // for the probe, once for the main pass
+      .localCheckpoint(false)
     // inclusive sharded running total minus own count = strictly-below
     // count ("before"); _v_ is unique after the groupBy, so no tie cols
     val agg = Packing

@@ -346,6 +346,17 @@ object FuzzyLookup {
     * _endIndex_} structs (null-padded for unmatched elements). */
   def lookupArray(left: DataFrame, arrayQueryCol: String, right: DataFrame,
                   textCol: String, opts: Options = Options()): DataFrame = {
+    // fail fast on reserved scratch names: a left column named `_laid_`
+    // would be silently replaced by the withColumn below (and `_plaid_` /
+    // `${col}_res` would collide in the join-back select) — corrupt
+    // output beats an error only when it is loud
+    val reserved =
+      Seq("_laid_", "_plaid_", "_qi_", "_q_", "_packed_", s"${arrayQueryCol}_res")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"lookupArray reserves internal scratch column names " +
+        s"${reserved.mkString("[", ", ", "]")}; rename left column(s) " +
+        clash.mkString(", "))
     // _laid_ is consumed by both the exploded lookup and the final join
     // back — pin it to one evaluation (the same misalignment hazard the
     // value-based stitch removes inside lookup; here the array column
@@ -393,6 +404,12 @@ object FuzzyLookup {
     require(opts.topK == 1,
       s"lookupMulti resolves the single best match per query column " +
         s"(topK must be 1, got ${opts.topK})")
+    // a pre-existing `${q}_res` twin would be silently REPLACED by the
+    // unpack fold's withColumn and then duplicated in the final select
+    val resClash = queryCols.map(q => s"${q}_res").filter(left.columns.contains)
+    require(resClash.isEmpty,
+      s"lookupMulti writes a `{queryCol}_res` result column per query; " +
+        s"left frame already has: ${resClash.mkString(", ")}")
     // Fresh scratch name: suffix until it collides with nothing on the
     // left frame (neither the packed array column nor its `_res` twin).
     val arr = Iterator.from(0).map(i => if (i == 0) "_mq_" else s"_mq${i}_")

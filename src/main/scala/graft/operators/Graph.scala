@@ -199,12 +199,18 @@ object Graph {
       val dd = d
         .observe(obs, count(when(col("_deg_") < k, 1L)).as("_f_"))
         .localCheckpoint()
+      // the wait is configurable because 5 s can be tight under heavy GC
+      // at scale; and ANY observation failure (timeout, failed future,
+      // interrupt) falls back to the count() — the checkpointed data is
+      // fine either way, so only the fused-count optimization is lost
+      val waitSec =
+        sys.env.get("GRAFT_KCORE_OBSERVE_WAIT_SEC").map(_.toLong).getOrElse(5L)
       val cnt =
         try scala.concurrent.Await
-          .result(obs.future, scala.concurrent.duration.Duration(5, "s"))
+          .result(obs.future, scala.concurrent.duration.Duration(waitSec, "s"))
           .getLong(0)
-        catch { case _: java.util.concurrent.TimeoutException =>
-          if (kCoreDebug) println(s"[kcore] observation TIMED OUT")
+        catch { case scala.util.control.NonFatal(e) =>
+          if (kCoreDebug) println(s"[kcore] observation FAILED: $e")
           dd.where(col("_deg_") < k).count()
         }
       if (kCoreDebug)

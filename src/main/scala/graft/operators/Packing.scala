@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Overflow-safe contiguous shard assignment over the measured id span
+    * [lo, hi]: both the ceil-width and the per-row `(id - lo) div width`
+    * are computed in DECIMAL(38,0) / BigInt, because for a value domain
+    * spanning more than 2^63 (hash-like ids, sentinel-extreme longs) the
+    * naive LONG `hi - lo` and `id - lo` both wrap silently and assign
+    * wrong shards. The quotient is < numShards, so the final cast back to
+    * BIGINT is always exact. */
+  private def shardExpr(idCol: String, lo: Long, hi: Long,
+                        numShards: Int): org.apache.spark.sql.Column = {
+    val width: BigInt = ((BigInt(hi) - BigInt(lo)) / numShards + 1).max(1)
+    expr(s"cast((cast($idCol as decimal(38,0)) - cast('$lo' as decimal(38,0)))" +
+      s" div cast('$width' as decimal(38,0)) as bigint)")
+  }
+
   /** Split each document into chunks of `chunkTokens` whitespace tokens,
     * consecutive chunks overlapping by `overlap` tokens (the sliding-window
     * context-preservation trick). Output: one row per chunk with
@@ -80,24 +94,35 @@ object Packing {
     * `idCol` (doc ids). When `idCol` is not unique, pass `tieCols` to
     * make the within-shard order total — shard assignment depends only
     * on `idCol`, so tied rows always share a shard and the tie-broken
-    * output is deterministic. */
+    * output is deterministic.
+    *
+    * NULL ids are unsupported by default (a NULL shard breaks the
+    * earlier-shard inequality); with `nullsLast = true` NULL-id rows get
+    * a dedicated LAST shard, ordered among themselves by `tieCols` — the
+    * `ORDER BY x ASC NULLS LAST` running total.
+    *
+    * Cost note: the id-span bounds probe is an eager min/max action, so
+    * `df`'s upstream plan executes once for the probe and again in the
+    * main pass. Callers whose upstream is expensive (a wide aggregate, a
+    * join) should `localCheckpoint`/`persist` it first — see
+    * [[Analytics.mannWhitneyU]]. */
   def runningTotalSharded(df: DataFrame, idCol: String, tokensCol: String,
                           cumCol: String, numShards: Int = 32,
                           groupCols: Seq[String] = Nil,
-                          tieCols: Seq[String] = Nil): DataFrame = {
+                          tieCols: Seq[String] = Nil,
+                          nullsLast: Boolean = false): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi")).head()
-    if (bounds.isNullAt(0)) { // empty input: empty result, right schema
+    if (bounds.isNullAt(0)) { // empty (or all-NULL-id) input: exact window
       return df.withColumn(cumCol, sum(col(tokensCol)).over(
-        Window.orderBy(col(idCol))
+        Window.orderBy((idCol +: tieCols).map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // ceil-width keeps every id inside [0, numShards)
-    val width = 1L.max((hi - lo) / numShards + 1)
+    val rawShard = shardExpr(idCol, lo, hi, numShards)
     val sharded = df.withColumn("_shard_",
-      expr(s"(cast($idCol as bigint) - $lo) div $width"))
+      if (nullsLast) coalesce(rawShard, lit(numShards.toLong)) else rawShard)
     val keys = groupCols :+ "_shard_"
     val totals = sharded.groupBy(keys.map(col): _*)
       .agg(sum(col(tokensCol)).as("_tot_"))
@@ -131,6 +156,46 @@ object Packing {
       .select(df.columns.map(col) :+ col(cumCol): _*)
   }
 
+  /** Sharded EXCLUSIVE running minimum — the prefix-min twin of
+    * [[runningTotalSharded]]: adds `cumCol` = min of `valCol` over all
+    * STRICTLY-earlier rows in `idCol` ascending order (NULL for the
+    * globally first row), identical to
+    * `min(val).over(orderBy(id).rowsBetween(unboundedPreceding, -1))`.
+    * Same two-phase scheme: one min per shard (map-side combined), the
+    * earlier-shard base via the ≤numShards² triangular join, the
+    * within-shard exclusive prefix-min via a window PARTITIONED by shard;
+    * `least` stitches base and within-shard min (it ignores NULLs, which
+    * encode "no earlier row on this side"). Requires a numeric `idCol`
+    * with no duplicates (the skyline/frontier shape: `idCol` comes out of
+    * a groupBy); a non-numeric `idCol` nulls the bounds probe and
+    * degrades gracefully to the single-sort window. */
+  def runningMinSharded(df: DataFrame, idCol: String, valCol: String,
+                        cumCol: String, numShards: Int = 32): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
+      max(col(idCol)).cast("long").as("hi")).head()
+    val wGlobal = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    if (bounds.isNullAt(0)) // empty (or unshardable) input: exact fallback
+      return df.withColumn(cumCol, min(col(valCol)).over(wGlobal))
+    val sharded = df.withColumn("_shard_",
+      shardExpr(idCol, bounds.getLong(0), bounds.getLong(1), numShards))
+    val totals = sharded.groupBy(col("_shard_"))
+      .agg(min(col(valCol)).as("_tot_"))
+    val earlier = totals.select(col("_shard_").as("_e__shard_"),
+      col("_tot_").as("_etot_"))
+    // base = min over strictly-earlier shards; stays NULL when none
+    val bases = totals.join(earlier, col("_e__shard_") < col("_shard_"), "left")
+      .groupBy(col("_shard_")).agg(min(col("_etot_")).as("_base_"))
+    val wIn = Window.partitionBy(col("_shard_")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .join(broadcast(bases.withColumnRenamed("_shard_", "_b__shard_")),
+        col("_shard_") === col("_b__shard_"))
+      .withColumn(cumCol, least(col("_base_"), min(col(valCol)).over(wIn)))
+      .select(df.columns.map(col) :+ col(cumCol): _*)
+  }
+
   /** Global NTILE without a global window: the global rank in
     * (`idCol`, `tieCols`) ascending order comes from
     * [[runningTotalSharded]] over a constant-1 column, and the tier from
@@ -140,14 +205,17 @@ object Packing {
     * `r = N mod buckets`) — pure integer, bit-identical to any engine's
     * `ntile(buckets)` over the same total order, with no data-sized
     * single-partition WindowExec anywhere in the plan. Descending
-    * semantics: negate the key. Adds `bucketCol` (1-based). */
+    * semantics: negate the key; `nullsLast` ranks NULL keys after every
+    * real key (ordered by `tieCols`), the `ASC NULLS LAST` total order.
+    * Adds `bucketCol` (1-based). */
   def ntileSharded(df: DataFrame, idCol: String, buckets: Int,
                    numShards: Int = 32, tieCols: Seq[String] = Nil,
-                   bucketCol: String = "bucket"): DataFrame = {
+                   bucketCol: String = "bucket",
+                   nullsLast: Boolean = false): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val ranked = runningTotalSharded(
       df.withColumn("_one_", lit(1L)), idCol, "_one_", "_gr_",
-      numShards = numShards, tieCols = tieCols)
+      numShards = numShards, tieCols = tieCols, nullsLast = nullsLast)
     val n = df.agg(count(lit(1)).as("_n_"))
     val b = s"(_n_ div $buckets)"
     val r = s"(_n_ % $buckets)"
@@ -243,8 +311,7 @@ object Packing {
       return spark.emptyDataset[(Long, Long, Long, Long, Boolean)]
         .toDF(idCol, tokensCol, "shard", "bin_id", "oversized")
     val lo = bounds.getLong(0)
-    val width = 1L.max((bounds.getLong(1) - lo) / numShards + 1)
-    df.select(expr(s"(cast($idCol as bigint) - ($lo)) div $width").as("_shard_"),
+    df.select(shardExpr(idCol, lo, bounds.getLong(1), numShards).as("_shard_"),
         col(idCol).cast("long").as("_id_"),
         col(tokensCol).cast("long").as("_w_"))
       .as[(Long, Long, Long)]

@@ -439,9 +439,22 @@ object TextAnalysis {
     * per-row comparison (no global sort); the boundary-vs-exact difference
     * is confined to ties at the cut points. */
   def scoreBuckets(df: DataFrame, idCol: String, scoreCol: String,
-                   nBuckets: Int = 3): DataFrame =
-    df.withColumn("bucket", ntile(nBuckets).over(
-      Window.orderBy(col(scoreCol).desc_nulls_last, col(idCol))))
+                   nBuckets: Int = 3): DataFrame = {
+    // exact NTILE over (score DESC NULLS LAST, id ASC) without the global
+    // ordered window (round-15 re-plan — per-document scores are
+    // data-sized, so the single-partition sort funnel would be the job at
+    // 100 TB): descending score == ascending NEGATED score (negation is
+    // exact for doubles), NULLS LAST via the dedicated last shard, then
+    // Packing.ntileSharded's two-phase rank.
+    Packing.ntileSharded(
+        // lazy local checkpoint: the shard-bounds probe and total count
+        // are eager actions — scoring upstreams (LM joins) must not run
+        // three times
+        df.withColumn("_negs_", -col(scoreCol)).localCheckpoint(false),
+        "_negs_", nBuckets, tieCols = Seq(idCol), nullsLast = true)
+      .withColumn("bucket", col("bucket").cast("int")) // ntile's INT contract
+      .drop("_negs_")
+  }
 
   /** The 100 TB variant of [[scoreBuckets]]: approximate quantile
     * boundaries in one Greenwald-Khanna pass (`df.stat.approxQuantile`),

@@ -31,7 +31,8 @@ case class RunResult(df: DataFrame, named: Map[String, DataFrame],
                      log: Seq[(String, Long)])
 
 case class Model(project: String, name: String, steps: Seq[Step] = Nil,
-                 snapshotBase: Option[String] = None) {
+                 snapshotBase: Option[String] = None,
+                 group: String = "models") {
 
   def step(s: Step): Model = copy(steps = steps :+ s)
   def step(stepName: String, op: DataFrame => DataFrame): Model =
@@ -74,6 +75,34 @@ case class Model(project: String, name: String, steps: Seq[Step] = Nil,
       log += s.name -> ((System.nanoTime() - t0) / 1000000)
     }
     RunResult(flow, named, log.result())
+  }
+
+  /** Append ONE run-log row to the partitioned-JSON experiment log — the
+    * reference's run-history artifact (mllib/Model.scala:142-164: one row
+    * per run, metrics as columns, appended
+    * `partitionBy(modelGroup, project, model).json(logPath)`), which an
+    * experiment audit later reads back with any JSON + hive-partition
+    * reader. Fixed columns carry the model identity and step roster;
+    * each step's wall-clock lands in its own `{step}_ms` column (the
+    * reference's per-step execMetrics) and caller-supplied `metrics`
+    * append as their own columns. The row is one driver-side tuple — no
+    * data-sized work; `coalesce(1)` keeps the append at one small file
+    * per run. */
+  def writeRunLog(logPath: String, result: RunResult,
+                  metrics: Map[String, Double] = Map.empty,
+                  comment: String = ""): Unit = {
+    val spark = result.df.sparkSession
+    import spark.implicits._
+    val base = Seq((group, project, name, comment, steps.length.toLong,
+        result.log.map(_._1).mkString(",")))
+      .toDF("model_group", "project", "model", "comment", "n_steps",
+        "step_names")
+    val withSteps = result.log.foldLeft(base) { case (df, (step, ms)) =>
+      df.withColumn(s"${step}_ms", org.apache.spark.sql.functions.lit(ms)) }
+    val row = metrics.toSeq.sortBy(_._1).foldLeft(withSteps) {
+      case (df, (k, v)) => df.withColumn(k, org.apache.spark.sql.functions.lit(v)) }
+    row.coalesce(1).write.mode("append")
+      .partitionBy("model_group", "project", "model").json(logPath)
   }
 
   private def shape(s: Step, df0: DataFrame): DataFrame = {

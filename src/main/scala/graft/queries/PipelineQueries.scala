@@ -1175,8 +1175,14 @@ object PipelineQueries {
         overlap.where(!col("contaminated")).select("doc_id"), "doc_id")
       val counted = clean.select(col("doc_id"),
         TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
-      graft.operators.Packing.packSequences(counted, "doc_id", "bpe_tokens",
-        seqLen = 512)
+        // the sharded packer's bounds probe is an eager action; without
+        // this the dedup/contamination upstream would execute twice
+        .localCheckpoint(false)
+      // sharded two-phase packer (identical output to packSequences; the
+      // single-sort mode stays gated as pk01's documented reference-parity
+      // surface — a composite pipeline should carry the scale plan)
+      graft.operators.Packing.packSequencesSharded(counted, "doc_id",
+        "bpe_tokens", seqLen = 512)
         .groupBy("seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("bpe_tokens").as("seq_tokens"))
         .orderBy("seq_id")

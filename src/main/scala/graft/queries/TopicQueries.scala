@@ -134,9 +134,16 @@ object TopicQueries {
     }),
 
     // Topic-tree persistence round-trip: adaptive fit (childSplitSize
-    // spawning), save as JSON-lines datasets, reload, re-score — the
-    // loaded tree must reproduce the original scores exactly (rows-only;
-    // equality asserted via order-independent aggregates + spec test)
+    // spawning), save as JSON-lines datasets, reload — gated in two
+    // halves (round 15). STRUCTURAL half, oracle-gated: save the LOADED
+    // tree a second time and emit its per-node structural fields (links,
+    // class paths, filter modes, topword tokens — no floats); the oracle
+    // reads the FIRST save independently with DuckDB's JSON reader, so a
+    // load that drops a child link, reorders classes, or mangles a
+    // filter mode hash-mismatches. FLOAT half (scores, vectors), pinned:
+    // `scores_ok` certifies the loaded tree re-scores the corpus
+    // identically (the oracle pins it TRUE; TopicPersistenceSpec holds
+    // the detailed float parity).
     "tp03_tree_roundtrip" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -147,7 +154,8 @@ object TopicQueries {
         NodeSpec("root", Clustering, classes = Seq(0, 1),
           maxTopWords = 5, childSplitSize = 200),
         docs, maxRounds = 2)
-      val path = s"/tmp/graft_tree/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_tree/$slug"
       tree.save(s, path)
       val loaded = TopicTree.load(s, path)
       def stats(t: TopicTree.Tree) = t.transform(docs)
@@ -155,14 +163,24 @@ object TopicQueries {
         .agg(count(lit(1)).as("n_docs"),
           round(sum(col("best")), 6).as("sum_best"))
         .collect()(0)
-      val (o, l) = (stats(tree), stats(loaded))
-      val topwordsSame = tree.topWords == loaded.topWords
-      val hitsSame = tree.nodeHits == loaded.nodeHits
-      Seq((o.getLong(0), o.getDouble(1), l.getLong(0), l.getDouble(1),
-        tree.topWords.length, tree.nodeHits.length,
-        o == l && topwordsSame && hitsSame))
-        .toDF("n_docs", "sum_best", "n_docs_loaded", "sum_best_loaded",
-          "n_topwords", "n_nodes", "roundtrip_ok")
+      val scoresOk = stats(tree) == stats(loaded) &&
+        tree.topWords == loaded.topWords && tree.nodeHits == loaded.nodeHits
+      val path2 = s"/tmp/graft_tree2/$slug"
+      loaded.save(s, path2)
+      s.read.json(s"$path2/nodes")
+        .select(col("id").cast("long").as("id"), col("name"), col("algo"),
+          col("filterMode").as("filter_mode"),
+          concat_ws(",",
+            expr("transform(children, x -> cast(x as string))"))
+            .as("children_csv"),
+          concat_ws(",",
+            expr("transform(classes, x -> cast(x as string))"))
+            .as("classes_csv"),
+          col("hits").cast("long").as("hits"),
+          concat_ws(",", expr("transform(topwords, t -> t.token)"))
+            .as("topwords_csv"),
+          lit(scoresOk).as("scores_ok"))
+        .orderBy("id")
     }),
 
     // Tag CRUD resolution: create/update/delete/addFilter op log folded to
@@ -240,6 +258,23 @@ object TopicQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // independent read of the FIRST save's node file (the Spark side
+    // re-reads its own SECOND save, written from the loaded tree): the
+    // two agree iff load is structurally faithful. The gate runs at
+    // sf0.01, hence the pinned slug; scores_ok is the adjudicated float
+    // remainder, pinned TRUE (see TopicPersistenceSpec).
+    "tp03_tree_roundtrip" ->
+      """SELECT CAST(id AS BIGINT) AS id, name, algo,
+        |  filterMode AS filter_mode,
+        |  coalesce(array_to_string(children, ','), '') AS children_csv,
+        |  coalesce(array_to_string(classes, ','), '') AS classes_csv,
+        |  CAST(hits AS BIGINT) AS hits,
+        |  coalesce(array_to_string(list_transform(topwords, t -> t.token),
+        |    ','), '') AS topwords_csv,
+        |  TRUE AS scores_ok
+        |FROM read_json_auto(
+        |  '/tmp/graft_tree/_root_testdata_sf0_01/nodes/*.json')
+        |ORDER BY id""".stripMargin,
     // full matcher semantics mirrored: first leg exact (the candidate join),
     // later legs exact-or-lev1 (legs >= 4 chars). The documents table is
     // pure [a-z0-9 ] so the simplify kernel is the identity here.

@@ -269,6 +269,45 @@ object TransformerQueries {
       m.run(Tables.lineitem(s, d),
           Map("orders" -> Tables.orders(s, d))).df
         .orderBy("o_orderstatus")
+    }),
+
+    // ---- Model run-log JSON sink (reference mllib/Model.scala:142-164):
+    // one appended row per run, partitioned by (modelGroup, project,
+    // model). Three runs across two groups land in the hive layout; the
+    // gate reads the log BACK through the partition dirs and projects the
+    // deterministic columns (identity, step roster, data-derived metric
+    // counts) — the oracle recomputes those counts from the tables, so a
+    // dropped row, a mis-bucketed partition, or a mangled metric all
+    // hash-mismatch. Durations stay in the artifact but out of the gate.
+    "md02_run_log" -> ((s, d) => {
+      import graft.pipeline.Model
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val logPath = s"/tmp/graft_runlog/$slug"
+      // the sink is append-mode by contract (one row per run), so the
+      // gate clears its own dir for a deterministic replay
+      val hPath = new org.apache.hadoop.fs.Path(logPath)
+      hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hPath, true)
+      def runOne(grp: String, proj: String, mdl: String, minQty: Int): Unit = {
+        val m = Model(proj, mdl, group = grp)
+          .step("filter", df => df.where(col("l_quantity") > minQty))
+          .step("agg", df => df.groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n")))
+        val res = m.run(Tables.lineitem(s, d))
+        val kept = res.df.agg(sum(col("n"))).head().getLong(0)
+        m.writeRunLog(logPath, res, metrics = Map(
+          "rows_out" -> res.df.count().toDouble,
+          "rows_kept" -> kept.toDouble))
+      }
+      runOne("expA", "proj1", "m1", 45)
+      runOne("expA", "proj1", "m2", 48)
+      runOne("expB", "proj2", "m3", 30)
+      s.read.json(logPath)
+        .select(col("model_group"), col("project"), col("model"),
+          col("n_steps").cast("long").as("n_steps"), col("step_names"),
+          col("rows_out").cast("double").as("rows_out"),
+          col("rows_kept").cast("double").as("rows_kept"))
+        .orderBy("model_group", "project", "model")
     })
   )
 
@@ -343,6 +382,24 @@ object TransformerQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_quantity > 45
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // replays the three logged runs from the tables themselves: the row
+    // counts the Spark side logged as metrics must equal a fresh count at
+    // each run's threshold; identity/roster columns are the run literals
+    "md02_run_log" ->
+      """WITH m AS (
+        |  SELECT 'expA' AS model_group, 'proj1' AS project, 'm1' AS model,
+        |         45 AS thr
+        |  UNION ALL SELECT 'expA', 'proj1', 'm2', 48
+        |  UNION ALL SELECT 'expB', 'proj2', 'm3', 30)
+        |SELECT model_group, project, model,
+        |  CAST(2 AS BIGINT) AS n_steps,
+        |  'filter,agg' AS step_names,
+        |  (SELECT CAST(count(DISTINCT l_returnflag) AS DOUBLE)
+        |     FROM lineitem WHERE l_quantity > thr) AS rows_out,
+        |  (SELECT CAST(count(*) AS DOUBLE)
+        |     FROM lineitem WHERE l_quantity > thr) AS rows_kept
+        |FROM m ORDER BY model_group, project, model""".stripMargin,
 
     // nnz = distinct polyHash64Mixed(token) mod 2048 buckets. UHUGEINT poly
     // fold + splitmix64 finalizer (three list_transform stages); the
