@@ -182,8 +182,14 @@ object Graph {
         struct(col("_a_"), col("_b_")),
         struct(col("_b_").as("_a_"), col("_a_").as("_b_")))).as("_e_"))
       .select(col("_e_._a_").as("_a_"), col("_e_._b_").as("_b_"))
-      .distinct()
+      // repartition FIRST: HashPartitioning(_a_) satisfies the (_a_,_b_)
+      // clustering the distinct needs (same pair -> same _a_ -> same
+      // partition), so the dedup aggregate runs partition-local and the
+      // build pays ONE full-edge shuffle instead of two — and the
+      // aggregate preserves the _a_ partitioning the per-round frontier
+      // join relies on
       .repartition(col("_a_"))
+      .distinct()
       .localCheckpoint()
     if (kCoreDebug)
       println(f"[kcore] live build ${(System.nanoTime() - tLive) / 1e9}%.3f s")
