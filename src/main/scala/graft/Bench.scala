@@ -196,7 +196,7 @@ object Bench {
     // inline map (the full map is in the per-query file regardless)
     def lineFor(entries: Seq[String]): String = {
       val qJson = entries.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$nErrors,"queries":$qJson,"sf":"$sfDir","per_query_file":"${outPath.toString}"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$nErrors,"repeat":$repeat,"queries":$qJson,"sf":"$sfDir","per_query_file":"${outPath.toString}"}"""
     }
     var inline = results.collect {
       case (k, v) if k.startsWith("q") || headline(k.takeWhile(_ != '_')) =>

@@ -72,6 +72,21 @@ class Round15Spec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("runningTotalSharded nullsLast == ASC NULLS LAST window (randomized, ties)") {
+    val rnd = new scala.util.Random(21)
+    val rows = Seq.tabulate(300)(i => (i.toLong,
+      if (i % 11 == 0) None else Some(rnd.nextInt(40).toLong), 1L))
+    val df = rows.toDF("tie", "id", "v")
+    val got = Packing.runningTotalSharded(df, "id", "v", "cum",
+        numShards = 5, tieCols = Seq("tie"), nullsLast = true)
+      .select("tie", "cum").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(col("id").asc_nulls_last, col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("cum", sum(col("v")).over(w))
+      .select("tie", "cum").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
   // ---- scoreBuckets re-plan ----------------------------------------------
 
   test("scoreBuckets == global ntile(desc score NULLS LAST, id), incl. NULLs") {
