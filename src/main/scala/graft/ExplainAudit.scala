@@ -146,5 +146,11 @@ object ExplainAudit {
         "gr05_kcore", "ug02_unigram_segment", "mm08_audio_neardup",
         // round-14 tier: Mann-Whitney per-value prefix count resharded
         // (the last data-sized unpartitioned window removed)
-        "ab03_mann_whitney")
+        "ab03_mann_whitney",
+        // round-15 tier: the four re-planned global windows (sharded
+        // ntile with nulls-last, sharded packer, sharded prefix-min
+        // skyline), the run-log sink readback, the structural tree gate
+        "cq01_quality_buckets", "tr03_rank_split",
+        "pp03_preprocess_pipeline", "sl01_skyline_orders",
+        "md02_run_log", "tp03_tree_roundtrip")
 }
