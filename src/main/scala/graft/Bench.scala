@@ -78,6 +78,15 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
+    // BENCH_r14's stdout line came back "parsed": null — the driver's
+    // ~2.3 KB tail window was flooded by WindowExec's "No Partition
+    // Defined" WARNs from the adjudicated bounded-table windows (every
+    // one allow-listed with a pinned reason in PlanGuardSpec, which
+    // asserts the non-adjudicated case in CI). Silence the logger here so
+    // the one line the driver must parse survives the tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // optional comma-separated query filter for targeted local timing runs;
     // a blank value means "no filter", not "match nothing"
@@ -204,7 +213,9 @@ object Bench {
     }
     while (lineFor(inline).length >= 1500 && inline.nonEmpty)
       inline = inline.init
-    println(lineFor(inline))
+    // stop BEFORE printing: Spark's shutdown logging must not land after
+    // the one line the driver tails for
     spark.stop()
+    println(lineFor(inline))
   }
 }
