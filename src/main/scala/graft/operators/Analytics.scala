@@ -588,7 +588,11 @@ object Analytics {
     * (prices), so even the distinct-x set must not funnel into a global
     * ordered window. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val perX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("_ymin_"))
+    // probe cache: runningMinSharded's bounds probe is eager and its
+    // stitch plan references the per-x aggregate twice — uncached, the
+    // (data-sized when x is near-unique) groupBy would run three times
+    val perX = Packing.probeCache(
+      df.groupBy(col(xCol)).agg(min(col(yCol)).as("_ymin_")))
     // exclusive prefix-min in x order via the two-phase sharded plan —
     // the distinct-x table can approach data size (near-unique prices),
     // so a global ordered window here would be a single-partition sort
@@ -1761,11 +1765,11 @@ object Analytics {
       .groupBy("_v_")
       .agg(count(lit(1)).as("_c_"),
         sum(when(col("_arm_") === armA, 1L).otherwise(0L)).as("_ca_"))
-      // lazy local checkpoint: runningTotalSharded's bounds probe is an
-      // eager action, and without this the per-value aggregate (a full
-      // scan + shuffle of the metric column) would execute twice — once
-      // for the probe, once for the main pass
-      .localCheckpoint(false)
+      // probe cache: runningTotalSharded's bounds probe is an eager
+      // action, and without this the per-value aggregate (a full scan +
+      // shuffle of the metric column) would execute twice — once for the
+      // probe, once for the main pass
+      .transform(Packing.probeCache)
     // inclusive sharded running total minus own count = strictly-below
     // count ("before"); _v_ is unique after the groupBy, so no tie cols
     val agg = Packing

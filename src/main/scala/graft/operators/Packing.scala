@@ -12,18 +12,35 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Overflow-safe contiguous shard assignment over the measured id span
-    * [lo, hi]: both the ceil-width and the per-row `(id - lo) div width`
-    * are computed in DECIMAL(38,0) / BigInt, because for a value domain
+    * [lo, hi]: the ceil-width and the per-row `(id - lo) div width` are
+    * computed in BigInt / DECIMAL(38,0), because for a value domain
     * spanning more than 2^63 (hash-like ids, sentinel-extreme longs) the
     * naive LONG `hi - lo` and `id - lo` both wrap silently and assign
-    * wrong shards. The quotient is < numShards, so the final cast back to
-    * BIGINT is always exact. */
+    * wrong shards. The id is TRUNCATED to bigint first — the same cast
+    * the bounds probe uses — so every truncated id lands in [lo, hi] and
+    * the quotient in [0, numShards): a direct double→decimal cast would
+    * ROUND (HALF_UP), letting a fractional id above hi+0.5 shard to
+    * exactly numShards and collide with the reserved nulls shard. The
+    * bigint→decimal(38,0) subtraction after truncation stays exact and
+    * wrap-free. */
   private def shardExpr(idCol: String, lo: Long, hi: Long,
                         numShards: Int): org.apache.spark.sql.Column = {
     val width: BigInt = ((BigInt(hi) - BigInt(lo)) / numShards + 1).max(1)
-    expr(s"cast((cast($idCol as decimal(38,0)) - cast('$lo' as decimal(38,0)))" +
+    expr(s"cast((cast(cast($idCol as bigint) as decimal(38,0)) - " +
+      s"cast('$lo' as decimal(38,0)))" +
       s" div cast('$width' as decimal(38,0)) as bigint)")
   }
+
+  /** Lazy local checkpoint guarding a sharded operator's eager bounds
+    * probe from re-executing an expensive upstream (the probe + main pass
+    * — and ntile's total count — would otherwise each run it). Pure
+    * caching, no semantics: PlanGuardSpec sets the system property to
+    * bypass it so the FULL logical plan stays visible to the CI plan
+    * guard (a localCheckpoint truncates lineage into an opaque
+    * LogicalRDD, which would carve the upstream out of the audit). */
+  def probeCache(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.test.noProbeCache").contains("1")) df
+    else df.localCheckpoint(false)
 
   /** Split each document into chunks of `chunkTokens` whitespace tokens,
     * consecutive chunks overlapping by `overlap` tokens (the sliding-window
@@ -98,20 +115,23 @@ object Packing {
     *
     * NULL ids are unsupported by default (a NULL shard breaks the
     * earlier-shard inequality); with `nullsLast = true` NULL-id rows get
-    * a dedicated LAST shard, ordered among themselves by `tieCols` — the
-    * `ORDER BY x ASC NULLS LAST` running total.
+    * a dedicated LAST shard and with `nullsFirst = true` a dedicated
+    * FIRST shard, ordered among themselves by `tieCols` — the
+    * `ORDER BY x ASC NULLS LAST/FIRST` running totals.
     *
     * Cost note: the id-span bounds probe is an eager min/max action, so
     * `df`'s upstream plan executes once for the probe and again in the
     * main pass. Callers whose upstream is expensive (a wide aggregate, a
-    * join) should `localCheckpoint`/`persist` it first — see
+    * join) should wrap it in [[probeCache]] — see
     * [[Analytics.mannWhitneyU]]. */
   def runningTotalSharded(df: DataFrame, idCol: String, tokensCol: String,
                           cumCol: String, numShards: Int = 32,
                           groupCols: Seq[String] = Nil,
                           tieCols: Seq[String] = Nil,
-                          nullsLast: Boolean = false): DataFrame = {
+                          nullsLast: Boolean = false,
+                          nullsFirst: Boolean = false): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(!(nullsLast && nullsFirst), "nullsLast and nullsFirst conflict")
     val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi")).head()
     if (bounds.isNullAt(0)) { // empty (or all-NULL-id) input: exact window
@@ -122,7 +142,9 @@ object Packing {
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val rawShard = shardExpr(idCol, lo, hi, numShards)
     val sharded = df.withColumn("_shard_",
-      if (nullsLast) coalesce(rawShard, lit(numShards.toLong)) else rawShard)
+      if (nullsLast) coalesce(rawShard, lit(numShards.toLong))
+      else if (nullsFirst) coalesce(rawShard, lit(-1L))
+      else rawShard)
     val keys = groupCols :+ "_shard_"
     val totals = sharded.groupBy(keys.map(col): _*)
       .agg(sum(col(tokensCol)).as("_tot_"))
@@ -167,8 +189,9 @@ object Packing {
     * `least` stitches base and within-shard min (it ignores NULLs, which
     * encode "no earlier row on this side"). Requires a numeric `idCol`
     * with no duplicates (the skyline/frontier shape: `idCol` comes out of
-    * a groupBy); a non-numeric `idCol` nulls the bounds probe and
-    * degrades gracefully to the single-sort window. */
+    * a groupBy); a NULL id sorts FIRST (the window default) via a
+    * dedicated first shard; a non-numeric `idCol` nulls the bounds probe
+    * and degrades gracefully to the single-sort window. */
   def runningMinSharded(df: DataFrame, idCol: String, valCol: String,
                         cumCol: String, numShards: Int = 32): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
@@ -178,8 +201,9 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     if (bounds.isNullAt(0)) // empty (or unshardable) input: exact fallback
       return df.withColumn(cumCol, min(col(valCol)).over(wGlobal))
-    val sharded = df.withColumn("_shard_",
-      shardExpr(idCol, bounds.getLong(0), bounds.getLong(1), numShards))
+    val sharded = df.withColumn("_shard_", coalesce(
+      shardExpr(idCol, bounds.getLong(0), bounds.getLong(1), numShards),
+      lit(-1L)))
     val totals = sharded.groupBy(col("_shard_"))
       .agg(min(col(valCol)).as("_tot_"))
     val earlier = totals.select(col("_shard_").as("_e__shard_"),
@@ -205,17 +229,19 @@ object Packing {
     * `r = N mod buckets`) — pure integer, bit-identical to any engine's
     * `ntile(buckets)` over the same total order, with no data-sized
     * single-partition WindowExec anywhere in the plan. Descending
-    * semantics: negate the key; `nullsLast` ranks NULL keys after every
-    * real key (ordered by `tieCols`), the `ASC NULLS LAST` total order.
-    * Adds `bucketCol` (1-based). */
+    * semantics: negate the key; `nullsLast`/`nullsFirst` rank NULL keys
+    * after/before every real key (ordered by `tieCols`), the
+    * `ASC NULLS LAST/FIRST` total orders. Adds `bucketCol` (1-based). */
   def ntileSharded(df: DataFrame, idCol: String, buckets: Int,
                    numShards: Int = 32, tieCols: Seq[String] = Nil,
                    bucketCol: String = "bucket",
-                   nullsLast: Boolean = false): DataFrame = {
+                   nullsLast: Boolean = false,
+                   nullsFirst: Boolean = false): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val ranked = runningTotalSharded(
       df.withColumn("_one_", lit(1L)), idCol, "_one_", "_gr_",
-      numShards = numShards, tieCols = tieCols, nullsLast = nullsLast)
+      numShards = numShards, tieCols = tieCols, nullsLast = nullsLast,
+      nullsFirst = nullsFirst)
     val n = df.agg(count(lit(1)).as("_n_"))
     val b = s"(_n_ div $buckets)"
     val r = s"(_n_ % $buckets)"

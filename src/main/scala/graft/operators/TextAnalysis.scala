@@ -445,12 +445,28 @@ object TextAnalysis {
     // data-sized, so the single-partition sort funnel would be the job at
     // 100 TB): descending score == ascending NEGATED score (negation is
     // exact for doubles), NULLS LAST via the dedicated last shard, then
-    // Packing.ntileSharded's two-phase rank.
+    // Packing.ntileSharded's two-phase rank. NON-FINITE scores are
+    // rejected IN-PLAN (contract narrowing vs the old window form, which
+    // sorted NaN first): the sharded rank keys on a bigint truncation of
+    // the score, where NaN/±Inf either throw a cryptic ANSI CAST_OVERFLOW
+    // or scramble the shard bounds — a NaN quality score is an upstream
+    // bug and should say so by name. NULLs keep their worst-bucket order.
+    val clash = df.columns.intersect(Seq("_negs_", "_one_", "_gr_", "bucket"))
+    require(clash.isEmpty, s"scoreBuckets reserves scratch/output column " +
+      s"names [_negs_, _one_, _gr_, bucket]; rename: ${clash.mkString(", ")}")
+    val sd = col(scoreCol).cast("double")
+    val negated = when(col(scoreCol).isNull, lit(null).cast("double"))
+      .when(!isnan(sd) && sd > Double.NegativeInfinity &&
+        sd < Double.PositiveInfinity, -col(scoreCol))
+      .otherwise(raise_error(concat(
+        lit(s"scoreBuckets: non-finite $scoreCol ("),
+        coalesce(sd.cast("string"), lit("NULL")),
+        lit(s") for $idCol "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
     Packing.ntileSharded(
-        // lazy local checkpoint: the shard-bounds probe and total count
-        // are eager actions — scoring upstreams (LM joins) must not run
-        // three times
-        df.withColumn("_negs_", -col(scoreCol)).localCheckpoint(false),
+        // probe cache: the shard-bounds probe and total count are eager
+        // actions — scoring upstreams (LM joins) must not run three times
+        Packing.probeCache(df.withColumn("_negs_", negated)),
         "_negs_", nBuckets, tieCols = Seq(idCol), nullsLast = true)
       .withColumn("bucket", col("bucket").cast("int")) // ntile's INT contract
       .drop("_negs_")

@@ -90,24 +90,22 @@ object Tuning {
       case "avg" => avg(col(metricCol))
       case other => throw new IllegalArgumentException(s"agg: $other")
     }
-    // lazy local checkpoint: ntileSharded's shard-bounds probe and group
-    // count are eager actions — without this the group aggregate (a full
-    // input shuffle) would execute three times
-    val grouped = df.groupBy(groupCols.map(col): _*).agg(aggExpr.as("_metric_"))
-      .localCheckpoint(false)
+    // probe cache: ntileSharded's shard-bounds probe and group count are
+    // eager actions — without this the group aggregate (a full input
+    // shuffle) would execute three times
+    val grouped = Packing.probeCache(
+      df.groupBy(groupCols.map(col): _*).agg(aggExpr.as("_metric_")))
     // exact NTILE over (metric, group key) without a global ordered
     // window (round-15 re-plan): the grouped table is group-cardinality-
     // sized — per-customer splits at 100 TB make it data-sized, so the
     // single-partition sort funnel would be the job. ntileSharded shards
     // on the metric (order-consistent by construction) and breaks ties on
-    // the group columns, exactly the old ORDER BY (_metric_, struct(...)).
-    // The metric is an aggregate over the fold input, hence non-null for
-    // every group sum/count/avg produces (count never, sum/avg only for
-    // all-NULL groups — those keep the reference behavior of sorting
-    // first and here surface as a loud shard-probe degradation instead).
+    // the group columns, exactly the old ORDER BY (_metric_, struct(...));
+    // nullsFirst preserves that order's NULLS FIRST default for groups
+    // whose metric aggregates to NULL (all-NULL sum/avg inputs).
     val ranked = Packing
       .ntileSharded(grouped, "_metric_", numFolds,
-        tieCols = groupCols, bucketCol = foldCol)
+        tieCols = groupCols, bucketCol = foldCol, nullsFirst = true)
       .withColumn(foldCol, (col(foldCol) - 1).cast("int"))
       .drop("_metric_")
     df.join(ranked, groupCols)

@@ -91,6 +91,21 @@ case class Model(project: String, name: String, steps: Seq[Step] = Nil,
   def writeRunLog(logPath: String, result: RunResult,
                   metrics: Map[String, Double] = Map.empty,
                   comment: String = ""): Unit = {
+    // loud on column collisions (the fuzzy-lookup reserved-name
+    // convention): a step named `model` or a metric key `n_steps` would
+    // otherwise silently REPLACE an identity/partition column via
+    // withColumn, mis-bucketing the row
+    val fixed = Seq("model_group", "project", "model", "comment",
+      "n_steps", "step_names")
+    val stepCols = result.log.map { case (s, _) => s"${s}_ms" }
+    val dupSteps = stepCols.diff(stepCols.distinct).distinct
+    require(dupSteps.isEmpty,
+      s"writeRunLog: duplicate step timing column(s): ${dupSteps.mkString(", ")}")
+    val clash = (stepCols ++ metrics.keys).filter(c =>
+      fixed.contains(c) || (metrics.keySet & stepCols.toSet).contains(c))
+    require(clash.isEmpty,
+      s"writeRunLog: step/metric column(s) collide with fixed or " +
+        s"each other's names: ${clash.distinct.mkString(", ")}")
     val spark = result.df.sparkSession
     import spark.implicits._
     val base = Seq((group, project, name, comment, steps.length.toLong,

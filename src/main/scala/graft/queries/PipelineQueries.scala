@@ -1177,7 +1177,7 @@ object PipelineQueries {
         TextAnalysis.tokenCountUdf(col("text")).as("bpe_tokens"))
         // the sharded packer's bounds probe is an eager action; without
         // this the dedup/contamination upstream would execute twice
-        .localCheckpoint(false)
+        .transform(graft.operators.Packing.probeCache)
       // sharded two-phase packer (identical output to packSequences; the
       // single-sort mode stays gated as pk01's documented reference-parity
       // surface — a composite pipeline should carry the scale plan)
@@ -3406,7 +3406,9 @@ object PipelineQueries {
          |cand AS (
          |  SELECT w[s:s + l - 1] AS piece, CAST(SUM(f) AS BIGINT) AS cnt
          |  FROM wf, guard, range(1, 9) s(s), range(1, 5) l(l)
-         |  WHERE s + l - 1 <= length(w)
+         |  -- guard.ok MUST be referenced: an unused column is pruned and
+         |  -- its error() never evaluates (verified on duckdb 1.0.0)
+         |  WHERE s + l - 1 <= length(w) AND guard.ok = 1
          |  GROUP BY 1),
          |multi AS (
          |  SELECT piece, cnt FROM cand WHERE length(piece) > 1

@@ -99,6 +99,13 @@ class PlanGuardSpec extends AnyFunSuite {
 
   test("no registered plan carries a CartesianProduct or an unadjudicated global Window") {
     val probe = sys.env.contains("GRAFT_PLANGUARD_PROBE")
+    // bypass the probe-cache localCheckpoints while auditing: a
+    // checkpoint truncates lineage into an opaque LogicalRDD, which would
+    // carve everything upstream of it (cq01's LM scoring, tr03's group
+    // aggregate, pp03's curation chain...) out of this guard — the exact
+    // blind spot the sweep exists to close
+    sys.props("graft.test.noProbeCache") = "1"
+    try {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
@@ -126,5 +133,6 @@ class PlanGuardSpec extends AnyFunSuite {
     else
       assert(offenders.isEmpty,
         s"forbidden plan fragments:\n${offenders.mkString("\n")}")
+    } finally sys.props.remove("graft.test.noProbeCache")
   }
 }

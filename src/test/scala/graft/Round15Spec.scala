@@ -42,6 +42,38 @@ class Round15Spec extends AnyFunSuite {
     assert(out.size == 3 && out.values.forall(!_._2)) // nothing oversized
   }
 
+  test("nullsLast shard never collides with rounded fractional ids") {
+    // regression: shardExpr's double->decimal cast ROUNDED (HALF_UP), so
+    // an id like 31.6 over span [0,31] with 32 shards landed in shard 32
+    // — the reserved NULL shard — and NULL rows interleaved mid-order
+    val rows = Seq((1L, Some(0.0)), (2L, Some(15.2)), (3L, Some(31.6)),
+      (4L, None), (5L, Some(31.4)), (6L, Some(0.4)))
+    val df = rows.toDF("tie", "id").withColumn("v", lit(1L))
+    val got = Packing.runningTotalSharded(df, "id", "v", "cum",
+        numShards = 32, tieCols = Seq("tie"), nullsLast = true)
+      .select("tie", "cum").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(col("id").asc_nulls_last, col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("cum", sum(col("v")).over(w))
+      .select("tie", "cum").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+
+  test("rankSplit: a group with an all-NULL metric keeps NULLS FIRST order") {
+    val df = Seq(
+      ("gNull", Option.empty[Int]), ("gNull", None),
+      ("gLow", Some(1)), ("gMid", Some(5)), ("gHigh", Some(9)))
+      .toDF("g", "m")
+    val got = Tuning.rankSplit(df, Seq("g"), "m", "sum", numFolds = 4)
+      .select("g", "fold").distinct().as[(String, Int)].collect().toMap
+    val grouped = df.groupBy("g").agg(sum(col("m")).as("_metric_"))
+    val expect = grouped.withColumn("fold",
+        ntile(4).over(Window.orderBy(col("_metric_"), col("g"))) - 1)
+      .select("g", "fold").as[(String, Int)].collect().toMap
+    assert(got == expect)
+    assert(got("gNull") == 0) // NULL metric sorts first -> fold 0
+  }
+
   // ---- sharded exclusive prefix-min --------------------------------------
 
   test("runningMinSharded == exclusive global-window prefix-min (randomized)") {
@@ -56,6 +88,17 @@ class Round15Spec extends AnyFunSuite {
       .select("id", "pm").as[(Long, Option[Long])].collect().toMap
     assert(got == expect)
     assert(expect(rows.map(_._1).min).isEmpty) // first row NULL contract
+  }
+
+  test("runningMinSharded keeps a NULL-id row, sorted first (window default)") {
+    val df = Seq((Some(1L), 10L), (Some(5L), 3L), (Option.empty[Long], 7L))
+      .toDF("id", "v")
+    val got = Packing.runningMinSharded(df, "id", "v", "pm", numShards = 4)
+    assert(got.count() == 3) // regression: the NULL-id row was dropped
+    val m = got.select("v", "pm").as[(Long, Option[Long])].collect().toMap
+    assert(m(7L).isEmpty)        // NULL id sorts first: no earlier row
+    assert(m(10L).contains(7L))  // id=1 sees the null row's value
+    assert(m(3L).contains(7L))   // id=5 sees min(7, 10)... = 7
   }
 
   test("skyline2d sharded prefix-min: frontier matches NOT EXISTS definition") {
@@ -102,6 +145,17 @@ class Round15Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("scoreBuckets rejects non-finite scores by name") {
+    val err = intercept[Exception] {
+      Seq((1L, Some(1.0)), (2L, Some(Double.NaN))).toDF("id", "s")
+        .transform(TextAnalysis.scoreBuckets(_, "id", "s", 2)).collect()
+    }
+    def msg(t: Throwable): String =
+      (Option(t.getMessage).getOrElse("")) +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(err).contains("non-finite s"))
+  }
+
   test("rankSplit == grouped global-ntile definition") {
     val rnd = new scala.util.Random(9)
     val rows = Seq.tabulate(400)(i => ((i % 37).toLong, rnd.nextInt(100)))
@@ -140,6 +194,11 @@ class Round15Spec extends AnyFunSuite {
     // partition columns come back through the directory names
     assert(back.select("model_group", "project", "model")
       .as[(String, String, String)].head() == (("grpG", "projX", "mA")))
+    // collision guard: a metric named like an identity column is loud
+    val e = intercept[IllegalArgumentException] {
+      m.writeRunLog(base, res, metrics = Map("model" -> 1.0))
+    }
+    assert(e.getMessage.contains("model"))
   }
 
   // ---- FuzzyLookup reserved-name guards ----------------------------------
