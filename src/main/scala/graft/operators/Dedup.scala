@@ -22,14 +22,22 @@ import graft.functions.TextKernels
   */
 object Dedup {
 
+  /** Keep exactly the row whose `orderKey` is smallest per `key` — as a
+    * PARTIAL-AGGREGABLE min_by aggregate, not a row_number window. The
+    * difference is the whole point of dedup at 100 TB: the hot key IS the
+    * duplicated text, and a window funnels every copy of it full-row into
+    * ONE sort task (AQE cannot split a window partition), while min_by's
+    * map-side combine collapses each partition's copies to one row before
+    * anything shuffles. Requires a non-null total ordering (unique ids). */
+  private def keepMinBy(df: DataFrame, key: Column, orderKey: Column): DataFrame =
+    df.groupBy(key.as("_k_"))
+      .agg(min_by(struct(df.columns.map(col): _*), orderKey).as("_r_"))
+      .select(df.columns.map(c => col("_r_").getField(c).as(c)): _*)
+
   /** Exact dedup: keep the row with the smallest `idCol` per distinct value
     * of `textCol` (deterministic keep-first). */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("_rn_", row_number().over(w))
-      .where(col("_rn_") === 1)
-      .drop("_rn_")
-  }
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    keepMinBy(df, md5(col(textCol)), col(idCol))
 
   /** Incremental exact dedup — the daily-ingest variant: dedup a NEW batch
     * against an existing corpus without touching the corpus again. Keeps a
@@ -41,12 +49,9 @@ object Dedup {
   def exactIncremental(newDf: DataFrame, corpus: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
     val seen = corpus.select(md5(col(textCol)).as("_h_")).distinct()
-    val w = Window.partitionBy("_h_").orderBy(col(idCol))
-    newDf.withColumn("_h_", md5(col(textCol)))
+    val survivors = newDf.withColumn("_h_", md5(col(textCol)))
       .join(seen, Seq("_h_"), "left_anti")
-      .withColumn("_rn_", row_number().over(w))
-      .where(col("_rn_") === 1)
-      .drop("_h_", "_rn_")
+    keepMinBy(survivors, col("_h_"), col(idCol)).drop("_h_")
   }
 
   /** Bloom-accelerated [[exactIncremental]] — IDENTICAL output, different
@@ -64,16 +69,19 @@ object Dedup {
     val seen = corpus.select(md5(col(textCol)).as("_h_"))
     val bf = seen.stat.bloomFilter("_h_", expectedItems, fpp)
     val bc = newDf.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    val mightContain = udf { (h: String) =>
+      // loud on NULL text (md5(NULL) is NULL): the bloom probe would NPE,
+      // and silently routing nulls to "new" would diverge from exact()'s
+      // dedup-nulls-together semantics
+      require(h != null, "exactIncrementalBloom: NULL text in the batch")
+      bc.value.mightContainString(h)
+    }
     val hashed = newDf.withColumn("_h_", md5(col(textCol)))
     val definiteNew = hashed.where(!mightContain(col("_h_")))
     val maybeSeen = hashed.where(mightContain(col("_h_")))
       .join(seen.distinct(), Seq("_h_"), "left_anti")
-    val w = Window.partitionBy("_h_").orderBy(col(idCol))
-    definiteNew.unionByName(maybeSeen)
-      .withColumn("_rn_", row_number().over(w))
-      .where(col("_rn_") === 1)
-      .drop("_h_", "_rn_")
+    keepMinBy(definiteNew.unionByName(maybeSeen), col("_h_"), col(idCol))
+      .drop("_h_")
   }
 
   /** Paragraph-level exact dedup — the within-and-across-document variant
@@ -94,9 +102,10 @@ object Dedup {
     val paras = df.select(col(idCol).as("_id_"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("_pos_", "_p_")))
-    val w = Window.partitionBy(md5(col("_p_"))).orderBy("_id_", "_pos_")
-    val kept = paras.withColumn("_rn_", row_number().over(w))
-      .where(col("_rn_") === 1)
+    // min_by, not a digest window: the hot paragraph (cookie banner in
+    // 10^8 docs) must collapse map-side, not sort in one task
+    val kept = keepMinBy(paras, md5(col("_p_")),
+      struct(col("_id_"), col("_pos_")))
     val rebuilt = kept.groupBy("_id_")
       .agg(array_join(transform(array_sort(
           collect_list(struct(col("_pos_"), col("_p_")))), s => s("_p_")), sep)
@@ -135,13 +144,8 @@ object Dedup {
     * the smallest (`priorityCol`, `idCol`) per distinct text — same single
     * digest-shuffle shape as [[exact]], different election. */
   def exactByPriority(df: DataFrame, textCol: String, idCol: String,
-                      priorityCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol)))
-      .orderBy(col(priorityCol), col(idCol))
-    df.withColumn("_rn_", row_number().over(w))
-      .where(col("_rn_") === 1)
-      .drop("_rn_")
-  }
+                      priorityCol: String): DataFrame =
+    keepMinBy(df, md5(col(textCol)), struct(col(priorityCol), col(idCol)))
 
   /** Boilerplate removal by corpus frequency — the CCNet/RefinedWeb curation
     * stage that strips navigation chrome, cookie banners, share buttons:
@@ -156,9 +160,11 @@ object Dedup {
     * 100 TB shape: line document-frequency is one hash shuffle of
     * (line digest, doc id) with map-side partial aggregation; the frequent
     * set is df-thresholded and therefore tiny relative to the corpus
-    * (boilerplate is by definition a small distinct set), so it broadcasts
-    * and the removal anti-join is shuffle-free; reassembly is one shuffle
-    * on the doc id. Line text never shuffles — digests only. */
+    * (boilerplate is usually a small distinct set), so AQE promotes the
+    * removal anti-join to broadcast at runtime when it is — without
+    * pinning a hint that would OOM on a template-heavy corpus where the
+    * set is data-sized; reassembly is one shuffle on the doc id. Line
+    * text never shuffles — digests only. */
   def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
                           maxDocFreq: Int, sep: String = "\n"): DataFrame = {
     val lines = df.select(col(idCol).as("_id_"),
@@ -169,7 +175,11 @@ object Dedup {
       .agg(countDistinct(col("_id_")).as("_df_"))
       .where(col("_df_") > maxDocFreq)
       .select("_h_")
-    val kept = lines.join(broadcast(frequent), Seq("_h_"), "left_anti")
+    // no broadcast HINT: the frequent set's size is data-dependent (a
+    // template-heavy corpus with a small maxDocFreq can push it to tens
+    // of GB, where a forced broadcast OOMs the driver) — AQE promotes the
+    // anti-join to broadcast at runtime whenever the set is actually tiny
+    val kept = lines.join(frequent, Seq("_h_"), "left_anti")
     val rebuilt = kept.groupBy("_id_")
       .agg(array_join(transform(array_sort(
           collect_list(struct(col("_pos_"), col("_l_")))), s => s("_l_")), sep)
@@ -213,9 +223,13 @@ object Dedup {
         sequence(lit(0), size(col("_ts_")) - w),
         i => md5(array_join(slice(col("_ts_"), i + 1, lit(w)), " "))))
         .as(Seq("_start_", "_h_")))
-    val firstWin = Window.partitionBy("_h_").orderBy("_id_", "_start_")
-    val dupSpans = wins.withColumn("_rn_", row_number().over(firstWin))
-      .where(col("_rn_") > 1)
+    // "all but the first occurrence" via an elected join, not a window:
+    // min(struct) partial-aggregates map-side and the hash-join probe
+    // STREAMS a hot span (no one-task sort of 10^8 copies)
+    val first = wins.groupBy("_h_")
+      .agg(min(struct(col("_id_"), col("_start_"))).as("_f_"))
+    val dupSpans = wins.join(first, Seq("_h_"))
+      .where(struct(col("_id_"), col("_start_")) =!= col("_f_"))
     val removal = dupSpans.select(col("_id_"),
       explode(sequence(col("_start_"), col("_start_") + (w - 1))).as("_pos_"))
       .distinct()
@@ -464,6 +478,10 @@ object Dedup {
     * without a sign-conversion dance. */
   private def minhashSig(numHashes: Int, shingleSize: Int) =
     udf { (text: String) =>
+      // loud, named failure: a NULL text would otherwise NPE deep in a
+      // task 4 retries in, hours into a corpus-sized bucketing pass
+      require(text != null,
+        "minhashSig: NULL text — filter or coalesce the text column upstream")
       val toks: Array[String] = text.split(" ", -1)
       val shingles =
         if (toks.length < shingleSize) Seq(toks.mkString(" "))
@@ -485,10 +503,20 @@ object Dedup {
 
   /** Candidate near-duplicate pairs via MinHash banding. Output:
     * (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard = fraction of
-    * agreeing signature slots >= `minEstJaccard`. */
+    * agreeing signature slots >= `minEstJaccard`.
+    *
+    * `maxBucketSize` (0 = off) drops (band, bucket) groups larger than
+    * the cap BEFORE the self-join — the standard LSH guard against
+    * degenerate buckets: a web corpus's empty/whitespace-only documents
+    * all share every band bucket, and the uncapped self-join would emit
+    * O(bucket²) candidate rows per band (10^7 empties → ~10^14 rows)
+    * before any distinct. Capping trades recall ONLY on pairs whose every
+    * shared bucket is oversized — mass-duplicated boilerplate better
+    * handled by [[exact]] first. */
   def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       numHashes: Int = 64, bands: Int = 16,
-                      shingleSize: Int = 3, minEstJaccard: Double = 0.5): DataFrame = {
+                      shingleSize: Int = 3, minEstJaccard: Double = 0.5,
+                      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     // persisted: referenced by the banding explode AND both signature
@@ -511,8 +539,16 @@ object Dedup {
           .as(Seq("_band_", "_bucket_")))
       .select("_id_", "_band_", "_bucket_")
 
-    val a = banded.select(col("_band_"), col("_bucket_"), col("_id_").as("id_a"))
-    val b = banded.select(col("_band_"), col("_bucket_"), col("_id_").as("id_b"))
+    val capped =
+      if (maxBucketSize <= 0) banded
+      else banded.join(
+        banded.groupBy("_band_", "_bucket_")
+          .agg(count(lit(1)).as("_bs_"))
+          .where(col("_bs_") <= maxBucketSize)
+          .select("_band_", "_bucket_"),
+        Seq("_band_", "_bucket_"), "left_semi")
+    val a = capped.select(col("_band_"), col("_bucket_"), col("_id_").as("id_a"))
+    val b = capped.select(col("_band_"), col("_bucket_"), col("_id_").as("id_b"))
     val candidates = a.join(b, Seq("_band_", "_bucket_"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -580,6 +616,8 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   private val simhashUdf = udf { (text: String) =>
+    require(text != null,
+      "simHash: NULL text — filter or coalesce the text column upstream")
     // polyHash64Mixed, not murmur: same bits computable in the DuckDB
     // oracle (dd04). The avalanche finalizer is load-bearing here: raw
     // polyHash64 leaves bits ≥ ~34 zero for short tokens, which makes
@@ -608,9 +646,12 @@ object Dedup {
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming via pigeonhole
     * block join: split the 64-bit signature into maxHamming+1 blocks — any
-    * pair within the distance agrees on at least one whole block. */
+    * pair within the distance agrees on at least one whole block.
+    * `maxBucketSize` (0 = off): same degenerate-bucket guard as
+    * [[minHashLshPairs]] — every empty text has signature 0 and would
+    * self-join O(n²) in all blocks. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
     val mask = (1L << blockBits) - 1
@@ -627,8 +668,16 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${nBlocks - 1}), b -> shiftrightunsigned(_sh_, b * $blockBits) & ${mask}L)"))
         .as(Seq("_blk_", "_key_")))
-    val a = blocked.select(col("_blk_"), col("_key_"), col("_id_").as("id_a"))
-    val b = blocked.select(col("_blk_"), col("_key_"), col("_id_").as("id_b"))
+    val capped =
+      if (maxBucketSize <= 0) blocked
+      else blocked.join(
+        blocked.groupBy("_blk_", "_key_")
+          .agg(count(lit(1)).as("_bs_"))
+          .where(col("_bs_") <= maxBucketSize)
+          .select("_blk_", "_key_"),
+        Seq("_blk_", "_key_"), "left_semi")
+    val a = capped.select(col("_blk_"), col("_key_"), col("_id_").as("id_a"))
+    val b = capped.select(col("_blk_"), col("_key_"), col("_id_").as("id_b"))
     // ids-only candidate dedup; signatures join back once per unique pair
     a.join(b, Seq("_blk_", "_key_"))
       .where(col("id_a") < col("id_b"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,15 +32,35 @@ object Temporal {
     *
     * Timestamps compare at full precision; only the cell id truncates
     * (`cast(ts as bigint)` = whole epoch seconds on both engines). */
+  /** Guarded cell tiling for the bucketed joins: ONE pathological
+    * interval (a 9999-12-31 end-of-time sentinel, a corrupt end) with a
+    * small bucketWidth would explode to billions of cells — Spark's
+    * `sequence` aborts the whole job past ~2^31 elements, and short of
+    * that the replicated rows concentrate in one task. The cap makes it
+    * fail by NAME with the offending span instead; fixtures never
+    * approach it. NULL bounds keep their behavior (no cells, row drops
+    * out of the inner join). */
+  private def cellSeq(s: String, e: String, bucketWidth: Long,
+                      maxCells: Long, op: String): Column = {
+    val lo = s"(cast($s as bigint) div $bucketWidth)"
+    val hi = s"(cast($e as bigint) div $bucketWidth)"
+    expr(s"""CASE WHEN $hi - $lo + 1 > ${maxCells}L THEN
+            |  raise_error(concat('$op: interval spans ',
+            |    cast($hi - $lo + 1 as string), ' cells (cap $maxCells) — ',
+            |    'corrupt end or end-of-time sentinel; clamp the interval ',
+            |    'or raise bucketWidth'))
+            |ELSE sequence($lo, $hi) END""".stripMargin)
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame, keyCol: String,
                 tsCol: String, startCol: String, endCol: String,
-                bucketWidth: Long): DataFrame = {
+                bucketWidth: Long,
+                maxCellsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val p = points.withColumn("_cell_",
       expr(s"cast($tsCol as bigint) div $bucketWidth"))
-    val i = intervals.withColumn("_cell_", explode(expr(
-      s"sequence(cast($startCol as bigint) div $bucketWidth, " +
-        s"cast($endCol as bigint) div $bucketWidth)")))
+    val i = intervals.withColumn("_cell_", explode(cellSeq(
+      startCol, endCol, bucketWidth, maxCellsPerInterval, "rangeJoin")))
     p.join(i, Seq(keyCol, "_cell_"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_cell_")
@@ -63,12 +83,12 @@ object Temporal {
   def intervalOverlapJoin(left: DataFrame, right: DataFrame, keyCol: String,
                           lStart: String, lEnd: String,
                           rStart: String, rEnd: String,
-                          bucketWidth: Long): DataFrame = {
+                          bucketWidth: Long,
+                          maxCellsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     def cells(df: DataFrame, s: String, e: String) =
-      df.withColumn("_cell_", explode(expr(
-        s"sequence(cast($s as bigint) div $bucketWidth, " +
-          s"cast($e as bigint) div $bucketWidth)")))
+      df.withColumn("_cell_", explode(cellSeq(
+        s, e, bucketWidth, maxCellsPerInterval, "intervalOverlapJoin")))
     cells(left, lStart, lEnd)
       .join(cells(right, rStart, rEnd), Seq(keyCol, "_cell_"))
       .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
@@ -277,17 +297,25 @@ object Temporal {
     // 1-row cross join — no partition-less window funnels the
     // distinct-value table through one task
     val totals = merged.agg(sum("_ca_").as("_na_"), sum("_cb_").as("_nb_"))
+    // cross products in DECIMAL(38,0): cum·n reaches n_a·n_b, which
+    // exceeds LONG at ~3e9 rows per arm and would WRAP silently
+    // (non-ANSI long multiply), handing the drift gate a garbage max —
+    // invisible at oracle scale, fatal at 100 TB. Exact integers convert
+    // to the identical double either way, so small-scale hashes hold.
     Packing.runningTotalSharded(
         Packing.runningTotalSharded(merged, "_v_", "_ca_", "_cuma_"),
         "_v_", "_cb_", "_cumb_")
       .crossJoin(broadcast(totals))
       .withColumn("_d_",
-        abs(col("_cuma_") * col("_nb_") - col("_cumb_") * col("_na_")))
+        abs(col("_cuma_").cast("decimal(38,0)") * col("_nb_") -
+          col("_cumb_").cast("decimal(38,0)") * col("_na_")))
       .agg(max("_na_").as("n_a"), max("_nb_").as("n_b"),
-        max("_d_").as("ks_num"))
-      .select(col("n_a"), col("n_b"), col("ks_num"),
-        (col("ks_num").cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("ks_stat"))
+        max("_d_").as("_ksd_"))
+      .select(col("n_a"), col("n_b"),
+        col("_ksd_").cast("long").as("ks_num"),
+        (col("_ksd_").cast("double") /
+          (col("n_a").cast("decimal(38,0)") * col("n_b"))
+            .cast("double")).as("ks_stat"))
   }
 
   /** Snapshot diff — the table-versioning primitive: given two snapshots

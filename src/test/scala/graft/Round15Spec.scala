@@ -169,6 +169,101 @@ class Round15Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // ---- scale-review sweep fixes -------------------------------------------
+
+  test("dedup keep-elections == window definitions (exact/priority/paragraph)") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, s"text ${rnd.nextInt(40)}", rnd.nextInt(3)))
+    val df = rows.toDF("id", "text", "prio")
+    val gotE = Dedup.exact(df, "text", "id")
+      .select("id").as[Long].collect().toSet
+    val expE = rows.groupBy(_._2).values.map(_.minBy(_._1)._1).toSet
+    assert(gotE == expE)
+    val gotP = Dedup.exactByPriority(df, "text", "id", "prio")
+      .select("id").as[Long].collect().toSet
+    val expP = rows.groupBy(_._2).values
+      .map(_.minBy(r => (r._3, r._1))._1).toSet
+    assert(gotP == expP)
+    val docs = Seq((1L, "a\nb\nc"), (2L, "b\nd"), (3L, "c\nd\ne")).toDF("id", "t")
+    val gotPar = Dedup.dedupParagraphs(docs, "id", "t")
+      .select("id", "dedup_text").as[(Long, String)].collect().toMap
+    assert(gotPar == Map(1L -> "a\nb\nc", 2L -> "d", 3L -> "e"))
+  }
+
+  test("minHashLshPairs maxBucketSize drops degenerate buckets, keeps real pairs") {
+    import graft.operators.Dedup
+    // 30 empty docs share every band bucket; two near-dup real docs pair up
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = (1L to 30L).map(i => (i, "")) ++
+      Seq((100L, near), (101L, near + " tail"))
+    val df = rows.toDF("id", "text")
+    val capped = Dedup.minHashLshPairs(df, "text", "id",
+        minEstJaccard = 0.3, maxBucketSize = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L))) // empties capped out, real pair kept
+    val uncapped = Dedup.minHashLshPairs(df, "text", "id", minEstJaccard = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L))) // default unchanged (oracle path)
+  }
+
+  test("rangeJoin rejects an interval exploding past maxCellsPerInterval by name") {
+    import graft.operators.Temporal
+    val pts = Seq((1L, 100L)).toDF("k", "ts")
+    val iv = Seq((1L, 0L, 10000000L)).toDF("k", "s", "e")
+    val err = intercept[Exception] {
+      Temporal.rangeJoin(pts, iv, "k", "ts", "s", "e",
+        bucketWidth = 1L, maxCellsPerInterval = 1000L).count()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") + Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(err).contains("rangeJoin: interval spans"))
+    // under the cap: normal result
+    assert(Temporal.rangeJoin(pts, iv, "k", "ts", "s", "e",
+      bucketWidth = 100000L).count() == 1)
+  }
+
+  test("quantizedLabelCentroids rejects NaN embedding components by name") {
+    import graft.operators.Similarity
+    val bad = Seq((0, Seq(1.0f, Float.NaN))).toDF("label", "vec")
+    val err = intercept[Exception] {
+      Similarity.quantizedLabelCentroids(bad, "vec", "label").collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") + Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(err).contains("non-finite embedding component"))
+  }
+
+  test("minhash/simhash fail by name on NULL text") {
+    import graft.operators.Dedup
+    val df = Seq((1L, Some("a b c")), (2L, None)).toDF("id", "text")
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") + Option(t.getCause).map(msg).getOrElse("")
+    val e1 = intercept[Exception] {
+      Dedup.minHashLshPairs(df, "text", "id").count()
+    }
+    assert(msg(e1).contains("NULL text"))
+    val e2 = intercept[Exception] { Dedup.withSimhash(df, "text").collect() }
+    assert(msg(e2).contains("NULL text"))
+  }
+
+  test("ivfTopK results independent of input partition layout") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(5)
+    val emb = Seq.tabulate(300)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(emb.map { case (id, v) => (id, v.toSeq) })
+        .toDF("id", "vec").repartition(parts)
+      Similarity.ivfTopK(df.where(col("id") < 10), df, "id", "vec",
+          k = 3, nCells = 8, nProbe = 3, seed = 7L, trainSample = 64)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    assert(run(1) == run(13)) // content-defined sample => layout-free result
+  }
+
   // ---- Model run-log JSON sink --------------------------------------------
 
   test("writeRunLog: hive-partitioned append, one row per run, metrics as columns") {
