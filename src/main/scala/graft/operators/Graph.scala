@@ -358,7 +358,16 @@ object Graph {
       when(col("node_id") >= lit(4294967296L) || col("node_id") < 0,
         raise_error(lit("triangleStats rank packing needs 0 <= id < 2^32")))
         .otherwise(col("node_id")).as("node_id"),
-      (col("degree") * lit(4294967296L) + col("node_id")).as("_rk_"))
+      // the degree bound the scaladoc promises: a mega-hub past 2^31
+      // neighbors would wrap degree*2^32 NEGATIVE, sort as the LOWEST
+      // rank, orient every one of its edges outward, and detonate the
+      // wedge join with ~deg^2 rows — the exact hot key the orientation
+      // exists to prevent
+      (when(col("degree") >= lit(2147483648L),
+        raise_error(concat(lit("triangleStats rank packing needs degree"),
+          lit(" < 2^31, got "), col("degree").cast("string"))))
+        .otherwise(col("degree")) * lit(4294967296L) + col("node_id"))
+        .as("_rk_"))
     val oriented = canon
       .join(ranked.select(col("node_id").as("_a_"), col("_rk_").as("_rka_")), "_a_")
       .join(ranked.select(col("node_id").as("_b_"), col("_rk_").as("_rkb_")), "_b_")
@@ -525,11 +534,15 @@ object Graph {
     val maxes = hub.agg(max(col("h")).as("_mh_"))
       .crossJoin(auth.agg(max(col("a")).as("_ma_")))
     hub.join(auth, "node_id").crossJoin(broadcast(maxes))
+      // milli quantization in DECIMAL(38,0): the iteration guard bounds
+      // RAW scores to 63 bits, but 1000*score needs ~10 more — a score
+      // that legitimately passes the guard would wrap here (ANSI off)
+      // and emit garbage rankings; the quotient is <= 1000, exact as LONG
       .select(col("node_id"), col("h").as("hub"), col("a").as("auth"),
-        expr("CASE WHEN _mh_ > 0 THEN (1000 * h) div _mh_ ELSE 0 END")
-          .as("hub_milli"),
-        expr("CASE WHEN _ma_ > 0 THEN (1000 * a) div _ma_ ELSE 0 END")
-          .as("auth_milli"))
+        expr("CASE WHEN _mh_ > 0 THEN cast((1000 * cast(h as decimal(38,0)))" +
+          " div _mh_ as bigint) ELSE 0L END").as("hub_milli"),
+        expr("CASE WHEN _ma_ > 0 THEN cast((1000 * cast(a as decimal(38,0)))" +
+          " div _ma_ as bigint) ELSE 0L END").as("auth_milli"))
   }
 
   /** Neighbor-set Jaccard link prediction (Liben-Nowell & Kleinberg,
@@ -556,7 +569,7 @@ object Graph {
     * jaccard_milli, rank), both directions of each surviving pair. */
   def jaccardLinkPrediction(edges: DataFrame, srcCol: String,
                             dstCol: String, k: Int,
-                            maxCenterDegree: Int = Int.MaxValue): DataFrame = {
+                            maxCenterDegree: Int = 100000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxCenterDegree >= 1,
       s"maxCenterDegree must be >= 1, got $maxCenterDegree")

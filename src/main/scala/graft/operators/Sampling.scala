@@ -72,13 +72,24 @@ object Sampling {
     * training set. Shuffle-free, one scalar hash per row; `fraction` in
     * [0, 1) (1.0 would need the 2⁶³ threshold a signed long can't hold —
     * callers wanting everything skip the filter). */
+  /** Guarded id hash for the split gates: a NULL (or long-uncastable)
+    * id hashes to NULL, the admission predicate goes NULL, and the row
+    * lands in NEITHER the holdout NOR its complement — silently breaking
+    * the documented "complement of a holdout is exactly the training
+    * set" invariant. Fail by name instead. */
+  private def idHash(idCol: String, seed: Long) =
+    shiftrightunsigned(mixUdf(
+      when(col(idCol).cast("long").isNotNull, col(idCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("hashSample: NULL or non-numeric id "),
+          coalesce(col(idCol).cast("string"), lit("NULL"))))) +
+        lit(seed * 0x9e3779b97f4a7c15L)), 1)
+
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
                  seed: Long = 0L): DataFrame = {
     require(fraction >= 0.0 && fraction < 1.0, "fraction in [0, 1)")
     val thr = (fraction * 9223372036854775808.0).toLong
-    val h = shiftrightunsigned(
-      mixUdf(col(idCol).cast("long") + lit(seed * 0x9e3779b97f4a7c15L)), 1)
-    df.where(h < lit(thr))
+    df.where(idHash(idCol, seed) < lit(thr))
   }
 
   /** Stratified [[hashSample]]: a per-group keep fraction (downsample web
@@ -102,9 +113,7 @@ object Sampling {
       case (acc, (g, f)) =>
         when(col(groupCol) === lit(g), lit(thr(f))).otherwise(acc)
     }
-    val h = shiftrightunsigned(
-      mixUdf(col(idCol).cast("long") + lit(seed * 0x9e3779b97f4a7c15L)), 1)
-    df.where(h < thrCol)
+    df.where(idHash(idCol, seed) < thrCol)
   }
 
   /** Exact-k WEIGHTED sample without replacement per group — the
@@ -196,12 +205,16 @@ object Sampling {
     val weighted = counts.withColumn("_wt_", weightCol(col("_n_"), weight))
     val tot = weighted.agg(sum(col("_wt_")).as("_tw_"))
     val quotas = weighted.crossJoin(F.broadcast(tot))
-      // targetSize * wt must fit a signed 64-bit: with wt <= isqrt(group)
-      // that holds for any targetSize below ~2^31 rows even against
-      // trillion-row groups — beyond that, allocate quotas hierarchically
-      // (group-of-groups), same as the documented shard split
+      // quota product in DECIMAL(38,0): for weight="prop" _wt_ is the
+      // group ROW COUNT, so targetSize * _wt_ blows past a signed 64-bit
+      // at 100x scale (1e9 target x 2e11-row group = 2e20) and the plain
+      // multiply would WRAP silently (ANSI off), emptying or mis-sizing
+      // the largest groups; the quotient is <= targetSize, so the cast
+      // back to BIGINT is always exact
       .withColumn("_quota_",
-        least(col("_n_"), expr(s"($targetSize * _wt_) div _tw_")))
+        least(col("_n_"), expr(
+          s"cast((cast($targetSize as decimal(38,0)) * _wt_) div _tw_ " +
+            "as bigint)")))
       .select(col(groupCol), col("_quota_"))
     val admit = Window.partitionBy(groupCol)
       .orderBy(mixUdf(col(idCol)), col(idCol))
@@ -228,8 +241,13 @@ object Sampling {
     val budgets = spark.createDataFrame(
       epochBudgets.flatMap { case (e, m) => m.map { case (g, b) => (e, g, b) } })
       .toDF("epoch", groupCol, "_budget_")
-    val w = Window.partitionBy(groupCol).orderBy(idCol)
-    df.withColumn("_cum_", sum(col(weightCol)).over(w))
+    // per-group running sum via the two-phase sharded prefix sum: the
+    // group is a corpus SOURCE (few distinct values), so a plain
+    // partitionBy(group) window funnels ~corpus/sources rows through ONE
+    // sort task each — fatal at 100x; runningTotalSharded keeps every
+    // sort partition-local with identical output
+    df.transform(d => graft.operators.Packing.runningTotalSharded(
+        d, idCol, weightCol, "_cum_", groupCols = Seq(groupCol)))
       .join(F.broadcast(budgets), Seq(groupCol))
       .where(col("_cum_") <= col("_budget_"))
       .select(col("epoch"), col(groupCol), col(idCol), col(weightCol),
@@ -250,8 +268,19 @@ object Sampling {
   def perDomainCap(df: DataFrame, domainCol: String, qualityCol: String,
                    idCol: String, cap: Int): DataFrame = {
     require(cap > 0, "cap must be positive")
+    // NaN sorts GREATER than every double in Spark, so NaN-quality rows
+    // (a scorer's 0/0 failure mode) would rank FIRST and fill the cap
+    // ahead of every real document — reject non-finite scores by name
+    // (NULLs stay allowed: desc puts them last, the sensible default)
+    val qd = col(qualityCol).cast("double")
+    val qchecked = when(qd.isNull ||
+        (!isnan(qd) && qd > Double.NegativeInfinity &&
+          qd < Double.PositiveInfinity), col(qualityCol))
+      .otherwise(raise_error(concat(
+        lit("perDomainCap: non-finite quality score "),
+        coalesce(qd.cast("string"), lit("NULL")))))
     val w = Window.partitionBy(domainCol)
-      .orderBy(col(qualityCol).desc, col(idCol))
+      .orderBy(qchecked.desc, col(idCol))
     df.withColumn("domain_rank", row_number().over(w))
       .withColumn("keep", col("domain_rank") <= cap)
   }

@@ -36,7 +36,16 @@ object Sketch {
   private val mixUdf = udf { (x: Long) => graft.functions.TextKernels.mix64(x) }
 
   private def hashCol(idCol: String) =
-    shiftrightunsigned(mixUdf(col(idCol).cast("long")), 1)
+    // NULL (or long-uncastable) ids must fail by NAME: a null hash sorts
+    // FIRST in the KMV rank window (displacing the true k-th minimum and
+    // silently inflating the estimate), and DuckDB's NULLS-LAST default
+    // would rank the same rows differently — breaking the bit-identical
+    // replay contract exactly when dirty data appears
+    shiftrightunsigned(mixUdf(
+      when(col(idCol).cast("long").isNotNull, col(idCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("kmv: NULL or non-numeric id "),
+          coalesce(col(idCol).cast("string"), lit("NULL")))))), 1)
 
   /** Rank-≤-k + kth-min + estimator over a `(keys…, _h_)` hash table:
     * the shared core of every KMV surface. Appends `n_kept` and
@@ -121,7 +130,14 @@ object Sketch {
       graft.functions.TextKernels.mix64(base + i), width.toLong).toInt
   }
   private val strHashUdf =
-    udf { (s: String) => graft.functions.TextKernels.polyHash64Mixed(s) }
+    udf { (s: String) =>
+      // loud, named failure: Spark passes a NULL key straight into a
+      // reference-typed UDF arg, and polyHash64 would NPE the task —
+      // four retries deep, after the expensive exact-count aggregate
+      require(s != null,
+        "countMin/amsF2: NULL key — filter or coalesce the key column upstream")
+      graft.functions.TextKernels.polyHash64Mixed(s)
+    }
 
   /** Count-min frequency sketch (Cormode & Muthukrishnan 2005) — the
     * mergeable, ORACLE-REPLAYABLE approximate counter: `depth` rows of
@@ -288,7 +304,10 @@ object Sketch {
       .agg(sum(col("_sgn_") * col("_f_")).as("_s_"),
         sum(col("_f_")).as("_n_"))
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("_s_") * col("_s_")).as("_sq_"),
+      // S_r^2 in DECIMAL(38,0): a group past ~3e9 rows pushes |S_r|^2
+      // over LONG and the plain multiply would WRAP silently (ANSI off),
+      // corrupting the F2 estimate with no error anywhere
+      .agg(sum(col("_s_").cast("decimal(38,0)") * col("_s_")).as("_sq_"),
         max(col("_n_")).as("n_rows"))
       .select((groupCols.map(col) :+
         expr(s"_sq_ div CAST($depth AS BIGINT)").as("f2_est") :+
