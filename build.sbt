@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with 100k+-row shuffles per task needs real heap; 8g causes
   // GC storms that make bench timings erratic (observed 10x swings)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ~300 queries x warmup + repeated timed runs generate far more unique
+  // Janino/codegen classes than the JDK17 default 240 MB code cache holds;
+  // a full code cache disables JIT compilation mid-suite, which reads as
+  // a ~2x slowdown on whichever queries run after the fill (the BENCH_r15
+  // fz01/fz02 session-vs-solo gap). Size it for the full suite.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "768m")}",
 )

@@ -131,6 +131,40 @@ object Bench {
               s"artifact): ${e.getClass.getSimpleName}: ${e.getMessage}")
         } }
     }
+    // Session-state probe (round-16, VERDICT task 1): BENCH_r15 showed
+    // fz01/fz02 at ~2x their solo-run times in the full-session artifact
+    // on byte-identical plans. The candidate mechanisms are all JVM
+    // session state — JIT code-cache exhaustion (240 MB default fills
+    // after ~250 queries x 2 runs of unique generated code, and a full
+    // code cache stops compilation => interpreted hot loops), metaspace
+    // pressure from Janino class churn, cumulative GC, or shuffle-file
+    // buildup in the local dirs. SPARK_GRAFT_JVM_PROBE=1 prints one
+    // stderr line per timed query with exactly those gauges so a full
+    // run attributes the drift to a mechanism instead of a guess.
+    val jvmProbe = sys.env.get("SPARK_GRAFT_JVM_PROBE").contains("1")
+    def probeLine(tag: String): Unit = if (jvmProbe) {
+      import scala.jdk.CollectionConverters._
+      import java.lang.management.{ManagementFactory => mf}
+      def mb(x: Long): Long = x >> 20
+      val pools = mf.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") ||
+          p.getName == "Metaspace" || p.getName == "Compressed Class Space")
+        .map { p =>
+          val u = p.getUsage
+          val key = p.getName.replace("CodeHeap '", "cc_")
+            .replace("' ", "_").replace("'", "").replace(" ", "_")
+          s"$key=${mb(u.getUsed)}/${if (u.getMax < 0) -1 else mb(u.getMax)}MB"
+        }.mkString(" ")
+      val heap = mb(mf.getMemoryMXBean.getHeapMemoryUsage.getUsed)
+      val gcMs = mf.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val jitMs = Option(mf.getCompilationMXBean).map(_.getTotalCompilationTime).getOrElse(-1L)
+      val loaded = mf.getClassLoadingMXBean.getLoadedClassCount
+      val tmpFree = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace >> 30
+      System.err.println(s"[bench-probe] $tag $pools heapMB=$heap " +
+        s"gc_ms=$gcMs jit_ms=$jitMs classes=$loaded tmpFreeGB=$tmpFree")
+    }
+
     def dropCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       // RDD-level blocks (localCheckpoints, rdd.persist) are not in the SQL
@@ -171,6 +205,7 @@ object Bench {
         dropCaches()
         dt
       }.sorted
+      probeLine(s"query=$name min=${f"${times.head}%.2f"}")
       (name, if (failed) -1.0 else times.head) // min-of-runs
     }
     val nErrors = results.count(_._2 < 0)

@@ -28,11 +28,21 @@ object Dedup {
     * duplicated text, and a window funnels every copy of it full-row into
     * ONE sort task (AQE cannot split a window partition), while min_by's
     * map-side combine collapses each partition's copies to one row before
-    * anything shuffles. Requires a non-null total ordering (unique ids). */
-  private def keepMinBy(df: DataFrame, key: Column, orderKey: Column): DataFrame =
+    * anything shuffles. Requires a non-null total ordering (unique ids) —
+    * ENFORCED in-plan: min_by skips NULL ordering keys, so a group whose
+    * every orderKey is NULL would return a NULL struct and the unpack
+    * would emit an all-NULL garbage row (the old row_number window kept a
+    * real row there); a NULL id is dirty data and fails by name instead. */
+  private def keepMinBy(df: DataFrame, key: Column, orderKey: Column): DataFrame = {
+    val checked = when(orderKey.isNotNull, orderKey)
+      .otherwise(raise_error(concat(
+        lit("keepMinBy: NULL ordering key (id) — dedup requires a " +
+          "non-null total order; dedup key="),
+        coalesce(key.cast("string"), lit("NULL")))))
     df.groupBy(key.as("_k_"))
-      .agg(min_by(struct(df.columns.map(col): _*), orderKey).as("_r_"))
+      .agg(min_by(struct(df.columns.map(col): _*), checked).as("_r_"))
       .select(df.columns.map(c => col("_r_").getField(c).as(c)): _*)
+  }
 
   /** Exact dedup: keep the row with the smallest `idCol` per distinct value
     * of `textCol` (deterministic keep-first). */

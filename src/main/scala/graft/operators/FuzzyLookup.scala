@@ -71,6 +71,20 @@ object FuzzyLookup {
     *                       internal right row id — makes the chosen match
     *                       independent of partition layout and therefore
     *                       replayable by an external oracle
+    * @param releaseIndex   cache contract (round-16): by default (false)
+    *                       `lookup` persists the right-side token index and
+    *                       NEVER unpersists it — the returned lazy plan
+    *                       still references it, so the storage lives until
+    *                       the session clears its cache (fine for one-shot
+    *                       jobs and the bench, which clears between
+    *                       queries; a long-lived caller invoking lookup
+    *                       repeatedly accumulates one index per call until
+    *                       executor storage evicts). With true, the
+    *                       bounded top-K match table (one row per distinct
+    *                       query × topK — never data-sized) is EAGERLY
+    *                       materialized and the token index unpersisted
+    *                       before returning: same output, scoring runs at
+    *                       call time, no storage survives the call
     */
   case class Options(
       maxLevDistance: Int = 0,
@@ -87,7 +101,8 @@ object FuzzyLookup {
       minTokenLikehood: Double = 0.4,
       topK: Int = 1,
       filterCols: Seq[(String, String)] = Nil,
-      tieBreakCol: Option[String] = None)
+      tieBreakCol: Option[String] = None,
+      releaseIndex: Boolean = false)
 
   private val tokUdf = udf((s: String) => TextKernels.tokenizeWithOffsets(s))
   private val levUdf = udf((a: String, b: String, bound: Int) =>
@@ -311,11 +326,18 @@ object FuzzyLookup {
     val wTop = Window.partitionBy("_qlid_").orderBy(
       (Seq(col("_score_").desc) ++ opts.tieBreakCol.map(_ => col("_tb_")).toSeq :+
         col("_trid_")): _*)
-    val best = scored
+    val best0 = scored
       .withColumn("_rank_", row_number().over(wTop))
       .where(col("_rank_") <= opts.topK)
       .select(col("_qlid_"), col("_trid_"), col("_score_"),
         col("_s_").as("_si_"), col("_e_").as("_ei_"), col("_tags0_"))
+    // releaseIndex contract (see Options): materialize the bounded top-K
+    // table eagerly, then drop the token-index cache — the stitch below
+    // only needs `best` and the two pinned id frames, so nothing in the
+    // returned plan references rightToks anymore
+    val best =
+      if (!opts.releaseIndex) best0
+      else { val b = best0.localCheckpoint(); rightToks.unpersist(); b }
 
     // ---- stitch the full rows back (left outer ⇒ null padding) ------------
     // Value-based: each left row meets ITS distinct-query row on

@@ -566,10 +566,18 @@ object Graph {
     * joined on each endpoint, and the per-node top-k is a key-partitioned
     * window Spark rewrites to WindowGroupLimit (per-partition top-k
     * before the shuffle). Output: (node_id, candidate_id, common,
-    * jaccard_milli, rank), both directions of each surviving pair. */
+    * jaccard_milli, rank), both directions of each surviving pair.
+    *
+    * The default `maxCenterDegree = Int.MaxValue` means NO center cap —
+    * exact common-neighbor semantics for every pair, matching what
+    * default-arg callers have always received. On a real crawl/social
+    * graph, PASS AN EXPLICIT CAP (1e4–1e5): one 10⁶-degree hub alone
+    * contributes 10¹² wedges, and capping is the standard guard — but
+    * it changes output (hub-centered candidates vanish), so it is an
+    * explicit caller decision, never a silent default. */
   def jaccardLinkPrediction(edges: DataFrame, srcCol: String,
                             dstCol: String, k: Int,
-                            maxCenterDegree: Int = 100000): DataFrame = {
+                            maxCenterDegree: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxCenterDegree >= 1,
       s"maxCenterDegree must be >= 1, got $maxCenterDegree")

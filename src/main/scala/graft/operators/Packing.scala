@@ -31,6 +31,22 @@ object Packing {
       s" div cast('$width' as decimal(38,0)) as bigint)")
   }
 
+  /** Sharded prefix operators REQUIRE a numeric id: shard assignment
+    * casts the id to bigint, so a string/uuid id would null the bounds
+    * probe (silently degrading the plan), and a NUMERIC-STRING id is
+    * worse — it shards by the numeric cast but window-orders
+    * LEXICOGRAPHICALLY ("10" < "9"), so the stitched prefix silently
+    * diverges from both the numeric and the lexicographic total order.
+    * Fail by name instead; callers with string ids rank-encode first. */
+  private def requireNumericId(df: DataFrame, idCol: String, op: String): Unit = {
+    val idType = df.select(col(idCol)).schema.head.dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op: idCol '$idCol' must be numeric, got ${idType.simpleString} — " +
+        "shard assignment casts ids to bigint, so a non-numeric id either " +
+        "nulls the bounds probe or shards numerically while ordering " +
+        "lexicographically (silent divergence); rank-encode the id first")
+  }
+
   /** Lazy local checkpoint guarding a sharded operator's eager bounds
     * probe from re-executing an expensive upstream (the probe + main pass
     * — and ntile's total count — would otherwise each run it). Pure
@@ -108,7 +124,8 @@ object Packing {
     * same output — boundaries affect parallelism, never results — so skew
     * in the id space degrades speed, not correctness; size `numShards` so
     * one shard's rows fit a single task comfortably. Requires a numeric
-    * `idCol` (doc ids). When `idCol` is not unique, pass `tieCols` to
+    * `idCol` (doc ids) — enforced by name at plan-build time (see
+    * [[requireNumericId]]). When `idCol` is not unique, pass `tieCols` to
     * make the within-shard order total — shard assignment depends only
     * on `idCol`, so tied rows always share a shard and the tie-broken
     * output is deterministic.
@@ -132,12 +149,18 @@ object Packing {
                           nullsFirst: Boolean = false): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     require(!(nullsLast && nullsFirst), "nullsLast and nullsFirst conflict")
+    requireNumericId(df, idCol, "runningTotalSharded")
     val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi")).head()
-    if (bounds.isNullAt(0)) { // empty (or all-NULL-id) input: exact window
-      return df.withColumn(cumCol, sum(col(tokensCol)).over(
-        Window.orderBy((idCol +: tieCols).map(col): _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    if (bounds.isNullAt(0)) { // empty (or all-NULL-id) input: exact window,
+      // partitioned by groupCols — the fallback must honor the same group
+      // boundaries as the sharded path (an unpartitioned window here would
+      // accumulate _cum_ ACROSS groups for all-NULL-id input)
+      val wFallback = (if (groupCols.isEmpty) Window.partitionBy()
+        else Window.partitionBy(groupCols.map(col): _*))
+        .orderBy((idCol +: tieCols).map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df.withColumn(cumCol, sum(col(tokensCol)).over(wFallback))
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val rawShard = shardExpr(idCol, lo, hi, numShards)
@@ -190,11 +213,13 @@ object Packing {
     * encode "no earlier row on this side"). Requires a numeric `idCol`
     * with no duplicates (the skyline/frontier shape: `idCol` comes out of
     * a groupBy); a NULL id sorts FIRST (the window default) via a
-    * dedicated first shard; a non-numeric `idCol` nulls the bounds probe
-    * and degrades gracefully to the single-sort window. */
+    * dedicated first shard; a non-numeric `idCol` is rejected by name
+    * (see [[requireNumericId]] — a numeric-string id would shard
+    * numerically but order lexicographically, a silent divergence). */
   def runningMinSharded(df: DataFrame, idCol: String, valCol: String,
                         cumCol: String, numShards: Int = 32): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    requireNumericId(df, idCol, "runningMinSharded")
     val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi")).head()
     val wGlobal = Window.orderBy(col(idCol))

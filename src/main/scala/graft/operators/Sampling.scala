@@ -232,6 +232,9 @@ object Sampling {
     * every epoch's admission is a filter against its broadcast budget
     * row, so adding epochs adds no shuffles. Budgets are integers and
     * admission is a pure function of the data → engine-exact.
+    * `idCol` must be NUMERIC (enforced by name in the sharded prefix
+    * sum — string/uuid ids would silently mis-accumulate across groups);
+    * rank-encode string ids before calling.
     * Output: one row per (epoch, admitted doc). */
   def annealingSchedule(df: DataFrame, idCol: String, groupCol: String,
                         weightCol: String,

@@ -90,11 +90,30 @@ object Tuning {
       case "avg" => avg(col(metricCol))
       case other => throw new IllegalArgumentException(s"agg: $other")
     }
+    // NON-FINITE metrics rejected IN-PLAN (same contract as
+    // TextAnalysis.scoreBuckets, which keys the same sharded rank): a
+    // NaN sum/avg truncates to 0 in the bigint shard key, silently
+    // corrupting the bounds probe (hi can land below lo) and the fold
+    // assignment vs the old ORDER BY (which sorted NaN last) — a NaN
+    // metric is an upstream bug and should say so by name. NULL metrics
+    // stay allowed (nullsFirst below preserves their NULLS FIRST order).
+    val md = col("_metric_").cast("double")
+    val checkedMetric = when(col("_metric_").isNull, col("_metric_"))
+      .when(!isnan(md) && md > Double.NegativeInfinity &&
+        md < Double.PositiveInfinity, col("_metric_"))
+      .otherwise(raise_error(concat(
+        lit(s"rankSplit: non-finite $agg($metricCol) metric ("),
+        coalesce(md.cast("string"), lit("NULL")),
+        lit(") for group "),
+        coalesce(concat_ws(",",
+          groupCols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*),
+          lit("NULL")))))
     // probe cache: ntileSharded's shard-bounds probe and group count are
     // eager actions — without this the group aggregate (a full input
     // shuffle) would execute three times
     val grouped = Packing.probeCache(
-      df.groupBy(groupCols.map(col): _*).agg(aggExpr.as("_metric_")))
+      df.groupBy(groupCols.map(col): _*).agg(aggExpr.as("_metric_"))
+        .withColumn("_metric_", checkedMetric))
     // exact NTILE over (metric, group key) without a global ordered
     // window (round-15 re-plan): the grouped table is group-cardinality-
     // sized — per-customer splits at 100 TB make it data-sized, so the

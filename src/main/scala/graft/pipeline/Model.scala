@@ -82,7 +82,10 @@ case class Model(project: String, name: String, steps: Seq[Step] = Nil,
     * per run, metrics as columns, appended
     * `partitionBy(modelGroup, project, model).json(logPath)`), which an
     * experiment audit later reads back with any JSON + hive-partition
-    * reader. Fixed columns carry the model identity and step roster;
+    * reader. The partition columns use the reference's EXACT camelCase
+    * names (`modelGroup`, not snake_case) so tooling that resolves the
+    * reference's hive layout resolves this log unchanged.
+    * Fixed columns carry the model identity and step roster;
     * each step's wall-clock lands in its own `{step}_ms` column (the
     * reference's per-step execMetrics) and caller-supplied `metrics`
     * append as their own columns. The row is one driver-side tuple — no
@@ -95,7 +98,7 @@ case class Model(project: String, name: String, steps: Seq[Step] = Nil,
     // convention): a step named `model` or a metric key `n_steps` would
     // otherwise silently REPLACE an identity/partition column via
     // withColumn, mis-bucketing the row
-    val fixed = Seq("model_group", "project", "model", "comment",
+    val fixed = Seq("modelGroup", "project", "model", "comment",
       "n_steps", "step_names")
     val stepCols = result.log.map { case (s, _) => s"${s}_ms" }
     val dupSteps = stepCols.diff(stepCols.distinct).distinct
@@ -110,14 +113,14 @@ case class Model(project: String, name: String, steps: Seq[Step] = Nil,
     import spark.implicits._
     val base = Seq((group, project, name, comment, steps.length.toLong,
         result.log.map(_._1).mkString(",")))
-      .toDF("model_group", "project", "model", "comment", "n_steps",
+      .toDF("modelGroup", "project", "model", "comment", "n_steps",
         "step_names")
     val withSteps = result.log.foldLeft(base) { case (df, (step, ms)) =>
       df.withColumn(s"${step}_ms", org.apache.spark.sql.functions.lit(ms)) }
     val row = metrics.toSeq.sortBy(_._1).foldLeft(withSteps) {
       case (df, (k, v)) => df.withColumn(k, org.apache.spark.sql.functions.lit(v)) }
     row.coalesce(1).write.mode("append")
-      .partitionBy("model_group", "project", "model").json(logPath)
+      .partitionBy("modelGroup", "project", "model").json(logPath)
   }
 
   private def shape(s: Step, df0: DataFrame): DataFrame = {

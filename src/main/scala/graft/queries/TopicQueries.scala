@@ -118,7 +118,18 @@ object TopicQueries {
     }),
 
     // Online clustering over documents (partition-local updates + treeReduce
-    // merge), then a scoring pass assigning each doc its best class
+    // merge), then a scoring pass assigning each doc its best class.
+    // Gated in two halves (the tp03 structural-split recipe, round 16):
+    // STRUCTURAL half, oracle-gated — per-doc best-class assignments
+    // (argmax over classScores, ties to the lowest class id — pure
+    // integers) are saved as JSON; the Spark side aggregates per-class
+    // counts and topword token identity from the IN-MEMORY model while
+    // the oracle recomputes both from the saved artifacts with DuckDB's
+    // JSON reader, so a dropped row, a mis-assigned class, or a mangled
+    // topword hash-mismatches. FLOAT half (cluster centroids, scores),
+    // pinned: `scores_ok` certifies the artifact's score sum re-read
+    // from disk matches the in-memory sum (oracle pins TRUE;
+    // TopicTreeSpec holds the detailed float quality gates).
     "tp01_topic_clusters" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -126,11 +137,42 @@ object TopicQueries {
         .as[(Long, Seq[String])]
         .map { case (id, toks) => (toks.take(50), toks.take(50).map(tokenVec(_, 8))) }
       val tree = TopicTree.fit(NodeSpec("root", Clustering, classes = Seq(0, 1, 2, 3)), docs)
-      tree.transform(docs)
-        .select(expr("tokens[0]").as("first_token"),
-          expr("array_max(map_values(classScores))").as("best_score"))
-        .groupBy(lit(1).as("one"))
-        .agg(count(lit(1)).as("n_docs"), avg(col("best_score")).as("avg_best"))
+      val perDoc = tree.transform(docs).select(
+        // argmax over the class->score map; ties break to the LOWEST
+        // class id so the projection is a pure function of the map
+        expr("array_min(map_keys(map_filter(classScores, " +
+          "(k, v) -> v = array_max(map_values(classScores)))))")
+          .cast("int").as("best_class"),
+        expr("round(array_max(map_values(classScores)), 6)").as("best_score_r"))
+        // persisted: the scoring map otherwise re-runs for the artifact
+        // write, the score-sum check, and the count aggregate
+        .persist()
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_tp01/$slug"
+      perDoc.coalesce(1).write.mode("overwrite").json(s"$path/assignments")
+      val tw = tree.topWords.toDF("node", "cls", "token", "score")
+        .select(col("cls"), col("token"))
+      tw.coalesce(1).write.mode("overwrite").json(s"$path/topwords")
+      // float remainder: the artifact re-read from disk must reproduce
+      // the in-memory rounded score sum (JSON round-trip fidelity)
+      def scoreSum(df: DataFrame): java.math.BigDecimal = df
+        .agg(round(sum(col("best_score_r")), 6).cast("decimal(28,6)"))
+        .collect()(0).getDecimal(0)
+      val scoresOk =
+        scoreSum(s.read.json(s"$path/assignments")) == scoreSum(perDoc)
+      // in-memory per-class counts + topword identity; classes with zero
+      // assigned docs still emit a row (count 0)
+      val classes = Seq(0, 1, 2, 3).toDF("best_class")
+      val counts = perDoc.groupBy("best_class").agg(count(lit(1)).as("n"))
+      val twCsv = tw.groupBy("cls").agg(
+        concat_ws(",", sort_array(collect_list(col("token")))).as("topwords_csv"))
+      classes.join(counts, Seq("best_class"), "left")
+        .join(twCsv, classes("best_class") === twCsv("cls"), "left")
+        .select(col("best_class"),
+          coalesce(col("n"), lit(0L)).as("n_docs"),
+          coalesce(col("topwords_csv"), lit("")).as("topwords_csv"),
+          lit(scoresOk).as("scores_ok"))
+        .orderBy("best_class")
     }),
 
     // Topic-tree persistence round-trip: adaptive fit (childSplitSize
@@ -209,24 +251,54 @@ object TopicQueries {
         .orderBy("id")
     }),
 
-    // Genetic topic-prototype discovery over documents (iterative ML —
-    // rows-only; quality floors in GeneticCategorizerSpec)
+    // Genetic topic-prototype discovery over documents (iterative ML).
+    // Gated in two halves (the tp03 structural-split recipe, round 16):
+    // STRUCTURAL half, oracle-gated — each doc's CLAIM SET (the 0/1
+    // membership vector as the csv of claimed topic ids, pure integers)
+    // is saved as JSON; the Spark side aggregates per-topic claim counts
+    // from the IN-MEMORY model while the oracle recomputes them from the
+    // artifact with DuckDB's JSON reader, so a lost claim, an extra
+    // claim, or a shifted topic id hash-mismatches. FLOAT half (span
+    // scores, fitness), pinned: `scores_ok` certifies the artifact's
+    // best-score sum re-read from disk matches the in-memory sum (oracle
+    // pins TRUE; GeneticCategorizerSpec holds the quality floors).
     "gp01_genetic_topics" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
         .as[(Long, Seq[String])]
         .map { case (id, toks) => (toks.take(40), toks.take(40).map(tokenVec(_, 8))) }
+      val nTopics = 3
       val model = graft.topic.GeneticCategorizer.fit(docs,
         graft.topic.GeneticCategorizer.Options(
-          populationSize = 6, nTopics = 3, sentenceSize = 5,
+          populationSize = 6, nTopics = nTopics, sentenceSize = 5,
           maxIterations = 2, seed = 11L))
-      model.transform(docs)
-        .select(expr("array_max(rawPrediction)").as("best"),
-          expr("aggregate(prediction, CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("n_claimed"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_claimed").cast("long")).as("n_topic_claims"),
-          round(avg(col("best")), 4).as("avg_best"))
+      val perDoc = model.transform(docs).select(
+        // claimed topic ids (prediction is the 0/1 membership vector;
+        // Spark's [] indexing is 0-based, matching the topic id)
+        expr("concat_ws(',', transform(filter(" +
+          "sequence(0, size(prediction) - 1), i -> prediction[i] = 1.0D)," +
+          " i -> cast(i as string)))").as("claims_csv"),
+        expr("round(array_max(rawPrediction), 6)").as("best_score_r"))
+        .persist() // scoring otherwise re-runs for write + check + counts
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/tmp/graft_gp01/$slug"
+      perDoc.coalesce(1).write.mode("overwrite").json(path)
+      def scoreSum(df: DataFrame): java.math.BigDecimal = df
+        .agg(round(sum(col("best_score_r")), 6).cast("decimal(28,6)"))
+        .collect()(0).getDecimal(0)
+      val scoresOk = scoreSum(s.read.json(path)) == scoreSum(perDoc)
+      // in-memory per-topic claim counts; unclaimed topics emit count 0
+      val topics = (0 until nTopics).toDF("topic_id")
+      val claims = perDoc.where(col("claims_csv") =!= "")
+        .select(explode(split(col("claims_csv"), ",")).as("_t_"))
+        .select(col("_t_").cast("int").as("topic_id"))
+        .groupBy("topic_id").agg(count(lit(1)).as("n"))
+      topics.join(claims, Seq("topic_id"), "left")
+        .select(col("topic_id"),
+          coalesce(col("n"), lit(0L)).as("n_claims"),
+          lit(scoresOk).as("scores_ok"))
+        .orderBy("topic_id")
     }),
 
     // One-vs-all LinearSVC over the embeddings table's labels
@@ -263,6 +335,46 @@ object TopicQueries {
     // two agree iff load is structurally faithful. The gate runs at
     // sf0.01, hence the pinned slug; scores_ok is the adjudicated float
     // remainder, pinned TRUE (see TopicPersistenceSpec).
+    // independent read of the per-doc assignment + topword artifacts the
+    // Spark side saved (the tp03 recipe): counts and topword identity
+    // recomputed by DuckDB from disk; scores_ok is the adjudicated float
+    // remainder, pinned TRUE (TopicTreeSpec holds the quality gates).
+    // Gate runs at sf0.01, hence the pinned slug.
+    "tp01_topic_clusters" ->
+      """WITH a AS (
+        |  SELECT best_class FROM read_json_auto(
+        |    '/tmp/graft_tp01/_root_testdata_sf0_01/assignments/*.json')),
+        |tw AS (
+        |  SELECT cls, array_to_string(list_sort(list(token)), ',') AS toks
+        |  FROM read_json_auto(
+        |    '/tmp/graft_tp01/_root_testdata_sf0_01/topwords/*.json')
+        |  GROUP BY cls),
+        |c AS (SELECT best_class, count(*) AS n FROM a GROUP BY 1),
+        |k AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS best_class)
+        |SELECT k.best_class,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs,
+        |  coalesce(tw.toks, '') AS topwords_csv,
+        |  TRUE AS scores_ok
+        |FROM k LEFT JOIN c ON c.best_class = k.best_class
+        |       LEFT JOIN tw ON tw.cls = k.best_class
+        |ORDER BY k.best_class""".stripMargin,
+    // independent read of the per-doc claim-set artifact (tp03 recipe):
+    // per-topic claim counts recomputed by DuckDB from disk; scores_ok
+    // pinned TRUE (GeneticCategorizerSpec holds the quality floors).
+    "gp01_genetic_topics" ->
+      """WITH d AS (
+        |  SELECT claims_csv FROM read_json_auto(
+        |    '/tmp/graft_gp01/_root_testdata_sf0_01/*.json')),
+        |ex AS (
+        |  SELECT CAST(unnest(string_split(claims_csv, ',')) AS INTEGER)
+        |    AS topic_id
+        |  FROM d WHERE claims_csv <> ''),
+        |g AS (SELECT topic_id, count(*) AS n FROM ex GROUP BY 1),
+        |k AS (SELECT CAST(unnest(range(0, 3)) AS INTEGER) AS topic_id)
+        |SELECT k.topic_id, CAST(coalesce(g.n, 0) AS BIGINT) AS n_claims,
+        |  TRUE AS scores_ok
+        |FROM k LEFT JOIN g ON g.topic_id = k.topic_id
+        |ORDER BY k.topic_id""".stripMargin,
     "tp03_tree_roundtrip" ->
       """SELECT CAST(id AS BIGINT) AS id, name, algo,
         |  filterMode AS filter_mode,

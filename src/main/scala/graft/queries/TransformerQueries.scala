@@ -303,7 +303,9 @@ object TransformerQueries {
       runOne("expA", "proj1", "m2", 48)
       runOne("expB", "proj2", "m3", 30)
       s.read.json(logPath)
-        .select(col("model_group"), col("project"), col("model"),
+        // on-disk partition column is the reference's camelCase
+        // modelGroup; the gate aliases to snake_case for the oracle
+        .select(col("modelGroup").as("model_group"), col("project"), col("model"),
           col("n_steps").cast("long").as("n_steps"), col("step_names"),
           col("rows_out").cast("double").as("rows_out"),
           col("rows_kept").cast("double").as("rows_kept"))

@@ -185,4 +185,128 @@ class PropertySpec extends AnyFunSuite {
         sk.as[(Long, Long, Long)].collect().toSet, s"sig=$sig merge")
     }
   }
+
+  // ---- fuzzy-join invariants (SURVEY §5 test plan, round-16) --------------
+
+  private def fuzzyFixture(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (1 to 30).map(i => s"w$i")
+    val right = (1 to 40).map { i =>
+      (i.toLong,
+        (1 to 3 + rnd.nextInt(5)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    val left = (1 to 60).map { i =>
+      val toks =
+        if (rnd.nextInt(4) == 0) Seq("zzzz", "qqqq") // no vocab overlap
+        else (1 to 1 + rnd.nextInt(3)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, toks.mkString(" "))
+    }
+    (left, right)
+  }
+
+  test("fuzzy lookup: exactly one row per left row at topK=1, NULL padding exact") {
+    import graft.operators.FuzzyLookup
+    for (trial <- 1 to 2) {
+      val (leftRows, rightRows) = fuzzyFixture(13 + trial)
+      val left = leftRows.toDF("lid", "q")
+      val right = rightRows.toDF("rid", "rtext")
+      val out = FuzzyLookup.lookup(left, "q", right, "rtext")
+      // top-1 uniqueness: left-outer with topK=1 is row-preserving
+      assert(out.count() == leftRows.size.toLong, s"trial $trial")
+      assert(out.groupBy("lid").count()
+        .where(col("count") =!= 1).count() == 0, s"trial $trial: dup lids")
+      // NULL padding exactness: matched iff the query shares >= 1 token
+      // with at least one right doc (defaults: no stopwords, no df
+      // pruning, minScore 0 -> any shared token scores > 0)
+      val rightVocab = rightRows.flatMap(_._2.split(" ")).toSet
+      val got = out.select(col("lid"), col("q"), col("_score_").isNotNull)
+        .as[(Long, String, Boolean)].collect()
+      got.foreach { case (lid, q, matched) =>
+        val expected = q.split(" ").exists(rightVocab)
+        assert(matched == expected, s"trial $trial lid=$lid q='$q'")
+      }
+      // padded rows: every right column AND every match column is NULL
+      val padded = out.where(col("_score_").isNull)
+      assert(padded.where(col("rid").isNotNull || col("rtext").isNotNull ||
+        col("_tags_").isNotNull || col("_startIndex_").isNotNull ||
+        col("_endIndex_").isNotNull).count() == 0, s"trial $trial")
+    }
+  }
+
+  test("fuzzy lookup: best score is monotone under query token addition") {
+    import graft.operators.FuzzyLookup
+    val rnd = new scala.util.Random(29)
+    val vocab = (1 to 20).map(i => s"w$i")
+    val right = (1 to 25).map { i =>
+      (i.toLong,
+        (1 to 4 + rnd.nextInt(4)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }.toDF("rid", "rtext")
+    // nested query chains: q_k = first k tokens of a random word sequence;
+    // each added token contributes a non-negative max-weight term per
+    // candidate pair, so the BEST score is non-decreasing in k
+    val chains = (1 to 10).map { c =>
+      (1 to 4).map(_ => vocab(rnd.nextInt(vocab.size)))
+    }
+    val left = chains.zipWithIndex.flatMap { case (toks, c) =>
+      (1 to toks.size).map(k => (c.toLong * 10 + k, k, toks.take(k).mkString(" ")))
+    }.toDF("lid", "k", "q")
+    val scores = FuzzyLookup.lookup(left, "q", right, "rtext")
+      .select(col("lid"), col("k"), coalesce(col("_score_"), lit(0f)))
+      .as[(Long, Int, Float)].collect()
+      .groupBy(_._1 / 10).toSeq
+    scores.foreach { case (chain, rows) =>
+      val byK = rows.sortBy(_._2).map(_._3).toSeq
+      byK.sliding(2).filter(_.size == 2).foreach { w =>
+        assert(w(1) >= w(0),
+          s"chain $chain: scores ${byK.mkString(",")} not monotone")
+      }
+    }
+  }
+
+  test("fuzzy lookup: deterministic under left AND right repartitioning") {
+    import graft.operators.FuzzyLookup
+    val (leftRows, rightRows) = fuzzyFixture(47)
+    // deliberate score ties: duplicate right texts under different ids —
+    // tieBreakCol makes the chosen match a pure function of the DATA, so
+    // any partition layout must return byte-identical rows
+    val dupRight = rightRows ++ rightRows.take(10).map { case (i, t) => (i + 100, t) }
+    val left = leftRows.toDF("lid", "q")
+    val right = dupRight.toDF("rid", "rtext")
+    val opts = FuzzyLookup.Options(tieBreakCol = Some("rid"))
+    def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      FuzzyLookup.lookup(l, "q", r, "rtext", opts)
+        .select(col("lid"), col("rid"), col("rtext"), col("_score_"),
+          concat_ws(",", col("_tags_")).as("tags"),
+          col("_startIndex_"), col("_endIndex_"))
+        .collect().map(_.toString).sorted.toSeq
+    val base = run(left, right)
+    val shuffledL = run(left.repartition(7), right)
+    val shuffledR = run(left, right.repartition(3).sortWithinPartitions(col("rid").desc))
+    val shuffledBoth = run(left.repartition(5).sortWithinPartitions(col("q")),
+      right.repartition(11))
+    assert(shuffledL == base, "left repartition changed the output")
+    assert(shuffledR == base, "right repartition changed the output")
+    assert(shuffledBoth == base, "joint repartition changed the output")
+  }
+
+  test("fuzzy lookup: releaseIndex returns identical rows and frees the index cache") {
+    import graft.operators.FuzzyLookup
+    val (leftRows, rightRows) = fuzzyFixture(61)
+    val left = leftRows.toDF("lid", "q")
+    val right = rightRows.toDF("rid", "rtext")
+    def rows(o: FuzzyLookup.Options) =
+      FuzzyLookup.lookup(left, "q", right, "rtext", o)
+        .select(col("lid"), col("rid"), col("_score_"))
+        .collect().map(_.toString).sorted.toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val eager = rows(FuzzyLookup.Options(releaseIndex = true))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseIndex must leave no cached plan behind")
+    spark.sharedState.cacheManager.clearCache()
+    val lazy0 = rows(FuzzyLookup.Options())
+    assert(eager == lazy0, "releaseIndex changed the output")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

@@ -278,7 +278,7 @@ class Round15Spec extends AnyFunSuite {
     m.writeRunLog(base, res, metrics = Map("rows_out" -> 2.0))
     m.writeRunLog(base, res, metrics = Map("rows_out" -> 2.0)) // append #2
     val dir = new java.io.File(
-      s"$base/model_group=grpG/project=projX/model=mA")
+      s"$base/modelGroup=grpG/project=projX/model=mA")
     assert(dir.isDirectory, s"hive layout missing: $dir")
     val back = spark.read.json(base)
     assert(back.count() == 2) // append semantics: one row per run
@@ -287,7 +287,7 @@ class Round15Spec extends AnyFunSuite {
     assert(r == ((2L, "filter,agg", 2.0)))
     assert(back.columns.contains("filter_ms") && back.columns.contains("agg_ms"))
     // partition columns come back through the directory names
-    assert(back.select("model_group", "project", "model")
+    assert(back.select("modelGroup", "project", "model")
       .as[(String, String, String)].head() == (("grpG", "projX", "mA")))
     // collision guard: a metric named like an identity column is loud
     val e = intercept[IllegalArgumentException] {
