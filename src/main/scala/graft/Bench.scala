@@ -64,6 +64,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // interleaved passes (round-16) revisit each query's plan a full
+      // suite apart; the default 100-entry generated-class cache evicts
+      // everything in between, so pass 2 would pay Janino + JIT again
+      // (~+0.1-0.5 s/query — observed +36 s suite-wide). Size the cache
+      // for the suite so a later pass re-observes execution, not codegen.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Root cause of the round-8 "unexplained stack trace in the bench

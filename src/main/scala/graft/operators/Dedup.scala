@@ -659,7 +659,15 @@ object Dedup {
     * pair within the distance agrees on at least one whole block.
     * `maxBucketSize` (0 = off): same degenerate-bucket guard as
     * [[minHashLshPairs]] — every empty text has signature 0 and would
-    * self-join O(n²) in all blocks. */
+    * self-join O(n²) in all blocks.
+    *
+    * Scale note (sf1-soak-measured, round 16): block-key cardinality is
+    * fixed by the 64-bit signature (2^(64/(k+1)) keys), so on a corpus
+    * whose signature DIVERSITY does not grow with n (template-heavy or
+    * low-vocabulary text) bucket occupancy grows with n and candidate
+    * volume quadratically — the 10x soak ran 36x. `maxBucketSize` is the
+    * production guard: it prices out exactly the overfull keys, at the
+    * documented recall cost on those keys. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val nBlocks = maxHamming + 1
