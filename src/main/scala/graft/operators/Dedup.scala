@@ -29,25 +29,29 @@ object Dedup {
     * ONE sort task (AQE cannot split a window partition), while min_by's
     * map-side combine collapses each partition's copies to one row before
     * anything shuffles. Requires a non-null total ordering (unique ids) —
-    * ENFORCED in-plan: min_by skips NULL ordering keys, so a group whose
-    * every orderKey is NULL would return a NULL struct and the unpack
-    * would emit an all-NULL garbage row (the old row_number window kept a
-    * real row there); a NULL id is dirty data and fails by name instead. */
-  private def keepMinBy(df: DataFrame, key: Column, orderKey: Column): DataFrame = {
-    val checked = when(orderKey.isNotNull, orderKey)
+    * ENFORCED in-plan PER COMPONENT: min_by skips NULL ordering keys, so
+    * an all-NULL group would return a NULL struct and the unpack would
+    * emit an all-NULL garbage row, and for COMPOSITE orderings the
+    * containing struct is never NULL while a NULL FIELD sorts first and
+    * silently WINS the election (the priority-dedup hazard) — so every
+    * component fails by name, not just the whole key. */
+  private def keepMinBy(df: DataFrame, key: Column,
+                        orderKeys: Seq[Column]): DataFrame = {
+    val checked = orderKeys.map(ok => when(ok.isNotNull, ok)
       .otherwise(raise_error(concat(
-        lit("keepMinBy: NULL ordering key (id) — dedup requires a " +
+        lit("keepMinBy: NULL ordering-key component — dedup requires a " +
           "non-null total order; dedup key="),
-        coalesce(key.cast("string"), lit("NULL")))))
+        coalesce(key.cast("string"), lit("NULL"))))))
+    val orderKey = if (checked.size == 1) checked.head else struct(checked: _*)
     df.groupBy(key.as("_k_"))
-      .agg(min_by(struct(df.columns.map(col): _*), checked).as("_r_"))
+      .agg(min_by(struct(df.columns.map(col): _*), orderKey).as("_r_"))
       .select(df.columns.map(c => col("_r_").getField(c).as(c)): _*)
   }
 
   /** Exact dedup: keep the row with the smallest `idCol` per distinct value
     * of `textCol` (deterministic keep-first). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    keepMinBy(df, md5(col(textCol)), col(idCol))
+    keepMinBy(df, md5(col(textCol)), Seq(col(idCol)))
 
   /** Incremental exact dedup — the daily-ingest variant: dedup a NEW batch
     * against an existing corpus without touching the corpus again. Keeps a
@@ -61,7 +65,7 @@ object Dedup {
     val seen = corpus.select(md5(col(textCol)).as("_h_")).distinct()
     val survivors = newDf.withColumn("_h_", md5(col(textCol)))
       .join(seen, Seq("_h_"), "left_anti")
-    keepMinBy(survivors, col("_h_"), col(idCol)).drop("_h_")
+    keepMinBy(survivors, col("_h_"), Seq(col(idCol))).drop("_h_")
   }
 
   /** Bloom-accelerated [[exactIncremental]] — IDENTICAL output, different
@@ -90,7 +94,7 @@ object Dedup {
     val definiteNew = hashed.where(!mightContain(col("_h_")))
     val maybeSeen = hashed.where(mightContain(col("_h_")))
       .join(seen.distinct(), Seq("_h_"), "left_anti")
-    keepMinBy(definiteNew.unionByName(maybeSeen), col("_h_"), col(idCol))
+    keepMinBy(definiteNew.unionByName(maybeSeen), col("_h_"), Seq(col(idCol)))
       .drop("_h_")
   }
 
@@ -115,7 +119,7 @@ object Dedup {
     // min_by, not a digest window: the hot paragraph (cookie banner in
     // 10^8 docs) must collapse map-side, not sort in one task
     val kept = keepMinBy(paras, md5(col("_p_")),
-      struct(col("_id_"), col("_pos_")))
+      Seq(col("_id_"), col("_pos_")))
     val rebuilt = kept.groupBy("_id_")
       .agg(array_join(transform(array_sort(
           collect_list(struct(col("_pos_"), col("_p_")))), s => s("_p_")), sep)
@@ -155,7 +159,7 @@ object Dedup {
     * digest-shuffle shape as [[exact]], different election. */
   def exactByPriority(df: DataFrame, textCol: String, idCol: String,
                       priorityCol: String): DataFrame =
-    keepMinBy(df, md5(col(textCol)), struct(col(priorityCol), col(idCol)))
+    keepMinBy(df, md5(col(textCol)), Seq(col(priorityCol), col(idCol)))
 
   /** Boilerplate removal by corpus frequency — the CCNet/RefinedWeb curation
     * stage that strips navigation chrome, cookie banners, share buttons:

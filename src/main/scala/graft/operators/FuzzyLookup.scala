@@ -84,7 +84,14 @@ object FuzzyLookup {
     *                       query × topK — never data-sized) is EAGERLY
     *                       materialized and the token index unpersisted
     *                       before returning: same output, scoring runs at
-    *                       call time, no storage survives the call
+    *                       call time, and no SQL-CACHE entry survives the
+    *                       call. The pinned id frames (queries, the right
+    *                       table) and the materialized top-K remain as
+    *                       localCheckpoint RDD blocks for the RETURNED
+    *                       plan's lifetime — those are reference-tracked,
+    *                       so dropping the returned DataFrame releases
+    *                       them via the context cleaner, unlike the
+    *                       SQL-cache entry this flag exists to scope
     */
   case class Options(
       maxLevDistance: Int = 0,

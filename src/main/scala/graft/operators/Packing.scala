@@ -31,20 +31,39 @@ object Packing {
       s" div cast('$width' as decimal(38,0)) as bigint)")
   }
 
-  /** Sharded prefix operators REQUIRE a numeric id: shard assignment
-    * casts the id to bigint, so a string/uuid id would null the bounds
-    * probe (silently degrading the plan), and a NUMERIC-STRING id is
-    * worse — it shards by the numeric cast but window-orders
+  /** Sharded prefix operators REQUIRE a numeric (or timestamp) id: shard
+    * assignment casts the id to bigint, so a string/uuid id would null
+    * the bounds probe (silently degrading the plan), and a NUMERIC-STRING
+    * id is worse — it shards by the numeric cast but window-orders
     * LEXICOGRAPHICALLY ("10" < "9"), so the stitched prefix silently
     * diverges from both the numeric and the lexicographic total order.
-    * Fail by name instead; callers with string ids rank-encode first. */
-  private def requireNumericId(df: DataFrame, idCol: String, op: String): Unit = {
+    * Timestamps are safe: cast-to-bigint (epoch seconds) is MONOTONE with
+    * timestamp ordering, so second-truncation only merges adjacent ids
+    * into one shard — never reorders across shards. Fail by name
+    * otherwise; callers with string ids rank-encode first.
+    *
+    * Returns the id's guarded form: floating ids additionally get the
+    * in-plan non-finite rejection HERE (the defense belongs at this
+    * altitude — cast(NaN as bigint) = 0 silently corrupts the bounds
+    * probe and shard assignment for EVERY float-keyed caller, not just
+    * the ones that remembered to pre-guard). */
+  private def numericIdGuarded(df: DataFrame, idCol: String,
+                               op: String): DataFrame = {
     val idType = df.select(col(idCol)).schema.head.dataType
-    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$op: idCol '$idCol' must be numeric, got ${idType.simpleString} — " +
-        "shard assignment casts ids to bigint, so a non-numeric id either " +
-        "nulls the bounds probe or shards numerically while ordering " +
-        "lexicographically (silent divergence); rank-encode the id first")
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        idType == org.apache.spark.sql.types.TimestampType,
+      s"$op: idCol '$idCol' must be numeric or timestamp, got " +
+        s"${idType.simpleString} — shard assignment casts ids to bigint, " +
+        "so a non-numeric id either nulls the bounds probe or shards " +
+        "numerically while ordering lexicographically (silent " +
+        "divergence); rank-encode the id first")
+    idType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        df.withColumn(idCol, Guards.finiteOrRaise(col(idCol), col(idCol),
+          Guards.nonFiniteMsg(op, s"ordering id $idCol", col(idCol))))
+      case _ => df
+    }
   }
 
   /** Lazy local checkpoint guarding a sharded operator's eager bounds
@@ -125,7 +144,7 @@ object Packing {
     * in the id space degrades speed, not correctness; size `numShards` so
     * one shard's rows fit a single task comfortably. Requires a numeric
     * `idCol` (doc ids) — enforced by name at plan-build time (see
-    * [[requireNumericId]]). When `idCol` is not unique, pass `tieCols` to
+    * [[numericIdGuarded]]). When `idCol` is not unique, pass `tieCols` to
     * make the within-shard order total — shard assignment depends only
     * on `idCol`, so tied rows always share a shard and the tie-broken
     * output is deterministic.
@@ -149,8 +168,8 @@ object Packing {
                           nullsFirst: Boolean = false): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     require(!(nullsLast && nullsFirst), "nullsLast and nullsFirst conflict")
-    requireNumericId(df, idCol, "runningTotalSharded")
-    val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
+    val df0 = numericIdGuarded(df, idCol, "runningTotalSharded")
+    val bounds = df0.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi")).head()
     if (bounds.isNullAt(0)) { // empty (or all-NULL-id) input: exact window,
       // partitioned by groupCols — the fallback must honor the same group
@@ -164,7 +183,7 @@ object Packing {
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val rawShard = shardExpr(idCol, lo, hi, numShards)
-    val sharded = df.withColumn("_shard_",
+    val sharded = df0.withColumn("_shard_",
       if (nullsLast) coalesce(rawShard, lit(numShards.toLong))
       else if (nullsFirst) coalesce(rawShard, lit(-1L))
       else rawShard)
@@ -214,19 +233,19 @@ object Packing {
     * with no duplicates (the skyline/frontier shape: `idCol` comes out of
     * a groupBy); a NULL id sorts FIRST (the window default) via a
     * dedicated first shard; a non-numeric `idCol` is rejected by name
-    * (see [[requireNumericId]] — a numeric-string id would shard
+    * (see [[numericIdGuarded]] — a numeric-string id would shard
     * numerically but order lexicographically, a silent divergence). */
   def runningMinSharded(df: DataFrame, idCol: String, valCol: String,
                         cumCol: String, numShards: Int = 32): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    requireNumericId(df, idCol, "runningMinSharded")
-    val bounds = df.agg(min(col(idCol)).cast("long").as("lo"),
+    val df0 = numericIdGuarded(df, idCol, "runningMinSharded")
+    val bounds = df0.agg(min(col(idCol)).cast("long").as("lo"),
       max(col(idCol)).cast("long").as("hi")).head()
     val wGlobal = Window.orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    if (bounds.isNullAt(0)) // empty (or unshardable) input: exact fallback
+    if (bounds.isNullAt(0)) // empty (or all-NULL-id) input: exact fallback
       return df.withColumn(cumCol, min(col(valCol)).over(wGlobal))
-    val sharded = df.withColumn("_shard_", coalesce(
+    val sharded = df0.withColumn("_shard_", coalesce(
       shardExpr(idCol, bounds.getLong(0), bounds.getLong(1), numShards),
       lit(-1L)))
     val totals = sharded.groupBy(col("_shard_"))

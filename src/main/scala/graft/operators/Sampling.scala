@@ -275,13 +275,10 @@ object Sampling {
     // (a scorer's 0/0 failure mode) would rank FIRST and fill the cap
     // ahead of every real document — reject non-finite scores by name
     // (NULLs stay allowed: desc puts them last, the sensible default)
-    val qd = col(qualityCol).cast("double")
-    val qchecked = when(qd.isNull ||
-        (!isnan(qd) && qd > Double.NegativeInfinity &&
-          qd < Double.PositiveInfinity), col(qualityCol))
-      .otherwise(raise_error(concat(
-        lit("perDomainCap: non-finite quality score "),
-        coalesce(qd.cast("string"), lit("NULL")))))
+    val qchecked = graft.operators.Guards.finiteOrRaise(
+      col(qualityCol), col(qualityCol),
+      graft.operators.Guards.nonFiniteMsg("perDomainCap", "quality score",
+        col(qualityCol)))
     val w = Window.partitionBy(domainCol)
       .orderBy(qchecked.desc, col(idCol))
     df.withColumn("domain_rank", row_number().over(w))

@@ -454,15 +454,11 @@ object TextAnalysis {
     val clash = df.columns.intersect(Seq("_negs_", "_one_", "_gr_", "bucket"))
     require(clash.isEmpty, s"scoreBuckets reserves scratch/output column " +
       s"names [_negs_, _one_, _gr_, bucket]; rename: ${clash.mkString(", ")}")
-    val sd = col(scoreCol).cast("double")
-    val negated = when(col(scoreCol).isNull, lit(null).cast("double"))
-      .when(!isnan(sd) && sd > Double.NegativeInfinity &&
-        sd < Double.PositiveInfinity, -col(scoreCol))
-      .otherwise(raise_error(concat(
-        lit(s"scoreBuckets: non-finite $scoreCol ("),
-        coalesce(sd.cast("string"), lit("NULL")),
-        lit(s") for $idCol "),
-        coalesce(col(idCol).cast("string"), lit("NULL")))))
+    val negated = graft.operators.Guards.finiteOrRaise(
+      col(scoreCol), -col(scoreCol).cast("double"),
+      graft.operators.Guards.nonFiniteMsg("scoreBuckets", scoreCol,
+        col(scoreCol), lit(s" for $idCol "),
+        coalesce(col(idCol).cast("string"), lit("NULL"))))
     Packing.ntileSharded(
         // probe cache: the shard-bounds probe and total count are eager
         // actions — scoring upstreams (LM joins) must not run three times

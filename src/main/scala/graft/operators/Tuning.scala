@@ -97,17 +97,12 @@ object Tuning {
     // assignment vs the old ORDER BY (which sorted NaN last) — a NaN
     // metric is an upstream bug and should say so by name. NULL metrics
     // stay allowed (nullsFirst below preserves their NULLS FIRST order).
-    val md = col("_metric_").cast("double")
-    val checkedMetric = when(col("_metric_").isNull, col("_metric_"))
-      .when(!isnan(md) && md > Double.NegativeInfinity &&
-        md < Double.PositiveInfinity, col("_metric_"))
-      .otherwise(raise_error(concat(
-        lit(s"rankSplit: non-finite $agg($metricCol) metric ("),
-        coalesce(md.cast("string"), lit("NULL")),
-        lit(") for group "),
+    val checkedMetric = Guards.finiteOrRaise(col("_metric_"), col("_metric_"),
+      Guards.nonFiniteMsg("rankSplit", s"$agg($metricCol) metric",
+        col("_metric_"), lit(" for group "),
         coalesce(concat_ws(",",
           groupCols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*),
-          lit("NULL")))))
+          lit("NULL"))))
     // probe cache: ntileSharded's shard-bounds probe and group count are
     // eager actions — without this the group aggregate (a full input
     // shuffle) would execute three times

@@ -111,6 +111,23 @@ case class Model(project: String, name: String, steps: Seq[Step] = Nil,
         s"each other's names: ${clash.distinct.mkString(", ")}")
     val spark = result.df.sparkSession
     import spark.implicits._
+    // layout-migration guard: logs written before the camelCase rename
+    // used snake_case model_group partition dirs; appending camelCase
+    // into the same directory would SUCCEED here and then break every
+    // subsequent read of the whole log with 'conflicting partition
+    // column names' — fail loudly at write time instead
+    val root = new org.apache.hadoop.fs.Path(logPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val oldLayout = fs.listStatus(root)
+        .exists(_.getPath.getName.startsWith("model_group="))
+      require(!oldLayout,
+        s"writeRunLog: $logPath contains a pre-rename snake_case " +
+          "model_group= partition layout; appending the reference " +
+          "camelCase modelGroup= layout into it would make the whole " +
+          "directory unreadable — migrate (rename the partition dirs) " +
+          "or write to a fresh logPath")
+    }
     val base = Seq((group, project, name, comment, steps.length.toLong,
         result.log.map(_._1).mkString(",")))
       .toDF("modelGroup", "project", "model", "comment", "n_steps",

@@ -160,18 +160,19 @@ object TopicQueries {
         .collect()(0).getDecimal(0)
       val scoresOk =
         scoreSum(s.read.json(s"$path/assignments")) == scoreSum(perDoc)
-      // in-memory per-class counts + topword identity; classes with zero
-      // assigned docs still emit a row (count 0)
-      val classes = Seq(0, 1, 2, 3).toDF("best_class")
-      val counts = perDoc.groupBy("best_class").agg(count(lit(1)).as("n"))
-      val twCsv = tw.groupBy("cls").agg(
-        concat_ws(",", sort_array(collect_list(col("token")))).as("topwords_csv"))
-      classes.join(counts, Seq("best_class"), "left")
-        .join(twCsv, classes("best_class") === twCsv("cls"), "left")
-        .select(col("best_class"),
-          coalesce(col("n"), lit(0L)).as("n_docs"),
-          coalesce(col("topwords_csv"), lit("")).as("topwords_csv"),
-          lit(scoresOk).as("scores_ok"))
+      // in-memory per-class counts + topword identity, COLLECTED (4 rows)
+      // so perDoc can be unpersisted before returning — the returned
+      // frame is a LocalRelation, and nothing cached leaks past the query
+      val countsM = perDoc.groupBy("best_class").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val twM = tw.groupBy("cls").agg(
+          concat_ws(",", sort_array(collect_list(col("token")))).as("tc"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      perDoc.unpersist()
+      // classes with zero assigned docs still emit a row (count 0)
+      Seq(0, 1, 2, 3)
+        .map(c => (c, countsM.getOrElse(c, 0L), twM.getOrElse(c, ""), scoresOk))
+        .toDF("best_class", "n_docs", "topwords_csv", "scores_ok")
         .orderBy("best_class")
     }),
 
@@ -288,16 +289,18 @@ object TopicQueries {
         .agg(round(sum(col("best_score_r")), 6).cast("decimal(28,6)"))
         .collect()(0).getDecimal(0)
       val scoresOk = scoreSum(s.read.json(path)) == scoreSum(perDoc)
-      // in-memory per-topic claim counts; unclaimed topics emit count 0
-      val topics = (0 until nTopics).toDF("topic_id")
-      val claims = perDoc.where(col("claims_csv") =!= "")
+      // in-memory per-topic claim counts, COLLECTED (nTopics rows) so
+      // perDoc can be unpersisted before returning; unclaimed topics
+      // emit count 0
+      val claimsM = perDoc.where(col("claims_csv") =!= "")
         .select(explode(split(col("claims_csv"), ",")).as("_t_"))
         .select(col("_t_").cast("int").as("topic_id"))
         .groupBy("topic_id").agg(count(lit(1)).as("n"))
-      topics.join(claims, Seq("topic_id"), "left")
-        .select(col("topic_id"),
-          coalesce(col("n"), lit(0L)).as("n_claims"),
-          lit(scoresOk).as("scores_ok"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      perDoc.unpersist()
+      (0 until nTopics)
+        .map(t => (t, claimsM.getOrElse(t, 0L), scoresOk))
+        .toDF("topic_id", "n_claims", "scores_ok")
         .orderBy("topic_id")
     }),
 

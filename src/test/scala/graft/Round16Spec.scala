@@ -97,7 +97,24 @@ class Round16Spec extends AnyFunSuite {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(m =>
-      m.contains("keepMinBy") && m.contains("NULL ordering key")),
+      m.contains("keepMinBy") && m.contains("NULL ordering-key")),
+      chain(e).mkString("|"))
+  }
+
+  test("Dedup.exactByPriority raises by name on a NULL priority (composite key)") {
+    // pre-fix: struct(priority, id) is never NULL, so the guard was dead
+    // code and a NULL priority sorted FIRST — silently winning the
+    // election over the curated priority=0 copy
+    val df = Seq((1L, Some(0), "same text"), (2L, Option.empty[Int], "same text"))
+      .toDF("doc_id", "prio", "text")
+    val e = intercept[Exception] {
+      Dedup.exactByPriority(df, "text", "doc_id", "prio").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(m =>
+      m.contains("keepMinBy") && m.contains("NULL ordering-key")),
       chain(e).mkString("|"))
   }
 

@@ -61,8 +61,14 @@ object ScaleUp {
       }
       regen(s).drop("_copy_")
     }
-    // spans = max_key + 1 at sf0.1 (keys are 0-based dense)
-    val (nCust, nSupp, nPart, nOrd) = (15000L, 1000L, 20000L, 150000L)
+    // spans computed from the DATA (max key + 1), never hardcoded: a
+    // testdata vintage change would otherwise silently overlap copy key
+    // ranges and break the FK disjointness the whole design rests on
+    def span(t: String, key: String): Long =
+      read(t).agg(max(col(key))).as[Long].head() + 1
+    val (nCust, nSupp, nPart, nOrd) =
+      (span("customer", "c_custkey"), span("supplier", "s_suppkey"),
+        span("part", "p_partkey"), span("orders", "o_orderkey"))
 
     write(shifted("customer", Seq("c_custkey" -> nCust),
       _.withColumn("c_name",
@@ -79,13 +85,13 @@ object ScaleUp {
       "l_partkey" -> nPart, "l_suppkey" -> nSupp)), "lineitem")
 
     // events: same time window, 10x users and events
-    val nEvt = 100000L
+    val nEvt = span("events", "event_id")
     val maxUser = read("events").agg(max("user_id")).as[Long].head() + 1
     write(shifted("events",
       Seq("event_id" -> nEvt, "user_id" -> maxUser)), "events")
 
     // documents: token-level perturbation for copies > 0
-    val nDoc = 5000L
+    val nDoc = span("documents", "doc_id")
     val vocab = read("documents")
       .select(explode(split(col("text"), " ")).as("t"))
       .distinct().as[String].collect().sorted
@@ -112,7 +118,7 @@ object ScaleUp {
     write(docs, "documents")
 
     // embeddings: fresh unit gaussians for copies > 0
-    val nVec = 2000L
+    val nVec = span("embeddings", "vec_id")
     val dim = read("embeddings")
       .select(size(col("embedding"))).as[Int].head()
     val labels = read("embeddings").select("label").distinct()
