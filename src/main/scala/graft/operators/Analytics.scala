@@ -260,7 +260,12 @@ object Analytics {
     val spark = df.sparkSession
     import spark.implicits._
     val w = Window.partitionBy(keyCol).orderBy(col(valCol))
+    // NULL values EXCLUDED from the rank (round-16): ascending order puts
+    // nulls FIRST, so they occupied ranks 1..k and shifted every
+    // percentile downward — and the bisect twins already filter them, so
+    // the two documented-interchangeable paths disagreed on dirty data
     val ranked = df.select(col(keyCol), col(valCol))
+      .where(col(valCol).isNotNull)
       .withColumn("_rn_", row_number().over(w))
       .withColumn("_n_", count(lit(1)).over(Window.partitionBy(keyCol)))
     val ps = percentiles.sorted.toDF("pct")
@@ -279,10 +284,16 @@ object Analytics {
   def histogram(df: DataFrame, valCol: String, lo: Double, hi: Double,
                 nBins: Int): DataFrame = {
     require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
-    val raw = floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBins))
+    // dirty-data contract (round-16): NULLs are EXCLUDED (the SQL
+    // aggregate convention — pre-fix they silently landed in bin 0
+    // because greatest() SKIPS nulls), non-finite values raise by name
+    // (NaN casts to long 0 — bin 0 again, invisibly)
+    val checked = Guards.finiteOrRaise(col(valCol), col(valCol),
+      Guards.nonFiniteMsg("histogram", valCol, col(valCol)))
+    val raw = floor((checked - lit(lo)) / lit(hi - lo) * lit(nBins))
     val bin = least(lit(nBins - 1L), greatest(lit(0L), raw.cast("long")))
     val width: Column = lit(hi - lo) / lit(nBins)
-    df.groupBy(bin.as("bin"))
+    df.where(col(valCol).isNotNull).groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", lit(lo) + col("bin") * width)
       .withColumn("bin_hi", lit(lo) + (col("bin") + lit(1L)) * width)
@@ -408,8 +419,13 @@ object Analytics {
                lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
     def binned(df: DataFrame, cnt: String) = {
-      val raw = floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBins))
-      df.groupBy(least(lit(nBins - 1L), greatest(lit(0L), raw.cast("long")))
+      // same dirty-data contract as [[histogram]]: NULLs excluded,
+      // non-finite raises (a NaN-inflated bin 0 silently flips PSI)
+      val checked = Guards.finiteOrRaise(col(valCol), col(valCol),
+        Guards.nonFiniteMsg("psiDrift", valCol, col(valCol)))
+      val raw = floor((checked - lit(lo)) / lit(hi - lo) * lit(nBins))
+      df.where(col(valCol).isNotNull)
+        .groupBy(least(lit(nBins - 1L), greatest(lit(0L), raw.cast("long")))
           .as("bin"))
         .agg(count(lit(1)).as(cnt))
     }
@@ -500,11 +516,15 @@ object Analytics {
                 - cast(_sy_ as double) * cast(_sy_ as double)""").as("_dy_"),
         col("_sx_"), col("_sy_"))
       .select(col(keyCol), col("n"),
-        (col("_num_") / sqrt(col("_dx_") * col("_dy_"))).as("corr_r"),
-        (col("_num_") / col("_dx_")).as("slope"),
-        ((col("_sy_").cast("double") -
-          (col("_num_") / col("_dx_")) * col("_sx_").cast("double")) /
-          col("n").cast("double")).as("intercept"))
+        // degenerate groups (zero variance in x or y) yield NULL rather
+        // than NaN/±Inf — the linearFit2 contract, now applied here too
+        when(col("_dx_") > 0 && col("_dy_") > 0,
+          col("_num_") / sqrt(col("_dx_") * col("_dy_"))).as("corr_r"),
+        when(col("_dx_") > 0, col("_num_") / col("_dx_")).as("slope"),
+        when(col("_dx_") > 0,
+          (col("_sy_").cast("double") -
+            (col("_num_") / col("_dx_")) * col("_sx_").cast("double")) /
+            col("n").cast("double")).as("intercept"))
   }
 
   /** Two-feature least squares per group (y ~ b0 + b1·x1 + b2·x2) with
@@ -637,7 +657,13 @@ object Analytics {
   def heavyHitters(df: DataFrame, keyCol: String, num: Long,
                    den: Long): DataFrame = {
     require(num > 0 && den >= num, "fraction num/den must be in (0, 1]")
-    val k = ((den + num - 1) / num).toInt // ceil(den/num) >= 1/phi
+    // overflow-safe ceil (den + num - 1 wraps for den near Long.Max) and
+    // a sanity bound: k Misra-Gries counters live in per-task memory
+    val k0 = den / num + (if (den % num == 0) 0L else 1L)
+    require(k0 <= 10000000L,
+      s"heavyHitters: ceil(den/num) = $k0 counters exceed the per-task " +
+        "memory bound (10M) — use a coarser threshold fraction")
+    val k = k0.toInt // ceil(den/num) >= 1/phi
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df.select(col(keyCol).cast("string").as("k")).as[String]
@@ -661,7 +687,8 @@ object Analytics {
       Iterator.single((n, counters.keys.toSeq))
     }.toDF("np", "cands").localCheckpoint() // one MG pass feeds N + cands
     val n = summaries.agg(sum(col("np"))).as[Option[Long]].head.getOrElse(0L)
-    val threshold = (n * num + den - 1) / den
+    // BigInt: n·num wraps a LONG for corpus-scale n with a fine fraction
+    val threshold = ((BigInt(n) * num + den - 1) / den).toLong
     val cands = summaries.select(explode(col("cands")).as("k")).distinct()
     df.join(broadcast(cands), df(keyCol).cast("string") === cands("k"),
         "left_semi")
@@ -694,10 +721,18 @@ object Analytics {
     val w = Window.partitionBy(keyCol)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(-(horizon - 1), Window.currentRow)
-    val guarded = when(
-      abs(col(valCol).cast("long")) >= lit(1L << (53 - horizon)),
-      raise_error(lit(s"ewmaSmooth: |value| must be < 2^${53 - horizon} " +
-        "for exact summation — quantize coarser or shrink the horizon")))
+    // NULL values raise by name (round-16): collect_list SKIPS nulls, so
+    // a NULL reading silently COMPACTED the window list and reassigned
+    // every exponent weight to the wrong observation — and the old
+    // magnitude guard null-propagated straight past it
+    val guarded = when(col(valCol).isNull,
+      raise_error(lit("ewmaSmooth: NULL value — the window list would " +
+        "silently drop it and shift every exponent weight; fill or " +
+        "filter the series upstream")))
+      .when(
+        abs(col(valCol).cast("long")) >= lit(1L << (53 - horizon)),
+        raise_error(lit(s"ewmaSmooth: |value| must be < 2^${53 - horizon} " +
+          "for exact summation — quantize coarser or shrink the horizon")))
       .otherwise(col(valCol).cast("long"))
     df.withColumn("_ewv_", guarded)
       .withColumn("_lst_", collect_list(col("_ewv_")).over(w))
@@ -733,8 +768,12 @@ object Analytics {
     val byKey = Window.partitionBy(keyCol)
     val wVal = byKey.orderBy(col(valCol), col(idCol))
     val medRank = lit(1) + expr("(50 * (_n_ - 1)) div 100")
+    // NULL values excluded (they ranked FIRST and shifted both medians);
+    // non-integral values raise instead of silently flooring (the
+    // documented integer contract, now enforced)
     val withMed = df.select(col(keyCol), col(idCol),
-        col(valCol).cast("long").as(valCol))
+        Guards.integralLongCol(df, valCol, "madOutliers").as(valCol))
+      .where(col(valCol).isNotNull)
       .withColumn("_n_", count(lit(1)).over(byKey))
       .withColumn("_rnv_", row_number().over(wVal))
       .withColumn("med",
@@ -766,7 +805,11 @@ object Analytics {
     val byKey = Window.partitionBy(keyCol)
     val wVal = byKey.orderBy(col(valCol), col(idCol))
     def rankOf(p: Int) = lit(1) + expr(s"($p * (_n_ - 1)) div 100")
-    df.select(col(keyCol), col(idCol), col(valCol).cast("long").as(valCol))
+    // same dirty-data contract as [[madOutliers]]: NULL values excluded
+    // from ranks AND output, non-integral values raise by name
+    df.select(col(keyCol), col(idCol),
+        Guards.integralLongCol(df, valCol, "winsorize").as(valCol))
+      .where(col(valCol).isNotNull)
       .withColumn("_n_", count(lit(1)).over(byKey))
       .withColumn("_rnv_", row_number().over(wVal))
       .withColumn("lo",
@@ -825,9 +868,14 @@ object Analytics {
   def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
                         valCol: String): DataFrame = {
     val wg = Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol))
-    val total = df.agg(count(lit(1)).as("_N_"))
-    val ranked = df.select(col(groupCol), col(idCol),
-        col(valCol).cast("long").as(valCol))
+    // NULL values excluded on BOTH sides (they ranked first in the group
+    // window but nulled the sharded global index's bounds — the two rank
+    // spaces silently misaligned); non-integral raises by name
+    val clean = df.select(col(groupCol), col(idCol),
+        Guards.integralLongCol(df, valCol, "quantileNormalize").as(valCol))
+      .where(col(valCol).isNotNull)
+    val total = clean.agg(count(lit(1)).as("_N_"))
+    val ranked = clean
       .withColumn("_r_", row_number().over(wg))
       .withColumn("_ng_", count(lit(1)).over(Window.partitionBy(groupCol)))
       .crossJoin(broadcast(total))
@@ -836,7 +884,7 @@ object Analytics {
           lit(1) + expr("((_r_ - 1) * (_N_ - 1)) div (_ng_ - 1)"))
           .otherwise(lit(1) + expr("(_N_ - 1) div 2")))
     val globalIdx = Packing.runningTotalSharded(
-        df.select(col(valCol).cast("long").as("_gv_"), col(idCol).as("_gid_"))
+        clean.select(col(valCol).as("_gv_"), col(idCol).as("_gid_"))
           .withColumn("_one_", lit(1L)),
         "_gv_", "_one_", "_gr_", tieCols = Seq("_gid_"))
       .select("_gr_", "_gv_")
@@ -863,22 +911,30 @@ object Analytics {
     * (`keyCol`, n, n_agree, kappa). */
   def cohensKappa(df: DataFrame, keyCol: String, raterACol: String,
                   raterBCol: String): DataFrame = {
-    val base = df.groupBy(col(keyCol)).agg(
+    // only CO-RATED items count (the standard kappa convention, now
+    // enforced): pre-fix a NULL label was counted in n but dropped from
+    // the chance join (NULL keys never match), silently inflating kappa
+    val rated = df.where(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+    val base = rated.groupBy(col(keyCol)).agg(
       count(lit(1)).as("n"),
       sum(when(col(raterACol) === col(raterBCol), 1L).otherwise(0L))
         .as("n_agree"))
-    val ma = df.groupBy(col(keyCol), col(raterACol).as("_lbl_"))
+    val ma = rated.groupBy(col(keyCol), col(raterACol).as("_lbl_"))
       .agg(count(lit(1)).as("_na_"))
-    val mb = df.groupBy(col(keyCol), col(raterBCol).as("_lbl_"))
+    val mb = rated.groupBy(col(keyCol), col(raterBCol).as("_lbl_"))
       .agg(count(lit(1)).as("_nb_"))
+    // chance term and n² in DECIMAL(38,0): n·n and Σ na·nb wrap a LONG
+    // silently past n ≈ 3e9 rows per group (ANSI off), flipping kappa's
+    // sign with no error anywhere
     val chance = ma.join(mb, Seq(keyCol.toString, "_lbl_"))
       .groupBy(col(keyCol))
-      .agg(sum(col("_na_") * col("_nb_")).as("_sab_"))
+      .agg(sum(col("_na_").cast("decimal(38,0)") * col("_nb_")).as("_sab_"))
+    val n2 = col("n").cast("decimal(38,0)") * col("n")
     base.join(chance, keyCol)
       .select(col(keyCol), col("n"), col("n_agree"),
-        when(col("n") * col("n") =!= col("_sab_"),
-          (col("n") * col("n_agree") - col("_sab_")).cast("double") /
-            (col("n") * col("n") - col("_sab_")).cast("double"))
+        when(n2 =!= col("_sab_"),
+          (col("n").cast("decimal(38,0)") * col("n_agree") - col("_sab_"))
+            .cast("double") / (n2 - col("_sab_")).cast("double"))
           .as("kappa"))
   }
 
@@ -1081,31 +1137,46 @@ object Analytics {
     * by an event time (d = n, Ŝ hits exact zero), that time and all
     * later ones carry NULL log-survival rather than −∞.
     *
-    * Plan: one per-time aggregate, one window (ordered by time, both the
-    * reverse-cumulative risk set and the forward log sum read it) — a
-    * single shuffle on nothing but the distinct-time table. Output:
-    * (t, n_risk, n_events, log_surv_micro BIGINT). */
+    * Plan (round-16 re-plan): one per-time aggregate, then the THREE
+    * prefix programs (reverse-cumulative risk set, forward log sum,
+    * extinction poisoning) all via [[Packing.runningTotalSharded]] —
+    * durations recorded in epoch seconds/millis make the distinct-time
+    * table ≈ row cardinality at scale, so the previous unpartitioned
+    * `Window.orderBy(t)` was a data-sized single-task sort funnel (the
+    * exact shape mannWhitneyU/scoreBuckets/skyline2d were re-planned
+    * off). Identical output. Output: (t, n_risk, n_events,
+    * log_surv_micro BIGINT). */
   def kaplanMeier(df: DataFrame, durationCol: String,
                   eventCol: String): DataFrame = {
-    val perTime = df
+    val perTime = Packing.probeCache(df
       .select(col(durationCol).cast("long").as("t"),
         when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("_e_"))
       .groupBy("t")
-      .agg(count(lit(1)).as("_n_"), sum(col("_e_")).as("n_events"))
-    val wAsc = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDesc = Window.orderBy(col("t"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    perTime
-      .withColumn("n_risk", sum(col("_n_")).over(wDesc))
-      .where(col("n_events") > 0)
-      .withColumn("_term_",
-        when(col("n_events") < col("n_risk"),
-          expr("cast(round(ln(cast(n_risk - n_events as double)" +
-            " / cast(n_risk as double)) * 1000000) as bigint)")))
+      .agg(count(lit(1)).as("_n_"), sum(col("_e_")).as("n_events")))
+    val total = perTime.agg(sum(col("_n_")).as("_tot_"))
+    // n_risk = subjects with duration >= t = total - (inclusive prefix
+    // count of earlier times) + own count
+    val events = Packing.probeCache(
+      Packing.runningTotalSharded(perTime, "t", "_n_", "_cumn_")
+        .crossJoin(broadcast(total))
+        .withColumn("n_risk", col("_tot_") - col("_cumn_") + col("_n_"))
+        .where(col("n_events") > 0)
+        .withColumn("_term_",
+          when(col("n_events") < col("n_risk"),
+            expr("cast(round(ln(cast(n_risk - n_events as double)" +
+              " / cast(n_risk as double)) * 1000000) as bigint)")))
+        .withColumn("_t0_", coalesce(col("_term_"), lit(0L)))
+        .withColumn("_bad_", when(col("_term_").isNull, 1L).otherwise(0L)))
+    // forward log sum + extinction flag: once a NULL term appears (risk
+    // set extinguished, S hits exact zero) that time and all later ones
+    // carry NULL log-survival rather than -Inf — same semantics as the
+    // old min-over-prefix window
+    Packing.runningTotalSharded(
+        Packing.probeCache(
+          Packing.runningTotalSharded(events, "t", "_t0_", "_cumterm_")),
+        "t", "_bad_", "_cumbad_")
       .withColumn("log_surv_micro",
-        when(min(when(col("_term_").isNull, 0L).otherwise(1L)).over(wAsc) === 1L,
-          sum(col("_term_")).over(wAsc)))
+        when(col("_cumbad_") === 0L, col("_cumterm_")))
       .select(col("t"), col("n_risk"), col("n_events"), col("log_surv_micro"))
   }
 
@@ -1778,7 +1849,10 @@ object Analytics {
       .agg(
         sum(col("_ca_")).as("n_a"),
         sum(col("_c_") - col("_ca_")).as("n_b"),
-        sum(col("_ca_") * (lit(2L) * col("_before_") + col("_c_") + lit(1L)))
+        // doubled rank sum in DECIMAL too: 2·n_a·N approaches Long.Max at
+        // ~1.5e9 rows per arm and wraps silently (same class as the cube)
+        sum(col("_ca_").cast("decimal(38,0)") *
+          (lit(2L) * col("_before_") + col("_c_") + lit(1L)))
           .as("_r2a_"),
         // cube in DECIMAL: a hot value tied across ≥3M rows would
         // overflow a LONG c³ silently
@@ -1789,7 +1863,17 @@ object Analytics {
       col("n_b").cast("decimal(38,0)") *
       ((n + 1) * n * (n - 1) - col("_tie_"))).cast("decimal(38,0)")
     agg
-      .withColumn("u2_a", col("_r2a_") - col("n_a") * (col("n_a") + lit(1L)))
+      // internal arithmetic in DECIMAL; the published u2_a keeps its LONG
+      // schema with a loud (not wrapping) narrowing — u2 past Long.Max
+      // means the caller is beyond the documented contract anyway
+      .withColumn("_u2d_", (col("_r2a_") -
+        col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1L)))
+        .cast("decimal(38,0)"))
+      .withColumn("u2_a",
+        when(abs(col("_u2d_")) <= lit(Long.MaxValue), col("_u2d_").cast("long"))
+          .otherwise(raise_error(concat(lit("mannWhitneyU: u2_a overflows " +
+            "BIGINT ("), coalesce(col("_u2d_").cast("string"), lit("NULL")),
+            lit(")")))))
       .withColumn("tie_term", col("_tie_").cast("long"))
       .withColumn("_var_",
         when(col("n_a") > 0 && col("n_b") > 0,
@@ -1797,7 +1881,8 @@ object Analytics {
             (lit(12.0) * n.cast("double") * (n.cast("double") - lit(1.0)))))
       .select(col("n_a"), col("n_b"), col("u2_a"), col("tie_term"),
         when(col("_var_") > 0,
-          (col("u2_a") - col("n_a") * col("n_b")).cast("double") /
+          (col("u2_a") - col("n_a").cast("decimal(38,0)") * col("n_b"))
+            .cast("double") /
             (lit(2.0) * sqrt(col("_var_")))).as("z_stat"))
   }
 
@@ -2087,7 +2172,12 @@ object Analytics {
       .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
         col("cum_pos"),
         expr("(1000 * cum_pos) div _tp_").as("gain_milli"),
-        expr("(1000 * cum_pos * _tn_) div (cum_n * _tp_)").as("lift_milli"))
+        // lift numerator in DECIMAL(38,0): 1000·cum_pos·_tn_ wraps a LONG
+        // silently past ~9e15 (1e9 docs × 1% positives already exceeds
+        // it), emitting negative lift for the deep tiers; the quotient
+        // is ≤ 1000·N so the cast back to BIGINT is exact
+        expr("cast((1000 * cast(cum_pos as decimal(38,0)) * _tn_) div " +
+          "(cast(cum_n as decimal(38,0)) * _tp_) as bigint)").as("lift_milli"))
   }
 
   /** Windowed ordered funnel — [[funnelTimes]] with the conversion-window

@@ -67,9 +67,18 @@ object Contamination {
     * permille (`n_shared·1000 div n_grams`), so the gate has no float to
     * straddle.
     *
-    * Plan: explode n-grams, distinct (doc, gram) — the dedup that makes
-    * "shared" mean CROSS-document — then one gram-keyed count window (one
-    * shuffle, the dd05 window-df discipline) and one doc-keyed rollup.
+    * Plan (round-16 re-plan, skew-safe): explode n-grams, distinct
+    * (doc, gram) — the dedup that makes "shared" mean CROSS-document,
+    * shuffled on the COMPOSITE key so a hot gram spreads across doc ids —
+    * then TWO partial-aggregable rollups off one materialization:
+    * per-gram (docs count, min-id owner) and per-doc gram count;
+    * `n_shared = n_grams − (grams whose docs-count is 1, attributed to
+    * their owner)`. No gram-partitioned window anywhere: the previous
+    * count-over-Window.partitionBy(gram) funneled EVERY occurrence of a
+    * hot boilerplate gram (cookie banner in 10^8 docs) through one
+    * unsplittable sort task — the exact skew this operator exists to
+    * measure. Every aggregate here collapses map-side, so the hot gram
+    * costs one partial row per partition.
     * Gram keys here are the joined strings (gate-friendly); at 100 TB
     * hash them to 64-bit first (xxhash64 — ids-only shuffles, same
     * plan). Documents with fewer than n tokens emit no row. */
@@ -88,25 +97,29 @@ object Contamination {
            |  i -> concat_ws(' ', slice(_ws_, i, $n)))""".stripMargin)
         .as("_gs_"))
       .select(col(idCol), explode(col("_gs_")).as("_g_"))
-      // repartition FIRST (the kCore build trick): HashPartitioning(_g_)
-      // satisfies both the (id, _g_) dedup clustering AND the gram
-      // window's partitioning, so the plan pays ONE full-gram exchange
-      // instead of two (dedup by (id,_g_), then re-exchange by _g_).
-      // (A sort-free two-aggregate variant — n_shared = n_grams -
-      // n_unique with min(id) owner attribution — was measured SLOWER:
-      // it needs the gram table twice, and either a localCheckpoint
-      // materialization or a second explode+exchange costs more than the
-      // window's partition-local sort.)
-      .repartition(col("_g_"))
+      // natural (id, _g_) distinct shuffle: the hot gram's rows spread
+      // across the id dimension instead of funneling into one partition.
+      // localCheckpoint(false): both rollups below read this once.
+      // (Round-15 fused this into ONE gram-keyed exchange feeding a
+      // count window — faster at bench scale, but the window partition
+      // is unsplittable, so a 10^8-doc boilerplate gram means one task
+      // sorting the whole hot key; the two-aggregate form trades one
+      // extra exchange for map-side collapse of exactly that key.)
       .distinct()
-    val w = Window.partitionBy("_g_")
-    grams
-      .withColumn("_docs_", count(lit(1)).over(w))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("_docs_") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .localCheckpoint(false)
+    val perGram = grams.groupBy(col("_g_"))
+      .agg(count(lit(1)).as("_docs_"), min(col(idCol)).as("_owner_"))
+    // a gram with exactly one distinct doc is UNIQUE to that doc; all of
+    // a doc's other grams are shared with at least one other document
+    val uniq = perGram.where(col("_docs_") === 1L)
+      .groupBy(col("_owner_").as(idCol)).agg(count(lit(1)).as("_nu_"))
+    grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(uniq, Seq(idCol), "left")
+      .withColumn("n_shared", col("n_grams") - coalesce(col("_nu_"), lit(0L)))
       .withColumn("risk_permille",
         expr("(n_shared * 1000) div n_grams"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        col("risk_permille"))
   }
 
   def exactContainsReport(train: DataFrame, trainId: String,
@@ -184,11 +197,20 @@ object Contamination {
   def exactContainsReportAC(train: DataFrame, trainId: String,
                             trainText: String, snippets: DataFrame,
                             snippetCol: String): DataFrame = {
-    val pats = snippets.select(col(snippetCol).cast("string")).distinct()
+    // NULL snippets dropped (the twin's contains(NULL) predicate filters
+    // them — pre-fix they reached .sorted / the trie builder as null and
+    // threw a message-less driver NPE); the EMPTY snippet is special-cased
+    // because contains("") is TRUE for every non-null text while the
+    // automaton never fires on it — bit-parity demands the +1
+    val pats0 = snippets.select(col(snippetCol).cast("string").as("_sn_"))
+      .where(col("_sn_").isNotNull).distinct()
       .collect().map(_.getString(0)).sorted
+    val hasEmpty = pats0.contains("")
+    val pats = pats0.filter(_.nonEmpty)
     val bc = train.sparkSession.sparkContext.broadcast(new AhoCorasick(pats))
     val nHits = udf { (t: String) =>
-      if (t == null) 0L else bc.value.matchedDistinct(t).toLong
+      if (t == null) 0L
+      else bc.value.matchedDistinct(t).toLong + (if (hasEmpty) 1L else 0L)
     }
     train.select(col(trainId), nHits(col(trainText)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)

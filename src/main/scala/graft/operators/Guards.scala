@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared in-plan guard kernels (round-16 consolidation: the same
@@ -42,4 +42,32 @@ object Guards {
     concat(Seq(lit(s"$op: non-finite $what ("),
       coalesce(c.cast("double").cast("string"), lit("NULL")),
       lit(")")) ++ ctx: _*)
+
+  /** Exact integral narrowing: yields `c.cast("long")` ONLY when the
+    * double view round-trips (so the value is integral and within long
+    * range); raises by name otherwise. `cast("long")` alone silently
+    * FLOORS 1.9 → 1 — the recurring guard-contract defect class (hit
+    * weightedPrioritySample, then decimalQuantileSketch one commit
+    * later). NULL passes through as NULL (callers pick their NULL
+    * policy separately). */
+  def integralLongOrRaise(c: Column, op: String, what: String): Column =
+    when(c.isNull, lit(null).cast("long"))
+      .when(c.cast("double") === c.cast("long").cast("double"), c.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: $what must be integral ("),
+        coalesce(c.cast("string"), lit("NULL")),
+        lit(") — quantize floats upstream"))))
+
+  /** Schema-aware integral narrowing for "valCol must be integer-typed"
+    * operator contracts: already-integral columns cast straight through
+    * (the double round-trip would FALSELY reject legitimate longs past
+    * 2^53), everything else goes through [[integralLongOrRaise]]. */
+  def integralLongCol(df: DataFrame, valCol: String, op: String): Column = {
+    import org.apache.spark.sql.types._
+    df.select(col(valCol)).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(valCol).cast("long")
+      case _ => integralLongOrRaise(col(valCol), op, valCol)
+    }
+  }
 }

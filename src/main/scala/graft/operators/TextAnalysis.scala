@@ -477,9 +477,19 @@ object TextAnalysis {
   def scoreBucketsApprox(df: DataFrame, idCol: String, scoreCol: String,
                          nBuckets: Int = 3, relErr: Double = 0.001): DataFrame = {
     val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets).toArray
-    val cutsDesc = df.stat.approxQuantile(scoreCol, probs, relErr).reverse
+    // same dirty-data contract as the exact twin (round-16): a NaN score
+    // compared `NaN < cut` is FALSE for every cut, so NaN rows silently
+    // landed in bucket 1 — the best tier, the one up-sampled into the
+    // training mix — while also poisoning approxQuantile's cuts; NULLs
+    // keep the exact twin's worst-bucket placement
+    val checked = graft.operators.Guards.finiteOrRaise(
+      col(scoreCol), col(scoreCol),
+      graft.operators.Guards.nonFiniteMsg("scoreBucketsApprox", scoreCol,
+        col(scoreCol)))
+    val cutsDesc = df.select(checked.as(scoreCol))
+      .stat.approxQuantile(scoreCol, probs, relErr).reverse
     val bucket = cutsDesc.foldLeft(lit(1)) { (acc, cut) =>
-      acc + when(col(scoreCol) < cut, 1).otherwise(0) }
+      acc + when(checked < cut, 1).otherwise(0) }
     df.withColumn("bucket",
       when(col(scoreCol).isNull, nBuckets).otherwise(bucket))
   }

@@ -62,10 +62,10 @@ class PlanGuardSpec extends AnyFunSuite {
         "(limit k precedes the window in Dsir.resampleTopK)")),
     "pp07_curation_v2" -> Seq(
       ("row_number()", "same k-bounded Gumbel top-k window as ds03")),
-    "km01_survival" -> Seq(
-      ("OVER (ORDER BY t",
-        "Kaplan-Meier per-distinct-event-time table (r13 adjudication); " +
-          "covers the product walk and the reverse-cumulative risk set")),
+    // km01's r13 window adjudication retired in round 16: kaplanMeier is
+    // re-planned onto sharded prefix sums (fine-grained durations make
+    // the distinct-time table data-sized, so the ordered window was a
+    // funnel) — no unpartitioned window remains to allowlist
     "bd01_benford_digits" -> Seq(
       ("sum(n_obs)", "leading-digit table, exactly 9 rows")),
     "ca01_contribution_analysis" -> Seq(
