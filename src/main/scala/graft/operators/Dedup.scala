@@ -526,11 +526,22 @@ object Dedup {
     * O(bucket²) candidate rows per band (10^7 empties → ~10^14 rows)
     * before any distinct. Capping trades recall ONLY on pairs whose every
     * shared bucket is oversized — mass-duplicated boilerplate better
-    * handled by [[exact]] first. */
+    * handled by [[exact]] first.
+    *
+    * SELF-DEFENDING (round 17): with `maxBucketSize` off (the default),
+    * an eager probe over the banded signatures raises BY NAME when any
+    * bucket exceeds `degenerateBucketBound`
+    * ([[Guards.DegenerateBucketBound]], 2^20) — the sf1 soak measured
+    * this operator 36x-quadratic on low-diversity corpora, and a named
+    * error beats a silent hang. Callers who cap with `maxBucketSize`
+    * below the bound skip the probe entirely; `degenerateBucketBound <= 0`
+    * is the explicit quadratic-cost opt-in. */
   def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       numHashes: Int = 64, bands: Int = 16,
                       shingleSize: Int = 3, minEstJaccard: Double = 0.5,
-                      maxBucketSize: Int = 0): DataFrame = {
+                      maxBucketSize: Int = 0,
+                      degenerateBucketBound: Long =
+                        Guards.DegenerateBucketBound): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     // persisted: referenced by the banding explode AND both signature
@@ -561,6 +572,15 @@ object Dedup {
           .where(col("_bs_") <= maxBucketSize)
           .select("_band_", "_bucket_"),
         Seq("_band_", "_bucket_"), "left_semi")
+    // dormant unless a bucket is genuinely degenerate; reads the
+    // persisted signatures, so the probe is one cheap aggregation job
+    if (maxBucketSize <= 0 || maxBucketSize > degenerateBucketBound)
+      Guards.degenerateBucketProbe(capped, Seq("_band_", "_bucket_"),
+        "minHashLshPairs", degenerateBucketBound,
+        "set maxBucketSize to drop degenerate buckets (recall cost only " +
+          "on pairs whose EVERY shared bucket is oversized), run exact " +
+          "dedup first to collapse boilerplate, or pass " +
+          "degenerateBucketBound = 0 to accept the cost")
     val a = capped.select(col("_band_"), col("_bucket_"), col("_id_").as("id_a"))
     val b = capped.select(col("_band_"), col("_bucket_"), col("_id_").as("id_b"))
     val candidates = a.join(b, Seq("_band_", "_bucket_"))
@@ -583,12 +603,19 @@ object Dedup {
     * signatures and bucket table are persisted once and reused across
     * batches, so each ingest costs O(batch) hashing plus the bucket
     * join). The fuzzy companion to [[exactIncremental]]'s exact-hash gate.
-    * Output: (batch_id, corpus_id, est_jaccard >= minEstJaccard). */
+    * Output: (batch_id, corpus_id, est_jaccard >= minEstJaccard).
+    *
+    * SELF-DEFENDING (round 17): per-key candidate volume is
+    * batch-bucket × corpus-bucket, so an eager probe on EACH side raises
+    * by name when any bucket exceeds `degenerateBucketBound` (2^20) —
+    * see [[minHashLshPairs]]; `<= 0` opts out. */
   def minHashLshNewVsCorpus(batch: DataFrame, corpus: DataFrame,
                             textCol: String, idCol: String,
                             numHashes: Int = 64, bands: Int = 16,
                             shingleSize: Int = 3,
-                            minEstJaccard: Double = 0.5): DataFrame = {
+                            minEstJaccard: Double = 0.5,
+                            degenerateBucketBound: Long =
+                              Guards.DegenerateBucketBound): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     def sigsOf(df: DataFrame) = df.select(col(idCol).as("_id_"),
@@ -600,6 +627,14 @@ object Dedup {
         .as(Seq("_band_", "_bucket_")))
     val bs = sigsOf(batch)
     val cs = sigsOf(corpus)
+    Guards.degenerateBucketProbe(bandedOf(bs), Seq("_band_", "_bucket_"),
+      "minHashLshNewVsCorpus(batch side)", degenerateBucketBound,
+      "run exact dedup on the batch first, or pass " +
+        "degenerateBucketBound = 0 to accept the cost")
+    Guards.degenerateBucketProbe(bandedOf(cs), Seq("_band_", "_bucket_"),
+      "minHashLshNewVsCorpus(corpus side)", degenerateBucketBound,
+      "collapse corpus boilerplate with exact dedup before admission, " +
+        "or pass degenerateBucketBound = 0 to accept the cost")
     val candidates = bandedOf(bs)
       .select(col("_band_"), col("_bucket_"), col("_id_").as("batch_id"))
       .join(bandedOf(cs)
@@ -671,9 +706,15 @@ object Dedup {
     * low-vocabulary text) bucket occupancy grows with n and candidate
     * volume quadratically — the 10x soak ran 36x. `maxBucketSize` is the
     * production guard: it prices out exactly the overfull keys, at the
-    * documented recall cost on those keys. */
+    * documented recall cost on those keys.
+    *
+    * SELF-DEFENDING (round 17): with `maxBucketSize` off, an eager probe
+    * raises by name when any (block, key) bucket exceeds
+    * `degenerateBucketBound` (2^20) — see [[minHashLshPairs]]. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 0,
+                   degenerateBucketBound: Long =
+                     Guards.DegenerateBucketBound): DataFrame = {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
     val mask = (1L << blockBits) - 1
@@ -698,6 +739,13 @@ object Dedup {
           .where(col("_bs_") <= maxBucketSize)
           .select("_blk_", "_key_"),
         Seq("_blk_", "_key_"), "left_semi")
+    if (maxBucketSize <= 0 || maxBucketSize > degenerateBucketBound)
+      Guards.degenerateBucketProbe(capped, Seq("_blk_", "_key_"),
+        "simHashPairs", degenerateBucketBound,
+        "set maxBucketSize to price out the overfull keys (recall cost " +
+          "only on those keys), run exact dedup first to collapse " +
+          "identical texts (signature 0 empties are the classic case), " +
+          "or pass degenerateBucketBound = 0 to accept the cost")
     val a = capped.select(col("_blk_"), col("_key_"), col("_id_").as("id_a"))
     val b = capped.select(col("_blk_"), col("_key_"), col("_id_").as("id_b"))
     // ids-only candidate dedup; signatures join back once per unique pair

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Degree above which an UNCAPPED [[jaccardLinkPrediction]] call
+    * refuses by name: the wedge join costs Σ deg² over centers, so one
+    * hub past this bound (~1e10 wedges from that node alone) turns a
+    * default-arg call into an effective hang. Explicit-cap callers and
+    * the `Int.MaxValue - 1` opt-in never hit the probe. */
+  val JaccardUncappedHubProbeBound: Long = 100000L
+
   /** Ranks after `iterations` synchronous rounds, starting uniform.
     * `edges` is a directed edge list; dangling nodes (no out-edges) are
     * allowed — their mass simply decays (the caller can add reverse edges
@@ -569,12 +576,17 @@ object Graph {
     * jaccard_milli, rank), both directions of each surviving pair.
     *
     * The default `maxCenterDegree = Int.MaxValue` means NO center cap —
-    * exact common-neighbor semantics for every pair, matching what
-    * default-arg callers have always received. On a real crawl/social
-    * graph, PASS AN EXPLICIT CAP (1e4–1e5): one 10⁶-degree hub alone
-    * contributes 10¹² wedges, and capping is the standard guard — but
-    * it changes output (hub-centered candidates vanish), so it is an
-    * explicit caller decision, never a silent default. */
+    * exact common-neighbor semantics for every pair. (History note: the
+    * default was 100000 through round 15 and was deliberately flipped to
+    * uncapped in round 16, so capping is an explicit caller decision,
+    * never a silent default — a changed cap changes output rows, since
+    * hub-centered candidates vanish.) Uncapped is NOT unguarded: before
+    * the wedge join an eager degree probe (one node-count-sized
+    * aggregation over the already-checkpointed edge list) raises by name
+    * if any center exceeds [[Graph.JaccardUncappedHubProbeBound]] (1e5)
+    * degree — one 10⁶-degree hub alone contributes 10¹² wedges, and a
+    * named error beats a runaway join. On a real crawl/social graph,
+    * PASS AN EXPLICIT CAP (1e4–1e5), the standard super-node guard. */
   def jaccardLinkPrediction(edges: DataFrame, srcCol: String,
                             dstCol: String, k: Int,
                             maxCenterDegree: Int = Int.MaxValue): DataFrame = {
@@ -589,8 +601,25 @@ object Graph {
     // super-node guard: drop over-degree CENTERS from the wedge join
     // (their Σ deg² term), not from the graph — degrees and the
     // non-edge anti-join still see every edge
+    if (maxCenterDegree == Int.MaxValue) {
+      // uncapped-hub probe: Σ deg² over centers is the wedge-join cost,
+      // so a single >1e5-degree hub makes an uncapped default call an
+      // effective hang (10¹²-wedge scale). `deg` reads the checkpointed
+      // edge list, so this one extra node-count-sized job is cheap.
+      val hot = deg.where(col("deg") > JaccardUncappedHubProbeBound)
+        .orderBy(col("deg").desc).limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        s"jaccardLinkPrediction: uncapped call (maxCenterDegree unset) " +
+          s"but node ${r.get(0)} has degree ${r.getLong(1)} > " +
+          s"$JaccardUncappedHubProbeBound — the wedge join would be " +
+          "quadratic in hub degree; pass an explicit maxCenterDegree " +
+          "(1e4-1e5 is the standard super-node cap) or accept the cost " +
+          "with maxCenterDegree = Int.MaxValue - 1"
+      })
+    }
     val eCtr =
-      if (maxCenterDegree == Int.MaxValue) e
+      if (maxCenterDegree >= Int.MaxValue - 1) e
       else e.join(
         deg.where(col("deg") <= maxCenterDegree)
           .select(col("node").as("_a_")),

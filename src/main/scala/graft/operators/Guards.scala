@@ -70,4 +70,44 @@ object Guards {
       case _ => integralLongOrRaise(col(valCol), op, valCol)
     }
   }
+
+  /** Bucket size above which an LSH-family pair join is an effective
+    * hang, not a slow query: within-bucket candidates are size²/2, so ONE
+    * bucket at this bound emits ~5.5e11 pair rows before any distinct.
+    * The round-16 sf1 soak measured the failure mode live (ann05 164.8x,
+    * dd04 36x at 10x data, both from bucket-occupancy growth at fixed
+    * key cardinality) — and until round 17 the only defense was scaladoc.
+    * Sized three orders of magnitude above anything the gated queries or
+    * the sf1 soak reach (max real buckets there are in the thousands), so
+    * the probe is dormant everywhere except genuine degeneracy. */
+  val DegenerateBucketBound: Long = 1L << 20
+
+  /** Eager degenerate-bucket probe (the Packing bounds-probe house
+    * pattern): one partial-aggregable groupBy-count over `keyed` — which
+    * every caller derives from an already-persisted signature frame, so
+    * the probe costs one cheap job, not a recompute — raising BY NAME
+    * with the offending key, its row count, and the operator's sizing
+    * knob when any bucket exceeds `bound`. Callers skip the probe when
+    * their own cap (`maxBucketSize` etc.) already bounds every bucket
+    * below `bound`. `bound <= 0` disables — the explicit "I accept the
+    * quadratic cost" opt-out, never the default. */
+  def degenerateBucketProbe(keyed: DataFrame, keys: Seq[String], op: String,
+                            bound: Long, knobHint: String): Unit =
+    if (bound > 0) {
+      val hot = keyed.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_bs_"))
+        .where(col("_bs_") > bound)
+        .orderBy(col("_bs_").desc).limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot.head
+        val key = keys.zipWithIndex
+          .map { case (k, i) => s"$k=${Option(r.get(i)).getOrElse("NULL")}" }
+          .mkString(", ")
+        s"$op: degenerate LSH bucket ($key) holds " +
+          s"${r.getLong(keys.size)} rows > $bound — the within-bucket " +
+          s"pair join would emit ~size^2/2 candidate rows from this " +
+          s"bucket alone (an effective hang, soak-measured round 16); " +
+          s"$knobHint"
+      })
+    }
 }

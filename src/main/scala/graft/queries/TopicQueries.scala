@@ -14,6 +14,31 @@ import graft.topic.TopicTree._
   * reference's Word2Vec lookup stubbed with a fixed embedding function. */
 object TopicQueries {
 
+  /** Per-run namespace token for the tp01/gp01/tp03 oracle artifacts
+    * under /tmp: two concurrent verify/bench runs at the same scale
+    * factor must not clobber each other's JSON mid-gate. The Spark side
+    * (queries) and the oracle SQL (dumped by the SAME Verify JVM) both
+    * interpolate it, so the DuckDB re-read always targets the artifacts
+    * this process wrote. Override with GRAFT_RUN_ID to share artifacts
+    * across processes deliberately. */
+  private[queries] val runToken: String =
+    sys.env.getOrElse("GRAFT_RUN_ID", ProcessHandle.current().pid().toString)
+
+  /** `/tmp/graft_<tag>_r<token>/<slug>` — every artifact-writing gate
+    * in this file routes through here. */
+  private def artDir(tag: String, slug: String): String =
+    s"/tmp/graft_${tag}_r$runToken/$slug"
+
+  /** Float-remainder comparison for artifact round-trip sums: the two
+    * sums come from different plans (single re-read JSON file vs cached
+    * partitioned frame), so summation order differs and exact equality
+    * on a rounded double can flake at a rounding boundary (r16 ADVICE).
+    * Relative-epsilon instead — far wider than reordering error, far
+    * tighter than any real artifact corruption (a dropped/mangled row
+    * moves the sum by ~a whole score). */
+  private def sumsClose(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
   private def tokenVec(tok: String, dim: Int): Seq[Double] = {
     val h = scala.util.hashing.MurmurHash3.stringHash(tok)
     (0 until dim).map { i =>
@@ -148,18 +173,19 @@ object TopicQueries {
         // write, the score-sum check, and the count aggregate
         .persist()
       val slug = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/tmp/graft_tp01/$slug"
+      val path = artDir("tp01", slug)
       perDoc.coalesce(1).write.mode("overwrite").json(s"$path/assignments")
       val tw = tree.topWords.toDF("node", "cls", "token", "score")
         .select(col("cls"), col("token"))
       tw.coalesce(1).write.mode("overwrite").json(s"$path/topwords")
       // float remainder: the artifact re-read from disk must reproduce
-      // the in-memory rounded score sum (JSON round-trip fidelity)
-      def scoreSum(df: DataFrame): java.math.BigDecimal = df
-        .agg(round(sum(col("best_score_r")), 6).cast("decimal(28,6)"))
-        .collect()(0).getDecimal(0)
+      // the in-memory score sum (JSON round-trip fidelity); epsilon
+      // compare — the two plans sum in different orders (see sumsClose)
+      def scoreSum(df: DataFrame): Double = df
+        .agg(coalesce(sum(col("best_score_r")), lit(0.0)))
+        .collect()(0).getDouble(0)
       val scoresOk =
-        scoreSum(s.read.json(s"$path/assignments")) == scoreSum(perDoc)
+        sumsClose(scoreSum(s.read.json(s"$path/assignments")), scoreSum(perDoc))
       // in-memory per-class counts + topword identity, COLLECTED (4 rows)
       // so perDoc can be unpersisted before returning — the returned
       // frame is a LocalRelation, and nothing cached leaks past the query
@@ -198,17 +224,24 @@ object TopicQueries {
           maxTopWords = 5, childSplitSize = 200),
         docs, maxRounds = 2)
       val slug = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/tmp/graft_tree/$slug"
+      val path = artDir("tree", slug)
       tree.save(s, path)
       val loaded = TopicTree.load(s, path)
-      def stats(t: TopicTree.Tree) = t.transform(docs)
-        .select(expr("array_max(map_values(classScores))").as("best"))
-        .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("best")), 6).as("sum_best"))
-        .collect()(0)
-      val scoresOk = stats(tree) == stats(loaded) &&
+      def stats(t: TopicTree.Tree): (Long, Double) = {
+        val r = t.transform(docs)
+          .select(expr("array_max(map_values(classScores))").as("best"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("best")), lit(0.0)).as("sum_best"))
+          .collect()(0)
+        (r.getLong(0), r.getDouble(1))
+      }
+      val (nA, sA) = stats(tree)
+      val (nB, sB) = stats(loaded)
+      // counts exact; score sums epsilon-compared (different plan
+      // instances may sum in different orders — see sumsClose)
+      val scoresOk = nA == nB && sumsClose(sA, sB) &&
         tree.topWords == loaded.topWords && tree.nodeHits == loaded.nodeHits
-      val path2 = s"/tmp/graft_tree2/$slug"
+      val path2 = artDir("tree2", slug)
       loaded.save(s, path2)
       s.read.json(s"$path2/nodes")
         .select(col("id").cast("long").as("id"), col("name"), col("algo"),
@@ -283,12 +316,13 @@ object TopicQueries {
         expr("round(array_max(rawPrediction), 6)").as("best_score_r"))
         .persist() // scoring otherwise re-runs for write + check + counts
       val slug = d.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/tmp/graft_gp01/$slug"
+      val path = artDir("gp01", slug)
       perDoc.coalesce(1).write.mode("overwrite").json(path)
-      def scoreSum(df: DataFrame): java.math.BigDecimal = df
-        .agg(round(sum(col("best_score_r")), 6).cast("decimal(28,6)"))
-        .collect()(0).getDecimal(0)
-      val scoresOk = scoreSum(s.read.json(path)) == scoreSum(perDoc)
+      // epsilon compare — different plans sum in different orders
+      def scoreSum(df: DataFrame): Double = df
+        .agg(coalesce(sum(col("best_score_r")), lit(0.0)))
+        .collect()(0).getDouble(0)
+      val scoresOk = sumsClose(scoreSum(s.read.json(path)), scoreSum(perDoc))
       // in-memory per-topic claim counts, COLLECTED (nTopics rows) so
       // perDoc can be unpersisted before returning; unclaimed topics
       // emit count 0
@@ -344,13 +378,13 @@ object TopicQueries {
     // remainder, pinned TRUE (TopicTreeSpec holds the quality gates).
     // Gate runs at sf0.01, hence the pinned slug.
     "tp01_topic_clusters" ->
-      """WITH a AS (
+      s"""WITH a AS (
         |  SELECT best_class FROM read_json_auto(
-        |    '/tmp/graft_tp01/_root_testdata_sf0_01/assignments/*.json')),
+        |    '/tmp/graft_tp01_r$runToken/_root_testdata_sf0_01/assignments/*.json')),
         |tw AS (
         |  SELECT cls, array_to_string(list_sort(list(token)), ',') AS toks
         |  FROM read_json_auto(
-        |    '/tmp/graft_tp01/_root_testdata_sf0_01/topwords/*.json')
+        |    '/tmp/graft_tp01_r$runToken/_root_testdata_sf0_01/topwords/*.json')
         |  GROUP BY cls),
         |c AS (SELECT best_class, count(*) AS n FROM a GROUP BY 1),
         |k AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS best_class)
@@ -365,9 +399,9 @@ object TopicQueries {
     // per-topic claim counts recomputed by DuckDB from disk; scores_ok
     // pinned TRUE (GeneticCategorizerSpec holds the quality floors).
     "gp01_genetic_topics" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT claims_csv FROM read_json_auto(
-        |    '/tmp/graft_gp01/_root_testdata_sf0_01/*.json')),
+        |    '/tmp/graft_gp01_r$runToken/_root_testdata_sf0_01/*.json')),
         |ex AS (
         |  SELECT CAST(unnest(string_split(claims_csv, ',')) AS INTEGER)
         |    AS topic_id
@@ -379,7 +413,7 @@ object TopicQueries {
         |FROM k LEFT JOIN g ON g.topic_id = k.topic_id
         |ORDER BY k.topic_id""".stripMargin,
     "tp03_tree_roundtrip" ->
-      """SELECT CAST(id AS BIGINT) AS id, name, algo,
+      s"""SELECT CAST(id AS BIGINT) AS id, name, algo,
         |  filterMode AS filter_mode,
         |  coalesce(array_to_string(children, ','), '') AS children_csv,
         |  coalesce(array_to_string(classes, ','), '') AS classes_csv,
@@ -388,7 +422,7 @@ object TopicQueries {
         |    ','), '') AS topwords_csv,
         |  TRUE AS scores_ok
         |FROM read_json_auto(
-        |  '/tmp/graft_tree/_root_testdata_sf0_01/nodes/*.json')
+        |  '/tmp/graft_tree_r$runToken/_root_testdata_sf0_01/nodes/*.json')
         |ORDER BY id""".stripMargin,
     // full matcher semantics mirrored: first leg exact (the candidate join),
     // later legs exact-or-lev1 (legs >= 4 chars). The documents table is

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Graph, Guards, Similarity}
+
+/** Round-17 wave: the LSH-family scale guards graduate from scaladoc to
+  * code. Every degenerate-bucket path (minhash bands, simhash pigeonhole
+  * blocks, sign-LSH tables, SemDeDup clusters) now probes bucket
+  * occupancy eagerly and raises BY NAME above
+  * [[Guards.DegenerateBucketBound]] — the round-16 sf1 soak measured
+  * these operators 164.8x/36x/15x-quadratic at default knobs with only a
+  * comment standing guard. Plus the autoBits/autoK sizing helpers, the
+  * jaccardLinkPrediction uncapped-hub probe (r16 ADVICE #1), and the
+  * guard's dormancy on healthy data (default outputs unchanged). */
+class Round17Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+  import spark.implicits._
+
+  // vectors that all collide: identical embeddings share every LSH
+  // bucket in every table, the worst-case degenerate corpus
+  private def identicalEmbeddings(n: Int) =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 8), i -> cast(0.5 as float))")
+        .as("embedding"))
+
+  // ---- minHashLshPairs: degenerate-bucket probe -------------------------
+
+  test("minHashLshPairs raises by name on a degenerate bucket") {
+    // 30 identical texts: every band bucket holds all 30 rows
+    val df = spark.range(30).select(col("id"),
+      lit("the same boilerplate text repeated verbatim").as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashLshPairs(df, "text", "id", degenerateBucketBound = 10L)
+    }
+    assert(e.getMessage.contains("minHashLshPairs"))
+    assert(e.getMessage.contains("degenerate LSH bucket"))
+    assert(e.getMessage.contains("maxBucketSize"))
+  }
+
+  test("minHashLshPairs with maxBucketSize below the bound skips the probe") {
+    // same degenerate corpus, but the caller capped: oversized buckets
+    // are DROPPED before pairing, so no raise and no candidate pairs
+    val df = spark.range(30).select(col("id"),
+      lit("the same boilerplate text repeated verbatim").as("text"))
+    val got = Dedup.minHashLshPairs(df, "text", "id",
+      maxBucketSize = 10, degenerateBucketBound = 10L)
+    assert(got.count() === 0L)
+  }
+
+  test("minHashLshPairs stays dormant on healthy data (output unchanged)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "totally different words entirely here now")
+    ).toDF("id", "text")
+    val pairs = Dedup.minHashLshPairs(df, "text", "id",
+      shingleSize = 2, minEstJaccard = 0.2)
+    // near-dup docs 1-2 found; the probe never fired
+    assert(pairs.where(col("id_a") === 1 && col("id_b") === 2).count() === 1L)
+  }
+
+  // ---- simHashPairs: degenerate-bucket probe ----------------------------
+
+  test("simHashPairs raises by name on a degenerate bucket") {
+    val df = spark.range(30).select(col("id"),
+      lit("identical template text").as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(df, "text", "id", degenerateBucketBound = 10L)
+    }
+    assert(e.getMessage.contains("simHashPairs"))
+    assert(e.getMessage.contains("degenerate LSH bucket"))
+  }
+
+  test("simHashPairs capped below the bound skips the probe") {
+    val df = spark.range(30).select(col("id"),
+      lit("identical template text").as("text"))
+    val got = Dedup.simHashPairs(df, "text", "id",
+      maxBucketSize = 10, degenerateBucketBound = 10L)
+    assert(got.count() === 0L)
+  }
+
+  // ---- minHashLshNewVsCorpus: per-side probes ---------------------------
+
+  test("minHashLshNewVsCorpus raises naming the degenerate side") {
+    val batch = Seq((1L, "one fresh document")).toDF("id", "text")
+    val corpus = spark.range(30).select((col("id") + 100).as("id"),
+      lit("the same boilerplate text repeated verbatim").as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashLshNewVsCorpus(batch, corpus, "text", "id",
+        degenerateBucketBound = 10L)
+    }
+    assert(e.getMessage.contains("corpus side"))
+  }
+
+  // ---- cosineNearDupPairs (LSH lane): degenerate-bucket probe -----------
+
+  test("cosineNearDupPairs(exact=false) raises pointing at autoBits") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(identicalEmbeddings(30), "vec_id",
+        "embedding", minCosine = 0.9, dim = 8, exact = false,
+        bitsPerTable = 4, nTables = 2, degenerateBucketBound = 10L)
+    }
+    assert(e.getMessage.contains("cosineNearDupPairs"))
+    assert(e.getMessage.contains("autoBits"))
+  }
+
+  test("cosineNearDupPairs(exact=false) dormant on healthy data") {
+    // distinct random-ish embeddings spread across buckets
+    val df = spark.range(40).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 8), i -> cast(sin(id * i + i) as float))")
+        .as("embedding"))
+    val got = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      minCosine = 0.99, dim = 8, exact = false, bitsPerTable = 2,
+      nTables = 2, degenerateBucketBound = 30L)
+    assert(got.count() >= 0L) // plan executes, no raise
+  }
+
+  // ---- semanticDedup: degenerate-cluster probe --------------------------
+
+  test("semanticDedup raises pointing at autoK when a cluster degenerates") {
+    val emb = identicalEmbeddings(30).withColumn("label", lit(0))
+    val cent = Similarity.quantizedLabelCentroids(emb, "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cent,
+        minCosine = 0.9, degenerateBucketBound = 10L)
+    }
+    assert(e.getMessage.contains("semanticDedup"))
+    assert(e.getMessage.contains("autoK"))
+  }
+
+  test("semanticDedup dormant below the bound (output intact)") {
+    val emb = identicalEmbeddings(5).withColumn("label", lit(0))
+    val cent = Similarity.quantizedLabelCentroids(emb, "embedding", "label")
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding", cent,
+      minCosine = 0.9, degenerateBucketBound = 10L)
+    // 5 identical vectors: one component, min-id keeps
+    assert(got.where(col("keep")).count() === 1L)
+    assert(got.count() === 5L)
+  }
+
+  // ---- autoBits / autoK: sizing-helper contracts ------------------------
+
+  test("autoBits is monotone in n, anti-monotone in targetBucket, clamped") {
+    // non-decreasing in n
+    val ns = Seq(1L, 64L, 1000L, 20000L, 1000000L, 1L << 40)
+    val bits = ns.map(Similarity.autoBits(_))
+    assert(bits === bits.sorted)
+    // non-increasing in targetBucket
+    val tbs = Seq(16L, 64L, 1024L, 65536L)
+    val byTb = tbs.map(tb => Similarity.autoBits(1000000L, tb))
+    assert(byTb === byTb.sorted.reverse)
+    // soak anchor: 20k vectors at the default target lands adjacent to
+    // the measured sweep's best (bits 10 = 13 s vs bits 4 = 385 s)
+    assert(Similarity.autoBits(20000L) === 9)
+    // clamps
+    assert(Similarity.autoBits(0L) === 2)
+    assert(Similarity.autoBits(Long.MaxValue, 1L) === 30)
+    intercept[IllegalArgumentException](Similarity.autoBits(-1L))
+    intercept[IllegalArgumentException](Similarity.autoBits(10L, 0L))
+  }
+
+  test("autoK is monotone in n and keeps cluster occupancy constant") {
+    val ns = Seq(0L, 1000L, 100000L, 10000000L)
+    val ks = ns.map(Similarity.autoK(_))
+    assert(ks === ks.sorted)
+    assert(Similarity.autoK(0L) === 1)
+    assert(Similarity.autoK(1024L, 1024L) === 1)
+    assert(Similarity.autoK(1025L, 1024L) === 2)
+    // occupancy n/k stays <= targetClusterSize
+    Seq(1000L, 123456L, 10000000L).foreach { n =>
+      val k = Similarity.autoK(n, 512L)
+      assert(n.toDouble / k <= 512.0)
+    }
+    intercept[IllegalArgumentException](Similarity.autoK(-1L))
+  }
+
+  // ---- jaccardLinkPrediction: uncapped-hub probe (r16 ADVICE #1) --------
+
+  test("jaccardLinkPrediction uncapped raises by name on a >bound hub") {
+    val n = Graph.JaccardUncappedHubProbeBound.toInt + 2
+    // star graph: center 0 with degree n-1 > the probe bound
+    val edges = spark.range(1, n).select(lit(0L).as("s"), col("id").as("d"))
+    val e = intercept[IllegalArgumentException] {
+      Graph.jaccardLinkPrediction(edges, "s", "d", k = 3)
+    }
+    assert(e.getMessage.contains("jaccardLinkPrediction"))
+    assert(e.getMessage.contains("maxCenterDegree"))
+  }
+
+  test("jaccardLinkPrediction explicit cap skips the probe on the hub graph") {
+    val n = Graph.JaccardUncappedHubProbeBound.toInt + 2
+    val edges = spark.range(1, n).select(lit(0L).as("s"), col("id").as("d"))
+    // capped: the hub is excluded as a wedge center; leaves have degree 1
+    // so no wedges survive — runs to completion with zero candidates
+    val got = Graph.jaccardLinkPrediction(edges, "s", "d", k = 3,
+      maxCenterDegree = 100)
+    assert(got.count() === 0L)
+  }
+}
