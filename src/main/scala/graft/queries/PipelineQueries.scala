@@ -1272,16 +1272,45 @@ object PipelineQueries {
 
     // ---- tokenizer training: unigram-LM (SentencePiece-style) EM —
     // the third tokenizer family (BPE merges bottom-up, WordPiece serves
-    // top-down, unigram SCORES segmentations). Iterative-ML fixture
-    // gate (rows-only + spec), the gp01/tp01 convention: the E-step is a
-    // real-valued fixpoint no SQL oracle can replay ------------------------
+    // top-down, unigram SCORES segmentations). Gated in two halves since
+    // round 17 (the tp01/tp03 structural-split recipe): the EM fixpoint's
+    // CHOSEN VOCABULARY is discrete — the pieces are saved as a JSON
+    // artifact and both engines independently recompute each piece's
+    // integer corpus occurrence count (non-overlapping replace-based
+    // substring count over the documents table), so a mangled piece, a
+    // reordered rank, or a count miscomputation hash-mismatches across
+    // engines. FLOAT half (EM probabilities), pinned: `scores_ok`
+    // certifies the artifact round-trip of the rounded prob sum (the
+    // PipelineOpsSpec/Round13Spec unigram tests hold the EM gates). ------
     "ug01_unigram_vocab" -> ((s, d) => {
       import s.implicits._
-      val vocab = graft.operators.UnigramLm.train(
-        Tables.documents(s, d), "text", vocabSize = 40)
-      vocab.zipWithIndex
+      val docs = Tables.documents(s, d)
+      val vocab = graft.operators.UnigramLm.train(docs, "text", vocabSize = 40)
+      val vocabDf = vocab.zipWithIndex
         .map { case (p, i) => (i + 1, p.piece, math.rint(p.prob * 1e9) / 1e9) }
         .toDF("rank", "piece", "prob_r")
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = OracleArtifacts.artDir("ug01", slug)
+      vocabDf.coalesce(1).write.mode("overwrite").json(path)
+      // float half: artifact round-trip of the EM probabilities (epsilon
+      // compare — different plans sum in different orders)
+      def probSum(df: DataFrame): Double = df
+        .agg(coalesce(sum(col("prob_r")), lit(0.0))).collect()(0).getDouble(0)
+      val scoresOk = OracleArtifacts.sumsClose(
+        probSum(s.read.json(path)), probSum(vocabDf))
+      // discrete half: occurrence counts of the chosen pieces, recomputed
+      // from the corpus. vocab-sized broadcast x corpus scan — the same
+      // shape DuckDB replays; pieces have no spaces, so text-level
+      // replace-counting equals word-level counting
+      docs.crossJoin(broadcast(vocabDf.select("rank", "piece")))
+        .groupBy("rank", "piece")
+        .agg(sum(expr(
+          "(length(text) - length(replace(text, piece, ''))) div length(piece)"))
+          .as("occ"))
+        .withColumn("scores_ok", lit(scoresOk))
+        .select(col("rank").cast(IntegerType).as("rank"), col("piece"),
+          col("occ"), col("scores_ok"))
+        .orderBy("rank")
     }),
 
     // ---- tokenizer serving: INTEGER-score Viterbi segmentation under
@@ -3352,6 +3381,27 @@ object PipelineQueries {
          |FROM dtok d JOIN seg s ON s.w = d.w
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },
+
+    // ug01: DuckDB reads the EM-chosen vocabulary artifact (piece
+    // identity + rank are the discrete EM output) and independently
+    // recomputes each piece's corpus occurrence count with the same
+    // non-overlapping replace-based substring count the Spark side uses
+    // — a cross-engine gate on both the saved vocabulary and the
+    // counting arithmetic. scores_ok is the adjudicated float remainder
+    // (EM probabilities), pinned TRUE. Gate runs at sf0.01, hence the
+    // pinned slug.
+    "ug01_unigram_vocab" ->
+      s"""WITH v AS (
+        |  SELECT CAST(rank AS INTEGER) AS rank, piece
+        |  FROM read_json_auto(
+        |    '/tmp/graft_ug01_r${OracleArtifacts.runToken}/_root_testdata_sf0_01/*.json'))
+        |SELECT v.rank, v.piece,
+        |  CAST(sum((len(d.text) - len(replace(d.text, v.piece, '')))
+        |    // len(v.piece)) AS BIGINT) AS occ,
+        |  TRUE AS scores_ok
+        |FROM v CROSS JOIN documents d
+        |GROUP BY 1, 2
+        |ORDER BY 1""".stripMargin,
 
     // ug02 replay: seedPieceScores = integer substring-weight aggregate,
     // char vocab + top-64 multi-char by (cnt DESC, piece), score =

@@ -14,30 +14,9 @@ import graft.topic.TopicTree._
   * reference's Word2Vec lookup stubbed with a fixed embedding function. */
 object TopicQueries {
 
-  /** Per-run namespace token for the tp01/gp01/tp03 oracle artifacts
-    * under /tmp: two concurrent verify/bench runs at the same scale
-    * factor must not clobber each other's JSON mid-gate. The Spark side
-    * (queries) and the oracle SQL (dumped by the SAME Verify JVM) both
-    * interpolate it, so the DuckDB re-read always targets the artifacts
-    * this process wrote. Override with GRAFT_RUN_ID to share artifacts
-    * across processes deliberately. */
-  private[queries] val runToken: String =
-    sys.env.getOrElse("GRAFT_RUN_ID", ProcessHandle.current().pid().toString)
-
-  /** `/tmp/graft_<tag>_r<token>/<slug>` — every artifact-writing gate
-    * in this file routes through here. */
-  private def artDir(tag: String, slug: String): String =
-    s"/tmp/graft_${tag}_r$runToken/$slug"
-
-  /** Float-remainder comparison for artifact round-trip sums: the two
-    * sums come from different plans (single re-read JSON file vs cached
-    * partitioned frame), so summation order differs and exact equality
-    * on a rounded double can flake at a rounding boundary (r16 ADVICE).
-    * Relative-epsilon instead — far wider than reordering error, far
-    * tighter than any real artifact corruption (a dropped/mangled row
-    * moves the sum by ~a whole score). */
-  private def sumsClose(a: Double, b: Double): Boolean =
-    math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+  // artifact plumbing shared with PipelineQueries' ug01 gate — see
+  // [[OracleArtifacts]] for the per-run-token and epsilon contracts
+  import OracleArtifacts.{artDir, runToken, sumsClose}
 
   private def tokenVec(tok: String, dim: Int): Seq[Double] = {
     val h = scala.util.hashing.MurmurHash3.stringHash(tok)
@@ -338,7 +317,17 @@ object TopicQueries {
         .orderBy("topic_id")
     }),
 
-    // One-vs-all LinearSVC over the embeddings table's labels
+    // One-vs-all LinearSVC over the embeddings table's labels.
+    // Gated in two halves since round 17 (the tp01/tp03 structural-split
+    // recipe): STRUCTURAL half, oracle-gated — per-row (label, predicted)
+    // pairs are saved as a JSON artifact; the Spark side aggregates the
+    // confusion matrix from the IN-MEMORY predictions while the oracle
+    // recomputes it from the artifact with DuckDB's JSON reader, so a
+    // dropped row, a flipped prediction, or a mangled label
+    // hash-mismatches. FLOAT half (SVC margins), pinned: `scores_ok`
+    // certifies the artifact's rounded-margin sum re-read from disk
+    // matches the in-memory sum (oracle pins TRUE; the accuracy-floor
+    // specs hold the float quality gates).
     "tp02_one_vs_all" -> ((s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
@@ -358,11 +347,33 @@ object TopicQueries {
         // once per one-vs-all class fit (4x) and again for the transform
         .persist()
       val model = DiscreteVectorClassifier.fit(data, "features", "labels", parallelism = 4)
-      model.transform(data, "features")
+      val perRow = model.transform(data, "features")
         .select(col("vec_id"), col("label"),
-          expr("array_position(prediction, CAST(1.0 AS DOUBLE)) - 1").as("predicted"))
-        .withColumn("correct", (col("predicted") === col("label")).cast("int"))
-        .agg(count(lit(1)).as("n"), sum(col("correct")).as("n_correct"))
+          // first class whose margin clears 0; -1 when none does
+          expr("array_position(prediction, CAST(1.0 AS DOUBLE)) - 1")
+            .as("predicted"),
+          expr("round(array_max(rawPredictions), 6)").as("margin_r"))
+        // persisted: scoring otherwise re-runs for write + check + rollup
+        .persist()
+      val slug = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = artDir("tp02", slug)
+      perRow.coalesce(1).write.mode("overwrite").json(path)
+      // epsilon compare — different plans sum in different orders
+      def marginSum(df: DataFrame): Double = df
+        .agg(coalesce(sum(col("margin_r")), lit(0.0)))
+        .collect()(0).getDouble(0)
+      val scoresOk = sumsClose(marginSum(s.read.json(path)), marginSum(perRow))
+      // in-memory confusion matrix, COLLECTED (<= 4x5 cells) so perRow
+      // can be unpersisted before returning
+      val cells = perRow.groupBy("label", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      perRow.unpersist()
+      data.unpersist()
+      cells.toSeq
+        .map { case (l, p, n) => (l, p, n, scoresOk) }
+        .toDF("label", "predicted", "n", "scores_ok")
+        .orderBy("label", "predicted")
     })
   )
 
@@ -412,6 +423,20 @@ object TopicQueries {
         |  TRUE AS scores_ok
         |FROM k LEFT JOIN g ON g.topic_id = k.topic_id
         |ORDER BY k.topic_id""".stripMargin,
+    // independent confusion-matrix rollup of the per-row prediction
+    // artifact the Spark side saved (the tp01 recipe): DuckDB recomputes
+    // every (label, predicted) cell count from disk; scores_ok is the
+    // adjudicated float remainder (SVC margins), pinned TRUE (the
+    // accuracy-floor specs hold the quality gates). Gate runs at
+    // sf0.01, hence the pinned slug.
+    "tp02_one_vs_all" ->
+      s"""SELECT CAST(label AS INTEGER) AS label,
+        |  CAST(predicted AS BIGINT) AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n, TRUE AS scores_ok
+        |FROM read_json_auto(
+        |  '/tmp/graft_tp02_r$runToken/_root_testdata_sf0_01/*.json')
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "tp03_tree_roundtrip" ->
       s"""SELECT CAST(id AS BIGINT) AS id, name, algo,
         |  filterMode AS filter_mode,
