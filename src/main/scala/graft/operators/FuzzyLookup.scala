@@ -111,6 +111,10 @@ object FuzzyLookup {
       tieBreakCol: Option[String] = None,
       releaseIndex: Boolean = false)
 
+  /** Per-call suffix for the candidate-volume observe metric — observed
+    * metric names must be unique within a single query plan. */
+  private val lookupSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val tokUdf = udf((s: String) => TextKernels.tokenizeWithOffsets(s))
   private val levUdf = udf((a: String, b: String, bound: Int) =>
     TextKernels.boundedLevenshtein(a, b, bound))
@@ -246,10 +250,25 @@ object FuzzyLookup {
         exactCand.unionByName(fuzzyCand)
       }
 
+    // CANDIDATE-VOLUME OBSERVABILITY (round 17): candidate rows scale as
+    // Σ_token (left-df × right-df) — on a low-vocabulary corpus with
+    // maxDfRatio = 1.0 that is left×right by construction (the sf1 soak
+    // measured fz02-shaped workloads doing exactly this). The named
+    // observe metric surfaces the explosion in the listener/metrics
+    // stream BEFORE it shows up as wall-time: a production caller seeing
+    // `candidate_rows` >> left-rows should lower `maxDfRatio` (prunes
+    // high-document-frequency tokens from the index, which is what
+    // bounds the join fan-out). Name is per-call-unique because Spark
+    // requires observed-metric names to be unique within one query plan
+    // (lookupMulti composes several lookups into one).
+    val candObserved = cand.observe(
+      s"fuzzy_lookup_candidates_${lookupSeq.incrementAndGet()}",
+      count(lit(1)).as("candidate_rows"))
+
     // best evidence per (left, right, query-token); the token itself rides
     // along to become the matched span's `_tags_` (the reference returns
     // `hit.ngram.terms` there, index/IndexStrategy.scala:170)
-    val matched = cand.groupBy("_qlid_", "_trid_", "qpos")
+    val matched = candObserved.groupBy("_qlid_", "_trid_", "qpos")
       .agg(max(col("_w_")).as("_w_"), first(col("qstart")).as("qstart"),
         first(col("qend")).as("qend"), first(col("qtok")).as("qtok"))
 

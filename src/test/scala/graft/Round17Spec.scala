@@ -176,6 +176,22 @@ class Round17Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.autoK(-1L))
   }
 
+  // ---- FuzzyLookup: candidate-volume observe metric ----------------------
+
+  test("fuzzy lookup emits a named candidate-volume observe metric") {
+    import graft.operators.FuzzyLookup
+    val left = Seq("acme corp", "globex inc").toDF("q")
+    val right = Seq("acme corporation ltd", "globex incorporated")
+      .toDF("name")
+    val out = FuzzyLookup.lookup(left, "q", right, "name")
+    out.collect() // the action that fills observedMetrics
+    val metrics = out.queryExecution.observedMetrics
+    val key = metrics.keys.find(_.startsWith("fuzzy_lookup_candidates_"))
+    assert(key.nonEmpty,
+      s"candidate-volume metric missing; saw ${metrics.keys.mkString(",")}")
+    assert(metrics(key.get).getAs[Long]("candidate_rows") > 0L)
+  }
+
   // ---- jaccardLinkPrediction: uncapped-hub probe (r16 ADVICE #1) --------
 
   test("jaccardLinkPrediction uncapped raises by name on a >bound hub") {
