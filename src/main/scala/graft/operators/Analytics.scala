@@ -485,10 +485,22 @@ object Analytics {
     * exists, the standard BI convention. With empty `partitionCols` the
     * window is one global sort: fine AFTER an aggregation has reduced the
     * series to calendar size (the intended use), wrong on raw facts —
-    * partition real per-entity series. */
+    * partition real per-entity series. Since round 17 the empty-partition
+    * lane is self-defending: an eager row-count probe raises by name
+    * above `singleTaskRowBound` ([[Guards.SingleTaskRowBound]], 2^22) —
+    * a calendar-sized series never hits it, raw facts do; `<= 0` opts
+    * into the sequential cost. */
   def movingAverage(df: DataFrame, partitionCols: Seq[String],
-                    orderCol: String, valCol: String, nRows: Int): DataFrame = {
+                    orderCol: String, valCol: String, nRows: Int,
+                    singleTaskRowBound: Long =
+                      Guards.SingleTaskRowBound): DataFrame = {
     require(nRows >= 1, s"nRows must be >= 1, got $nRows")
+    if (partitionCols.isEmpty)
+      Guards.singleTaskLaneProbe(df, "movingAverage(partitionCols = Nil)",
+        singleTaskRowBound,
+        "partition the series (partitionCols) or aggregate to calendar " +
+          "size first — the global-sort lane is for reduced series by " +
+          "contract; pass singleTaskRowBound = 0 to accept the cost")
     val base = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
       else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
     val w = base.rowsBetween(-(nRows - 1L), 0L)

@@ -82,6 +82,31 @@ object Guards {
     * the probe is dormant everywhere except genuine degeneracy. */
   val DegenerateBucketBound: Long = 1L << 20
 
+  /** Row bound above which a documented single-task lane (a global
+    * `Window.orderBy` with no partitioning — one sequential sort task)
+    * refuses by name instead of silently funneling the dataset through
+    * one executor thread. 2^22 (~4.2M rows) is far above every gated
+    * query and every documented small-data use (calendar-sized series,
+    * demo corpora), and far below where a one-task sort of a 100 TB
+    * input would quietly eat hours. The same contract shape as the
+    * exact-ANN lane's loud 2^21 collect bound. */
+  val SingleTaskRowBound: Long = 1L << 22
+
+  /** Eager single-task-lane probe: counts `df` (a distributed O(n) scan,
+    * paid BEFORE the one-task sort it guards) and raises by name with
+    * the sharded/contract twin spelled out. `bound <= 0` disables — the
+    * explicit opt-in to the sequential cost. */
+  def singleTaskLaneProbe(df: DataFrame, op: String, bound: Long,
+                          twinHint: String): Unit =
+    if (bound > 0) {
+      val n = df.count()
+      require(n <= bound,
+        s"$op: $n rows exceed the $bound-row single-task bound — this " +
+          s"lane runs ONE global-sort task by documented contract and " +
+          s"would serialize the whole dataset through a single executor " +
+          s"thread; $twinHint")
+    }
+
   /** Eager degenerate-bucket probe (the Packing bounds-probe house
     * pattern): one partial-aggregable groupBy-count over `keyed` — which
     * every caller derives from an already-persisted signature frame, so

@@ -110,10 +110,19 @@ object Packing {
     *
     * Scale: the running sum is a single global window — one sequential
     * pass, fine up to one task's comfort. [[packSequencesSharded]] is the
-    * 100 TB form: identical output, parallel across shards. */
+    * 100 TB form: identical output, parallel across shards. Since round
+    * 17 the lane is self-defending: an eager row-count probe raises by
+    * name above `singleTaskRowBound` ([[Guards.SingleTaskRowBound]],
+    * 2^22) instead of silently serializing a large input through one
+    * task; `<= 0` opts into the sequential cost. */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-                    seqLen: Int): DataFrame = {
+                    seqLen: Int,
+                    singleTaskRowBound: Long =
+                      Guards.SingleTaskRowBound): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    Guards.singleTaskLaneProbe(df, "packSequences", singleTaskRowBound,
+      "use packSequencesSharded (bit-identical output, parallel across " +
+        "shards) or pass singleTaskRowBound = 0 to accept the cost")
     val w = Window.orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum_", sum(col(tokensCol)).over(w))

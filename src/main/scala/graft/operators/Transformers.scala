@@ -79,10 +79,25 @@ object Transformers {
   // AddId (reference: text/AddId.scala) — sequential or scale-safe
   // ---------------------------------------------------------------------
   /** Global sequential id by sort order. Single-partition window — the
-    * reference accepts the same cost; use [[addIdUnordered]] at scale. */
-  def addIdSequential(df: DataFrame, orderCol: String, out: String = "id"): DataFrame =
+    * reference accepts the same cost; use [[addIdUnordered]] at scale
+    * (unique-not-consecutive, zero shuffle) or a
+    * `Packing.runningTotalSharded`-style prefix rank for consecutive ids.
+    * Since round 17 the lane is self-defending: an eager row-count probe
+    * raises by name above `singleTaskRowBound`
+    * ([[graft.operators.Guards.SingleTaskRowBound]], 2^22) instead of
+    * silently serializing a large input through one sort task; `<= 0`
+    * opts into the sequential cost. */
+  def addIdSequential(df: DataFrame, orderCol: String, out: String = "id",
+                      singleTaskRowBound: Long =
+                        Guards.SingleTaskRowBound): DataFrame = {
+    Guards.singleTaskLaneProbe(df, "addIdSequential", singleTaskRowBound,
+      "use addIdUnordered (unique ids, no shuffle) or a sharded prefix " +
+        "rank (Packing.runningTotalSharded over a per-row 1) for " +
+        "consecutive ids, or pass singleTaskRowBound = 0 to accept the " +
+        "cost")
     df.withColumn(out,
       (row_number().over(Window.orderBy(col(orderCol))) - 1).cast(LongType))
+  }
 
   /** Unique (not consecutive) ids with no shuffle — the 100 TB variant.
     * The ids are stable only while the input plan re-evaluates in the

@@ -56,7 +56,8 @@ class PlanGuardSpec extends AnyFunSuite {
       ("AS _n_", "day-spine row count")),
     "pk01_sequence_packing" -> Seq(
       ("sum(bpe_tokens)", "documented reference-parity single-sort mode; " +
-        "packSequencesSharded (pk02, pp03, pp05) is the scale path")),
+        "packSequencesSharded (pk02, pp03, pp05) is the scale path; " +
+        "since r17 the lane raises by name past 2^22 rows")),
     "ds03_dsir_resample" -> Seq(
       ("row_number()", "row_number over the k-row TakeOrdered result " +
         "(limit k precedes the window in Dsir.resampleTopK)")),
@@ -81,9 +82,11 @@ class PlanGuardSpec extends AnyFunSuite {
       ("AS filled", "forward fill over the calendar day spine")),
     "id01_add_id" -> Seq(
       ("row_number()", "documented reference-contract addIdSequential " +
-        "(single-sort by contract; addIdUnordered is the scale path)")),
+        "(single-sort by contract; addIdUnordered is the scale path; " +
+        "since r17 the lane raises by name past 2^22 rows)")),
     "ma01_moving_average" -> Seq(
-      ("_dsum_", "7-row trailing frame over the daily-aggregate day spine")),
+      ("_dsum_", "7-row trailing frame over the daily-aggregate day " +
+        "spine; since r17 the empty-partition lane raises past 2^22 rows")),
     "ps01_psi_drift" -> Seq(
       ("AS psi_scaled", "scalar fold over the PSI bucket table"))
   )

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Graph, Guards, Similarity}
+import graft.operators.{Analytics, Dedup, Graph, Guards, Packing,
+  Similarity, Transformers}
 
 /** Round-17 wave: the LSH-family scale guards graduate from scaladoc to
   * code. Every degenerate-bucket path (minhash bands, simhash pigeonhole
@@ -174,6 +175,53 @@ class Round17Spec extends AnyFunSuite {
       assert(n.toDouble / k <= 512.0)
     }
     intercept[IllegalArgumentException](Similarity.autoK(-1L))
+  }
+
+  // ---- single-task lanes: self-defending row bounds ----------------------
+
+  test("packSequences raises by name past the single-task row bound") {
+    val big = spark.range(Guards.SingleTaskRowBound + 1)
+      .select(col("id"), lit(10L).as("tokens"))
+    val e = intercept[IllegalArgumentException] {
+      Packing.packSequences(big, "id", "tokens", seqLen = 2048)
+    }
+    assert(e.getMessage.contains("packSequences"))
+    assert(e.getMessage.contains("packSequencesSharded"))
+  }
+
+  test("addIdSequential raises by name past the single-task row bound") {
+    val big = spark.range(Guards.SingleTaskRowBound + 1).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Transformers.addIdSequential(big, "v")
+    }
+    assert(e.getMessage.contains("addIdSequential"))
+    assert(e.getMessage.contains("addIdUnordered"))
+  }
+
+  test("movingAverage(Nil) raises past the bound; partitioned lane never probes") {
+    val big = spark.range(Guards.SingleTaskRowBound + 1)
+      .select(col("id"), (col("id") % 7).cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Analytics.movingAverage(big, Nil, "id", "v", nRows = 3)
+    }
+    assert(e.getMessage.contains("movingAverage"))
+    assert(e.getMessage.contains("partition"))
+    // the partitioned lane is parallel by construction — no probe, plan
+    // builds lazily even on the same oversized input
+    val ok = Analytics.movingAverage(
+      big.withColumn("series", col("id") % 4), Seq("series"), "id", "v", 3)
+    assert(ok.columns.contains("mov_avg"))
+  }
+
+  test("single-task lanes stay usable below the bound (and via opt-in)") {
+    val small = spark.range(100).select(col("id"), lit(5L).as("tokens"))
+    assert(Packing.packSequences(small, "id", "tokens", 64).count() === 100L)
+    assert(Transformers.addIdSequential(small.toDF("id", "tokens"), "id")
+      .agg(max(col("id"))).collect()(0).getLong(0) === 99L)
+    // explicit opt-in disables the probe entirely (bound <= 0)
+    val optIn = Packing.packSequences(small, "id", "tokens", 64,
+      singleTaskRowBound = 0L)
+    assert(optIn.count() === 100L)
   }
 
   // ---- FuzzyLookup: candidate-volume observe metric ----------------------
