@@ -533,9 +533,10 @@ object Dedup {
     * bucket exceeds `degenerateBucketBound`
     * ([[Guards.DegenerateBucketBound]], 2^20) — the sf1 soak measured
     * this operator 36x-quadratic on low-diversity corpora, and a named
-    * error beats a silent hang. Callers who cap with `maxBucketSize`
-    * below the bound skip the probe entirely; `degenerateBucketBound <= 0`
-    * is the explicit quadratic-cost opt-in. */
+    * error beats a silent hang. ANY explicit `maxBucketSize` skips the
+    * probe (the caller has made the sizing decision — one knob never
+    * second-guesses another); `degenerateBucketBound <= 0` is the
+    * explicit quadratic-cost opt-in for the uncapped path. */
   def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       numHashes: Int = 64, bands: Int = 16,
                       shingleSize: Int = 3, minEstJaccard: Double = 0.5,
@@ -573,8 +574,11 @@ object Dedup {
           .select("_band_", "_bucket_"),
         Seq("_band_", "_bucket_"), "left_semi")
     // dormant unless a bucket is genuinely degenerate; reads the
-    // persisted signatures, so the probe is one cheap aggregation job
-    if (maxBucketSize <= 0 || maxBucketSize > degenerateBucketBound)
+    // persisted signatures, so the probe is one cheap aggregation job.
+    // ANY explicit cap skips the probe — a caller who set maxBucketSize
+    // (even above the bound) has made the sizing decision; one knob must
+    // never second-guess another
+    if (maxBucketSize <= 0)
       Guards.degenerateBucketProbe(capped, Seq("_band_", "_bucket_"),
         "minHashLshPairs", degenerateBucketBound,
         "set maxBucketSize to drop degenerate buckets (recall cost only " +
@@ -652,10 +656,17 @@ object Dedup {
   }
 
   /** Dedup by MinHash: drop every doc that has a near-dup with a smaller id
-    * (connected-component-free greedy, standard for training pipelines). */
+    * (connected-component-free greedy, standard for training pipelines).
+    * Forwards [[minHashLshPairs]]'s bucket knobs so a caller hitting the
+    * degenerate-bucket raise can follow the error's own advice from this
+    * call site. */
   def minHashDedup(df: DataFrame, textCol: String, idCol: String,
-                   minEstJaccard: Double = 0.8): DataFrame = {
-    val dupIds = minHashLshPairs(df, textCol, idCol, minEstJaccard = minEstJaccard)
+                   minEstJaccard: Double = 0.8, maxBucketSize: Int = 0,
+                   degenerateBucketBound: Long =
+                     Guards.DegenerateBucketBound): DataFrame = {
+    val dupIds = minHashLshPairs(df, textCol, idCol,
+        minEstJaccard = minEstJaccard, maxBucketSize = maxBucketSize,
+        degenerateBucketBound = degenerateBucketBound)
       .select(col("id_b").as("_dup_")).distinct()
     df.join(dupIds, df(idCol) === col("_dup_"), "left_anti")
   }
@@ -739,7 +750,8 @@ object Dedup {
           .where(col("_bs_") <= maxBucketSize)
           .select("_blk_", "_key_"),
         Seq("_blk_", "_key_"), "left_semi")
-    if (maxBucketSize <= 0 || maxBucketSize > degenerateBucketBound)
+    // explicit caps skip the probe — see minHashLshPairs
+    if (maxBucketSize <= 0)
       Guards.degenerateBucketProbe(capped, Seq("_blk_", "_key_"),
         "simHashPairs", degenerateBucketBound,
         "set maxBucketSize to price out the overfull keys (recall cost " +

@@ -33,6 +33,13 @@ object Graph {
     * the `Int.MaxValue - 1` opt-in never hit the probe. */
   val JaccardUncappedHubProbeBound: Long = 100000L
 
+  /** Total-wedge bound for the same probe: Σ deg² over all centers —
+    * the wedge join's exact row count — past this is hang-scale even
+    * when no single node trips the per-node bound (e.g., hundreds of
+    * near-100k-degree hubs). 10¹¹ wedges ≈ the work the per-node bound
+    * already deems unacceptable from one 3·10⁵-degree hub. */
+  val JaccardUncappedWedgeBound: BigInt = BigInt("100000000000")
+
   /** Ranks after `iterations` synchronous rounds, starting uniform.
     * `edges` is a directed edge list; dangling nodes (no out-edges) are
     * allowed — their mass simply decays (the caller can add reverse edges
@@ -602,21 +609,40 @@ object Graph {
     // (their Σ deg² term), not from the graph — degrees and the
     // non-edge anti-join still see every edge
     if (maxCenterDegree == Int.MaxValue) {
-      // uncapped-hub probe: Σ deg² over centers is the wedge-join cost,
-      // so a single >1e5-degree hub makes an uncapped default call an
-      // effective hang (10¹²-wedge scale). `deg` reads the checkpointed
-      // edge list, so this one extra node-count-sized job is cheap.
-      val hot = deg.where(col("deg") > JaccardUncappedHubProbeBound)
-        .orderBy(col("deg").desc).limit(1).collect()
+      // uncapped-hub probe: Σ deg² over centers is the wedge-join cost.
+      // Two checks in one node-count-sized job over the checkpointed
+      // edge list's degree table: (a) any single hub past the per-node
+      // bound (one 10⁶-degree hub alone is 10¹²-wedge scale), and
+      // (b) the TOTAL Σ deg² past the wedge bound — many near-bound hubs
+      // cost the same hang without any one node tripping (a). DECIMAL
+      // accumulation: deg² of two row-count-scale factors would wrap a
+      // LONG sum silently (guard-contract rule 5).
+      val probe = deg.agg(
+        max(col("deg")).as("_maxd_"),
+        max(when(col("deg") > JaccardUncappedHubProbeBound,
+          struct(col("deg"), col("node")))).as("_hot_"),
+        sum(col("deg").cast("decimal(38,0)") * col("deg")).as("_wedges_"))
+        .collect()(0)
+      val hot = Option(probe.getStruct(1))
       require(hot.isEmpty, {
-        val r = hot.head
-        s"jaccardLinkPrediction: uncapped call (maxCenterDegree unset) " +
-          s"but node ${r.get(0)} has degree ${r.getLong(1)} > " +
+        val r = hot.get
+        s"jaccardLinkPrediction: uncapped call (maxCenterDegree = " +
+          s"Int.MaxValue, the exact-semantics default) but node " +
+          s"${r.get(1)} has degree ${r.getLong(0)} > " +
           s"$JaccardUncappedHubProbeBound — the wedge join would be " +
           "quadratic in hub degree; pass an explicit maxCenterDegree " +
           "(1e4-1e5 is the standard super-node cap) or accept the cost " +
           "with maxCenterDegree = Int.MaxValue - 1"
       })
+      val wedges = Option(probe.getDecimal(2))
+        .map(_.toBigInteger).getOrElse(java.math.BigInteger.ZERO)
+      require(wedges.compareTo(JaccardUncappedWedgeBound.bigInteger) <= 0,
+        s"jaccardLinkPrediction: uncapped call (maxCenterDegree = " +
+          s"Int.MaxValue, the exact-semantics default) and total wedge " +
+          s"count sum(deg^2) = $wedges > $JaccardUncappedWedgeBound — no " +
+          "single hub trips the per-node bound, but the wedge join's " +
+          "total cost is hang-scale; pass an explicit maxCenterDegree " +
+          "or accept the cost with maxCenterDegree = Int.MaxValue - 1")
     }
     val eCtr =
       if (maxCenterDegree >= Int.MaxValue - 1) e

@@ -92,10 +92,17 @@ object Guards {
     * exact-ANN lane's loud 2^21 collect bound. */
   val SingleTaskRowBound: Long = 1L << 22
 
-  /** Eager single-task-lane probe: counts `df` (a distributed O(n) scan,
-    * paid BEFORE the one-task sort it guards) and raises by name with
+  /** Eager single-task-lane probe: counts `df` and raises by name with
     * the sharded/contract twin spelled out. `bound <= 0` disables — the
-    * explicit opt-in to the sequential cost. */
+    * explicit opt-in to the sequential cost.
+    *
+    * Cost note: `count()` is not a second full evaluation of the
+    * caller's plan — Catalyst prunes every deterministic projection a
+    * bare count doesn't need (UDF-computed columns included), so over a
+    * scan the probe collapses to a parquet row-group metadata count;
+    * only cardinality-changing upstreams (aggregates, joins) genuinely
+    * re-run, and those feed a documented small-output lane by
+    * contract. */
   def singleTaskLaneProbe(df: DataFrame, op: String, bound: Long,
                           twinHint: String): Unit =
     if (bound > 0) {

@@ -1,5 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+
 /** Shared plumbing for oracle gates that round-trip a JSON artifact
   * through /tmp (the tp01/tp03 structural-split recipe): the Spark side
   * writes the model's discrete projection, DuckDB independently
@@ -17,9 +20,35 @@ object OracleArtifacts {
     sys.env.getOrElse("GRAFT_RUN_ID", ProcessHandle.current().pid().toString)
 
   /** `/tmp/graft_<tag>_r<token>/<slug>` — every artifact-writing gate
-    * routes through here. */
-  def artDir(tag: String, slug: String): String =
+    * routes through here. Per-run dirs cannot be deleted on JVM exit
+    * (the driver's DuckDB oracle reads them AFTER the Verify JVM
+    * exits), so accumulation is bounded instead by sweeping SIBLING
+    * run dirs for the same tag whose mtime is older than 6 hours —
+    * far beyond any live verify/bench run, far short of filling /tmp
+    * on a machine running rounds repeatedly. */
+  def artDir(tag: String, slug: String): String = {
+    sweepStale(tag)
     s"/tmp/graft_${tag}_r$runToken/$slug"
+  }
+
+  private val StaleMs = 6L * 3600 * 1000
+
+  private def sweepStale(tag: String): Unit = {
+    val tmp = new java.io.File("/tmp")
+    val prefix = s"graft_${tag}_r"
+    val cutoff = System.currentTimeMillis() - StaleMs
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.startsWith(prefix) &&
+          f.getName != s"$prefix$runToken" && f.lastModified() < cutoff)
+        deleteRecursively(f)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
 
   /** Float-remainder comparison for artifact round-trip sums: the two
     * sums come from different plans (single re-read JSON file vs cached
@@ -30,4 +59,17 @@ object OracleArtifacts {
     * moves the sum by ~a whole score). */
   def sumsClose(a: Double, b: Double): Boolean =
     math.abs(a - b) <= 1e-6 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  /** The whole float-half gate in one place: write `df` as a single JSON
+    * artifact to `path`, re-read it, and certify the re-read `valCol`
+    * sum epsilon-matches the in-memory sum (see [[sumsClose]]). Every
+    * artifact gate's `scores_ok` routes through here so the epsilon
+    * contract lives in exactly one place. `df` should be persisted by
+    * the caller (it is re-scanned for the in-memory sum). */
+  def writeAndCheckSum(df: DataFrame, valCol: String, path: String): Boolean = {
+    df.coalesce(1).write.mode("overwrite").json(path)
+    def sumOf(d: DataFrame): Double = d
+      .agg(coalesce(sum(col(valCol)), lit(0.0))).collect()(0).getDouble(0)
+    sumsClose(sumOf(df.sparkSession.read.json(path)), sumOf(df))
+  }
 }

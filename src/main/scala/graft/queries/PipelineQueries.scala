@@ -1291,13 +1291,9 @@ object PipelineQueries {
         .toDF("rank", "piece", "prob_r")
       val slug = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = OracleArtifacts.artDir("ug01", slug)
-      vocabDf.coalesce(1).write.mode("overwrite").json(path)
       // float half: artifact round-trip of the EM probabilities (epsilon
-      // compare — different plans sum in different orders)
-      def probSum(df: DataFrame): Double = df
-        .agg(coalesce(sum(col("prob_r")), lit(0.0))).collect()(0).getDouble(0)
-      val scoresOk = OracleArtifacts.sumsClose(
-        probSum(s.read.json(path)), probSum(vocabDf))
+      // — see OracleArtifacts.writeAndCheckSum)
+      val scoresOk = OracleArtifacts.writeAndCheckSum(vocabDf, "prob_r", path)
       // discrete half: occurrence counts of the chosen pieces, recomputed
       // from the corpus. vocab-sized broadcast x corpus scan — the same
       // shape DuckDB replays; pieces have no spaces, so text-level

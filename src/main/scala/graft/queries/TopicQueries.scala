@@ -153,18 +153,14 @@ object TopicQueries {
         .persist()
       val slug = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = artDir("tp01", slug)
-      perDoc.coalesce(1).write.mode("overwrite").json(s"$path/assignments")
+      // float remainder: the artifact re-read from disk must reproduce
+      // the in-memory score sum (JSON round-trip fidelity, epsilon —
+      // see OracleArtifacts.writeAndCheckSum)
+      val scoresOk = OracleArtifacts.writeAndCheckSum(
+        perDoc, "best_score_r", s"$path/assignments")
       val tw = tree.topWords.toDF("node", "cls", "token", "score")
         .select(col("cls"), col("token"))
       tw.coalesce(1).write.mode("overwrite").json(s"$path/topwords")
-      // float remainder: the artifact re-read from disk must reproduce
-      // the in-memory score sum (JSON round-trip fidelity); epsilon
-      // compare — the two plans sum in different orders (see sumsClose)
-      def scoreSum(df: DataFrame): Double = df
-        .agg(coalesce(sum(col("best_score_r")), lit(0.0)))
-        .collect()(0).getDouble(0)
-      val scoresOk =
-        sumsClose(scoreSum(s.read.json(s"$path/assignments")), scoreSum(perDoc))
       // in-memory per-class counts + topword identity, COLLECTED (4 rows)
       // so perDoc can be unpersisted before returning — the returned
       // frame is a LocalRelation, and nothing cached leaks past the query
@@ -296,12 +292,8 @@ object TopicQueries {
         .persist() // scoring otherwise re-runs for write + check + counts
       val slug = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = artDir("gp01", slug)
-      perDoc.coalesce(1).write.mode("overwrite").json(path)
-      // epsilon compare — different plans sum in different orders
-      def scoreSum(df: DataFrame): Double = df
-        .agg(coalesce(sum(col("best_score_r")), lit(0.0)))
-        .collect()(0).getDouble(0)
-      val scoresOk = sumsClose(scoreSum(s.read.json(path)), scoreSum(perDoc))
+      val scoresOk = OracleArtifacts.writeAndCheckSum(
+        perDoc, "best_score_r", path)
       // in-memory per-topic claim counts, COLLECTED (nTopics rows) so
       // perDoc can be unpersisted before returning; unclaimed topics
       // emit count 0
@@ -357,12 +349,7 @@ object TopicQueries {
         .persist()
       val slug = d.replaceAll("[^A-Za-z0-9]", "_")
       val path = artDir("tp02", slug)
-      perRow.coalesce(1).write.mode("overwrite").json(path)
-      // epsilon compare — different plans sum in different orders
-      def marginSum(df: DataFrame): Double = df
-        .agg(coalesce(sum(col("margin_r")), lit(0.0)))
-        .collect()(0).getDouble(0)
-      val scoresOk = sumsClose(marginSum(s.read.json(path)), marginSum(perRow))
+      val scoresOk = OracleArtifacts.writeAndCheckSum(perRow, "margin_r", path)
       // in-memory confusion matrix, COLLECTED (<= 4x5 cells) so perRow
       // can be unpersisted before returning
       val cells = perRow.groupBy("label", "predicted")
