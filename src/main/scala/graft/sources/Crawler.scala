@@ -96,7 +96,15 @@ object Crawler {
     var frontier = seeds.select(col("url").cast(StringType)).distinct()
       .localCheckpoint()
     var levels = List.empty[DataFrame]
-    var visited = frontier
+    // the visited set is the UNION OF FRONTIER CHECKPOINTS, never a fresh
+    // per-level copy (round 17): re-checkpointing visited ∪ next each
+    // level materialized the whole visited set AGAIN every round —
+    // O(depth · |visited|) storage blocks of which all but the last were
+    // dead weight awaiting GC-driven ContextCleaner reclamation. The
+    // frontiers are disjoint by construction (each is anti-joined against
+    // everything before it), so their union IS the visited set, one copy
+    // of every URL across the already-held checkpoints.
+    var visitedParts = List(frontier)
     var fetched = 0L
     var depth = 0
     var done = false
@@ -110,11 +118,11 @@ object Crawler {
       if (depth < maxDepth && fetched < maxPages) {
         val next = page.select(explode_outer(col("links")).as("url"))
           .where(col("url").isNotNull).distinct()
-          .join(visited, Seq("url"), "left_anti")
+          .join(visitedParts.reduce(_ unionByName _), Seq("url"), "left_anti")
           .localCheckpoint()
         if (next.isEmpty) done = true // reads the checkpoint, no recompute
         else {
-          visited = visited.union(next).localCheckpoint()
+          visitedParts ::= next
           frontier = next
         }
       } else done = true

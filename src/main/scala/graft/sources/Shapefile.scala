@@ -45,21 +45,51 @@ object Shapefile {
     var pos = 100
     while (pos + 8 <= math.min(fileLenBytes, bytes.length.toLong)) {
       val recNo = be.getInt(pos)
-      val contentLenBytes = be.getInt(pos + 4) * 2
-      val le = ByteBuffer.wrap(bytes, pos + 8, contentLenBytes).order(ByteOrder.LITTLE_ENDIAN)
+      // FILE-SUPPLIED sizes are validated BEFORE any allocation (round 17):
+      // one corrupt/truncated record among thousands of tiles used to
+      // request a multi-GB array (numPoints from garbage bytes) or crash
+      // copyOfRange — an executor OOM that takes co-resident tasks down
+      // and retries 4x. Corrupt records now raise by name.
+      val contentLenBytes = be.getInt(pos + 4).toLong * 2
+      require(contentLenBytes >= 4 && pos + 8 + contentLenBytes <= bytes.length,
+        s"shp record $recNo: content length $contentLenBytes exceeds the " +
+          s"file's remaining ${bytes.length - pos - 8} bytes — corrupt or " +
+          "truncated record")
+      val le = ByteBuffer.wrap(bytes, pos + 8, contentLenBytes.toInt)
+        .order(ByteOrder.LITTLE_ENDIAN)
       val shapeType = le.getInt
       shapeType match {
         case 0 => // null shape: no geometry
           out += ShpShape(recNo, 0, 0, 0, 0, 0, Array.empty)
         case 1 => // Point
+          require(contentLenBytes >= 4 + 16,
+            s"shp record $recNo: point record shorter than 20 bytes")
           val x = le.getDouble; val y = le.getDouble
           out += ShpShape(recNo, 1, x, y, x, y, Array(Array(x, y)))
         case 3 | 5 => // PolyLine | Polygon
+          require(contentLenBytes >= 4 + 32 + 8,
+            s"shp record $recNo: poly record shorter than its fixed header")
           val minX = le.getDouble; val minY = le.getDouble
           val maxX = le.getDouble; val maxY = le.getDouble
           val numParts = le.getInt
           val numPoints = le.getInt
+          // every count must fit the record's OWN byte budget: parts are
+          // 4 bytes, points 16 — anything else is a corrupt size field
+          require(numParts >= 0 && numPoints >= 0 &&
+            4L + 32 + 8 + numParts.toLong * 4 + numPoints.toLong * 16
+              <= contentLenBytes,
+            s"shp record $recNo: numParts=$numParts numPoints=$numPoints " +
+              s"exceed the record's $contentLenBytes content bytes — " +
+              "corrupt size fields")
           val partOffsets = Array.fill(numParts)(le.getInt)
+          partOffsets.indices.foreach { p =>
+            val from = partOffsets(p)
+            val until = if (p + 1 < numParts) partOffsets(p + 1) else numPoints
+            require(from >= 0 && from <= until && until <= numPoints,
+              s"shp record $recNo: part offsets not monotone within " +
+                s"[0, $numPoints] (part $p: $from..$until) — corrupt " +
+                "part index")
+          }
           val flat = new Array[Double](numPoints * 2)
           var i = 0
           while (i < numPoints * 2) { flat(i) = le.getDouble; i += 1 }
@@ -72,15 +102,28 @@ object Shapefile {
         case other =>
           throw new IllegalArgumentException(s"unsupported shape type $other (record $recNo)")
       }
-      pos += 8 + contentLenBytes
+      pos += 8 + contentLenBytes.toInt
     }
     out.result()
   }
 
   /** Parse a .dbf (dBase III) attribute file → (fields, one string-map per
-    * record, deleted rows skipped). Numbers stay strings here; the reader
-    * casts via the declared field type when building the DataFrame. */
+    * LIVE record, deleted rows skipped). Numbers stay strings here; the
+    * reader casts via the declared field type when building the DataFrame.
+    * WARNING: skipping deleted rows loses POSITIONAL alignment with the
+    * .shp record sequence — positional pairing must use [[parseDbfSlots]]
+    * (a soft-deleted record at slot k would otherwise shift every later
+    * shape's attributes up by one, a silent misassignment). */
   def parseDbf(bytes: Array[Byte]): (Seq[DbfField], Seq[Map[String, String]]) = {
+    val (fs, slots) = parseDbfSlots(bytes)
+    (fs, slots.flatten)
+  }
+
+  /** Positional .dbf parse: one slot per PHYSICAL record in file order,
+    * `None` for soft-deleted ('*'-flagged) slots — the alignment-safe
+    * form [[read]] pairs against .shp records (spec: strictly 1:1 by
+    * position, deleted attribute records delete the feature). */
+  def parseDbfSlots(bytes: Array[Byte]): (Seq[DbfField], Seq[Option[Map[String, String]]]) = {
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val numRecords = le.getInt(4)
     val headerSize = le.getShort(8) & 0xffff
@@ -99,19 +142,19 @@ object Shapefile {
       fp += 32
     }
     val fs = fields.result()
-    val rows = Seq.newBuilder[Map[String, String]]
+    val rows = Seq.newBuilder[Option[Map[String, String]]]
     var rp = headerSize
     var r = 0
     while (r < numRecords && rp + recordSize <= bytes.length) {
-      if (bytes(rp) != '*') { // '*' marks a deleted record
+      if (bytes(rp) != '*') {
         var off = rp + 1
         val m = Map.newBuilder[String, String]
         fs.foreach { f =>
           m += f.name -> new String(bytes, off, f.length, StandardCharsets.US_ASCII).trim
           off += f.length
         }
-        rows += m.result()
-      }
+        rows += Some(m.result())
+      } else rows += None // '*' marks a deleted record: slot kept for alignment
       rp += recordSize
       r += 1
     }
@@ -143,19 +186,29 @@ object Shapefile {
       .as[(String, Array[Byte], Array[Byte])]
       .flatMap { case (stem, shpBytes, dbfBytes) =>
         val shapes = parseShp(shpBytes)
-        val attrs: Int => Map[String, String] = Option(dbfBytes) match {
-          case Some(b) =>
-            val (_, rows) = parseDbf(b)
-            i => if (i < rows.length) rows(i) else Map.empty
-          case None => _ => Map.empty[String, String]
-        }
         val source = stem.substring(stem.lastIndexOf('/') + 1)
-        shapes.zipWithIndex.map { case (sh, i) =>
+        // positional pairing via SLOTS (round 17): a soft-deleted .dbf
+        // record keeps its slot, so later shapes never inherit a
+        // different record's attributes; the deleted slot's feature is
+        // dropped whole (shape + attrs together, shapelib semantics).
+        // A live-record count that disagrees with the shape count is a
+        // corrupt pair — raise by name, never mis-pair silently.
+        val slots: Seq[Option[Map[String, String]]] = Option(dbfBytes) match {
+          case Some(b) =>
+            val (_, s) = parseDbfSlots(b)
+            require(s.length == shapes.length,
+              s"$source: .dbf has ${s.length} record slots but .shp has " +
+                s"${shapes.length} shapes — corrupt pair (the formats are " +
+                "strictly 1:1 positional)")
+            s
+          case None => Seq.fill(shapes.length)(Some(Map.empty[String, String]))
+        }
+        shapes.zip(slots).collect { case (sh, Some(attrs)) =>
           (source, sh.recordNo, sh.shapeType,
             sh.minX, sh.minY, sh.maxX, sh.maxY,
             sh.rings.headOption.getOrElse(Array.empty[Double]),
             sh.rings, sh.rings.length,
-            sh.rings.map(_.length / 2).sum, attrs(i))
+            sh.rings.map(_.length / 2).sum, attrs)
         }
       }
       .toDF("source", "record_no", "shape_type", "minX", "minY", "maxX", "maxY",

@@ -79,7 +79,23 @@ object TarShards {
       try {
         it.foreach { r =>
           val key = r.getAs[String]("_k_")
-          val text = r.getAs[String]("_t_").getBytes("UTF-8")
+          // dirty rows must fail BY NAME before this row's bytes land —
+          // a bare NPE or a mid-header charset mangle would leave a
+          // truncated shard with no row-identifying message (and
+          // US-ASCII getBytes silently maps non-ASCII to '?', colliding
+          // entry names across distinct keys)
+          require(key != null,
+            "TarShards.write: NULL key — filter or coalesce the key " +
+              "column upstream")
+          require(key.forall(c => c >= 0x20 && c < 0x7f),
+            s"TarShards.write: key '$key' contains non-printable-ASCII " +
+              "characters — ustar entry names are ASCII; sanitize keys " +
+              "upstream")
+          val textV = r.getAs[String]("_t_")
+          require(textV != null,
+            s"TarShards.write: NULL text for key '$key' — filter or " +
+              "coalesce the text column upstream")
+          val text = textV.getBytes("UTF-8")
           out.write(headerBlock(s"$key.txt", text.length))
           out.write(text); pad(out, text.length)
           if (binCol.isDefined) {
@@ -95,38 +111,89 @@ object TarShards {
     }
   }
 
-  /** Parse one ustar archive: (name, bytes) entries in file order. Stops
-    * at the zero block, EOF, or the first checksum-invalid header. */
-  def parseTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
-    val out = Seq.newBuilder[(String, Array[Byte])]
-    var off = 0
-    while (off + BLOCK <= bytes.length) {
-      var allZero = true
-      var i = off
-      while (allZero && i < off + BLOCK) { if (bytes(i) != 0) allZero = false; i += 1 }
-      if (allZero) return out.result()
-      // verify checksum before trusting the size field
-      var sum = 0L
-      i = off
-      while (i < off + BLOCK) {
-        sum += (if (i - off >= 148 && i - off < 156) ' '.toByte else bytes(i)) & 0xFF
-        i += 1
+  /** Parse one ustar archive held in memory: (name, bytes) entries in
+    * file order — the byte-array convenience over [[parseTarStream]]
+    * (same quarantine semantics). Callers with a whole archive on the
+    * heap only; the scale path streams. */
+  def parseTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    parseTarStream(new java.io.ByteArrayInputStream(bytes)).toSeq
+
+  /** STREAMING ustar parser: one entry at a time off `in`, never holding
+    * more than one entry's bytes (plus one 512-byte header) on the heap —
+    * the round-17 fix for archive ingest buffering whole decompressed
+    * tars. Stops at the zero block, EOF, a checksum-invalid header
+    * (quarantine: surviving entries still land), or a truncated body.
+    * The iterator closes `in` when it stops. */
+  def parseTarStream(in: java.io.InputStream): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private val header = new Array[Byte](BLOCK)
+      private var nextEntry: (String, Array[Byte]) = null
+      private var done = false
+
+      private def readFully(buf: Array[Byte], len: Int): Boolean = {
+        var got = 0
+        while (got < len) {
+          val n = in.read(buf, got, len - got)
+          if (n < 0) return false
+          got += n
+        }
+        true
       }
-      val stored = octal(bytes, off + 148, 8)
-      if (stored != sum) return out.result()
-      val nameEnd = {
-        var j = off; while (j < off + 100 && bytes(j) != 0) j += 1; j
+
+      private def stop(): Unit = { done = true; in.close() }
+
+      private def advance(): Unit = {
+        nextEntry = null
+        while (nextEntry == null && !done) {
+          if (!readFully(header, BLOCK)) { stop(); return }
+          var allZero = true
+          var i = 0
+          while (allZero && i < BLOCK) { if (header(i) != 0) allZero = false; i += 1 }
+          if (allZero) { stop(); return }
+          // verify checksum before trusting the size field
+          var sum = 0L
+          i = 0
+          while (i < BLOCK) {
+            sum += (if (i >= 148 && i < 156) ' '.toByte else header(i)) & 0xFF
+            i += 1
+          }
+          if (octal(header, 148, 8) != sum) { stop(); return }
+          val nameEnd = {
+            var j = 0; while (j < 100 && header(j) != 0) j += 1; j
+          }
+          val name = new String(header, 0, nameEnd, "US-ASCII")
+          val size = octal(header, 124, 12)
+          // one entry is one sample's modality — gigabyte entries mean a
+          // corrupt size field or a mis-packed shard, refuse before the
+          // allocation (Int/heap safety on file-supplied sizes)
+          if (size < 0 || size > Int.MaxValue - BLOCK) { stop(); return }
+          val padded = ((size + BLOCK - 1) / BLOCK) * BLOCK
+          if (header(156) == '0' || header(156) == 0) {
+            val body = new Array[Byte](size.toInt)
+            if (!readFully(body, size.toInt)) { stop(); return }
+            if (!skipFully(padded - size)) { stop(); return }
+            nextEntry = name -> body
+          } else if (!skipFully(padded)) { stop(); return }
+        }
       }
-      val name = new String(bytes, off, nameEnd - off, "US-ASCII")
-      val size = octal(bytes, off + 124, 12)
-      val body = off + BLOCK
-      if (size < 0 || body + size > bytes.length) return out.result()
-      if (bytes(off + 156) == '0' || bytes(off + 156) == 0)
-        out += name -> java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
-      off = body + (((size + BLOCK - 1) / BLOCK) * BLOCK).toInt
+
+      private def skipFully(n: Long): Boolean = {
+        var left = n
+        val junk = new Array[Byte](BLOCK)
+        while (left > 0) {
+          val r = in.read(junk, 0, math.min(left, BLOCK.toLong).toInt)
+          if (r < 0) return false
+          left -= r
+        }
+        true
+      }
+
+      advance()
+      override def hasNext: Boolean = nextEntry != null
+      override def next(): (String, Array[Byte]) = {
+        val e = nextEntry; advance(); e
+      }
     }
-    out.result()
-  }
 
   private def octal(b: Array[Byte], off: Int, len: Int): Long = {
     var v = 0L; var i = off
@@ -138,20 +205,45 @@ object TarShards {
     v
   }
 
-  /** Distributed shard scan: one task per shard file, entries streamed in
-    * archive order. Output: (shard, name, bytes). */
+  /** Distributed shard scan: one task per shard file, entries GENUINELY
+    * streamed in archive order off an fs.open stream — never the whole
+    * shard on one heap (round 17: the binaryFile scan loaded each full
+    * archive as one Array[Byte], an executor OOM at multi-GB shards and
+    * a hard 2 GB cap). Listing is driver-side glob metadata, same as
+    * binaryFile's own listing. Output: (shard, name, bytes). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("shard", StringType),
       StructField("name", StringType),
       StructField("bytes", BinaryType)))
-    val rdd = spark.read.format("binaryFile").load(s"$dir/*.tar")
-      .select(col("path"), col("content")).rdd
-      .flatMap { r =>
-        val shard = r.getAs[String]("path").split('/').last
-        parseTar(r.getAs[Array[Byte]]("content"))
-          .map { case (n, b) => Row(shard, n, b) }
-      }
+    val rdd = streamedEntries(spark, s"$dir/*.tar",
+      (_, fs, p) => parseTarStream(
+        new java.io.BufferedInputStream(fs.open(p), 1 << 16)))
+      .map { case (shard, n, b) => Row(shard, n, b) }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Shared stream-scan harness: glob `pattern` on the driver (metadata
+    * only), one task per file, `decode(name, fs, path)` yields the
+    * entry iterator. Used by this scan and [[ArchiveIngest]]. */
+  private[sources] def streamedEntries(
+      spark: SparkSession, pattern: String,
+      decode: (String, org.apache.hadoop.fs.FileSystem,
+               org.apache.hadoop.fs.Path) => Iterator[(String, Array[Byte])])
+    : org.apache.spark.rdd.RDD[(String, String, Array[Byte])] = {
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val globPath = new org.apache.hadoop.fs.Path(pattern)
+    val fs0 = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = Option(fs0.globStatus(globPath)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).toSeq.sorted
+    spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(hconf.value)
+        decode(path.getName, fs, path)
+          .map { case (n, b) => (path.getName, n, b) }
+      }
   }
 }

@@ -37,14 +37,19 @@ object Streams {
 
   /** Watermarked tumbling-window aggregation over an event stream:
     * (window, event_type) -> count + sum(value). Late data beyond the
-    * watermark is dropped — the knob the reference never had. */
+    * watermark is dropped — the knob the reference never had.
+    * `total_value` accumulates in DECIMAL(38,0): a native long sum over
+    * a hot (window, type) group wraps silently past ~9.2e18 with ANSI
+    * off (guard-contract rule 5 — ~1e11 rows at avg value 1e8 is enough
+    * at 100x traffic). */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
                      valueCol: String, windowLen: String = "5 minutes",
                      watermark: String = "10 minutes"): DataFrame = {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("total_value"))
   }
 
   /** Read a parquet directory as a bounded stream (one file per trigger is
@@ -66,9 +71,12 @@ object Streams {
   }
 
   /** One streaming-dedup verdict: was this document the first sighting of
-    * its content hash, and how many sightings preceded it? */
+    * its content hash, and how many sightings preceded it? `dupIndex` is
+    * a Long — a single degenerate hash (empty-text boilerplate) can see
+    * more than 2^31 cumulative sightings, and an Int would wrap negative
+    * while the Long state stayed correct. */
   case class DedupDecision(docId: Long, textHash: String, keep: Boolean,
-                           dupIndex: Int)
+                           dupIndex: Long)
 
   /** Stateful streaming exact-dedup with OBSERVABLE decisions — the
     * LLM-ingest case `dropDuplicates` can't express: instead of silently
@@ -78,16 +86,34 @@ object Streams {
     * `flatMapGroupsWithState` (the custom-state primitive; the count makes
     * the state genuinely richer than dropDuplicates' presence-bit).
     *
-    * Scale notes: state is one Long per distinct hash, partitioned by the
-    * hash itself — the same state-store sharding dropDuplicates uses. For
-    * unbounded corpora compose with a watermark-based TTL (the state-store
-    * provider evicts) or run periodic batch compaction; within-batch order
-    * is made deterministic by sorting each group's sightings by docId. */
-  def dedupDecisions(docs: org.apache.spark.sql.Dataset[(Long, String)])
+    * STATE-LIFETIME CONTRACT (honest form, round 17 — the prior scaladoc
+    * claimed a watermark TTL could evict this state; it cannot: watermarks
+    * evict AGGREGATION state, never flatMapGroupsWithState state): with
+    * `stateTtlMs = None` (the default, exact semantics) state is one Long
+    * per distinct content hash FOREVER — bounded only by distinct-hash
+    * cardinality. For unbounded corpora pass a TTL: the group switches to
+    * ProcessingTimeTimeout, idle hashes are evicted after the TTL, and a
+    * hash re-seen later restarts at dupIndex 0 — the standard
+    * bounded-state trade (an evicted first sighting re-admits one
+    * duplicate, it never drops a unique document). The TTL lane is for
+    * CONTINUOUS deployments only: pending processing-time timers keep a
+    * query busy (no-data batches fire until the timers drain), so
+    * bounded harnesses like [[runToMemory]]'s processAllAvailable never
+    * settle under it — gate replays use the exact lane.
+    *
+    * Within-batch order is deterministic (sightings sorted by docId), and
+    * one key's batch sightings are bounded by name at
+    * [[graft.operators.Guards.SingleTaskRowBound]] — dedup's whole point
+    * is hot duplicates, and a degenerate hash would otherwise land a full
+    * batch of sightings in ONE state task's heap. */
+  def dedupDecisions(docs: org.apache.spark.sql.Dataset[(Long, String)],
+                     stateTtlMs: Option[Long] = None)
       : org.apache.spark.sql.Dataset[DedupDecision] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeout = if (stateTtlMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     docs
       // mapPartitions: one digest instance + table-driven hex per partition,
       // not a provider lookup and 32 format() boxings per document
@@ -103,15 +129,44 @@ object Streams {
         }
       }
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (hash: String, rows: Iterator[(String, Long)], state: GroupState[Long]) => {
-          val seen = state.getOption.getOrElse(0L)
-          val batch = rows.map(_._2).toArray.sorted
-          state.update(seen + batch.length)
-          batch.iterator.zipWithIndex.map { case (id, i) =>
-            DedupDecision(id, hash, keep = seen + i == 0, dupIndex = (seen + i).toInt)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(0L)
+            val batch = boundedSortedBatch(rows.map(_._2), "dedupDecisions",
+              s"content hash $hash")
+            state.update(seen + batch.length)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            batch.iterator.zipWithIndex.map { case (id, i) =>
+              DedupDecision(id, hash, keep = seen + i == 0, dupIndex = seen + i)
+            }
           }
         })
+  }
+
+  /** Materialize one group's micro-batch rows for deterministic in-batch
+    * ordering, refusing BY NAME once a single key exceeds
+    * [[graft.operators.Guards.SingleTaskRowBound]] rows in one batch —
+    * the skew funnel where one degenerate key swallows a whole batch in
+    * one state task's heap (raise early, not OOM after). */
+  private def boundedSortedBatch[T: Ordering : scala.reflect.ClassTag](
+      it: Iterator[T], op: String, keyDesc: String): Array[T] = {
+    val bound = graft.operators.Guards.SingleTaskRowBound
+    val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+    while (it.hasNext) {
+      buf += it.next()
+      require(buf.length <= bound,
+        s"$op: $keyDesc has more than $bound sightings in ONE micro-batch " +
+          "— a degenerate hot key would serialize the batch through one " +
+          "state task; pre-filter boilerplate upstream or reduce the " +
+          "micro-batch size")
+    }
+    val arr = buf.toArray
+    scala.util.Sorting.quickSort(arr)(implicitly[Ordering[T]])
+    arr
   }
 
   /** One streaming CUSUM verdict for one observation of one series. */
@@ -133,35 +188,60 @@ object Streams {
     * order; cross-batch correctness needs arrival in id order, which the
     * landing zones pin (mtime-stamped range partitions). State is two
     * longs per active series, partitioned by the key — the state-store
-    * sharding scales with distinct keys, not observations. */
+    * sharding scales with distinct keys, not observations.
+    *
+    * STATE-LIFETIME CONTRACT (round 17, mirrors [[dedupDecisions]]):
+    * `stateTtlMs = None` keeps every series' (S⁺, S⁻) forever —
+    * long-dead series included; a TTL evicts idle series via
+    * ProcessingTimeTimeout (a re-seen series restarts its sums at 0,
+    * the standard bounded-state trade). One key's batch rows are bounded
+    * by name against the hot-key funnel. */
   def cusumDecisions(rows: org.apache.spark.sql.Dataset[(Long, Long, Long)],
-                     target: Long, threshold: Long)
+                     target: Long, threshold: Long,
+                     stateTtlMs: Option[Long] = None)
       : org.apache.spark.sql.Dataset[CusumVerdict] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = rows.sparkSession
     import spark.implicits._
+    val timeout = if (stateTtlMs.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     rows
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (uid: Long, it: Iterator[(Long, Long, Long)],
          state: GroupState[(Long, Long)]) => {
-          var (hi, lo) = state.getOption.getOrElse((0L, 0L))
-          // eager fold: the state write below must see the final sums,
-          // not race a lazily-consumed iterator
-          val out = it.toArray.sortBy(_._2).map { case (_, eid, v) =>
-            hi = math.max(0L, hi + (v - target))
-            lo = math.max(0L, lo + (target - v))
-            CusumVerdict(uid, eid, v, hi, lo,
-              hi >= threshold, lo >= threshold)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (hi, lo) = state.getOption.getOrElse((0L, 0L))
+            // eager fold: the state write below must see the final sums,
+            // not race a lazily-consumed iterator; bounded + sorted by
+            // eventId (see boundedSortedBatch)
+            val batch = boundedSortedBatch(it.map { case (_, eid, v) => (eid, v) },
+              "cusumDecisions", s"series $uid")
+            val out = batch.map { case (eid, v) =>
+              hi = math.max(0L, hi + (v - target))
+              lo = math.max(0L, lo + (target - v))
+              CusumVerdict(uid, eid, v, hi, lo,
+                hi >= threshold, lo >= threshold)
+            }
+            state.update((hi, lo))
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update((hi, lo))
-          out.iterator
         })
   }
 
   /** Run a streaming DataFrame to completion against bounded input via the
     * memory sink; returns the materialized result. Test/verify harness —
-    * `processAllAvailable` drives every pending micro-batch synchronously. */
+    * `processAllAvailable` drives every pending micro-batch synchronously.
+    * GATE HARNESS ONLY, by contract: the memory sink materializes the
+    * ENTIRE query output in driver memory (and complete-mode re-buffers
+    * it every micro-batch), so row-per-event outputs at production scale
+    * are a driver OOM by construction — deployments sink to files/kafka
+    * ([[ingestToHourlyFiles]], [[runForeachBatch]]); this function exists
+    * so the sm-gates can hash bounded outputs deterministically. */
   def runToMemory(streamed: DataFrame, name: String,
                   outputMode: String = "append",
                   statePartitions: Option[Int] = None): DataFrame = {

@@ -89,7 +89,9 @@ class GeoStreamSpec extends AnyFunSuite {
     val agg = Streams.windowedCounts(stream, "ts", "typ", "v",
       windowLen = "1 hour", watermark = "1 hour")
     val out = Streams.runToMemory(agg, s"t_${System.nanoTime()}", "complete")
-      .select(col("window.start").cast("string"), col("typ"), col("n"), col("total_value"))
+      .select(col("window.start").cast("string"), col("typ"), col("n"),
+        // total_value is DECIMAL(38,0) since r17 (silent-wrap guard)
+        col("total_value").cast("double"))
       .as[(String, String, Long, Double)].collect().toSet
     assert(out == Set(
       ("2024-01-01 00:00:00", "a", 2L, 3.0),
@@ -114,14 +116,14 @@ class GeoStreamSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val out = spark.table(name)
-      .select("docId", "keep", "dupIndex")
-      .as[(Long, Boolean, Int)].collect().sortBy(_._1).toSeq
+      .select("docId", "keep", "dupIndex") // dupIndex is Long since r17
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq(
-      (1L, true, 0),   // first sighting
-      (2L, true, 0),
-      (3L, false, 1),  // in-batch duplicate
-      (4L, false, 2),  // cross-batch duplicate: state carried over
-      (5L, true, 0)))
+      (1L, true, 0L),  // first sighting
+      (2L, true, 0L),
+      (3L, false, 1L), // in-batch duplicate
+      (4L, false, 2L), // cross-batch duplicate: state carried over
+      (5L, true, 0L)))
   }
 
   test("streaming CUSUM: recurrence state carries across micro-batches, per key") {

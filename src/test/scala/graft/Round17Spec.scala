@@ -240,6 +240,120 @@ class Round17Spec extends AnyFunSuite {
     assert(metrics(key.get).getAs[Long]("candidate_rows") > 0L)
   }
 
+  // ---- sources: dirty-input guards from the r17 as-it-stands sweep ------
+
+  test("shapefile: soft-deleted dbf record keeps positional alignment") {
+    import graft.sources.Shapefile
+    import graft.sources.Shapefile.DbfField
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp17").toString
+    val sq = (ox: Double) => Array(Array(ox, 0.0, ox + 1, 0.0, ox + 1, 1.0,
+      ox, 1.0, ox, 0.0))
+    Shapefile.writeShp(s"$dir/t.shp", Seq(sq(0), sq(10), sq(20)))
+    Shapefile.writeDbf(s"$dir/t.dbf",
+      Seq(DbfField("NAME", 'C', 5, 0)),
+      Seq(Seq("aaa  "), Seq("bbb  "), Seq("ccc  ")))
+    // soft-delete the SECOND record by flagging its delete byte
+    val p = java.nio.file.Paths.get(s"$dir/t.dbf")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val headerSize = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(8) & 0xffff
+    val recordSize = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(10) & 0xffff
+    bytes(headerSize + recordSize) = '*'
+    java.nio.file.Files.write(p, bytes)
+    val out = Shapefile.read(spark, dir)
+      .select(col("record_no"), expr("attrs['NAME']").as("name"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    // record 2's feature is dropped WHOLE; record 3 keeps ITS OWN attrs
+    // (pre-fix: rows shifted and shape 2 got 'ccc', shape 3 got nothing)
+    assert(out === Array((1, "aaa"), (3, "ccc")))
+  }
+
+  test("shapefile: corrupt numPoints raises by name, not multi-GB alloc") {
+    import graft.sources.Shapefile
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp17b").toString
+    Shapefile.writeShp(s"$dir/t.shp",
+      Seq(Array(Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0))))
+    val p = java.nio.file.Paths.get(s"$dir/t.shp")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    // numPoints sits at 100 (header) + 8 (rec header) + 4 (type) +
+    // 32 (bbox) + 4 (numParts); write a huge LE value
+    java.nio.ByteBuffer.wrap(bytes, 148, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(600000000)
+    val e = intercept[IllegalArgumentException] {
+      Shapefile.parseShp(bytes)
+    }
+    assert(e.getMessage.contains("corrupt size fields"))
+  }
+
+  test("tar: parseTarStream equals parseTar and quarantines truncation") {
+    import graft.sources.TarShards
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar17").toString
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("k", "t")
+      .coalesce(1)
+    TarShards.write(df, "k", "t", dir, prefix = "s")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/s-00000.tar"))
+    val whole = TarShards.parseTar(bytes)
+    val streamed = TarShards.parseTarStream(
+      new java.io.ByteArrayInputStream(bytes)).toSeq
+    assert(whole.map(_._1) === streamed.map(_._1))
+    assert(whole.zip(streamed).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    // truncated mid-body: earlier entries still land (quarantine)
+    val cut = java.util.Arrays.copyOfRange(bytes, 0, 512 + 512 + 512 + 8)
+    val partial = TarShards.parseTarStream(
+      new java.io.ByteArrayInputStream(cut)).toSeq
+    assert(partial.map(_._1) === Seq("1.txt"))
+  }
+
+  test("TarShards.write raises by name on NULL text and non-ASCII keys") {
+    import graft.sources.TarShards
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar17b").toString
+    val nullText = Seq((1L, "ok"), (2L, null.asInstanceOf[String]))
+      .toDF("k", "t").coalesce(1)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      TarShards.write(nullText, "k", "t", dir)
+    }
+    assert(e1.getMessage.contains("NULL text") ||
+      Option(e1.getCause).exists(_.getMessage.contains("NULL text")))
+    val badKey = Seq(("clé", "ok")).toDF("k", "t").coalesce(1)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      TarShards.write(badKey, "k", "t", dir)
+    }
+    assert(e2.getMessage.contains("ASCII") ||
+      Option(e2.getCause).exists(_.getMessage.contains("ASCII")))
+  }
+
+  test("streaming dedup accepts a state TTL (bounded-state lane runs)") {
+    // NOTE: a ProcessingTimeTimeout query never goes idle — pending
+    // timers keep scheduling no-data batches, so processAllAvailable and
+    // even AvailableNow spin (both observed live). The TTL lane is a
+    // production continuous-trigger knob by contract; the test drains by
+    // polling the sink then stopping the query. Cross-batch state carry
+    // is the exact lane's test.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "hello"), (2L, "hello"), (3L, "fresh"))
+    val decisions = Streams.dedupDecisions(in.toDS(),
+      stateTtlMs = Some(3600 * 1000L)) // 1h: nothing evicts inside a test
+    val name = s"dd17_${System.nanoTime()}"
+    spark.catalog.dropTempView(name)
+    val q = decisions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+             spark.table(name).count() < 3) Thread.sleep(100)
+    } finally q.stop()
+    val out = spark.table(name)
+      .select("docId", "keep", "dupIndex")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1).toSeq
+    // same verdicts as the exact lane while state lives
+    assert(out === Seq((1L, true, 0L), (2L, false, 1L), (3L, true, 0L)))
+  }
+
   // ---- jaccardLinkPrediction: uncapped-hub probe (r16 ADVICE #1) --------
 
   test("jaccardLinkPrediction uncapped raises by name on a >bound hub") {
