@@ -16,6 +16,15 @@ object BeamSearch {
                   transition: (T, T) => Double,
                   beamWidth: Int = 32): (Seq[T], Double) = {
     if (options.isEmpty) return (Seq.empty, 0.0)
+    require(beamWidth >= 1, s"beamWidth must be >= 1, got $beamWidth")
+    // a position with ZERO options empties the beam and the final maxBy
+    // dies with a bare UnsupportedOperationException — raise by name
+    // instead (callers supply at least one candidate per position; an
+    // empty slot means the option builder upstream dropped everything)
+    val bad = options.indexWhere(_.isEmpty)
+    require(bad < 0,
+      s"BeamSearch.bestPath: position $bad has no options — every " +
+        "position needs at least one candidate")
     var beam: Seq[(List[T], Double)] =
       options.head.map(o => (List(o), 0.0))
     options.tail.foreach { opts =>

@@ -26,6 +26,11 @@ import org.apache.spark.sql.expressions.Window
   * range and stitch the last carried payload across range boundaries (the
   * [[Packing.packSequencesSharded]] two-phase recipe applies verbatim).
   *
+  * NULL lanes keep the join's SQL semantics (round 17): right rows with
+  * NULL key or NULL ts match nothing (equality/inequality on NULL is
+  * never true); left rows with NULL key or NULL ts stay in the output
+  * with a NULL `asof`.
+  *
   * Output: every left column, plus a nullable `asof` struct of
   * `payloadCols` (null = no right row at or before the left ts). */
 object AsOfJoin {
@@ -61,12 +66,35 @@ object AsOfJoin {
     merge(left, right, keyCol, tsCol, payloadCols, rightTieCol,
       descending = true, toleranceSeconds = None)
 
+  private val InternalCols =
+    Seq("_rn_", "_pay_", "_side_", "_lrow_", "_m_", "_mts_")
+
   private def merge(left: DataFrame, right: DataFrame, keyCol: String,
                     tsCol: String, payloadCols: Seq[String],
                     rightTieCol: String, descending: Boolean,
                     toleranceSeconds: Option[Double]): DataFrame = {
+    // the merge rides on reserved column names — a caller column with the
+    // same name would be silently read as the internal marker
+    InternalCols.foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c) &&
+        !payloadCols.contains(c),
+        s"AsOfJoin: column name '$c' is reserved by the merge program — " +
+          "rename it upstream")
+    }
+    // NULL-lane semantics match the join this re-expresses (round 17):
+    // SQL equality/inequality is never true on NULL, so a right row with
+    // NULL key or NULL ts can match nothing — filtered here. Without the
+    // filter the window machinery INVERTED the semantics: NULL keys
+    // partition TOGETHER (a NULL-key left row picked up a NULL-key right
+    // payload) and NULL timestamps sort NULLS FIRST (a NULL-ts right
+    // payload was carried as "as of" into every later left row of its
+    // key). Left rows with NULL key/ts stay in the output with a NULL
+    // `asof`: right dirty rows are gone and NULLS-FIRST ordering places
+    // dirty left rows before any real right row, so `last(_pay_)` sees
+    // only nulls — no extra plan branch needed.
+    val rClean = right.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
     val tieW = Window.partitionBy(keyCol, tsCol).orderBy(col(rightTieCol))
-    val r1 = right.withColumn("_rn_", row_number().over(tieW))
+    val r1 = rClean.withColumn("_rn_", row_number().over(tieW))
       .where(col("_rn_") === 1)
     // the match timestamp rides inside the carried struct so a staleness
     // bound stays a row-local comparison after the window
@@ -79,7 +107,12 @@ object AsOfJoin {
     val lU = left.select(col(keyCol), col(tsCol),
       lit(null).cast(payType).as("_pay_"),
       lit(1).as("_side_"), lStruct.as("_lrow_"))
-    val tsOrder = if (descending) col(tsCol).desc else col(tsCol).asc
+    // NULLS FIRST in BOTH directions: Spark's desc default is NULLS LAST,
+    // which would park a NULL-ts left row at the END of its forward-mode
+    // partition where it inherits the last carried payload — a match for
+    // a row SQL says matches nothing
+    val tsOrder =
+      if (descending) col(tsCol).desc_nulls_first else col(tsCol).asc_nulls_first
     val w = Window.partitionBy(keyCol)
       .orderBy(tsOrder, col("_side_"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

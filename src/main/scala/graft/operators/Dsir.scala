@@ -39,8 +39,11 @@ object Dsir {
     val bucketOf = (t: String) =>
       java.lang.Long.remainderUnsigned(
         TextKernels.polyHash64Mixed(t), buckets.toLong).toInt
+    // NULL text scores like empty text — zero tokens, weight 0.0 (the
+    // neutral log-ratio), instead of the bare executor NPE it used to be
     val bucketsUdf = udf { (text: String) =>
-      text.split(" ", -1).iterator.filter(_.nonEmpty).map(bucketOf).toArray
+      if (text == null) Array.empty[Int]
+      else text.split(" ", -1).iterator.filter(_.nonEmpty).map(bucketOf).toArray
     }
     val toks = df.select(col(idCol).as("_id_"), isTarget.as("_tgt_"),
       bucketsUdf(col(textCol)).as("_bs_"))

@@ -19,9 +19,9 @@ import graft.functions.TextKernels
 object EntityMatcher {
 
   private def legMatches(tok: String, leg: String): Boolean =
-    tok == leg || (leg.length >= 4 &&
+    tok != null && leg != null && (tok == leg || (leg.length >= 4 &&
       math.abs(tok.length - leg.length) <= 1 &&
-      TextKernels.boundedLevenshtein(tok, leg, 1) <= 1)
+      TextKernels.boundedLevenshtein(tok, leg, 1) <= 1))
 
   // tokens arrive pre-simplified (once per doc, below) — re-folding the
   // full array per candidate row was O(candidates * docLen) wasted work
@@ -31,7 +31,15 @@ object EntityMatcher {
     }
   }
 
-  private val simplifyArr = udf((toks: Seq[String]) => toks.map(TextKernels.simplify))
+  // null-safe in both layers (round 17): a NULL token array or a NULL
+  // element used to kill the job with a bare executor NPE — dirty rows
+  // now flow as null (a NULL array yields no positions to match; a NULL
+  // token can equal no leg), the same no-match SQL semantics the exact
+  // candidate join already gives them
+  private val simplifyArr = udf { (toks: Seq[String]) =>
+    if (toks == null) null
+    else toks.map(t => if (t == null) null else TextKernels.simplify(t))
+  }
 
   /** @param docs     (docId, tokens array<string>)
     * @param entities (tag string, entityIndex int, synonym array<string>)

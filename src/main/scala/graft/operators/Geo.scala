@@ -36,13 +36,23 @@ object Geo {
     inside
   }
 
+  // NULL ring = no geometry = no match (SQL semantics, not an executor
+  // NPE); an ODD-length flat ring is corrupt geometry — truncating the
+  // dangling value would silently test against a DIFFERENT polygon, so
+  // it raises by name instead (round 17)
   private val pipUdf = udf((x: Double, y: Double, ring: Seq[Double]) => {
-    val n = ring.length / 2
-    val xs = new Array[Double](n)
-    val ys = new Array[Double](n)
-    var i = 0
-    while (i < n) { xs(i) = ring(2 * i); ys(i) = ring(2 * i + 1); i += 1 }
-    pointInRing(x, y, xs, ys)
+    if (ring == null) false
+    else {
+      require(ring.length % 2 == 0,
+        s"Geo.pointInPolygonJoin: flat ring array has odd length " +
+          s"${ring.length} — corrupt [x0,y0,x1,y1,...] geometry")
+      val n = ring.length / 2
+      val xs = new Array[Double](n)
+      val ys = new Array[Double](n)
+      var i = 0
+      while (i < n) { xs(i) = ring(2 * i); ys(i) = ring(2 * i + 1); i += 1 }
+      pointInRing(x, y, xs, ys)
+    }
   })
 
   /** Grid-bucketed point-in-polygon join.
@@ -76,6 +86,23 @@ object Geo {
         val h = r.flatMap(x => Option(x.get(1)).map(_.asInstanceOf[Double])).getOrElse(1.0)
         math.max(math.max(w, h), 1e-9)
       }
+    // degenerate-fan-out probe (the Guards.degenerateBucketProbe spirit):
+    // an explicit cellSize far below a polygon's extent explodes that one
+    // polygon into (extent/cs)^2 cells — a continental polygon at a 10 m
+    // pitch is 10^12 rows out of ONE input row, an effective hang. One
+    // cheap aggregate over the polygon side (the small side by contract)
+    // raises by name first. The auto-derived pitch keeps fan-out ~O(1)
+    // and skips nothing — it passes the probe by construction.
+    val maxCells = polygons
+      .agg(max((floor(col("maxX") / cs) - floor(col("minX") / cs) + 1) *
+        (floor(col("maxY") / cs) - floor(col("minY") / cs) + 1)))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    require(maxCells <= 1000000L,
+      s"Geo.pointInPolygonJoin: one polygon's bbox covers $maxCells grid " +
+        s"cells at cellSize=$cs — the cell explode would emit that many " +
+        "rows per such polygon; raise cellSize (or pass <= 0 to derive " +
+        "it from the mean bbox extent)")
     val pts = points
       .withColumn("_cx_", floor(col(xCol) / cs))
       .withColumn("_cy_", floor(col(yCol) / cs))

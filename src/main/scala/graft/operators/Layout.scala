@@ -163,12 +163,25 @@ object Layout {
       .map(s => (s.getPath.getName, s.getLen))
       .sortBy { case (name, len) => (-len, name) } // FFD, name tie-break
     require(files.nonEmpty, s"no parquet files under $srcDir")
-    // first-fit-decreasing over (group -> remaining capacity)
+    // first-fit-decreasing over (group -> remaining capacity). The scan
+    // list holds only bins that could still fit the SMALLEST file in the
+    // whole listing — a bin fuller than that can never take another file,
+    // so dropping it preserves FFD's choices exactly while keeping the
+    // driver-side planning near-linear (the naive every-bin scan is
+    // O(files * bins): at the 10^6-file tables this step exists for,
+    // that is 10^10+ driver comparisons — minutes of planning before the
+    // first byte moves)
+    val minLen = files.map(_._2).min
     val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val open = scala.collection.mutable.ArrayBuffer.empty[Int] // FFD order
     val plan = files.map { case (path, len) =>
-      val fit = bins.indices.find(i => bins(i) + len <= targetBytes)
-      val g = fit.getOrElse { bins += 0L; bins.length - 1 }
+      val fitPos = open.indices.find(p => bins(open(p)) + len <= targetBytes)
+      val g = fitPos.map(open(_)).getOrElse {
+        bins += 0L; open += bins.length - 1; bins.length - 1
+      }
       bins(g) += len
+      if (bins(g) + minLen > targetBytes)
+        open -= g // can never fit anything again
       (path, g, len)
     }.toSeq
     val planDf = plan.map { case (p, g, _) => (p, g) }

@@ -26,16 +26,33 @@ object Quantize {
 
   /** Adds `scale` (double, the per-vector max-abs) and `qvec`
     * (array<int>, the int8 codes widened to int). A zero vector gets
-    * scale 0 and all-zero codes. */
-  def int8Symmetric(df: DataFrame, vecCol: String): DataFrame =
+    * scale 0 and all-zero codes.
+    *
+    * Dirty vectors raise BY NAME (round 17): a NULL vector, a NULL
+    * component, or a non-finite component used to flow through silently —
+    * `array_max` IGNORES nulls, so a null component was invisible in the
+    * scale while its code came out NULL, which then nulled the whole int64
+    * dot product downstream and parked the vector at the bottom of every
+    * top-k; NaN/Inf scales zeroed or nulled every code. Quantized garbage
+    * is indistinguishable from real codes, so refuse at the encode. */
+  def int8Symmetric(df: DataFrame, vecCol: String): DataFrame = {
+    val dirty = col(vecCol).isNull ||
+      exists(col(vecCol), x => x.isNull || isnan(x.cast("double")) ||
+        abs(x.cast("double")) > lit(Double.MaxValue / 2))
     df.withColumn("scale",
-      array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      when(dirty, raise_error(lit(
+        s"Quantize.int8Symmetric: '$vecCol' is NULL or contains a " +
+          "NULL/NaN/Inf component — clean or impute embeddings upstream " +
+          "(codes quantized from a dirty vector are silent garbage)"))
+        .cast("double"))
+        .otherwise(array_max(transform(col(vecCol), x => abs(x.cast("double"))))))
       .withColumn("qvec",
         when(col("scale") === 0d,
           transform(col(vecCol), _ => lit(0)))
           .otherwise(transform(col(vecCol), x =>
             round(x.cast("double") * lit(127.0) / col("scale"))
               .cast("int"))))
+  }
 
   /** Per-vector quantization report: dims, an index-weighted integer
     * checksum of the codes (order-sensitive, so any code or position
@@ -63,6 +80,16 @@ object Quantize {
   def int8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                vecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // loud small-corpus contract (the cosineNearDupPairs(exact=true)
+    // precedent): this lane broadcasts the whole quantized corpus by
+    // design; at 100 TB that is a broadcast OOM hours in, so refuse by
+    // name first and point at the pruned compose path
+    val n = corpus.count()
+    require(n <= (1L << 21),
+      s"Quantize.int8TopK broadcasts the corpus; $n rows exceeds the " +
+        "2^21 small-corpus bound — prune candidates with " +
+        "Similarity.ivfTopK's cell join first, then int8-score the " +
+        "surviving pairs")
     val q = int8Symmetric(queries, vecCol)
       .select(col(idCol).as("query_id"), col("qvec").as("_qa_"))
     val c = int8Symmetric(corpus, vecCol)

@@ -234,7 +234,13 @@ object Retrieval {
         explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .where(col("term") =!= "")
       .distinct()
+    // NULL/empty query terms are dropped BEFORE the per-query term count
+    // (round 17): the doc side can never produce them (its tokenizer
+    // filters empties and explode skips nulls), so leaving one in the
+    // count made the whole query silently unsatisfiable — _nq_ counted a
+    // term no document can ever hit
     val qsz = queries.select(col("query_id"), lower(col("term")).as("term"))
+      .where(col("term").isNotNull && col("term") =!= "")
       .distinct()
     val counts = qsz.groupBy("query_id").agg(count(lit(1)).as("_nq_"))
     toks.join(qsz, "term")
@@ -273,6 +279,13 @@ object Retrieval {
       .orderBy(col("fused_micro").desc, col(docCol))
     runs
       .withColumn("_rk_", row_number().over(wRun))
+      // a doc listed TWICE in one run (malformed input) must contribute
+      // that run's reciprocal once, at its best rank — summing both rows
+      // inflated the fused score and made `n_runs` count rows, not runs
+      // (round 17). Well-formed runs (one row per (run, query, doc)) are
+      // byte-identical through this aggregate.
+      .groupBy(col(runCol), col(queryCol), col(docCol))
+      .agg(min(col("_rk_")).as("_rk_"))
       .groupBy(col(queryCol), col(docCol))
       .agg(count(lit(1)).as("n_runs"),
         sum(expr(s"CAST($scale AS BIGINT) div " +

@@ -64,6 +64,15 @@ object Skew {
     * collected and broadcast); output equals the plain join. */
   def hotColdJoin(facts: DataFrame, dims: DataFrame, key: String,
                   hotKeys: Seq[Any], joinType: String = "inner"): DataFrame = {
+    // fact-preserving joins only (the saltedJoin contract): a right/full
+    // join through the hot/cold split would also need dim-preserving
+    // semantics per branch, and Spark cannot build a broadcast hash join
+    // with the broadcast side preserved — keep the supported set explicit
+    // instead of letting an unsupported type fail obscurely downstream
+    require(Seq("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType),
+      s"hotColdJoin supports fact-preserving joins " +
+        s"(inner/left/left_semi/left_anti), not $joinType")
     val hotCol: Column = coalesce(col(key).isin(hotKeys: _*), lit(false))
     val hot = facts.where(hotCol)
       .join(broadcast(dims.where(hotCol)), Seq(key), joinType)

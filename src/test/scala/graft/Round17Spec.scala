@@ -376,4 +376,231 @@ class Round17Spec extends AnyFunSuite {
       maxCenterDegree = 100)
     assert(got.count() === 0L)
   }
+
+  // ---- AsOfJoin NULL lanes keep SQL join semantics ----------------------
+
+  test("asof join: NULL key/ts rows match nothing instead of inverting") {
+    import org.apache.spark.sql.functions.col
+    val left = Seq(
+      (1L, Option("u"), Option(10L)),  // clean: matches at10
+      (2L, None, Option(10L)),         // NULL key: SQL matches nothing
+      (3L, Option("u"), None),         // NULL ts: SQL matches nothing
+      (4L, None, None))
+      .toDF("eid", "key", "t")
+    val right = Seq(
+      (Option("u"), Option(10L), 100L, "at10"),
+      (Option.empty[String], Option(5L), 666L, "nullkey"), // must never match
+      (Option("u"), Option.empty[Long], 777L, "nullts"))   // must never match
+      .toDF("key", "t", "aid", "tag")
+    val out = graft.operators.AsOfJoin.backward(left, right, "key", "t",
+      Seq("aid", "tag"), "aid")
+      .select(col("eid"), col("asof.aid")).orderBy("eid")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out == Seq((1L, Some(100L)), (2L, None), (3L, None), (4L, None)))
+    // forward mode: desc NULLS-FIRST keeps the NULL-ts left row away from
+    // the carried payload at the partition's end
+    val fwd = graft.operators.AsOfJoin.forward(left, right, "key", "t",
+      Seq("aid", "tag"), "aid")
+      .select(col("eid"), col("asof.aid")).orderBy("eid")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(fwd == Seq((1L, Some(100L)), (2L, None), (3L, None), (4L, None)))
+  }
+
+  test("asof join: reserved internal column names raise by name") {
+    val left = Seq((1L, "u", 10L)).toDF("_m_", "key", "t")
+    val right = Seq(("u", 10L, 1L)).toDF("key", "t", "aid")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.backward(left, right, "key", "t",
+        Seq("aid"), "aid")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  // ---- retrieval dirty-input lanes ---------------------------------------
+
+  test("booleanAnd: NULL/empty query terms don't poison the query") {
+    import graft.operators.Retrieval
+    val docs = Seq((1L, "red fox"), (2L, "red hen")).toDF("doc_id", "text")
+    val qs = Seq((10L, Option("red")), (10L, None), (10L, Option("")),
+      (11L, Option("fox")))
+      .toDF("query_id", "term")
+    val got = Retrieval.booleanAnd(docs, "doc_id", "text", qs)
+      .as[(Long, Long)].collect().toSet
+    // query 10's NULL and '' terms are unmatchable by ANY document; they
+    // must be ignored, not counted into the required-hits total
+    assert(got == Set((10L, 1L), (10L, 2L), (11L, 1L)))
+  }
+
+  test("reciprocalRankFusion: a doc duplicated within one run fuses once") {
+    import graft.operators.Retrieval
+    val clean = Seq(
+      ("a", 1L, 101L, 9.0), ("a", 1L, 102L, 5.0),
+      ("b", 1L, 101L, 7.0))
+      .toDF("run", "query", "doc_id", "score")
+    val dirty = clean.unionByName(
+      // same doc again in run a at a worse score — malformed input
+      Seq(("a", 1L, 101L, 1.0)).toDF("run", "query", "doc_id", "score"))
+    def fuse(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.reciprocalRankFusion(df, "run", "query", "doc_id", "score",
+          k = 10)
+        .select("doc_id", "n_runs", "fused_micro")
+        .as[(Long, Long, Long)].collect().toSet
+    val want = fuse(clean)
+    assert(want == fuse(dirty)) // duplicate contributes nothing extra
+    assert(want.find(_._1 == 101L).get._2 == 2L) // n_runs counts RUNS
+  }
+
+  // ---- quantizer dirty-vector raises -------------------------------------
+
+  test("int8Symmetric raises by name on NULL/NaN/Inf components") {
+    import graft.operators.Quantize
+    def enc(vs: Seq[Option[Float]]) =
+      Quantize.int8Symmetric(
+        Seq((1L, vs)).toDF("id", "v"), "v").select("qvec").collect()
+    // clean vector still encodes
+    assert(enc(Seq(Some(1.0f), Some(-2.0f))).nonEmpty)
+    for (bad <- Seq(
+      Seq(Some(1.0f), None),
+      Seq(Some(Float.NaN), Some(1.0f)),
+      Seq(Some(Float.PositiveInfinity)))) {
+      val e = intercept[Exception] { enc(bad) }
+      assert(e.getMessage.contains("int8Symmetric"), s"for $bad")
+    }
+  }
+
+  test("int8TopK refuses a corpus past the broadcast bound by name") {
+    import graft.operators.Quantize
+    val big = spark.range(5).select(col("id"),
+      expr("array(cast(1.0 as float))").as("v"))
+    // shrink nothing — just assert the message shape on a fake bound via
+    // the real one: 5 rows pass, so drive the raise with the documented
+    // bound check directly
+    val ok = Quantize.int8TopK(big.limit(1), big, "id", "v", k = 2)
+    assert(ok.count() >= 1) // below the bound: runs
+    // the raise fires on the eager corpus count, BEFORE any encode or
+    // join — so driving it with a 2^21+1-row projected range is cheap
+    val huge = spark.range((1L << 21) + 1).select(col("id"),
+      expr("array(cast(1.0 as float))").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Quantize.int8TopK(big.limit(1), huge, "id", "v", k = 2)
+    }
+    assert(e.getMessage.contains("2^21") &&
+      e.getMessage.contains("ivfTopK"))
+  }
+
+  // ---- skew join contract -------------------------------------------------
+
+  test("hotColdJoin rejects dim-preserving join types by name") {
+    import graft.operators.Skew
+    val facts = Seq((1, "x")).toDF("k", "fv")
+    val dims = Seq((1, "y")).toDF("k", "dv")
+    val e = intercept[IllegalArgumentException] {
+      Skew.hotColdJoin(facts, dims, "k", hotKeys = Seq(1),
+        joinType = "full_outer")
+    }
+    assert(e.getMessage.contains("fact-preserving"))
+  }
+
+  // ---- FFD planner prune is choice-identical ------------------------------
+
+  test("compactSmallFiles FFD open-bin prune packs like the naive scan") {
+    // replay of the planner's core on a skewed size list: the pruned
+    // open-list FFD must produce the exact group assignment of the
+    // naive every-bin scan (the prune only drops bins that can never
+    // fit the smallest file)
+    val target = 100L
+    val sizes = (1 to 200).map(i => (f"f$i%03d", ((i * 37) % 90 + 10).toLong))
+      .sortBy { case (n, l) => (-l, n) }
+    def naive(fs: Seq[(String, Long)]): Seq[(String, Int)] = {
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      fs.map { case (p, len) =>
+        val fit = bins.indices.find(i => bins(i) + len <= target)
+        val g = fit.getOrElse { bins += 0L; bins.length - 1 }
+        bins(g) += len; (p, g)
+      }
+    }
+    def pruned(fs: Seq[(String, Long)]): Seq[(String, Int)] = {
+      val minLen = fs.map(_._2).min
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val open = scala.collection.mutable.ArrayBuffer.empty[Int]
+      fs.map { case (p, len) =>
+        val fitPos = open.indices.find(q => bins(open(q)) + len <= target)
+        val g = fitPos.map(open(_)).getOrElse {
+          bins += 0L; open += bins.length - 1; bins.length - 1
+        }
+        bins(g) += len
+        if (bins(g) + minLen > target) open -= g
+        (p, g)
+      }
+    }
+    assert(naive(sizes) == pruned(sizes))
+  }
+
+  // ---- null-safe text-operator lanes ---------------------------------------
+
+  test("matchEntities survives NULL token arrays and NULL tokens") {
+    import graft.operators.EntityMatcher
+    val docs = Seq(
+      (1L, Seq("acme", "corp")),
+      (2L, null.asInstanceOf[Seq[String]]),     // NULL array: no positions
+      (3L, Seq(null.asInstanceOf[String], "acme"))) // NULL token: no match at 0
+      .toDF("doc_id", "tokens")
+    val ents = Seq(("t", 0, Seq("acme"))).toDF("tag", "entityIndex", "synonym")
+    val got = EntityMatcher.matchEntities(docs, "doc_id", "tokens", ents)
+      .select("doc_id", "from").as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 0), (3L, 1))) // doc 2 silently matches nothing
+  }
+
+  test("dsir importance weights treat NULL text as empty (weight 0)") {
+    import graft.operators.Dsir
+    val df = Seq((1L, "alpha beta", true), (2L, null.asInstanceOf[String], false),
+      (3L, "alpha", false)).toDF("id", "text", "tgt")
+    val w = Dsir.importanceWeights(df, "text", "id", col("tgt"))
+      .as[(Long, Double)].collect().toMap
+    assert(w(2L) == 0.0 && w.size == 3)
+  }
+
+  // ---- geo dirty-geometry + fan-out lanes ---------------------------------
+
+  test("pointInPolygonJoin: NULL ring matches nothing, odd ring raises") {
+    import graft.operators.Geo
+    val pts = Seq((1L, 0.5, 0.5)).toDF("pid", "x", "y")
+    val unit = Seq(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0)
+    def polys(ring: Seq[Double]) =
+      Seq(("p", ring)).toDF("poly_id", "ring")
+        .withColumn("minX", lit(0.0)).withColumn("maxX", lit(1.0))
+        .withColumn("minY", lit(0.0)).withColumn("maxY", lit(1.0))
+    assert(Geo.pointInPolygonJoin(pts, "x", "y", polys(unit)).count() == 1L)
+    assert(Geo.pointInPolygonJoin(pts, "x", "y", polys(null)).count() == 0L)
+    val e = intercept[Exception] {
+      Geo.pointInPolygonJoin(pts, "x", "y", polys(unit.dropRight(1))).count()
+    }
+    assert(e.getMessage.contains("odd length"))
+  }
+
+  test("pointInPolygonJoin raises by name on degenerate cell fan-out") {
+    import graft.operators.Geo
+    val pts = Seq((1L, 0.5, 0.5)).toDF("pid", "x", "y")
+    val continental = Seq(("big",
+      Seq(0.0, 0.0, 10000.0, 0.0, 10000.0, 10000.0, 0.0, 10000.0)))
+      .toDF("poly_id", "ring")
+      .withColumn("minX", lit(0.0)).withColumn("maxX", lit(10000.0))
+      .withColumn("minY", lit(0.0)).withColumn("maxY", lit(10000.0))
+    val e = intercept[IllegalArgumentException] {
+      Geo.pointInPolygonJoin(pts, "x", "y", continental, cellSize = 0.1)
+    }
+    assert(e.getMessage.contains("grid") && e.getMessage.contains("cellSize"))
+    // auto-derived pitch passes the probe by construction
+    assert(Geo.pointInPolygonJoin(pts, "x", "y", continental).count() == 1L)
+  }
+
+  test("beam search raises by name on an empty option position") {
+    import graft.functions.BeamSearch
+    val ok = BeamSearch.bestPath[Int](Seq(Seq(1, 2), Seq(3)), (_, _) => 1.0)
+    assert(ok._1 == Seq(1, 3) || ok._1 == Seq(2, 3))
+    val e = intercept[IllegalArgumentException] {
+      BeamSearch.bestPath[Int](Seq(Seq(1), Seq.empty, Seq(3)), (_, _) => 1.0)
+    }
+    assert(e.getMessage.contains("position 1"))
+  }
 }
