@@ -81,6 +81,14 @@ object AsOfJoin {
         s"AsOfJoin: column name '$c' is reserved by the merge program — " +
           "rename it upstream")
     }
+    // "asof" is the PUBLIC output column: a LEFT side already carrying
+    // one (e.g. a previous AsOfJoin's output re-joined) would expand to
+    // two same-named columns and every downstream col("asof") dies with
+    // AMBIGUOUS_REFERENCE — only the left side collides, so only it is
+    // checked (a right-side 'asof' not in payloadCols never survives)
+    require(!left.columns.contains("asof"),
+      "AsOfJoin: the left side already has an 'asof' column — the output " +
+        "would carry two; rename or drop it upstream")
     // NULL-lane semantics match the join this re-expresses (round 17):
     // SQL equality/inequality is never true on NULL, so a right row with
     // NULL key or NULL ts can match nothing — filtered here. Without the

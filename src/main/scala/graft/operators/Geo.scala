@@ -79,8 +79,15 @@ object Geo {
     val cs =
       if (cellSize > 0) cellSize
       else {
+        // pitch = the MAX bbox extent, not the mean (round 17): with
+        // skewed extents (10^4 city blocks + one country polygon) a
+        // mean-derived pitch explodes the largest polygon into
+        // (max/mean)^2 cells — the auto lane must bound the WORST
+        // polygon's fan-out (<= 4 cells at max pitch), so it passes the
+        // fan-out probe below by construction. Coarser cells only ever
+        // add bbox-pruned false candidates, never wrong rows.
         val r = polygons
-          .agg(avg(col("maxX") - col("minX")).as("w"), avg(col("maxY") - col("minY")).as("h"))
+          .agg(max(col("maxX") - col("minX")).as("w"), max(col("maxY") - col("minY")).as("h"))
           .collect().headOption
         val w = r.flatMap(x => Option(x.get(0)).map(_.asInstanceOf[Double])).getOrElse(1.0)
         val h = r.flatMap(x => Option(x.get(1)).map(_.asInstanceOf[Double])).getOrElse(1.0)

@@ -163,27 +163,8 @@ object Layout {
       .map(s => (s.getPath.getName, s.getLen))
       .sortBy { case (name, len) => (-len, name) } // FFD, name tie-break
     require(files.nonEmpty, s"no parquet files under $srcDir")
-    // first-fit-decreasing over (group -> remaining capacity). The scan
-    // list holds only bins that could still fit the SMALLEST file in the
-    // whole listing — a bin fuller than that can never take another file,
-    // so dropping it preserves FFD's choices exactly while keeping the
-    // driver-side planning near-linear (the naive every-bin scan is
-    // O(files * bins): at the 10^6-file tables this step exists for,
-    // that is 10^10+ driver comparisons — minutes of planning before the
-    // first byte moves)
-    val minLen = files.map(_._2).min
-    val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val open = scala.collection.mutable.ArrayBuffer.empty[Int] // FFD order
-    val plan = files.map { case (path, len) =>
-      val fitPos = open.indices.find(p => bins(open(p)) + len <= targetBytes)
-      val g = fitPos.map(open(_)).getOrElse {
-        bins += 0L; open += bins.length - 1; bins.length - 1
-      }
-      bins(g) += len
-      if (bins(g) + minLen > targetBytes)
-        open -= g // can never fit anything again
-      (path, g, len)
-    }.toSeq
+    val plan = planFirstFit(files.toSeq, targetBytes)
+    val nBins = plan.iterator.map(_._2).max + 1
     val planDf = plan.map { case (p, g, _) => (p, g) }
       .toDF("_file_", "compaction_group")
     spark.read.parquet(srcDir)
@@ -191,11 +172,61 @@ object Layout {
         regexp_extract(input_file_name(), "[^/]+$", 0))
       .join(broadcast(planDf), "_file_")
       .drop("_file_")
-      .repartition(bins.length, col("compaction_group"))
+      .repartition(nBins, col("compaction_group"))
       .write.mode("overwrite").partitionBy("compaction_group")
       .parquet(destDir)
     plan.groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (g, fs0) => (g, fs0.size.toLong, fs0.map(_._3).sum) }
       .toDF("group", "n_files", "bytes_planned")
+  }
+
+  /** EXACT first-fit bin packing over (name, bytes) in the given order
+    * (callers pass size-descending for FFD): each file goes to the
+    * LOWEST-INDEX bin with enough remaining capacity, O(log bins) per
+    * file through a leftmost-fit segment tree — the naive every-bin scan
+    * is O(files · bins), minutes of driver CPU at the 10^6-file tables
+    * [[compactSmallFiles]] exists for (and a min-capacity prune dies to
+    * one tiny file in the listing: it keeps every bin open). A file
+    * larger than `targetBytes` opens its own (overfull) bin, which can
+    * then never fit anything — identical to the naive semantics. */
+  private[graft] def planFirstFit(files: Seq[(String, Long)],
+                                  targetBytes: Long): Seq[(String, Int, Long)] = {
+    // binary max-tree over per-bin remaining capacity, bins in creation
+    // order; leaves beyond `n` hold -1 so they never win a descent
+    var cap = 1
+    var tree = Array.fill(2 * cap)(-1L)
+    var n = 0
+    def pull(i: Int): Unit = tree(i) = math.max(tree(2 * i), tree(2 * i + 1))
+    def update(i: Int, rem: Long): Unit = {
+      var p = cap + i; tree(p) = rem; p /= 2
+      while (p >= 1) { pull(p); p /= 2 }
+    }
+    def addBin(): Int = {
+      if (n == cap) { // double the leaf space, re-pull the upper levels
+        val old = tree; val oldCap = cap
+        cap *= 2
+        tree = Array.fill(2 * cap)(-1L)
+        System.arraycopy(old, oldCap, tree, cap, oldCap)
+        var i = cap - 1
+        while (i >= 1) { pull(i); i -= 1 }
+      }
+      val idx = n; n += 1
+      idx
+    }
+    def firstFit(len: Long): Int =
+      if (tree(1) < len) -1
+      else {
+        var i = 1
+        while (i < cap) i = if (tree(2 * i) >= len) 2 * i else 2 * i + 1
+        i - cap
+      }
+    val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+    files.map { case (path, len) =>
+      val hit = firstFit(len)
+      val g = if (hit >= 0) hit else { remaining += targetBytes; addBin() }
+      remaining(g) -= len
+      update(g, remaining(g))
+      (path, g, len)
+    }
   }
 }

@@ -36,12 +36,16 @@ object Quantize {
     * top-k; NaN/Inf scales zeroed or nulled every code. Quantized garbage
     * is indistinguishable from real codes, so refuse at the encode. */
   def int8Symmetric(df: DataFrame, vecCol: String): DataFrame = {
-    val dirty = col(vecCol).isNull ||
+    // empty arrays are dirty too (array_max(empty) = NULL scale → NULL
+    // codes downstream), and Inf is matched EXACTLY — a magnitude
+    // threshold would misname legitimate finite doubles near 1.8e308
+    val dirty = col(vecCol).isNull || size(col(vecCol)) === 0 ||
       exists(col(vecCol), x => x.isNull || isnan(x.cast("double")) ||
-        abs(x.cast("double")) > lit(Double.MaxValue / 2))
+        x.cast("double") === lit(Double.PositiveInfinity) ||
+        x.cast("double") === lit(Double.NegativeInfinity))
     df.withColumn("scale",
       when(dirty, raise_error(lit(
-        s"Quantize.int8Symmetric: '$vecCol' is NULL or contains a " +
+        s"Quantize.int8Symmetric: '$vecCol' is NULL/empty or contains a " +
           "NULL/NaN/Inf component — clean or impute embeddings upstream " +
           "(codes quantized from a dirty vector are silent garbage)"))
         .cast("double"))
@@ -50,8 +54,13 @@ object Quantize {
         when(col("scale") === 0d,
           transform(col(vecCol), _ => lit(0)))
           .otherwise(transform(col(vecCol), x =>
-            round(x.cast("double") * lit(127.0) / col("scale"))
-              .cast("int"))))
+            // clamp is identity for every clean row (|code| <= 127 by
+            // construction) — it exists so ANSI's cast-overflow can never
+            // fire first on a dirty row and shadow the named raise above
+            // (constant folding evaluates this branch eagerly on literal
+            // inputs, before the runtime when() ordering applies)
+            least(greatest(round(x.cast("double") * lit(127.0) / col("scale")),
+              lit(-127.0)), lit(127.0)).cast("int"))))
   }
 
   /** Per-vector quantization report: dims, an index-weighted integer
@@ -83,10 +92,13 @@ object Quantize {
     // loud small-corpus contract (the cosineNearDupPairs(exact=true)
     // precedent): this lane broadcasts the whole quantized corpus by
     // design; at 100 TB that is a broadcast OOM hours in, so refuse by
-    // name first and point at the pruned compose path
-    val n = corpus.count()
-    require(n <= (1L << 21),
-      s"Quantize.int8TopK broadcasts the corpus; $n rows exceeds the " +
+    // name first and point at the pruned compose path. The probe is
+    // limit-bounded: a full count() would itself execute the oversized
+    // corpus lineage end to end just to learn it is too big
+    val bound = 1L << 21
+    val over = corpus.limit((bound + 1).toInt).count() > bound
+    require(!over,
+      s"Quantize.int8TopK broadcasts the corpus; it exceeds the " +
         "2^21 small-corpus bound — prune candidates with " +
         "Similarity.ivfTopK's cell join first, then int8-score the " +
         "surviving pairs")

@@ -234,13 +234,16 @@ object Retrieval {
         explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .where(col("term") =!= "")
       .distinct()
-    // NULL/empty query terms are dropped BEFORE the per-query term count
-    // (round 17): the doc side can never produce them (its tokenizer
-    // filters empties and explode skips nulls), so leaving one in the
-    // count made the whole query silently unsatisfiable — _nq_ counted a
-    // term no document can ever hit
-    val qsz = queries.select(col("query_id"), lower(col("term")).as("term"))
-      .where(col("term").isNotNull && col("term") =!= "")
+    // query terms go through the SAME tokenizer as the doc side (round
+    // 17): the doc stream is whitespace-split, so a query term the doc
+    // tokenizer can never produce (NULL, '', or anything CONTAINING
+    // whitespace, e.g. "new york") counted into _nq_ made the whole
+    // query silently unsatisfiable. Splitting decomposes a multi-word
+    // term into AND-ed tokens — the faithful semantics under this
+    // tokenizer — and drops the unmatchable ones.
+    val qsz = queries.select(col("query_id"),
+        explode(split(lower(col("term")), "\\s+")).as("term"))
+      .where(col("term") =!= "")
       .distinct()
     val counts = qsz.groupBy("query_id").agg(count(lit(1)).as("_nq_"))
     toks.join(qsz, "term")
@@ -278,14 +281,16 @@ object Retrieval {
     val wQ = Window.partitionBy(col(queryCol))
       .orderBy(col("fused_micro").desc, col(docCol))
     runs
-      .withColumn("_rk_", row_number().over(wRun))
       // a doc listed TWICE in one run (malformed input) must contribute
-      // that run's reciprocal once, at its best rank — summing both rows
-      // inflated the fused score and made `n_runs` count rows, not runs
-      // (round 17). Well-formed runs (one row per (run, query, doc)) are
+      // that run's reciprocal once, at its best score — and the collapse
+      // must happen BEFORE rank assignment, or the duplicate row still
+      // shifts every worse-ranked doc's rank in that run (collapsing the
+      // ranks afterwards fixed only the duplicated doc itself).
+      // Well-formed runs (one row per (run, query, doc)) are
       // byte-identical through this aggregate.
       .groupBy(col(runCol), col(queryCol), col(docCol))
-      .agg(min(col("_rk_")).as("_rk_"))
+      .agg(max(col(scoreCol)).as(scoreCol))
+      .withColumn("_rk_", row_number().over(wRun))
       .groupBy(col(queryCol), col(docCol))
       .agg(count(lit(1)).as("n_runs"),
         sum(expr(s"CAST($scale AS BIGINT) div " +

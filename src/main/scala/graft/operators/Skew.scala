@@ -68,11 +68,14 @@ object Skew {
     // join through the hot/cold split would also need dim-preserving
     // semantics per branch, and Spark cannot build a broadcast hash join
     // with the broadcast side preserved — keep the supported set explicit
-    // instead of letting an unsupported type fail obscurely downstream
-    require(Seq("inner", "left", "left_outer", "left_semi", "left_anti")
-      .contains(joinType),
+    // instead of letting an unsupported type fail obscurely downstream.
+    // Normalized EXACTLY the way Spark's own JoinType parse does
+    // (case-fold + strip '_'), so every alias spelling Spark accepts
+    // passes here and nothing Spark would reject sneaks past
+    require(Seq("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")),
       s"hotColdJoin supports fact-preserving joins " +
-        s"(inner/left/left_semi/left_anti), not $joinType")
+        s"(inner/left/left_outer/left_semi/left_anti), not $joinType")
     val hotCol: Column = coalesce(col(key).isin(hotKeys: _*), lit(false))
     val hot = facts.where(hotCol)
       .join(broadcast(dims.where(hotCol)), Seq(key), joinType)

@@ -414,21 +414,33 @@ class Round17Spec extends AnyFunSuite {
         Seq("aid"), "aid")
     }
     assert(e.getMessage.contains("reserved"))
+    // a left side already carrying 'asof' (a previous pass's output)
+    // would yield two same-named output columns — raise instead
+    val left2 = Seq((1L, "u", 10L)).toDF("asof", "key", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.backward(left2, right, "key", "t",
+        Seq("aid"), "aid")
+    }
+    assert(e2.getMessage.contains("asof"))
   }
 
   // ---- retrieval dirty-input lanes ---------------------------------------
 
-  test("booleanAnd: NULL/empty query terms don't poison the query") {
+  test("booleanAnd: NULL/empty/multi-word query terms don't poison the query") {
     import graft.operators.Retrieval
     val docs = Seq((1L, "red fox"), (2L, "red hen")).toDF("doc_id", "text")
     val qs = Seq((10L, Option("red")), (10L, None), (10L, Option("")),
-      (11L, Option("fox")))
+      (11L, Option("fox")),
+      (12L, Option("red fox"))) // multi-word: AND of its tokens
       .toDF("query_id", "term")
     val got = Retrieval.booleanAnd(docs, "doc_id", "text", qs)
       .as[(Long, Long)].collect().toSet
-    // query 10's NULL and '' terms are unmatchable by ANY document; they
-    // must be ignored, not counted into the required-hits total
-    assert(got == Set((10L, 1L), (10L, 2L), (11L, 1L)))
+    // query 10's NULL and '' terms are unmatchable by ANY document (the
+    // doc tokenizer can't produce them) — ignored, not counted into the
+    // required-hits total; query 12's whitespace term decomposes through
+    // the SAME tokenizer as the doc side instead of silently matching
+    // nothing
+    assert(got == Set((10L, 1L), (10L, 2L), (11L, 1L), (12L, 1L)))
   }
 
   test("reciprocalRankFusion: a doc duplicated within one run fuses once") {
@@ -437,16 +449,19 @@ class Round17Spec extends AnyFunSuite {
       ("a", 1L, 101L, 9.0), ("a", 1L, 102L, 5.0),
       ("b", 1L, 101L, 7.0))
       .toDF("run", "query", "doc_id", "score")
+    // the duplicate sits BETWEEN 101's best and 102 — collapsing ranks
+    // after assignment would leave 102 at rank 3 (its reciprocal wrong);
+    // the pre-rank max-score collapse must make the whole fusion equal
+    // the clean run's, other docs' ranks included
     val dirty = clean.unionByName(
-      // same doc again in run a at a worse score — malformed input
-      Seq(("a", 1L, 101L, 1.0)).toDF("run", "query", "doc_id", "score"))
+      Seq(("a", 1L, 101L, 8.0)).toDF("run", "query", "doc_id", "score"))
     def fuse(df: org.apache.spark.sql.DataFrame) =
       Retrieval.reciprocalRankFusion(df, "run", "query", "doc_id", "score",
           k = 10)
         .select("doc_id", "n_runs", "fused_micro")
         .as[(Long, Long, Long)].collect().toSet
     val want = fuse(clean)
-    assert(want == fuse(dirty)) // duplicate contributes nothing extra
+    assert(want == fuse(dirty)) // duplicate shifts NO doc's contribution
     assert(want.find(_._1 == 101L).get._2 == 2L) // n_runs counts RUNS
   }
 
@@ -462,10 +477,16 @@ class Round17Spec extends AnyFunSuite {
     for (bad <- Seq(
       Seq(Some(1.0f), None),
       Seq(Some(Float.NaN), Some(1.0f)),
-      Seq(Some(Float.PositiveInfinity)))) {
+      Seq(Some(Float.PositiveInfinity)),
+      Seq.empty[Option[Float]])) { // empty vector = NULL scale garbage
       val e = intercept[Exception] { enc(bad) }
       assert(e.getMessage.contains("int8Symmetric"), s"for $bad")
     }
+    // large FINITE doubles are clean — Inf is matched exactly, not by a
+    // magnitude threshold
+    val big = graft.operators.Quantize.int8Symmetric(
+      Seq((1L, Seq(1.0e308, -2.0))).toDF("id", "v"), "v")
+    assert(big.select("qvec").collect().nonEmpty)
   }
 
   test("int8TopK refuses a corpus past the broadcast bound by name") {
@@ -499,41 +520,33 @@ class Round17Spec extends AnyFunSuite {
         joinType = "full_outer")
     }
     assert(e.getMessage.contains("fact-preserving"))
+    // every alias spelling Spark itself accepts must pass the guard
+    for (jt <- Seq("leftouter", "LEFT_OUTER", "leftsemi"))
+      assert(Skew.hotColdJoin(facts, dims, "k", hotKeys = Seq(1),
+        joinType = jt).count() == 1L, s"for $jt")
   }
 
   // ---- FFD planner prune is choice-identical ------------------------------
 
-  test("compactSmallFiles FFD open-bin prune packs like the naive scan") {
-    // replay of the planner's core on a skewed size list: the pruned
-    // open-list FFD must produce the exact group assignment of the
-    // naive every-bin scan (the prune only drops bins that can never
-    // fit the smallest file)
+  test("planFirstFit segment tree packs exactly like the naive scan") {
+    // the REAL planner vs a naive every-bin reference, on a skewed size
+    // list that includes an oversized file (own overfull bin) and one
+    // TINY file (the case that defeats a min-capacity prune: it keeps
+    // every bin open — the tree's O(log B) descent doesn't care)
     val target = 100L
-    val sizes = (1 to 200).map(i => (f"f$i%03d", ((i * 37) % 90 + 10).toLong))
+    val sizes = ((1 to 200).map(i => (f"f$i%03d", ((i * 37) % 90 + 10).toLong))
+      :+ ("tiny", 1L) :+ ("oversized", 250L))
       .sortBy { case (n, l) => (-l, n) }
-    def naive(fs: Seq[(String, Long)]): Seq[(String, Int)] = {
+    def naive(fs: Seq[(String, Long)]): Seq[(String, Int, Long)] = {
       val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
       fs.map { case (p, len) =>
         val fit = bins.indices.find(i => bins(i) + len <= target)
         val g = fit.getOrElse { bins += 0L; bins.length - 1 }
-        bins(g) += len; (p, g)
+        bins(g) += len; (p, g, len)
       }
     }
-    def pruned(fs: Seq[(String, Long)]): Seq[(String, Int)] = {
-      val minLen = fs.map(_._2).min
-      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val open = scala.collection.mutable.ArrayBuffer.empty[Int]
-      fs.map { case (p, len) =>
-        val fitPos = open.indices.find(q => bins(open(q)) + len <= target)
-        val g = fitPos.map(open(_)).getOrElse {
-          bins += 0L; open += bins.length - 1; bins.length - 1
-        }
-        bins(g) += len
-        if (bins(g) + minLen > target) open -= g
-        (p, g)
-      }
-    }
-    assert(naive(sizes) == pruned(sizes))
+    assert(naive(sizes) ==
+      graft.operators.Layout.planFirstFit(sizes, target))
   }
 
   // ---- null-safe text-operator lanes ---------------------------------------
@@ -592,6 +605,19 @@ class Round17Spec extends AnyFunSuite {
     assert(e.getMessage.contains("grid") && e.getMessage.contains("cellSize"))
     // auto-derived pitch passes the probe by construction
     assert(Geo.pointInPolygonJoin(pts, "x", "y", continental).count() == 1L)
+    // ...including under SKEWED extents (many small + one huge): the
+    // pitch derives from the MAX extent, so the mean can't explode the
+    // largest polygon into (max/mean)^2 cells
+    val blocks = (0 until 50).map { i =>
+      ("blk" + i, Seq(i.toDouble, 0.0, i + 1.0, 0.0, i + 1.0, 1.0, i.toDouble, 1.0),
+        i.toDouble, i + 1.0, 0.0, 1.0)
+    }
+    val skewed = (blocks :+ ("country",
+      Seq(0.0, 0.0, 10000.0, 0.0, 10000.0, 10000.0, 0.0, 10000.0),
+      0.0, 10000.0, 0.0, 10000.0))
+      .toDF("poly_id", "ring", "minX", "maxX", "minY", "maxY")
+    // point (0.5, 0.5) is inside block 0 AND the country polygon
+    assert(Geo.pointInPolygonJoin(pts, "x", "y", skewed).count() == 2L)
   }
 
   test("beam search raises by name on an empty option position") {
