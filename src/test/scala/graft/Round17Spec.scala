@@ -620,6 +620,22 @@ class Round17Spec extends AnyFunSuite {
     assert(Geo.pointInPolygonJoin(pts, "x", "y", skewed).count() == 2L)
   }
 
+  test("bruteForceTopK refuses past the pair-volume bound by name") {
+    val emb = spark.range(1 << 14).select(col("id").as("vec_id"),
+      expr("array(cast(1.0 as float), cast(0.5 as float))").as("embedding"))
+    // 2^14 x 2^14 = 2^28 pairs > the 2^27 bound — the probe raises
+    // BEFORE the nested-loop join plans a single cosine
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+    }
+    assert(e.getMessage.contains("2^27") && e.getMessage.contains("lshTopK"))
+    // a bounded query side stays well under the bound and runs
+    val got = Similarity.bruteForceTopK(
+      emb.where(col("vec_id") < 4), emb.where(col("vec_id") < 1024),
+      "vec_id", "embedding", k = 3)
+    assert(got.count() == 12L)
+  }
+
   test("beam search raises by name on an empty option position") {
     import graft.functions.BeamSearch
     val ok = BeamSearch.bestPath[Int](Seq(Seq(1, 2), Seq(3)), (_, _) => 1.0)
