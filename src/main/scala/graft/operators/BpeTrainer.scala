@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MaterializeOps
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -110,7 +111,7 @@ object BpeTrainer {
       // below starts from a constant-depth plan, so Catalyst analysis
       // stays O(1) per round instead of O(rounds) — at a real 32k-merge
       // vocab the chained-Project plan would explode long before data does
-      .localCheckpoint()
+      .materializeRound()
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
@@ -135,7 +136,7 @@ object BpeTrainer {
           mergeOnePass(s.toIndexedSeq, l, r))
         val next = syms
           .withColumn("_syms_", applyOne(col("_syms_")))
-          .localCheckpoint()
+          .materializeRound()
         syms.unpersist()
         syms = next
         rank += 1

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextKernels
+import graft.operators.Materialize.MaterializeOps
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -273,8 +274,9 @@ object Dedup {
     * every node starts as its own label; each round a node takes the min of
     * its own and its neighbors' labels; fixpoint in O(component diameter)
     * rounds. Each round is one shuffle join + one aggregate; labels are
-    * `localCheckpoint`ed per round to truncate lineage (at cluster scale a
-    * durable checkpoint plays this role). Near-dup components are tiny and
+    * materialized per round via [[Materialize.round]] to truncate lineage
+    * (`localCheckpoint` locally; reliable `checkpoint()` at cluster scale
+    * when a checkpoint dir is set). Near-dup components are tiny and
     * sparse by construction — LSH already bounded candidate fan-out — so
     * the diameter (and round count) stays single-digit on real corpora.
     *
@@ -348,7 +350,7 @@ object Dedup {
         .toDF("id", "component")
     }
     var labels = edges.select(col("_src_").as("_id_"))
-      .distinct().withColumn("_lbl_", col("_id_")).localCheckpoint()
+      .distinct().withColumn("_lbl_", col("_id_")).materializeRound()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -363,7 +365,7 @@ object Dedup {
         .groupBy("_id_")
         .agg(min("_lbl_").as("_lbl_"),
           min(when(col("_own_"), col("_lbl_"))).as("_old_"))
-        .localCheckpoint()
+        .materializeRound()
       val changed = next.where(col("_lbl_") =!= col("_old_")).limit(1).count()
       labels.unpersist()
       labels = next.drop("_old_")
@@ -404,7 +406,7 @@ object Dedup {
     * equal counts + empty anti-join, two ids-only jobs on a set that is
     * SHRINKING toward one edge per non-min node); at fixpoint the edges
     * are depth-1 stars rooted at component minima, so labels read off
-    * directly. Per-round `localCheckpoint` truncates lineage, same
+    * directly. Per-round [[Materialize.round]] truncates lineage, same
     * discipline as [[connectedComponents]]. */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 30): DataFrame = {
@@ -413,13 +415,13 @@ object Dedup {
     // connectedComponents' persist)
     val p = pairs.persist()
     val nodes = p.select(col(aCol).as("id"))
-      .union(p.select(col(bCol))).distinct().localCheckpoint()
+      .union(p.select(col(bCol))).distinct().materializeRound()
     // canonical orientation: (hi, lo), self-loops dropped
     var edges = p
       .select(greatest(col(aCol), col(bCol)).as("_hi_"),
         least(col(aCol), col(bCol)).as("_lo_"))
       .where(col("_hi_") =!= col("_lo_"))
-      .distinct().localCheckpoint()
+      .distinct().materializeRound()
     var nE = edges.count()
     p.unpersist()
     var converged = nE == 0
@@ -434,7 +436,7 @@ object Dedup {
       val afterLarge = sym.where(col("_v_") > col("_u_"))
         .join(mins, "_u_")
         .select(col("_v_").as("_hi_"), col("_m_").as("_lo_"))
-        .distinct().localCheckpoint()
+        .distinct().materializeRound()
       // small-star: canonical (hi, lo) IS the smaller-neighbor adjacency
       // Γ⁻(hi); m⁻ = min Γ⁻(u) (< u, so the least() with u is implicit);
       // u and every non-min smaller neighbor re-point to m⁻
@@ -443,7 +445,7 @@ object Dedup {
         .where(col("_lo_") =!= col("_m_"))
         .select(col("_lo_").as("_hi_"), col("_m_").as("_lo_"))
         .union(minsSmall.select(col("_hi_"), col("_m_")))
-        .distinct().localCheckpoint()
+        .distinct().materializeRound()
       val nNext = next.count()
       // exact fixpoint test on two distinct sets: equal counts + empty
       // difference (ids-only jobs over a set shrinking toward one edge

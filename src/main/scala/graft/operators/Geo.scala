@@ -70,9 +70,10 @@ object Geo {
     * @param points   (pointCols..., xCol, yCol)
     * @param polygons must carry bbox columns `minX/maxX/minY/maxY` and a
     *                 flat `ring` array<double> [x0,y0,x1,y1,...]
-    * @param cellSize grid pitch; <= 0 derives it from the polygons' mean
+    * @param cellSize grid pitch; <= 0 derives it from the polygons' MAX
     *                 bbox extent (one tiny agg over the polygon side — the
-    *                 small side — so fan-out stays ~O(1) cells per polygon)
+    *                 small side — so even the worst polygon's fan-out stays
+    *                 <= 4 cells)
     */
   def pointInPolygonJoin(points: DataFrame, xCol: String, yCol: String,
                          polygons: DataFrame, cellSize: Double = 0.0): DataFrame = {
@@ -100,16 +101,26 @@ object Geo {
     // cheap aggregate over the polygon side (the small side by contract)
     // raises by name first. The auto-derived pitch keeps fan-out ~O(1)
     // and skips nothing — it passes the probe by construction.
+    // Per-axis counts are clamped BEFORE multiplying: an extreme
+    // extent/pitch ratio (1e7 extent at 1e-3 pitch = 1e10 cells per axis)
+    // would overflow the Long product and could wrap negative, slipping a
+    // degenerate input past this guard only to die later in
+    // sequence()/explode with a generic array-size error. Clamped at
+    // bound+1 per axis the product tops out near 1e12 — comfortably inside
+    // Long — and any clamped axis already exceeds the bound on its own.
+    val cellBound = 1000000L
+    def axisCells(lo: String, hi: String) =
+      least(floor(col(hi) / cs) - floor(col(lo) / cs) + 1, lit(cellBound + 1))
     val maxCells = polygons
-      .agg(max((floor(col("maxX") / cs) - floor(col("minX") / cs) + 1) *
-        (floor(col("maxY") / cs) - floor(col("minY") / cs) + 1)))
+      .agg(max(axisCells("minX", "maxX") * axisCells("minY", "maxY")))
       .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(0L)
-    require(maxCells <= 1000000L,
+    require(maxCells <= cellBound,
       s"Geo.pointInPolygonJoin: one polygon's bbox covers $maxCells grid " +
-        s"cells at cellSize=$cs — the cell explode would emit that many " +
-        "rows per such polygon; raise cellSize (or pass <= 0 to derive " +
-        "it from the mean bbox extent)")
+        s"cells (counts clamped at ${cellBound + 1} per axis) at " +
+        s"cellSize=$cs — the cell explode would emit that many rows per " +
+        "such polygon; raise cellSize (or pass <= 0 to derive it from the " +
+        "max bbox extent)")
     val pts = points
       .withColumn("_cx_", floor(col(xCol) / cs))
       .withColumn("_cy_", floor(col(yCol) / cs))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MaterializeOps
+
 /** Distributed graph measures over edge lists — the web/citation-graph
   * side of corpus curation (rank-weighted sampling, link-spam triage).
   * Companion to the connected-components clustering in [[Dedup]].
@@ -20,9 +22,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: each iteration is one equi-join of edges to the current
   * ranks (shuffle on src), one aggregate (shuffle on dst), one left join
   * back to the node set — all key-partitioned, no broadcast of anything
-  * that grows with the graph. The plan is `localCheckpoint`ed per round
-  * (same discipline as [[Dedup.connectedComponents]]) so iteration depth
-  * never compounds into Catalyst plan blowup.
+  * that grows with the graph. The plan is materialized per round via
+  * [[Materialize.round]] (same discipline as
+  * [[Dedup.connectedComponents]]) so iteration depth never compounds into
+  * Catalyst plan blowup — `localCheckpoint` locally, reliable
+  * `checkpoint()` when the session has a checkpoint dir (see
+  * [[Materialize]] for the executor-loss tradeoff at cluster scale).
   */
 object Graph {
 
@@ -79,10 +84,10 @@ object Graph {
     // caller's upstream plan — for gr01 an orders⋈lineitem distinct,
     // 2·iterations+2 times over
     val e = edges.select(col(srcCol).cast("long").as("_src_"),
-      col(dstCol).cast("long").as("_dst_")).localCheckpoint()
+      col(dstCol).cast("long").as("_dst_")).materializeRound()
     val nodes = e.select(col("_src_").as("node_id"))
       .union(e.select(col("_dst_").as("node_id")))
-      .distinct().localCheckpoint()
+      .distinct().materializeRound()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     // per-node initial mass and restart base: uniform in the classic
@@ -95,7 +100,7 @@ object Graph {
         nodes.withColumn("_init_", lit(init)).withColumn("_base_", lit(base))
       case Some(t) =>
         val seeds = t.select(col(t.columns.head).cast("long").as("node_id"))
-          .distinct().join(nodes, "node_id").localCheckpoint()
+          .distinct().join(nodes, "node_id").materializeRound()
         val s = seeds.count()
         require(s > 0, "personalized pageRank: no teleport seed is in the graph")
         val initS = scale / s
@@ -106,13 +111,13 @@ object Graph {
               .as("_init_"),
             when(col("_isSeed_").isNotNull, lit(baseS)).otherwise(lit(0L))
               .as("_base_"))
-          .localCheckpoint()
+          .materializeRound()
     }
     val deg = e.groupBy("_src_").agg(count(lit(1)).as("_deg_"))
     // repartitioned on the join key so each round's rank join reuses the
     // cached layout instead of re-exchanging the edge side every time
     val edgesWithDeg = e.join(deg, "_src_")
-      .repartition(col("_src_")).localCheckpoint()
+      .repartition(col("_src_")).materializeRound()
     var ranks = nodesWB.select(col("node_id"), col("_init_").as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = edgesWithDeg
@@ -125,7 +130,7 @@ object Graph {
           (col("_base_") +
             expr(s"($dampNum * coalesce(_in_, 0L)) div $dampDen"))
             .as("rank"))
-        .localCheckpoint()
+        .materializeRound()
     }
     ranks
   }
@@ -204,7 +209,7 @@ object Graph {
       // join relies on
       .repartition(col("_a_"))
       .distinct()
-      .localCheckpoint()
+      .materializeRound()
     if (kCoreDebug)
       println(f"[kcore] live build ${(System.nanoTime() - tLive) / 1e9}%.3f s")
     // ONE job per round: the frontier size rides the SAME materialization
@@ -218,7 +223,7 @@ object Graph {
       val obs = org.apache.spark.sql.Observation()
       val dd = d
         .observe(obs, count(when(col("_deg_") < k, 1L)).as("_f_"))
-        .localCheckpoint()
+        .materializeRound()
       // the wait is configurable because 5 s can be tight under heavy GC
       // at scale; and ANY observation failure (timeout, failed future,
       // interrupt) falls back to the count() — the checkpointed data is
@@ -333,11 +338,11 @@ object Graph {
       .union(undirected.select(col("_b_").as("_a_"), col("_a_").as("_b_")))
       .distinct()
       .repartition(col("_a_"))
-      .localCheckpoint()
+      .materializeRound()
     var labels = sym.select(col("_a_").as("node_id"))
       .distinct()
       .withColumn("label", col("node_id"))
-      .localCheckpoint()
+      .materializeRound()
     for (_ <- 1 to iterations) {
       val votes = sym
         .join(labels, sym("_a_") === labels("node_id"))
@@ -349,7 +354,7 @@ object Graph {
         .withColumn("_rn_", row_number().over(w))
         .where(col("_rn_") === 1)
         .select(col("node_id"), col("label"))
-        .localCheckpoint()
+        .materializeRound()
     }
     labels
   }
@@ -361,7 +366,7 @@ object Graph {
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("_b_"))
       .where(col("_a_") < col("_b_"))
       .distinct()
-      .localCheckpoint() // degrees + orientation + closure all re-read it
+      .materializeRound() // degrees + orientation + closure all re-read it
     val deg = canon.select(col("_a_").as("node_id"))
       .union(canon.select(col("_b_").as("node_id")))
       .groupBy("node_id").agg(count(lit(1)).as("degree"))
@@ -389,7 +394,7 @@ object Graph {
         when(col("_rka_") < col("_rkb_"), col("_a_")).otherwise(col("_b_")).as("u"),
         when(col("_rka_") < col("_rkb_"), col("_b_")).otherwise(col("_a_")).as("v"),
         greatest(col("_rka_"), col("_rkb_")).as("rkv"))
-      .localCheckpoint() // read three times by the wedge + closure joins
+      .materializeRound() // read three times by the wedge + closure joins
     val wedges = oriented.select(col("u"), col("v").as("x"), col("rkv").as("rkx"))
       .join(oriented.select(col("u"), col("v").as("y"), col("rkv").as("rky")), "u")
       .where(col("rkx") < col("rky"))
@@ -431,9 +436,9 @@ object Graph {
                    seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col(srcCol).as("_src_"), col(dstCol).as("_dst_"))
-      .distinct().localCheckpoint()
+      .distinct().materializeRound()
     var dist = seeds.select(seeds.columns.head).toDF("node_id").distinct()
-      .select(col("node_id"), lit(0L).as("dist")).localCheckpoint()
+      .select(col("node_id"), lit(0L).as("dist")).materializeRound()
     var frontier = dist
     var hop = 0
     while (hop < maxHops) {
@@ -443,11 +448,11 @@ object Graph {
         .select(col("_dst_").as("node_id"), lit(hop.toLong).as("dist"))
       val merged = dist.unionByName(next)
         .groupBy("node_id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .materializeRound()
       // next round's frontier = nodes first reached THIS round
       frontier = merged.join(dist.select(col("node_id").as("_seen_")),
           merged("node_id") === col("_seen_"), "left_anti")
-        .localCheckpoint()
+        .materializeRound()
       dist = merged
       if (frontier.isEmpty) hop = maxHops // converged: stop early
     }
@@ -476,15 +481,15 @@ object Graph {
     val e = edges.select(col(srcCol).as("_src_"), col(dstCol).as("_dst_"),
         col(weightCol).cast("long").as("_w_"))
       .groupBy("_src_", "_dst_").agg(min(col("_w_")).as("_w_"))
-      .localCheckpoint()
+      .materializeRound()
     var dist = seeds.select(seeds.columns.head).toDF("node_id").distinct()
-      .select(col("node_id"), lit(0L).as("dist")).localCheckpoint()
+      .select(col("node_id"), lit(0L).as("dist")).materializeRound()
     for (_ <- 1 to rounds) {
       val relaxed = dist.join(e, dist("node_id") === e("_src_"))
         .select(col("_dst_").as("node_id"), (col("dist") + col("_w_")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node_id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .materializeRound()
     }
     dist
   }
@@ -511,7 +516,7 @@ object Graph {
               iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).as("_u_"), col(dstCol).as("_v_"))
-      .distinct().localCheckpoint()
+      .distinct().materializeRound()
     // ENFORCE the documented overflow bound against the MEASURED degrees
     // (two scalar aggregates — metadata-cheap next to the iterations):
     // per full round every score multiplies by at most maxOutDeg·maxInDeg,
@@ -530,7 +535,7 @@ object Graph {
         f"($iterations x log2($maxOut*$maxIn) = ${iterations * log2Growth}%.1f >= 63); " +
         "lower iterations (HITS rankings stabilize in 2-3 rounds)")
     val nodes = e.select(col("_u_").as("node_id"))
-      .union(e.select(col("_v_"))).distinct().localCheckpoint()
+      .union(e.select(col("_v_"))).distinct().materializeRound()
     var auth = nodes.select(col("node_id"), lit(1L).as("a"))
     var hub = nodes.select(col("node_id"), lit(1L).as("h"))
     for (_ <- 1 to iterations) {
@@ -538,12 +543,12 @@ object Graph {
         .groupBy(col("_u_").as("node_id")).agg(sum(col("a")).as("h"))
         .unionByName(nodes.select(col("node_id"), lit(0L).as("h")))
         .groupBy("node_id").agg(max(col("h")).as("h")) // sinks keep 0
-        .localCheckpoint()
+        .materializeRound()
       auth = e.join(hub, e("_u_") === hub("node_id"))
         .groupBy(col("_v_").as("node_id")).agg(sum(col("h")).as("a"))
         .unionByName(nodes.select(col("node_id"), lit(0L).as("a")))
         .groupBy("node_id").agg(max(col("a")).as("a"))
-        .localCheckpoint()
+        .materializeRound()
     }
     val maxes = hub.agg(max(col("h")).as("_mh_"))
       .crossJoin(auth.agg(max(col("a")).as("_ma_")))
@@ -603,7 +608,7 @@ object Graph {
     val und = edges.select(col(srcCol).as("_a_"), col(dstCol).as("_b_"))
       .where(col("_a_") =!= col("_b_"))
     val e = und.unionByName(und.select(col("_b_").as("_a_"),
-        col("_a_").as("_b_"))).distinct().localCheckpoint()
+        col("_a_").as("_b_"))).distinct().materializeRound()
     val deg = e.groupBy(col("_a_").as("node")).agg(count(lit(1)).as("deg"))
     // super-node guard: drop over-degree CENTERS from the wedge join
     // (their Σ deg² term), not from the graph — degrees and the

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MaterializeOps
 
 /** Sparse-lexical retrieval (BM25) over a document corpus — the classic
   * complement to the dense ANN tier in [[Similarity]]. The reference
@@ -105,14 +106,14 @@ object Retrieval {
     val oneMinus = s"${lambdaDen - lambdaNum}.0"
     val den = s"$lambdaDen.0"
     val cands = candidates.select(col("query_id"), col(docCol),
-      col(relFpCol).cast("long").as("_rel_")).localCheckpoint()
+      col(relFpCol).cast("long").as("_rel_")).materializeRound()
     val wq = Window.partitionBy("query_id")
     val nrel = cands
       .withColumn("_relmax_", max(col("_rel_")).over(wq))
       .withColumn("_nrel_", expr(
         "cast(_rel_ as double) / cast(_relmax_ as double)"))
       .select(col("query_id"), col(docCol), col("_rel_"), col("_nrel_"))
-      .localCheckpoint()
+      .materializeRound()
     // n-gram sets of candidate docs only (semi-join shrinks the scan)
     val candDocs = cands.select(col(docCol)).distinct()
     val grams = docs
@@ -124,7 +125,7 @@ object Retrieval {
         s"""transform(sequence(1, size(_ws_) - ${n - 1}),
            |  i -> concat_ws(' ', slice(_ws_, i, $n)))""".stripMargin))
         .as("_g_"))
-      .distinct().localCheckpoint()
+      .distinct().materializeRound()
     val sizes = grams.groupBy(docIdCol).agg(count(lit(1)).as("_ng_"))
     val inter = grams.as("ga").join(grams.as("gb"),
         col("ga._g_") === col("gb._g_") &&
@@ -140,7 +141,7 @@ object Retrieval {
       .select(col("_da_"), col("_db_"), expr(
         "cast(_i_ as double) / cast(_na_ + _nb_ - _i_ as double)")
         .as("_sim_"))
-      .localCheckpoint()
+      .materializeRound()
     val wPick = wq.orderBy(col("_mmr_").desc, col(docCol))
     var selected = nrel
       .withColumn("_mmr_", col("_nrel_"))
@@ -148,9 +149,9 @@ object Retrieval {
       .where(col("_rk_") === 1)
       .select(col("query_id"), col(docCol), col("_rel_"),
         lit(1).as("rank"))
-      .localCheckpoint()
+      .materializeRound()
     var remaining = nrel.join(selected.select("query_id", docCol),
-      Seq("query_id", docCol), "left_anti").localCheckpoint()
+      Seq("query_id", docCol), "left_anti").materializeRound()
     for (t <- 2 to k) {
       val selDocs = selected.select(col("query_id"),
         col(docCol).as("_sel_"))
@@ -168,9 +169,9 @@ object Retrieval {
         .where(col("_rk_") === 1)
         .select(col("query_id"), col(docCol), col("_rel_"),
           lit(t).as("rank"))
-      selected = selected.unionByName(picked).localCheckpoint()
+      selected = selected.unionByName(picked).materializeRound()
       remaining = remaining.join(picked.select("query_id", docCol),
-        Seq("query_id", docCol), "left_anti").localCheckpoint()
+        Seq("query_id", docCol), "left_anti").materializeRound()
     }
     selected.select(col("query_id"), col(docCol), col("rank"),
       col("_rel_").as(relFpCol))

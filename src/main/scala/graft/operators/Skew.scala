@@ -71,8 +71,9 @@ object Skew {
     // instead of letting an unsupported type fail obscurely downstream.
     // Normalized EXACTLY the way Spark's own JoinType parse does
     // (case-fold + strip '_'), so every alias spelling Spark accepts
-    // passes here and nothing Spark would reject sneaks past
-    require(Seq("inner", "left", "leftouter", "leftsemi", "leftanti")
+    // passes here and nothing Spark would reject sneaks past; "semi" and
+    // "anti" are Spark's bare aliases for leftsemi/leftanti
+    require(Seq("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
       .contains(joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")),
       s"hotColdJoin supports fact-preserving joins " +
         s"(inner/left/left_outer/left_semi/left_anti), not $joinType")

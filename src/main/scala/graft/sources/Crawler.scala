@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+import graft.operators.Materialize.MaterializeOps
 
 /** Iterative frontier crawler re-expressed as a Spark program (reference
   * SURVEY §2.1 web crawler source; reference `net2demy` fetch loop).
@@ -17,13 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructTyp
   * Scale story (100 TB / billions of pages):
   *  - frontier and visited sets live in executors; the driver holds only a
   *    per-level row count (needed for the page budget / early exit).
-  *  - each level is `localCheckpoint`ed: the plan never grows with depth
-  *    (the flattenHierarchy lesson — VERDICT W3), and the early-exit count
-  *    reads the materialized level, never recomputing lineage. Tradeoff:
-  *    localCheckpoint blocks are unreplicated executor storage — an executor
-  *    loss mid-crawl loses the level. For long production crawls set
-  *    `spark.sparkContext.setCheckpointDir` and swap in reliable
-  *    `checkpoint()` (one extra FS write per level buys restartability).
+  *  - each level is materialized via [[graft.operators.Materialize]]: the
+  *    plan never grows with depth (the flattenHierarchy lesson — VERDICT
+  *    W3), and the early-exit count reads the materialized level, never
+  *    recomputing lineage. Locally that is `localCheckpoint` (unreplicated
+  *    executor blocks — an executor loss mid-crawl loses the level); for
+  *    long production crawls set `spark.sparkContext.setCheckpointDir`
+  *    and the SAME code takes reliable `checkpoint()` per level (one extra
+  *    FS write per level buys restartability — no code change needed).
   *  - politeness / fetch fan-out is per-partition inside the Fetcher;
   *    `repartition(url)` before fetch spreads hot hosts.
   */
@@ -94,7 +96,7 @@ object Crawler {
   def crawl(seeds: DataFrame, fetcher: Fetcher, maxDepth: Int,
             maxPages: Long = Long.MaxValue): DataFrame = {
     var frontier = seeds.select(col("url").cast(StringType)).distinct()
-      .localCheckpoint()
+      .materializeRound()
     var levels = List.empty[DataFrame]
     // the visited set is the UNION OF FRONTIER CHECKPOINTS, never a fresh
     // per-level copy (round 17): re-checkpointing visited ∪ next each
@@ -112,14 +114,14 @@ object Crawler {
       val page = fetcher.fetch(frontier)
         .withColumn("depth", lit(depth))
         .select("url", "depth", "content", "links")
-        .localCheckpoint() // eager: truncates lineage, makes count() free
+        .materializeRound() // eager: truncates lineage, makes count() free
       levels ::= page
       fetched += page.count()
       if (depth < maxDepth && fetched < maxPages) {
         val next = page.select(explode_outer(col("links")).as("url"))
           .where(col("url").isNotNull).distinct()
           .join(visitedParts.reduce(_ unionByName _), Seq("url"), "left_anti")
-          .localCheckpoint()
+          .materializeRound()
         if (next.isEmpty) done = true // reads the checkpoint, no recompute
         else {
           visitedParts ::= next
