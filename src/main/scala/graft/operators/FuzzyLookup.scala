@@ -45,6 +45,49 @@ import graft.functions.TextKernels
   */
 object FuzzyLookup {
 
+  /** Projected-candidate bound for the in-plan explosion guard (round 18 —
+    * the r16 sf1 soak measured the maxDfRatio=1.0 / small-vocab shape
+    * scaling as left×right by construction; round 17 added the observe
+    * metric, this makes the failure a named raise instead of a hang a
+    * caller must notice in a metrics stream). Same order as the ANN
+    * exact-lane bound ([[Similarity.BruteForcePairBound]]): 2^27 candidate
+    * rows is far above every gated query and healthy gazetteer lookup, and
+    * far below where the candidate equi-join becomes an effective hang. */
+  val CandidatePairBound: Long = 1L << 27
+
+  /** Sizing companion for the candidate guard (the [[Similarity.autoBits]]
+    * / `autoK` convention): the largest `maxDfRatio` that keeps the
+    * projected exact-candidate volume under `pairBound` even in the
+    * adversarial case where EVERY left token hits a maximal-df right
+    * token — Σ_t leftDf·rightDf <= leftTokens · (ratio · rightRows), so
+    * ratio = pairBound / (leftTokens · rightRows). Clamped to
+    * [1/rightRows, 1]: below 1/rightRows every token is pruned (df >= 1
+    * by construction) and the lookup matches nothing.
+    *
+    * @param rightRows  right-side (catalog) row count
+    * @param leftTokens total post-stopword token count over the DISTINCT
+    *                   left queries (the memoized unit the pipeline pays
+    *                   for) */
+  def autoDfRatio(rightRows: Long, leftTokens: Long,
+                  pairBound: Long = CandidatePairBound): Double = {
+    require(rightRows > 0 && leftTokens > 0,
+      s"autoDfRatio needs positive counts, got rightRows=$rightRows " +
+        s"leftTokens=$leftTokens")
+    math.min(1.0, math.max(1.0 / rightRows,
+      pairBound.toDouble / (leftTokens.toDouble * rightRows.toDouble)))
+  }
+
+  /** Live count of token indexes cached by `releaseIndex = false` calls
+    * in this JVM (see [[Options.releaseIndex]]): each such call persists
+    * one right-side token index that only session cache-clearing frees.
+    * Past [[UnreleasedIndexWarnThreshold]] every further call logs a
+    * named warning — the long-lived-session leak fence (round 18). */
+  private val unreleasedIndexes = new java.util.concurrent.atomic.AtomicLong(0)
+  def unreleasedIndexCount: Long = unreleasedIndexes.get()
+  val UnreleasedIndexWarnThreshold: Long = 8L
+  @transient private lazy val logger =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.FuzzyLookup")
+
   /** @param maxLevDistance 0 = exact-token candidates only; 1-2 enables the
     *                       deletion-variant fuzzy path
     * @param minScore       matches scoring below are dropped (row null-padded)
@@ -92,6 +135,17 @@ object FuzzyLookup {
     *                       so dropping the returned DataFrame releases
     *                       them via the context cleaner, unlike the
     *                       SQL-cache entry this flag exists to scope
+    * @param candidateBound projected-candidate guard (round 18): before
+    *                       the candidate equi-join, one vocabulary-sized
+    *                       probe computes Σ_token leftDf·rightDf over the
+    *                       EXACT join keys (token ++ filterCols) and
+    *                       raises by name past this bound, pointing at
+    *                       `maxDfRatio` / [[FuzzyLookup.autoDfRatio]].
+    *                       The fuzzy lane's deletion-variant join scales
+    *                       the same projection by a bounded per-token
+    *                       variant constant, so the exact projection is
+    *                       the explosion signal for both. <= 0 disables —
+    *                       the explicit quadratic opt-in, never default
     */
   case class Options(
       maxLevDistance: Int = 0,
@@ -109,7 +163,8 @@ object FuzzyLookup {
       topK: Int = 1,
       filterCols: Seq[(String, String)] = Nil,
       tieBreakCol: Option[String] = None,
-      releaseIndex: Boolean = false)
+      releaseIndex: Boolean = false,
+      candidateBound: Long = CandidatePairBound)
 
   /** Per-call suffix for the candidate-volume observe metric — observed
     * metric names must be unique within a single query plan. */
@@ -207,6 +262,56 @@ object FuzzyLookup {
             .drop("_peak_", "_peakpos_")
         } else weighted
       }
+
+    // ---- candidate-volume guard (round 18) --------------------------------
+    // The r16 sf1 soak's fz02 finding: with maxDfRatio = 1.0 on a
+    // low-vocabulary corpus the candidate join IS left×right by
+    // construction — a hang, not a slow query. The r17 observe metric
+    // surfaces it only to callers watching the metrics stream; this probe
+    // raises BY NAME first (the Guards.degenerateBucketProbe recipe,
+    // keyed on token document frequency). Projected volume is computed on
+    // the exact join keys (token ++ filter columns), so a selective
+    // structured filter is credited, not over-counted; both df tables are
+    // vocabulary-sized aggregates over the pinned/persisted token frames,
+    // so the probe costs one cheap job. DECIMAL accumulation: a product
+    // of two row-count-scale dfs would wrap a LONG sum silently
+    // (guard-contract rule 5).
+    if (opts.candidateBound > 0) {
+      val projLeft = leftToks
+        .groupBy(Seq(col("qtok").as("_gtok_")) ++
+          fIdx.map(i => col(s"_qf${i}_")): _*)
+        .agg(count(lit(1)).as("_ldf_"))
+      val projRight = rightIndexed
+        .groupBy(Seq(col("rtok").as("_gtok_")) ++
+          fIdx.map(i => col(s"_rf${i}_").as(s"_qf${i}_")): _*)
+        .agg(count(lit(1)).as("_rdf_"))
+      val keys = Seq("_gtok_") ++ fIdx.map(i => s"_qf${i}_")
+      val proj = projLeft.join(projRight, keys)
+        .agg(coalesce(sum(col("_ldf_").cast("decimal(38,0)") * col("_rdf_")),
+          lit(0).cast("decimal(38,0)")).as("_cand_"),
+          coalesce(sum(col("_ldf_")), lit(0L)).as("_ltoks_"))
+        .collect()(0)
+      val projected = proj.getDecimal(0).toBigInteger
+      if (projected.compareTo(
+          java.math.BigInteger.valueOf(opts.candidateBound)) > 0) {
+        // sizing hint from measured inputs: the probe already knows the
+        // matched left-token volume; the right count is one cached-side
+        // metadata count
+        val nRight = texts.count()
+        val hint = autoDfRatio(math.max(nRight, 1L),
+          math.max(proj.getLong(1), 1L), opts.candidateBound)
+        throw new IllegalArgumentException(
+          s"FuzzyLookup.lookup: projected candidate volume $projected " +
+            s"(sum over join keys of leftTokenDf x rightTokenDf) exceeds " +
+            s"candidateBound=${opts.candidateBound} — the candidate " +
+            s"equi-join would emit that many rows (an effective hang; " +
+            s"the sf1 soak measured this shape at left x right). Lower " +
+            s"maxDfRatio (currently ${opts.maxDfRatio}; " +
+            f"autoDfRatio suggests <= $hint%.6f for these inputs) so " +
+            s"high-document-frequency tokens stop generating candidates, " +
+            s"or accept the cost explicitly with candidateBound <= 0")
+      }
+    }
 
     // ---- candidates: exact inverted-index join ----------------------------
     val acroBoost =
@@ -362,8 +467,23 @@ object FuzzyLookup {
     // only needs `best` and the two pinned id frames, so nothing in the
     // returned plan references rightToks anymore
     val best =
-      if (!opts.releaseIndex) best0
-      else { val b = best0.localCheckpoint(); rightToks.unpersist(); b }
+      if (!opts.releaseIndex) {
+        // leak fence (round 18): each releaseIndex=false call leaves one
+        // persisted token index behind for the session cache to free;
+        // fine for one-shot jobs, a quiet storage leak in long-lived
+        // sessions. Past the threshold every further call warns by name —
+        // the default stays lazy (flipping it would move scoring to call
+        // time for every one-shot caller), the leak just stops being
+        // silent.
+        val n = unreleasedIndexes.incrementAndGet()
+        if (n > UnreleasedIndexWarnThreshold)
+          logger.warn(s"FuzzyLookup.lookup: $n token indexes cached by " +
+            "releaseIndex=false calls in this JVM and never released — " +
+            "long-lived sessions should pass releaseIndex=true (eager " +
+            "bounded top-K materialization, index dropped before return) " +
+            "or clear the session cache between calls")
+        best0
+      } else { val b = best0.localCheckpoint(); rightToks.unpersist(); b }
 
     // ---- stitch the full rows back (left outer ⇒ null padding) ------------
     // Value-based: each left row meets ITS distinct-query row on
