@@ -566,6 +566,14 @@ object Dedup {
           s"transform(sequence(0, ${bands - 1}), b -> array_join(slice(_sig_, b * $rowsPerBand + 1, $rowsPerBand), ','))"))
           .as(Seq("_band_", "_bucket_")))
       .select("_id_", "_band_", "_bucket_")
+      // persisted: THREE consumers re-derive this explode (the probe below
+      // plus both sides of the candidate self-join — their projections
+      // alias _id_ differently, so Catalyst does not reuse the exchange),
+      // and the bucket strings are rebuilt from the cached signatures each
+      // time. One materialization serves all three; the round-18 A/B
+      // measured the un-persisted probe arm at +0.28 s (sf0.1,
+      // interleaved min) — the cost was the re-explode, not the count
+      .persist()
 
     val capped =
       if (maxBucketSize <= 0) banded
@@ -627,23 +635,29 @@ object Dedup {
     def sigsOf(df: DataFrame) = df.select(col(idCol).as("_id_"),
       minhashSig(numHashes, shingleSize)(col(textCol)).as("_sig_"))
       .persist()
+    // persisted like minHashLshPairs' banded frame (round 18): each side's
+    // explode feeds its probe AND its join projection — without the cache
+    // the bucket strings are rebuilt from the cached signatures per
+    // consumer (the A/B-measured probe cost on the pairs lane)
     def bandedOf(s: DataFrame) = s.select(col("_id_"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> array_join(slice(_sig_, b * $rowsPerBand + 1, $rowsPerBand), ','))"))
         .as(Seq("_band_", "_bucket_")))
     val bs = sigsOf(batch)
     val cs = sigsOf(corpus)
-    Guards.degenerateBucketProbe(bandedOf(bs), Seq("_band_", "_bucket_"),
+    val bandedBs = bandedOf(bs).persist()
+    val bandedCs = bandedOf(cs).persist()
+    Guards.degenerateBucketProbe(bandedBs, Seq("_band_", "_bucket_"),
       "minHashLshNewVsCorpus(batch side)", degenerateBucketBound,
       "run exact dedup on the batch first, or pass " +
         "degenerateBucketBound = 0 to accept the cost")
-    Guards.degenerateBucketProbe(bandedOf(cs), Seq("_band_", "_bucket_"),
+    Guards.degenerateBucketProbe(bandedCs, Seq("_band_", "_bucket_"),
       "minHashLshNewVsCorpus(corpus side)", degenerateBucketBound,
       "collapse corpus boilerplate with exact dedup before admission, " +
         "or pass degenerateBucketBound = 0 to accept the cost")
-    val candidates = bandedOf(bs)
+    val candidates = bandedBs
       .select(col("_band_"), col("_bucket_"), col("_id_").as("batch_id"))
-      .join(bandedOf(cs)
+      .join(bandedCs
         .select(col("_band_"), col("_bucket_"), col("_id_").as("corpus_id")),
         Seq("_band_", "_bucket_"))
       .select("batch_id", "corpus_id").distinct()
