@@ -98,11 +98,35 @@ object CopyOnWrite {
     import spark.implicits._
     val t = tagged(spark, dir)
     val keys = batch.select(col(keyCol)).distinct()
+    // ENFORCE the documented key contracts (round 18) — both violations
+    // previously mutated the table silently: duplicate BATCH keys both
+    // land (the "upsert" leaves the base with duplicate keys and which
+    // row "won" is undefined without an order column — use
+    // Temporal.latestState to collapse the batch first); duplicate BASE
+    // keys among matched rows are ALL replaced by one batch row (a
+    // silent dedup side effect on what the caller thought was a log).
+    // Each check is ONE job (count + countDistinct fused), and the
+    // batch-side check runs BEFORE the FIND scan so a bad batch fails
+    // before any base-table work.
+    val bRow = batch.agg(count(lit(1)).as("_n_"),
+      countDistinct(col(keyCol)).as("_k_")).collect().head
+    val (nBatchRows, nBatchKeys) = (bRow.getLong(0), bRow.getLong(1))
+    require(nBatchRows == nBatchKeys,
+      s"mergeInto: batch has $nBatchRows rows but $nBatchKeys distinct " +
+        s"'$keyCol' keys — duplicate batch keys make the upsert " +
+        "order-undefined; collapse the batch (e.g. Temporal.latestState) " +
+        "first")
     val matched = t.join(keys, Seq(keyCol), "left_semi")
     val hits = listHits(spark, dir, matched)
     val nTotal = spark.read.parquet(dir).inputFiles.length.toLong
-    val nUpdated = matched.count()
-    val nInserted = keys.count() - matched.select(keyCol).distinct().count()
+    val mRow = matched.agg(count(lit(1)).as("_n_"),
+      countDistinct(col(keyCol)).as("_k_")).collect().head
+    val (nUpdated, nMatchedKeys) = (mRow.getLong(0), mRow.getLong(1))
+    require(nUpdated == nMatchedKeys,
+      s"mergeInto: $nUpdated base rows match only $nMatchedKeys distinct " +
+        s"'$keyCol' keys — the base is not key-unique (a log, not a " +
+        "keyed table) and the rewrite would silently collapse duplicates")
+    val nInserted = nBatchKeys - nMatchedKeys
     if (hits.nonEmpty) {
       // hit files: keep unmatched rows, take matched rows from the batch
       val hitDf = spark.read.parquet(hits: _*)

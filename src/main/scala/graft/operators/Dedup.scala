@@ -828,7 +828,8 @@ object Dedup {
     * rows that pass and distinct-ing afterwards is recall-safe.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                        n: Int = 3, minJaccard: Double = 0.5,
+                        candidatePairBound: Long = 1L << 27): DataFrame = {
     // tokenize ONCE per row before the gram lambda: with split() inlined in
     // the transform body Catalyst re-evaluates it per gram position —
     // O(tokens²) splits per document, quadratic in document length
@@ -875,6 +876,39 @@ object Dedup {
       posexplode(slice(col("_grams_"), lit(1), col("_plen_")))
         .as(Seq("_p0_", "_gram_")))
       .select(col("_id_"), col("_n_"), (col("_p0_") + 1).as("_p_"), col("_gram_"))
+    // CANDIDATE-VOLUME GUARD (round 18 — the sf10 soak's catch): prefix
+    // filtering is effective only while gram DIVERSITY grows with the
+    // corpus. On a saturated vocabulary (the 100x word-salad soak: fixed
+    // trigram space, df per gram growing linearly with N) every prefix
+    // gram goes hot and the candidate self-join is quadratic BY
+    // CONSTRUCTION — at sf10 it died in SPILL_OUT_OF_MEMORY after an
+    // hour-scale 60 GB spill, which is a hang-class failure, not a slow
+    // query. Projected candidates = sum over prefix grams of prefixDf^2
+    // (the join's exact pre-filter row count, ordered-pair form): one
+    // vocabulary-sized aggregate over the prefix table (derived from the
+    // persisted docs frame), DECIMAL accumulation (df^2 of two
+    // row-count-scale factors would wrap a LONG sum silently). Raise
+    // names the density knobs; the scale path at this density is
+    // minHashLshPairs (near-linear on the same corpus) after an exact
+    // dedup pre-pass. <= 0 disables — the explicit quadratic opt-in.
+    if (candidatePairBound > 0) {
+      val projected = prefixes.groupBy("_gram_")
+        .agg(count(lit(1)).as("_pdf_"))
+        .agg(coalesce(sum(col("_pdf_").cast("decimal(38,0)") * col("_pdf_")),
+          lit(0).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0).toBigInteger
+      require(projected.compareTo(
+          java.math.BigInteger.valueOf(candidatePairBound)) <= 0,
+        s"ngramJaccardPairs: projected candidate volume $projected " +
+          s"(sum over prefix grams of prefixDf^2) exceeds " +
+          s"candidatePairBound=$candidatePairBound — on this corpus the " +
+          "gram vocabulary has saturated and the prefix-filtered " +
+          "self-join is quadratic in the corpus (soak-measured " +
+          "SPILL_OUT_OF_MEMORY at 100x); raise n (more gram diversity), " +
+          "raise minJaccard (shorter prefixes), run exact dedup first, " +
+          "or use minHashLshPairs at this density; candidatePairBound " +
+          "<= 0 accepts the cost")
+    }
     val iMin = ceil(
       (col("_na_") + col("_nb_")) * minJaccard / (1 + minJaccard) - 1e-9)
     val candidates = prefixes

@@ -20,7 +20,16 @@ object DiscreteVectorClassifier {
         (i, m.coefficients.toArray, m.intercept)
       }
       val n = numClasses
+      val dim = weights.headOption.map(_._2.length).getOrElse(0)
       val scoreUdf = udf { (v: Vector) =>
+        // a NULL or wrong-width feature vector used to NPE / AIOOBE four
+        // task retries deep (or silently truncate the dot product when
+        // SHORTER than the trained dim) — fail by name at the first row
+        require(v != null,
+          "DiscreteVectorClassifier.transform: NULL feature vector")
+        require(v.size == dim || weights.isEmpty,
+          s"DiscreteVectorClassifier.transform: feature vector has " +
+            s"${v.size} components but the model was trained on $dim")
         val raw = new Array[Double](n)
         weights.foreach { case (i, w, b) =>
           var s = b
@@ -39,9 +48,25 @@ object DiscreteVectorClassifier {
 
   def fit(df: DataFrame, featuresCol: String, labelVecCol: String,
           parallelism: Int = 4): Model = {
-    val numClasses = df.select(col(labelVecCol)).head()
-      .getAs[Vector](0).size
-    val componentLabel = udf((v: Vector, i: Int) => v(i))
+    val first = df.select(col(labelVecCol)).limit(1).collect()
+    require(first.nonEmpty,
+      "DiscreteVectorClassifier.fit: empty training frame")
+    val firstVec = first.head.getAs[Vector](0)
+    require(firstVec != null,
+      s"DiscreteVectorClassifier.fit: NULL $labelVecCol in the first row")
+    val numClasses = firstVec.size
+    // the first-row probe above sizes the model; EVERY row's label vector
+    // still flows through this udf during each component fit, so a NULL
+    // or wrong-width vector in row N must fail by name here, not as a
+    // bare NPE/IndexOutOfBounds four task retries deep
+    val componentLabel = udf { (v: Vector, i: Int) =>
+      require(v != null,
+        "DiscreteVectorClassifier.fit: NULL label vector")
+      require(v.size == numClasses,
+        s"DiscreteVectorClassifier.fit: label vector has ${v.size} " +
+          s"components, expected $numClasses (sized from the first row)")
+      v(i)
+    }
     val ec = scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(parallelism))
     try {

@@ -71,6 +71,20 @@ object Guards {
     }
   }
 
+  /** Long-id gate for every mix64-keyed admission/sketch operator
+    * (round-18 consolidation — this kernel was hand-rolled three times
+    * across Sampling and Sketch in one diff, the exact drift this object
+    * exists to kill): a NULL or long-uncastable id raises BY NAME. A
+    * NULL hash is never neutral downstream — it wins ascending admission
+    * windows, lands rows in shard NULL, or addresses phantom sketch
+    * registers. */
+  def longIdOrRaise(op: String, idCol: String): Column =
+    when(col(idCol).cast("long").isNotNull, col(idCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$op: NULL or non-numeric id "),
+        coalesce(col(idCol).cast("string"), lit("NULL")),
+        lit(" — rank-encode string ids upstream"))))
+
   /** Bucket size above which an LSH-family pair join is an effective
     * hang, not a slow query: within-bucket candidates are size²/2, so ONE
     * bucket at this bound emits ~5.5e11 pair rows before any distinct.

@@ -54,8 +54,10 @@ object Sampling {
     * layout, decides membership. */
   def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
                     epoch: Long = 0L): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val mixed = df.withColumn("_mx_",
-      mixUdf(col(idCol).cast("long") + lit(epoch * 0x9e3779b97f4a7c15L)))
+      mixUdf(checkedId("shuffleShards", idCol) +
+        lit(epoch * 0x9e3779b97f4a7c15L)))
       .withColumn("shard", pmod(col("_mx_"), lit(numShards.toLong)).cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col("_mx_"), col(idCol))
     mixed.withColumn("ord", (row_number().over(w) - 1).cast("long"))
@@ -72,18 +74,23 @@ object Sampling {
     * training set. Shuffle-free, one scalar hash per row; `fraction` in
     * [0, 1) (1.0 would need the 2⁶³ threshold a signed long can't hold —
     * callers wanting everything skip the filter). */
-  /** Guarded id hash for the split gates: a NULL (or long-uncastable)
-    * id hashes to NULL, the admission predicate goes NULL, and the row
-    * lands in NEITHER the holdout NOR its complement — silently breaking
-    * the documented "complement of a holdout is exactly the training
-    * set" invariant. Fail by name instead. */
+  /** Guarded id cast for every admission/shard hash in this object: a
+    * NULL (or long-uncastable) id hashes to NULL, and a NULL hash is
+    * never neutral — in the `hashSample` family the admission predicate
+    * goes NULL and the row lands in NEITHER the holdout NOR its
+    * complement (breaking the documented "complement of a holdout is
+    * exactly the training set" invariant); in the window-admission
+    * family (`groupSample`/`weightedPrioritySample`/`temperatureMix`) a
+    * NULL hash sorts FIRST ascending, so dirty rows silently WIN
+    * admission ahead of every real row; in [[shuffleShards]] the row
+    * lands in shard NULL. Fail by name instead (round 18 — the same
+    * defect class as the weight guard below). */
+  private def checkedId(op: String, idCol: String) =
+    Guards.longIdOrRaise(op, idCol)
+
   private def idHash(idCol: String, seed: Long) =
-    shiftrightunsigned(mixUdf(
-      when(col(idCol).cast("long").isNotNull, col(idCol).cast("long"))
-        .otherwise(raise_error(concat(
-          lit("hashSample: NULL or non-numeric id "),
-          coalesce(col(idCol).cast("string"), lit("NULL"))))) +
-        lit(seed * 0x9e3779b97f4a7c15L)), 1)
+    shiftrightunsigned(mixUdf(checkedId("hashSample", idCol) +
+      lit(seed * 0x9e3779b97f4a7c15L)), 1)
 
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
                  seed: Long = 0L): DataFrame = {
@@ -162,7 +169,8 @@ object Sampling {
     val admit = Window.partitionBy(groupCol)
       .orderBy(col("priority"), col(idCol))
     df.withColumn("_h_",
-        shiftrightunsigned(mixUdf(col(idCol).cast("long")), 1))
+        shiftrightunsigned(mixUdf(
+          checkedId("weightedPrioritySample", idCol)), 1))
       .withColumn("_w_", wChecked)
       .withColumn("priority", expr("_h_ div _w_"))
       .withColumn("_rk_", row_number().over(admit))
@@ -181,7 +189,7 @@ object Sampling {
                   k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val admit = Window.partitionBy(groupCol)
-      .orderBy(mixUdf(col(idCol).cast("long")), col(idCol))
+      .orderBy(mixUdf(checkedId("groupSample", idCol)), col(idCol))
     df.withColumn("_rk_", row_number().over(admit))
       .where(col("_rk_") <= k)
       .select(df.columns.map(col): _*)
@@ -217,7 +225,7 @@ object Sampling {
             "as bigint)")))
       .select(col(groupCol), col("_quota_"))
     val admit = Window.partitionBy(groupCol)
-      .orderBy(mixUdf(col(idCol)), col(idCol))
+      .orderBy(mixUdf(checkedId("temperatureMix", idCol)), col(idCol))
     df.join(F.broadcast(quotas), Seq(groupCol))
       .withColumn("_rk_", row_number().over(admit))
       .where(col("_rk_") <= col("_quota_"))

@@ -41,11 +41,7 @@ object Sketch {
     // silently inflating the estimate), and DuckDB's NULLS-LAST default
     // would rank the same rows differently — breaking the bit-identical
     // replay contract exactly when dirty data appears
-    shiftrightunsigned(mixUdf(
-      when(col(idCol).cast("long").isNotNull, col(idCol).cast("long"))
-        .otherwise(raise_error(concat(
-          lit("kmv: NULL or non-numeric id "),
-          coalesce(col(idCol).cast("string"), lit("NULL")))))), 1)
+    shiftrightunsigned(mixUdf(Guards.longIdOrRaise("kmv", idCol)), 1)
 
   /** Rank-≤-k + kth-min + estimator over a `(keys…, _h_)` hash table:
     * the shared core of every KMV surface. Appends `n_kept` and
@@ -92,12 +88,30 @@ object Sketch {
     * for FEW groups (sources, partitions, cohorts), not high-cardinality
     * keys. */
   def kmvSetOps(df: DataFrame, groupCol: String, idCol: String,
-                k: Int): DataFrame = {
+                k: Int, maxGroups: Int = 1024): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    // persisted: the hash table feeds the per-group estimate, the group
+    // list (and its probe), and the pair join — without the cache each
+    // consumer re-runs the distinct + mix64 UDF over the full input
     val hashes = df.select(col(groupCol).as("_g_"), hashCol(idCol).as("_h_"))
-      .distinct()
+      .distinct().persist()
     val single = kmvEstimate(hashes, Seq("_g_"), k)
     val groups = hashes.select(col("_g_")).distinct()
+    // "meant for FEW groups" stops being scaladoc here (round 18 — the
+    // guard-as-code convention): the pair join costs ~groups^2/2 x the
+    // hash-table size, so a high-cardinality group key (a per-customer
+    // column instead of a source label) is an effective hang, not a slow
+    // query. The probe reads the cached hash table and its aggregate
+    // output is limit-bounded at the bound itself. <= 0 disables.
+    if (maxGroups > 0) {
+      val lim = math.min(maxGroups.toLong + 1L, Int.MaxValue.toLong).toInt
+      val n = groups.limit(lim).count()
+      require(n <= maxGroups,
+        s"kmvSetOps: more than $maxGroups distinct groups — the unordered-" +
+          "pair sketch union is quadratic in the group count; aggregate " +
+          "to coarser groups first, or pass maxGroups <= 0 to accept the " +
+          "cost")
+    }
     val pairs = groups.select(col("_g_").as("g_a"))
       .crossJoin(groups.select(col("_g_").as("g_b")))
       .where(col("g_a") < col("g_b"))
@@ -216,7 +230,11 @@ object Sketch {
                    p: Int = 12): DataFrame = {
     require(p >= 4 && p <= 18, s"precision p must be in [4,18], got $p")
     val tailBits = 64 - p
-    val h = mixUdf(col(idCol).cast("long"))
+    // same NULL/uncastable-id contract as [[hashCol]] (round 18): a NULL
+    // hash would address register NULL with rho NULL — a phantom register
+    // row the estimator folds in silently, and one DuckDB would never
+    // reproduce. Raise by name instead.
+    val h = mixUdf(Guards.longIdOrRaise("hllRegisters", idCol))
     val tail = h.bitwiseAND(lit((1L << tailBits) - 1L))
     df.select(groupCols.map(col) :+
         shiftrightunsigned(h, tailBits).as("register") :+ tail.as("_t_"): _*)

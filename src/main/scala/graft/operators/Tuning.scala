@@ -18,6 +18,9 @@ object Tuning {
   def assignFolds(df: DataFrame, numFolds: Int, seed: Long,
                   groupByCols: Seq[String] = Nil,
                   foldCol: String = "fold"): DataFrame = {
+    // pmod(x, 0) is NULL with ANSI off — every row would get a NULL fold
+    // and downstream train/test filters silently drop the whole dataset
+    require(numFolds >= 1, s"numFolds must be >= 1, got $numFolds")
     val f =
       if (groupByCols.nonEmpty)
         pmod(hash(groupByCols.map(col) :+ lit(seed): _*), lit(numFolds))
@@ -38,6 +41,7 @@ object Tuning {
     * outside Spark. */
   def assignFoldsStable(df: DataFrame, numFolds: Int, keyCols: Seq[String],
                         seed: Long, foldCol: String = "fold"): DataFrame = {
+    require(numFolds >= 1, s"numFolds must be >= 1, got $numFolds")
     require(keyCols.nonEmpty, "assignFoldsStable needs explicit key columns")
     // concat_ws silently SKIPS nulls, so ('a', NULL) and ('a') would
     // collapse to the same fold key — a collision AND an engine divergence
@@ -60,6 +64,10 @@ object Tuning {
   /** (train, test) pair for one fold index. */
   def trainTest(df: DataFrame, numFolds: Int, fold: Int, seed: Long,
                 groupByCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    // an out-of-range fold index yields an EMPTY test set and a train set
+    // equal to the full data — a silently useless split
+    require(fold >= 0 && fold < numFolds,
+      s"fold must be in [0, $numFolds), got $fold")
     val withFold = assignFolds(df, numFolds, seed, groupByCols)
     (withFold.where(col("fold") =!= fold).drop("fold"),
       withFold.where(col("fold") === fold).drop("fold"))
@@ -143,9 +151,22 @@ object Tuning {
     * subject to the floor, like the reference's `optimize`). */
   def optimizeThreshold(df: DataFrame, scoreCol: String, labelCol: String,
                         target: String = "f1", bins: Int = 500): BinaryMetrics = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    // NaN scores sort ABOVE every real score through least/greatest (NaN
+    // is greatest in Spark), so a scorer's 0/0 failure rows would silently
+    // fill the TOP bin and skew every threshold; a NULL or non-binary
+    // label silently counts as (partial) negative/positive mass. Both are
+    // upstream bugs — raise by name (the perDomainCap contract).
+    val sChecked = Guards.finiteOrRaiseStrict(col(scoreCol), col(scoreCol),
+      Guards.nonFiniteMsg("optimizeThreshold", "score", col(scoreCol)))
+    val yRaw = col(labelCol).cast("double")
+    val yChecked = when(yRaw === 0.0 || yRaw === 1.0, yRaw)
+      .otherwise(raise_error(concat(
+        lit("optimizeThreshold: label must be 0 or 1, got "),
+        coalesce(col(labelCol).cast("string"), lit("NULL")))))
     val hist = df.select(
-        least(greatest(col(scoreCol), lit(0.0)), lit(1.0)).as("s"),
-        col(labelCol).cast("double").as("y"))
+        least(greatest(sChecked, lit(0.0)), lit(1.0)).as("s"),
+        yChecked.as("y"))
       .groupBy(least(floor(col("s") * bins), lit(bins - 1)).as("bin"))
       .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
       .collect()

@@ -137,6 +137,156 @@ class Round18Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](autoDfRatio(0L, 10L))
   }
 
+  // ---- round-18 hardening wave: never-audited operator files ----------
+
+  test("sampling: NULL/non-numeric ids raise by name instead of winning " +
+    "admission or landing in shard NULL") {
+    import graft.operators.Sampling
+    val dirty = Seq((Some(1L), "a"), (None, "a"), (Some(3L), "a"))
+      .toDF("id", "g")
+    def named(f: => Any) = {
+      val e = intercept[Exception](f)
+      assert(e.getMessage.contains("NULL or non-numeric id"), e.getMessage)
+    }
+    named(Sampling.shuffleShards(dirty, "id", 4).collect())
+    named(Sampling.groupSample(dirty, "id", "g", 2).collect())
+    named(Sampling.weightedPrioritySample(
+      dirty.withColumn("w", lit(1L)), "id", "g", "w", 2).collect())
+    named(Sampling.temperatureMix(dirty, "id", "g", 2).collect())
+    // clean data unchanged: the guard is dormant
+    val clean = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("id", "g")
+    assert(Sampling.groupSample(clean, "id", "g", 2).count() == 2)
+    intercept[IllegalArgumentException](
+      Sampling.shuffleShards(clean, "id", 0))
+  }
+
+  test("sketch: hllRegisters raises by name on NULL id; kmvSetOps bounds " +
+    "its quadratic group-pair join") {
+    import graft.operators.Sketch
+    val dirty = Seq((Some(1L), "a"), (None, "a")).toDF("id", "g")
+    val e = intercept[Exception](
+      Sketch.hllRegisters(dirty, Seq("g"), "id").collect())
+    assert(e.getMessage.contains("hllRegisters: NULL or non-numeric id"))
+    // clean lane unchanged
+    val clean = (1L to 100L).map((_, "a")).toDF("id", "g")
+    assert(Sketch.hllRegisters(clean, Seq("g"), "id").count() > 0)
+    // group-cardinality probe: 5 groups pass at default, raise at bound 3
+    val multi = (1L to 50L).map(i => (i, s"g${i % 5}")).toDF("id", "g")
+    assert(Sketch.kmvSetOps(multi, "g", "id", k = 4).count() == 10)
+    val e2 = intercept[IllegalArgumentException](
+      Sketch.kmvSetOps(multi, "g", "id", k = 4, maxGroups = 3))
+    assert(e2.getMessage.contains("maxGroups"))
+    // opt-out still works
+    assert(Sketch.kmvSetOps(multi, "g", "id", k = 4, maxGroups = 0)
+      .count() == 10)
+    // Int.MaxValue must behave as "effectively unbounded", not wrap the
+    // probe's limit negative (self-review finding)
+    assert(Sketch.kmvSetOps(multi, "g", "id", k = 4,
+      maxGroups = Int.MaxValue).count() == 10)
+  }
+
+  test("ngramJaccardPairs candidate guard: raises by name on saturated " +
+    "vocabulary, dormant on the gated shape") {
+    import graft.operators.Dedup
+    // saturated vocab: 60 docs over a 3-word vocabulary — every trigram
+    // is shared by ~all docs, the sf10 failure shape in miniature
+    val salad = (1 to 60).map(i =>
+      (i.toLong, Seq.fill(12)(Seq("a", "b", "c")((i + 1) % 3)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPairs(salad, "text", "doc_id", n = 3,
+        minJaccard = 0.8, candidatePairBound = 100L))
+    assert(e.getMessage.contains("candidatePairBound"))
+    assert(e.getMessage.contains("minHashLshPairs"))
+    // dormant: default bound output == guard-disabled output
+    def run(b: Long) = Dedup.ngramJaccardPairs(salad, "text", "doc_id",
+      n = 3, minJaccard = 0.8, candidatePairBound = b)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run(1L << 27) == run(0L))
+  }
+
+  test("tuning: fold/bin parameter guards + dirty score/label raises") {
+    import graft.operators.Tuning
+    val df = Seq((0.9, 1), (0.2, 0), (0.7, 1)).toDF("s", "y")
+    intercept[IllegalArgumentException](Tuning.assignFolds(df, 0, 7L))
+    intercept[IllegalArgumentException](
+      Tuning.assignFoldsStable(df, 0, Seq("s"), 7L))
+    intercept[IllegalArgumentException](Tuning.trainTest(df, 3, 3, 7L))
+    intercept[IllegalArgumentException](
+      Tuning.optimizeThreshold(df, "s", "y", bins = 1))
+    // clean lane still works end to end
+    val m = Tuning.optimizeThreshold(df, "s", "y")
+    assert(m.tp == 2 && m.fn == 0)
+    val nan = Seq((Double.NaN, 1), (0.2, 0)).toDF("s", "y")
+    val e = intercept[Exception](Tuning.optimizeThreshold(nan, "s", "y"))
+    assert(e.getMessage.contains("non-finite"))
+    val badLabel = Seq((0.9, 2), (0.2, 0)).toDF("s", "y")
+    val e2 = intercept[Exception](Tuning.optimizeThreshold(badLabel, "s", "y"))
+    assert(e2.getMessage.contains("label must be 0 or 1"))
+  }
+
+  test("mergeInto: duplicate batch keys and non-unique base keys raise " +
+    "by name; clean upsert unchanged") {
+    import graft.operators.CopyOnWrite
+    val dir = java.nio.file.Files.createTempDirectory("graft-cow-r18").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    // clean upsert: update k=2, insert k=3
+    val m = CopyOnWrite.mergeInto(spark,
+      dir, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "k", epoch = 1L)
+      .collect().head
+    assert(m.getLong(2) == 1 && m.getLong(3) == 1) // n_updated, n_inserted
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(after == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // duplicate batch keys
+    val e = intercept[IllegalArgumentException](CopyOnWrite.mergeInto(spark,
+      dir, Seq((2L, "x"), (2L, "y")).toDF("k", "v"), "k", epoch = 2L))
+    assert(e.getMessage.contains("duplicate batch keys"))
+    // non-unique base
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-cow-r18b").toString
+    Seq((1L, "a"), (1L, "a2")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir2)
+    val e2 = intercept[IllegalArgumentException](CopyOnWrite.mergeInto(spark,
+      dir2, Seq((1L, "z")).toDF("k", "v"), "k", epoch = 3L))
+    assert(e2.getMessage.contains("not key-unique"))
+  }
+
+  test("discreteVectorClassifier: empty fit and wrong-width vectors " +
+    "raise by name") {
+    import graft.operators.DiscreteVectorClassifier
+    import org.apache.spark.ml.linalg.Vectors
+    val empty = Seq.empty[(org.apache.spark.ml.linalg.Vector,
+      org.apache.spark.ml.linalg.Vector)].toDF("features", "labels")
+    val e = intercept[IllegalArgumentException](
+      DiscreteVectorClassifier.fit(empty, "features", "labels"))
+    assert(e.getMessage.contains("empty training frame"))
+    val train = Seq(
+      (Vectors.dense(1.0, 0.0), Vectors.dense(1.0)),
+      (Vectors.dense(0.0, 1.0), Vectors.dense(0.0)),
+      (Vectors.dense(0.9, 0.1), Vectors.dense(1.0)),
+      (Vectors.dense(0.1, 0.9), Vectors.dense(0.0))).toDF("features", "labels")
+    val model = DiscreteVectorClassifier.fit(train, "features", "labels",
+      parallelism = 1)
+    assert(model.transform(train, "features").count() == 4)
+    val wrong = Seq(Tuple1(Vectors.dense(1.0, 0.0, 0.0))).toDF("features")
+    val e2 = intercept[Exception](
+      model.transform(wrong, "features").collect())
+    assert(e2.getMessage.contains("trained on"))
+    // dirty label vector in a LATER row fails by name during fit, not as
+    // a bare NPE in the executor (self-review finding)
+    val dirtyLater = Seq(
+      (Vectors.dense(1.0, 0.0), Vectors.dense(1.0)),
+      (Vectors.dense(0.0, 1.0), Vectors.dense(0.0, 1.0))
+    ).toDF("features", "labels")
+    val e3 = intercept[Exception](
+      DiscreteVectorClassifier.fit(dirtyLater, "features", "labels",
+        parallelism = 1))
+    val msgs = Iterator.iterate[Throwable](e3)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("label vector has"), msgs.take(500))
+  }
+
   test("releaseIndex fence: unreleased-index counter counts only " +
     "releaseIndex=false calls") {
     import graft.operators.FuzzyLookup
