@@ -53,11 +53,22 @@ case class Model(project: String, name: String, steps: Seq[Step] = Nil,
     var named = namedDataFrames
     var flow = source
     val log = Seq.newBuilder[(String, Long)]
+    // a typo'd stopAfter used to run EVERY step silently (indexWhere = -1
+    // fell through to steps.length) — the opposite of what the caller
+    // asked; fail by name instead
+    stopAfter.foreach(sa => require(steps.exists(_.name == sa),
+      s"Model.run: stopAfter step '$sa' is not in " +
+        s"[${steps.map(_.name).mkString(", ")}]"))
     val upTo = stopAfter.map(sa => steps.indexWhere(_.name == sa) + 1)
       .filter(_ > 0).getOrElse(steps.length)
 
     steps.take(upTo).foreach { s =>
       val t0 = System.nanoTime()
+      // named-input misses say WHICH step wanted WHAT, not a bare
+      // NoSuchElementException key dump
+      s.input.foreach(n => require(named.contains(n),
+        s"Model.run: step '${s.name}' reads named input '$n' but only " +
+          s"[${named.keys.toSeq.sorted.mkString(", ")}] are registered"))
       val in = s.input.map(named(_)).getOrElse(flow)
       val path = if (s.snapshot) snapshotPath(s.name) else None
       val computed = path match {

@@ -13,7 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Checkpoint {
 
-  private val illegal = " ,;{}()\n\t="
+  // '<' and '>' are legal parquet name characters but are escaped anyway
+  // (round 18): they are the escape syntax itself, and a LITERAL column
+  // named like ">>65<<" would pass encode untouched and then be rewritten
+  // to "A" by decode on read — silent name corruption. Escaping both
+  // makes decode(encode(x)) == x for EVERY name: after encoding, '<'/'>'
+  // appear only inside escapes this writer produced.
+  private val illegal = " ,;{}()\n\t=<>"
 
   def encodeName(name: String): String =
     name.flatMap(c => if (illegal.contains(c)) s">>${c.toInt}<<" else c.toString)

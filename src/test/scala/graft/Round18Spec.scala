@@ -287,6 +287,35 @@ class Round18Spec extends AnyFunSuite {
     assert(msgs.contains("label vector has"), msgs.take(500))
   }
 
+  test("checkpoint name escaping: decode(encode(x)) == x for names that " +
+    "LOOK like escapes") {
+    import graft.sources.Checkpoint
+    for (n <- Seq(">>65<<", "a>b", "x<y", "plain", "has space", "a=b",
+      ">>62<<")) {
+      assert(Checkpoint.decodeName(Checkpoint.encodeName(n)) == n, n)
+    }
+    // the round-trip through a real parquet write restores the name
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-name").toString
+    val df = Seq((1L, 2L)).toDF(">>65<<", "b c")
+    val back = Checkpoint.checkpoint(df, s"$dir/t")
+    assert(back.columns.toSet == Set(">>65<<", "b c"))
+  }
+
+  test("model run: unknown stopAfter and missing named input raise by name") {
+    import graft.pipeline.{Model, Step}
+    val m = Model("p", "m")
+      .step("s1", df => df)
+      .step(Step("s2", (df, _) => df, input = Some("side")))
+    val src = Seq(1L).toDF("x")
+    val e = intercept[IllegalArgumentException](
+      m.run(src, stopAfter = Some("nope")))
+    assert(e.getMessage.contains("stopAfter step 'nope'"))
+    val e2 = intercept[IllegalArgumentException](m.run(src))
+    assert(e2.getMessage.contains("named input 'side'"))
+    // clean lane: providing the named input works
+    assert(m.run(src, Map("side" -> src)).df.count() == 1)
+  }
+
   test("releaseIndex fence: unreleased-index counter counts only " +
     "releaseIndex=false calls") {
     import graft.operators.FuzzyLookup
