@@ -173,8 +173,24 @@ object FuzzyLookup {
   private val tokUdf = udf((s: String) => TextKernels.tokenizeWithOffsets(s))
   private val levUdf = udf((a: String, b: String, bound: Int) =>
     TextKernels.boundedLevenshtein(a, b, bound))
+  /** Token length above which the fuzzy lane refuses by name: deletion
+    * variants number ~len^maxDeletes per token, so one 10 kB unbroken
+    * "token" (a base64 blob or minified fragment in a query) allocates
+    * ~5e7 strings inside the UDF — an executor hang, not a slow row.
+    * 512 chars is far above any real word or gazetteer entry and caps
+    * the per-token variant count at ~1.3e5. */
+  val FuzzyTokenLengthBound: Int = 512
+
   private def variantsUdf(maxDel: Int) =
-    udf((s: String) => TextKernels.deletionVariants(s, maxDel))
+    udf((s: String) => {
+      require(s.length <= FuzzyTokenLengthBound,
+        s"FuzzyLookup fuzzy lane: a ${s.length}-char token exceeds the " +
+          s"$FuzzyTokenLengthBound-char bound — deletion variants grow " +
+          "as length^maxLevDistance (an executor hang on blob-like " +
+          "tokens); clean or stopword mega-tokens, or use " +
+          "maxLevDistance = 0 for exact-token candidates")
+      TextKernels.deletionVariants(s, maxDel)
+    })
 
   def lookup(left: DataFrame, queryCol: String, right: DataFrame,
              textCol: String, opts: Options = Options()): DataFrame = {

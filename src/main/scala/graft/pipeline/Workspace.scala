@@ -370,7 +370,8 @@ object Workspace {
     * functionally aligned with the display formula (same granularity),
     * exactly as in the reference's month fields. */
   def runReport(model: WsModel, reportName: String,
-                mounted: Map[String, DataFrame]): DataFrame = {
+                mounted: Map[String, DataFrame],
+                maxLegendValues: Int = 10000): DataFrame = {
     val report = model.reports.find(_.name == reportName).getOrElse(
       throw new IllegalArgumentException(s"unknown report '$reportName' " +
         s"(have: ${model.reports.map(_.name).mkString(", ")})"))
@@ -410,9 +411,21 @@ object Workspace {
           "a legend report takes exactly one measure (the chart contract)")
         val m = report.measures.head
         val legendCol = fieldExpr(table, legendField, columns).cast("string")
+        // limit-bounded legend collect (round 18): a legend bound to a
+        // high-cardinality field (an id column instead of a category)
+        // would otherwise collect millions of strings to the driver and
+        // then plan a same-width pivot — OOM before any named error.
+        // 10000 is Spark's own spark.sql.pivotMaxValues default; the
+        // probe never fetches more than bound+1 rows.
+        val maxLegend = maxLegendValues
         val values = filtered.select(legendCol.as("_lv_"))
           .where(col("_lv_").isNotNull).distinct()
+          .limit(maxLegend + 1)
           .collect().map(_.getString(0)).sorted.toSeq
+        require(values.size <= maxLegend,
+          s"legend field '$legendField' has more than $maxLegend distinct " +
+            "values — a pivot that wide is an id column bound as a " +
+            "legend, not a chart series; bind a categorical field")
         require(values.nonEmpty, s"legend field '$legendField' has no values")
         // a legend value that collides with an axis output column would
         // yield a duplicate name after the pivot — fail as a named

@@ -301,6 +301,44 @@ class Round18Spec extends AnyFunSuite {
     assert(back.columns.toSet == Set(">>65<<", "b c"))
   }
 
+  test("fuzzy lane: a blob-like mega-token raises by name; normal fuzzy " +
+    "lookups unchanged") {
+    import graft.operators.FuzzyLookup
+    val blob = "x" * 600
+    val left = Seq(s"alpha $blob").toDF("q")
+    val right = Seq("alpha one").toDF("text")
+    val e = intercept[Exception](FuzzyLookup.lookup(left, "q", right, "text",
+      FuzzyLookup.Options(maxLevDistance = 1)).collect())
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("char token exceeds"), msgs.take(300))
+    // dormant: the same lookup with normal tokens still fuzzes
+    // ("alphx" ~ "alpha" is one substitution — inside maxLevDistance = 1)
+    val ok = FuzzyLookup.lookup(Seq("alphx").toDF("q"), "q", right, "text",
+      FuzzyLookup.Options(maxLevDistance = 1)).collect()
+    assert(ok.length == 1 && ok.head.getAs[String]("text") == "alpha one")
+  }
+
+  test("workspace legend: an id-cardinality legend raises by name, a " +
+    "categorical legend still pivots") {
+    import graft.pipeline.Workspace
+    import graft.pipeline.Workspace._
+    val model = WsModel(Nil,
+      Seq(WsTable("T", "", Seq(
+        WsField("g", "string", "g", None, None, None, None),
+        WsField("l", "string", "l", None, None, None, None),
+        WsField("v", "bigint", "v", None, None, None, None)))),
+      Seq(WsReport("r", "T", Seq("g"), Seq(WsMeasure("v", "sum")),
+        None, Some("l"))))
+    val data = (1 to 50).map(i => ("a", s"l$i", i.toLong)).toDF("g", "l", "v")
+    val e = intercept[IllegalArgumentException](
+      Workspace.runReport(model, "r", Map("T" -> data),
+        maxLegendValues = 10))
+    assert(e.getMessage.contains("distinct"))
+    assert(Workspace.runReport(model, "r", Map("T" -> data)).count() == 1)
+  }
+
   test("model run: unknown stopAfter and missing named input raise by name") {
     import graft.pipeline.{Model, Step}
     val m = Model("p", "m")
