@@ -109,8 +109,15 @@ object CopyOnWrite {
     // batch-side check runs BEFORE the FIND scan so a bad batch fails
     // before any base-table work.
     val bRow = batch.agg(count(lit(1)).as("_n_"),
-      countDistinct(col(keyCol)).as("_k_")).collect().head
+      countDistinct(col(keyCol)).as("_k_"),
+      count(when(col(keyCol).isNull, 1)).as("_nn_")).collect().head
     val (nBatchRows, nBatchKeys) = (bRow.getLong(0), bRow.getLong(1))
+    // countDistinct ignores NULLs, so a NULL key would otherwise be
+    // misdiagnosed as "duplicate batch keys" — a remedy loop the caller
+    // cannot escape; name the real defect first
+    require(bRow.getLong(2) == 0,
+      s"mergeInto: ${bRow.getLong(2)} batch row(s) have a NULL '$keyCol' " +
+        "key — an upsert key must be present; filter or repair them")
     require(nBatchRows == nBatchKeys,
       s"mergeInto: batch has $nBatchRows rows but $nBatchKeys distinct " +
         s"'$keyCol' keys — duplicate batch keys make the upsert " +

@@ -622,7 +622,15 @@ object Dedup {
     * SELF-DEFENDING (round 17): per-key candidate volume is
     * batch-bucket × corpus-bucket, so an eager probe on EACH side raises
     * by name when any bucket exceeds `degenerateBucketBound` (2^20) —
-    * see [[minHashLshPairs]]; `<= 0` opts out. */
+    * see [[minHashLshPairs]]; `<= 0` opts out.
+    *
+    * Cache lifecycle (round 18): each call persists four frames
+    * (signatures + banded buckets per side) that the returned lazy plan
+    * references, so they live until the session clears its cache — the
+    * [[FuzzyLookup.Options.releaseIndex]]-class contract. A long-lived
+    * per-batch admission loop should persist the CORPUS side once
+    * outside the loop (the scaladoc's production pattern) and clear the
+    * session cache between batches. */
   def minHashLshNewVsCorpus(batch: DataFrame, corpus: DataFrame,
                             textCol: String, idCol: String,
                             numHashes: Int = 64, bands: Int = 16,
@@ -827,9 +835,13 @@ object Dedup {
     * fail (each row's bound majorizes the true overlap), so keeping
     * rows that pass and distinct-ing afterwards is recall-safe.
     */
-  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, minJaccard: Double = 0.5,
-                        candidatePairBound: Long = 1L << 27): DataFrame = {
+  /** The docs/prefix pipeline shared by [[ngramJaccardPairs]] and
+    * [[ngramCandidateVolume]] — factoring it keeps the guard's measured
+    * statistic aligned with the operator's actual prefix logic by
+    * construction (round-18 self-review). Returns the persisted per-doc
+    * gram table (_id_, _grams_, _n_, _plen_). */
+  private def ngramDocsTable(df: DataFrame, textCol: String, idCol: String,
+                             n: Int, minJaccard: Double): DataFrame = {
     // tokenize ONCE per row before the gram lambda: with split() inlined in
     // the transform body Catalyst re-evaluates it per gram position —
     // O(tokens²) splits per document, quadratic in document length
@@ -866,16 +878,41 @@ object Dedup {
       .withColumn("_plen_",
         (col("_n_") - ceil(col("_n_") * minJaccard - 1e-9) + 1).cast("int"))
       .persist()
+    docs
+  }
+
+  /** Prefix rows (one per (doc, prefix gram)) off a [[ngramDocsTable]]. */
+  private def ngramPrefixes(docs: DataFrame): DataFrame = docs
+    .select(col("_id_"), col("_n_"),
+      posexplode(slice(col("_grams_"), lit(1), col("_plen_")))
+        .as(Seq("_p0_", "_gram_")))
+    .select(col("_id_"), col("_n_"), (col("_p0_") + 1).as("_p_"),
+      col("_gram_"))
+
+  /** The candidate-volume statistic [[ngramJaccardPairs]]' guard measures:
+    * Σ over prefix grams of prefixDf² — the exact pre-filter row count of
+    * the prefix self-join. Public so bounds are measured against the SAME
+    * pipeline the operator runs (harness meters call this instead of
+    * copy-pasting the prefix logic). */
+  def ngramCandidateVolume(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 3,
+                           minJaccard: Double = 0.5): java.math.BigInteger = {
+    val docs = ngramDocsTable(df, textCol, idCol, n, minJaccard)
+    try Guards.projectedSelfJoinVolume(ngramPrefixes(docs), Seq("_gram_"))
+    finally docs.unpersist()
+  }
+
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5,
+                        candidatePairBound: Long = 1L << 27): DataFrame = {
+    val docs = ngramDocsTable(df, textCol, idCol, n, minJaccard)
     // candidate generation on ids only — the gram arrays join in AFTER the
     // distinct, so the (potentially wide) candidate shuffle carries two
     // longs per row, not two full arrays. Prefix rows carry (pos, n) — two
     // ints — so the length + positional filters (scaladoc) prune BEFORE
     // the distinct; on the sf0.1 word-salad corpus this drops ~40% of
     // candidate rows for two integer comparisons each.
-    val prefixes = docs.select(col("_id_"), col("_n_"),
-      posexplode(slice(col("_grams_"), lit(1), col("_plen_")))
-        .as(Seq("_p0_", "_gram_")))
-      .select(col("_id_"), col("_n_"), (col("_p0_") + 1).as("_p_"), col("_gram_"))
+    val prefixes = ngramPrefixes(docs)
     // CANDIDATE-VOLUME GUARD (round 18 — the sf10 soak's catch): prefix
     // filtering is effective only while gram DIVERSITY grows with the
     // corpus. On a saturated vocabulary (the 100x word-salad soak: fixed
@@ -892,11 +929,7 @@ object Dedup {
     // minHashLshPairs (near-linear on the same corpus) after an exact
     // dedup pre-pass. <= 0 disables — the explicit quadratic opt-in.
     if (candidatePairBound > 0) {
-      val projected = prefixes.groupBy("_gram_")
-        .agg(count(lit(1)).as("_pdf_"))
-        .agg(coalesce(sum(col("_pdf_").cast("decimal(38,0)") * col("_pdf_")),
-          lit(0).cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0).toBigInteger
+      val projected = Guards.projectedSelfJoinVolume(prefixes, Seq("_gram_"))
       require(projected.compareTo(
           java.math.BigInteger.valueOf(candidatePairBound)) <= 0,
         s"ngramJaccardPairs: projected candidate volume $projected " +

@@ -141,11 +141,12 @@ object FuzzyLookup {
     *                       EXACT join keys (token ++ filterCols) and
     *                       raises by name past this bound, pointing at
     *                       `maxDfRatio` / [[FuzzyLookup.autoDfRatio]].
-    *                       The fuzzy lane's deletion-variant join scales
-    *                       the same projection by a bounded per-token
-    *                       variant constant, so the exact projection is
-    *                       the explosion signal for both. <= 0 disables —
-    *                       the explicit quadratic opt-in, never default
+    *                       The fuzzy lane (maxLevDistance > 0) runs a
+    *                       second probe of its own on the deletion-
+    *                       variant join keys — variant collisions can
+    *                       explode even when exact token sets are
+    *                       disjoint. <= 0 disables both — the explicit
+    *                       quadratic opt-in, never default
     */
   case class Options(
       maxLevDistance: Int = 0,
@@ -293,29 +294,21 @@ object FuzzyLookup {
     // of two row-count-scale dfs would wrap a LONG sum silently
     // (guard-contract rule 5).
     if (opts.candidateBound > 0) {
-      val projLeft = leftToks
-        .groupBy(Seq(col("qtok").as("_gtok_")) ++
-          fIdx.map(i => col(s"_qf${i}_")): _*)
-        .agg(count(lit(1)).as("_ldf_"))
-      val projRight = rightIndexed
-        .groupBy(Seq(col("rtok").as("_gtok_")) ++
-          fIdx.map(i => col(s"_rf${i}_").as(s"_qf${i}_")): _*)
-        .agg(count(lit(1)).as("_rdf_"))
-      val keys = Seq("_gtok_") ++ fIdx.map(i => s"_qf${i}_")
-      val proj = projLeft.join(projRight, keys)
-        .agg(coalesce(sum(col("_ldf_").cast("decimal(38,0)") * col("_rdf_")),
-          lit(0).cast("decimal(38,0)")).as("_cand_"),
-          coalesce(sum(col("_ldf_")), lit(0L)).as("_ltoks_"))
-        .collect()(0)
-      val projected = proj.getDecimal(0).toBigInteger
+      val projected = Guards.projectedJoinVolume(
+        leftToks.select(Seq(col("qtok").as("_gtok_")) ++
+          fIdx.map(i => col(s"_qf${i}_")): _*),
+        rightIndexed.select(Seq(col("rtok").as("_gtok_")) ++
+          fIdx.map(i => col(s"_rf${i}_").as(s"_qf${i}_")): _*),
+        Seq("_gtok_") ++ fIdx.map(i => s"_qf${i}_"))
       if (projected.compareTo(
           java.math.BigInteger.valueOf(opts.candidateBound)) > 0) {
-        // sizing hint from measured inputs: the probe already knows the
-        // matched left-token volume; the right count is one cached-side
-        // metadata count
+        // sizing hint from measured inputs, computed on the raise path
+        // only: the right count reads cached-side metadata, the left
+        // token volume one aggregate over the pinned distinct queries
         val nRight = texts.count()
+        val nLeftToks = leftToks.count()
         val hint = autoDfRatio(math.max(nRight, 1L),
-          math.max(proj.getLong(1), 1L), opts.candidateBound)
+          math.max(nLeftToks, 1L), opts.candidateBound)
         throw new IllegalArgumentException(
           s"FuzzyLookup.lookup: projected candidate volume $projected " +
             s"(sum over join keys of leftTokenDf x rightTokenDf) exceeds " +
@@ -353,6 +346,31 @@ object FuzzyLookup {
         val vu = variantsUdf(opts.maxLevDistance)
         val lv = leftToks.withColumn("_var_", explode(vu(col("qtok"))))
         val rv = rightIndexed.withColumn("_var_", explode(vu(col("rtok"))))
+        // the fuzzy lane gets its OWN volume probe (round-18 self-review
+        // catch): the exact-key projection above is blind to explosions
+        // that arrive only through shared deletion VARIANTS (disjoint
+        // token sets whose variants all collide — e.g. serial-number
+        // vocabularies differing in one char), so the guard must project
+        // on the keys this join actually hashes on. Same knobs, same
+        // opt-out; cost is one variant-keyed aggregate pair over the
+        // vocabulary-sized token tables.
+        if (opts.candidateBound > 0) {
+          val projectedF = Guards.projectedJoinVolume(
+            lv.select(Seq(col("_var_")) ++
+              fIdx.map(i => col(s"_qf${i}_")): _*),
+            rv.select(Seq(col("_var_")) ++
+              fIdx.map(i => col(s"_rf${i}_").as(s"_qf${i}_")): _*),
+            Seq("_var_") ++ fIdx.map(i => s"_qf${i}_"))
+          require(projectedF.compareTo(
+              java.math.BigInteger.valueOf(opts.candidateBound)) <= 0,
+            s"FuzzyLookup.lookup: projected FUZZY candidate volume " +
+              s"$projectedF (sum over deletion-variant keys of left x " +
+              s"right occurrence counts) exceeds candidateBound=" +
+              s"${opts.candidateBound} — the variant join would emit " +
+              "that many rows before Levenshtein verification (an " +
+              "effective hang); lower maxDfRatio, lower maxLevDistance, " +
+              "or accept the cost explicitly with candidateBound <= 0")
+        }
         val fuzzyFilter = fIdx.foldLeft(col("qtok") =!= col("rtok")) {
           (c, i) => c && col(s"_qf${i}_") === col(s"_rf${i}_")
         }

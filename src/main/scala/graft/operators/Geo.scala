@@ -111,6 +111,20 @@ object Geo {
     val cellBound = 1000000L
     def axisCells(lo: String, hi: String) =
       least(floor(col(hi) / cs) - floor(col(lo) / cs) + 1, lit(cellBound + 1))
+    // inverted bboxes (max < min) are corrupt geometry and must raise BY
+    // NAME here (round-18 self-review): a negative axis count slips the
+    // upper clamp, two large negatives can overflow the product past the
+    // guard, and Spark's sequence() STEPS DOWNWARD for max < min, so the
+    // explode below would still fan out |span| cells the probe never saw
+    val inverted = polygons
+      .agg(max(when(col("maxX") < col("minX") ||
+        col("maxY") < col("minY"), 1).otherwise(0)))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
+      .getOrElse(0)
+    require(inverted == 0,
+      "Geo.pointInPolygonJoin: polygon with an inverted bbox " +
+        "(maxX < minX or maxY < minY) — corrupt geometry; fix the bbox " +
+        "columns (withBbox recomputes them from the ring)")
     val maxCells = polygons
       .agg(max(axisCells("minX", "maxX") * axisCells("minY", "maxY")))
       .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))

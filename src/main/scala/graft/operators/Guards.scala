@@ -74,16 +74,56 @@ object Guards {
   /** Long-id gate for every mix64-keyed admission/sketch operator
     * (round-18 consolidation — this kernel was hand-rolled three times
     * across Sampling and Sketch in one diff, the exact drift this object
-    * exists to kill): a NULL or long-uncastable id raises BY NAME. A
-    * NULL hash is never neutral downstream — it wins ascending admission
-    * windows, lands rows in shard NULL, or addresses phantom sketch
-    * registers. */
-  def longIdOrRaise(op: String, idCol: String): Column =
-    when(col(idCol).cast("long").isNotNull, col(idCol).cast("long"))
-      .otherwise(raise_error(concat(
-        lit(s"$op: NULL or non-numeric id "),
-        coalesce(col(idCol).cast("string"), lit("NULL")),
-        lit(" — rank-encode string ids upstream"))))
+    * exists to kill): a NULL, non-numeric, or NON-INTEGRAL id raises BY
+    * NAME. A NULL hash is never neutral downstream — it wins ascending
+    * admission windows, lands rows in shard NULL, or addresses phantom
+    * sketch registers — and a bare cast("long") would silently FLOOR a
+    * fractional id (1.1 and 1.9 hash identically — correlated samples,
+    * undercounting sketches) and map NaN to 0 (guard-contract rule: no
+    * non-finite value reaches a bigint cast). Schema-aware like
+    * [[integralLongCol]]: already-integral columns only null-check (the
+    * round-trip would falsely reject snowflake-scale longs past 2^53). */
+  def longIdOrRaise(df: DataFrame, idCol: String, op: String): Column = {
+    import org.apache.spark.sql.types._
+    val base = col(idCol).cast("long")
+    val ok = df.select(col(idCol)).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => base.isNotNull
+      case _ => base.isNotNull &&
+        col(idCol).cast("double") === base.cast("double") &&
+        col(idCol).cast("decimal(38,18)") === base.cast("decimal(38,18)")
+    }
+    when(ok, base).otherwise(raise_error(concat(
+      lit(s"$op: NULL, non-numeric or non-integral id "),
+      coalesce(col(idCol).cast("string"), lit("NULL")),
+      lit(" — rank-encode string ids upstream, quantize fractional ones"))))
+  }
+
+  /** Projected equi-join OUTPUT volume: Σ over distinct `keys` tuples of
+    * leftOccurrences × rightOccurrences — the exact pre-filter row count
+    * of `left.join(right, keys)`. Two vocabulary-sized aggregates + one
+    * key-sized join; DECIMAL accumulation (a product of two
+    * row-count-scale counts would wrap a LONG sum silently —
+    * guard-contract rule 5). The shared plumbing of the round-18
+    * candidate-volume probes (FuzzyLookup exact + fuzzy lanes,
+    * ngramJaccardPairs) — callers own their bespoke raise messages. */
+  def projectedJoinVolume(left: DataFrame, right: DataFrame,
+                          keys: Seq[String]): java.math.BigInteger = {
+    val l = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_lc_"))
+    val r = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_rc_"))
+    l.join(r, keys)
+      .agg(coalesce(sum(col("_lc_").cast("decimal(38,0)") * col("_rc_")),
+        lit(0).cast("decimal(38,0)")))
+      .collect()(0).getDecimal(0).toBigInteger
+  }
+
+  /** Self-join form of [[projectedJoinVolume]]: Σ over keys of count² —
+    * one aggregate instead of two plus a join. */
+  def projectedSelfJoinVolume(keyed: DataFrame,
+                              keys: Seq[String]): java.math.BigInteger =
+    keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_c_"))
+      .agg(coalesce(sum(col("_c_").cast("decimal(38,0)") * col("_c_")),
+        lit(0).cast("decimal(38,0)")))
+      .collect()(0).getDecimal(0).toBigInteger
 
   /** Bucket size above which an LSH-family pair join is an effective
     * hang, not a slow query: within-bucket candidates are size²/2, so ONE

@@ -56,7 +56,7 @@ object Sampling {
                     epoch: Long = 0L): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val mixed = df.withColumn("_mx_",
-      mixUdf(checkedId("shuffleShards", idCol) +
+      mixUdf(checkedId(df, "shuffleShards", idCol) +
         lit(epoch * 0x9e3779b97f4a7c15L)))
       .withColumn("shard", pmod(col("_mx_"), lit(numShards.toLong)).cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col("_mx_"), col(idCol))
@@ -85,18 +85,18 @@ object Sampling {
     * admission ahead of every real row; in [[shuffleShards]] the row
     * lands in shard NULL. Fail by name instead (round 18 — the same
     * defect class as the weight guard below). */
-  private def checkedId(op: String, idCol: String) =
-    Guards.longIdOrRaise(op, idCol)
+  private def checkedId(df: DataFrame, op: String, idCol: String) =
+    Guards.longIdOrRaise(df, idCol, op)
 
-  private def idHash(idCol: String, seed: Long) =
-    shiftrightunsigned(mixUdf(checkedId("hashSample", idCol) +
+  private def idHash(df: DataFrame, idCol: String, seed: Long) =
+    shiftrightunsigned(mixUdf(checkedId(df, "hashSample", idCol) +
       lit(seed * 0x9e3779b97f4a7c15L)), 1)
 
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
                  seed: Long = 0L): DataFrame = {
     require(fraction >= 0.0 && fraction < 1.0, "fraction in [0, 1)")
     val thr = (fraction * 9223372036854775808.0).toLong
-    df.where(idHash(idCol, seed) < lit(thr))
+    df.where(idHash(df, idCol, seed) < lit(thr))
   }
 
   /** Stratified [[hashSample]]: a per-group keep fraction (downsample web
@@ -120,7 +120,7 @@ object Sampling {
       case (acc, (g, f)) =>
         when(col(groupCol) === lit(g), lit(thr(f))).otherwise(acc)
     }
-    df.where(idHash(idCol, seed) < thrCol)
+    df.where(idHash(df, idCol, seed) < thrCol)
   }
 
   /** Exact-k WEIGHTED sample without replacement per group — the
@@ -170,7 +170,7 @@ object Sampling {
       .orderBy(col("priority"), col(idCol))
     df.withColumn("_h_",
         shiftrightunsigned(mixUdf(
-          checkedId("weightedPrioritySample", idCol)), 1))
+          checkedId(df, "weightedPrioritySample", idCol)), 1))
       .withColumn("_w_", wChecked)
       .withColumn("priority", expr("_h_ div _w_"))
       .withColumn("_rk_", row_number().over(admit))
@@ -189,7 +189,7 @@ object Sampling {
                   k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val admit = Window.partitionBy(groupCol)
-      .orderBy(mixUdf(checkedId("groupSample", idCol)), col(idCol))
+      .orderBy(mixUdf(checkedId(df, "groupSample", idCol)), col(idCol))
     df.withColumn("_rk_", row_number().over(admit))
       .where(col("_rk_") <= k)
       .select(df.columns.map(col): _*)
@@ -225,7 +225,7 @@ object Sampling {
             "as bigint)")))
       .select(col(groupCol), col("_quota_"))
     val admit = Window.partitionBy(groupCol)
-      .orderBy(mixUdf(checkedId("temperatureMix", idCol)), col(idCol))
+      .orderBy(mixUdf(checkedId(df, "temperatureMix", idCol)), col(idCol))
     df.join(F.broadcast(quotas), Seq(groupCol))
       .withColumn("_rk_", row_number().over(admit))
       .where(col("_rk_") <= col("_quota_"))

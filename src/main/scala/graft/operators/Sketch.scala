@@ -35,13 +35,13 @@ object Sketch {
     * is deterministic so Catalyst neither re-executes nor reorders it. */
   private val mixUdf = udf { (x: Long) => graft.functions.TextKernels.mix64(x) }
 
-  private def hashCol(idCol: String) =
+  private def hashCol(df: DataFrame, idCol: String) =
     // NULL (or long-uncastable) ids must fail by NAME: a null hash sorts
     // FIRST in the KMV rank window (displacing the true k-th minimum and
     // silently inflating the estimate), and DuckDB's NULLS-LAST default
     // would rank the same rows differently — breaking the bit-identical
     // replay contract exactly when dirty data appears
-    shiftrightunsigned(mixUdf(Guards.longIdOrRaise("kmv", idCol)), 1)
+    shiftrightunsigned(mixUdf(Guards.longIdOrRaise(df, idCol, "kmv")), 1)
 
   /** Rank-≤-k + kth-min + estimator over a `(keys…, _h_)` hash table:
     * the shared core of every KMV surface. Appends `n_kept` and
@@ -69,7 +69,7 @@ object Sketch {
   def kmvDistinct(df: DataFrame, groupCol: String, idCol: String,
                   k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val hashes = df.select(col(groupCol), hashCol(idCol).as("_h_")).distinct()
+    val hashes = df.select(col(groupCol), hashCol(df, idCol).as("_h_")).distinct()
     kmvEstimate(hashes, Seq(groupCol), k)
       .select(col(groupCol), col("n_kept"), col("estimate"))
   }
@@ -93,7 +93,7 @@ object Sketch {
     // persisted: the hash table feeds the per-group estimate, the group
     // list (and its probe), and the pair join — without the cache each
     // consumer re-runs the distinct + mix64 UDF over the full input
-    val hashes = df.select(col(groupCol).as("_g_"), hashCol(idCol).as("_h_"))
+    val hashes = df.select(col(groupCol).as("_g_"), hashCol(df, idCol).as("_h_"))
       .distinct().persist()
     val single = kmvEstimate(hashes, Seq("_g_"), k)
     val groups = hashes.select(col("_g_")).distinct()
@@ -234,7 +234,7 @@ object Sketch {
     // hash would address register NULL with rho NULL — a phantom register
     // row the estimator folds in silently, and one DuckDB would never
     // reproduce. Raise by name instead.
-    val h = mixUdf(Guards.longIdOrRaise("hllRegisters", idCol))
+    val h = mixUdf(Guards.longIdOrRaise(df, idCol, "hllRegisters"))
     val tail = h.bitwiseAND(lit((1L << tailBits) - 1L))
     df.select(groupCols.map(col) :+
         shiftrightunsigned(h, tailBits).as("register") :+ tail.as("_t_"): _*)

@@ -417,10 +417,15 @@ object Workspace {
         // then plan a same-width pivot — OOM before any named error.
         // 10000 is Spark's own spark.sql.pivotMaxValues default; the
         // probe never fetches more than bound+1 rows.
-        val maxLegend = maxLegendValues
+        // <= 0 disables (the guard-family opt-out); the probe limit is
+        // overflow-clamped so Int.MaxValue means "effectively unbounded",
+        // not a negative limit
+        val maxLegend =
+          if (maxLegendValues <= 0) Int.MaxValue - 1 else maxLegendValues
+        val lim = math.min(maxLegend.toLong + 1L, Int.MaxValue.toLong).toInt
         val values = filtered.select(legendCol.as("_lv_"))
           .where(col("_lv_").isNotNull).distinct()
-          .limit(maxLegend + 1)
+          .limit(lim)
           .collect().map(_.getString(0)).sorted.toSeq
         require(values.size <= maxLegend,
           s"legend field '$legendField' has more than $maxLegend distinct " +

@@ -146,7 +146,8 @@ class Round18Spec extends AnyFunSuite {
       .toDF("id", "g")
     def named(f: => Any) = {
       val e = intercept[Exception](f)
-      assert(e.getMessage.contains("NULL or non-numeric id"), e.getMessage)
+      assert(e.getMessage.contains("non-numeric or non-integral id"),
+        e.getMessage)
     }
     named(Sampling.shuffleShards(dirty, "id", 4).collect())
     named(Sampling.groupSample(dirty, "id", "g", 2).collect())
@@ -166,7 +167,8 @@ class Round18Spec extends AnyFunSuite {
     val dirty = Seq((Some(1L), "a"), (None, "a")).toDF("id", "g")
     val e = intercept[Exception](
       Sketch.hllRegisters(dirty, Seq("g"), "id").collect())
-    assert(e.getMessage.contains("hllRegisters: NULL or non-numeric id"))
+    assert(e.getMessage.contains(
+      "hllRegisters: NULL, non-numeric or non-integral id"))
     // clean lane unchanged
     val clean = (1L to 100L).map((_, "a")).toDF("id", "g")
     assert(Sketch.hllRegisters(clean, Seq("g"), "id").count() > 0)
@@ -203,6 +205,85 @@ class Round18Spec extends AnyFunSuite {
       n = 3, minJaccard = 0.8, candidatePairBound = b)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(run(1L << 27) == run(0L))
+  }
+
+  test("fuzzy candidate guard: the VARIANT lane raises when exact token " +
+    "sets are disjoint but deletion variants collide") {
+    import graft.operators.FuzzyLookup
+    // serial-number vocabulary: every left token "sn<i>x" and right token
+    // "sn<j>y" is unique (exact projection = 0), but deleting the last
+    // char collides every pair on "sn<i>" only when i == j — so build
+    // them to SHARE the deletable core: left "core<i>a", right "core<i>b"
+    // share variant "core<i>" pairwise; 30 x 30 same-core rows explode
+    val left = (1 to 30).map(i => s"corea q$i").toDF("q")
+    val right = (1 to 30).map(i => s"coreb r$i").toDF("text")
+    val e = intercept[Exception] {
+      FuzzyLookup.lookup(left, "q", right, "text",
+        FuzzyLookup.Options(maxLevDistance = 1, candidateBound = 100L))
+    }
+    assert(e.getMessage.contains("FUZZY candidate volume"), e.getMessage)
+    // dormant at the default bound: identical output to guard-disabled
+    def run(b: Long) = FuzzyLookup.lookup(left, "q", right, "text",
+      FuzzyLookup.Options(maxLevDistance = 1, candidateBound = b))
+      .select(col("q"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(run(FuzzyLookup.CandidatePairBound) == run(0L))
+  }
+
+  test("geo: inverted bbox raises as corrupt geometry by name") {
+    import graft.operators.Geo
+    val pts = Seq((0.5, 0.5)).toDF("x", "y")
+    val poly = Seq((5.0, -5.0, 0.0, 1.0, Seq(0.0, 0.0, 1.0, 0.0, 1.0, 1.0)))
+      .toDF("minX", "maxX", "minY", "maxY", "ring")
+    val e = intercept[IllegalArgumentException](
+      Geo.pointInPolygonJoin(pts, "x", "y", poly, cellSize = 1.0))
+    assert(e.getMessage.contains("inverted bbox"))
+  }
+
+  test("longIdOrRaise: fractional and NaN ids raise instead of silently " +
+    "flooring; snowflake-scale longs pass") {
+    import graft.operators.Sampling
+    val frac = Seq(1.1, 1.9).toDF("id")
+    val e = intercept[Exception](
+      Sampling.shuffleShards(frac, "id", 4).collect())
+    assert(e.getMessage.contains("non-integral"), e.getMessage)
+    val nan = Seq(Double.NaN).toDF("id")
+    intercept[Exception](Sampling.shuffleShards(nan, "id", 4).collect())
+    // integral doubles pass; huge longs (past 2^53) pass via the
+    // schema-aware integral fast path
+    val okD = Seq(3.0, 4.0).toDF("id")
+    assert(Sampling.shuffleShards(okD, "id", 4).count() == 2)
+    val okL = Seq(Long.MaxValue - 1, 9007199254740995L).toDF("id")
+    assert(Sampling.shuffleShards(okL, "id", 4).count() == 2)
+  }
+
+  test("workspace legend opt-out: <= 0 disables the bound and " +
+    "Int.MaxValue does not wrap the probe limit") {
+    import graft.pipeline.Workspace
+    import graft.pipeline.Workspace._
+    val model = WsModel(Nil,
+      Seq(WsTable("T", "", Seq(
+        WsField("g", "string", "g", None, None, None, None),
+        WsField("l", "string", "l", None, None, None, None),
+        WsField("v", "bigint", "v", None, None, None, None)))),
+      Seq(WsReport("r", "T", Seq("g"), Seq(WsMeasure("v", "sum")),
+        None, Some("l"))))
+    val data = (1 to 30).map(i => ("a", s"l$i", i.toLong)).toDF("g", "l", "v")
+    assert(Workspace.runReport(model, "r", Map("T" -> data),
+      maxLegendValues = 0).count() == 1)
+    assert(Workspace.runReport(model, "r", Map("T" -> data),
+      maxLegendValues = Int.MaxValue).count() == 1)
+  }
+
+  test("mergeInto: NULL batch keys are named, not misdiagnosed as " +
+    "duplicates") {
+    import graft.operators.CopyOnWrite
+    val dir = java.nio.file.Files.createTempDirectory("graft-cow-r18c").toString
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val batch = Seq((Some(2L), "b"), (None, "x")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      CopyOnWrite.mergeInto(spark, dir, batch, "k", epoch = 9L))
+    assert(e.getMessage.contains("NULL 'k' key"), e.getMessage)
   }
 
   test("tuning: fold/bin parameter guards + dirty score/label raises") {
