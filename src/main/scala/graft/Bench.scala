@@ -58,9 +58,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // soak-harness override (round 19, VERDICT task 5): at sfN the 32
+    // fixed partitions under-split big shuffles (spill constants read as
+    // slope); scale them with input size in soak runs. Default unchanged
+    // — the artifact-of-record methodology stays partitions == cpus.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -204,6 +210,25 @@ object Bench {
     // query's observations by a full pass (~10 min) makes min-of-N a
     // real noise-floor estimator at zero extra runtime.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2).max(1)
+    // spill gauge (round 19, VERDICT task 5): SPARK_GRAFT_SPILL=1 sums
+    // task-level memory/disk spill via a listener and prints one stderr
+    // line per timed query — distinguishes "linear + fixed partitions
+    // spilling" from a real superlinear term in the soak slopes. Stderr
+    // only; the artifact JSON schema is the driver contract, unchanged.
+    val spillProbe = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0)
+    if (spillProbe) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     // a query that THROWS must not masquerade as a fast query: round 7's
     // artifact recorded 10 event-table queries at 0.05-0.09 s that were
     // actually instant analysis failures (the testdata vintage change),
@@ -218,6 +243,7 @@ object Bench {
         // failure duration into bestT would print a meaningless min= for
         // a query whose artifact time is -1 (r16 ADVICE)
         if (!failedQ(name)) {
+          val (sm0, sd0) = (spillMem.get(), spillDisk.get())
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
@@ -229,6 +255,10 @@ object Bench {
             }
           val dt = (System.nanoTime() - t0) / 1e9
           dropCaches()
+          if (spillProbe)
+            System.err.println(f"[bench-spill] query=$name pass=$pass " +
+              f"time=$dt%.2f memMB=${(spillMem.get() - sm0) >> 20} " +
+              f"diskMB=${(spillDisk.get() - sd0) >> 20}")
           if (ok)
             bestT(name) = math.min(bestT.getOrElse(name, Double.MaxValue), dt)
         }

@@ -99,14 +99,14 @@ object Contamination {
       .select(col(idCol), explode(col("_gs_")).as("_g_"))
       // natural (id, _g_) distinct shuffle: the hot gram's rows spread
       // across the id dimension instead of funneling into one partition.
-      // localCheckpoint(false): both rollups below read this once.
+      // lazy materialization: both rollups below read this once.
       // (Round-15 fused this into ONE gram-keyed exchange feeding a
       // count window — faster at bench scale, but the window partition
       // is unsplittable, so a 10^8-doc boilerplate gram means one task
       // sorting the whole hot key; the two-aggregate form trades one
       // extra exchange for map-side collapse of exactly that key.)
       .distinct()
-      .localCheckpoint(false)
+      .transform(Materialize.lazyRound)
     val perGram = grams.groupBy(col("_g_"))
       .agg(count(lit(1)).as("_docs_"), min(col(idCol)).as("_owner_"))
     // a gram with exactly one distinct doc is UNIQUE to that doc; all of

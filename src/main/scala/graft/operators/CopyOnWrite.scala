@@ -144,12 +144,12 @@ object CopyOnWrite {
         kept.unionByName(updates.select(hitDf.columns.map(col): _*)), epoch)
     }
     // inserts: batch keys that matched NO base row, appended as new
-    // files. Materialized (localCheckpoint) BEFORE the append — the
+    // files. Materialized (Materialize.round) BEFORE the append — the
     // plan reads the directory it is about to write into, and a lazy
     // self-referential write must never re-list mid-append
     val inserts = batch.join(
       spark.read.parquet(dir).select(col(keyCol)).distinct(),
-      Seq(keyCol), "left_anti").localCheckpoint(true)
+      Seq(keyCol), "left_anti").transform(Materialize.round)
     if (!inserts.isEmpty) {
       val cols = spark.read.parquet(dir).columns
       inserts.select(cols.map(col): _*).write.mode("append").parquet(dir)

@@ -939,8 +939,12 @@ object Dedup {
           "self-join is quadratic in the corpus (soak-measured " +
           "SPILL_OUT_OF_MEMORY at 100x); raise n (more gram diversity), " +
           "raise minJaccard (shorter prefixes), run exact dedup first, " +
-          "or use minHashLshPairs at this density; candidatePairBound " +
-          "<= 0 accepts the cost")
+          "or use minHashLshPairs at this density — measured against " +
+          "this lane's exact >=0.8-Jaccard truth at sf1 (50k docs, 341 " +
+          "true pairs, graft.tools.RecallProbe r19) MinHash 64/16 " +
+          "recalls 0.96 at minEstJaccard=0.8 and 1.00 at 0.7, in half " +
+          "the time and near-linearly; candidatePairBound <= 0 accepts " +
+          "the cost")
     }
     val iMin = ceil(
       (col("_na_") + col("_nb_")) * minJaccard / (1 + minJaccard) - 1e-9)

@@ -77,13 +77,21 @@ object FuzzyLookup {
       pairBound.toDouble / (leftTokens.toDouble * rightRows.toDouble)))
   }
 
-  /** Live count of token indexes cached by `releaseIndex = false` calls
-    * in this JVM (see [[Options.releaseIndex]]): each such call persists
-    * one right-side token index that only session cache-clearing frees.
-    * Past [[UnreleasedIndexWarnThreshold]] every further call logs a
-    * named warning — the long-lived-session leak fence (round 18). */
+  /** LIFETIME count of `releaseIndex = false` calls in this JVM (see
+    * [[Options.releaseIndex]]): each such call persists one right-side
+    * token index that only session cache-clearing frees. Past
+    * [[UnreleasedIndexWarnThreshold]] every further call logs a named
+    * warning — the long-lived-session leak fence (round 18). The counter
+    * cannot observe `spark.catalog.clearCache()` (r18 ADVICE: it used to
+    * present itself as a LIVE-index count, going permanently stale after
+    * the very cache clear its warning recommends), so it is phrased as a
+    * call count and [[resetUnreleasedIndexCount]] lets a caller that just
+    * cleared the session cache re-arm the fence honestly. */
   private val unreleasedIndexes = new java.util.concurrent.atomic.AtomicLong(0)
   def unreleasedIndexCount: Long = unreleasedIndexes.get()
+  /** Re-arm the leak fence after an external cache clear
+    * (`spark.catalog.clearCache()` or session teardown). */
+  def resetUnreleasedIndexCount(): Unit = unreleasedIndexes.set(0)
   val UnreleasedIndexWarnThreshold: Long = 8L
   @transient private lazy val logger =
     org.slf4j.LoggerFactory.getLogger("graft.operators.FuzzyLookup")
@@ -130,7 +138,9 @@ object FuzzyLookup {
     *                       call time, and no SQL-CACHE entry survives the
     *                       call. The pinned id frames (queries, the right
     *                       table) and the materialized top-K remain as
-    *                       localCheckpoint RDD blocks for the RETURNED
+    *                       materializer blocks ([[Materialize.round]] —
+    *                       executor-local on the local lane, checkpoint
+    *                       files on the reliable lane) for the RETURNED
     *                       plan's lifetime — those are reference-tracked,
     *                       so dropping the returned DataFrame releases
     *                       them via the context cleaner, unlike the
@@ -210,17 +220,17 @@ object FuzzyLookup {
     // sf0.1: monotonically_increasing_id re-evaluated in a different row
     // order between the pipeline and the stitch, landing one query's
     // match on another's row). The distinct query frame IS id-keyed
-    // internally — localCheckpoint pins those ids to one evaluation.
+    // internally — Materialize.round pins those ids to one evaluation.
     val queries = left
       .select(Seq(col(queryCol).as("_qtext_")) ++ lf: _*)
       .distinct()
       .withColumn("_qlid_", monotonically_increasing_id())
-      .localCheckpoint()
+      .transform(Materialize.round)
     // The right side is consumed by the token pipeline, the tie-break
     // select, and the stitch: pin its ids the same way (the catalog side
     // is the dictionary of the join — bounded by contract).
     val rightKeyed = right.withColumn("_rid_", monotonically_increasing_id())
-      .localCheckpoint()
+      .transform(Materialize.round)
     // The scoring pipeline works on fully re-aliased projections (fresh
     // attribute ids), so re-joining queries/rightKeyed at the end is not an
     // ambiguous self-join.
@@ -340,12 +350,28 @@ object FuzzyLookup {
         (col("_idf_") * acroBoost * col("_tw_")).as("_w_"))
 
     // ---- candidates: SymSpell deletion-variant fuzzy join -----------------
+    // set inside the fuzzy branch; unpersisted with rightToks on the
+    // releaseIndex=true lane (see the persist note in the branch)
+    var fuzzyVariantFrames: Seq[DataFrame] = Nil
     val cand =
       if (opts.maxLevDistance <= 0) exactCand
       else {
         val vu = variantsUdf(opts.maxLevDistance)
-        val lv = leftToks.withColumn("_var_", explode(vu(col("qtok"))))
-        val rv = rightIndexed.withColumn("_var_", explode(vu(col("rtok"))))
+        // persisted while probing (r18 ADVICE): the volume probe below
+        // fully evaluates the deletion-variant explode — the lane's most
+        // expensive UDF — and the candidate join would otherwise
+        // recompute it from scratch (the Dedup.minHashLshNewVsCorpus
+        // banded-frame treatment). Lifecycle: unpersisted as soon as the
+        // bounded top-K is materialized on releaseIndex=true; on the
+        // lazy default the variant frames share the token index's
+        // session-cache lifetime (the releaseIndex contract + leak
+        // fence). Probe disabled ⇒ single consumer ⇒ no persist.
+        val probing = opts.candidateBound > 0
+        val lv0 = leftToks.withColumn("_var_", explode(vu(col("qtok"))))
+        val rv0 = rightIndexed.withColumn("_var_", explode(vu(col("rtok"))))
+        val lv = if (probing) lv0.persist() else lv0
+        val rv = if (probing) rv0.persist() else rv0
+        if (probing) fuzzyVariantFrames = Seq(lv, rv)
         // the fuzzy lane gets its OWN volume probe (round-18 self-review
         // catch): the exact-key projection above is blind to explosions
         // that arrive only through shared deletion VARIANTS (disjoint
@@ -511,13 +537,20 @@ object FuzzyLookup {
         // silent.
         val n = unreleasedIndexes.incrementAndGet()
         if (n > UnreleasedIndexWarnThreshold)
-          logger.warn(s"FuzzyLookup.lookup: $n token indexes cached by " +
-            "releaseIndex=false calls in this JVM and never released — " +
-            "long-lived sessions should pass releaseIndex=true (eager " +
-            "bounded top-K materialization, index dropped before return) " +
-            "or clear the session cache between calls")
+          logger.warn(s"FuzzyLookup.lookup: $n releaseIndex=false calls " +
+            "in this JVM, each leaving one token index cached until the " +
+            "session cache is cleared — long-lived sessions should pass " +
+            "releaseIndex=true (eager bounded top-K materialization, " +
+            "index dropped before return), or clear the session cache " +
+            "between calls and re-arm this fence with " +
+            "FuzzyLookup.resetUnreleasedIndexCount()")
         best0
-      } else { val b = best0.localCheckpoint(); rightToks.unpersist(); b }
+      } else {
+        val b = best0.transform(Materialize.round)
+        rightToks.unpersist()
+        fuzzyVariantFrames.foreach(_.unpersist())
+        b
+      }
 
     // ---- stitch the full rows back (left outer ⇒ null padding) ------------
     // Value-based: each left row meets ITS distinct-query row on
@@ -564,7 +597,7 @@ object FuzzyLookup {
     // value-based stitch removes inside lookup; here the array column
     // itself is the join identity, so an id key is the honest option)
     val keyed = left.withColumn("_laid_", monotonically_increasing_id())
-      .localCheckpoint()
+      .transform(Materialize.round)
     val exploded = keyed.select(col("_laid_"),
       posexplode(col(arrayQueryCol)).as(Seq("_qi_", "_q_")))
     val matched = lookup(exploded, "_q_", right, textCol, opts)

@@ -88,6 +88,20 @@ object Guards {
     val base = col(idCol).cast("long")
     val ok = df.select(col(idCol)).schema.head.dataType match {
       case ByteType | ShortType | IntegerType | LongType => base.isNotNull
+      // FLOAT/DOUBLE ids: the double round-trip alone proves integrality
+      // (r18 ADVICE — the decimal(38,18) leg FALSELY rejected integral
+      // doubles past 2^53: double→decimal casts via the shortest decimal
+      // string, so 2^60 became ...847000000000000000 while the long cast
+      // is ...846976). The decimal leg was also the only thing catching
+      // long-RANGE saturation (±Inf and values >= 2^63 cast to
+      // Long.Max/MinValue, whose double view can equal the input — e.g.
+      // 2^63 === Long.MaxValue.toDouble), so it is replaced by an
+      // explicit range bound: [-2^63, 2^63) is exactly representable in
+      // doubles, and anything outside would have saturated silently.
+      case FloatType | DoubleType =>
+        val d = col(idCol).cast("double")
+        base.isNotNull && d === base.cast("double") &&
+          d >= lit(Long.MinValue.toDouble) && d < lit(9.223372036854775808e18)
       case _ => base.isNotNull &&
         col(idCol).cast("double") === base.cast("double") &&
         col(idCol).cast("decimal(38,18)") === base.cast("decimal(38,18)")

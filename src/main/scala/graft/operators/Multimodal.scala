@@ -521,7 +521,7 @@ object Multimodal {
     val hashed = hashedIn
       .select(col(idCol).as("_id_"), col(hashCol).as("_h_"))
       .where(col("_h_").isNotNull)
-      .localCheckpoint() // hashes reused by blocks and both verify joins
+      .transform(Materialize.round) // hashes reused by blocks and both verify joins
     val blocks = hashed.select(col("_id_"),
       explode(sequence(lit(0), lit(nBlocks - 1))).as("_blk_"),
       col("_h_"))

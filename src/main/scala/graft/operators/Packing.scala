@@ -75,7 +75,7 @@ object Packing {
     * LogicalRDD, which would carve the upstream out of the audit). */
   def probeCache(df: DataFrame): DataFrame =
     if (sys.props.get("graft.test.noProbeCache").contains("1")) df
-    else df.localCheckpoint(false)
+    else Materialize.lazyRound(df)
 
   /** Split each document into chunks of `chunkTokens` whitespace tokens,
     * consecutive chunks overlapping by `overlap` tokens (the sliding-window

@@ -120,7 +120,7 @@ object Sketch {
       .select(col("g_a"), col("g_b"), col("_h_")).distinct()
     val unionEst = kmvEstimate(pairHashes, Seq("g_a", "g_b"), k)
       .select(col("g_a"), col("g_b"), col("estimate").as("est_union"))
-    unionEst
+    val result = unionEst
       .join(single.select(col("_g_").as("g_a"),
         col("estimate").as("est_a")), "g_a")
       .join(single.select(col("_g_").as("g_b"),
@@ -131,6 +131,15 @@ object Sketch {
           .as("est_intersect"),
         (((col("est_a") + col("est_b")) - col("est_union"))
           / col("est_union")).as("jaccard_est"))
+    // cache lifecycle (r18 ADVICE — the hash-table persist used to
+    // outlive the call with no disclosed contract, silently accumulating
+    // cached tables across calls in a long-lived session): the returned
+    // table is pair-sized (≤ maxGroups²/2 rows of seven scalars — never
+    // data-sized), so materialize it eagerly and drop the cache before
+    // returning. Scoring runs at call time, nothing survives the call.
+    val pinned = Materialize.round(result)
+    hashes.unpersist()
+    pinned
   }
 
   // --------------------------------------------------------------- count-min

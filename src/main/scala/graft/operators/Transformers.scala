@@ -103,7 +103,7 @@ object Transformers {
     * The ids are stable only while the input plan re-evaluates in the
     * same row order (true for scans; NOT guaranteed for shuffle
     * outputs): a caller that branches the result into multiple
-    * computations should `localCheckpoint()` it first. */
+    * computations should materialize it first ([[Materialize.round]]). */
   def addIdUnordered(df: DataFrame, out: String = "id"): DataFrame =
     df.withColumn(out, monotonically_increasing_id())
 
@@ -174,7 +174,7 @@ object Transformers {
     // guarantee across re-evaluations (the FuzzyLookup misalignment
     // class, observed at sf0.1)
     val keyed = df.withColumn("_wid_", monotonically_increasing_id())
-      .localCheckpoint()
+      .transform(Materialize.round)
     val toks = keyed.select(col("_wid_"),
       posexplode(col(tokensCol)).as(Seq("_tpos_", "_tok_")))
     val lex = vectors.select(lower(col(tokenCol)).as("_tok_"),
@@ -262,7 +262,7 @@ object Transformers {
                 out: String = "lemmas"): DataFrame = {
     // pinned id: see applyWordVectors — same double-consumption shape
     val keyed = df.withColumn("_lmid_", monotonically_increasing_id())
-      .localCheckpoint()
+      .transform(Materialize.round)
     val toks = keyed.select(col("_lmid_"),
       posexplode(col(tokensCol)).as(Seq("_pos_", "_tok_")))
     val lex = lexicon.groupBy(lower(col("simplified")).as("_tok_"))
@@ -316,7 +316,7 @@ object Transformers {
                              out: String = "lemmas"): DataFrame = {
     // pinned id: see applyWordVectors — same double-consumption shape
     val keyed = df.withColumn("_lmid_", monotonically_increasing_id())
-      .localCheckpoint()
+      .transform(Materialize.round)
     val toks = keyed.select(col("_lmid_"),
       posexplode(col(tokensCol)).as(Seq("_pos_", "_tok_")))
     val lex = lexicon.select(lower(col("simplified")).as("_tok_"),

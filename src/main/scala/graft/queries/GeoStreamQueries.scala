@@ -336,7 +336,8 @@ object GeoStreamQueries {
               graft.operators.Temporal.aggregateState(batch, "user_id", "value")
             else graft.operators.Temporal.applyAggDelta(
               sp.read.parquet(stateDir), batch, "user_id", "value")
-          next.localCheckpoint(true).write.mode("overwrite").parquet(stateDir)
+          graft.operators.Materialize.round(next)
+            .write.mode("overwrite").parquet(stateDir)
           seeded = true
         })
       s.read.parquet(stateDir)

@@ -281,11 +281,18 @@ object PipelineQueries {
     // ---- dedup: SemDeDup — embedding-space semantic dedup, pairs only
     // within a nearest-centroid cluster (Σ|cluster|² bound, the published
     // scaling argument); cosine >= 0.45 pairs -> connected components ->
-    // keep the min-id representative. Full oracle replay: em01's centroid
-    // assignment + ann03's float cosine + dd06's recursive closure -----------
+    // keep the min-id representative. Full oracle replay: seeded-centroid
+    // assignment + ann03's float cosine + dd06's recursive closure.
+    // Round 19 (r18 verdict task 6): gated on the autoK PRODUCTION sizing
+    // (hash-seeded singleton centroids, k = ceil(n/1024)) — the old
+    // pinned label-centroid table is the fixed-k quadratic the
+    // degeneracy probe exists to prevent (r16 soak: 15x at 10x data); it
+    // survives as Round19Spec's raise-path fixture. The oracle recomputes
+    // k from its own count(*) and replays the mix64 seed draw ----------
     "dd11_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cent = Similarity.quantizedLabelCentroids(emb, "embedding", "label")
+      val k = Similarity.autoK(emb.count())
+      val cent = Similarity.seededCentroids(emb, "vec_id", "embedding", k)
       Similarity.semanticDedup(emb, "vec_id", "embedding", cent,
         minCosine = 0.45)
         .select(col("id").as("vec_id"),
@@ -883,11 +890,19 @@ object PipelineQueries {
 
     // ---- similarity: near-dup pairs via the LSH SCALE path (oracle-gated:
     // portable Rademacher planes -> DuckDB replays bucketing AND the
-    // cosine filter; ann03 gates the same op's exact broadcast path) ------
+    // cosine filter; ann03 gates the same op's exact broadcast path).
+    // Round 19 (r18 verdict task 6): gated on the autoBits PRODUCTION
+    // sizing — the old pinned 4-bit fixture knob is the documented
+    // quadratic the guards exist to prevent (261 s at sf1 vs 27 s auto);
+    // it survives only as Round19Spec's raise-path fixture. The oracle
+    // recomputes ceil(ln(n/64)/ln 2) from its own count(*), so the replay
+    // self-sizes with the table ----------------------------------------
     "ann05_neardup_lsh" -> ((s, d) => {
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id",
+      val emb = Tables.embeddings(s, d)
+      val bits = Similarity.autoBits(emb.count())
+      Similarity.cosineNearDupPairs(emb, "vec_id",
         "embedding", minCosine = 0.45, dim = 64, exact = false,
-        bitsPerTable = 4, nTables = 16, seed = 7L, portablePlanes = true)
+        bitsPerTable = bits, nTables = 16, seed = 7L, portablePlanes = true)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("id_a", "id_b")
     }),
@@ -1935,21 +1950,38 @@ object PipelineQueries {
         |SELECT id AS doc_id, component, n_chars, rk = 1 AS keep
         |FROM e ORDER BY doc_id""".stripMargin,
 
-    // SemDeDup replay: em01's quantized-centroid assignment (integer
-    // sufficient statistics, ascending double fold, ties to smaller
-    // label), ann03's normalize-to-float + ascending-double cosine, pairs
-    // restricted to a shared cluster, dd06's recursive transitive closure
+    // SemDeDup replay: the autoK seeded-centroid draw (k = ceil(n/1024)
+    // from count(*); seeds = the k smallest (mix64(vec_id), vec_id) —
+    // signed mix64 order is the unsigned order with the sign bit
+    // flipped, hence the xor-2^63 rotation), singleton quantized
+    // centroids, ann03's normalize-to-float + ascending-double cosine,
+    // pairs restricted to a shared cluster, dd06's recursive closure
     "dd11_semantic_dedup" ->
-      """WITH RECURSIVE ce AS (
-        |  SELECT label, i - 1 AS pos,
-        |    CAST(sum(floor(CAST(embedding[i] AS DOUBLE) * 1000)) AS BIGINT)
-        |      AS s,
-        |    count(*) AS n
-        |  FROM embeddings, range(1, 65) r(i)
-        |  GROUP BY label, i),
+      """WITH RECURSIVE kk AS (
+        |  SELECT CAST(greatest(1, ceil(CAST(count(*) AS DOUBLE) / 1024.0))
+        |    AS BIGINT) AS k
+        |  FROM embeddings),
+        |sh AS (
+        |  SELECT vec_id, embedding, xor(p2, p2 >> 31) AS h FROM (
+        |    SELECT vec_id, embedding,
+        |      (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+        |        % CAST(18446744073709551616 AS UHUGEINT) AS p2
+        |    FROM (
+        |      SELECT vec_id, embedding,
+        |        (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
+        |          % CAST(18446744073709551616 AS UHUGEINT) AS p1
+        |      FROM (SELECT vec_id, embedding, CAST(vec_id AS UHUGEINT) AS p0
+        |            FROM embeddings))) a),
+        |seeds AS (
+        |  SELECT vec_id AS label, embedding FROM (
+        |    SELECT vec_id, embedding, row_number() OVER (ORDER BY
+        |      xor(h, CAST(9223372036854775808 AS UHUGEINT)), vec_id) AS rk
+        |    FROM sh) t, kk WHERE t.rk <= kk.k),
         |ca AS (
-        |  SELECT label AS c_label, max(n) AS n, list(s ORDER BY pos) AS cs
-        |  FROM ce GROUP BY label),
+        |  SELECT label AS c_label, CAST(1 AS BIGINT) AS n,
+        |    [CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)
+        |     FOR e IN embedding] AS cs
+        |  FROM seeds),
         |qv AS (
         |  SELECT vec_id,
         |    [floor(CAST(e AS DOUBLE) * 1000) FOR e IN embedding] AS qs
@@ -2844,11 +2876,18 @@ object PipelineQueries {
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // LSH near-dup replay: same splitmix64 plane recipe as ann02 (seed 7,
-    // 16 tables x 4 bits), candidates = bucket-colliding id_a < id_b
-    // pairs, score = the cosine expression's exact formula
+    // 16 tables x autoBits(n) bits — the `bits` CTE recomputes Spark's
+    // ceil(ln(n/64)/ln 2) clamp-[2,30] sizing from count(*), so the
+    // replay self-sizes with the table), candidates = bucket-colliding
+    // id_a < id_b pairs, score = the cosine expression's exact formula
     // (ascending-order double sums, dot / (sqrt(nx) * sqrt(ny)))
     "ann05_neardup_lsh" ->
-      """WITH e AS (
+      """WITH bits AS (
+        |  SELECT least(30, greatest(2, CAST(ceil(
+        |    ln(greatest(1.0, CAST(count(*) AS DOUBLE) / 64.0)) / ln(2.0))
+        |    AS INTEGER))) AS nb
+        |  FROM embeddings),
+        |e AS (
         |  SELECT vec_id, embedding FROM embeddings),
         |ph AS (
         |  SELECT t, b, p3 AS h FROM (
@@ -2856,7 +2895,8 @@ object PipelineQueries {
         |      (xor(p0, p0 >> 30) * CAST(13787848793156543929 AS UHUGEINT))
         |        % CAST(18446744073709551616 AS UHUGEINT) AS p1
         |    FROM (SELECT t, b, CAST(7 + t * 1000003 + b AS UHUGEINT) AS p0
-        |          FROM range(0, 16) tt(t), range(0, 4) bb(b))) q1,
+        |          FROM range(0, 16) tt(t), range(0, 30) bb(b), bits
+        |          WHERE bb.b < bits.nb)) q1,
         |  LATERAL (SELECT (xor(p1, p1 >> 27) * CAST(10723151780598845931 AS UHUGEINT))
         |                  % CAST(18446744073709551616 AS UHUGEINT) AS p2) q2,
         |  LATERAL (SELECT xor(p2, p2 >> 31) AS p3) q3),

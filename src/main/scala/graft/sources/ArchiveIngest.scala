@@ -75,7 +75,7 @@ object ArchiveIngest {
           Row(archive, name, zname, bytes.length.toLong)
         }
       }
-    spark.createDataFrame(rdd, schema).localCheckpoint(true)
+    graft.operators.Materialize.round(spark.createDataFrame(rdd, schema))
   }
 
   /** Distributed entry scan WITHOUT landing files: (archive, name, bytes)

@@ -29,20 +29,33 @@ object Checkpoint {
       java.util.regex.Matcher.quoteReplacement(m.group(1).toInt.toChar.toString))
 
   /** Write `df` to parquet at `path` (overwriting) and read it back.
-    * Illegal column characters are escaped on write and restored on read;
-    * `partitionBy` columns must have legal names. */
+    * Illegal column characters are escaped on write and restored on read —
+    * INCLUDING `partitionBy` names (round 19): encode renames every data
+    * column, so a partition column passed under its original illegal name
+    * used to die in Spark's analyzer with a column-not-found instead of
+    * either working or raising by name. The writer now partitions on the
+    * ENCODED name (directory names carry the `>>NN<<` escape; Spark's own
+    * partition-path escaping keeps the path legal) and the read-back
+    * decode loop restores it like any other column. */
   def checkpoint(df: DataFrame, path: String,
                  partitionBy: Seq[String] = Nil,
                  reuseExisting: Boolean = false): DataFrame = {
     val spark = df.sparkSession
+    val missing = partitionBy.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"Checkpoint.checkpoint: partitionBy column(s) " +
+        s"${missing.mkString("[", ", ", "]")} not present in the frame — " +
+        s"available: ${df.columns.mkString("[", ", ", "]")} (pass the " +
+        "ORIGINAL name; illegal characters are escaped internally)")
     if (!(reuseExisting && exists(spark, path))) {
       val encoded = df.columns.foldLeft(df) { (acc, c) =>
         val enc = encodeName(c)
         if (enc == c) acc else acc.withColumnRenamed(c, enc)
       }
       val writer = encoded.write.mode("overwrite")
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .parquet(path)
+      val encodedParts = partitionBy.map(encodeName)
+      (if (partitionBy.nonEmpty) writer.partitionBy(encodedParts: _*)
+       else writer).parquet(path)
     }
     val back = spark.read.parquet(path)
     back.columns.foldLeft(back) { (acc, c) =>

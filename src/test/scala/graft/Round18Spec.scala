@@ -49,6 +49,7 @@ class Round18Spec extends AnyFunSuite {
     spark.conf.set(Materialize.ConfKey, "local")
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-r18")
     spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
     val reliable = spark.newSession()
     reliable.conf.set(Materialize.ConfKey, "reliable")
 
@@ -82,6 +83,16 @@ class Round18Spec extends AnyFunSuite {
     val wrote = java.nio.file.Files.walk(dir).filter(p =>
       java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, s"reliable lane left no checkpoint files in $dir")
+    } finally {
+      // clear the JVM-GLOBAL checkpoint dir (r18 ADVICE: leaving it set
+      // silently flips every later 'auto'-lane session in this test JVM
+      // onto the reliable lane — identical results, pointless disk
+      // churn) and un-pin the shared session's lane override. null →
+      // checkpointDir = None; safe on a local master, where the non-local
+      // path warning's directory inspection is short-circuited.
+      spark.sparkContext.setCheckpointDir(null)
+      spark.conf.unset(Materialize.ConfKey)
+    }
   }
 
   private def newLongLongEncoder(s: SparkSession) = {

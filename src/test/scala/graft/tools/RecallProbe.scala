@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off recall meter (round-19 VERDICT task 3 evidence): measures the
+  * MinHash lane's recall against EXACT n-gram Jaccard truth on the dd05
+  * fixture corpus — the number `Dedup.ngramJaccardPairs`' candidate-volume
+  * raise cites when it tells callers "use minHashLshPairs at this
+  * density". Both lanes run the same word 3-gram shingles and the same
+  * 0.8 threshold as the gated dd05/dd03 queries. Test-scoped harness
+  * tooling, like [[SoakProbe]] / [[ScaleUp]].
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/tmp/graft_sf1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val n = docs.count()
+    val t0 = System.nanoTime()
+    val truth = graft.operators.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", n = 3, minJaccard = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tTruth = (System.nanoTime() - t0) / 1e9
+    println(f"[recall-probe] corpus=$dir docs=$n exact_pairs=${truth.size} " +
+      f"truth_time=$tTruth%.1f s")
+    for (minEst <- Seq(0.8, 0.7)) {
+      val t1 = System.nanoTime()
+      val approx = graft.operators.Dedup.minHashLshPairs(
+        docs, "text", "doc_id", numHashes = 64, bands = 16,
+        shingleSize = 3, minEstJaccard = minEst)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dt = (System.nanoTime() - t1) / 1e9
+      val hit = truth.count(approx.contains)
+      val recall = if (truth.isEmpty) 1.0 else hit.toDouble / truth.size
+      println(f"[recall-probe] minhash minEstJaccard=$minEst pairs=" +
+        f"${approx.size} recall_vs_exact=$recall%.4f ($hit/${truth.size}) " +
+        f"time=$dt%.1f s")
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    spark.stop()
+  }
+}
