@@ -841,7 +841,8 @@ object Dedup {
     * construction (round-18 self-review). Returns the persisted per-doc
     * gram table (_id_, _grams_, _n_, _plen_). */
   private def ngramDocsTable(df: DataFrame, textCol: String, idCol: String,
-                             n: Int, minJaccard: Double): DataFrame = {
+                             n: Int, minJaccard: Double,
+                             capDf: Long = 0L): DataFrame = {
     // tokenize ONCE per row before the gram lambda: with split() inlined in
     // the transform body Catalyst re-evaluates it per gram position —
     // O(tokens²) splits per document, quadratic in document length
@@ -866,7 +867,13 @@ object Dedup {
       .withColumn("_df_", count(lit(1)).over(Window.partitionBy("_gram_")))
       .groupBy("_id_")
       .agg(expr("transform(array_sort(collect_list(struct(_df_, _gram_))), x -> x._gram_)")
-        .as("_grams_"))
+        .as("_grams_"),
+        // df-capped lane support: grams are sorted df-ASCENDING, so the
+        // grams with df <= capDf are exactly positions 1.._k_ of _grams_
+        // — capping the PREFIX at _k_ prunes every hot gram from the
+        // candidate keys without touching the verify-stage arrays
+        sum(when(col("_df_") <= lit(capDf), 1).otherwise(0)).cast("int")
+          .as("_k_"))
       .withColumn("_n_", size(col("_grams_")))
       // every ceil() below subtracts 1e-9 first: double products like
       // 35 * 0.8 land a hair ABOVE the exact integer (28.000000000000004),
@@ -875,8 +882,15 @@ object Dedup {
       // true boundary pairs (jaccard exactly t). The epsilon only ever
       // loosens (more candidates); the exact verify filter keeps output
       // identical.
-      .withColumn("_plen_",
-        (col("_n_") - ceil(col("_n_") * minJaccard - 1e-9) + 1).cast("int"))
+      .withColumn("_plen_", {
+        val exactPlen =
+          (col("_n_") - ceil(col("_n_") * minJaccard - 1e-9) + 1).cast("int")
+        // capDf > 0 intersects the exact PPJoin prefix with the df cap:
+        // only the rare (df <= capDf) head of the sorted gram list emits
+        // candidate keys. Recall is traded — a pair whose every shared
+        // prefix gram is hot is missed — and disclosed at the public API.
+        if (capDf > 0) least(exactPlen, col("_k_")) else exactPlen
+      })
       .persist()
     docs
   }
@@ -895,17 +909,49 @@ object Dedup {
     * pipeline the operator runs (harness meters call this instead of
     * copy-pasting the prefix logic). */
   def ngramCandidateVolume(df: DataFrame, textCol: String, idCol: String,
-                           n: Int = 3,
-                           minJaccard: Double = 0.5): java.math.BigInteger = {
-    val docs = ngramDocsTable(df, textCol, idCol, n, minJaccard)
+                           n: Int = 3, minJaccard: Double = 0.5,
+                           maxGramDfRatio: Double = 0.0): java.math.BigInteger = {
+    val docs = ngramDocsTable(df, textCol, idCol, n, minJaccard,
+      gramCapDf(df, maxGramDfRatio))
     try Guards.projectedSelfJoinVolume(ngramPrefixes(docs), Seq("_gram_"))
     finally docs.unpersist()
   }
 
+  /** Document-frequency cap for the df-capped gram lane: 0 when the lane
+    * is off, else `maxGramDfRatio × |docs|` floored at 2 (a df-1 gram can
+    * never produce a cross-doc candidate, so a lower cap would silently
+    * disable candidate generation entirely). Costs one count() job over
+    * the input — the price of sizing the cap from the data, same recipe
+    * as the fuzzy lane's maxDfRatio. */
+  private def gramCapDf(df: DataFrame, maxGramDfRatio: Double): Long = {
+    require(maxGramDfRatio >= 0.0 && maxGramDfRatio <= 1.0,
+      s"maxGramDfRatio must be in [0, 1], got $maxGramDfRatio")
+    if (maxGramDfRatio == 0.0) 0L
+    else math.max(2L, (maxGramDfRatio * df.count()).toLong)
+  }
+
+  /** `maxGramDfRatio` (round 19 — the r18 verdict's stretch item) opens a
+    * DISCLOSED-RECALL scale lane past the candidate guard: grams held by
+    * more than `ratio × |docs|` documents are pruned from the candidate
+    * keys (the prefix explode) but NOT from the verify arrays, so every
+    * emitted pair still carries its EXACT full-set Jaccard and the output
+    * is a subset of the exact lane's. The trade is recall only — a pair
+    * whose every shared prefix gram is hotter than the cap is missed —
+    * which is precisely the fuzzy lane's `maxDfRatio` recipe applied to
+    * grams: on a SATURATED vocabulary (where the exact lane's candidate
+    * volume is quadratic by construction and the guard refuses) the hot
+    * grams carry no discriminating signal, so the recall cost concentrates
+    * on near-dup pairs made ONLY of corpus-cliché n-grams. Measured on the
+    * sf1 soak corpus (50k docs, word-salad, the corpus whose exact lane
+    * raises at sf10): see COVERAGE round-19 for the recall-vs-cap table.
+    * 0 disables (exact lane, default). Costs one extra count() job to
+    * size the cap. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
-                        candidatePairBound: Long = 1L << 27): DataFrame = {
-    val docs = ngramDocsTable(df, textCol, idCol, n, minJaccard)
+                        candidatePairBound: Long = 1L << 27,
+                        maxGramDfRatio: Double = 0.0): DataFrame = {
+    val docs = ngramDocsTable(df, textCol, idCol, n, minJaccard,
+      gramCapDf(df, maxGramDfRatio))
     // candidate generation on ids only — the gram arrays join in AFTER the
     // distinct, so the (potentially wide) candidate shuffle carries two
     // longs per row, not two full arrays. Prefix rows carry (pos, n) — two
@@ -939,6 +985,8 @@ object Dedup {
           "self-join is quadratic in the corpus (soak-measured " +
           "SPILL_OUT_OF_MEMORY at 100x); raise n (more gram diversity), " +
           "raise minJaccard (shorter prefixes), run exact dedup first, " +
+          "set maxGramDfRatio to prune hot grams from the candidate keys " +
+          "(exact scores, disclosed recall — see its scaladoc), " +
           "or use minHashLshPairs at this density — measured against " +
           "this lane's exact >=0.8-Jaccard truth at sf1 (50k docs, 341 " +
           "true pairs, graft.tools.RecallProbe r19) MinHash 64/16 " +

@@ -355,6 +355,57 @@ class Round19Spec extends AnyFunSuite {
     assert(run(FuzzyLookup.CandidatePairBound) == run(-1L))
   }
 
+  // ---- df-capped gram lane (r18 verdict "What's wrong #2" stretch) -------
+
+  /** 2 near-dup docs built from RARE grams (df=2) + `hot` identical docs
+    * whose every gram is corpus-cliché (df=hot). */
+  private def gramCorpus(hot: Int): DataFrame =
+    (Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")) ++
+      (1 to hot).map(i =>
+        (100L + i, "the quick brown fox jumps over the lazy dog")))
+      .toDF("doc_id", "text")
+
+  test("ngram df-capped lane: subset of exact, identical scores, misses " +
+    "only the all-hot-gram pairs") {
+    import graft.operators.Dedup
+    val docs = gramCorpus(hot = 40) // N=42; ratio 0.5 -> capDf=21
+    def pairs(ratio: Double) = Dedup.ngramJaccardPairs(docs, "text",
+      "doc_id", n = 3, minJaccard = 0.5, maxGramDfRatio = ratio)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(0.0)
+    val capped = pairs(0.5)
+    assert(capped.subsetOf(exact), "capped lane emitted a non-exact pair")
+    // the rare-gram pair survives the cap WITH its exact full-set score
+    assert(capped.contains((1L, 2L, 1.0)))
+    // the hot clique (df=40 > capDf=21 on every gram) is the disclosed
+    // recall trade: present exactly, absent capped
+    assert(exact.count(p => p._1 >= 100L) == 40 * 39 / 2)
+    assert(capped.count(p => p._1 >= 100L) == 0)
+  }
+
+  test("ngram df-capped lane: passes the candidate guard where the exact " +
+    "lane raises, and the volume probe sees the same cap") {
+    import graft.operators.Dedup
+    val docs = gramCorpus(hot = 40)
+    // uncapped: 4 prefix grams x df~40 each -> ~6400 projected candidates
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+        minJaccard = 0.5, candidatePairBound = 500L).count()
+    }
+    assert(e.getMessage.contains("maxGramDfRatio"))
+    assert(e.getMessage.contains("minHashLshPairs"))
+    // capped: only the df-2 rare grams emit candidate keys -> volume ~12
+    val out = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      minJaccard = 0.5, candidatePairBound = 500L, maxGramDfRatio = 0.5)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // the public probe measures the SAME capped pipeline
+    val vol = Dedup.ngramCandidateVolume(docs, "text", "doc_id", n = 3,
+      minJaccard = 0.5, maxGramDfRatio = 0.5)
+    assert(vol.compareTo(java.math.BigInteger.valueOf(500L)) <= 0)
+  }
+
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = {
       new Iterator[A] {
