@@ -46,6 +46,31 @@ object RecallProbe {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
+    // df-capped gram lane (round-19 stretch): recall-vs-cap table for the
+    // COVERAGE note that maxGramDfRatio's scaladoc points at. The lane's
+    // output is a SUBSET of the exact lane's with identical scores (only
+    // candidate GENERATION is pruned), so recall against `truth` is the
+    // whole quality story; precision is 1.0 by construction.
+    for (ratio <- Seq(0.25, 0.1, 0.05, 0.02, 0.01)) {
+      val vol = graft.operators.Dedup.ngramCandidateVolume(
+        docs, "text", "doc_id", n = 3, minJaccard = 0.8,
+        maxGramDfRatio = ratio)
+      val t1 = System.nanoTime()
+      val capped = graft.operators.Dedup.ngramJaccardPairs(
+        docs, "text", "doc_id", n = 3, minJaccard = 0.8,
+        maxGramDfRatio = ratio)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dt = (System.nanoTime() - t1) / 1e9
+      val extra = capped.count(!truth.contains(_))
+      val hit = truth.count(capped.contains)
+      val recall = if (truth.isEmpty) 1.0 else hit.toDouble / truth.size
+      println(f"[recall-probe] dfcap maxGramDfRatio=$ratio pairs=" +
+        f"${capped.size} recall_vs_exact=$recall%.4f ($hit/${truth.size}) " +
+        f"non_subset=$extra candidate_volume=$vol time=$dt%.1f s")
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
     spark.stop()
   }
 }
