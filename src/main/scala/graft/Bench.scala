@@ -99,6 +99,20 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // BENCH_r18's stdout line came back "parsed": null — dropCaches()
+    // below unpersists the one-shot materializer pins between queries,
+    // and every locally-checkpointed RDD logs a "lineage has been
+    // truncated and cannot be recomputed after unpersisting" WARN on the
+    // way out. That warning is exactly what dropCaches intends (the pin's
+    // owner query is finished; per-query isolation requires dropping it),
+    // but ~hundreds of them flooded the driver's ~2.3 KB tail window.
+    // Silence the rdd package logger in the bench JVM only (the warning's
+    // logger is the concrete RDD class — MapPartitionsRDD in the r18
+    // tail, but any RDD type can emit it); the library never touches log
+    // levels, and real failures surface as exceptions, not WARNs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd",
+      org.apache.logging.log4j.Level.ERROR)
 
     // optional comma-separated query filter for targeted local timing runs;
     // a blank value means "no filter", not "match nothing"

@@ -885,11 +885,22 @@ object Dedup {
       .withColumn("_plen_", {
         val exactPlen =
           (col("_n_") - ceil(col("_n_") * minJaccard - 1e-9) + 1).cast("int")
-        // capDf > 0 intersects the exact PPJoin prefix with the df cap:
-        // only the rare (df <= capDf) head of the sorted gram list emits
-        // candidate keys. Recall is traded — a pair whose every shared
-        // prefix gram is hot is missed — and disclosed at the public API.
-        if (capDf > 0) least(exactPlen, col("_k_")) else exactPlen
+        // capDf > 0 replaces the PPJoin prefix with the FULL rare-gram
+        // head (_k_ = #grams with df <= capDf; they sort first): every
+        // rare gram emits candidate keys, no hot gram does. Chosen over
+        // intersecting with the exact prefix (least(exactPlen, _k_)) for
+        // three reasons that compound: (1) maximal recall under the cap —
+        // missed ⇔ EVERY shared gram is hot, the precise contract the
+        // public scaladoc states; (2) the output is then independent of
+        // the (df, hash) sort's tie-break among equal-df grams, i.e.
+        // deterministic in the DATA rather than in xxhash64 — which is
+        // what lets DuckDB replay the lane verbatim (dd15's oracle);
+        // (3) in the lane's target regime (saturated vocabulary, rare
+        // set small) _k_ < exactPlen anyway, so the volume cost of the
+        // longer prefix lands only on corpora healthy enough for the
+        // exact lane — and the candidate-volume guard measures the
+        // actual _plen_-based volume either way.
+        if (capDf > 0) col("_k_") else exactPlen
       })
       .persist()
     docs
@@ -933,19 +944,29 @@ object Dedup {
   /** `maxGramDfRatio` (round 19 — the r18 verdict's stretch item) opens a
     * DISCLOSED-RECALL scale lane past the candidate guard: grams held by
     * more than `ratio × |docs|` documents are pruned from the candidate
-    * keys (the prefix explode) but NOT from the verify arrays, so every
-    * emitted pair still carries its EXACT full-set Jaccard and the output
-    * is a subset of the exact lane's. The trade is recall only — a pair
-    * whose every shared prefix gram is hotter than the cap is missed —
-    * which is precisely the fuzzy lane's `maxDfRatio` recipe applied to
-    * grams: on a SATURATED vocabulary (where the exact lane's candidate
-    * volume is quadratic by construction and the guard refuses) the hot
-    * grams carry no discriminating signal, so the recall cost concentrates
-    * on near-dup pairs made ONLY of corpus-cliché n-grams. Measured on the
-    * sf1 soak corpus (50k docs, word-salad, the corpus whose exact lane
-    * raises at sf10): see COVERAGE round-19 for the recall-vs-cap table.
-    * 0 disables (exact lane, default). Costs one extra count() job to
-    * size the cap. */
+    * keys (the capped lane's prefix is the full RARE-gram set) but NOT
+    * from the verify arrays, so every emitted pair still carries its
+    * EXACT full-set Jaccard and the output is a subset of the exact
+    * lane's — precisely `{pairs: jaccard >= t AND >= 1 shared gram with
+    * df <= cap}`, a predicate on the DATA alone (no dependence on the
+    * gram-hash sort tie-break), which is why the lane is DuckDB-
+    * replayable and oracle-gated as dd15. The trade is recall only — a
+    * pair is missed iff its EVERY shared gram is hotter than the cap —
+    * which is the fuzzy lane's `maxDfRatio` recipe applied to grams: on
+    * a SATURATED vocabulary (where the exact lane's candidate volume is
+    * quadratic by construction and the guard refuses) the hot grams
+    * carry no discriminating signal, so the recall cost concentrates on
+    * near-dup pairs made ONLY of corpus-cliché n-grams. RECALL IS
+    * CORPUS-DEPENDENT and should be sized from the df of the grams true
+    * near-dups actually share: on real text near-dups share rare grams
+    * (names, ids, quoted spans) and the cap is cheap; on the sf1
+    * word-salad soak corpus (50k docs — the corpus whose exact lane
+    * raises at sf10) true pairs share only MID-FREQUENCY grams, so
+    * recall inside the volume guard tops out low and minHashLshPairs
+    * (recall 0.96–1.00 there) is the better scale path — see COVERAGE
+    * round-19 for the measured recall-vs-cap table on both corpus
+    * shapes. 0 disables (exact lane, default). Costs one extra count()
+    * job to size the cap. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         candidatePairBound: Long = 1L << 27,
@@ -958,6 +979,14 @@ object Dedup {
     // ints — so the length + positional filters (scaladoc) prune BEFORE
     // the distinct; on the sf0.1 word-salad corpus this drops ~40% of
     // candidate rows for two integer comparisons each.
+    // Deliberately NOT pinned (round 19 negative result, NgramAb A/B at
+    // sf1): the prefix explode feeds the volume probe and both self-join
+    // sides, and pinning it (lazyRound) was tried to dedup the 3
+    // evaluations — measured WORSE on both arms (probe-off 6.8→10.1 s,
+    // probe-on 11.1→13.6 s): with `docs` already cached, re-running the
+    // slice+posexplode per consumer is cheaper than a block-storage
+    // round-trip of the 5e6-row prefix table. The probe's disclosed
+    // constant stays ~4.3 s at sf1 (its own window+aggregate job).
     val prefixes = ngramPrefixes(docs)
     // CANDIDATE-VOLUME GUARD (round 18 — the sf10 soak's catch): prefix
     // filtering is effective only while gram DIVERSITY grows with the

@@ -221,6 +221,23 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup: df-capped gram lane (round 19 — the disclosed-recall
+    // scale path past dd05's candidate guard, oracle-gated). The capped
+    // prefix is the full rare-gram set, so the output is a pure DATA
+    // predicate — pairs with exact jaccard >= 0.8 sharing at least one
+    // gram with df <= max(2, floor(0.002·|docs|)) — replayable by DuckDB
+    // with no dependence on Spark's gram-hash sort tie-break. At the
+    // gate's sf0.01 the cap (df <= 2) genuinely prunes: 23 of dd05's 25
+    // exact pairs survive, so the oracle exercises the pruning path, not
+    // a vacuous cap --------------------------------------------------------
+    "dd15_ngram_dfcapped_pairs" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, minJaccard = 0.8, maxGramDfRatio = 0.002)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard_r"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- dedup: pair list -> clusters + representative (oracle-able) -------
     // connected components over the exact-Jaccard pairs; keep = the min-id
     // representative of each near-dup cluster (pairs alone over-delete on
@@ -1638,6 +1655,42 @@ object PipelineQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // df-capped lane replay: dd05's machinery + the cap predicate. The
+    // Spark lane prunes hot grams from CANDIDATE GENERATION only, and its
+    // length/positional filters are recall-safe for every jaccard >= t
+    // pair under any consistent gram order (PPJoin's bound majorizes the
+    // true overlap row-wise), so the output is exactly "exact pairs that
+    // share >= 1 rare gram" — has_rare below. capdf replays Spark's
+    // max(2, (ratio * count).toLong) sizing from the oracle's own count(*)
+    "dd15_ngram_dfcapped_pairs" ->
+      """WITH cap AS (
+        |  SELECT greatest(2, CAST(floor(0.002 * count(*)) AS BIGINT)) AS capdf
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                 FOR i IN range(1, greatest(len(w) - 2, 1) + 1)])) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), dfreq AS (
+        |  SELECT gram, count(*) AS df FROM grams GROUP BY gram
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i,
+        |         max(CASE WHEN d.df <= (SELECT capdf FROM cap)
+        |                  THEN 1 ELSE 0 END) AS has_rare
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  JOIN dfreq d ON d.gram = a.gram
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard_r
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8 AND has_rare = 1
         |ORDER BY id_a, id_b""".stripMargin,
 
     // incremental dedup replay: text-equality anti join (the Spark side

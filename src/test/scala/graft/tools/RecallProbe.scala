@@ -50,24 +50,36 @@ object RecallProbe {
     // COVERAGE note that maxGramDfRatio's scaladoc points at. The lane's
     // output is a SUBSET of the exact lane's with identical scores (only
     // candidate GENERATION is pruned), so recall against `truth` is the
-    // whole quality story; precision is 1.0 by construction.
-    for (ratio <- Seq(0.25, 0.1, 0.05, 0.02, 0.01)) {
+    // whole quality story; precision is 1.0 by construction. The grid
+    // spans caps that BIND on this corpus (capDf = ratio × 50k docs from
+    // ~200 down to 5; trigram df tops out in the low hundreds at sf1) —
+    // a cap above max df prunes nothing and, with the capped lane's
+    // full-rare-set prefix, IS the all-grams join, which the candidate
+    // guard refuses by design (the last grid point demonstrates it).
+    for (ratio <- Seq(0.004, 0.002, 0.001, 0.0005, 0.0002, 0.0001, 0.25)) {
       val vol = graft.operators.Dedup.ngramCandidateVolume(
         docs, "text", "doc_id", n = 3, minJaccard = 0.8,
         maxGramDfRatio = ratio)
       val t1 = System.nanoTime()
-      val capped = graft.operators.Dedup.ngramJaccardPairs(
-        docs, "text", "doc_id", n = 3, minJaccard = 0.8,
-        maxGramDfRatio = ratio)
-        .select("id_a", "id_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val dt = (System.nanoTime() - t1) / 1e9
-      val extra = capped.count(!truth.contains(_))
-      val hit = truth.count(capped.contains)
-      val recall = if (truth.isEmpty) 1.0 else hit.toDouble / truth.size
-      println(f"[recall-probe] dfcap maxGramDfRatio=$ratio pairs=" +
-        f"${capped.size} recall_vs_exact=$recall%.4f ($hit/${truth.size}) " +
-        f"non_subset=$extra candidate_volume=$vol time=$dt%.1f s")
+      try {
+        val capped = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "text", "doc_id", n = 3, minJaccard = 0.8,
+          maxGramDfRatio = ratio)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val dt = (System.nanoTime() - t1) / 1e9
+        val extra = capped.count(!truth.contains(_))
+        val hit = truth.count(capped.contains)
+        val recall = if (truth.isEmpty) 1.0 else hit.toDouble / truth.size
+        println(f"[recall-probe] dfcap maxGramDfRatio=$ratio pairs=" +
+          f"${capped.size} recall_vs_exact=$recall%.4f ($hit/${truth.size}) " +
+          f"non_subset=$extra candidate_volume=$vol time=$dt%.1f s")
+      } catch { case e: IllegalArgumentException =>
+        // disclosed in the table rather than crashing the sweep: this is
+        // the guard doing its job on a cap that does not bind
+        println(f"[recall-probe] dfcap maxGramDfRatio=$ratio GUARD RAISE " +
+          f"candidate_volume=$vol (bound 2^27)")
+      }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
