@@ -269,10 +269,24 @@ object Bench {
             }
           val dt = (System.nanoTime() - t0) / 1e9
           dropCaches()
-          if (spillProbe)
+          if (spillProbe) {
+            // the listener bus delivers task-end events asynchronously
+            // (round-19 review): settle until two 50 ms-apart reads agree
+            // (1 s cap) so a late event wave is not misattributed to the
+            // NEXT query's delta
+            var prev = (spillMem.get(), spillDisk.get())
+            val deadline = System.nanoTime() + 1000000000L
+            var settled = false
+            while (!settled && System.nanoTime() < deadline) {
+              Thread.sleep(50)
+              val cur = (spillMem.get(), spillDisk.get())
+              settled = cur == prev
+              prev = cur
+            }
             System.err.println(f"[bench-spill] query=$name pass=$pass " +
               f"time=$dt%.2f memMB=${(spillMem.get() - sm0) >> 20} " +
               f"diskMB=${(spillDisk.get() - sd0) >> 20}")
+          }
           if (ok)
             bestT(name) = math.min(bestT.getOrElse(name, Double.MaxValue), dt)
         }

@@ -30,12 +30,20 @@ object Analytics {
     * 10^10 single-key rows are an effective hang. */
   val BasketPairBound: Long = 1L << 27
 
-  /** Corpus-wide amplification bound for the same guards: the basket
-    * self-join may emit at most this many rows PER INPUT ROW (Σ size² /
-    * N = the size-weighted mean basket size). Healthy retail/order data
-    * sits in single digits at any scale; ~1024 means the join multiplies
-    * the corpus a thousandfold — the many-moderately-hot-baskets
-    * explosion no single key trips. */
+  /** Corpus-wide amplification bound at the DEFAULT `pairBound`: the
+    * basket self-join may emit at most this many rows PER INPUT ROW
+    * (Σ size² / N = the size-weighted mean basket size). Healthy
+    * retail/order data sits in single digits at any scale; ~1024 means
+    * the join multiplies the corpus a thousandfold — the many-
+    * moderately-hot-baskets explosion no single key trips. The guards
+    * derive the live bound as `max(this, pairBound >> 17)` (= 1024 at
+    * the default 2^27), so raising `pairBound` relaxes BOTH statistics —
+    * round-19 review catch: the amplification check used this constant
+    * directly, making the documented "accept a larger cost via a larger
+    * bound" contract unreachable without disabling the hot-key wedge
+    * guard too — while lowering `pairBound` (tight per-key budgets)
+    * keeps the floor instead of collapsing amp below any real mean
+    * basket size. */
   val BasketAmplificationBound: Long = 1024L
 
   /** Ordered funnel: for each user, the time of FIRST completion of each
@@ -339,8 +347,8 @@ object Analytics {
     *        count the self-join emits from that one key, inside one
     *        task) raises BY NAME past `pairBound`;
     *      - the AMPLIFICATION ratio: Σ size² vs input rows — raises when
-    *        the join would emit more than `pairBound`-per-2^17 (1024×
-    *        at the default bound) rows PER INPUT ROW, the many-
+    *        the join would emit more than `max(1024, pairBound/2^17)`
+    *        (1024× at the default bound) rows PER INPUT ROW, the many-
     *        moderately-hot-baskets shape no single key trips.
     *     Deliberately NOT the raw Σ size² total vs a fixed bound
     *     (r18-verdict-as-written): on healthy bounded baskets Σ size²
@@ -393,11 +401,15 @@ object Analytics {
             "degenerate baskets with maxBasketSize (keeps each basket's " +
             "highest-support items), filter oversized sessions upstream, " +
             "or accept the cost explicitly with pairBound <= 0")
+        // floor at the default constant: pairBound >> 17 alone would turn
+        // a small per-key bound (e.g. a test's 500) into an always-raising
+        // amplification check (amp < mean basket size on ANY basket data)
+        val amp = math.max(BasketAmplificationBound, pairBound >> 17)
         val ampBound = java.math.BigInteger.valueOf(nRows)
-          .multiply(java.math.BigInteger.valueOf(BasketAmplificationBound))
+          .multiply(java.math.BigInteger.valueOf(amp))
         require(tot.compareTo(ampBound) <= 0,
           s"$op: the basket self-join would emit $tot rows from $nRows " +
-            s"input rows (> ${BasketAmplificationBound}x amplification) " +
+            s"input rows (> ${amp}x amplification = pairBound/2^17) " +
             "— a corpus-wide explosion from many oversized baskets that " +
             "no single hot key trips; cap baskets with maxBasketSize, " +
             "or accept the cost explicitly with pairBound <= 0")

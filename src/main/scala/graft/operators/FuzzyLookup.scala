@@ -387,15 +387,25 @@ object FuzzyLookup {
             rv.select(Seq(col("_var_")) ++
               fIdx.map(i => col(s"_rf${i}_").as(s"_qf${i}_")): _*),
             Seq("_var_") ++ fIdx.map(i => s"_qf${i}_"))
-          require(projectedF.compareTo(
-              java.math.BigInteger.valueOf(opts.candidateBound)) <= 0,
-            s"FuzzyLookup.lookup: projected FUZZY candidate volume " +
-              s"$projectedF (sum over deletion-variant keys of left x " +
-              s"right occurrence counts) exceeds candidateBound=" +
-              s"${opts.candidateBound} — the variant join would emit " +
-              "that many rows before Levenshtein verification (an " +
-              "effective hang); lower maxDfRatio, lower maxLevDistance, " +
-              "or accept the cost explicitly with candidateBound <= 0")
+          if (projectedF.compareTo(
+              java.math.BigInteger.valueOf(opts.candidateBound)) > 0) {
+            // release the freshly materialized variant caches BEFORE
+            // raising (round-19 review catch): the probe above fully
+            // evaluated both, and a caller that catches this raise and
+            // retries with the remedy the message recommends would
+            // otherwise leave two data-scale caches per failed attempt
+            // that only a session cache clear can free
+            lv.unpersist(); rv.unpersist()
+            throw new IllegalArgumentException(
+              s"requirement failed: FuzzyLookup.lookup: projected FUZZY " +
+                s"candidate volume $projectedF (sum over deletion-variant " +
+                s"keys of left x right occurrence counts) exceeds " +
+                s"candidateBound=${opts.candidateBound} — the variant " +
+                "join would emit that many rows before Levenshtein " +
+                "verification (an effective hang); lower maxDfRatio, " +
+                "lower maxLevDistance, or accept the cost explicitly " +
+                "with candidateBound <= 0")
+          }
         }
         val fuzzyFilter = fIdx.foldLeft(col("qtok") =!= col("rtok")) {
           (c, i) => c && col(s"_qf${i}_") === col(s"_rf${i}_")
@@ -538,8 +548,10 @@ object FuzzyLookup {
         val n = unreleasedIndexes.incrementAndGet()
         if (n > UnreleasedIndexWarnThreshold)
           logger.warn(s"FuzzyLookup.lookup: $n releaseIndex=false calls " +
-            "in this JVM, each leaving one token index cached until the " +
-            "session cache is cleared — long-lived sessions should pass " +
+            "in this JVM, each leaving one token index (and, on the " +
+            "probed fuzzy lane, its two deletion-variant frames) cached " +
+            "until the session cache is cleared — long-lived sessions " +
+            "should pass " +
             "releaseIndex=true (eager bounded top-K materialization, " +
             "index dropped before return), or clear the session cache " +
             "between calls and re-arm this fence with " +

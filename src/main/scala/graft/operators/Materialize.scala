@@ -57,21 +57,7 @@ object Materialize {
   /** Eagerly materialize `df` and truncate lineage on the configured
     * lane. Chain as `df.transform(Materialize.round)` or via
     * [[MaterializeOps.materializeRound]]. */
-  def round(df: DataFrame): DataFrame = df.sparkSession.conf
-    .get(ConfKey, "auto") match {
-    case "local" => df.localCheckpoint()
-    case "reliable" =>
-      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        s"$ConfKey=reliable needs a checkpoint directory: call " +
-          "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
-      df.checkpoint()
-    case "auto" =>
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint()
-      else df.localCheckpoint()
-    case other => throw new IllegalArgumentException(
-      s"$ConfKey must be auto|local|reliable, got '$other'")
-  }
+  def round(df: DataFrame): DataFrame = pick(df, eager = true)
 
   /** LAZY twin of [[round]] for pure-cache pins (a frame read by several
     * consumers in the same query, where the first action downstream
@@ -79,22 +65,37 @@ object Materialize {
     * table): `localCheckpoint(eager=false)` / `checkpoint(eager=false)`
     * per the same lane selection, so no extra evaluation pass is spent
     * materializing what the caller's next job computes regardless.
-    * Same bit-identity contract as [[round]]. */
-  def lazyRound(df: DataFrame): DataFrame = df.sparkSession.conf
-    .get(ConfKey, "auto") match {
-    case "local" => df.localCheckpoint(false)
-    case "reliable" =>
-      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        s"$ConfKey=reliable needs a checkpoint directory: call " +
-          "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
-      df.checkpoint(false)
-    case "auto" =>
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(false)
-      else df.localCheckpoint(false)
-    case other => throw new IllegalArgumentException(
-      s"$ConfKey must be auto|local|reliable, got '$other'")
-  }
+    * Same bit-identity contract as [[round]].
+    *
+    * Reliable-lane cost disclosure (round-19 review): a non-eager
+    * RELIABLE checkpoint does not cache — Spark's documented checkpoint
+    * recompute means the pinned frame evaluates once for the first
+    * consumer's own job and once more for the checkpoint write, with
+    * later consumers reading the checkpoint files; the LOCAL lane's
+    * `localCheckpoint(false)` is persist-backed (single evaluation).
+    * That one extra evaluation is the same price [[round]]'s scaladoc
+    * already discloses for reliable storage — call-site "computed once"
+    * comments describe the local/default lane. */
+  def lazyRound(df: DataFrame): DataFrame = pick(df, eager = false)
+
+  /** The one lane-selection switch behind [[round]] and [[lazyRound]]
+    * (factored round 19 — the two verbatim match blocks differed only in
+    * the eager flag and would drift on any future lane change). */
+  private def pick(df: DataFrame, eager: Boolean): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "auto") match {
+      case "local" => df.localCheckpoint(eager)
+      case "reliable" =>
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          s"$ConfKey=reliable needs a checkpoint directory: call " +
+            "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
+        df.checkpoint(eager)
+      case "auto" =>
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(eager)
+        else df.localCheckpoint(eager)
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be auto|local|reliable, got '$other'")
+    }
 
   implicit final class MaterializeOps(private val df: DataFrame)
       extends AnyVal {

@@ -2930,16 +2930,21 @@ object PipelineQueries {
 
     // LSH near-dup replay: same splitmix64 plane recipe as ann02 (seed 7,
     // 16 tables x autoBits(n) bits — the `bits` CTE recomputes Spark's
-    // ceil(ln(n/64)/ln 2) clamp-[2,30] sizing from count(*), so the
-    // replay self-sizes with the table), candidates = bucket-colliding
-    // id_a < id_b pairs, score = the cosine expression's exact formula
-    // (ascending-order double sums, dot / (sqrt(nx) * sqrt(ny)))
+    // INTEGER-EXACT sizing from count(*): bitLength(ceil(n/64) - 1)
+    // clamped [2,30], via length(bin(m-1)); round 19 dropped the
+    // ln()/ln(2) float replay, the suite's one control-flow transcendental
+    // (a 1-ulp libm difference at n = 64·2^j would have diverged the
+    // gate) — so the replay self-sizes with the table and stays exact by
+    // construction, candidates = bucket-colliding id_a < id_b pairs,
+    // score = the cosine expression's exact formula (ascending-order
+    // double sums, dot / (sqrt(nx) * sqrt(ny)))
     "ann05_neardup_lsh" ->
       """WITH bits AS (
-        |  SELECT least(30, greatest(2, CAST(ceil(
-        |    ln(greatest(1.0, CAST(count(*) AS DOUBLE) / 64.0)) / ln(2.0))
-        |    AS INTEGER))) AS nb
-        |  FROM embeddings),
+        |  SELECT least(30, greatest(2,
+        |    CASE WHEN m <= 1 THEN 0
+        |         ELSE CAST(length(bin(m - 1)) AS INTEGER) END)) AS nb
+        |  FROM (SELECT greatest(1, (count(*) + 63) // 64) AS m
+        |        FROM embeddings)),
         |e AS (
         |  SELECT vec_id, embedding FROM embeddings),
         |ph AS (
