@@ -1327,20 +1327,29 @@ object Analytics {
     * and are filtered up front. Output: (pct INT, value BIGINT). */
   def weightedQuantilesBisect(df: DataFrame, valCol: String,
                               weightCol: String, pcts: Seq[Int],
-                              nBins: Int = 4096): DataFrame = {
+                              nBins: Int = 16384): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
       s"pcts must be in [0,100], got $pcts")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted across refinement passes (optimization round 19, guide
+    // §1.2/§5): every pass re-histograms the SAME pruned two-column frame,
+    // and without the pin each of the ~log_nBins(domain) passes re-reads
+    // the parquet scan + cast; the loop below is the only consumer, so
+    // the cache is dropped before returning (the returned frame is a
+    // driver-local dataset and never references it)
     val vals = df.select(col(valCol).cast("long").as("_v_"),
         when(col(weightCol).cast("long") < 0,
           raise_error(lit("weightedQuantilesBisect: negative weight")))
           .otherwise(col(weightCol).cast("long")).as("_w_"))
       .where(col("_v_").isNotNull && col("_w_").isNotNull && col("_w_") > 0)
+      .persist()
     val head = vals.agg(sum("_w_"), min("_v_"), max("_v_")).head()
-    if (head.isNullAt(0))
+    if (head.isNullAt(0)) {
+      vals.unpersist()
       return spark.emptyDataset[(Int, Long)].toDF("pct", "value")
+    }
     val w = head.getLong(0)
     case class T(pct: Int, var lo: Long, var hi: Long, var rank: Long)
     val targets = pcts.distinct.sorted.map { p =>
@@ -1376,6 +1385,7 @@ object Analytics {
         t.lo = newLo
       }
     }
+    vals.unpersist()
     spark.createDataset(targets.map(t => (t.pct, t.lo))).toDF("pct", "value")
   }
 
@@ -1392,16 +1402,20 @@ object Analytics {
     * exactly [[groupQuantiles]]', so results are interchangeable.
     * Output: (`groupCol`, pct INT, value BIGINT). */
   def groupQuantilesBisect(df: DataFrame, groupCol: String, valCol: String,
-                           pcts: Seq[Int], nBins: Int = 4096,
+                           pcts: Seq[Int], nBins: Int = 16384,
                            maxGroups: Int = 1 << 20): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
       s"pcts must be in [0,100], got $pcts")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted across refinement passes (optimization round 19, guide
+    // §1.2/§5): the group-discovery aggregate and every histogram pass
+    // below re-read this same pruned frame; see exactQuantilesBisect
     val vals = df.select(col(groupCol).cast("string").as("_g_"),
         col(valCol).cast("long").as("_v_"))
       .where(col("_v_").isNotNull && col("_g_").isNotNull)
+      .persist()
     val groups = vals.groupBy("_g_")
       .agg(count(lit(1)).as("n"), min("_v_").as("lo"), max("_v_").as("hi"))
       .collect()
@@ -1449,6 +1463,7 @@ object Analytics {
         t.lo = newLo
       }
     }
+    vals.unpersist()
     // join back to the distinct group frame so groupCol keeps its
     // ORIGINAL type (the bisection keys on the string form internally;
     // returning that would silently coerce e.g. an int key to string,
@@ -1510,8 +1525,13 @@ object Analytics {
     * rows — then the driver walks the cumulative counts to pick the bin
     * holding rank r and recurses into it. The interval shrinks ≥ nBins×
     * per pass, so even a full 64-bit domain resolves in
-    * ceil(64 / log2 nBins) passes (4096 bins → ≤ 6 scans of one pruned
-    * column, each shuffling only the histogram). No data row ever moves.
+    * ceil(64 / log2 nBins) passes (16384 bins → ≤ 5 scans of one pruned
+    * column, each shuffling only the histogram; the r19 optimization
+    * round raised the default from 4096 — typical ~1e8-wide monetary
+    * domains then resolve in 2 passes instead of 3, and the per-pass
+    * collect stays ≤ active-targets × nBins rows of (int, long, long)).
+    * No data row ever moves — and the pruned column is persisted for
+    * the passes' reuse, dropped before returning.
     *
     * `valCol` must be integer-typed (the repo-wide quantize-first
     * convention; milli-quantize money upstream), with |v| < 2^62 so
@@ -1521,18 +1541,26 @@ object Analytics {
     * requested percentile, (pct INT, value BIGINT), built on the driver
     * from |pcts| resolved scalars. */
   def exactQuantilesBisect(df: DataFrame, valCol: String, pcts: Seq[Int],
-                           nBins: Int = 4096): DataFrame = {
+                           nBins: Int = 16384): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
       s"pcts must be in [0,100], got $pcts")
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted across refinement passes (optimization round 19, guide
+    // §1.2/§5): the head aggregate and each of the ~log_nBins(domain)
+    // histogram passes re-read this one pruned column — without the pin
+    // every pass pays the parquet scan + cast again. Loop-local cache:
+    // unpersisted before returning (the result is driver-built).
     val vals = df.select(col(valCol).cast("long").as("_v_"))
       .where(col("_v_").isNotNull)
+      .persist()
     val head = vals.agg(count(lit(1)), min("_v_"), max("_v_")).head()
     val n = head.getLong(0)
-    if (n == 0L)
+    if (n == 0L) {
+      vals.unpersist()
       return spark.emptyDataset[(Int, Long)].toDF("pct", "value")
+    }
     // state per target: value is the rank-th smallest inside [lo, hi]
     case class Target(pct: Int, var lo: Long, var hi: Long, var rank: Long)
     val targets = pcts.distinct.sorted.map { p =>
@@ -1574,6 +1602,7 @@ object Analytics {
         t.lo = newLo
       }
     }
+    vals.unpersist()
     spark.createDataset(targets.map(t => (t.pct, t.lo))).toDF("pct", "value")
   }
 

@@ -67,17 +67,20 @@ object Contamination {
     * permille (`n_shared·1000 div n_grams`), so the gate has no float to
     * straddle.
     *
-    * Plan (round-16 re-plan, skew-safe): explode n-grams, distinct
-    * (doc, gram) — the dedup that makes "shared" mean CROSS-document,
-    * shuffled on the COMPOSITE key so a hot gram spreads across doc ids —
-    * then TWO partial-aggregable rollups off one materialization:
-    * per-gram (docs count, min-id owner) and per-doc gram count;
+    * Plan (round-19 re-plan; supersedes the round-16 shape): n-grams are
+    * deduplicated PER DOCUMENT inside the row (array_distinct over the
+    * gram transform), so the exploded (doc, gram) stream is unique by
+    * construction and crosses the wire exactly once — the per-gram
+    * (docs count, min-id owner) rollup's exchange; the round-16 global
+    * (doc, gram) `.distinct()` shuffle and the second per-doc rollup
+    * over the gram stream are gone (the per-doc gram count is the
+    * row-local `size` of the distinct array).
     * `n_shared = n_grams − (grams whose docs-count is 1, attributed to
-    * their owner)`. No gram-partitioned window anywhere: the previous
-    * count-over-Window.partitionBy(gram) funneled EVERY occurrence of a
-    * hot boilerplate gram (cookie banner in 10^8 docs) through one
+    * their owner)`. No gram-partitioned window anywhere: a
+    * count-over-Window.partitionBy(gram) would funnel EVERY occurrence
+    * of a hot boilerplate gram (cookie banner in 10^8 docs) through one
     * unsplittable sort task — the exact skew this operator exists to
-    * measure. Every aggregate here collapses map-side, so the hot gram
+    * measure. The one aggregate collapses map-side, so the hot gram
     * costs one partial row per partition.
     * Gram keys here are the joined strings (gate-friendly); at 100 TB
     * hash them to 64-bit first (xxhash64 — ids-only shuffles, same
@@ -88,32 +91,40 @@ object Contamination {
     val words = df.select(col(idCol),
       split(col(textCol), "\\s+").as("_ws_"))
       .select(col(idCol), expr("filter(_ws_, x -> x != '')").as("_ws_"))
-    val grams = words
+    // per-doc DISTINCT gram arrays (optimization round 19, guide §2.3/§2.4):
+    // array_distinct inside the row removes the former global (id, gram)
+    // `.distinct()` — after it, exploded (id, gram) rows are unique by
+    // construction (within a doc the array collapsed them; across docs the
+    // id differs), so the gram stream crosses the wire ONCE (the perGram
+    // rollup's exchange) instead of three times (distinct shuffle + two
+    // rollup exchanges), and the per-doc gram count is the row-local
+    // size(_gs_) — no second pass over the gram stream at all. Hot-gram
+    // skew is still map-side-collapsed: perGram's count/min are partial
+    // aggregates, so a 10^8-doc boilerplate gram arrives at its one
+    // reducer as one partial row per map task, never as raw rows.
+    val docGrams = words
       // guard BEFORE sequence(): Spark's sequence(1, 0) counts DOWN
       // ([1, 0]), so a short doc would emit grams at invalid indices
       .where(size(col("_ws_")) >= n)
       .select(col(idCol), expr(
-        s"""transform(sequence(1, size(_ws_) - ${n - 1}),
-           |  i -> concat_ws(' ', slice(_ws_, i, $n)))""".stripMargin)
+        s"""array_distinct(transform(sequence(1, size(_ws_) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(_ws_, i, $n))))""".stripMargin)
         .as("_gs_"))
-      .select(col(idCol), explode(col("_gs_")).as("_g_"))
-      // natural (id, _g_) distinct shuffle: the hot gram's rows spread
-      // across the id dimension instead of funneling into one partition.
-      // lazy materialization: both rollups below read this once.
-      // (Round-15 fused this into ONE gram-keyed exchange feeding a
-      // count window — faster at bench scale, but the window partition
-      // is unsplittable, so a 10^8-doc boilerplate gram means one task
-      // sorting the whole hot key; the two-aggregate form trades one
-      // extra exchange for map-side collapse of exactly that key.)
-      .distinct()
+      // read by the explode below AND the final per-doc stats projection;
+      // pinned so the tokenize + gram transform runs once (the pre-r19
+      // shape pinned the strictly larger EXPLODED stream for the same
+      // reason)
       .transform(Materialize.lazyRound)
+    val grams = docGrams.select(col(idCol), explode(col("_gs_")).as("_g_"))
     val perGram = grams.groupBy(col("_g_"))
       .agg(count(lit(1)).as("_docs_"), min(col(idCol)).as("_owner_"))
     // a gram with exactly one distinct doc is UNIQUE to that doc; all of
     // a doc's other grams are shared with at least one other document
     val uniq = perGram.where(col("_docs_") === 1L)
       .groupBy(col("_owner_").as(idCol)).agg(count(lit(1)).as("_nu_"))
-    grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    // cast: size() is INT, the public n_grams column has always been the
+    // old count()'s BIGINT — the schema is part of the oracle contract
+    docGrams.select(col(idCol), size(col("_gs_")).cast("long").as("n_grams"))
       .join(uniq, Seq(idCol), "left")
       .withColumn("n_shared", col("n_grams") - coalesce(col("_nu_"), lit(0L)))
       .withColumn("risk_permille",

@@ -845,8 +845,13 @@ object Dedup {
                              capDf: Long = 0L): DataFrame = {
     // tokenize ONCE per row before the gram lambda: with split() inlined in
     // the transform body Catalyst re-evaluates it per gram position —
-    // O(tokens²) splits per document, quadratic in document length
-    val grams = df
+    // O(tokens²) splits per document, quadratic in document length.
+    // Parallelism.widen (r19): the gram explosion + xxhash is the lane's
+    // CPU spine and plans into the scan stage — an under-split input
+    // (one small parquet file) serializes it on one core; no-op on
+    // well-split inputs (see the helper's scaladoc).
+    val grams = Parallelism.widen(
+        df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("_id_"), split(col(textCol), " ").as("_w_"))
       .select(col("_id_"),
         explode(expr(

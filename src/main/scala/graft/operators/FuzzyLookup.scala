@@ -234,7 +234,11 @@ object FuzzyLookup {
     // The scoring pipeline works on fully re-aliased projections (fresh
     // attribute ids), so re-joining queries/rightKeyed at the end is not an
     // ambiguous self-join.
-    val texts = rightKeyed.select(
+    // widen (optimization r19, guide §2.5): the pinned right side holds
+    // the SCAN's partitioning — one split for a single-file catalog — and
+    // the tokenizer explode below would then run in one task; no-op when
+    // the catalog arrived well-split
+    val texts = Parallelism.widen(rightKeyed, col("_rid_")).select(
       Seq(col("_rid_").as("_trid_"), col(textCol).as("_ttext_")) ++ rf: _*)
 
     // ---- right side: inverted index as a DataFrame ------------------------
@@ -261,7 +265,11 @@ object FuzzyLookup {
     val rightIndexed = rightToks.join(tokenStats, "rtok")
 
     // ---- left side: query tokens with char offsets ------------------------
-    val leftToksBase = queries
+    // widen: the pinned distinct-query frame coalesces to one partition
+    // at bench scale (AQE shrinks the distinct's exchange), which would
+    // serialize the tokenizer + deletion-variant UDFs; no-op when the
+    // query set is already spread
+    val leftToksBase = Parallelism.widen(queries, col("_qlid_"))
       .select(Seq(col("_qlid_"), explode(tokUdf(col("_qtext_"))).as("t")) ++
         fIdx.map(i => col(s"_qf${i}_")): _*)
       .select(Seq(col("_qlid_"), col("t.tok").as("qtok"), col("t.pos").as("qpos"),

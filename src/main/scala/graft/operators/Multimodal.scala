@@ -547,7 +547,8 @@ object Multimodal {
   def imageNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
                         maxHamming: Int): DataFrame =
     hashNearDupPairs(
-      media.select(col(idCol), aHashUdf(col(bytesCol)).as("_ah_")),
+      Parallelism.widen(media.select(col(idCol), col(bytesCol)), col(idCol))
+        .select(col(idCol), aHashUdf(col(bytesCol)).as("_ah_")),
       idCol, "_ah_", maxHamming)
 
   /** 64-bit audio fingerprint: decode (real `javax.sound.sampled` WAV
@@ -612,7 +613,8 @@ object Multimodal {
   def audioNearDupPairs(media: DataFrame, idCol: String, bytesCol: String,
                         maxHamming: Int): DataFrame =
     hashNearDupPairs(
-      media.select(col(idCol), audioFpUdf(col(bytesCol)).as("_af_")),
+      Parallelism.widen(media.select(col(idCol), col(bytesCol)), col(idCol))
+        .select(col(idCol), audioFpUdf(col(bytesCol)).as("_af_")),
       idCol, "_af_", maxHamming)
 
   /** STUB decode for media without a JDK codec (video frames): bytes ->
@@ -641,7 +643,11 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("meta", mediaMetaType),
       StructField("features", ArrayType(FloatType))))
-    val rdd = media.select("media_id", "bytes", "meta").rdd.mapPartitions { it =>
+    // widen (r19): the decode loop is the operator's whole cost and runs
+    // inside the scan's partitioning — a few staged files would cap the
+    // codec parallelism at the file count (no-op on well-split inputs)
+    val rdd = Parallelism.widen(media.select("media_id", "bytes", "meta"),
+        col("media_id")).rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch work area: a real decoder allocates its buffers here
         // once per batch, not per row
@@ -685,7 +691,10 @@ object Multimodal {
       StructField("out_width", IntegerType),
       StructField("out_height", IntegerType),
       StructField("out_bytes", org.apache.spark.sql.types.BinaryType)))
-    val rdd = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+    // widen (r19): decode + resample parallelism otherwise capped at the
+    // staged file count (see extractFeatures)
+    val rdd = Parallelism.widen(media.select("media_id", "bytes"),
+        col("media_id")).rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
@@ -756,8 +765,13 @@ object Multimodal {
         (f, None: Option[Int], decodeStub(slice, dim).toSeq)
       }
     }
-    media.select(col("media_id"),
-        explode(frameUdf(col("meta.mime"), col("bytes"))).as("frame"))
+    // widen (r19): demux/decode parallelism otherwise capped at the
+    // staged file count (see extractFeatures)
+    Parallelism.widen(
+        media.select(col("media_id"), col("meta.mime").as("_mime_"),
+          col("bytes")), col("media_id"))
+      .select(col("media_id"),
+        explode(frameUdf(col("_mime_"), col("bytes"))).as("frame"))
       .select(col("media_id"), col("frame._1").as("frame_index"),
         col("frame._2").as("n_frames_total"),
         col("frame._3").as("features"))
