@@ -64,12 +64,21 @@ object Bench {
     // — the artifact-of-record methodology stays partitions == cpus.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // A/B hook (optimization r19, guide §1): semicolon-separated k=v
+    // session confs for targeted config experiments (e.g.
+    // "spark.sql.join.preferSortMergeJoin=false") without editing the
+    // harness per trial; empty/absent = the recorded methodology exactly
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
+    val spark = builder
       // interleaved passes (round-16) revisit each query's plan a full
       // suite apart; the default 100-entry generated-class cache evicts
       // everything in between, so pass 2 would pay Janino + JIT again

@@ -1305,10 +1305,11 @@ object Analytics {
     // set extinguished, S hits exact zero) that time and all later ones
     // carry NULL log-survival rather than -Inf — same semantics as the
     // old min-over-prefix window
-    Packing.runningTotalSharded(
-        Packing.probeCache(
-          Packing.runningTotalSharded(events, "t", "_t0_", "_cumterm_")),
-        "t", "_bad_", "_cumbad_")
+    // one fused prefix-sum pass for both cumulative columns (r19): the
+    // nested form needed an intermediate probeCache just to stop the
+    // outer call's bounds probe re-running the inner window pipeline
+    Packing.runningTotalsSharded(events, "t",
+        Seq("_t0_" -> "_cumterm_", "_bad_" -> "_cumbad_"))
       .withColumn("log_surv_micro",
         when(col("_cumbad_") === 0L, col("_cumterm_")))
       .select(col("t"), col("n_risk"), col("n_events"), col("log_surv_micro"))

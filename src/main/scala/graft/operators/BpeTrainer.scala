@@ -173,7 +173,11 @@ object BpeTrainer {
     val words = df
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("_w_"))
       .where(col("_w_") =!= "")
-    val pieces = words.select("_w_").distinct()
+    // widen (r19): the distinct's exchange coalesces to one partition at
+    // small scale (AQE) and the merge-scan UDF then runs the whole
+    // vocabulary in one task; no-op when the vocabulary is already spread
+    val pieces = Parallelism
+      .widen(words.select("_w_").distinct(), col("_w_"))
       .select(col("_w_"), pieceCount(col("_w_")).as("_np_"))
     words.join(pieces, "_w_")
       .groupBy(idCol).agg(sum(col("_np_").cast("long")).as("bpe_pieces"))
@@ -236,7 +240,11 @@ object BpeTrainer {
         applyMerges(w, ranks, pairs).iterator.map(p => v.getOrElse(p, -1))
       }.toArray
     }
-    df.select(col(idCol), idsUdf(col(textCol)).as("token_ids"))
+    // widen: the per-document merge scan plans into the scan stage — one
+    // input split serializes the whole corpus' segmentation (no-op on
+    // well-split inputs)
+    Parallelism.widen(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), idsUdf(col(textCol)).as("token_ids"))
   }
 
   /** [[tokenizeToIds]]'s corpus-scale lane (bit-identical output,
@@ -257,7 +265,10 @@ object BpeTrainer {
     val words = df.select(col(idCol),
       posexplode(filter(split(col(textCol), "\\s+"), w => w =!= ""))
         .as(Seq("_wp_", "_w_")))
-    val dict = words.select("_w_").distinct()
+    // widen: see segmentCounts — the merge scan over the distinct
+    // vocabulary must not serialize in one coalesced task
+    val dict = Parallelism
+      .widen(words.select("_w_").distinct(), col("_w_"))
       .select(col("_w_"), wordIds(col("_w_")).as("_ids_"))
     val rebuilt = words.join(dict, "_w_")
       .groupBy(idCol)

@@ -174,8 +174,29 @@ object Packing {
                           groupCols: Seq[String] = Nil,
                           tieCols: Seq[String] = Nil,
                           nullsLast: Boolean = false,
-                          nullsFirst: Boolean = false): DataFrame = {
+                          nullsFirst: Boolean = false): DataFrame =
+    runningTotalsSharded(df, idCol, Seq(tokensCol -> cumCol), numShards,
+      groupCols, tieCols, nullsLast, nullsFirst)
+
+  /** Multi-column twin of [[runningTotalSharded]] (optimization r19):
+    * one prefix-sum pass producing SEVERAL running totals over the SAME
+    * (id, tie) order — callers that need two cumulative columns
+    * ([[graft.operators.Tuning.bestSplits]]' n/positives,
+    * [[graft.operators.Analytics]]' survival counts) previously nested
+    * two calls, and the outer call's bounds probe + main pass then
+    * re-evaluated the inner call's whole window pipeline (~3 evaluations
+    * of the upstream per extra column). Identical per-column results to
+    * the single-column form by construction: every phase below is the
+    * same program applied component-wise. */
+  def runningTotalsSharded(df: DataFrame, idCol: String,
+                           valCums: Seq[(String, String)],
+                           numShards: Int = 32,
+                           groupCols: Seq[String] = Nil,
+                           tieCols: Seq[String] = Nil,
+                           nullsLast: Boolean = false,
+                           nullsFirst: Boolean = false): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(valCums.nonEmpty, "at least one (valCol, cumCol) pair")
     require(!(nullsLast && nullsFirst), "nullsLast and nullsFirst conflict")
     val df0 = numericIdGuarded(df, idCol, "runningTotalSharded")
     val bounds = df0.agg(min(col(idCol)).cast("long").as("lo"),
@@ -188,7 +209,9 @@ object Packing {
         else Window.partitionBy(groupCols.map(col): _*))
         .orderBy((idCol +: tieCols).map(col): _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      return df.withColumn(cumCol, sum(col(tokensCol)).over(wFallback))
+      return valCums.foldLeft(df) { case (d, (v, c)) =>
+        d.withColumn(c, sum(col(v)).over(wFallback))
+      }
     }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val rawShard = shardExpr(idCol, lo, hi, numShards)
@@ -197,8 +220,10 @@ object Packing {
       else if (nullsFirst) coalesce(rawShard, lit(-1L))
       else rawShard)
     val keys = groupCols :+ "_shard_"
+    val vi = valCums.indices
     val totals = sharded.groupBy(keys.map(col): _*)
-      .agg(sum(col(tokensCol)).as("_tot_"))
+      .agg(sum(col(valCums.head._1)).as("_tot_0_"),
+        vi.tail.map(i => sum(col(valCums(i)._1)).as(s"_tot_${i}_")): _*)
     // phase 2: per-shard base = sum of strictly-earlier shards' totals.
     // The totals table is ≤ numShards rows per group BY CONSTRUCTION, so
     // a triangular self-join beats a window here: no single-partition
@@ -207,7 +232,8 @@ object Packing {
     // from an accidental data-sized one), and the O(numShards²)-row
     // join is constant-sized
     val earlier = totals.select(
-      keys.map(c => col(c).as(s"_e_$c")) :+ col("_tot_").as("_etot_"): _*)
+      keys.map(c => col(c).as(s"_e_$c")) ++
+        vi.map(i => col(s"_tot_${i}_").as(s"_etot_${i}_")): _*)
     // null-safe group equality: a NULL group is one group (the window
     // this replaces partitioned NULLs together)
     val joinCond = groupCols
@@ -215,18 +241,24 @@ object Packing {
       .foldLeft(col("_e__shard_") < col("_shard_"))(_ && _)
     val bases = totals.join(earlier, joinCond, "left")
       .groupBy(keys.map(col): _*)
-      .agg(coalesce(sum(col("_etot_")), lit(0L)).as("_base_"))
+      .agg(coalesce(sum(col("_etot_0_")), lit(0L)).as("_base_0_"),
+        vi.tail.map(i =>
+          coalesce(sum(col(s"_etot_${i}_")), lit(0L)).as(s"_base_${i}_")): _*)
     val wIn = Window.partitionBy(keys.map(col): _*)
       .orderBy((idCol +: tieCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // null-safe stitch: a using-column join would silently DROP rows of
     // a NULL group (found by PropertySpec's randomized parity check)
     val basesR = bases.select(
-      keys.map(c => col(c).as(s"_b_$c")) :+ col("_base_"): _*)
+      keys.map(c => col(c).as(s"_b_$c")) ++
+        vi.map(i => col(s"_base_${i}_")): _*)
     val stitchCond = keys.map(c => col(c) <=> col(s"_b_$c")).reduce(_ && _)
-    sharded.join(broadcast(basesR), stitchCond)
-      .withColumn(cumCol, col("_base_") + sum(col(tokensCol)).over(wIn))
-      .select(df.columns.map(col) :+ col(cumCol): _*)
+    val stitched = sharded.join(broadcast(basesR), stitchCond)
+    val withCums = valCums.zipWithIndex.foldLeft(stitched) {
+      case (d, ((v, c), i)) =>
+        d.withColumn(c, col(s"_base_${i}_") + sum(col(v)).over(wIn))
+    }
+    withCums.select(df.columns.map(col) ++ valCums.map(p => col(p._2)): _*)
   }
 
   /** Sharded EXCLUSIVE running minimum — the prefix-min twin of

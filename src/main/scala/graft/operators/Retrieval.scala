@@ -150,9 +150,16 @@ object Retrieval {
       .select(col("query_id"), col(docCol), col("_rel_"),
         lit(1).as("rank"))
       .materializeRound()
-    var remaining = nrel.join(selected.select("query_id", docCol),
-      Seq("query_id", docCol), "left_anti").materializeRound()
+    // `remaining` is NOT pinned (optimization r19): it is a one-join plan
+    // over two frames that are both already materialized (nrel and the
+    // per-round selected), so plan depth stays constant without a second
+    // barrier per round — dropping it halves the round's actions, and the
+    // anti-join is recomputed at most twice per round from cached inputs.
+    def remainingOf(sel: DataFrame) =
+      nrel.join(sel.select("query_id", docCol),
+        Seq("query_id", docCol), "left_anti")
     for (t <- 2 to k) {
+      val remaining = remainingOf(selected)
       val selDocs = selected.select(col("query_id"),
         col(docCol).as("_sel_"))
       val sims = remaining.join(selDocs, "query_id")
@@ -170,8 +177,6 @@ object Retrieval {
         .select(col("query_id"), col(docCol), col("_rel_"),
           lit(t).as("rank"))
       selected = selected.unionByName(picked).materializeRound()
-      remaining = remaining.join(picked.select("query_id", docCol),
-        Seq("query_id", docCol), "left_anti").materializeRound()
     }
     selected.select(col("query_id"), col(docCol), col("rank"),
       col("_rel_").as(relFpCol))

@@ -267,17 +267,22 @@ object Tuning {
                  labelCol: String): DataFrame = {
     require(featureCols.nonEmpty, "at least one feature column")
     featureCols.map { f =>
-      val counts = df
+      // probeCache (r19): three consumers — the totals aggregate, the
+      // prefix-sum's bounds probe, and its main pass — would each re-run
+      // the distinct-value aggregate
+      val counts = Packing.probeCache(df
         .select(col(f).cast("long").as("_v_"),
           col(labelCol).cast("long").as("_y_"))
         .where(col("_v_").isNotNull && col("_y_").isNotNull)
         .groupBy("_v_")
-        .agg(count(lit(1)).as("_n_"), sum(col("_y_")).as("_p_"))
+        .agg(count(lit(1)).as("_n_"), sum(col("_y_")).as("_p_")))
       val totals = counts.agg(sum("_n_").as("_tn_"), sum("_p_").as("_tp_"),
         max("_v_").as("_vmax_"))
-      Packing.runningTotalSharded(
-          Packing.runningTotalSharded(counts, "_v_", "_n_", "_nl_"),
-          "_v_", "_p_", "_pl_")
+      // one fused prefix-sum pass for both cumulative columns (r19):
+      // the nested two-call form re-evaluated the inner window pipeline
+      // in the outer call's bounds probe AND main pass
+      Packing.runningTotalsSharded(counts, "_v_",
+          Seq("_n_" -> "_nl_", "_p_" -> "_pl_"))
         .crossJoin(broadcast(totals))
         .where(col("_v_") < col("_vmax_")) // both sides non-empty
         .select(lit(f).as("feature"), col("_v_").as("threshold"),

@@ -736,7 +736,13 @@ object PipelineQueries {
     // tighter rectangles than morton's power-of-two teleports; spec
     // proves bijection + adjacency + the locality win) -------------------
     "zo02_hilbert_layout" -> ((s, d) => {
-      val o = Tables.orders(s, d)
+      // widen (r19): the 16-level Hilbert walk is a ~100-expression
+      // per-row program planned into the scan stage — a single-split
+      // orders file serializes it on one core (profiled: 1.05 s of the
+      // query's 2.1 s in one task); no-op on well-split inputs
+      val o = graft.operators.Parallelism.widen(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey",
+            "o_orderdate"), col("o_orderkey"))
         .withColumn("_day_", datediff(col("o_orderdate").cast("date"),
           to_date(lit("1992-01-01"))))
       graft.operators.Layout.withHilbertValue(
