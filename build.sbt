@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-parse contract (r20, VERDICT item 2): every BENCH_r*.json
+// since ~r15 has `parsed: null` because sbt's default LoggedOutput relays
+// the forked JVM's stdout with an "[info] " prefix and appends its own
+// "[success] Total time" line — both defeat the driver's tail parser for
+// the bench's one JSON line. StdoutOutput passes the forked process's
+// stdout/stderr through verbatim (Spark's log4j noise stays on stderr,
+// the JSON line lands bare on stdout), and showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// the outputStrategy key is consulted through forkOptions, which sbt's
+// lintUnused can't see — without this the lint WARN itself lands on the
+// stdout the driver tails
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

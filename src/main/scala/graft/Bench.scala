@@ -74,10 +74,12 @@ object Bench {
     // session confs for targeted config experiments (e.g.
     // "spark.sql.join.preferSortMergeJoin=false") without editing the
     // harness per trial; empty/absent = the recorded methodology exactly
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val i = kv.indexOf('=')
-      if (i > 0) builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
-    })
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).flatMap { kv =>
+        val i = kv.indexOf('=')
+        if (i > 0) Some(kv.take(i).trim -> kv.drop(i + 1).trim) else None
+      }
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder
       // interleaved passes (round-16) revisit each query's plan a full
       // suite apart; the default 100-entry generated-class cache evicts
@@ -318,7 +320,13 @@ object Bench {
     // `parsed` field has been null every recorded round because the
     // driver never consumes the stdout line; this file IS the
     // machine-readable record (r16 verdict #5), no tail-scraping needed
-    val meta = f""""metric":"total","value":$total%.3f,"total":$total%.3f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"repeat":$repeat,"errors":$nErrors"""
+    // extraConf echo (r19 ADVICE): an A/B artifact produced under a
+    // nonstandard session conf must be distinguishable from the
+    // artifact-of-record methodology, so the artifact names its confs
+    val extraJson = extraConf.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\"", "\\\"") + "\"" }
+      .mkString("{", ",", "}")
+    val meta = f""""metric":"total","value":$total%.3f,"total":$total%.3f,"unit":"sec","sf":"$sfDir","cpus":$cpus,"repeat":$repeat,"errors":$nErrors,"extraConf":$extraJson"""
     val artifact = s"""{$meta,"queries":$fullJson}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_per_query.json"))
@@ -355,6 +363,11 @@ object Bench {
     // stop BEFORE printing: Spark's shutdown logging must not land after
     // the one line the driver tails for
     spark.stop()
-    println(lineFor(inline))
+    val line = lineFor(inline)
+    println(line)
+    // belt-and-braces copy on stderr (r20, VERDICT item 2): if anything
+    // ever re-decorates stdout, the driver (or a human) can still recover
+    // the line from the stderr capture
+    System.err.println(line)
   }
 }

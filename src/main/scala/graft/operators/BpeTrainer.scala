@@ -173,11 +173,11 @@ object BpeTrainer {
     val words = df
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("_w_"))
       .where(col("_w_") =!= "")
-    // widen (r19): the distinct's exchange coalesces to one partition at
-    // small scale (AQE) and the merge-scan UDF then runs the whole
-    // vocabulary in one task; no-op when the vocabulary is already spread
-    val pieces = Parallelism
-      .widen(words.select("_w_").distinct(), col("_w_"))
+    // widen REVERTED (r20, r19 ADVICE): widen() probes the partition
+    // count via df.rdd.getNumPartitions, which under AQE materializes the
+    // tokenize+distinct as real jobs at plan time — work NOT reused by
+    // the later execution, so the distinct ran twice per call.
+    val pieces = words.select("_w_").distinct()
       .select(col("_w_"), pieceCount(col("_w_")).as("_np_"))
     words.join(pieces, "_w_")
       .groupBy(idCol).agg(sum(col("_np_").cast("long")).as("bpe_pieces"))
@@ -265,10 +265,9 @@ object BpeTrainer {
     val words = df.select(col(idCol),
       posexplode(filter(split(col(textCol), "\\s+"), w => w =!= ""))
         .as(Seq("_wp_", "_w_")))
-    // widen: see segmentCounts — the merge scan over the distinct
-    // vocabulary must not serialize in one coalesced task
-    val dict = Parallelism
-      .widen(words.select("_w_").distinct(), col("_w_"))
+    // widen REVERTED (r20): see segmentCounts — the probe double-executed
+    // the tokenize+distinct under AQE
+    val dict = words.select("_w_").distinct()
       .select(col("_w_"), wordIds(col("_w_")).as("_ids_"))
     val rebuilt = words.join(dict, "_w_")
       .groupBy(idCol)

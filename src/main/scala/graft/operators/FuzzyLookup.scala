@@ -234,11 +234,12 @@ object FuzzyLookup {
     // The scoring pipeline works on fully re-aliased projections (fresh
     // attribute ids), so re-joining queries/rightKeyed at the end is not an
     // ambiguous self-join.
-    // widen (optimization r19, guide §2.5): the pinned right side holds
-    // the SCAN's partitioning — one split for a single-file catalog — and
-    // the tokenizer explode below would then run in one task; no-op when
-    // the catalog arrived well-split
-    val texts = Parallelism.widen(rightKeyed, col("_rid_")).select(
+    // widen REVERTED (r20, the r19 verdict's item 1): the r19 repartition
+    // here made fz01 2.5x slower at 32 cores and ANTI-scale (slower at 32
+    // cores than 8) — the widened frame feeds several downstream branches,
+    // so the exchange was re-paid per consumer while the tokenizer work it
+    // spread is too small to amortize it at any measured configuration.
+    val texts = rightKeyed.select(
       Seq(col("_rid_").as("_trid_"), col(textCol).as("_ttext_")) ++ rf: _*)
 
     // ---- right side: inverted index as a DataFrame ------------------------
@@ -265,11 +266,9 @@ object FuzzyLookup {
     val rightIndexed = rightToks.join(tokenStats, "rtok")
 
     // ---- left side: query tokens with char offsets ------------------------
-    // widen: the pinned distinct-query frame coalesces to one partition
-    // at bench scale (AQE shrinks the distinct's exchange), which would
-    // serialize the tokenizer + deletion-variant UDFs; no-op when the
-    // query set is already spread
-    val leftToksBase = Parallelism.widen(queries, col("_qlid_"))
+    // widen REVERTED here too (r20): same verdict-measured regression as
+    // the right side — the exchange cost exceeded the spread UDF work.
+    val leftToksBase = queries
       .select(Seq(col("_qlid_"), explode(tokUdf(col("_qtext_"))).as("t")) ++
         fIdx.map(i => col(s"_qf${i}_")): _*)
       .select(Seq(col("_qlid_"), col("t.tok").as("qtok"), col("t.pos").as("qpos"),

@@ -2,23 +2,42 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 
-/** Scale-adaptive scan widening (optimization round 19, guide §2.5's
-  * "input skew: one unsplittable file → repartition immediately after
-  * the read").
+/** Scale-adaptive scan widening (guide §2.5's "input skew: one
+  * unsplittable file → repartition immediately after the read"),
+  * cost-gated in round 20 after the r19 verdict measured the r19 rollout
+  * regressing fz01 2.5x / mm01 2.7x and anti-scaling (slower at 32 cores
+  * than 8) at the sites that shuffled heavy payloads or re-paid the
+  * exchange per consumer.
   *
   * The bench corpus ships each table as ONE single-row-group parquet
   * file, so every scan is one input split no matter the split-size
   * configs — and any CPU-heavy per-row derivation planned into the scan
-  * stage (n-gram explosion + hashing, tokenization, media decode) runs
-  * in ONE task while the other cores idle (job-profiled on dd05: the
-  * gram stage held 1 task for 1.4 s of a 6 s query). At cluster scale
-  * the same operators read many-split inputs and the problem does not
-  * exist — which is exactly the condition this helper keys on: it
-  * hash-repartitions to `spark.default.parallelism` ONLY when the
-  * input's planned partition count is under half the available slots,
-  * so on a well-split 100 TB scan it is a no-op by construction (never
-  * a constant tuned for local mode; the decision derives from the scan
-  * layout vs the cluster's slots, both runtime facts).
+  * stage (gram explosion + hashing, vector kernels, space-filling-curve
+  * walks) runs in ONE task while the other cores idle (job-profiled:
+  * dd05's gram stage 1.4 s in one task, ln01's cosine stage 3.5 s, zo02's
+  * Hilbert walk 1.05 s). This helper hash-repartitions to
+  * `spark.default.parallelism` ONLY when the input's planned partition
+  * count is BOTH under half the available slots AND at most
+  * [[MaxPlannedToWiden]] in absolute terms — the second condition (r20)
+  * confines the trigger to genuinely unsplittable inputs: a
+  * moderately-split intermediate on a large cluster (say 400 partitions
+  * against 1000 slots) must NOT be re-shuffled wholesale, which the r19
+  * planned<slots/2 trigger would have done.
+  *
+  * CALLER CONTRACT (r20, from the r19 verdict + ADVICE):
+  *  - pass only SCAN-STAGE or PINNED (materialized) inputs: the partition
+  *    probe (`df.rdd.getNumPartitions`) converts the plan to an RDD, and
+  *    under AQE that EXECUTES every upstream shuffle stage as real jobs
+  *    whose work is not reused by the later execution — a post-shuffle
+  *    input therefore runs its pipeline twice (the r19 BpeTrainer/
+  *    UnigramLm/WordPiece regression);
+  *  - never pass byte-blob / wide-payload columns: the exchange moves
+  *    every byte, and re-partitioning media blobs costs more than the
+  *    decode it parallelizes (the r19 Multimodal regression) — project
+  *    to the narrow derivation inputs first;
+  *  - widen a frame consumed by several downstream branches only AFTER
+  *    pinning it, or each consumer re-pays the exchange (the r19
+  *    FuzzyLookup regression).
   *
   * The repartition hashes on caller-chosen key columns — deterministic
   * row→partition assignment under task retries (guide §2.5 warns off
@@ -28,11 +47,20 @@ import org.apache.spark.sql.{Column, DataFrame}
   * shuffle moves the narrow input rows, not the exploded output. */
 object Parallelism {
 
+  /** Absolute planned-partition ceiling for the trigger: above this the
+    * input is already split enough that per-core imbalance, not
+    * under-splitting, is the residual — and on big clusters it keeps a
+    * moderately-split intermediate from being re-shuffled wholesale. */
+  val MaxPlannedToWiden = 4
+
   def widen(df: DataFrame, keys: Column*): DataFrame = {
     require(keys.nonEmpty, "widen needs at least one hash key column")
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    // physical planning only (no job): the scan's split count
+    // scan/pinned inputs only (see caller contract): for those this probe
+    // is plan conversion, not a job
     val planned = df.rdd.getNumPartitions
-    if (planned * 2 <= slots) df.repartition(slots, keys: _*) else df
+    if (planned <= MaxPlannedToWiden && planned * 2 <= slots)
+      df.repartition(slots, keys: _*)
+    else df
   }
 }

@@ -54,10 +54,9 @@ object WordPiece {
     val words = df.select(col(idCol),
         explode(split(col(textCol), "\\s+")).as("_w_"))
       .where(col("_w_") =!= "")
-    // widen (r19): the segmentation UDF over the distinct vocabulary
-    // otherwise runs in one AQE-coalesced task (see BpeTrainer)
-    val segmented = Parallelism
-      .widen(words.select("_w_").distinct(), col("_w_"))
+    // widen REVERTED (r20, r19 ADVICE): the partition-count probe
+    // double-executed the tokenize+distinct under AQE (see BpeTrainer)
+    val segmented = words.select("_w_").distinct()
       .withColumn("_seg_", segUdf(col("_w_")))
       .select(col("_w_"), col("_seg_._1").as("_np_"),
         col("_seg_._2").as("_unk_"))
