@@ -365,7 +365,17 @@ object Analytics {
   private def basketItems(df: DataFrame, basketCol: String, itemCol: String,
                           op: String, maxBasketSize: Int,
                           pairBound: Long): DataFrame = {
-    val distinctItems = df.select(col(basketCol), col(itemCol)).distinct()
+    // r20 (verdict item 4): establish the BASKET partitioning before the
+    // distinct instead of after it. hash(basket) satisfies the distinct's
+    // ClusteredDistribution(basket, item) (partition keys are a subset of
+    // the grouping keys), so the dedup runs exchange-free on top of this
+    // one shuffle — and because [[Materialize.round]] preserves output
+    // partitioning, the probe's groupBy(basket) AND both sides of the
+    // callers' basket self-joins reuse the same layout: one basket-keyed
+    // exchange total where the r19 plan paid one per keying (distinct by
+    // (basket, item), then re-shuffle by basket for the join).
+    val distinctItems = df.select(col(basketCol), col(itemCol))
+      .repartition(col(basketCol)).dropDuplicates()
     val capped =
       if (maxBasketSize <= 0) distinctItems
       else {
@@ -1346,9 +1356,11 @@ object Analytics {
           .otherwise(col(weightCol).cast("long")).as("_w_"))
       .where(col("_v_").isNotNull && col("_w_").isNotNull && col("_w_") > 0)
       .persist()
+    // try/finally (r19 ADVICE): the raise_error above fires inside the
+    // head() aggregate and no other exit may leave vals pinned either
+    try {
     val head = vals.agg(sum("_w_"), min("_v_"), max("_v_")).head()
     if (head.isNullAt(0)) {
-      vals.unpersist()
       return spark.emptyDataset[(Int, Long)].toDF("pct", "value")
     }
     val w = head.getLong(0)
@@ -1386,8 +1398,8 @@ object Analytics {
         t.lo = newLo
       }
     }
-    vals.unpersist()
     spark.createDataset(targets.map(t => (t.pct, t.lo))).toDF("pct", "value")
+    } finally vals.unpersist()
   }
 
   /** Per-GROUP exact quantiles by the [[exactQuantilesBisect]] passes —
@@ -1417,6 +1429,9 @@ object Analytics {
         col(valCol).cast("long").as("_v_"))
       .where(col("_v_").isNotNull && col("_g_").isNotNull)
       .persist()
+    // try/finally (r19 ADVICE): the maxGroups require below fires after
+    // the persist — a raise must not leave vals pinned
+    try {
     val groups = vals.groupBy("_g_")
       .agg(count(lit(1)).as("n"), min("_v_").as("lo"), max("_v_").as("hi"))
       .collect()
@@ -1464,7 +1479,6 @@ object Analytics {
         t.lo = newLo
       }
     }
-    vals.unpersist()
     // join back to the distinct group frame so groupCol keeps its
     // ORIGINAL type (the bisection keys on the string form internally;
     // returning that would silently coerce e.g. an int key to string,
@@ -1476,6 +1490,7 @@ object Analytics {
       .distinct()
     keys.join(out, keys(groupCol).cast("string") === out("_g_"))
       .select(col(groupCol), col("pct"), col("value"))
+    } finally vals.unpersist()
   }
 
   /** Two-sided CUSUM change-point detection (Page 1954, public) over an
@@ -1556,10 +1571,11 @@ object Analytics {
     val vals = df.select(col(valCol).cast("long").as("_v_"))
       .where(col("_v_").isNotNull)
       .persist()
+    // try/finally (r19 ADVICE): no exit may leave vals pinned
+    try {
     val head = vals.agg(count(lit(1)), min("_v_"), max("_v_")).head()
     val n = head.getLong(0)
     if (n == 0L) {
-      vals.unpersist()
       return spark.emptyDataset[(Int, Long)].toDF("pct", "value")
     }
     // state per target: value is the rank-th smallest inside [lo, hi]
@@ -1603,8 +1619,8 @@ object Analytics {
         t.lo = newLo
       }
     }
-    vals.unpersist()
     spark.createDataset(targets.map(t => (t.pct, t.lo))).toDF("pct", "value")
+    } finally vals.unpersist()
   }
 
   /** Welch's two-sample t statistic per metric group — the unequal-variance
@@ -2259,8 +2275,27 @@ object Analytics {
       df.select(col(basketCol).as("_bk_"), col(itemCol).as("_it_")),
       "_bk_", "_it_", "associationRules", maxBasketSize, pairBound)
     val n = bi.select(col("_bk_")).distinct().count()
+    // pinned: items feeds the Apriori frequent-set probe below AND the
+    // final confidence/lift joins — without the pin each consumer re-runs
+    // the item-frequency aggregate over bi
     val items = bi.groupBy(col("_it_")).agg(count(lit(1)).as("_f_"))
-    val pairs = bi.as("a").join(bi.as("b"),
+      .transform(Materialize.lazyRound)
+    // r20 Apriori pre-pruning (verdict item 4): f_ab <= min(f_a, f_b), so
+    // an item with global frequency < minSupport cannot appear in any pair
+    // surviving the f_ab >= minSupport filter — dropping its rows BEFORE
+    // the self-join preserves the declared output exactly while shrinking
+    // the join fan-out quadratically in the pruned share. The frequent set
+    // is broadcast (left_semi), which keeps bi's basket partitioning on
+    // the streamed side; |frequent| <= |rows|/minSupport, and the explicit
+    // count gate skips the prune when the set is too large to broadcast —
+    // exactly the low-selectivity regime where it would prune ~nothing.
+    val joinSide = if (minSupport > 1) {
+      val frequent = items.where(col("_f_") >= minSupport).select(col("_it_"))
+      if (frequent.count() <= (1L << 22))
+        bi.join(broadcast(frequent), Seq("_it_"), "left_semi")
+      else bi
+    } else bi
+    val pairs = joinSide.as("a").join(joinSide.as("b"),
         col("a._bk_") === col("b._bk_") && col("a._it_") < col("b._it_"))
       .groupBy(col("a._it_").as("_x_"), col("b._it_").as("_y_"))
       .agg(count(lit(1)).as("f_ab"))

@@ -280,11 +280,14 @@ object Dedup {
     * sparse by construction — LSH already bounded candidate fan-out — so
     * the diameter (and round count) stays single-digit on real corpora.
     *
-    * An ADAPTIVE fast path mirrors AQE's spirit: the edge count is
-    * already materialized for the persist, and when it is under
-    * `driverThreshold` the whole graph is collected and solved with
+    * An ADAPTIVE fast path mirrors AQE's spirit: the RAW pair count is
+    * materialized for the persist, and when it is under
+    * `driverThreshold` the raw pairs are collected and solved with
     * union-find on the driver — identical min-label output, zero
-    * iteration jobs. Near-dup edge sets are small relative to the corpus
+    * iteration jobs, and (r20) none of the loop path's symmetric-union /
+    * distinct / repartition exchanges, which only the iterative rounds
+    * need (union-find is insensitive to duplicates and direction; raw
+    * count >= distinct count keeps the memory bound). Near-dup edge sets are small relative to the corpus
     * by construction (only duplicates produce pairs), so this path
     * carries most real runs; the distributed fixpoint remains the
     * unbounded-scale path and is exercised directly by spec.
@@ -315,22 +318,21 @@ object Dedup {
     // one job that materializes edges so an expensive upstream (a full
     // near-dup pipeline) isn't executed once per direction
     val p = pairs.persist()
-    // pre-partitioned on the probe key so every round's join reuses the
-    // cached layout instead of re-exchanging the edge set
-    val edges = p.select(col(aCol).as("_src_"), col(bCol).as("_dst_"))
-      .union(p.select(col(bCol), col(aCol)))
-      .distinct().repartition(col("_dst_")).persist()
-    val nEdges = edges.count()
-    p.unpersist()
+    // r20 (verdict item 3): size the fast-path decision on the RAW pair
+    // count — the union-find collects raw pairs directly, so the fast
+    // path no longer pays the symmetric union + distinct + repartition
+    // exchanges it never used (raw count >= distinct count, so the
+    // driver-memory bound still holds).
+    val nRawPairs = p.count()
     // long ids only: the fast path materializes (Long, Long) and must not
     // silently change the output schema for other id types
     val longIds = pairs.schema(aCol).dataType ==
       org.apache.spark.sql.types.LongType
-    if (nEdges <= driverThreshold && longIds) {
+    if (nRawPairs <= driverThreshold && longIds) {
       import spark.implicits._
-      val es = edges.select(col("_src_").cast("long"), col("_dst_").cast("long"))
+      val es = p.select(col(aCol).cast("long"), col(bCol).cast("long"))
         .as[(Long, Long)].collect() // bounded by driverThreshold
-      edges.unpersist()
+      p.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -349,6 +351,14 @@ object Dedup {
       return spark.createDataset(out.toSeq)
         .toDF("id", "component")
     }
+    // loop path: symmetric edge set, pre-partitioned on the probe key so
+    // every round's join reuses the cached layout instead of re-exchanging
+    // the edge set
+    val edges = p.select(col(aCol).as("_src_"), col(bCol).as("_dst_"))
+      .union(p.select(col(bCol), col(aCol)))
+      .distinct().repartition(col("_dst_")).persist()
+    edges.count() // materialize off the upstream pin before dropping it
+    p.unpersist()
     var labels = edges.select(col("_src_").as("_id_"))
       .distinct().withColumn("_lbl_", col("_id_")).materializeRound()
     var converged = false
@@ -433,10 +443,15 @@ object Dedup {
         .union(edges.select(col("_lo_"), col("_hi_")))
       val mins = sym.groupBy("_u_").agg(min(col("_v_")).as("_mn_"))
         .select(col("_u_"), least(col("_mn_"), col("_u_")).as("_m_"))
+      // r20 (verdict item 3): lazy persist instead of an eager per-round
+      // materialization — afterLarge has two consumers (the min aggregate
+      // and the re-point join) but the small-star job materializes it as a
+      // side effect, so the eager pin was one extra full job per round.
+      // Lineage stays bounded: `next` is still eagerly pinned each round.
       val afterLarge = sym.where(col("_v_") > col("_u_"))
         .join(mins, "_u_")
         .select(col("_v_").as("_hi_"), col("_m_").as("_lo_"))
-        .distinct().materializeRound()
+        .distinct().persist()
       // small-star: canonical (hi, lo) IS the smaller-neighbor adjacency
       // Γ⁻(hi); m⁻ = min Γ⁻(u) (< u, so the least() with u is implicit);
       // u and every non-min smaller neighbor re-point to m⁻
@@ -447,11 +462,16 @@ object Dedup {
         .union(minsSmall.select(col("_hi_"), col("_m_")))
         .distinct().materializeRound()
       val nNext = next.count()
+      afterLarge.unpersist()
       // exact fixpoint test on two distinct sets: equal counts + empty
       // difference (ids-only jobs over a set shrinking toward one edge
       // per non-min node)
       converged = nNext == nE &&
         next.exceptAll(edges).limit(1).count() == 0
+      // superseded round state must not pile up across rounds (r20): the
+      // final labels read only the LAST edge set, so the previous round's
+      // pin can drop as soon as the fixpoint test has read it
+      if (edges ne next) edges.unpersist()
       edges = next
       nE = nNext
       iter += 1

@@ -256,8 +256,12 @@ object PipelineQueries {
     // (labels ∪ delta pairs) must equal the full rebuild, so dd06's
     // full-graph oracle gates it verbatim --------------------------------
     "dd14_incremental_components" -> ((s, d) => {
+      // r20 (verdict item 3): pin the pair mining once — prior and delta
+      // are two filters over the SAME expensive ngram pipeline, which
+      // previously re-ran it per branch (same rows, half the passes)
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d), "text",
         "doc_id", n = 3, minJaccard = 0.8).select("id_a", "id_b")
+        .transform(graft.operators.Materialize.round)
       val prior = pairs.where(col("id_b") < 400)
       val delta = pairs.where(col("id_b") >= 400)
       val labels = Dedup.connectedComponents(prior, "id_a", "id_b")
@@ -996,9 +1000,17 @@ object PipelineQueries {
     // staged media ------------------------------------------------------
     "mm07_image_neardup" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm01_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm01_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        // r20 file-layout fix (guide §6): the synthesized frame inherits
+        // the documents scan's single split, so the staged table was ONE
+        // parquet file and every timed decode ran in one task. Media
+        // stores are many-file by nature; stage the fixture that way so
+        // the timed scan parallelizes without shuffling blobs (the r19
+        // widen-in-the-operator approach, reverted, paid a blob exchange
+        // per timed query instead).
         graft.operators.Multimodal.syntheticMedia(
           Tables.documents(s, d).select("doc_id"), "doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage).where(col("media_id") < 100)
@@ -1012,9 +1024,12 @@ object PipelineQueries {
       // binaryFile); synthesize + PNG-encode it once per machine so the
       // timed work is the decode+pool OPERATOR, not fixture generation
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm01_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm01_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        // r20 file-layout fix (guide §6): stage many files so the timed
+        // decode scan parallelizes without shuffling blobs (see mm07)
         graft.operators.Multimodal.syntheticMedia(
           Tables.documents(s, d).select("doc_id"), "doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage)
@@ -1030,9 +1045,12 @@ object PipelineQueries {
     // synthetic gradient -----------------------------------------------------
     "mm05_image_resize" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm01_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm01_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        // r20 file-layout fix (guide §6): stage many files so the timed
+        // decode scan parallelizes without shuffling blobs (see mm07)
         graft.operators.Multimodal.syntheticMedia(
           Tables.documents(s, d).select("doc_id"), "doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage)
@@ -1049,9 +1067,11 @@ object PipelineQueries {
     // the synthesized PCM in PipelineOpsSpec — WAV is lossless)
     "mm03_audio_features" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm03_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm03_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         graft.operators.Multimodal.syntheticAudio(
           Tables.documents(s, d).select("doc_id").where(col("doc_id") < 200), "doc_id")
+          // r20 file-layout fix (guide §6): see the mm07 staging note
+          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage)
@@ -1072,9 +1092,11 @@ object PipelineQueries {
     // counts --------------------------------------------------------------
     "mm08_audio_neardup" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm03_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm03_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         graft.operators.Multimodal.syntheticAudio(
           Tables.documents(s, d).select("doc_id").where(col("doc_id") < 200), "doc_id")
+          // r20 file-layout fix (guide §6): see the mm07 staging note
+          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage).where(col("media_id") < 64)
@@ -1091,9 +1113,11 @@ object PipelineQueries {
     // levels, PipelineOpsSpec — JPEG is lossy so values aren't hash-able)
     "mm04_video_frames" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm04_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm04_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         graft.operators.Multimodal.syntheticVideo(
           Tables.documents(s, d).select("doc_id").where(col("doc_id") < 100), "doc_id")
+          // r20 file-layout fix (guide §6): see the mm07 staging note
+          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage)
@@ -1110,9 +1134,11 @@ object PipelineQueries {
     // replay videoFrameGray's integer formula), not just metadata --------
     "mm06_gif_frames" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm06_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm06_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         graft.operators.Multimodal.syntheticGif(
           Tables.documents(s, d).select("doc_id").where(col("doc_id") < 100), "doc_id")
+          // r20 file-layout fix (guide §6): see the mm07 staging note
+          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage)

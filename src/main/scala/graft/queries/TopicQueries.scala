@@ -277,6 +277,12 @@ object TopicQueries {
         .select(col("doc_id"), split(col("text"), " ").as("tokens"))
         .as[(Long, Seq[String])]
         .map { case (id, toks) => (toks.take(40), toks.take(40).map(tokenVec(_, 8))) }
+        // r20 (verdict item 5): fit re-evaluates this corpus-sized frame
+        // once per generation (initial population + one fitness pass per
+        // generation) and transform once more — without the pin the
+        // split+tokenVec mapping ran ~4x per query; unpersisted below
+        // alongside perDoc
+        .persist()
       val nTopics = 3
       val model = graft.topic.GeneticCategorizer.fit(docs,
         graft.topic.GeneticCategorizer.Options(
@@ -303,6 +309,7 @@ object TopicQueries {
         .groupBy("topic_id").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       perDoc.unpersist()
+      docs.unpersist()
       (0 until nTopics)
         .map(t => (t, claimsM.getOrElse(t, 0L), scoresOk))
         .toDF("topic_id", "n_claims", "scores_ok")
