@@ -119,7 +119,7 @@ object Graph {
     val edgesWithDeg = e.join(deg, "_src_")
       .repartition(col("_src_")).materializeRound()
     var ranks = nodesWB.select(col("node_id"), col("_init_").as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = edgesWithDeg
         .join(ranks, col("_src_") === col("node_id"))
         .select(col("_dst_").as("node_id"),
@@ -130,7 +130,13 @@ object Graph {
           (col("_base_") +
             expr(s"($dampNum * coalesce(_in_, 0L)) div $dampDen"))
             .as("rank"))
-        .materializeRound()
+      // r20: pin every SECOND round (and the last) instead of every round.
+      // A round's rank frame has exactly one consumer (the next round's
+      // contrib join), so two rounds compose into one job with bounded
+      // plan depth — identical integer results, half the materialization
+      // barriers (each is a full barrier + a node-sized state write; on
+      // the reliable lane, an FS round-trip per pin).
+      if (i % 2 == 0 || i == iterations) ranks = ranks.materializeRound()
     }
     ranks
   }
@@ -343,7 +349,7 @@ object Graph {
       .distinct()
       .withColumn("label", col("node_id"))
       .materializeRound()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val votes = sym
         .join(labels, sym("_a_") === labels("node_id"))
         .groupBy(col("_b_").as("node_id"), col("label"))
@@ -354,7 +360,9 @@ object Graph {
         .withColumn("_rn_", row_number().over(w))
         .where(col("_rn_") === 1)
         .select(col("node_id"), col("label"))
-        .materializeRound()
+      // r20: pin every second round (and the last) — one consumer per
+      // round (the next vote join), see pageRankIntFrom
+      if (i % 2 == 0 || i == iterations) labels = labels.materializeRound()
     }
     labels
   }
@@ -538,17 +546,21 @@ object Graph {
       .union(e.select(col("_v_"))).distinct().materializeRound()
     var auth = nodes.select(col("node_id"), lit(1L).as("a"))
     var hub = nodes.select(col("node_id"), lit(1L).as("h"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
+      // r20: pin every second round (and the last) — hub feeds only the
+      // same round's auth, auth only the next round's hub, so two rounds
+      // compose into one job (see pageRankIntFrom); the final hub/auth
+      // are always pinned before the closing join reads them twice
       hub = e.join(auth, e("_v_") === auth("node_id"))
         .groupBy(col("_u_").as("node_id")).agg(sum(col("a")).as("h"))
         .unionByName(nodes.select(col("node_id"), lit(0L).as("h")))
         .groupBy("node_id").agg(max(col("h")).as("h")) // sinks keep 0
-        .materializeRound()
+      if (i % 2 == 0 || i == iterations) hub = hub.materializeRound()
       auth = e.join(hub, e("_u_") === hub("node_id"))
         .groupBy(col("_v_").as("node_id")).agg(sum(col("h")).as("a"))
         .unionByName(nodes.select(col("node_id"), lit(0L).as("a")))
         .groupBy("node_id").agg(max(col("a")).as("a"))
-        .materializeRound()
+      if (i % 2 == 0 || i == iterations) auth = auth.materializeRound()
     }
     val maxes = hub.agg(max(col("h")).as("_mh_"))
       .crossJoin(auth.agg(max(col("a")).as("_ma_")))

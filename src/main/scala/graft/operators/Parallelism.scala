@@ -63,4 +63,30 @@ object Parallelism {
       df.repartition(slots, keys: _*)
     else df
   }
+
+  /** Byte-bounded variant for HEAVY-PAYLOAD rows (media blobs): the
+    * exchange moves every payload byte, so the width is sized from the
+    * scan's estimated bytes — `min(slots, ceil(bytes /
+    * [[TargetBlobPartitionBytes]]))` (the r19 verdict's prescribed form)
+    * — never blindly to the slot count. A 16 MB staged fixture widens a
+    * few ways (cheap shuffle, decode spreads); a multi-TB production
+    * media table is already many-split (`planned > MaxPlannedToWiden`)
+    * and is never re-shuffled. Unknown/absurd size estimates (pinned
+    * frames default to huge sentinels) disable the widen rather than
+    * trigger it. Same caller contract as [[widen]]. */
+  val TargetBlobPartitionBytes: Long = 4L << 20
+
+  def widenByBytes(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "widenByBytes needs at least one hash key column")
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val planned = df.rdd.getNumPartitions
+    if (planned > MaxPlannedToWiden) return df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // sanity ceiling: an unknown-size leaf reports a Long.MaxValue-ish
+    // sentinel; treat anything past 1 TB-per-planned-partition as unknown
+    if (bytes <= 0 || bytes > BigInt(planned) * (1L << 40)) return df
+    val want = ((bytes + TargetBlobPartitionBytes - 1) /
+      TargetBlobPartitionBytes).min(BigInt(slots)).toInt
+    if (want > planned * 2) df.repartition(want, keys: _*) else df
+  }
 }

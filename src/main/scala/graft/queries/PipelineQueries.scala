@@ -1000,17 +1000,9 @@ object PipelineQueries {
     // staged media ------------------------------------------------------
     "mm07_image_neardup" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm01_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
-        // r20 file-layout fix (guide §6): the synthesized frame inherits
-        // the documents scan's single split, so the staged table was ONE
-        // parquet file and every timed decode ran in one task. Media
-        // stores are many-file by nature; stage the fixture that way so
-        // the timed scan parallelizes without shuffling blobs (the r19
-        // widen-in-the-operator approach, reverted, paid a blob exchange
-        // per timed query instead).
+        s"mm01_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         graft.operators.Multimodal.syntheticMedia(
           Tables.documents(s, d).select("doc_id"), "doc_id")
-          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage).where(col("media_id") < 100)
@@ -1024,12 +1016,11 @@ object PipelineQueries {
       // binaryFile); synthesize + PNG-encode it once per machine so the
       // timed work is the decode+pool OPERATOR, not fixture generation
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm01_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm01_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         // r20 file-layout fix (guide §6): stage many files so the timed
         // decode scan parallelizes without shuffling blobs (see mm07)
         graft.operators.Multimodal.syntheticMedia(
           Tables.documents(s, d).select("doc_id"), "doc_id")
-          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage)
@@ -1045,12 +1036,11 @@ object PipelineQueries {
     // synthetic gradient -----------------------------------------------------
     "mm05_image_resize" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm01_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm01_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         // r20 file-layout fix (guide §6): stage many files so the timed
         // decode scan parallelizes without shuffling blobs (see mm07)
         graft.operators.Multimodal.syntheticMedia(
           Tables.documents(s, d).select("doc_id"), "doc_id")
-          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage)
@@ -1067,11 +1057,9 @@ object PipelineQueries {
     // the synthesized PCM in PipelineOpsSpec — WAV is lossless)
     "mm03_audio_features" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm03_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm03_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         graft.operators.Multimodal.syntheticAudio(
           Tables.documents(s, d).select("doc_id").where(col("doc_id") < 200), "doc_id")
-          // r20 file-layout fix (guide §6): see the mm07 staging note
-          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage)
@@ -1092,11 +1080,9 @@ object PipelineQueries {
     // counts --------------------------------------------------------------
     "mm08_audio_neardup" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm03_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm03_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         graft.operators.Multimodal.syntheticAudio(
           Tables.documents(s, d).select("doc_id").where(col("doc_id") < 200), "doc_id")
-          // r20 file-layout fix (guide §6): see the mm07 staging note
-          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage).where(col("media_id") < 64)
@@ -1113,11 +1099,9 @@ object PipelineQueries {
     // levels, PipelineOpsSpec — JPEG is lossy so values aren't hash-able)
     "mm04_video_frames" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm04_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm04_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         graft.operators.Multimodal.syntheticVideo(
           Tables.documents(s, d).select("doc_id").where(col("doc_id") < 100), "doc_id")
-          // r20 file-layout fix (guide §6): see the mm07 staging note
-          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage)
@@ -1134,11 +1118,9 @@ object PipelineQueries {
     // replay videoFrameGray's integer formula), not just metadata --------
     "mm06_gif_frames" -> ((s, d) => {
       val stage = graft.sources.Scratch.sharedDir("media",
-        s"mm06_v2_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
+        s"mm06_v1_${d}_${graft.sources.Scratch.fingerprint(s"$d/documents.parquet")}") { tmp =>
         graft.operators.Multimodal.syntheticGif(
           Tables.documents(s, d).select("doc_id").where(col("doc_id") < 100), "doc_id")
-          // r20 file-layout fix (guide §6): see the mm07 staging note
-          .repartition(s.sparkContext.defaultParallelism, col("media_id"))
           .write.mode("overwrite").parquet(tmp)
       }
       val media = s.read.parquet(stage)
