@@ -370,12 +370,18 @@ object Dedup {
       // label — convergence detection without a per-round compare join.
       val incoming = edges.join(labels, edges("_dst_") === labels("_id_"))
         .select(col("_src_").as("_id_"), col("_lbl_"), lit(false).as("_own_"))
-      val next = labels.select(col("_id_"), col("_lbl_"), lit(true).as("_own_"))
+      val nextPlan = labels.select(col("_id_"), col("_lbl_"), lit(true).as("_own_"))
         .union(incoming)
         .groupBy("_id_")
         .agg(min("_lbl_").as("_lbl_"),
           min(when(col("_own_"), col("_lbl_"))).as("_old_"))
-        .materializeRound()
+      // plan-audit hook (r20): the loop's physical plans are invisible to
+      // query-level explain (rounds execute eagerly inside the operator);
+      // this prints round 1's plan so the one-time-shuffle discipline is
+      // auditable (default off, no behavioral change)
+      if (iter == 0 && spark.conf.get("spark.graft.explainRounds", "false").toBoolean)
+        nextPlan.explain("formatted")
+      val next = nextPlan.materializeRound()
       val changed = next.where(col("_lbl_") =!= col("_old_")).limit(1).count()
       labels.unpersist()
       labels = next.drop("_old_")
@@ -456,11 +462,16 @@ object Dedup {
       // Γ⁻(hi); m⁻ = min Γ⁻(u) (< u, so the least() with u is implicit);
       // u and every non-min smaller neighbor re-point to m⁻
       val minsSmall = afterLarge.groupBy("_hi_").agg(min(col("_lo_")).as("_m_"))
-      val next = afterLarge.join(minsSmall, "_hi_")
+      val nextPlan = afterLarge.join(minsSmall, "_hi_")
         .where(col("_lo_") =!= col("_m_"))
         .select(col("_lo_").as("_hi_"), col("_m_").as("_lo_"))
         .union(minsSmall.select(col("_hi_"), col("_m_")))
-        .distinct().materializeRound()
+        .distinct()
+      // plan-audit hook (r20): see connectedComponents
+      if (iter == 0 && pairs.sparkSession.conf
+          .get("spark.graft.explainRounds", "false").toBoolean)
+        nextPlan.explain("formatted")
+      val next = nextPlan.materializeRound()
       val nNext = next.count()
       afterLarge.unpersist()
       // exact fixpoint test on two distinct sets: equal counts + empty
