@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -362,9 +362,13 @@ object Analytics {
     * Returns the capped frame MATERIALIZED ([[Materialize.round]]): it
     * feeds the probe and both self-join sides, so pinning it makes the
     * probe one cheap aggregate instead of a third distinct-scan. */
+  /** Returns the admitted distinct (basket, item) frame plus, when the
+    * admission probe ran, the EXACT ordered-pair volume Σm² it measured —
+    * the callers size their pair-aggregate partitioning from it
+    * (guide §2.2: partitions from data volume, not a constant). */
   private def basketItems(df: DataFrame, basketCol: String, itemCol: String,
                           op: String, maxBasketSize: Int,
-                          pairBound: Long): DataFrame = {
+                          pairBound: Long): (DataFrame, Option[Long]) = {
     // r20 (verdict item 4): establish the BASKET partitioning before the
     // distinct instead of after it. hash(basket) satisfies the distinct's
     // ClusteredDistribution(basket, item) (partition keys are a subset of
@@ -389,6 +393,7 @@ object Analytics {
           .select(col(basketCol), col(itemCol))
       }
     val items = Materialize.round(capped)
+    var pairVolume: Option[Long] = None
     if (pairBound > 0) {
       // one partial-aggregable job: per-basket sizes collapse map-side,
       // then a 1-row rollup carries (hottest basket, Σ size², N).
@@ -423,9 +428,33 @@ object Analytics {
             "— a corpus-wide explosion from many oversized baskets that " +
             "no single hot key trips; cap baskets with maxBasketSize, " +
             "or accept the cost explicitly with pairBound <= 0")
+        pairVolume = Some(
+          tot.min(java.math.BigInteger.valueOf(Long.MaxValue)).longValue())
       }
     }
-    items
+    (items, pairVolume)
+  }
+
+  /** Reduce-partition count for a basket pair aggregate, from the probe's
+    * exact Σm² (ordered-pair upper bound on the join's fan-out): one
+    * partition per ~64 MB of ~24-byte pair rows, never below the slot
+    * count, capped at 32× slots. At the bench scale this computes exactly
+    * the slot count — the callers then keep the stock groupBy plan
+    * (map-side partial agg + one exchange), so driver-bench plans are
+    * unchanged; past ~2 GB of pairs they switch to an explicit
+    * key-repartition feeding ONE complete aggregate, because (a) 32
+    * reduce partitions hold the whole (item, co_item) key space in 32
+    * concurrent hash maps (r20 sf10 soak: 28 GB of aggregate spill on
+    * rc01), and (b) map-side partial aggregation is pure overhead on
+    * near-unique keys — each task buffers a giant map that collapses
+    * almost nothing (guide §2.2/§2.5). */
+  private[graft] def pairAggPartitions(spark: SparkSession,
+                                           pairVolume: Long): Int = {
+    val slots = spark.sparkContext.defaultParallelism
+    // pairs-per-64MB-partition at ~24 B/pair; divide by the quotient so
+    // an extreme Σm² cannot overflow a Long before the cap applies
+    val byBytes = pairVolume / ((64L << 20) / 24L) + 1
+    math.max(slots, math.min(32L * slots, byBytes)).toInt
   }
 
   /** Item-to-item co-occurrence top-k ("bought X also bought Y"): for
@@ -444,13 +473,24 @@ object Analytics {
                      k: Int, maxBasketSize: Int = 0,
                      pairBound: Long = BasketPairBound): DataFrame = {
     require(k > 0, "k must be positive")
-    val items = basketItems(df, basketCol, itemCol, "coPurchaseTopK",
-      maxBasketSize, pairBound)
-    val pairs = items.as("a")
+    val (items, pairVolume) = basketItems(df, basketCol, itemCol,
+      "coPurchaseTopK", maxBasketSize, pairBound)
+    val pairRows = items.as("a")
       .join(items.as("b"), col(s"a.$basketCol") === col(s"b.$basketCol"))
       .where(col(s"a.$itemCol") =!= col(s"b.$itemCol"))
-      .groupBy(col(s"a.$itemCol").as("item"),
+      .select(col(s"a.$itemCol").as("item"),
         col(s"b.$itemCol").as("co_item"))
+    // probe-sized pair aggregate (see pairAggPartitions): past ~2 GB of
+    // pairs, an explicit key-repartition feeds ONE complete aggregate —
+    // hash(item, co_item) satisfies the groupBy's distribution, so no
+    // second exchange appears; at bench scale the stock plan is kept
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val sized = pairVolume.map(pairAggPartitions(df.sparkSession, _))
+      .filter(_ > slots)
+      .map(p => pairRows.repartition(p, col("item"), col("co_item")))
+      .getOrElse(pairRows)
+    val pairs = sized
+      .groupBy(col("item"), col("co_item"))
       .agg(count(lit(1)).as("n_baskets"))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("n_baskets").desc, col("co_item"))
@@ -2271,7 +2311,7 @@ object Analytics {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     // basketItems materializes the distinct frame (read by supports, the
     // probe, AND the pair join) and runs the Σ size² admission probe
-    val bi = basketItems(
+    val (bi, pairVolume) = basketItems(
       df.select(col(basketCol).as("_bk_"), col(itemCol).as("_it_")),
       "_bk_", "_it_", "associationRules", maxBasketSize, pairBound)
     val n = bi.select(col("_bk_")).distinct().count()
@@ -2295,9 +2335,19 @@ object Analytics {
         bi.join(broadcast(frequent), Seq("_it_"), "left_semi")
       else bi
     } else bi
-    val pairs = joinSide.as("a").join(joinSide.as("b"),
+    val pairRows = joinSide.as("a").join(joinSide.as("b"),
         col("a._bk_") === col("b._bk_") && col("a._it_") < col("b._it_"))
-      .groupBy(col("a._it_").as("_x_"), col("b._it_").as("_y_"))
+      .select(col("a._it_").as("_x_"), col("b._it_").as("_y_"))
+    // probe-sized pair aggregate — the coPurchaseTopK discipline (Σm² is
+    // an upper bound here: the Apriori prune and the a < b half-join only
+    // shrink the fan-out); stock plan at bench scale
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val sized = pairVolume.map(pairAggPartitions(df.sparkSession, _))
+      .filter(_ > slots)
+      .map(p => pairRows.repartition(p, col("_x_"), col("_y_")))
+      .getOrElse(pairRows)
+    val pairs = sized
+      .groupBy(col("_x_"), col("_y_"))
       .agg(count(lit(1)).as("f_ab"))
       .where(col("f_ab") >= minSupport)
     val directed = pairs.select(col("_x_").as("antecedent"),

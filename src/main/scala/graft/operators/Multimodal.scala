@@ -27,6 +27,20 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // r20 (guide §1.2 per-task work): javax.imageio defaults to DISK-backed
+  // stream caches — ImageIO.read(InputStream) wraps its source in a
+  // FileCacheImageInputStream and ImageIO.write(OutputStream) in a
+  // FileCacheImageOutputStream, i.e. every single decode AND encode
+  // creates, writes, and deletes a java.io.tmpdir temp file. All media
+  // here is in-memory byte arrays (parquet blob columns), so the file
+  // cache buys nothing and at soak scale it turns the decode kernels
+  // kernel-bound (~10^6 temp-file lifecycles for one sf10 resize pass —
+  // profiled as ~85% system CPU time). Memory-cached streams produce
+  // byte-identical codec output. JVM-static, set once when this object
+  // loads (every codec call site lives in this object, so executor-side
+  // object init precedes first use).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** media metadata struct: mime, width, height, durationMs (audio/video). */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("mime", StringType),

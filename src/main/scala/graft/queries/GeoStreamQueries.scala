@@ -529,8 +529,13 @@ object GeoStreamQueries {
         .withColumn("day", to_date(col("ts")))
         .withWatermark("ts", "2 days")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      // r20 (sf10 soak): the dedup state is DATA-sized ((user, type, day)
+      // keys), and a fixed 8 serialized 10M-row micro-batches on 8 of 32
+      // slots; adaptiveStateParts computes the same 8 at bench scale
+      // (zone < 2 MB) and grows with the landing zone past it — the
+      // output row set is partition-count-invariant
       Streams.runToMemory(deduped, "sm11_sink", outputMode = "append",
-          statePartitions = Some(8))
+          statePartitions = Some(Streams.adaptiveStateParts(s, stage)))
         .select(col("user_id"), col("event_type"),
           col("day").cast("string").as("day"))
         .orderBy("user_id", "event_type", "day")

@@ -67,7 +67,13 @@ object OracleArtifacts {
     * contract lives in exactly one place. `df` should be persisted by
     * the caller (it is re-scanned for the in-memory sum). */
   def writeAndCheckSum(df: DataFrame, valCol: String, path: String): Boolean = {
-    df.coalesce(1).write.mode("overwrite").json(path)
+    // r20: no coalesce(1) — it serialized the whole artifact through ONE
+    // task (tp01's sf10 assignment write ran 500k rows single-threaded).
+    // Every artifact oracle reads a '/*.json' glob and DuckDB's
+    // read_json_auto skips empty part files, so the parallel multi-file
+    // layout is contract-identical; the epsilon sum check below is
+    // summation-order-tolerant by design.
+    df.write.mode("overwrite").json(path)
     def sumOf(d: DataFrame): Double = d
       .agg(coalesce(sum(col(valCol)), lit(0.0))).collect()(0).getDouble(0)
     sumsClose(sumOf(df.sparkSession.read.json(path)), sumOf(df))

@@ -70,6 +70,33 @@ object Streams {
       .parquet(path)
   }
 
+  /** Scale-adaptive state-partition count for a file-backed stream whose
+    * STATE grows with the input (watermarked dedup keys, per-key
+    * aggregates over data-sized key spaces): `floor` partitions until the
+    * landing zone outgrows ~2 MB per partition, then one more partition
+    * per 2 MB up to the slot count. Every micro-batch pays one
+    * state-store task (open + delta write + commit) PER partition, so
+    * small-state streams want few partitions (the r19 `statePartitions`
+    * finding) — but a FIXED count serializes data-sized state on
+    * `floor` cores once the input is 100x the bench scale (r20 sf10
+    * soak: sm11's dedup ran 10M rows through 8 state partitions on 32
+    * slots). Driver-side file listing only — no Spark job; output of
+    * the stream is partition-count-invariant (same rows, any layout).
+    * At the driver's bench scale the landing zones are <2 MB, so this
+    * computes exactly the old fixed floor and bench comparability
+    * holds. */
+  def adaptiveStateParts(spark: SparkSession, stagePath: String,
+                         floor: Int = 8,
+                         bytesPerPartition: Long = 2L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(stagePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    val bySize = ((bytes + bytesPerPartition - 1) / bytesPerPartition).toInt
+    math.min(spark.sparkContext.defaultParallelism,
+      math.max(floor, bySize))
+  }
+
   /** One streaming-dedup verdict: was this document the first sighting of
     * its content hash, and how many sightings preceded it? `dupIndex` is
     * a Long — a single degenerate hash (empty-text boilerplate) can see
