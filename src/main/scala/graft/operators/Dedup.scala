@@ -784,8 +784,9 @@ object Dedup {
     val nBlocks = maxHamming + 1
     val blockBits = 64 / nBlocks
     val mask = (1L << blockBits) - 1
-    // persisted: the simhash UDF feeds the block explode and both
-    // signature re-joins below
+    // persisted: the simhash UDF feeds the block explode, which is
+    // evaluated by the eager degenerate-bucket probe AND the candidate
+    // join (r20: the signature re-joins are gone — _sh_ rides the blocks)
     val sigs = withSimhash(df.select(col(idCol).as("_id_"), col(textCol)), textCol, "_sh_")
       .select("_id_", "_sh_")
       .persist()
@@ -793,7 +794,9 @@ object Dedup {
     // and % follows the sign, so any signature with bit 63 set (half of
     // them) got different keys for bit-identical blocks — near-dup pairs
     // silently dropped. shiftrightunsigned + bitwise AND is sign-proof.
-    val blocked = sigs.select(col("_id_"),
+    // _sh_ rides along (8 bytes/row): the candidate join hamming-checks
+    // in place — see the r20 note below
+    val blocked = sigs.select(col("_id_"), col("_sh_"),
       posexplode(expr(
         s"transform(sequence(0, ${nBlocks - 1}), b -> shiftrightunsigned(_sh_, b * $blockBits) & ${mask}L)"))
         .as(Seq("_blk_", "_key_")))
@@ -813,17 +816,77 @@ object Dedup {
           "only on those keys), run exact dedup first to collapse " +
           "identical texts (signature 0 empties are the classic case), " +
           "or pass degenerateBucketBound = 0 to accept the cost")
-    val a = capped.select(col("_blk_"), col("_key_"), col("_id_").as("id_a"))
-    val b = capped.select(col("_blk_"), col("_key_"), col("_id_").as("id_b"))
-    // ids-only candidate dedup; signatures join back once per unique pair
-    a.join(b, Seq("_blk_", "_key_"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .join(sigs.select(col("_id_").as("id_a"), col("_sh_").as("sh_a")), "id_a")
-      .join(sigs.select(col("_id_").as("id_b"), col("_sh_").as("sh_b")), "id_b")
-      .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")))
-      .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    // r20 (guide §2.3, shuffle fewer bytes): the signature rides the
+    // block join (8 extra bytes per blocked row), so candidates are
+    // hamming-checked IN the join stage — before, the raw candidate set
+    // crossed the wire three more times (a global distinct + two
+    // signature re-joins), and the candidate volume is the one term that
+    // grows quadratically on low-diversity corpora (the scale note
+    // above). The distinct now dedups only TRUE pairs (block-key
+    // multiplicity ≤ nBlocks on an output that survived the hamming
+    // gate); hamming is pair-determined, so filtering before the
+    // distinct is output-identical.
+    // r20 hot-bucket grid (guide §2.5): simhash bits are biased on
+    // homogeneous corpora, so a few 16-bit block values own most rows —
+    // sf10-probed: Σb² = 3.7e9 candidates with 8.3e8 from ONE
+    // (block, key), i.e. one task serializing 22% of the whole join.
+    // A single hot KEY cannot be split by AQE; the standard exact
+    // treatment is the grid self-join: split each hot bucket's rows
+    // into g = ceil(b/1024) cells by a DETERMINISTIC id hash (rand
+    // salts break under task retry — guide §2.5), replicate each side
+    // g times so cell (i, j) pairs sub-bucket i against sub-bucket j on
+    // its own task. Every pair lands in exactly one cell, so the output
+    // is identical; replication is Σ g·b ≈ Σb²/1024 rows — 3.6M at
+    // sf10 vs the 3.7e9 candidates it parallelizes. Cold buckets keep
+    // g = 1 (cell (0,0)); with no hot bucket at all (every driver bench
+    // SF) the plain join plan is kept unchanged.
+    val gridTarget = 1024L
+    val hot = capped.groupBy("_blk_", "_key_")
+      .agg(count(lit(1)).as("_b_"))
+      .where(col("_b_") > gridTarget)
+      .collect() // bounded: ≤ rows/gridTarget keys, each ≤ the probe bound
+    if (hot.isEmpty) {
+      val a = capped.select(col("_blk_"), col("_key_"),
+        col("_id_").as("id_a"), col("_sh_").as("sh_a"))
+      val b = capped.select(col("_blk_"), col("_key_"),
+        col("_id_").as("id_b"), col("_sh_").as("sh_b"))
+      a.join(b, Seq("_blk_", "_key_"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")))
+        .where(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming").distinct()
+    } else {
+      val spark = df.sparkSession
+      val gRows = hot.map { r =>
+        org.apache.spark.sql.Row(r.getInt(0), r.getLong(1),
+          ((r.getLong(2) + gridTarget - 1) / gridTarget).toInt)
+      }
+      val gSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_blk_",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_key_",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_g_",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      val gMap = spark.createDataFrame(
+        spark.sparkContext.parallelize(gRows.toSeq, 1), gSchema)
+      val withG = capped.join(broadcast(gMap), Seq("_blk_", "_key_"), "left")
+        .withColumn("_g_", coalesce(col("_g_"), lit(1)))
+        .withColumn("_own_", pmod(xxhash64(col("_id_")), col("_g_")).cast("int"))
+      val a = withG.select(col("_blk_"), col("_key_"),
+          col("_own_").as("_ci_"),
+          explode(sequence(lit(0), col("_g_") - 1)).as("_cj_"),
+          col("_id_").as("id_a"), col("_sh_").as("sh_a"))
+      val b = withG.select(col("_blk_"), col("_key_"),
+          explode(sequence(lit(0), col("_g_") - 1)).as("_ci_"),
+          col("_own_").as("_cj_"),
+          col("_id_").as("id_b"), col("_sh_").as("sh_b"))
+      a.join(b, Seq("_blk_", "_key_", "_ci_", "_cj_"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")))
+        .where(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming").distinct()
+    }
   }
 
   // ---------------------------------------------------------------------

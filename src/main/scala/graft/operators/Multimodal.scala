@@ -535,7 +535,9 @@ object Multimodal {
     val hashed = hashedIn
       .select(col(idCol).as("_id_"), col(hashCol).as("_h_"))
       .where(col("_h_").isNotNull)
-      .transform(Materialize.round) // hashes reused by blocks and both verify joins
+      // pinned: both sides of the candidate self-join re-derive the
+      // (expensive, decode-backed) hash column without it
+      .transform(Materialize.round)
     val blocks = hashed.select(col("_id_"),
       explode(sequence(lit(0), lit(nBlocks - 1))).as("_blk_"),
       col("_h_"))
@@ -544,17 +546,19 @@ object Multimodal {
     val b = blocks.withColumn("_bv_", expr(
       s"""shiftrightunsigned(_h_, _blk_ * $width) &
          |  if(_blk_ = ${nBlocks - 1}, -1L, ${(1L << width) - 1}L)""".stripMargin))
-    val cands = b.as("x").join(b.as("y"),
+    // r20 (guide §2.3): both sides already carry the 8-byte hash into the
+    // block join, so hamming-check candidates IN the join stage — the
+    // candidate set previously crossed the wire three more times (global
+    // distinct + two verify re-joins); the distinct now dedups only TRUE
+    // pairs (hamming is pair-determined, so filtering first is
+    // output-identical — the simHashPairs discipline)
+    b.as("x").join(b.as("y"),
         col("x._blk_") === col("y._blk_") && col("x._bv_") === col("y._bv_") &&
           col("x._id_") < col("y._id_"))
-      .select(col("x._id_").as("id_a"), col("y._id_").as("id_b"))
-      .distinct()
-    cands
-      .join(hashed.select(col("_id_").as("id_a"), col("_h_").as("_ha_")), "id_a")
-      .join(hashed.select(col("_id_").as("id_b"), col("_h_").as("_hb_")), "id_b")
-      .withColumn("hamming", bit_count(col("_ha_").bitwiseXOR(col("_hb_"))))
+      .select(col("x._id_").as("id_a"), col("y._id_").as("id_b"),
+        bit_count(col("x._h_").bitwiseXOR(col("y._h_"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** Image near-duplicate pairs: [[imageAHash]] + [[hashNearDupPairs]]. */

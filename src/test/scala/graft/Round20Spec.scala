@@ -136,6 +136,30 @@ class Round20Spec extends AnyFunSuite {
     assert(f(Long.MaxValue) == 32 * slots)
   }
 
+  test("simHashPairs hot-bucket grid: output identical to brute force " +
+       "when a bucket exceeds the grid threshold") {
+    // 1200 identical docs -> one signature, every block bucket holds
+    // 1200 rows (> the 1024 grid threshold, g = 2), plus 40 distinct
+    // docs that land in cold buckets — exercises the mixed hot/cold path
+    val docs = ((1L to 1200L).map(i => (i, "alpha beta gamma delta")) ++
+      (1301L to 1340L).map(i => (i, s"tok${i} u${i * 7} v${i % 13} w")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.simHashPairs(docs, "text", "doc_id",
+        maxHamming = 3, degenerateBucketBound = 0)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Int)].collect().toSeq
+    // independent reference: all-pairs hamming over the signatures
+    val sigs = graft.operators.Dedup.withSimhash(docs, "text", "_sh_")
+      .select("doc_id", "_sh_").as[(Long, Long)].collect().toMap
+    val ids = sigs.keys.toSeq.sorted
+    val want = for {
+      i <- ids; j <- ids if i < j
+      h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= 3
+    } yield (i, j, h)
+    assert(got.size == want.size, s"${got.size} vs ${want.size}")
+    assert(got == want.sortBy(p => (p._1, p._2)))
+  }
+
   test("adaptiveStateParts: floor at bench scale, grows with the zone, " +
        "capped at the slot count") {
     val dir = java.nio.file.Files.createTempDirectory("r20_stateparts")
